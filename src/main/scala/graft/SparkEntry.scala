@@ -1,13 +1,339 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Conventions that make the DuckDB-oracle hash compare deterministic:
+  *  - money-like double sums go through an exact DECIMAL(18,2) cast (sum of
+  *    decimals is order-independent), then back to DOUBLE — both engines
+  *    produce the identical rational, hence identical double bits;
+  *  - free-double sums are rounded after an exact-decimal sum as well;
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - every query ends in a total ORDER BY;
+  *  - ranks use row_number with explicit (key, tiebreak) ordering, cast to
+  *    BIGINT to match DuckDB's row_number type.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Brute-force k-NN of the first 4 embedding vectors against the whole
+    * embeddings table (squared L2, top-5) — the reference's core query.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    knnL2(spark, "/root/testdata/sf0.001", nq = 4, k = 5)
+
+  /** Shared kNN plan: broadcast queries × vectors → codegen'd squared-L2 →
+    * map-side bounded top-k (ObjectHashAggregate) → explode ranks.
+    */
+  private def knnL2(s: SparkSession, dir: String, nq: Int, k: Int): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    e.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("label"),
+        squaredL2(col("embedding"), col("qv")).as("score"))
+      .groupBy(col("qid"))
+      .agg(topK(col("score"), col("label"), k, ascending = true).as("hits"))
+      .select(col("qid"), posexplode(col("hits")))
+      .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.label").as("label"), round(col("col.score"), 4).as("dist"))
+      .orderBy("qid", "rank")
+  }
+
+  private def knnIp(s: SparkSession, dir: String, nq: Int, k: Int): DataFrame = {
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    e.crossJoin(broadcast(q))
+      .select(col("qid"), col("vec_id").as("label"),
+        dotProduct(col("embedding"), col("qv")).as("score"))
+      .groupBy(col("qid"))
+      .agg(topK(col("score"), col("label"), k, ascending = false).as("hits"))
+      .select(col("qid"), posexplode(col("hits")))
+      .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.label").as("label"), round(col("col.score"), 4).as("dist"))
+      .orderBy("qid", "rank")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- aggregation / scan surface (SURVEY §2.4 built-ins) ----
+
+    "q1_pricing_summary" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+            .cast(DoubleType).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q6_forecast_revenue" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast(DoubleType).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    "q_filter_scan" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 49 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"))
+        .orderBy("l_orderkey", "l_partkey", "l_linenumber")
+    },
+
+    // ---- joins (SURVEY §2.3 analog surface) ----
+
+    "q3_top_unshipped_orders" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c.filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10)
+    },
+
+    "q5_nation_revenue" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val sup = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .filter(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
+
+    // ---- window / rank (SURVEY §2.4 missing-in-reference builtins) ----
+
+    "q_window_top_orders" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("o_custkey", "rn")
+    },
+
+    // ---- distinct / set-ish aggregates ----
+
+    "q_segment_stats" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_customers"),
+          count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast(DoubleType).as("total_price"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- events: time-bucketed aggregation ----
+
+    "q_events_hourly" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(25, 6))).cast(DoubleType).as("sum_value"))
+        .orderBy("hour", "event_type")
+    },
+
+    // ---- vector search (SURVEY §2.3/§2.4 core: scored cross join + top-k) ----
+
+    "knn_l2" -> ((s, dir) => knnL2(s, dir, nq = 8, k = 10)),
+    "knn_ip" -> ((s, dir) => knnIp(s, dir, nq = 8, k = 10)),
+
+    "vec_norms" -> { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), round(vectorNormSq(col("embedding")), 4).as("norm_sq"))
+        .orderBy("vec_id")
+    },
+
+    // ---- dedup: exact (hash-groupBy) ----
+
+    "dedup_exact" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "documents")
+      val w = Window.partitionBy(col("h"))
+      d.select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("group_size", count(lit(1)).over(w))
+        .withColumn("keep", col("doc_id") === min(col("doc_id")).over(w))
+        .select(col("doc_id"), col("h"), col("group_size"), col("keep"))
+        .orderBy("doc_id")
+    },
+
+    // ---- text analysis: token counting ----
+
+    "text_tokens" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast(LongType).as("n_tokens"),
+          size(array_distinct(split(col("text"), " ", -1))).cast(LongType).as("n_distinct_tokens"),
+          length(col("text")).cast(LongType).as("n_chars_measured"))
+        .orderBy("doc_id")
+    }
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops →
+    * driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q_filter_scan" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber
+        |FROM lineitem
+        |WHERE l_quantity >= 49 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_partkey, l_linenumber""".stripMargin,
+
+    "q3_top_unshipped_orders" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE c_nationkey = s_nationkey
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_window_top_orders" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_segment_stats" ->
+      """SELECT c_mktsegment,
+        |  COUNT(DISTINCT o_custkey) AS n_customers,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+
+    "knn_l2" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id AS label, q.qv, e.embedding AS v
+        |  FROM q CROSS JOIN embeddings e),
+        |dists AS (
+        |  SELECT qid, label, SUM((CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE)) * (CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE))) AS score
+        |  FROM (SELECT qid, label, UNNEST(qv) AS qe, UNNEST(v) AS ve FROM pairs)
+        |  GROUP BY qid, label),
+        |ranked AS (
+        |  SELECT qid, label, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank
+        |  FROM dists)
+        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    "knn_ip" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id AS label, q.qv, e.embedding AS v
+        |  FROM q CROSS JOIN embeddings e),
+        |dists AS (
+        |  SELECT qid, label, SUM(CAST(qe AS DOUBLE) * CAST(ve AS DOUBLE)) AS score
+        |  FROM (SELECT qid, label, UNNEST(qv) AS qe, UNNEST(v) AS ve FROM pairs)
+        |  GROUP BY qid, label),
+        |ranked AS (
+        |  SELECT qid, label, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, label) AS rank
+        |  FROM dists)
+        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    "vec_norms" ->
+      """SELECT vec_id,
+        |  ROUND(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), 4) AS norm_sq
+        |FROM (SELECT vec_id, UNNEST(embedding) AS e FROM embeddings)
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS h,
+        |  COUNT(*) OVER (PARTITION BY md5(text)) AS group_size,
+        |  doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        |  length(text) AS n_chars_measured
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,81 @@
+package graft.functions
+
+/** Scalar fp32↔fp16 / fp32↔bf16 conversions.
+  *
+  * Semantics mirror the reference's storage quantization
+  * (`/root/reference/src/MetalIndexFlat.mm:224-256`): fp32→fp16 behaves like
+  * a C `(__fp16)` cast (IEEE 754 half, round-to-nearest-even, overflow→Inf),
+  * fp32→bf16 is round-to-nearest-even truncation to the top 16 bits, and
+  * both dequantizations are exact (every half/bf16 value is representable as
+  * fp32 — fp16→fp32 at `MetalIndexFlat.mm:508-518`, bf16 via `bits << 16`).
+  *
+  * JDK 17 has no `Float.floatToFloat16` (added in JDK 20), so the bit math
+  * is spelled out. These are plain static helpers so generated (codegen)
+  * Java can call them directly.
+  */
+object FloatBits {
+
+  /** fp32 → IEEE-754 binary16 bits, round-to-nearest-even. */
+  def floatToHalfBits(f: Float): Short = {
+    val bits = java.lang.Float.floatToRawIntBits(f)
+    val sign = (bits >>> 16) & 0x8000
+    val exp = (bits >>> 23) & 0xFF
+    var mant = bits & 0x7FFFFF
+    if (exp == 0xFF) { // Inf / NaN
+      val nanBit = if (mant != 0) 0x200 else 0
+      return (sign | 0x7C00 | nanBit).toShort
+    }
+    val e = exp - 127 + 15 // re-bias
+    if (e >= 0x1F) return (sign | 0x7C00).toShort // overflow → Inf
+    if (e <= 0) {
+      // subnormal half or underflow to zero
+      if (e < -10) return sign.toShort
+      mant |= 0x800000 // make leading 1 explicit
+      val shift = 14 - e // 24-bit significand → (10 + e) bits
+      var h = mant >>> shift
+      val rem = mant & ((1 << shift) - 1)
+      val halfway = 1 << (shift - 1)
+      if (rem > halfway || (rem == halfway && (h & 1) == 1)) h += 1
+      return (sign | h).toShort
+    }
+    // normal: 23-bit mantissa → 10 bits, RNE; carry may bump the exponent,
+    // which is correct (1.111..→10.0 rounds up into the next binade / Inf).
+    var h = (e << 10) | (mant >>> 13)
+    val rem = mant & 0x1FFF
+    if (rem > 0x1000 || (rem == 0x1000 && (h & 1) == 1)) h += 1
+    (sign | h).toShort
+  }
+
+  /** IEEE-754 binary16 bits → fp32 (exact). */
+  def halfBitsToFloat(h: Short): Float = {
+    val hv = h & 0xFFFF
+    val sign = if ((hv & 0x8000) != 0) -1f else 1f
+    val exp = (hv >>> 10) & 0x1F
+    val mant = hv & 0x3FF
+    if (exp == 0x1F) {
+      if (mant != 0) Float.NaN else sign * Float.PositiveInfinity
+    } else if (exp == 0) {
+      sign * mant * 5.9604645e-8f // mant * 2^-24, exact
+    } else {
+      // (1024 + mant) * 2^(exp-25) == (1 + mant/1024) * 2^(exp-15), exact
+      sign * ((mant + 1024) * Math.scalb(1f, exp - 25))
+    }
+  }
+
+  /** fp32 → bfloat16 bits, round-to-nearest-even truncation of the top 16
+    * bits (the same `0x7FFF + lsb` trick as the reference ingest path).
+    */
+  def floatToBf16Bits(f: Float): Short = {
+    val bits = java.lang.Float.floatToRawIntBits(f)
+    if ((bits & 0x7FFFFFFF) > 0x7F800000) {
+      // NaN: keep sign/payload top bits, force quiet bit so it stays NaN
+      return ((bits >>> 16) | 0x40).toShort
+    }
+    val lsb = (bits >>> 16) & 1
+    ((bits + 0x7FFF + lsb) >>> 16).toShort
+  }
+
+  /** bfloat16 bits → fp32 (exact: the bf16 value *is* the top half). */
+  def bf16BitsToFloat(s: Short): Float =
+    java.lang.Float.intBitsToFloat((s & 0xFFFF) << 16)
+}

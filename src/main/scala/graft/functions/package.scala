@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import graft.operators.TopKAgg
+
+/** User-facing Column API for graft's custom Catalyst expressions.
+  *
+  * ```scala
+  * import graft.functions._
+  * df.select(squaredL2($"qvec", $"vec"))
+  * df.groupBy($"qid").agg(topK($"dist", $"id", 10, ascending = true))
+  * ```
+  */
+package object functions {
+
+  private def e(c: Column) = GraftBridge.expression(c)
+
+  /** Inner product Σ aᵢ·bᵢ over two `array<float>` columns (fp64 acc). */
+  def dotProduct(a: Column, b: Column): Column =
+    GraftBridge.column(DotProductFloat(e(a), e(b)))
+
+  /** Squared L2 distance ‖a−b‖² (no sqrt — FAISS METRIC_L2 semantics). */
+  def squaredL2(a: Column, b: Column): Column =
+    GraftBridge.column(SquaredL2Distance(e(a), e(b)))
+
+  /** Per-row squared norm ‖v‖². */
+  def vectorNormSq(v: Column): Column =
+    GraftBridge.column(VectorNormSq(e(v)))
+
+  /** Cosine similarity dot(a,b)/(‖a‖·‖b‖), composed from codegen kernels. */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    dotProduct(a, b) / (sqrt(vectorNormSq(a)) * sqrt(vectorNormSq(b)))
+  }
+
+  /** fp32 `array<float>` → IEEE-half bits `array<short>` (RNE). */
+  def quantizeF16(v: Column): Column =
+    GraftBridge.column(QuantizeVector16(e(v), bfloat = false))
+
+  /** fp32 `array<float>` → bfloat16 bits `array<short>` (RNE truncation). */
+  def quantizeBf16(v: Column): Column =
+    GraftBridge.column(QuantizeVector16(e(v), bfloat = true))
+
+  /** IEEE-half bits → fp32 (exact). */
+  def dequantizeF16(v: Column): Column =
+    GraftBridge.column(DequantizeVector16(e(v), bfloat = false))
+
+  /** bfloat16 bits → fp32 (exact). */
+  def dequantizeBf16(v: Column): Column =
+    GraftBridge.column(DequantizeVector16(e(v), bfloat = true))
+
+  /** Grouped bounded top-k: `array<struct<label, score>>` best-first.
+    * ascending=true keeps smallest scores (L2), false largest (IP);
+    * ties break toward the smaller label. `padToK` fills missing slots
+    * with (−1, ±Inf) sentinels, matching the reference's k>ntotal
+    * semantics.
+    */
+  def topK(score: Column, label: Column, k: Int, ascending: Boolean,
+           padToK: Boolean = false): Column =
+    GraftBridge.column(
+      TopKAgg(e(score), e(label), k, ascending, padToK).toAggregateExpression())
+}

@@ -1,0 +1,258 @@
+package graft.index
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions._
+
+/** Metric of the flat index: squared L2 (min-k) or inner product (max-k).
+  * Mirrors `faiss::MetricType` as used by the reference
+  * (`/root/reference/include/faiss-metal/MetalIndexFlat.h:51-57`).
+  */
+sealed trait Metric { def ascending: Boolean; def sentinel: Double }
+object Metric {
+  case object L2 extends Metric {
+    val ascending = true; val sentinel = Double.PositiveInfinity
+  }
+  case object InnerProduct extends Metric {
+    val ascending = false; val sentinel = Double.NegativeInfinity
+  }
+}
+
+/** Vector storage precision (`MetalIndexFlat.h:39-43`): fp32, IEEE half,
+  * or bfloat16. Reduced-precision indexes store only the 16-bit bits
+  * column (half the bytes at rest and in memory — the Spark analog of the
+  * reference's bandwidth win) plus the fp32-accurate norm.
+  */
+sealed trait StorageType
+object StorageType {
+  case object Float32 extends StorageType
+  case object Float16 extends StorageType
+  case object BFloat16 extends StorageType
+}
+
+/** Async search handle — the Spark analog of `MetalSearchToken`
+  * (`/root/reference/include/faiss-metal/MetalIndexFlat.h:13-36`): the
+  * search job runs on a separate thread; `result()` blocks and returns
+  * rows identical to the synchronous path (the reference's async≡sync
+  * contract, `tests/test_metal_flat.mm:341-344`).
+  */
+final class SearchToken private[index] (fut: Future[Array[Row]]) {
+  def isReady: Boolean = fut.isCompleted
+  def result(): Array[Row] = Await.result(fut, Duration.Inf)
+}
+
+/** Spark-native flat (brute-force, exact) vector index.
+  *
+  * Reference-parity surface for `MetalIndexFlat`
+  * (`/root/reference/src/MetalIndexFlat.mm`): append-only `add`, `reset`,
+  * `reconstruct`, sync + async `search` with the exact sentinel/clamp
+  * semantics of `mm:313-400`:
+  *   - `k <= 0` throws;
+  *   - empty index → every slot (label −1, dist +Inf for L2 / −Inf for IP);
+  *   - `k > ntotal` → clamp to ntotal, pad the tail with sentinels;
+  *   - L2 distances are squared (no sqrt).
+  *
+  * Physical shape (designed for the 100 TB side being `vectors`):
+  * queries are broadcast; each vector partition computes distances and a
+  * k-bounded partial top-k map-side (ObjectHashAggregate); only k-row
+  * buffers shuffle by qid. This is the same shape as the reference's fused
+  * distance+top-k kernel (`shaders/fused_l2_topk.metal` — partial
+  * selection per chunk, then merge) and never materializes the nq×nv
+  * distance matrix.
+  *
+  * Ordering is the deterministic total order (dist, id) — see SURVEY.md §5
+  * for why the reference's tie order is not reproducible.
+  */
+final class VectorIndexFlat private (
+    val spark: SparkSession,
+    val d: Int,
+    val metric: Metric,
+    val storage: StorageType) {
+
+  import VectorIndexFlat._
+
+  private var data: DataFrame = emptyData(spark, storage)
+  private var cachedNtotal: Long = 0L
+
+  def ntotal: Long = cachedNtotal
+
+  /** The backing DataFrame: (id, vec | vech, norm). */
+  def vectors: DataFrame = data
+
+  /** Append vectors in insertion order; ids are assigned 0-based
+    * contiguously (ref `add`, `mm:185-311`). Norms are always computed
+    * from the fp32 input even for reduced-precision storage (`mm:258-268`).
+    */
+  def add(vecs: Seq[Array[Float]]): this.type = {
+    require(vecs.forall(_.length == d), s"all vectors must have dimension $d")
+    val base = cachedNtotal
+    val rows = vecs.zipWithIndex.map { case (v, i) => Row(base + i, v) }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, vecs.size / 4096)),
+      rawSchema)
+    appendDf(df, vecs.size.toLong)
+  }
+
+  /** Append an existing (id-less) DataFrame with a `vec: array<float>`
+    * column; ids continue from the current ntotal in partition order.
+    */
+  def add(df: DataFrame): this.type = {
+    val base = cachedNtotal
+    val withIds = df.select(col("vec")).rdd.zipWithIndex().map {
+      case (r, i) => Row(base + i, r.getSeq[Float](0).toArray)
+    }
+    val n = withIds.count()
+    appendDf(spark.createDataFrame(withIds, rawSchema), n)
+  }
+
+  private def appendDf(raw: DataFrame, n: Long): this.type = {
+    val prepared = prepare(raw)
+    val old = data
+    data = old.unionByName(prepared).persist(StorageLevel.MEMORY_AND_DISK)
+    data.count() // materialize before dropping the old lineage
+    old.unpersist()
+    cachedNtotal += n
+    this
+  }
+
+  /** norm from fp32, then (for reduced precision) quantize and DROP fp32. */
+  private def prepare(raw: DataFrame): DataFrame = storage match {
+    case StorageType.Float32 =>
+      raw.select(col("id"), col("vec"), vectorNormSq(col("vec")).as("norm"))
+    case StorageType.Float16 =>
+      raw.select(col("id"), quantizeF16(col("vec")).as("vech"),
+        vectorNormSq(col("vec")).as("norm"))
+    case StorageType.BFloat16 =>
+      raw.select(col("id"), quantizeBf16(col("vec")).as("vech"),
+        vectorNormSq(col("vec")).as("norm"))
+  }
+
+  /** fp32 view of the stored vectors (dequantized when 16-bit). */
+  private def decoded: DataFrame = storage match {
+    case StorageType.Float32  => data
+    case StorageType.Float16  =>
+      data.select(col("id"), dequantizeF16(col("vech")).as("vec"), col("norm"))
+    case StorageType.BFloat16 =>
+      data.select(col("id"), dequantizeBf16(col("vech")).as("vec"), col("norm"))
+  }
+
+  /** Drop everything (ref `reset`, `mm:492-506`). */
+  def reset(): this.type = {
+    data.unpersist()
+    data = emptyData(spark, storage)
+    cachedNtotal = 0L
+    this
+  }
+
+  /** Point lookup + dequantize (ref `reconstruct`, `mm:508-527`).
+    * Bit-exact for fp32 storage.
+    */
+  def reconstruct(key: Long): Array[Float] = {
+    val rows = decoded.filter(col("id") === key).select("vec").collect()
+    require(rows.nonEmpty, s"reconstruct: id $key not present (ntotal=$cachedNtotal)")
+    rows.head.getSeq[Float](0).toArray
+  }
+
+  /** k-nearest-neighbor search.
+    * @param queries DataFrame with (qid: long, qvec: array<float>)
+    * @return (qid, rank, label, dist) — rank 0-based best-first, k rows per
+    *         query, sentinel-padded; dist is squared L2 or inner product.
+    */
+  def search(queries: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k") // ref mm:321
+    val q = queries.select(col("qid"), col("qvec"))
+    if (cachedNtotal == 0L) {
+      // ref mm:328-334: all slots sentinel-filled
+      return q.select(
+        col("qid"),
+        posexplode(array_repeat(
+          struct(lit(-1L).as("label"), lit(metric.sentinel).as("score")), k)))
+        .select(col("qid"), col("pos").cast(IntegerType).as("rank"),
+          col("col.label").as("label"),
+          col("col.score").cast(FloatType).as("dist"))
+    }
+    val dist = metric match {
+      case Metric.L2           => squaredL2(col("vec"), col("qvec"))
+      case Metric.InnerProduct => dotProduct(col("vec"), col("qvec"))
+    }
+    decoded
+      .crossJoin(broadcast(q))
+      .select(col("qid"), col("id"), dist.as("score"))
+      .groupBy(col("qid"))
+      .agg(topK(col("score"), col("id"), k, metric.ascending, padToK = true)
+        .as("hits"))
+      .select(col("qid"), posexplode(col("hits")))
+      .select(col("qid"), col("pos").cast(IntegerType).as("rank"),
+        col("col.label").as("label"),
+        col("col.score").cast(FloatType).as("dist"))
+  }
+
+  /** Async search: identical plan on a background thread; results must be
+    * (and are) identical to the sync path — concurrent tokens share no
+    * mutable state (each gets its own immutable plan), the analog of the
+    * reference's per-call buffers (`mm:441-463`).
+    */
+  def searchAsync(queries: DataFrame, k: Int)(
+      implicit ec: ExecutionContext = ExecutionContext.global): SearchToken = {
+    require(k > 0, s"k must be > 0, got $k")
+    val plan = search(queries, k).orderBy("qid", "rank")
+    new SearchToken(Future(plan.collect()))
+  }
+
+  /** Sink boundary — the analog of `index_metal_to_cpu` + persistence. */
+  def toParquet(path: String): Unit =
+    decoded.write.mode("overwrite").parquet(path)
+}
+
+object VectorIndexFlat {
+
+  private val rawSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  private def emptyData(spark: SparkSession, storage: StorageType): DataFrame = {
+    val schema = storage match {
+      case StorageType.Float32 => StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false),
+        StructField("norm", DoubleType, nullable = false)))
+      case _ => StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("vech", ArrayType(ShortType, containsNull = false), nullable = false),
+        StructField("norm", DoubleType, nullable = false)))
+    }
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  def apply(spark: SparkSession, d: Int, metric: Metric = Metric.L2,
+            storage: StorageType = StorageType.Float32): VectorIndexFlat =
+    new VectorIndexFlat(spark, d, metric, storage)
+
+  /** Source boundary — build from an existing (id, vec) DataFrame without
+    * reassigning ids (the analog of `index_cpu_to_metal`,
+    * `/root/reference/src/MetalIndexFlat.mm:552-565`).
+    */
+  def fromDataFrame(spark: SparkSession, df: DataFrame, d: Int,
+                    metric: Metric = Metric.L2,
+                    storage: StorageType = StorageType.Float32,
+                    idCol: String = "id", vecCol: String = "vec"): VectorIndexFlat = {
+    val idx = new VectorIndexFlat(spark, d, metric, storage)
+    val raw = df.select(col(idCol).cast(LongType).as("id"),
+      col(vecCol).as("vec"))
+    val n = raw.count()
+    idx.data = idx.prepare(raw).persist(StorageLevel.MEMORY_AND_DISK)
+    idx.cachedNtotal = n
+    idx
+  }
+
+  def fromParquet(spark: SparkSession, path: String, d: Int,
+                  metric: Metric = Metric.L2,
+                  storage: StorageType = StorageType.Float32): VectorIndexFlat =
+    fromDataFrame(spark, spark.read.parquet(path), d, metric, storage)
+}

@@ -1,0 +1,18 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into `private[sql]` Column internals. Spark 4 removed the public
+  * `Column(Expression)` constructor (columns now wrap `ColumnNode`s for
+  * Connect compatibility); this object lives in the `org.apache.spark.sql`
+  * package purely to regain that access for graft's custom Catalyst
+  * expressions. It contains no copied Spark code.
+  */
+object GraftBridge {
+  /** Wrap a raw Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Extract the Catalyst expression backing a (classic-session) Column. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
