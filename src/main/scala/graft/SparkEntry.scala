@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -198,6 +199,116 @@ object SparkEntry {
           size(array_distinct(split(col("text"), " ", -1))).cast(LongType).as("n_distinct_tokens"),
           length(col("text")).cast(LongType).as("n_chars_measured"))
         .orderBy("doc_id")
+    },
+
+    // ---- rollup / set operators ----
+
+    "q_rollup" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    "q_setop_except" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer").select(col("c_custkey").as("custkey"))
+      val big = Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey"))
+      c.except(big).orderBy("custkey")
+    },
+
+    // ---- sessionization (gap-based event-time sessions) ----
+
+    "q_events_sessionize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("unix_micros(ts)"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      ev.withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("ts_us") - col("prev") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+          sum(col("value").cast(DecimalType(25, 6))).cast(DoubleType).as("sum_value"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // ---- dedup: MinHash + LSH with exact-Jaccard verification ----
+
+    "dedup_minhash" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val cand = Dedup.minhashCandidates(docs)
+      Dedup.jaccardOnPairs(docs, cand)
+        .select(col("doc_a"), col("doc_b"), col("shared_bands"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- dedup: exact n-gram Jaccard over a bounded subset ----
+
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Dedup.ngramJaccardPairs(docs, 0.5)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- dedup: SimHash fingerprints ----
+
+    "text_simhash" -> { (s, dir) =>
+      Dedup.simhash16(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // ---- dedup: embedding-space near-dup (top cosine pairs) ----
+
+    "dedup_embedding_cosine" -> { (s, dir) =>
+      Similarity.topCosinePairs(
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec")),
+        topN = 20)
+    },
+
+    // ---- similarity: IVF-partitioned ANN ----
+
+    "ann_ivf" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfTopK(vectors, queries, k = 10, centroidModulo = 40, nProbe = 2)
+        .select(col("qid"), col("rank"), col("label"), round(col("score"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    },
+
+    // ---- text analysis: quality, language ID, fingerprint ----
+
+    "text_quality" -> { (s, dir) =>
+      TextAnalysis.quality(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    "text_langid" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
+    "text_fingerprint" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- multimodal: binary-column batched feature extraction (decode
+    //      stubbed; plumbing real — no SQL oracle, rows-only check) ----
+
+    "multimodal_features" -> { (s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromDocuments(Tables(s, dir, "documents")))
+        .orderBy("media_id")
     }
   )
 
@@ -334,6 +445,176 @@ object SparkEntry {
         |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
         |  length(text) AS n_chars_measured
         |FROM documents
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_setop_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |ORDER BY custkey""".stripMargin,
+
+    "q_events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |      OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |g AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events,
+        |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "dedup_minhash" -> {
+      val mins = (0 until 8)
+        .map(j => s"MIN(substr(md5('$j:'||s),1,16)) AS h$j").mkString(", ")
+      val bands = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, h${2 * b}||h${2 * b + 1} AS key FROM mh")
+        .mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+         |  i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM t),
+         |ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+         |mh AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+         |bands AS ($bands),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ns AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+         |  FROM cand c
+         |  JOIN ex ea ON ea.doc_id = c.doc_a
+         |  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+         |  GROUP BY 1, 2)
+         |SELECT c.doc_a, c.doc_b, c.shared_bands,
+         |  CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+         |FROM cand c
+         |JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |JOIN ns na ON na.doc_id = c.doc_a
+         |JOIN ns nb ON nb.doc_id = c.doc_b
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin
+    },
+
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |  i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM t),
+        |ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+        |ns AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_inter,
+        |  CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN ns na ON na.doc_id = i.doc_a
+        |JOIN ns nb ON nb.doc_id = i.doc_b
+        |WHERE CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) >= 0.5
+        |ORDER BY i.doc_a, i.doc_b""".stripMargin,
+
+    "text_simhash" -> {
+      val sums = (0 until 16)
+        .map(b => s"SUM(${Dedup.simhashBitSql(b, "//")}) AS s$b").mkString(", ")
+      val bits = (0 until 16)
+        .map(b => s"CASE WHEN 2*s$b > n THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS tok
+         |  FROM documents),
+         |s AS (SELECT doc_id, COUNT(*) AS n, $sums FROM toks GROUP BY doc_id)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT i, j, UNNEST(av) AS ae, UNNEST(bv) AS be FROM (
+        |  SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS av, b.embedding AS bv
+        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)),
+        |p AS (SELECT i, j,
+        |  SUM(CAST(ae AS DOUBLE)*CAST(be AS DOUBLE)) /
+        |    (SQRT(SUM(CAST(ae AS DOUBLE)*CAST(ae AS DOUBLE))) *
+        |     SQRT(SUM(CAST(be AS DOUBLE)*CAST(be AS DOUBLE)))) AS cos
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT i, j, cos, row_number() OVER (ORDER BY cos DESC, i, j) AS rn FROM p)
+        |SELECT rn, i, j, ROUND(cos, 6) AS cos FROM r WHERE rn <= 20
+        |ORDER BY rn""".stripMargin,
+
+    "ann_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+        |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
+        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |vassign AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM vc) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |qc AS (SELECT qid, cid, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT q.qid, c.cid,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
+        |  FROM q, c) GROUP BY 1, 2),
+        |probes AS (SELECT qid, cid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn
+        |  FROM qc) WHERE rn <= 2),
+        |cand AS (SELECT p.qid, a.vec_id AS label FROM probes p JOIN vassign a ON p.cid = a.cid),
+        |d AS (SELECT qid, label, SUM((x-y)*(x-y)) AS score FROM (
+        |  SELECT cand.qid, cand.label,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(v.embedding) AS DOUBLE) AS y
+        |  FROM cand JOIN q ON cand.qid = q.qid
+        |  JOIN embeddings v ON cand.label = v.vec_id) GROUP BY 1, 2),
+        |ranked AS (SELECT qid, label, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM d)
+        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' ')) AS n_tokens,
+        |  len(list_distinct(string_split(text,' '))) AS n_distinct,
+        |  length(text) AS n_chars,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) /
+        |    CAST(len(string_split(text,' ')) AS DOUBLE) AS type_token_ratio,
+        |  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE) /
+        |    CAST(len(string_split(text,' ')) AS DOUBLE) AS avg_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      val dicts = TextAnalysis.stopwords.map { case (code, words) =>
+        val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_intersect(list_distinct(string_split(text,' ')), $arr)) AS $code"
+      }.mkString(",\n  ")
+      """WITH s AS (SELECT doc_id,
+        |  DICTS
+        |FROM documents)
+        |SELECT doc_id, CASE WHEN greatest(de,en,es,fr,zh) = 0 THEN 'und'
+        |  WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+        |  WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+        |  WHEN es >= fr AND es >= zh THEN 'es'
+        |  WHEN fr >= zh THEN 'fr' ELSE 'zh' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin.replace("DICTS", dicts)
+    },
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Everything is expressed as declarative DataFrame transforms so Catalyst
+  * handles pushdown/pruning, and every hash is derived from `md5` so the
+  * DuckDB oracle can reproduce results bit-for-bit (md5 hex is identical
+  * everywhere; min over fixed-width hex strings ≡ numeric min).
+  *
+  * Scale notes (100 TB corpus):
+  *  - shingling + minhash is a narrow map — no shuffle;
+  *  - the LSH bucket join shuffles only (band, bucket-key) pairs, and
+  *    candidate verification touches only within-bucket pairs — the whole
+  *    point of LSH is that this is << n²;
+  *  - exact-dup detection is one hash-groupBy (single shuffle on the
+  *    digest, combiner-friendly).
+  */
+object Dedup {
+
+  /** Word tokens; split on single spaces, keeping empties (matches DuckDB
+    * `string_split(text, ' ')`).
+    */
+  def tokens(text: Column): Column = split(text, " ", -1)
+
+  /** Distinct word 3-gram shingles. Empty when the doc has < 3 tokens
+    * (mirrors DuckDB `range(1, len(w)-1)` which is empty for len < 3).
+    */
+  def shingles3(text: Column): Column = {
+    val w = tokens(text)
+    array_distinct(
+      when(size(w) >= 3,
+        transform(sequence(lit(1), size(w) - 2), i =>
+          concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array().cast(ArrayType(StringType))))
+  }
+
+  /** One MinHash signature element: min over shingles of the first 16 hex
+    * chars of md5(seed || ':' || shingle). A 64-bit hash in hex-string
+    * form — lexicographic min on fixed-width hex equals numeric min, and
+    * both engines agree on it byte-for-byte.
+    */
+  private def minhashElem(seed: Int): Column =
+    min(substring(md5(concat(lit(s"$seed:"), col("s"))), 1, 16)).as(s"h$seed")
+
+  /** Per-doc MinHash signatures: (doc_id, h0..h{numHashes-1}). */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 8): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+    exploded.groupBy(col("doc_id"))
+      .agg(minhashElem(0), (1 until numHashes).map(minhashElem): _*)
+  }
+
+  /** LSH banding: rowsPerBand signature elements concatenated per band.
+    * Returns (doc_id, band, key).
+    */
+  def lshBands(sigs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandStructs = (0 until numBands).map { b =>
+      val key = concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** MinHash-LSH candidate pairs with the number of shared bands.
+    * Shuffles on (band, key) only; each bucket yields its internal pairs.
+    */
+  def minhashCandidates(docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val bands = lshBands(minhashSignatures(docs, numHashes), numHashes, rowsPerBand)
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.key") === col("b.key") && col("a.band") === col("b.band")
+        && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_bands"))
+  }
+
+  /** Exact Jaccard over distinct 3-gram shingles for a given pair set
+    * (pairs: doc_a, doc_b [, extra cols]). Joins each side's exploded
+    * shingles; |A∪B| = |A|+|B|−|A∩B|. Intended for LSH-candidate
+    * verification (bounded pair count), not all-pairs.
+    */
+  def jaccardOnPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    val counts = sh.groupBy("doc_id").agg(first("n_sh").as("n_sh"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("n_inter")).cast(DoubleType))
+  }
+
+  /** All-pairs n-gram Jaccard ≥ minJaccard over a bounded doc subset —
+    * the exact (non-LSH) variant; the shingle equi-join means cost is
+    * proportional to shared-shingle pairs, not n².
+    */
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"),
+        first(col("a.n_sh")).as("na"), first(col("b.n_sh")).as("nb"))
+    inter.withColumn("jaccard",
+        col("n_inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("n_inter")).cast(DoubleType))
+      .filter(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+  }
+
+  /** Shared Spark/DuckDB arithmetic for a 16-bit SimHash from md5 nibbles:
+    * bit b of token-hash = bit (b%4) of the hex nibble at position b/4+1.
+    * `divOp` is "div" (Spark) or "//" (DuckDB) — everything else is
+    * engine-portable SQL, so the oracle reproduces the exact fingerprint.
+    */
+  def simhashBitSql(b: Int, divOp: String): String = {
+    val p = b / 4 + 1
+    val pw = 1 << (b % 4)
+    s"(((instr('0123456789abcdef', substr(md5(tok), $p, 1)) - 1) $divOp $pw) % 2)"
+  }
+
+  /** Per-doc 16-bit SimHash: majority vote per bit over distinct tokens. */
+  def simhash16(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+    val sums = (0 until 16).map(b =>
+      sum(expr(simhashBitSql(b, "div"))).as(s"s$b"))
+    val withSums = toks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sums: _*)
+    val hash = (0 until 16).map(b =>
+      when(col(s"s$b") * 2 > col("n"), lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    withSums.select(col("doc_id"), hash.as("simhash"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions._
+
+/** Similarity-search operators over an embedding column:
+  * brute-force top-k (the exact baseline) and an IVF-style partitioned
+  * variant (the 100 TB scale path: probe a few clusters instead of
+  * scanning everything).
+  */
+object Similarity {
+
+  /** Exact top-k by squared L2. queries: (qid, qv); vectors: (id, vec).
+    * Broadcast the queries; k-bounded partial agg map-side; shuffle is k
+    * rows per query. Output: (qid, rank[1-based], label, score).
+    */
+  def bruteForceTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                     metric: String = "l2"): DataFrame = {
+    val (scoreCol, asc) = metric match {
+      case "l2"     => (squaredL2(col("vec"), col("qv")), true)
+      case "ip"     => (dotProduct(col("vec"), col("qv")), false)
+      case "cosine" => (cosineSimilarity(col("vec"), col("qv")), false)
+      case other    => throw new IllegalArgumentException(s"unknown metric $other")
+    }
+    vectors.crossJoin(broadcast(queries))
+      .select(col("qid"), col("id").as("label"), scoreCol.as("score"))
+      .groupBy(col("qid"))
+      .agg(topK(col("score"), col("label"), k, ascending = asc).as("hits"))
+      .select(col("qid"), posexplode(col("hits")))
+      .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.label").as("label"), col("col.score").as("score"))
+  }
+
+  /** IVF-style ANN:
+    *  1. centroids = a deterministic subset of the vectors (id % modulo == 0
+    *     — a stand-in for k-means; the partitioning mechanics are what
+    *     matters at scale, and determinism is what the oracle needs);
+    *  2. every vector is assigned to its nearest centroid (argmin by
+    *     (dist, cid) — one broadcast join + k=1 top-k, no shuffle of the
+    *     big side beyond the assignment agg);
+    *  3. a query probes its nProbe nearest centroids and scans only those
+    *     clusters' vectors.
+    *
+    * At 100 TB the vectors DataFrame would be written partitioned/bucketed
+    * by `cid` so a probe prunes partitions instead of filtering.
+    */
+  def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+              centroidModulo: Int, nProbe: Int): DataFrame = {
+    val centroids = vectors.filter(col("id") % centroidModulo === 0)
+      .select(col("id").as("cid"), col("vec").as("cv"))
+
+    // 2. assignment: nearest centroid per vector
+    val assigned = vectors.crossJoin(broadcast(centroids))
+      .select(col("id"), col("vec"),
+        squaredL2(col("vec"), col("cv")).as("cdist"), col("cid"))
+      .groupBy(col("id"))
+      .agg(topK(col("cdist"), col("cid"), 1, ascending = true).as("best"),
+        first(col("vec")).as("vec"))
+      .select(col("id"), col("vec"), col("best").getItem(0).getField("label").as("cid"))
+
+    // 3a. probe list per query
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qv"),
+        squaredL2(col("qv"), col("cv")).as("cdist"), col("cid"))
+      .groupBy(col("qid"))
+      .agg(topK(col("cdist"), col("cid"), nProbe, ascending = true).as("probed"),
+        first(col("qv")).as("qv"))
+      .select(col("qid"), col("qv"), explode(col("probed.label")).as("cid"))
+
+    // 3b. scan only the probed clusters
+    probes.join(assigned, "cid")
+      .select(col("qid"), col("id").as("label"),
+        squaredL2(col("vec"), col("qv")).as("score"))
+      .groupBy(col("qid"))
+      .agg(topK(col("score"), col("label"), k, ascending = true).as("hits"))
+      .select(col("qid"), posexplode(col("hits")))
+      .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.label").as("label"), col("col.score").as("score"))
+  }
+
+  /** Top-N most-similar pairs by cosine over a bounded vector subset —
+    * the embedding-space near-duplicate detector.
+    */
+  def topCosinePairs(vectors: DataFrame, topN: Int): DataFrame = {
+    val a = vectors.select(col("id").as("i"), col("vec").as("va"))
+    val b = vectors.select(col("id").as("j"), col("vec").as("vb"))
+    import org.apache.spark.sql.expressions.Window
+    a.join(b, col("i") < col("j"))
+      .select(col("i"), col("j"), cosineSimilarity(col("va"), col("vb")).as("cos"))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(desc("cos"), col("i"), col("j"))).cast(LongType))
+      .filter(col("rn") <= topN)
+      .select(col("rn"), col("i"), col("j"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for training-data pipelines: token stats,
+  * quality scoring, dictionary-based language ID, canonical fingerprints.
+  * All narrow (per-row) transforms — no shuffle, fully codegen'd, and
+  * deterministic so the DuckDB oracle hash-matches.
+  */
+object TextAnalysis {
+
+  /** Small stopword dictionaries for the heuristic language scorer.
+    * Scores are counts of DISTINCT token hits, so both engines agree
+    * regardless of evaluation order.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es" -> Seq("el", "los", "las", "y", "es", "que", "de", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "un", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "不", "人"))
+
+  private def toks(text: Column): Column = Dedup.tokens(text)
+
+  /** Distinct-token hits against one dictionary. */
+  def langScore(text: Column, words: Seq[String]): Column =
+    size(array_intersect(array_distinct(toks(text)), array(words.map(lit): _*)))
+
+  /** Predicted language: argmax score, ties to the lexicographically
+    * smaller code, "und" (undetermined) when every score is 0.
+    */
+  def langId(text: Column): Column = {
+    val scored = stopwords.map { case (code, words) => (code, langScore(text, words)) }
+    // fold in (score desc, code asc) preference order: later candidates win
+    // only on strictly greater score.
+    val (bestCode, bestScore) = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((accCode, accScore), (code, score)) =>
+        (when(score > accScore, lit(code)).otherwise(accCode),
+          when(score > accScore, score).otherwise(accScore))
+    }
+    when(bestScore > 0, bestCode).otherwise(lit("und"))
+  }
+
+  /** Per-doc quality metrics. All ratios are exact-integer divisions →
+    * bit-identical doubles in any engine.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val w = toks(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(w).cast(LongType).as("n_tokens"),
+      size(array_distinct(w)).cast(LongType).as("n_distinct"),
+      length(col("text")).cast(LongType).as("n_chars"))
+      .withColumn("type_token_ratio",
+        col("n_distinct").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+      .withColumn("avg_token_len",
+        (col("n_chars") - (col("n_tokens") - 1)).cast(DoubleType) /
+          col("n_tokens").cast(DoubleType))
+  }
+
+  /** Canonical content fingerprint: md5 of the sorted distinct token set —
+    * invariant to word order and repetition (catches shuffled near-dups
+    * that exact hashing misses).
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks(text)))))
+
+  /** Whitespace+punct-aware token count approximating BPE pre-tokenization:
+    * splits on the regex boundary between word chars and non-word chars.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "[^\\p{L}\\p{N}]+", -1), t => length(t) > 0))
+}

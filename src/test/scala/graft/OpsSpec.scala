@@ -1,0 +1,146 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def docsDf(docs: Seq[(Long, String)]) = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(docs.map { case (i, t) => Row(i, t) }: _*), schema)
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+  private val nearDup = "the quick brown fox jumps over the lazy dog near the old stone bridge tonight"
+  private val unrelated = "completely different content about database engines and query optimization at scale"
+
+  test("minhash LSH: near-dup pair surfaces, unrelated pair does not") {
+    val docs = docsDf(Seq(0L -> base, 1L -> nearDup, 2L -> unrelated))
+    val cand = Dedup.minhashCandidates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(cand.exists { case (a, b, bands) => a == 0L && b == 1L && bands >= 1 })
+    assert(!cand.exists { case (a, b, _) => b == 2L || a == 2L })
+  }
+
+  test("jaccard verification on candidate pairs matches hand computation") {
+    val docs = docsDf(Seq(0L -> base, 1L -> nearDup, 2L -> unrelated))
+    val pairs = docsDf(Seq.empty).sparkSession.createDataFrame(
+      java.util.Arrays.asList(Row(0L, 1L)),
+      StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType))))
+    val got = Dedup.jaccardOnPairs(docs, pairs).collect().head
+    // 14 tokens → 12 shingles each; the docs differ in the last token →
+    // exactly one shingle set element differs on each side... compute directly:
+    def sh(t: String) = t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (a, b) = (sh(base), sh(nearDup))
+    val expected = a.intersect(b).size.toDouble / a.union(b).size
+    assert(got.getAs[Double]("jaccard") === expected)
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    val docs = docsDf(Seq(0L -> base, 1L -> nearDup, 2L -> unrelated))
+    val h = Dedup.simhash16(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0L), h(1L)) < ham(h(0L), h(2L)))
+    assert(ham(h(0L), h(1L)) <= 4)
+  }
+
+  test("fingerprint is invariant to token order and repetition") {
+    val docs = docsDf(Seq(
+      0L -> "alpha beta gamma",
+      1L -> "gamma alpha beta alpha",
+      2L -> "alpha beta delta"))
+    val fps = docs.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(0L) === fps(1L))
+    assert(fps(0L) !== fps(2L))
+  }
+
+  test("langId picks the dictionary with most distinct hits; und on none") {
+    val docs = docsDf(Seq(
+      0L -> "the cat and the dog of a house",
+      1L -> "der hund und die katze ist nicht da",
+      2L -> "xyzzy plugh qwerty"))
+    val got = docs.select(col("doc_id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) === "en")
+    assert(got(1L) === "de")
+    assert(got(2L) === "und")
+  }
+
+  test("bpe-ish token count splits on punctuation boundaries") {
+    val docs = docsDf(Seq(0L -> "hello, world! it's 42."))
+    val n = docs.select(TextAnalysis.bpeishTokenCount(col("text"))).head().getInt(0)
+    assert(n === 5) // hello, world, it, s, 42 — empties filtered
+  }
+
+  test("ivf recall ≥ 0.9 on clustered data vs brute force") {
+    val rnd = new scala.util.Random(42)
+    val d = 16
+    val centers = Array.fill(5)(Array.fill(d)(rnd.nextFloat() * 10 - 5))
+    // random cluster assignment (must not correlate with the centroid
+    // modulo, or the deterministic centroid sample covers only a slice)
+    val vecs = (0 until 500).map { i =>
+      val c = centers(rnd.nextInt(5))
+      (i.toLong, c.map(x => x + rnd.nextFloat() * 0.5f - 0.25f))
+    }
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val vdf = spark.createDataFrame(
+      java.util.Arrays.asList(vecs.map { case (i, v) => Row(i, v) }: _*), schema)
+    val qdf = vdf.filter(col("id") < 5)
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    val exact = Similarity.bruteForceTopK(vdf, qdf, 10).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val approx = Similarity.ivfTopK(vdf, qdf, 10, centroidModulo = 20, nProbe = 10)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recall = exact.keys.toSeq.map { q =>
+      approx(q).intersect(exact(q)).size.toDouble / exact(q).size
+    }.sum / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("brute-force cosine agrees with normalized dot product") {
+    val vecs = Oracle.genVectors(100, 8)
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false)))
+    val vdf = spark.createDataFrame(
+      java.util.Arrays.asList(vecs.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }: _*),
+      schema)
+    val qdf = vdf.filter(col("id") === 0).select(col("id").as("qid"), col("vec").as("qv"))
+    val got = Similarity.bruteForceTopK(vdf, qdf, 5, metric = "cosine").collect()
+    assert(got.head.getLong(2) === 0L) // self is most cosine-similar
+    assert(math.abs(got.head.getDouble(3) - 1.0) < 1e-9)
+  }
+
+  test("multimodal: batched feature extraction preserves rows, bytes, determinism") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val f1 = Multimodal.extractFeatures(media, dim = 8, batchSize = 64)
+      .orderBy("media_id").collect()
+    assert(f1.length === docs.count())
+    // n_bytes == utf-8 length of text
+    val lens = docs.select(col("doc_id"), length(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    f1.take(20).foreach { r =>
+      assert(r.getLong(1) >= lens(r.getLong(0))) // utf-8 bytes >= chars
+      assert(r.getAs[scala.collection.Seq[Float]]("features").length === 8)
+    }
+    // deterministic across runs and batch sizes
+    val f2 = Multimodal.extractFeatures(media, dim = 8, batchSize = 7)
+      .orderBy("media_id").collect()
+    assert(f1.map(_.getAs[scala.collection.Seq[Float]]("features")).toSeq ===
+      f2.map(_.getAs[scala.collection.Seq[Float]]("features")).toSeq)
+  }
+}

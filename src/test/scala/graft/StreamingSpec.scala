@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.index.{Metric, VectorIndexFlat}
+import graft.streaming.StreamingOps
+
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("streaming kNN over micro-batches ≡ synchronous search (async contract)") {
+    import spark.implicits._
+    val d = 16
+    val vecs = Oracle.genVectors(200, d)
+    val idx = VectorIndexFlat(spark, d, Metric.L2)
+    idx.add(vecs.toSeq)
+
+    val qs = Oracle.genVectors(6, d, seed = 4242)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Array[Float])]
+    val queryDf = stream.toDF().toDF("qid", "qvec")
+      .select(col("qid"), col("qvec").cast("array<float>").as("qvec"))
+
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val writer = StreamingOps.streamingKnn(idx, queryDf, 5) { (result, _) =>
+      collected ++= result.orderBy("qid", "rank").collect()
+    }
+    val q = writer.start()
+    // two micro-batches of 3 queries each
+    stream.addData(qs.take(3).zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq)
+    q.processAllAvailable()
+    stream.addData(qs.drop(3).zipWithIndex.map { case (v, i) => ((i + 3).toLong, v) }.toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val sync = idx.search(Oracle.queriesDf(spark, qs), 5)
+      .orderBy("qid", "rank").collect()
+    assert(collected.sortBy(r => (r.getLong(0), r.getInt(1))) === sync.toSeq)
+  }
+
+  test("watermarked windowed counts over availableNow == batch aggregation") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    events.write.mode("overwrite").parquet(dir)
+
+    val streamIn = spark.readStream.schema(events.schema).parquet(dir)
+    val agg = StreamingOps.eventsWindowedCounts(streamIn)
+    val q = StreamingOps.runToMemory(agg, "win_out")
+    q.awaitTermination(60000)
+
+    val got = spark.table("win_out")
+      .select(col("window_start"), col("event_type"), col("n"))
+      .orderBy("window_start", "event_type").collect()
+    val want = events
+      .groupBy(window(col("ts"), "1 hour", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      .orderBy("window_start", "event_type").collect()
+    assert(got === want)
+  }
+}
