@@ -30,38 +30,22 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     knnL2(spark, "/root/testdata/sf0.001", nq = 4, k = 5)
 
-  /** Shared kNN plan: broadcast queries × vectors → codegen'd squared-L2 →
+  /** Shared kNN plan: broadcast queries × vectors → codegen'd distance →
     * map-side bounded top-k (ObjectHashAggregate) → explode ranks.
     */
-  private def knnL2(s: SparkSession, dir: String, nq: Int, k: Int): DataFrame = {
+  private def knn(s: SparkSession, dir: String, nq: Int, k: Int, metric: String): DataFrame = {
     val e = Tables(s, dir, "embeddings")
-    val q = e.filter(col("vec_id") < nq)
+    val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < nq)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    e.crossJoin(broadcast(q))
-      .select(col("qid"), col("vec_id").as("label"),
-        squaredL2(col("embedding"), col("qv")).as("score"))
-      .groupBy(col("qid"))
-      .agg(topK(col("score"), col("label"), k, ascending = true).as("hits"))
-      .select(col("qid"), posexplode(col("hits")))
-      .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
-        col("col.label").as("label"), round(col("col.score"), 4).as("dist"))
+    Similarity.bruteForceTopK(vectors, queries, k, metric)
+      .select(col("qid"), col("rank"), col("label"),
+        round(col("score"), 4).as("dist"))
       .orderBy("qid", "rank")
   }
 
-  private def knnIp(s: SparkSession, dir: String, nq: Int, k: Int): DataFrame = {
-    val e = Tables(s, dir, "embeddings")
-    val q = e.filter(col("vec_id") < nq)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    e.crossJoin(broadcast(q))
-      .select(col("qid"), col("vec_id").as("label"),
-        dotProduct(col("embedding"), col("qv")).as("score"))
-      .groupBy(col("qid"))
-      .agg(topK(col("score"), col("label"), k, ascending = false).as("hits"))
-      .select(col("qid"), posexplode(col("hits")))
-      .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
-        col("col.label").as("label"), round(col("col.score"), 4).as("dist"))
-      .orderBy("qid", "rank")
-  }
+  private def knnL2(s: SparkSession, dir: String, nq: Int, k: Int): DataFrame =
+    knn(s, dir, nq, k, "l2")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -168,8 +152,8 @@ object SparkEntry {
 
     // ---- vector search (SURVEY §2.3/§2.4 core: scored cross join + top-k) ----
 
-    "knn_l2" -> ((s, dir) => knnL2(s, dir, nq = 8, k = 10)),
-    "knn_ip" -> ((s, dir) => knnIp(s, dir, nq = 8, k = 10)),
+    "knn_l2" -> ((s, dir) => knn(s, dir, nq = 8, k = 10, metric = "l2")),
+    "knn_ip" -> ((s, dir) => knn(s, dir, nq = 8, k = 10, metric = "ip")),
 
     "vec_norms" -> { (s, dir) =>
       Tables(s, dir, "embeddings")
@@ -251,7 +235,9 @@ object SparkEntry {
     // ---- dedup: exact n-gram Jaccard over a bounded subset ----
 
     "dedup_ngram_jaccard" -> { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
+      // exact all-pairs variant on a deterministic 1/4 sample — the
+      // unsampled corpus goes through the LSH path (dedup_minhash)
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") % 4 === 0)
       Dedup.ngramJaccardPairs(docs, 0.5)
         .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
         .orderBy("doc_a", "doc_b")
@@ -270,6 +256,7 @@ object SparkEntry {
         Tables(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
         topN = 20)
+        .orderBy("rn")
     },
 
     // ---- similarity: IVF-partitioned ANN ----
@@ -512,7 +499,7 @@ object SparkEntry {
     },
 
     "dedup_ngram_jaccard" ->
-      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id % 4 = 0),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
         |  i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM t),
         |ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),

@@ -22,22 +22,48 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Fan a small-file scan out to all cores before per-row-heavy work
+    * (shingling, hashing). The driver testdata is one parquet file per
+    * table → one input partition → one busy core without this; on a real
+    * multi-file corpus the scan is already parallel and this is a cheap
+    * round-robin of the same width.
+    */
+  private[ops] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Word tokens; split on single spaces, keeping empties (matches DuckDB
     * `string_split(text, ' ')`).
     */
   def tokens(text: Column): Column = split(text, " ", -1)
 
-  /** Distinct word 3-gram shingles. Empty when the doc has < 3 tokens
-    * (mirrors DuckDB `range(1, len(w)-1)` which is empty for len < 3).
+  /** Distinct word 3-gram shingles from a TOKEN-ARRAY column. Empty when
+    * the doc has < 3 tokens (mirrors DuckDB `range(1, len(w)-1)` which is
+    * empty for len < 3).
+    *
+    * IMPORTANT: pass an already-projected attribute (e.g. `col("w")`),
+    * not `tokens(text)` inline — higher-order functions are interpreted,
+    * and an inline `split` gets re-evaluated per lambda element (measured
+    * ~4× slower on the shingling stage).
     */
-  def shingles3(text: Column): Column = {
-    val w = tokens(text)
+  def shingles3OfTokens(w: Column): Column =
     array_distinct(
       when(size(w) >= 3,
         transform(sequence(lit(1), size(w) - 2), i =>
           concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
         .otherwise(array().cast(ArrayType(StringType))))
-  }
+
+  /** Convenience single-column form (slower; see [[shingles3OfTokens]]). */
+  def shingles3(text: Column): Column = shingles3OfTokens(tokens(text))
+
+  /** (doc_id, n_sh, s): per-doc distinct-shingle count + exploded
+    * shingles, staged so tokenization runs once per row. Uses the
+    * compiled [[graft.functions.WordShingles]] kernel.
+    */
+  def explodedShingles(docs: DataFrame): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), graft.functions.wordShingles(col("w"), 3).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
 
   /** One MinHash signature element: min over shingles of the first 16 hex
     * chars of md5(seed || ':' || shingle). A 64-bit hash in hex-string
@@ -48,12 +74,9 @@ object Dedup {
     min(substring(md5(concat(lit(s"$seed:"), col("s"))), 1, 16)).as(s"h$seed")
 
   /** Per-doc MinHash signatures: (doc_id, h0..h{numHashes-1}). */
-  def minhashSignatures(docs: DataFrame, numHashes: Int = 8): DataFrame = {
-    val exploded = docs
-      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
-    exploded.groupBy(col("doc_id"))
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 8): DataFrame =
+    explodedShingles(docs).groupBy(col("doc_id"))
       .agg(minhashElem(0), (1 until numHashes).map(minhashElem): _*)
-  }
 
   /** LSH banding: rowsPerBand signature elements concatenated per band.
     * Returns (doc_id, band, key).
@@ -72,7 +95,13 @@ object Dedup {
     * Shuffles on (band, key) only; each bucket yields its internal pairs.
     */
   def minhashCandidates(docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    val bands = lshBands(minhashSignatures(docs, numHashes), numHashes, rowsPerBand)
+    // persist + materialize the signatures: the band self-join consumes
+    // them twice, and racing cold-cache scans would each recompute the
+    // full signature pass. At scale a pipeline checkpoints signatures
+    // anyway (one pass over the corpus, tiny output).
+    val sigs = minhashSignatures(docs, numHashes).persist()
+    sigs.count()
+    val bands = lshBands(sigs, numHashes, rowsPerBand)
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.key") === col("b.key") && col("a.band") === col("b.band")
@@ -86,9 +115,15 @@ object Dedup {
     * shingles; |A∪B| = |A|+|B|−|A∩B|. Intended for LSH-candidate
     * verification (bounded pair count), not all-pairs.
     */
-  def jaccardOnPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+  def jaccardOnPairs(docs: DataFrame, pairsIn: DataFrame): DataFrame = {
+    // materialize both reused inputs: `pairs` feeds the intersection join
+    // AND the final assembly, `sh` feeds counts + both pair sides — left
+    // lazy, each consumer would re-run the upstream pipeline (for LSH
+    // candidates that means re-running the whole signature/band self-join)
+    val pairs = pairsIn.persist()
+    pairs.count()
+    val sh = explodedShingles(docs).persist()
+    sh.count()
     val counts = sh.groupBy("doc_id").agg(first("n_sh").as("n_sh"))
     val inter = pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
@@ -109,8 +144,7 @@ object Dedup {
     * proportional to shared-shingle pairs, not n².
     */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles3(col("text")).as("sh"))
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    val sh = explodedShingles(docs)
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -136,7 +170,7 @@ object Dedup {
 
   /** Per-doc 16-bit SimHash: majority vote per bit over distinct tokens. */
   def simhash16(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"),
+    val toks = spread(docs).select(col("doc_id"),
       explode(array_distinct(tokens(col("text")))).as("tok"))
     val sums = (0 until 16).map(b =>
       sum(expr(simhashBitSql(b, "div"))).as(s"s$b"))

@@ -55,6 +55,7 @@ object Multimodal {
   def extractFeatures(media: DataFrame, dim: Int = 8, batchSize: Int = 256): DataFrame = {
     val spark = media.sparkSession
     val out = media.select(col("media_id"), col("payload"), col("meta.mime").as("mime"))
+      .repartition(spark.sparkContext.defaultParallelism)
       .rdd.mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
           // one decoder invocation per batch — the expensive-init seam

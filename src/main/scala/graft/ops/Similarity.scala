@@ -25,7 +25,7 @@ object Similarity {
       case "cosine" => (cosineSimilarity(col("vec"), col("qv")), false)
       case other    => throw new IllegalArgumentException(s"unknown metric $other")
     }
-    vectors.crossJoin(broadcast(queries))
+    Dedup.spread(vectors).crossJoin(broadcast(queries))
       .select(col("qid"), col("id").as("label"), scoreCol.as("score"))
       .groupBy(col("qid"))
       .agg(topK(col("score"), col("label"), k, ascending = asc).as("hits"))
@@ -53,7 +53,7 @@ object Similarity {
       .select(col("id").as("cid"), col("vec").as("cv"))
 
     // 2. assignment: nearest centroid per vector
-    val assigned = vectors.crossJoin(broadcast(centroids))
+    val assigned = Dedup.spread(vectors).crossJoin(broadcast(centroids))
       .select(col("id"), col("vec"),
         squaredL2(col("vec"), col("cv")).as("cdist"), col("cid"))
       .groupBy(col("id"))
@@ -83,16 +83,31 @@ object Similarity {
 
   /** Top-N most-similar pairs by cosine over a bounded vector subset —
     * the embedding-space near-duplicate detector.
+    *
+    * Norms are precomputed per vector (not per pair — n·‖·‖ instead of
+    * n²·‖·‖), and the global top-N runs through the bounded top-k
+    * aggregate: each partition keeps N candidates, one N-row merge at the
+    * end — no global sort of the n² pair scores (a window + row_number
+    * here would range-shuffle every pair).
+    *
+    * The pair id is packed as i·2³¹ + j, which is order-isomorphic to
+    * (i, j) — so the aggregate's (score desc, label asc) total order is
+    * exactly the (cos desc, i, j) order the oracle uses.
     */
   def topCosinePairs(vectors: DataFrame, topN: Int): DataFrame = {
-    val a = vectors.select(col("id").as("i"), col("vec").as("va"))
-    val b = vectors.select(col("id").as("j"), col("vec").as("vb"))
-    import org.apache.spark.sql.expressions.Window
+    val withNorm = Dedup.spread(vectors).select(col("id"), col("vec"),
+      sqrt(vectorNormSq(col("vec"))).as("nrm"))
+    val a = withNorm.select(col("id").as("i"), col("vec").as("va"), col("nrm").as("na"))
+    val b = withNorm.select(col("id").as("j"), col("vec").as("vb"), col("nrm").as("nb"))
     a.join(b, col("i") < col("j"))
-      .select(col("i"), col("j"), cosineSimilarity(col("va"), col("vb")).as("cos"))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(desc("cos"), col("i"), col("j"))).cast(LongType))
-      .filter(col("rn") <= topN)
-      .select(col("rn"), col("i"), col("j"), round(col("cos"), 6).as("cos"))
+      .select(
+        (col("i") * lit(1L << 31) + col("j")).as("pair"),
+        (dotProduct(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .agg(topK(col("cos"), col("pair"), topN, ascending = false).as("hits"))
+      .select(posexplode(col("hits")))
+      .select((col("pos") + 1).cast(LongType).as("rn"),
+        (col("col.label") / lit(1L << 31)).cast(LongType).as("i"),
+        (col("col.label") % lit(1L << 31)).cast(LongType).as("j"),
+        round(col("col.score"), 6).as("cos"))
   }
 }
