@@ -155,6 +155,78 @@ object SparkEntry {
     "knn_l2" -> ((s, dir) => knn(s, dir, nq = 8, k = 10, metric = "l2")),
     "knn_ip" -> ((s, dir) => knn(s, dir, nq = 8, k = 10, metric = "ip")),
 
+    // same result as knn_l2 via the norm-decomposed formulation
+    // ‖q‖²+‖v‖²−2⟨q,v⟩ with norms precomputed per side (the reference's
+    // GEMM path, SURVEY J3/P3: norms once + dot per pair, fused epilogue)
+    "knn_l2_decomposed" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"),
+        vectorNormSq(col("embedding")).as("vnorm"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          vectorNormSq(col("embedding")).as("qnorm"))
+      vectors.crossJoin(broadcast(queries))
+        .select(col("qid"), col("id").as("label"),
+          (col("vnorm") + col("qnorm") - lit(2.0) * dotProduct(col("vec"), col("qv")))
+            .as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), 10, ascending = true).as("hits"))
+        .select(col("qid"), posexplode(col("hits")))
+        .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
+          col("col.label").as("label"), round(col("col.score"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    },
+
+    // point lookup + decode — the reference's `reconstruct` (SURVEY S3)
+    "vec_reconstruct" -> { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .filter(col("vec_id").isin(3, 7, 11))
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("pos"),
+          round(col("col").cast(DoubleType), 4).as("val"))
+        .orderBy("vec_id", "pos")
+    },
+
+    // fp16 storage round-trip error profile (SURVEY S7; no SQL oracle —
+    // DuckDB has no half type → rows-only check; precision pinned by tests)
+    "f16_roundtrip" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      e.select(col("vec_id"),
+        quantizeF16(col("embedding")).as("q"))
+        .select(col("vec_id"), dequantizeF16(col("q")).as("deq"))
+        .join(e, "vec_id")
+        .select(col("vec_id"),
+          size(col("embedding")).cast(LongType).as("n_dims"),
+          round(aggregate(
+            zip_with(col("embedding"), col("deq"), (a, b) => abs(a - b)),
+            lit(0.0), (acc, x) => greatest(acc, x.cast(DoubleType))), 6).as("max_abs_err"))
+        .orderBy("vec_id")
+    },
+
+    // MLlib batch index build: bucketed random-projection LSH over the
+    // embedding column, k-NN via the hash-bucket join (no oracle — the
+    // random projections aren't SQL-reproducible; recall pinned by tests)
+    "ann_lsh_mllib" -> { (s, dir) =>
+      import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val lsh = new BucketedRandomProjectionLSH()
+        .setBucketLength(2.0).setNumHashTables(3).setSeed(42)
+        .setInputCol("features").setOutputCol("hashes")
+      val model = lsh.fit(e)
+      val q = e.filter(col("vec_id") < 8)
+      model.approxSimilarityJoin(q, e, 20.0, "dist")
+        .select(col("datasetA.vec_id").as("qid"), col("datasetB.vec_id").as("label"),
+          (col("dist") * col("dist")).as("score")) // squared L2, ref semantics
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), 10, ascending = true).as("hits"))
+        .select(col("qid"), posexplode(col("hits")))
+        .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
+          col("col.label").as("label"), round(col("col.score"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    },
+
     "vec_norms" -> { (s, dir) =>
       Tables(s, dir, "embeddings")
         .select(col("vec_id"), round(vectorNormSq(col("embedding")), 4).as("norm_sq"))
@@ -411,6 +483,31 @@ object SparkEntry {
         |SELECT qid, rank, label, ROUND(score, 4) AS dist
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    "knn_l2_decomposed" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id AS label, q.qv, e.embedding AS v
+        |  FROM q CROSS JOIN embeddings e),
+        |dists AS (
+        |  SELECT qid, label, SUM((CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE)) * (CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE))) AS score
+        |  FROM (SELECT qid, label, UNNEST(qv) AS qe, UNNEST(v) AS ve FROM pairs)
+        |  GROUP BY qid, label),
+        |ranked AS (
+        |  SELECT qid, label, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank
+        |  FROM dists)
+        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    "vec_reconstruct" ->
+      """SELECT vec_id, CAST(i AS BIGINT) AS pos,
+        |  ROUND(CAST(embedding[i] AS DOUBLE), 4) AS val
+        |FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)
+        |WHERE vec_id IN (3, 7, 11)
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "vec_norms" ->
       """SELECT vec_id,

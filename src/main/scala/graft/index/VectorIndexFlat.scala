@@ -160,6 +160,19 @@ final class VectorIndexFlat private (
   }
 
   /** k-nearest-neighbor search.
+    *
+    * Physical path selection (the analog of the reference's fused-kernel
+    * gate, `src/MetalDistance.mm:341-363`): when the query batch is small
+    * enough to broadcast (the serving-style case), the fused path runs
+    * distance + per-partition bounded top-k in one tight primitive loop
+    * per vector partition and shuffles only nq·k rows per partition —
+    * never materializing a (pair) row per (q, v). Large query batches fall
+    * back to the declarative cross-join + aggregate plan, which Catalyst
+    * pipelines into one stage up to the top-k shuffle.
+    *
+    * Both paths use the identical fp64 left-to-right distance loop and the
+    * (dist, id) total order, so their results are bit-identical.
+    *
     * @param queries DataFrame with (qid: long, qvec: array<float>)
     * @return (qid, rank, label, dist) — rank 0-based best-first, k rows per
     *         query, sentinel-padded; dist is squared L2 or inner product.
@@ -177,13 +190,18 @@ final class VectorIndexFlat private (
           col("col.label").as("label"),
           col("col.score").cast(FloatType).as("dist"))
     }
-    val dist = metric match {
-      case Metric.L2           => squaredL2(col("vec"), col("qvec"))
-      case Metric.InnerProduct => dotProduct(col("vec"), col("qvec"))
-    }
-    decoded
-      .crossJoin(broadcast(q))
-      .select(col("qid"), col("id"), dist.as("score"))
+    val qRows = q.limit(VectorIndexFlat.maxFusedQueries + 1).collect()
+    val scored =
+      if (qRows.length <= VectorIndexFlat.maxFusedQueries) fusedPartials(qRows, k)
+      else {
+        val dist = metric match {
+          case Metric.L2           => squaredL2(col("vec"), col("qvec"))
+          case Metric.InnerProduct => dotProduct(col("vec"), col("qvec"))
+        }
+        decoded.crossJoin(broadcast(q))
+          .select(col("qid"), col("id"), dist.as("score"))
+      }
+    scored
       .groupBy(col("qid"))
       .agg(topK(col("score"), col("id"), k, metric.ascending, padToK = true)
         .as("hits"))
@@ -191,6 +209,50 @@ final class VectorIndexFlat private (
       .select(col("qid"), col("pos").cast(IntegerType).as("rank"),
         col("col.label").as("label"),
         col("col.score").cast(FloatType).as("dist"))
+  }
+
+  /** Fused distance + per-partition bounded top-k (ref
+    * `shaders/fused_l2_topk.metal`: each chunk warp-selects its partial
+    * list, a final merge combines them — here the final merge is the
+    * regular top-k aggregate over ≤ nq·k rows per partition).
+    */
+  private def fusedPartials(qRows: Array[Row], k: Int): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val spark0 = spark
+    import spark0.implicits._
+    val qData = qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val bc = spark.sparkContext.broadcast(qData)
+    val ip = metric == Metric.InnerProduct
+    val asc = metric.ascending
+    val kk = k
+    decoded.select(col("id"), col("vec")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        val bufs = Array.fill(qs.length)(new graft.operators.TopKBuffer(kk, asc))
+        it.foreach { case (id, v) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val qv = qs(qi)._2
+            val n = math.min(v.length, qv.length)
+            var acc = 0.0
+            var j = 0
+            if (ip) {
+              while (j < n) { acc += v(j).toDouble * qv(j).toDouble; j += 1 }
+            } else {
+              while (j < n) {
+                val d = v(j).toDouble - qv(j).toDouble; acc += d * d; j += 1
+              }
+            }
+            bufs(qi).insert(acc, id)
+            qi += 1
+          }
+        }
+        bufs.iterator.zipWithIndex.flatMap { case (b, qi) =>
+          val order = b.sortedIndices
+          order.iterator.map(i => (qs(qi)._1, b.labels(i), b.scores(i)))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
+      .toDF("qid", "id", "score")
   }
 
   /** Async search: identical plan on a background thread; results must be
@@ -211,6 +273,12 @@ final class VectorIndexFlat private (
 }
 
 object VectorIndexFlat {
+
+  /** Fused-path gate: query batches up to this size are collected and
+    * broadcast (analog of the reference's nq ≤ 4 fused gate — ours is
+    * wider because a CPU partition loop has no threadgroup-memory limit).
+    */
+  val maxFusedQueries = 1024
 
   private val rawSchema = StructType(Seq(
     StructField("id", LongType, nullable = false),

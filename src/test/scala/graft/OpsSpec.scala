@@ -124,6 +124,21 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(got.head.getDouble(3) - 1.0) < 1e-9)
   }
 
+  test("mllib LSH knn recall ≥ 0.5 vs exact on testdata embeddings") {
+    val got = SparkEntry.queries("ann_lsh_mllib")(spark, "/root/testdata/sf0.001")
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val exact = SparkEntry.queries("knn_l2")(spark, "/root/testdata/sf0.001")
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val recall = exact.keys.toSeq.map { q =>
+      got.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / exact(q).size
+    }.sum / exact.size
+    assert(recall >= 0.5, s"recall=$recall") // approximate by design; must be deterministic
+    // determinism: same seed → same result
+    val again = SparkEntry.queries("ann_lsh_mllib")(spark, "/root/testdata/sf0.001")
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    assert(again === got)
+  }
+
   test("multimodal: batched feature extraction preserves rows, bytes, determinism") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val media = Multimodal.mediaFromDocuments(docs)
