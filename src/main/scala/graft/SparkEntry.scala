@@ -177,6 +177,24 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // the same kNN through graft's SQL surface (GraftExtensions functions
+    // + spark.sql) — proves a SQL-only user can run the core query
+    "knn_l2_sqlapi" -> { (s, dir) =>
+      GraftExtensions.register(s)
+      Tables(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+      s.sql(
+        """SELECT qid, CAST(pos + 1 AS BIGINT) AS rank, col.label AS label,
+          |       ROUND(col.score, 4) AS dist
+          |FROM (
+          |  SELECT q.vec_id AS qid,
+          |         graft_topk(graft_squared_l2(e.embedding, q.embedding), e.vec_id, 10, true) AS hits
+          |  FROM graft_embeddings e
+          |  CROSS JOIN (SELECT * FROM graft_embeddings WHERE vec_id < 8) q
+          |  GROUP BY q.vec_id
+          |) t LATERAL VIEW posexplode(hits) x AS pos, col
+          |ORDER BY qid, rank""".stripMargin)
+    },
+
     // point lookup + decode — the reference's `reconstruct` (SURVEY S3)
     "vec_reconstruct" -> { (s, dir) =>
       Tables(s, dir, "embeddings")
@@ -371,6 +389,27 @@ object SparkEntry {
     }
   )
 
+  /** One DuckDB oracle shared by the three equivalent kNN formulations
+    * (direct expression, norm-decomposed, SQL-surface).
+    */
+  private val oracleKnnL2: String =
+    """WITH q AS (
+      |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+      |pairs AS (
+      |  SELECT q.qid, e.vec_id AS label, q.qv, e.embedding AS v
+      |  FROM q CROSS JOIN embeddings e),
+      |dists AS (
+      |  SELECT qid, label, SUM((CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE)) * (CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE))) AS score
+      |  FROM (SELECT qid, label, UNNEST(qv) AS qe, UNNEST(v) AS ve FROM pairs)
+      |  GROUP BY qid, label),
+      |ranked AS (
+      |  SELECT qid, label, score,
+      |    row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank
+      |  FROM dists)
+      |SELECT qid, rank, label, ROUND(score, 4) AS dist
+      |FROM ranked WHERE rank <= 10
+      |ORDER BY qid, rank""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
     * driver records a weaker rows-only check.
@@ -448,23 +487,7 @@ object SparkEntry {
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
 
-    "knn_l2" ->
-      """WITH q AS (
-        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
-        |pairs AS (
-        |  SELECT q.qid, e.vec_id AS label, q.qv, e.embedding AS v
-        |  FROM q CROSS JOIN embeddings e),
-        |dists AS (
-        |  SELECT qid, label, SUM((CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE)) * (CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE))) AS score
-        |  FROM (SELECT qid, label, UNNEST(qv) AS qe, UNNEST(v) AS ve FROM pairs)
-        |  GROUP BY qid, label),
-        |ranked AS (
-        |  SELECT qid, label, score,
-        |    row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank
-        |  FROM dists)
-        |SELECT qid, rank, label, ROUND(score, 4) AS dist
-        |FROM ranked WHERE rank <= 10
-        |ORDER BY qid, rank""".stripMargin,
+    "knn_l2" -> oracleKnnL2,
 
     "knn_ip" ->
       """WITH q AS (
@@ -484,23 +507,8 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
-    "knn_l2_decomposed" ->
-      """WITH q AS (
-        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
-        |pairs AS (
-        |  SELECT q.qid, e.vec_id AS label, q.qv, e.embedding AS v
-        |  FROM q CROSS JOIN embeddings e),
-        |dists AS (
-        |  SELECT qid, label, SUM((CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE)) * (CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE))) AS score
-        |  FROM (SELECT qid, label, UNNEST(qv) AS qe, UNNEST(v) AS ve FROM pairs)
-        |  GROUP BY qid, label),
-        |ranked AS (
-        |  SELECT qid, label, score,
-        |    row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank
-        |  FROM dists)
-        |SELECT qid, rank, label, ROUND(score, 4) AS dist
-        |FROM ranked WHERE rank <= 10
-        |ORDER BY qid, rank""".stripMargin,
+    "knn_l2_sqlapi" -> oracleKnnL2,
+    "knn_l2_decomposed" -> oracleKnnL2,
 
     "vec_reconstruct" ->
       """SELECT vec_id, CAST(i AS BIGINT) AS pos,

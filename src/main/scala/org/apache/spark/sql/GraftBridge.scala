@@ -15,4 +15,12 @@ object GraftBridge {
 
   /** Extract the Catalyst expression backing a (classic-session) Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a temp SQL function on a live session (functionRegistry is
+    * private[sql]; the extensions hook only works at session build time).
+    */
+  def registerTempFunction(spark: SparkSession, name: String,
+                           builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class SqlSurfaceSpec extends AnyFunSuite {
+
+  private lazy val spark = { val s = TestSpark.spark; GraftExtensions.register(s); s }
+
+  private def df = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", ArrayType(FloatType, containsNull = false), nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(
+      Row(0L, Array(1f, 2f, 3f)), Row(1L, Array(4f, 5f, 6f)), Row(2L, Array(1f, 2f, 4f))),
+      schema)
+  }
+
+  test("scalar functions callable from SQL") {
+    df.createOrReplaceTempView("t")
+    val r = spark.sql(
+      """SELECT id, graft_norm_sq(v) AS n, graft_squared_l2(v, array(1.0f, 2.0f, 3.0f)) AS d,
+        |       graft_dot(v, array(1.0f, 0.0f, 0.0f)) AS x
+        |FROM t ORDER BY id""".stripMargin).collect()
+    assert(r(0).getDouble(1) === 14.0)
+    assert(r(0).getDouble(2) === 0.0)
+    assert(r(2).getDouble(2) === 1.0)
+    assert(r(1).getDouble(3) === 4.0)
+  }
+
+  test("quantize round-trip from SQL") {
+    df.createOrReplaceTempView("t")
+    val r = spark.sql(
+      "SELECT graft_dequantize_f16(graft_quantize_f16(v)) AS rt FROM t WHERE id = 0")
+      .collect().head.getSeq[Float](0)
+    assert(r === Seq(1f, 2f, 3f)) // small ints are exact in half
+  }
+
+  test("graft_topk aggregate from SQL with padding") {
+    df.createOrReplaceTempView("t")
+    val r = spark.sql(
+      """SELECT graft_topk(CAST(id AS DOUBLE), id, 5, true, true) AS hits FROM t""")
+      .collect().head.getSeq[Row](0)
+    assert(r.length === 5)
+    assert(r.take(3).map(_.getLong(0)) === Seq(0L, 1L, 2L))
+    assert(r.drop(3).forall(h => h.getLong(0) == -1L && h.getDouble(1).isPosInfinity))
+  }
+
+  test("graft_shingles from SQL") {
+    val r = spark.sql(
+      "SELECT graft_shingles(array('a','b','c','d','a','b','c','d'), 3) AS sh")
+      .collect().head.getSeq[String](0)
+    assert(r === Seq("a b c", "b c d", "c d a", "d a b"))
+  }
+
+  test("runtime registration works on a derived session") {
+    val s2 = spark.newSession()
+    GraftExtensions.register(s2)
+    assert(s2.sql("SELECT graft_norm_sq(array(3.0f, 4.0f)) AS n").head().getDouble(0) === 25.0)
+  }
+}
