@@ -64,6 +64,25 @@ object Demo {
     val maxErr = v0.zip(rec).map { case (a, b) => math.abs(a - b) }.max
     println(s"f16 reconstruct max elem err = $maxErr (required <= 2e-3)")
 
+    println("-- stateful streaming sessionization (2 micro-batches):")
+    locally {
+      import spark.implicits._
+      import graft.streaming.{SessionEvent, StreamingOps}
+      implicit val sqlCtx = spark.sqlContext
+      val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SessionEvent]
+      val q = StreamingOps.streamingSessionize(stream.toDS(), gapUs = 1000L)
+        .writeStream.format("memory").queryName("demo_sessions")
+        .outputMode("append").start()
+      // user 1: two sessions (gap at 5000); user 2: one long session
+      stream.addData(SessionEvent(1, 1, 100), SessionEvent(1, 2, 600), SessionEvent(2, 3, 100))
+      q.processAllAvailable()
+      stream.addData(SessionEvent(1, 4, 5000), SessionEvent(2, 5, 900))
+      q.processAllAvailable()
+      q.stop()
+      spark.table("demo_sessions").orderBy("user_id", "session_id").show(false)
+      println("(open sessions remain in state — only closed sessions emit)")
+    }
+
     println("-- IP metric search:")
     val ip = VectorIndexFlat(spark, d, Metric.InnerProduct)
     ip.add((0 until 50).map(_ => vec(d)))

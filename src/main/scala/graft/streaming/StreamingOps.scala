@@ -7,6 +7,11 @@ import org.apache.spark.sql.Row
 
 import graft.index.VectorIndexFlat
 
+case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
+case class SessionState(sessionId: Long, startUs: Long, lastTs: Long, n: Long)
+case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                      start_us: Long, end_us: Long)
+
 /** Structured-Streaming operators.
   *
   * The reference's only streaming behavior is overlapped async search
@@ -43,6 +48,40 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Streaming gap-based sessionization — custom state via
+    * `flatMapGroupsWithState`: per user, a session closes when the gap to
+    * the next event exceeds `gapUs`; closed sessions are emitted, the open
+    * session rides in state across micro-batches. Matches the batch
+    * sessionization (`q_events_sessionize`) semantics for every closed
+    * session; events inside one micro-batch are sorted by (ts, event_id)
+    * before folding so batch boundaries don't change results.
+    */
+  def streamingSessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+                          gapUs: Long): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fn(userId: Long, it: Iterator[SessionEvent],
+           state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val evts = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      evts.foreach { e =>
+        if (st.n == 0L) {
+          st = SessionState(st.sessionId + 1, e.ts_us, e.ts_us, 1L)
+        } else if (e.ts_us - st.lastTs > gapUs) {
+          out += SessionOut(userId, st.sessionId, st.n, st.startUs, st.lastTs)
+          st = SessionState(st.sessionId + 1, e.ts_us, e.ts_us, 1L)
+        } else {
+          st = st.copy(lastTs = e.ts_us, n = st.n + 1)
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 
   /** Convenience: run a memory-sink streaming query to completion over a
     * bounded source (availableNow) and return the collected table name.

@@ -43,6 +43,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(collected.sortBy(r => (r.getLong(0), r.getInt(1))) === sync.toSeq)
   }
 
+  test("stateful streaming sessionization == batch sessions (closed sessions)") {
+    import spark.implicits._
+    import graft.streaming.{SessionEvent, SessionOut}
+
+    // batch truth from the same events (reuse the oracle-checked query logic)
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .select($"user_id", $"event_id", $"ts_us")
+      .as[SessionEvent].collect().sortBy(e => (e.ts_us, e.event_id))
+    val gap = 1800L * 1000000L
+    val batchSessions = ev.groupBy(_.user_id).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e.ts_us, e.event_id))
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+      var sid = 0L; var start = 0L; var last = Long.MinValue; var n = 0L
+      sorted.foreach { e =>
+        if (n == 0 || e.ts_us - last > gap) {
+          if (n > 0) sessions += ((u, sid, n, start, last))
+          sid += 1; start = e.ts_us; n = 1L
+        } else n += 1
+        last = e.ts_us
+      }
+      // the final (open) session is NOT emitted by the stream → exclude
+      sessions
+    }.toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SessionEvent]
+    val out = graft.streaming.StreamingOps.streamingSessionize(stream.toDS(), gap)
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    // feed in three chronological chunks (cross-batch state must carry)
+    val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
+    chunks.foreach { c => stream.addData(c.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+
+    val got = spark.table("sess_out").as[SessionOut].collect()
+      .map(s => (s.user_id, s.session_id, s.n_events, s.start_us, s.end_us)).toSet
+    assert(got === batchSessions)
+    assert(got.nonEmpty)
+  }
+
   test("watermarked windowed counts over availableNow == batch aggregation") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString

@@ -77,6 +77,20 @@ class VectorIndexFlatSpec extends AnyFunSuite {
     }
   }
 
+  test("bf16 storage: labels match oracle computed on bf16-dequantized vectors") {
+    val d = 64
+    val vecs = Oracle.genVectors(500, d)
+    val qs = Oracle.genVectors(5, d, seed = 4242)
+    val deq = vecs.map(_.map(f => FloatBits.bf16BitsToFloat(FloatBits.floatToBf16Bits(f))))
+    val idx = VectorIndexFlat(spark, d, Metric.L2, StorageType.BFloat16)
+    idx.add(vecs.toSeq)
+    val got = runSearch(idx, qs, 5)
+    val want = Oracle.bruteForceKnn(deq, qs, 5, innerProduct = false)
+    for (qid <- 0 until 5) {
+      assert(got(qid.toLong).map(_._1) === want(qid).map(_._1).toSeq, s"qid=$qid")
+    }
+  }
+
   test("edge-empty-index: all sentinels") {
     for (metric <- Seq(Metric.L2, Metric.InnerProduct)) {
       val idx = VectorIndexFlat(spark, 32, metric)
