@@ -214,45 +214,17 @@ final class VectorIndexFlat private (
   /** Fused distance + per-partition bounded top-k (ref
     * `shaders/fused_l2_topk.metal`: each chunk warp-selects its partial
     * list, a final merge combines them — here the final merge is the
-    * regular top-k aggregate over ≤ nq·k rows per partition).
+    * regular top-k aggregate over ≤ nq·k rows per partition). Planned
+    * through the Catalyst-native [[graft.plans.KnnNode]] whole-operator,
+    * which reads the vector column straight from the scan's `ArrayData`
+    * (no per-row encoder copy).
     */
   private def fusedPartials(qRows: Array[Row], k: Int): DataFrame = {
-    import org.apache.spark.sql.Encoders
-    val spark0 = spark
-    import spark0.implicits._
-    val qData = qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val bc = spark.sparkContext.broadcast(qData)
-    val ip = metric == Metric.InnerProduct
-    val asc = metric.ascending
-    val kk = k
-    decoded.select(col("id"), col("vec")).as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val qs = bc.value
-        val bufs = Array.fill(qs.length)(new graft.operators.TopKBuffer(kk, asc))
-        it.foreach { case (id, v) =>
-          var qi = 0
-          while (qi < qs.length) {
-            val qv = qs(qi)._2
-            val n = math.min(v.length, qv.length)
-            var acc = 0.0
-            var j = 0
-            if (ip) {
-              while (j < n) { acc += v(j).toDouble * qv(j).toDouble; j += 1 }
-            } else {
-              while (j < n) {
-                val d = v(j).toDouble - qv(j).toDouble; acc += d * d; j += 1
-              }
-            }
-            bufs(qi).insert(acc, id)
-            qi += 1
-          }
-        }
-        bufs.iterator.zipWithIndex.flatMap { case (b, qi) =>
-          val order = b.sortedIndices
-          order.iterator.map(i => (qs(qi)._1, b.labels(i), b.scores(i)))
-        }
-      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaDouble))
-      .toDF("qid", "id", "score")
+    val qData = qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    graft.plans.Knn.partials(
+      decoded.select(col("id"), col("vec")), qData, k,
+      ascending = metric.ascending,
+      innerProduct = metric == Metric.InnerProduct)
   }
 
   /** Async search: identical plan on a background thread; results must be

@@ -16,6 +16,13 @@ object GraftBridge {
   /** Extract the Catalyst expression backing a (classic-session) Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Build a DataFrame from a raw LogicalPlan (Dataset.ofRows is
+    * private[sql]).
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a temp SQL function on a live session (functionRegistry is
     * private[sql]; the extensions hook only works at session build time).
     */
