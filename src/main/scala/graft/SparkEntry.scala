@@ -312,6 +312,41 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     },
 
+    // ---- range-predicate join (equi key co-locates, range filters) ----
+
+    "q_range_join" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      li.join(o, col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") >= col("o_orderdate")
+          && col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAY"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_shipped_30d"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- as-of join: latest prior click per purchase (union + window,
+    //      one key shuffle, no range cross-product) ----
+
+    "q_asof_join" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("unix_micros(ts)"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), lit(1).as("tag"),
+          col("event_id"), lit(null).cast(LongType).as("click_ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), lit(0).as("tag"),
+          lit(null).cast(LongType).as("event_id"), col("ts_us").as("click_ts_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionByName(clicks)
+        .withColumn("last_click_us", max(col("click_ts_us")).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"),
+          col("ts_us").as("purchase_ts_us"), col("last_click_us"))
+        .orderBy("event_id")
+    },
+
     // ---- dedup: MinHash + LSH with exact-Jaccard verification ----
 
     "dedup_minhash" -> { (s, dir) =>
@@ -569,6 +604,30 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT o_orderkey, COUNT(*) AS n_shipped_30d
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, 1 AS tag, event_id,
+        |         NULL::BIGINT AS click_ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 0, NULL, epoch_us(ts)
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT *, MAX(click_ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, tag ROWS UNBOUNDED PRECEDING) AS last_click_us
+        |  FROM u)
+        |SELECT event_id, user_id, ts_us AS purchase_ts_us, last_click_us
+        |FROM w WHERE tag = 1
+        |ORDER BY event_id""".stripMargin,
 
     "dedup_minhash" -> {
       val mins = (0 until 8)

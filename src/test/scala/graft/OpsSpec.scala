@@ -139,6 +139,24 @@ class OpsSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("asofJoin attaches most recent right row at-or-before, ties included") {
+    import org.apache.spark.sql.types._
+    val ls = StructType(Seq(StructField("k", LongType), StructField("lts", LongType),
+      StructField("lid", LongType)))
+    val rs = StructType(Seq(StructField("k", LongType), StructField("rts", LongType),
+      StructField("price", DoubleType)))
+    val left = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, 10L, 100L), Row(1L, 20L, 101L), Row(1L, 5L, 102L), Row(2L, 10L, 103L)), ls)
+    val right = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, 10L, 1.5), Row(1L, 15L, 2.5), Row(2L, 99L, 9.9)), rs)
+    val got = graft.ops.AsofJoin.asofJoin(left, right, "k", "lts", "rts", Seq("price"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(got(100L) === Some(1.5)) // tie at ts=10 included
+    assert(got(101L) === Some(2.5)) // latest ≤ 20
+    assert(got(102L) === None)      // nothing at or before 5
+    assert(got(103L) === None)      // key 2's right row is later
+  }
+
   test("multimodal: batched feature extraction preserves rows, bytes, determinism") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val media = Multimodal.mediaFromDocuments(docs)
