@@ -177,7 +177,14 @@ final class VectorIndexFlat private (
     * @return (qid, rank, label, dist) — rank 0-based best-first, k rows per
     *         query, sentinel-padded; dist is squared L2 or inner product.
     */
-  def search(queries: DataFrame, k: Int): DataFrame = {
+  def search(queries: DataFrame, k: Int): DataFrame = search(queries, k, forceDeclarative = false)
+
+  /** @param forceDeclarative bypass the fused gate and always use the
+    *         cross-join + aggregate plan — the analog of the reference's
+    *         `setForceMPS` escape hatch (`src/MetalIndexFlat.mm:546-548`);
+    *         both paths must produce identical results (tested).
+    */
+  def search(queries: DataFrame, k: Int, forceDeclarative: Boolean): DataFrame = {
     require(k > 0, s"k must be > 0, got $k") // ref mm:321
     val q = queries.select(col("qid"), col("qvec"))
     if (cachedNtotal == 0L) {
@@ -190,9 +197,12 @@ final class VectorIndexFlat private (
           col("col.label").as("label"),
           col("col.score").cast(FloatType).as("dist"))
     }
-    val qRows = q.limit(VectorIndexFlat.maxFusedQueries + 1).collect()
+    val qRows =
+      if (forceDeclarative) Array.empty[Row]
+      else q.limit(VectorIndexFlat.maxFusedQueries + 1).collect()
     val scored =
-      if (qRows.length <= VectorIndexFlat.maxFusedQueries) fusedPartials(qRows, k)
+      if (!forceDeclarative && qRows.length <= VectorIndexFlat.maxFusedQueries)
+        fusedPartials(qRows, k)
       else {
         val dist = metric match {
           case Metric.L2           => squaredL2(col("vec"), col("qvec"))

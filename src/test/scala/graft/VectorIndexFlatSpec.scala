@@ -211,6 +211,24 @@ class VectorIndexFlatSpec extends AnyFunSuite {
     }
   }
 
+  test("physical paths agree EXACTLY: fused KnnPartialExec vs declarative cross-join+agg") {
+    // the analog of the reference's forced-MPS vs default-path test
+    // (tests/test_metal_flat.mm:270-307) — ours is bit-exact because both
+    // paths share the same fp64 loop and total order
+    val d = 64
+    val idx = VectorIndexFlat(spark, d, Metric.L2)
+    idx.add(Oracle.genVectors(300, d).toSeq)
+    val qs = Oracle.queriesDf(spark, Oracle.genVectors(7, d, seed = 4242))
+    val fused = idx.search(qs, 5).orderBy("qid", "rank").collect()
+    val declarative = idx.search(qs, 5, forceDeclarative = true)
+      .orderBy("qid", "rank").collect()
+    assert(fused === declarative)
+    val ip = VectorIndexFlat(spark, d, Metric.InnerProduct)
+    ip.add(Oracle.genVectors(300, d, seed = 9).toSeq)
+    assert(ip.search(qs, 5).orderBy("qid", "rank").collect() ===
+      ip.search(qs, 5, forceDeclarative = true).orderBy("qid", "rank").collect())
+  }
+
   test("dual-path: direct ‖q−v‖² vs decomposed ‖q‖²+‖v‖²−2⟨q,v⟩ agree ≤5e-2 rel") {
     val d = 64
     val vecs = Oracle.genVectors(50, d)
