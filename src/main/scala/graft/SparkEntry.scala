@@ -139,6 +139,40 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     },
 
+    // ---- cube / exact percentiles / scalar-function surface ----
+
+    "q_cube" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast(DoubleType).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    "q_percentiles" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"))
+        .orderBy("l_returnflag")
+    },
+
+    "q_scalar_funcs" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"),
+          upper(col("o_orderpriority")).as("pri_upper"),
+          substring(col("o_orderpriority"), 1, 1).as("pri_code"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+          year(col("o_orderdate")).cast(LongType).as("yr"),
+          month(col("o_orderdate")).cast(LongType).as("mo"),
+          dayofmonth(col("o_orderdate")).cast(LongType).as("dom"),
+          length(col("o_orderpriority")).cast(LongType).as("pri_len"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- events: time-bucketed aggregation ----
 
     "q_events_hourly" -> { (s, dir) =>
@@ -396,6 +430,18 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // ---- salted (skew-safe) two-stage aggregation — must equal the
+    //      direct groupBy exactly (decimal sums are order-independent) ----
+
+    "q_salted_agg" -> { (s, dir) =>
+      graft.ops.Skew.saltedSumCount(
+        Tables(s, dir, "lineitem"),
+        Seq("l_returnflag"), dec(col("l_quantity")), "qty", buckets = 16)
+        .select(col("l_returnflag"),
+          col("sum_qty").cast(DoubleType).as("sum_qty"), col("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- text analysis: quality, language ID, fingerprint ----
 
     "text_quality" -> { (s, dir) =>
@@ -514,6 +560,34 @@ object SparkEntry {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        |  upper(o_orderpriority) AS pri_upper,
+        |  substr(o_orderpriority, 1, 1) AS pri_code,
+        |  o_orderstatus || '-' || o_orderpriority AS tag,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(length(o_orderpriority) AS BIGINT) AS pri_len
+        |FROM orders WHERE o_orderkey <= 500
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
         |  COUNT(*) AS n,
@@ -630,8 +704,7 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
 
     "dedup_minhash" -> {
-      val mins = (0 until 8)
-        .map(j => s"MIN(substr(md5('$j:'||s),1,16)) AS h$j").mkString(", ")
+      val mins = (0 until 8).map(Dedup.minhashElemSql).mkString(", ")
       val bands = (0 until 4)
         .map(b => s"SELECT doc_id, $b AS band, h${2 * b}||h${2 * b + 1} AS key FROM mh")
         .mkString(" UNION ALL ")
@@ -735,6 +808,14 @@ object SparkEntry {
         |SELECT qid, rank, label, ROUND(score, 4) AS dist
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id,

@@ -56,6 +56,14 @@ package object functions {
   def wordShingles(tokens: Column, n: Int = 3): Column =
     GraftBridge.column(WordShingles(e(tokens), n))
 
+  /** nProbe nearest centroid ids for a vector, best-first by (L2², cid);
+    * the centroid table (small, trained) rides inside the expression — no
+    * join, no shuffle.
+    */
+  def nearestCentroids(v: Column, centroids: Seq[(Long, Array[Float])],
+                       nProbe: Int): Column =
+    GraftBridge.column(NearestCentroids(e(v), centroids, nProbe))
+
   /** Grouped bounded top-k: `array<struct<label, score>>` best-first.
     * ascending=true keeps smallest scores (L2), false largest (IP);
     * ties break toward the smaller label. `padToK` fills missing slots

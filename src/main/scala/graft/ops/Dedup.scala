@@ -65,13 +65,20 @@ object Dedup {
       .select(col("doc_id"), graft.functions.wordShingles(col("w"), 3).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
 
-  /** One MinHash signature element: min over shingles of the first 16 hex
-    * chars of md5(seed || ':' || shingle). A 64-bit hash in hex-string
-    * form — lexicographic min on fixed-width hex equals numeric min, and
-    * both engines agree on it byte-for-byte.
+  /** One MinHash signature element: min over shingles of an 8-hex-char
+    * (32-bit) chunk of a seeded md5 — one md5 yields four signature
+    * positions (md5's diffusion makes the chunks behave as independent
+    * hashes; 32 bits is ample for corpus-scale shingle counts), so 8
+    * positions cost two md5s per shingle instead of eight. Lexicographic
+    * min on fixed-width hex equals numeric min, and both engines agree on
+    * it byte-for-byte.
     */
-  private def minhashElem(seed: Int): Column =
-    min(substring(md5(concat(lit(s"$seed:"), col("s"))), 1, 16)).as(s"h$seed")
+  private def minhashElem(j: Int): Column =
+    min(substring(md5(concat(lit(s"${j / 4}:"), col("s"))), (j % 4) * 8 + 1, 8)).as(s"h$j")
+
+  /** The matching DuckDB SQL fragment for [[minhashElem]]. */
+  def minhashElemSql(j: Int): String =
+    s"MIN(substr(md5('${j / 4}:'||s), ${(j % 4) * 8 + 1}, 8)) AS h$j"
 
   /** Per-doc MinHash signatures: (doc_id, h0..h{numHashes-1}). */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 8): DataFrame =

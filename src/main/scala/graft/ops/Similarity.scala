@@ -49,26 +49,22 @@ object Similarity {
     */
   def ivfTopK(vectors: DataFrame, queries: DataFrame, k: Int,
               centroidModulo: Int, nProbe: Int): DataFrame = {
-    val centroids = vectors.filter(col("id") % centroidModulo === 0)
-      .select(col("id").as("cid"), col("vec").as("cv"))
+    // "train": the centroid table is small by definition — collect it once
+    // and embed it in a narrow projection (no cross-join, no shuffle for
+    // assignment or probe lists)
+    val cents = vectors.filter(col("id") % centroidModulo === 0)
+      .select(col("id"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .sortBy(_._1)
 
-    // 2. assignment: nearest centroid per vector
-    val assigned = Dedup.spread(vectors).crossJoin(broadcast(centroids))
-      .select(col("id"), col("vec"),
-        squaredL2(col("vec"), col("cv")).as("cdist"), col("cid"))
-      .groupBy(col("id"))
-      .agg(topK(col("cdist"), col("cid"), 1, ascending = true).as("best"),
-        first(col("vec")).as("vec"))
-      .select(col("id"), col("vec"), col("best").getItem(0).getField("label").as("cid"))
+    // 2. assignment: nearest centroid per vector — one compiled pass
+    val assigned = Dedup.spread(vectors)
+      .withColumn("cid", element_at(nearestCentroids(col("vec"), cents, 1), 1))
 
-    // 3a. probe list per query
-    val probes = queries.crossJoin(broadcast(centroids))
+    // 3a. probe list per query — same expression, nProbe ids
+    val probes = queries
       .select(col("qid"), col("qv"),
-        squaredL2(col("qv"), col("cv")).as("cdist"), col("cid"))
-      .groupBy(col("qid"))
-      .agg(topK(col("cdist"), col("cid"), nProbe, ascending = true).as("probed"),
-        first(col("qv")).as("qv"))
-      .select(col("qid"), col("qv"), explode(col("probed.label")).as("cid"))
+        explode(nearestCentroids(col("qv"), cents, nProbe)).as("cid"))
 
     // 3b. scan only the probed clusters
     probes.join(assigned, "cid")
