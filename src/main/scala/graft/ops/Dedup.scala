@@ -102,18 +102,20 @@ object Dedup {
     * Shuffles on (band, key) only; each bucket yields its internal pairs.
     */
   def minhashCandidates(docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    // persist + materialize the signatures: the band self-join consumes
-    // them twice, and racing cold-cache scans would each recompute the
-    // full signature pass. At scale a pipeline checkpoints signatures
-    // anyway (one pass over the corpus, tiny output).
-    val sigs = minhashSignatures(docs, numHashes).persist()
-    sigs.count()
-    val bands = lshBands(sigs, numHashes, rowsPerBand)
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b, col("a.key") === col("b.key") && col("a.band") === col("b.band")
-        && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // one linear pipeline, no self-join and no persist: group band rows by
+    // bucket, emit each bucket's internal pairs (buckets are tiny — only
+    // genuine near-dup groups collide), then count shared bands per pair.
+    // sort_array makes pair order deterministic (collect_list is not).
+    lshBands(minhashSignatures(docs, numHashes), numHashes, rowsPerBand)
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), b -> struct(a AS doc_a, b AS doc_b))))"))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared_bands"))
   }
 
@@ -122,25 +124,24 @@ object Dedup {
     * shingles; |A∪B| = |A|+|B|−|A∩B|. Intended for LSH-candidate
     * verification (bounded pair count), not all-pairs.
     */
-  def jaccardOnPairs(docs: DataFrame, pairsIn: DataFrame): DataFrame = {
-    // materialize both reused inputs: `pairs` feeds the intersection join
-    // AND the final assembly, `sh` feeds counts + both pair sides — left
-    // lazy, each consumer would re-run the upstream pipeline (for LSH
-    // candidates that means re-running the whole signature/band self-join)
-    val pairs = pairsIn.persist()
-    pairs.count()
+  def jaccardOnPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    // `sh` feeds both pair sides — persist + materialize so racing
+    // cold-cache consumers don't recompute the shingling pass. Everything
+    // else rides through ONE intersection join + aggregate: the per-doc
+    // shingle counts come in on the join rows (first() per group), and the
+    // pair's own columns (e.g. shared_bands) are carried the same way, so
+    // no second consumption of `pairs` and no separate counts join.
     val sh = explodedShingles(docs).persist()
     sh.count()
-    val counts = sh.groupBy("doc_id").agg(first("n_sh").as("n_sh"))
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
+    val extraCols = pairs.columns.filterNot(c => c == "doc_a" || c == "doc_b").toSeq
+    val carried = extraCols.map(c => first(col(c)).as(c)) ++ Seq(
+      count(lit(1)).as("n_inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))
     pairs
-      .join(inter, Seq("doc_a", "doc_b"))
-      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("n_sh").as("na"), col("s")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"), col("s")),
+        Seq("doc_b", "s"))
+      .groupBy("doc_a", "doc_b")
+      .agg(carried.head, carried.tail: _*)
       .withColumn("jaccard",
         col("n_inter").cast(DoubleType) /
           (col("na") + col("nb") - col("n_inter")).cast(DoubleType))
