@@ -199,15 +199,15 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"),
           vectorNormSq(col("embedding")).as("qnorm"))
-      vectors.crossJoin(broadcast(queries))
-        .select(col("qid"), col("id").as("label"),
-          (col("vnorm") + col("qnorm") - lit(2.0) * dotProduct(col("vec"), col("qv")))
-            .as("score"))
-        .groupBy(col("qid"))
-        .agg(topK(col("score"), col("label"), 10, ascending = true).as("hits"))
-        .select(col("qid"), posexplode(col("hits")))
-        .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
-          col("col.label").as("label"), round(col("col.score"), 4).as("dist"))
+      Similarity.explodeHits(
+        vectors.crossJoin(broadcast(queries))
+          .select(col("qid"), col("id").as("label"),
+            (col("vnorm") + col("qnorm") - lit(2.0) * dotProduct(col("vec"), col("qv")))
+              .as("score"))
+          .groupBy(col("qid"))
+          .agg(topK(col("score"), col("label"), 10, ascending = true).as("hits")))
+        .select(col("qid"), col("rank"), col("label"),
+          round(col("score"), 4).as("dist"))
         .orderBy("qid", "rank")
     },
 
@@ -268,14 +268,14 @@ object SparkEntry {
         .setInputCol("features").setOutputCol("hashes")
       val model = lsh.fit(e)
       val q = e.filter(col("vec_id") < 8)
-      model.approxSimilarityJoin(q, e, 20.0, "dist")
-        .select(col("datasetA.vec_id").as("qid"), col("datasetB.vec_id").as("label"),
-          (col("dist") * col("dist")).as("score")) // squared L2, ref semantics
-        .groupBy(col("qid"))
-        .agg(topK(col("score"), col("label"), 10, ascending = true).as("hits"))
-        .select(col("qid"), posexplode(col("hits")))
-        .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
-          col("col.label").as("label"), round(col("col.score"), 4).as("dist"))
+      Similarity.explodeHits(
+        model.approxSimilarityJoin(q, e, 20.0, "dist")
+          .select(col("datasetA.vec_id").as("qid"), col("datasetB.vec_id").as("label"),
+            (col("dist") * col("dist")).as("score")) // squared L2, ref semantics
+          .groupBy(col("qid"))
+          .agg(topK(col("score"), col("label"), 10, ascending = true).as("hits")))
+        .select(col("qid"), col("rank"), col("label"),
+          round(col("score"), 4).as("dist"))
         .orderBy("qid", "rank")
     },
 

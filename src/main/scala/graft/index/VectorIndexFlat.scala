@@ -104,11 +104,18 @@ final class VectorIndexFlat private (
     */
   def add(df: DataFrame): this.type = {
     val base = cachedNtotal
-    val withIds = df.select(col("vec")).rdd.zipWithIndex().map {
+    // cache the input once: zipWithIndex's internal partition-size job,
+    // the count, and the union materialization all read the same blocks
+    // instead of rescanning the source three times
+    val src = df.select(col("vec")).rdd
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val withIds = src.zipWithIndex().map {
       case (r, i) => Row(base + i, r.getSeq[Float](0).toArray)
     }
-    val n = withIds.count()
-    appendDf(spark.createDataFrame(withIds, rawSchema), n)
+    val n = src.count()
+    try appendDf(spark.createDataFrame(withIds, rawSchema), n)
+    finally src.unpersist(blocking = false)
+    this
   }
 
   private def appendDf(raw: DataFrame, n: Long): this.type = {
@@ -245,8 +252,10 @@ final class VectorIndexFlat private (
   def searchAsync(queries: DataFrame, k: Int)(
       implicit ec: ExecutionContext = ExecutionContext.global): SearchToken = {
     require(k > 0, s"k must be > 0, got $k")
-    val plan = search(queries, k).orderBy("qid", "rank")
-    new SearchToken(Future(plan.collect()))
+    // the whole search (including the gate's query-batch collect, itself a
+    // Spark job) runs on the background thread — the caller returns
+    // immediately, like the reference's commit-without-wait
+    new SearchToken(Future(search(queries, k).orderBy("qid", "rank").collect()))
   }
 
   /** Sink boundary — the analog of `index_metal_to_cpu` + persistence. */

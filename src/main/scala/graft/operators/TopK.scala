@@ -30,9 +30,23 @@ final class TopKBuffer(val k: Int, val ascending: Boolean) {
   val scores = new Array[Double](math.max(k, 1))
   val labels = new Array[Long](math.max(k, 1))
 
+  /** <0 if (da,la) is strictly better than (db,lb); NaN scores are always
+    * worst in BOTH directions (a NaN distance/similarity must never beat a
+    * finite one), ties break toward the smaller label.
+    */
+  @inline private def cmp(da: Double, la: Long, db: Double, lb: Long): Int = {
+    val aNaN = da != da
+    val bNaN = db != db
+    val c =
+      if (aNaN || bNaN) { if (aNaN == bNaN) 0 else if (aNaN) 1 else -1 }
+      else if (ascending) java.lang.Double.compare(da, db)
+      else java.lang.Double.compare(db, da)
+    if (c != 0) c else java.lang.Long.compare(la, lb)
+  }
+
   /** Is (da,la) strictly worse than (db,lb) under the kept order? */
   @inline private def worse(da: Double, la: Long, db: Double, lb: Long): Boolean =
-    if (da != db) { if (ascending) da > db else da < db } else la > lb
+    cmp(da, la, db, lb) > 0
 
   @inline private def swap(i: Int, j: Int): Unit = {
     val td = scores(i); scores(i) = scores(j); scores(j) = td
@@ -75,12 +89,8 @@ final class TopKBuffer(val k: Int, val ascending: Boolean) {
   def sortedIndices: Array[Int] = {
     val idx = Array.range(0, size)
     val ord = new Ordering[Int] {
-      def compare(a: Int, b: Int): Int = {
-        val c =
-          if (ascending) java.lang.Double.compare(scores(a), scores(b))
-          else java.lang.Double.compare(scores(b), scores(a))
-        if (c != 0) c else java.lang.Long.compare(labels(a), labels(b))
-      }
+      def compare(a: Int, b: Int): Int =
+        cmp(scores(a), labels(a), scores(b), labels(b))
     }
     idx.sorted(ord)
   }

@@ -45,7 +45,11 @@ object AsofJoin {
         else lit(null).cast(left.schema(c).dataType).as(c)
       } :+ col("__ts") :+ col("__tag")) ++
         rightVals.map(c => col(c).as(s"__rv_$c")): _*)
-    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__tag"))
+    // right rows tying on (__ts) must have a deterministic order or the
+    // picked value depends on shuffle layout; ordering by the carried
+    // values as final tiebreak makes any remaining tie value-identical
+    val w = Window.partitionBy(col(key))
+      .orderBy((col("__ts") +: col("__tag") +: rightVals.map(c => col(s"__rv_$c"))): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     var u = l.unionByName(rFixed)
     rightVals.foreach { c =>

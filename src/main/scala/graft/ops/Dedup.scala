@@ -125,14 +125,15 @@ object Dedup {
     * verification (bounded pair count), not all-pairs.
     */
   def jaccardOnPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    // `sh` feeds both pair sides — persist + materialize so racing
-    // cold-cache consumers don't recompute the shingling pass. Everything
+    // `sh` feeds both pair sides — localCheckpoint (eager) materializes it
+    // once, cuts lineage, and unlike persist() the blocks are released by
+    // the ContextCleaner when the DataFrame goes out of scope (persist
+    // registers in the CacheManager for the session lifetime). Everything
     // else rides through ONE intersection join + aggregate: the per-doc
     // shingle counts come in on the join rows (first() per group), and the
     // pair's own columns (e.g. shared_bands) are carried the same way, so
     // no second consumption of `pairs` and no separate counts join.
-    val sh = explodedShingles(docs).persist()
-    sh.count()
+    val sh = explodedShingles(docs).localCheckpoint(true)
     val extraCols = pairs.columns.filterNot(c => c == "doc_a" || c == "doc_b").toSeq
     val carried = extraCols.map(c => first(col(c)).as(c)) ++ Seq(
       count(lit(1)).as("n_inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))

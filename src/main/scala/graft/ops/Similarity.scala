@@ -13,6 +13,15 @@ import graft.functions._
   */
 object Similarity {
 
+  /** Unpack a grouped `hits` top-k array into (qid, rank[1-based], label,
+    * score) rows — the ONE place this shape is defined, because every kNN
+    * formulation must unpack identically for the shared oracle to match.
+    */
+  def explodeHits(grouped: DataFrame): DataFrame =
+    grouped.select(col("qid"), posexplode(col("hits")))
+      .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.label").as("label"), col("col.score").as("score"))
+
   /** Exact top-k by squared L2. queries: (qid, qv); vectors: (id, vec).
     * Broadcast the queries; k-bounded partial agg map-side; shuffle is k
     * rows per query. Output: (qid, rank[1-based], label, score).
@@ -25,13 +34,11 @@ object Similarity {
       case "cosine" => (cosineSimilarity(col("vec"), col("qv")), false)
       case other    => throw new IllegalArgumentException(s"unknown metric $other")
     }
-    Dedup.spread(vectors).crossJoin(broadcast(queries))
-      .select(col("qid"), col("id").as("label"), scoreCol.as("score"))
-      .groupBy(col("qid"))
-      .agg(topK(col("score"), col("label"), k, ascending = asc).as("hits"))
-      .select(col("qid"), posexplode(col("hits")))
-      .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
-        col("col.label").as("label"), col("col.score").as("score"))
+    explodeHits(
+      Dedup.spread(vectors).crossJoin(broadcast(queries))
+        .select(col("qid"), col("id").as("label"), scoreCol.as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = asc).as("hits")))
   }
 
   /** IVF-style ANN:
@@ -67,14 +74,12 @@ object Similarity {
         explode(nearestCentroids(col("qv"), cents, nProbe)).as("cid"))
 
     // 3b. scan only the probed clusters
-    probes.join(assigned, "cid")
-      .select(col("qid"), col("id").as("label"),
-        squaredL2(col("vec"), col("qv")).as("score"))
-      .groupBy(col("qid"))
-      .agg(topK(col("score"), col("label"), k, ascending = true).as("hits"))
-      .select(col("qid"), posexplode(col("hits")))
-      .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
-        col("col.label").as("label"), col("col.score").as("score"))
+    explodeHits(
+      probes.join(assigned, "cid")
+        .select(col("qid"), col("id").as("label"),
+          squaredL2(col("vec"), col("qv")).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
 
   /** Top-N most-similar pairs by cosine over a bounded vector subset —
@@ -102,8 +107,10 @@ object Similarity {
       .agg(topK(col("cos"), col("pair"), topN, ascending = false).as("hits"))
       .select(posexplode(col("hits")))
       .select((col("pos") + 1).cast(LongType).as("rn"),
-        (col("col.label") / lit(1L << 31)).cast(LongType).as("i"),
-        (col("col.label") % lit(1L << 31)).cast(LongType).as("j"),
+        // integer `div`, not `/` (Divide casts to double and loses
+        // exactness above 2^53); packing supports ids < 2^32
+        expr(s"col.label div ${1L << 31}").as("i"),
+        (col("col.label") % lit(1L << 31)).as("j"),
         round(col("col.score"), 6).as("cos"))
   }
 }

@@ -67,7 +67,11 @@ object StreamingOps {
       var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue, 0L))
       val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
       evts.foreach { e =>
-        if (st.n == 0L) {
+        if (st.n > 0L && e.ts_us < st.lastTs) {
+          // cross-batch late event: dropping it is the watermark-style
+          // choice — merging would regress lastTs and falsely split the
+          // session on the next on-time event
+        } else if (st.n == 0L) {
           st = SessionState(st.sessionId + 1, e.ts_us, e.ts_us, 1L)
         } else if (e.ts_us - st.lastTs > gapUs) {
           out += SessionOut(userId, st.sessionId, st.n, st.startUs, st.lastTs)
@@ -86,9 +90,10 @@ object StreamingOps {
   /** Convenience: run a memory-sink streaming query to completion over a
     * bounded source (availableNow) and return the collected table name.
     */
-  def runToMemory(df: DataFrame, name: String): StreamingQuery =
+  def runToMemory(df: DataFrame, name: String,
+                  outputMode: String = "complete"): StreamingQuery =
     df.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
 }

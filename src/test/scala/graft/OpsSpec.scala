@@ -139,6 +139,43 @@ class OpsSpec extends AnyFunSuite {
     assert(again === got)
   }
 
+  test("WordShingles ≡ transform/array_distinct composition on random docs") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Array("a", "bb", "ccc", "dd", "e", "ff", "g")
+    val docs = docsDf((0 until 60).map { i =>
+      val n = rnd.nextInt(12) // includes 0,1,2-token edge cases
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    })
+    val staged = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+    val both = staged.select(col("doc_id"),
+      graft.functions.wordShingles(col("w"), 3).as("fast"),
+      Dedup.shingles3OfTokens(col("w")).as("ref"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("source formats: documents via json and csv round-trip to identical query results") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+    docs.write.mode("overwrite").json(s"$dir/json")
+    docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").option("header", "true").csv(s"$dir/csv")
+    val viaJson = spark.read.json(s"$dir/json")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").collect()
+    val direct = docs
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").collect()
+    assert(viaJson === direct)
+    val viaCsv = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$dir/csv")
+    assert(viaCsv.count() === docs.count())
+    assert(viaCsv.agg(sum(col("n_chars"))).head.getLong(0) ===
+      docs.agg(sum(col("n_chars"))).head.getLong(0))
+  }
+
   test("asofJoin attaches most recent right row at-or-before, ties included") {
     import org.apache.spark.sql.types._
     val ls = StructType(Seq(StructField("k", LongType), StructField("lts", LongType),
@@ -155,6 +192,16 @@ class OpsSpec extends AnyFunSuite {
     assert(got(101L) === Some(2.5)) // latest ≤ 20
     assert(got(102L) === None)      // nothing at or before 5
     assert(got(103L) === None)      // key 2's right row is later
+    // right rows tying on (key, ts): result must be deterministic across
+    // runs (ordered by carried values as final tiebreak → max wins)
+    val right2 = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, 10L, 1.5), Row(1L, 10L, 7.5)), rs)
+    val picks = (1 to 3).map { _ =>
+      graft.ops.AsofJoin.asofJoin(left.filter(col("lid") === 100L), right2,
+        "k", "lts", "rts", Seq("price")).collect().head.getDouble(3)
+    }
+    assert(picks.distinct.size === 1)
+    assert(picks.head === 7.5)
   }
 
   test("multimodal: batched feature extraction preserves rows, bytes, determinism") {

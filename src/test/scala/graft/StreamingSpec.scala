@@ -84,6 +84,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming sessionize drops cross-batch late events instead of corrupting sessions") {
+    import spark.implicits._
+    import graft.streaming.{SessionEvent, SessionOut}
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[SessionEvent]
+    val out = graft.streaming.StreamingOps.streamingSessionize(stream.toDS(), gapUs = 1000L)
+    val q = out.writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    stream.addData(SessionEvent(1, 1, 10000)); q.processAllAvailable()
+    // late event (5000 < lastTs 10000) then on-time 10500: without the
+    // guard the session would falsely split; with it, nothing closes
+    stream.addData(SessionEvent(1, 2, 5000), SessionEvent(1, 3, 10500))
+    q.processAllAvailable()
+    // a genuine gap closes ONE session spanning 10000..10500 (2 events)
+    stream.addData(SessionEvent(1, 4, 100000)); q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("late_sessions").as[SessionOut].collect()
+    assert(sessions.length === 1)
+    assert(sessions.head.n_events === 2L)
+    assert(sessions.head.start_us === 10000L && sessions.head.end_us === 10500L)
+  }
+
   test("watermarked windowed counts over availableNow == batch aggregation") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString

@@ -50,6 +50,27 @@ class TopKSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN scores are always worst in both directions and evictable") {
+    for (asc <- Seq(true, false)) {
+      // NaN inserted while under-filled must be evicted by finite scores
+      val b = new TopKBuffer(2, asc)
+      b.insert(Double.NaN, 99L)
+      b.insert(1.0, 1L)
+      b.insert(2.0, 2L)
+      b.insert(3.0, 3L)
+      val got = contents(b)
+      assert(!got.exists(_._1.isNaN), s"asc=$asc: NaN survived: $got")
+      // and a buffer that only ever saw NaN still returns it (not lost)
+      val only = new TopKBuffer(2, asc)
+      only.insert(Double.NaN, 5L)
+      assert(contents(only).map(_._2) === Seq(5L))
+      // NaN sorts last, never rank 1
+      val mixed = new TopKBuffer(3, asc)
+      mixed.insert(Double.NaN, 9L); mixed.insert(1.0, 1L)
+      assert(contents(mixed).head._2 === 1L)
+    }
+  }
+
   test("merge is associative across 3-way splits") {
     val rnd = new scala.util.Random(99)
     val all = (0 until 300).map(i => (rnd.nextDouble(), i.toLong))
