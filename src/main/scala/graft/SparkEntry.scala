@@ -184,6 +184,20 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     },
 
+    // the bounded top-k aggregate on a non-vector workload: top-3 spenders
+    // per event type (k-bounded state map-side — no per-group sort)
+    "q_topk_users" -> { (s, dir) =>
+      val spend = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(sum(col("value").cast(DecimalType(25, 6))).cast(DoubleType).as("total"))
+      spend.groupBy(col("event_type"))
+        .agg(topK(col("total"), col("user_id"), 3, ascending = false).as("hits"))
+        .select(col("event_type"), posexplode(col("hits")))
+        .select(col("event_type"), (col("pos") + 1).cast(LongType).as("rank"),
+          col("col.label").as("user_id"), col("col.score").as("total"))
+        .orderBy("event_type", "rank")
+    },
+
     // ---- vector search (SURVEY §2.3/§2.4 core: scored cross join + top-k) ----
 
     "knn_l2" -> ((s, dir) => knn(s, dir, nq = 8, k = 10, metric = "l2")),
@@ -595,6 +609,19 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY hour, event_type""".stripMargin,
+
+    "q_topk_users" ->
+      """WITH spend AS (
+        |  SELECT user_id, event_type,
+        |    CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total
+        |  FROM events GROUP BY user_id, event_type),
+        |ranked AS (
+        |  SELECT event_type, user_id, total,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY total DESC, user_id) AS rank
+        |  FROM spend)
+        |SELECT event_type, rank, user_id, total
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY event_type, rank""".stripMargin,
 
     "knn_l2" -> oracleKnnL2,
 

@@ -119,6 +119,11 @@ final class VectorIndexFlat private (
   }
 
   private def appendDf(raw: DataFrame, n: Long): this.type = {
+    // dimension check on the distributed path too (the Seq overload
+    // validates eagerly; here it costs one cheap agg over cached blocks)
+    val badDims = raw.filter(size(col("vec")) =!= d).count()
+    require(badDims == 0L,
+      s"all vectors must have dimension $d ($badDims rows differ)")
     val prepared = prepare(raw)
     val old = data
     data = old.unionByName(prepared).persist(StorageLevel.MEMORY_AND_DISK)
@@ -304,7 +309,10 @@ object VectorIndexFlat {
     val idx = new VectorIndexFlat(spark, d, metric, storage)
     val raw = df.select(col(idCol).cast(LongType).as("id"),
       col(vecCol).as("vec"))
-    val n = raw.count()
+    val counts = raw.agg(count(lit(1)), sum(when(size(col("vec")) =!= d, 1).otherwise(0))).head
+    val n = counts.getLong(0)
+    val badDims = if (counts.isNullAt(1)) 0L else counts.getLong(1) // null sum = empty df
+    require(badDims == 0L, s"all vectors must have dimension $d")
     idx.data = idx.prepare(raw).persist(StorageLevel.MEMORY_AND_DISK)
     idx.cachedNtotal = n
     idx
