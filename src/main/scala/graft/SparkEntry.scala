@@ -112,6 +112,24 @@ object SparkEntry {
         .orderBy(desc("revenue"), col("n_name"))
     },
 
+    // ---- semi / anti joins (EXISTS / NOT EXISTS) ----
+
+    "q_semi_join" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val bigOrders = Tables(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+
+    "q_anti_join" -> { (s, dir) =>
+      val p = Tables(s, dir, "part")
+      val li = Tables(s, dir, "lineitem")
+      p.join(li.filter(col("l_quantity") >= 48), col("p_partkey") === col("l_partkey"), "left_anti")
+        .select(col("p_partkey"), col("p_brand"))
+        .orderBy("p_partkey")
+    },
+
     // ---- window / rank (SURVEY §2.4 missing-in-reference builtins) ----
 
     "q_window_top_orders" -> { (s, dir) =>
@@ -556,6 +574,17 @@ object SparkEntry {
         |WHERE c_nationkey = s_nationkey
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 48)
+        |ORDER BY p_partkey""".stripMargin,
 
     "q_window_top_orders" ->
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
