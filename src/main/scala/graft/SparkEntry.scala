@@ -143,6 +143,54 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     },
 
+    // ---- outer join with null handling ----
+
+    "q_outer_join" -> { (s, dir) =>
+      val p = Tables(s, dir, "part")
+      val heavy = Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 48)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      p.join(heavy, col("p_partkey") === col("l_partkey"), "left")
+        .select(col("p_partkey"), coalesce(col("cnt"), lit(0L)).as("n_heavy"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- ordered string aggregation ----
+
+    "q_string_agg" -> { (s, dir) =>
+      Tables(s, dir, "customer")
+        .filter(col("c_custkey") <= 200)
+        .groupBy(col("c_nationkey").cast(LongType).as("nationkey"))
+        .agg(array_join(array_sort(collect_list(col("c_custkey").cast(StringType))), ",")
+          .as("custkeys"),
+          count(lit(1)).as("n"))
+        .orderBy("nationkey")
+    },
+
+    // ---- INTERSECT set operator ----
+
+    "q_intersect" -> { (s, dir) =>
+      val a = Tables(s, dir, "orders").filter(col("o_totalprice") > 200000)
+        .select(col("o_custkey").as("custkey"))
+      val b = Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      a.intersect(b).orderBy("custkey")
+    },
+
+    // ---- analytic window functions (lead/lag) ----
+
+    "q_lead_lag" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .filter(col("o_custkey") <= 100)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("prev_price"), col("next_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // ---- distinct / set-ish aggregates ----
 
     "q_segment_stats" -> { (s, dir) =>
@@ -593,6 +641,36 @@ object SparkEntry {
         |  FROM orders)
         |WHERE rn <= 3
         |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT p_partkey, COALESCE(cnt, 0) AS n_heavy
+        |FROM part LEFT JOIN (
+        |  SELECT l_partkey, COUNT(*) AS cnt FROM lineitem
+        |  WHERE l_quantity >= 48 GROUP BY l_partkey) h
+        |ON p_partkey = l_partkey
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_string_agg" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY CAST(c_custkey AS VARCHAR)) AS custkeys,
+        |  COUNT(*) AS n
+        |FROM customer WHERE c_custkey <= 200
+        |GROUP BY c_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
+
+    "q_lead_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_orderkey, 1) OVER w AS next_key
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_segment_stats" ->
       """SELECT c_mktsegment,
