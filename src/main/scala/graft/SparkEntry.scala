@@ -464,9 +464,7 @@ object SparkEntry {
     // ---- dedup: MinHash + LSH with exact-Jaccard verification ----
 
     "dedup_minhash" -> { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val cand = Dedup.minhashCandidates(docs)
-      Dedup.jaccardOnPairs(docs, cand)
+      Dedup.minhashDedup(Tables(s, dir, "documents"))
         .select(col("doc_a"), col("doc_b"), col("shared_bands"), col("jaccard"))
         .orderBy("doc_a", "doc_b")
     },
@@ -544,8 +542,16 @@ object SparkEntry {
     //      stubbed; plumbing real — no SQL oracle, rows-only check) ----
 
     "multimodal_features" -> { (s, dir) =>
+      // flattened to scalar columns: the driver's row compare canonicalizes
+      // with a column sort that rejects array-typed cells
       Multimodal.extractFeatures(
         Multimodal.mediaFromDocuments(Tables(s, dir, "documents")))
+        .select(col("media_id"), col("n_bytes"), col("mime"),
+          size(col("features")).cast(LongType).as("n_dims"),
+          round(aggregate(col("features"), lit(0.0),
+            (acc, x) => acc + x.cast(DoubleType)), 4).as("feat_sum"),
+          round(aggregate(col("features"), lit(0.0),
+            (acc, x) => greatest(acc, x.cast(DoubleType))), 4).as("feat_max"))
         .orderBy("media_id")
     }
   )

@@ -56,6 +56,12 @@ package object functions {
   def wordShingles(tokens: Column, n: Int = 3): Column =
     GraftBridge.column(WordShingles(e(tokens), n))
 
+  /** MinHash signature (numHashes 8-hex-char mins) of a shingle array in
+    * one compiled pass — see [[MinHashSignature]]; null for empty arrays.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int = 8): Column =
+    GraftBridge.column(MinHashSignature(e(shingles), numHashes))
+
   /** nProbe nearest centroid ids for a vector, best-first by (L2², cid);
     * the centroid table (small, trained) rides inside the expression — no
     * join, no shuffle.

