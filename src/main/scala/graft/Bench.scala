@@ -10,6 +10,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // coalesce post-shuffle partitions by size, not to max parallelism:
+      // the inventory runs many small shuffles where 32 near-empty tasks
+      // cost more scheduling than they buy in concurrency
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb one-time session/codegen warmup so no query pays it

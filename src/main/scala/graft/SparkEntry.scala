@@ -538,6 +538,282 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- TPC-H-shaped additions (round 2) ----
+
+    // Q4 shape: EXISTS with a non-equi correlated predicate → left-semi
+    "q4_order_priority" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      o.join(li, col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Q10 shape: 3-way join, revenue per customer, top 20
+    "q10_returned_revenue" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    },
+
+    // Q18 shape: HAVING on a grouped sum, joined back to orders
+    "q18_large_orders" -> { (s, dir) =>
+      val big = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(dec(col("l_quantity"))).as("tq"))
+        .filter(col("tq") > 200)
+      Tables(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("tq").cast(DoubleType).as("total_qty"))
+        .orderBy("o_orderkey")
+    },
+
+    // conditional aggregation (count/sum over CASE predicates)
+    "q_conditional_agg" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("n_high"),
+          count(when(col("o_orderpriority") === "5-LOW", 1)).as("n_low"),
+          count(lit(1)).as("n_total"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), dec(col("o_totalprice"))))
+            .cast(DoubleType).as("high_revenue"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Q14 shape: ratio of conditional revenue (promo share)
+    "q_promo_share" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part")
+      val rev = dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          (lit(100.0) * sum(when(col("p_type") === "PROMO", rev)).cast(DoubleType)
+            / sum(rev).cast(DoubleType)).as("promo_share"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // GROUPING SETS with grouping() flags (SQL surface)
+    "q_grouping_sets" -> { (s, dir) =>
+      Tables(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+          |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+          |  COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM graft_lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    },
+
+    // pivot: status columns per priority row
+    "q_pivot" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(dec(col("o_totalprice"))).cast(DoubleType))
+        .select(col("o_orderpriority"), col("F").as("f_total"),
+          col("O").as("o_total"), col("P").as("p_total"))
+        .orderBy("o_orderpriority")
+    },
+
+    // max_by / min_by with an epsilon tie-break key (acctbal has exact
+    // duplicates at sf0.1; custkey·1e-9 is far below the 0.01 grid, so the
+    // key is unique and both engines pick the smaller custkey on ties)
+    "q_minmax_by" -> { (s, dir) =>
+      Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey").cast(LongType).as("nationkey"))
+        .agg(
+          max_by(col("c_custkey"), col("c_acctbal") - col("c_custkey") * lit(1e-9)).as("richest_cust"),
+          max(col("c_acctbal")).as("max_bal"),
+          min_by(col("c_custkey"), col("c_acctbal") + col("c_custkey") * lit(1e-9)).as("poorest_cust"),
+          min(col("c_acctbal")).as("min_bal"))
+        .orderBy("nationkey")
+    },
+
+    // cumulative window (running decimal sum → exact)
+    "q_running_sum" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .filter(col("o_custkey") <= 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(dec(col("o_totalprice"))).over(w).cast(DoubleType).as("running_spend"),
+          count(lit(1)).over(w).as("n_so_far"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // sliding-frame moving average (3-row; exact decimal sum / count)
+    "q_moving_avg" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables(s, dir, "orders")
+        .filter(col("o_custkey") <= 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          (sum(dec(col("o_totalprice"))).over(w).cast(DoubleType) / count(lit(1)).over(w))
+            .as("avg3"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ranking-function surface: ntile / percent_rank / cume_dist / dense_rank
+    "q_ntile_rank" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .filter(col("o_custkey") <= 50)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          dense_rank().over(w).cast(LongType).as("drank"))
+        .orderBy("o_orderstatus", "o_orderkey")
+    },
+
+    // date/time function surface
+    "q_date_arith" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+        .select(col("o_orderkey"), col("d"),
+          date_add(col("d"), 30).as("plus30d"),
+          add_months(col("d"), 2).as("plus2m"),
+          last_day(col("d")).as("eom"),
+          datediff(to_date(lit("1998-12-31")), col("d")).cast(LongType).as("days_to_end"),
+          quarter(col("d")).cast(LongType).as("qtr"),
+          dayofweek(col("d")).cast(LongType).as("dow"),
+          date_trunc("month", col("d")).cast(DateType).as("month_start"))
+        .orderBy("o_orderkey")
+    },
+
+    // string-function surface
+    "q_string_funcs" -> { (s, dir) =>
+      Tables(s, dir, "part")
+        .filter(col("p_partkey") <= 300)
+        .select(col("p_partkey"),
+          lpad(col("p_name"), 20, "*").as("padded"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"),
+          reverse(col("p_name")).as("rev"),
+          instr(col("p_name"), " ").cast(LongType).as("space_at"),
+          expr("split_part(p_name, ' ', 1)").as("first_word"),
+          repeat(col("p_brand"), 2).as("b2"))
+        .orderBy("p_partkey")
+    },
+
+    // regexp extraction over free text
+    "q_regexp_extract" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "[a-z]{7,}", 0).as("first_long"),
+          size(regexp_extract_all(col("text"), lit("[a-z]{7,}"), lit(0)))
+            .cast(LongType).as("n_long"),
+          col("text").rlike("[0-9]").as("has_num"))
+        .orderBy("doc_id")
+    },
+
+    // UNION ALL + re-aggregation
+    "q_union_all" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val hi = o.filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey"), lit("hi").as("bucket"))
+      val lo = o.filter(col("o_totalprice") < 10000)
+        .select(col("o_custkey"), lit("lo").as("bucket"))
+      hi.unionByName(lo)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("bucket")
+    },
+
+    // uncorrelated scalar subquery in a filter (SQL surface); the average
+    // rides through an exact decimal sum so both engines build the same
+    // double threshold
+    "q_scalar_subquery" -> { (s, dir) =>
+      Tables(s, dir, "part").createOrReplaceTempView("graft_part_sq")
+      s.sql(
+        """SELECT p_partkey, p_retailprice
+          |FROM graft_part_sq
+          |WHERE p_retailprice > 1.5 * (
+          |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          |  FROM graft_part_sq)
+          |ORDER BY p_partkey""".stripMargin)
+    },
+
+    // exact second-moment statistics: corr and regression slope from
+    // decimal Σx, Σy, Σxy, Σx², Σy² (order-independent sums; the only
+    // doubles appear after aggregation, in an identical formula both sides)
+    "q_corr_stats" -> { (s, dir) =>
+      val x = dec(col("l_quantity"))
+      val y = dec(col("l_extendedprice"))
+      val d38 = DecimalType(38, 4)
+      val agg = Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum((x * y).cast(d38)).as("sxy"),
+          sum((x * x).cast(d38)).as("sxx"),
+          sum((y * y).cast(d38)).as("syy"))
+      val n = col("n_rows").cast(DoubleType)
+      val sx = col("sx").cast(DoubleType)
+      val sy = col("sy").cast(DoubleType)
+      val sxy = col("sxy").cast(DoubleType)
+      val sxx = col("sxx").cast(DoubleType)
+      val syy = col("syy").cast(DoubleType)
+      agg.select(col("l_returnflag"), col("n_rows"),
+          round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+            .as("corr_qty_price"),
+          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).as("slope"))
+        .orderBy("l_returnflag")
+    },
+
+    // JSON extraction from the events props column
+    "q_json_extract" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // cosine-metric kNN (third reference metric surface)
+    "knn_cosine" -> ((s, dir) => knn(s, dir, nq = 8, k = 10, metric = "cosine")),
+
+    // SimHash near-dup pairs: 3-band LSH over a 63-bit fingerprint
+    // (21 bits/band — hamming ≤ 2 leaves at least one band untouched, so
+    // recall is exact, and buckets stay near-singleton at corpus scale);
+    // bucket-grouped pair generation, no self-join
+    "simhash_pairs" -> { (s, dir) =>
+      Dedup.simhashPairs(Tables(s, dir, "documents"), hammingMax = 2)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // HLL approximate distinct next to the exact count (no SQL oracle —
+    // sketch internals differ per engine; rows-only + spec-pinned bounds)
+    "q_approx_distinct" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
+          countDistinct(col("o_custkey")).as("exact_cust"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- multimodal: binary-column batched feature extraction (decode
     //      stubbed; plumbing real — no SQL oracle, rows-only check) ----
 
@@ -987,6 +1263,230 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q10_returned_revenue" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(tq AS DOUBLE) AS total_qty
+        |FROM orders JOIN (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+        |  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200) t
+        |ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_conditional_agg" ->
+      """SELECT o_orderstatus,
+        |  COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS n_high,
+        |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS n_low,
+        |  COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS high_revenue
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q_promo_share" ->
+      """SELECT
+        |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS promo_share,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus='F' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS f_total,
+        |  CAST(SUM(CASE WHEN o_orderstatus='O' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS o_total,
+        |  CAST(SUM(CASE WHEN o_orderstatus='P' THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS p_total
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_minmax_by" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  arg_max(c_custkey, c_acctbal - c_custkey * 1e-9) AS richest_cust,
+        |  MAX(c_acctbal) AS max_bal,
+        |  arg_min(c_custkey, c_acctbal + c_custkey * 1e-9) AS poorest_cust,
+        |  MIN(c_acctbal) AS min_bal
+        |FROM customer
+        |GROUP BY c_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend,
+        |  COUNT(*) OVER w AS n_so_far
+        |FROM orders WHERE o_custkey <= 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS UNBOUNDED PRECEDING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |    / (COUNT(*) OVER w) AS avg3
+        |FROM orders WHERE o_custkey <= 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_ntile_rank" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank
+        |FROM orders WHERE o_custkey <= 50
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin,
+
+    "q_date_arith" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30d,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_end,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start
+        |FROM orders WHERE o_orderkey <= 300
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  lpad(p_name, 20, '*') AS padded,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS tr,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel,
+        |  reverse(p_name) AS rev,
+        |  CAST(strpos(p_name, ' ') AS BIGINT) AS space_at,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  repeat(p_brand, 2) AS b2
+        |FROM part WHERE p_partkey <= 300
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_regexp_extract" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, '[a-z]{7,}') AS first_long,
+        |  CAST(len(regexp_extract_all(text, '[a-z]{7,}')) AS BIGINT) AS n_long,
+        |  regexp_matches(text, '[0-9]') AS has_num
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_union_all" ->
+      """SELECT bucket, COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_cust
+        |FROM (
+        |  SELECT o_custkey, 'hi' AS bucket FROM orders WHERE o_totalprice > 300000
+        |  UNION ALL
+        |  SELECT o_custkey, 'lo' AS bucket FROM orders WHERE o_totalprice < 10000)
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT p_partkey, p_retailprice
+        |FROM part
+        |WHERE p_retailprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_corr_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n_rows,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxy,
+        |    SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sxx,
+        |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_rows,
+        |  ROUND((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / SQRT((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS corr_qty_price,
+        |  ROUND((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        |    AS slope
+        |FROM m
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "knn_cosine" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id AS label, q.qv, e.embedding AS v
+        |  FROM q CROSS JOIN embeddings e),
+        |dists AS (
+        |  SELECT qid, label,
+        |    SUM(CAST(qe AS DOUBLE) * CAST(ve AS DOUBLE)) /
+        |      (SQRT(SUM(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE))) *
+        |       SQRT(SUM(CAST(ve AS DOUBLE) * CAST(ve AS DOUBLE)))) AS score
+        |  FROM (SELECT qid, label, UNNEST(qv) AS qe, UNNEST(v) AS ve FROM pairs)
+        |  GROUP BY qid, label),
+        |ranked AS (
+        |  SELECT qid, label, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, label) AS rank
+        |  FROM dists)
+        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    "simhash_pairs" -> {
+      // brute-force all-pairs oracle over the same 63-bit fingerprint;
+      // the Spark side's 3-band LSH has exact recall at hamming ≤ 2
+      val sums = (0 until 63)
+        .map(b => s"SUM(${Dedup.simhashBitSql(b, "//")}) AS s$b").mkString(", ")
+      val bits = (0 until 63)
+        .map(b => s"CASE WHEN 2*s$b > n THEN ${1L << b} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS tok
+         |  FROM documents),
+         |s AS (SELECT doc_id, COUNT(*) AS n, $sums FROM toks GROUP BY doc_id),
+         |sim AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+         |ORDER BY doc_a, doc_b""".stripMargin
+    }
   )
 }

@@ -62,6 +62,18 @@ package object functions {
   def minhashSignature(shingles: Column, numHashes: Int = 8): Column =
     GraftBridge.column(MinHashSignature(e(shingles), numHashes))
 
+  /** n-bit SimHash of a token array in one compiled pass (majority vote
+    * over distinct tokens, md5-nibble bits) — see [[SimHashBits]].
+    */
+  def simhashBits(tokens: Column, nBits: Int): Column =
+    GraftBridge.column(SimHashBits(e(tokens), nBits))
+
+  /** Compiled unordered-pair generator over an array<struct<id,h>> bucket:
+    * rows (doc_a, ha, doc_b, hb) for each i < j — see [[StructPairs]].
+    */
+  def structPairs(bucket: Column): Column =
+    GraftBridge.column(StructPairs(e(bucket)))
+
   /** nProbe nearest centroid ids for a vector, best-first by (L2², cid);
     * the centroid table (small, trained) rides inside the expression — no
     * join, no shuffle.

@@ -232,17 +232,58 @@ object Dedup {
     s"(((instr('0123456789abcdef', substr(md5(tok), $p, 1)) - 1) $divOp $pw) % 2)"
   }
 
-  /** Per-doc 16-bit SimHash: majority vote per bit over distinct tokens. */
-  def simhash16(docs: DataFrame): DataFrame = {
-    val toks = spread(docs).select(col("doc_id"),
-      explode(array_distinct(tokens(col("text")))).as("tok"))
-    val sums = (0 until 16).map(b =>
-      sum(expr(simhashBitSql(b, "div"))).as(s"s$b"))
-    val withSums = toks.groupBy("doc_id")
-      .agg(count(lit(1)).as("n"), sums: _*)
-    val hash = (0 until 16).map(b =>
-      when(col(s"s$b") * 2 > col("n"), lit(1L << b)).otherwise(0L))
-      .reduce(_ + _)
-    withSums.select(col("doc_id"), hash.as("simhash"))
+  /** Per-doc n-bit SimHash: majority vote per bit over distinct tokens,
+    * as one compiled narrow pass ([[graft.functions.SimHashBits]] — no
+    * token explode, no nBits-sum shuffle; bit arithmetic matches
+    * [[simhashBitSql]] so the declarative/DuckDB formulation reproduces it).
+    */
+  def simhash(docs: DataFrame, nBits: Int): DataFrame =
+    spread(docs).select(col("doc_id"),
+      graft.functions.simhashBits(tokens(col("text")), nBits).as("simhash"))
+
+  /** Per-doc 16-bit SimHash (the oracle-pinned fingerprint surface). */
+  def simhash16(docs: DataFrame): DataFrame = simhash(docs, 16)
+
+  /** SimHash near-duplicate pairs at hamming distance ≤ 2, via 3-band LSH
+    * over a 63-bit fingerprint (21 bits per band — two differing bits
+    * leave at least one band untouched, so recall at the threshold is
+    * EXACT, and a 21-bit key space keeps buckets near-singleton at corpus
+    * scale, unlike banding a 16-bit hash whose 5-bit keys collide
+    * everywhere). 63 bits, not 64: every per-bit power-of-two then fits a
+    * signed BIGINT, so the SQL-oracle reconstruction needs no sign tricks.
+    * Bucket-grouped pair generation — no self-join; a pair found in
+    * several bands dedupes via `distinct` after the (identical) hamming
+    * computation.
+    */
+  def simhashPairs(docs: DataFrame, hammingMax: Int = 2): DataFrame = {
+    val sims = simhash(docs, 63)
+    val bands = sims.select(col("doc_id"), col("simhash"),
+      explode(array(
+        struct(lit(0).as("band"), col("simhash").bitwiseAND(lit((1L << 21) - 1)).as("key")),
+        struct(lit(1).as("band"),
+          expr("shiftrightunsigned(simhash, 21)").bitwiseAND(lit((1L << 21) - 1)).as("key")),
+        struct(lit(2).as("band"), expr("shiftrightunsigned(simhash, 42)").as("key")))).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    // a pair colliding in several bands would duplicate; instead of a
+    // distinct() (a full shuffle of the pair stream) emit each pair only
+    // from its FIRST matching band — band b emits iff no earlier band's
+    // key also matched, decidable per-row from the two fingerprints
+    val m21 = lit((1L << 21) - 1)
+    def b0(c: Column) = c.bitwiseAND(m21)
+    def b1(c: Column) = expr(s"shiftrightunsigned(${c.toString}, 21)").bitwiseAND(m21)
+    bands.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(struct(col("doc_id").as("id"), col("simhash").as("h"))))
+        .as("its"))
+      .filter(size(col("its")) > 1)
+      .select(col("band"),
+        graft.functions.structPairs(col("its")).as(Seq("doc_a", "ha", "doc_b", "hb")))
+      .filter(col("band") === 0
+        || (col("band") === 1 && b0(col("ha")) =!= b0(col("hb")))
+        || (col("band") === 2 && b0(col("ha")) =!= b0(col("hb"))
+              && b1(col("ha")) =!= b1(col("hb"))))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ha ^ hb)").cast(LongType).as("hamming"))
+      .filter(col("hamming") <= hammingMax)
   }
 }

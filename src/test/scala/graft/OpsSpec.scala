@@ -59,6 +59,21 @@ class OpsSpec extends AnyFunSuite {
     assert(full == split)
   }
 
+  test("simhashPairs 3-band LSH ≡ brute-force hamming ≤ 2 pairs") {
+    val docs = docsDf(Seq(0L -> base, 1L -> nearDup, 2L -> unrelated,
+      3L -> base, 4L -> (base + " extra"), 5L -> "one two three four five"))
+    val sims = Dedup.simhash(docs, 63).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sims.keys; b <- sims.keys if a < b
+      h = java.lang.Long.bitCount(sims(a) ^ sims(b)) if h <= 2
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.simhashPairs(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute)
+    assert(got.contains((0L, 3L, 0L))) // identical docs → hamming 0
+  }
+
   test("jaccard verification on candidate pairs matches hand computation") {
     val docs = docsDf(Seq(0L -> base, 1L -> nearDup, 2L -> unrelated))
     val pairs = docsDf(Seq.empty).sparkSession.createDataFrame(
