@@ -540,12 +540,19 @@ object SparkEntry {
 
     // ---- TPC-H-shaped additions (round 2) ----
 
-    // Q4 shape: EXISTS with a non-equi correlated predicate → left-semi
+    // Q4 shape: EXISTS with a non-equi correlated predicate. Evaluated as
+    // aggregate-below-join: max(l_shipdate) per order first (map-side
+    // combined, 4-7× row reduction), then one equi join + filter — the
+    // existence test needs only the extreme value, so the semi join never
+    // has to probe every matching lineitem row. (q_semi_join keeps the
+    // plain left-semi surface.)
     "q4_order_priority" -> { (s, dir) =>
-      val o = Tables(s, dir, "orders")
-      val li = Tables(s, dir, "lineitem")
-      o.join(li, col("o_orderkey") === col("l_orderkey")
-          && col("l_shipdate") > col("o_orderdate"), "left_semi")
+      val lastShip = Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("last_ship"))
+      Tables(s, dir, "orders")
+        .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("last_ship") > col("o_orderdate"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy("o_orderpriority")
@@ -802,6 +809,23 @@ object SparkEntry {
     "simhash_pairs" -> { (s, dir) =>
       Dedup.simhashPairs(Tables(s, dir, "documents"), hammingMax = 2)
         .orderBy("doc_a", "doc_b")
+    },
+
+    // RANGE-framed window: per event, activity of the same user in the
+    // trailing hour (value-based frame, not row-based — peers with equal
+    // timestamps enter the frame together in both engines)
+    "q_range_frame" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+        .filter(col("user_id") <= 100)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          count(lit(1)).over(w).as("n_last_hour"),
+          sum(col("value").cast(DecimalType(25, 6))).over(w).cast(DoubleType)
+            .as("sum_last_hour"))
+        .orderBy("user_id", "ts_us", "event_id")
     },
 
     // HLL approximate distinct next to the exact count (no SQL oracle —
@@ -1438,6 +1462,15 @@ object SparkEntry {
         |    AS slope
         |FROM m
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_range_frame" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  COUNT(*) OVER w AS n_last_hour,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE) AS sum_last_hour
+        |FROM events WHERE user_id <= 100
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+/** Storage-layout techniques that carry the engine from local[32] to a
+  * 1000-executor cluster: bucketed tables (co-located joins — no shuffle),
+  * and partition pruning (scan only the partitions a filter selects).
+  * Plan-shape assertions, not just results: the point IS the physical plan.
+  */
+class StorageLayoutSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("bucketed join: both sides bucketed by the key -> no shuffle exchange") {
+    import spark.implicits._
+    val facts = (0L until 10000L).map(i => (i % 997, s"f$i")).toDF("key", "payload")
+    val dims = (0L until 997L).map(i => (i, s"d$i")).toDF("key", "attr")
+    facts.write.mode("overwrite").bucketBy(8, "key").sortBy("key")
+      .saveAsTable("graft_facts_b")
+    dims.write.mode("overwrite").bucketBy(8, "key").sortBy("key")
+      .saveAsTable("graft_dims_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("graft_facts_b")
+        .join(spark.table("graft_dims_b"), "key")
+      assert(joined.count() == 10000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle, plan was:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_facts_b")
+      spark.sql("DROP TABLE IF EXISTS graft_dims_b")
+    }
+  }
+
+  test("partition pruning: filter on the partition column scans one partition") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    import spark.implicits._
+    val df = (0 until 1000)
+      .map(i => (i.toLong, Seq("click", "view", "purchase")(i % 3), i * 1.5))
+      .toDF("id", "etype", "v")
+    df.write.mode("overwrite").partitionBy("etype").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("etype") === "click")
+    assert(pruned.count() == 334)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("etype"),
+      s"expected partition filters in scan:\n$scan")
+    // the non-selected partitions' files must not be read
+    def nFiles(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.collectLeaves().head match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+        case other => fail(s"expected FileSourceScanExec leaf, got $other")
+      }
+    val allFiles = nFiles(pruned)
+    val totalFiles = nFiles(spark.read.parquet(dir))
+    assert(allFiles < totalFiles, s"pruned scan reads $allFiles of $totalFiles files")
+  }
+
+  test("pushed filters and pruned columns reach the parquet scan") {
+    val dir = Files.createTempDirectory("graft_pushdown").toString
+    import spark.implicits._
+    (0L until 1000L).map(i => (i, i * 2.0, s"s$i", i % 7))
+      .toDF("a", "b", "c", "d")
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("a") > 500).select("a", "d")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(a,500)"),
+      s"filter must push to parquet:\n$scan")
+    assert(scan.contains("ReadSchema") && !scan.contains("struct<a:bigint,b:double,c:string,d:bigint>"),
+      s"column pruning must drop b and c:\n$scan")
+  }
+}
