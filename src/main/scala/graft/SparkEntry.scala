@@ -828,6 +828,64 @@ object SparkEntry {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    // dedup endgame: near-dup pairs → duplicate clusters (connected
+    // components, iterative min-label propagation), one kept representative
+    // per cluster
+    "dedup_clusters" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Dedup.simhashClusters(Tables(s, dir, "documents"), hammingMax = 2)
+        .withColumn("n_cluster",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .select(col("doc_id"), col("cluster_id"),
+          col("n_cluster"), (col("doc_id") === col("cluster_id")).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // funnel analysis: ordered view → click → purchase progression per user
+    "q_events_funnel" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_view_us"))
+      val fc = ev.join(fv, "user_id")
+        .filter(col("event_type") === "click" && col("ts_us") > col("first_view_us"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_click_us"))
+      val fp = ev.join(fc, "user_id")
+        .filter(col("event_type") === "purchase" && col("ts_us") > col("first_click_us"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_purchase_us"))
+      ev.select(col("user_id")).distinct()
+        .join(fv, Seq("user_id"), "left")
+        .join(fc, Seq("user_id"), "left")
+        .join(fp, Seq("user_id"), "left")
+        .select(col("user_id"), col("first_view_us"), col("first_click_us"),
+          col("first_purchase_us"),
+          (when(col("first_purchase_us").isNotNull, 3)
+            .when(col("first_click_us").isNotNull, 2)
+            .when(col("first_view_us").isNotNull, 1)
+            .otherwise(0)).cast(LongType).as("stage"))
+        .orderBy("user_id")
+    },
+
+    // deterministic hash sampling — reproducible ~10% subset selection for
+    // training-data splits (hex-prefix comparison on a seeded md5; no RNG,
+    // identical on every engine and every run)
+    "q_hash_sample" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(substring(md5(concat(lit("sample:"), col("doc_id").cast(StringType))), 1, 2) <= "19")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // corpus-level n-gram document frequency, top 30 — global top-k via
+    // TakeOrderedAndProject (per-partition heap + k-row merge, no full sort)
+    "q_top_ngrams" -> { (s, dir) =>
+      Dedup.explodedShingles(Tables(s, dir, "documents"))
+        .groupBy(col("s").as("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .orderBy(desc("df"), col("shingle"))
+        .limit(30)
+    },
+
     // HLL approximate distinct next to the exact count (no SQL oracle —
     // sketch internals differ per engine; rows-only + spec-pinned bounds)
     "q_approx_distinct" -> { (s, dir) =>
@@ -1502,24 +1560,84 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
-    "simhash_pairs" -> {
+    "simhash_pairs" ->
       // brute-force all-pairs oracle over the same 63-bit fingerprint;
       // the Spark side's 3-band LSH has exact recall at hamming ≤ 2
-      val sums = (0 until 63)
-        .map(b => s"SUM(${Dedup.simhashBitSql(b, "//")}) AS s$b").mkString(", ")
-      val bits = (0 until 63)
-        .map(b => s"CASE WHEN 2*s$b > n THEN ${1L << b} ELSE 0 END")
-        .mkString(" + ")
-      s"""WITH toks AS (
-         |  SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS tok
-         |  FROM documents),
-         |s AS (SELECT doc_id, COUNT(*) AS n, $sums FROM toks GROUP BY doc_id),
-         |sim AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s)
+      s"""WITH $simhash63Ctes
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
-         |ORDER BY doc_a, doc_b""".stripMargin
-    }
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_clusters" ->
+      // transitive closure via recursive CTE over the same brute-force
+      // pair set; cluster id = min reachable doc id
+      s"""WITH RECURSIVE $simhash63Ctes,
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(doc, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc),
+         |lab AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc)
+         |SELECT doc_id, cluster_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_cluster,
+         |  doc_id = cluster_id AS keep
+         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "q_events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |fv AS (SELECT user_id, MIN(ts_us) AS first_view_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |fc AS (SELECT e.user_id, MIN(e.ts_us) AS first_click_us
+        |  FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us > fv.first_view_us GROUP BY e.user_id),
+        |fp AS (SELECT e.user_id, MIN(e.ts_us) AS first_purchase_us
+        |  FROM e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > fc.first_click_us GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id, fv.first_view_us, fc.first_click_us, fp.first_purchase_us,
+        |  CAST(CASE WHEN fp.first_purchase_us IS NOT NULL THEN 3
+        |       WHEN fc.first_click_us IS NOT NULL THEN 2
+        |       WHEN fv.first_view_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM u LEFT JOIN fv USING (user_id) LEFT JOIN fc USING (user_id)
+        |  LEFT JOIN fp USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_top_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |  i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM t),
+        |ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh)
+        |SELECT s AS shingle, COUNT(*) AS df FROM ex
+        |GROUP BY s
+        |ORDER BY df DESC, shingle
+        |LIMIT 30""".stripMargin
   )
+
+  /** Shared DuckDB CTE text building the 63-bit SimHash table `sim`
+    * (doc_id, simhash) — used by simhash_pairs and dedup_clusters.
+    */
+  private lazy val simhash63Ctes: String = {
+    val sums = (0 until 63)
+      .map(b => s"SUM(${Dedup.simhashBitSql(b, "//")}) AS s$b").mkString(", ")
+    val bits = (0 until 63)
+      .map(b => s"CASE WHEN 2*s$b > n THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""toks AS (
+       |  SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS tok
+       |  FROM documents),
+       |s AS (SELECT doc_id, COUNT(*) AS n, $sums FROM toks GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s)""".stripMargin
+  }
 }

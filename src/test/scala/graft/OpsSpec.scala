@@ -74,6 +74,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got.contains((0L, 3L, 0L))) // identical docs → hamming 0
   }
 
+  test("connectedComponents: chain + triangle + singleton resolve to min-id clusters") {
+    val spark2 = spark
+    import spark2.implicits._
+    // components: {0,1,2,3} (a path — tests multi-round propagation),
+    // {10,11,12} (triangle), {20} (singleton)
+    val nodes = Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 20L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("doc_a", "doc_b")
+    val expected = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L)
+    // driver union-find fast path
+    val fast = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == expected)
+    // distributed iterative path (gate forced off) must agree exactly
+    val dist = Dedup.connectedComponents(nodes, edges, smallEdgeLimit = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == expected)
+  }
+
   test("jaccard verification on candidate pairs matches hand computation") {
     val docs = docsDf(Seq(0L -> base, 1L -> nearDup, 2L -> unrelated))
     val pairs = docsDf(Seq.empty).sparkSession.createDataFrame(
