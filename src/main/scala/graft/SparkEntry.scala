@@ -300,7 +300,7 @@ object SparkEntry {
         """SELECT qid, CAST(pos + 1 AS BIGINT) AS rank, col.label AS label,
           |       ROUND(col.score, 4) AS dist
           |FROM (
-          |  SELECT q.vec_id AS qid,
+          |  SELECT /*+ BROADCAST(q) */ q.vec_id AS qid,
           |         graft_topk(graft_squared_l2(e.embedding, q.embedding), e.vec_id, 10, true) AS hits
           |  FROM graft_embeddings e
           |  CROSS JOIN (SELECT * FROM graft_embeddings WHERE vec_id < 8) q
@@ -535,6 +535,14 @@ object SparkEntry {
     "text_fingerprint" -> { (s, dir) =>
       Tables(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // BPE-style pre-tokenization count (unicode letter/number boundaries)
+    "text_bpe_tokens" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.bpeishTokenCount(col("text")).cast(LongType).as("n_bpe_tokens"))
         .orderBy("doc_id")
     },
 
@@ -1346,6 +1354,13 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_bpe_tokens
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders

@@ -87,6 +87,15 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Stream-static enrichment join: every micro-batch of the stream joins
+    * the (small) static dimension — stateless, the static side broadcast
+    * once per batch. The canonical shape for attaching slowly-changing
+    * metadata (user segments, document sources) to a high-rate stream
+    * without any streaming state store.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Convenience: run a memory-sink streaming query to completion over a
     * bounded source (availableNow) and return the collected table name.
     */

@@ -43,6 +43,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(collected.sortBy(r => (r.getLong(0), r.getInt(1))) === sync.toSeq)
   }
 
+  test("stream-static enrichment join ≡ batch join, across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val stream = MemoryStream[(Long, Long)]
+    val events = stream.toDF().toDF("event_id", "user_id")
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val q = StreamingOps.enrichStream(events, dim, "user_id").writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) => collected ++= b.collect(); () }
+      .start()
+    stream.addData(Seq((10L, 1L), (11L, 3L)))
+    q.processAllAvailable()
+    stream.addData(Seq((12L, 2L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = collected.map(r => (r.getAs[Long]("user_id"), r.getAs[String]("segment"))).toSet
+    assert(got == Set((1L, "gold"), (3L, null), (2L, "silver")))
+  }
+
   test("stateful streaming sessionization == batch sessions (closed sessions)") {
     import spark.implicits._
     import graft.streaming.{SessionEvent, SessionOut}
