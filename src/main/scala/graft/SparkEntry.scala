@@ -894,6 +894,52 @@ object SparkEntry {
         .limit(30)
     },
 
+    // text scrubbing: numeric-literal masking (PII-style cleanup pass);
+    // compact output — digest + length, not the scrubbed text itself
+    "q_text_scrub" -> { (s, dir) =>
+      val scrubbed = regexp_replace(col("text"), "[0-9]+", "<NUM>")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(scrubbed).as("scrub_md5"),
+          length(scrubbed).cast(LongType).as("scrub_len"))
+        .orderBy("doc_id")
+    },
+
+    // deterministic train/val/test split (seeded-md5 hex ranges:
+    // ~5% val, ~5% test, rest train — stable across engines and runs)
+    "q_hash_split" -> { (s, dir) =>
+      val h = substring(md5(concat(lit("split:"), col("doc_id").cast(StringType))), 1, 2)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          when(h < "0d", "val").when(h < "1a", "test").otherwise("train").as("split"))
+        .orderBy("doc_id")
+    },
+
+    // L2 normalization of the embedding column (unit vectors for cosine
+    // retrieval); compact output — first component + norm
+    "q_vec_normalize" -> { (s, dir) =>
+      val nrm = sqrt(vectorNormSq(col("embedding")))
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(element_at(col("embedding"), 1).cast(DoubleType) / nrm, 6).as("u0"),
+          round(nrm, 4).as("norm"))
+        .orderBy("vec_id")
+    },
+
+    // Matryoshka-style truncated-dimension search: exact kNN over the
+    // first 16 of 64 dims — the cheap first stage of adaptive retrieval
+    // (4× less compute/bandwidth per pair; same plan shape as knn_l2)
+    "knn_l2_prefix" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"),
+        slice(col("embedding"), 1, 16).as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), slice(col("embedding"), 1, 16).as("qv"))
+      Similarity.bruteForceTopK(vectors, queries, 10, "l2")
+        .select(col("qid"), col("rank"), col("label"),
+          round(col("score"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    },
+
     // HLL approximate distinct next to the exact count (no SQL oracle —
     // sketch internals differ per engine; rows-only + spec-pinned bounds)
     "q_approx_distinct" -> { (s, dir) =>
@@ -1628,6 +1674,49 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_scrub" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS scrub_md5,
+        |  CAST(length(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS BIGINT) AS scrub_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'val'
+        |       WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+        |       ELSE 'train' END AS split
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_vec_normalize" ->
+      """SELECT vec_id,
+        |  ROUND(CAST(embedding[1] AS DOUBLE) / sqrt(nsq), 6) AS u0,
+        |  ROUND(sqrt(nsq), 4) AS norm
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |    (SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) FROM UNNEST(embedding) AS t(e)) AS nsq
+        |  FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
+
+    "knn_l2_prefix" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding[1:16] AS qv FROM embeddings WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id AS label, q.qv, e.embedding[1:16] AS v
+        |  FROM q CROSS JOIN embeddings e),
+        |dists AS (
+        |  SELECT qid, label, SUM((CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE)) * (CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE))) AS score
+        |  FROM (SELECT qid, label, UNNEST(qv) AS qe, UNNEST(v) AS ve FROM pairs)
+        |  GROUP BY qid, label),
+        |ranked AS (
+        |  SELECT qid, label, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank
+        |  FROM dists)
+        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
 
     "q_top_ngrams" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
