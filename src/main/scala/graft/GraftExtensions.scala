@@ -67,7 +67,16 @@ object GraftExtensions {
         val pad = if (exprs.length > 4) boolLit(exprs(4), "pad") else false
         TopKAgg(exprs(0), exprs(1), intLit(exprs(2), "k"),
           boolLit(exprs(3), "ascending"), pad)
-      }))
+      }),
+    ("graft_minhash",
+      "graft_minhash(shingles, numHashes) - MinHash signature (8-hex-char mins) in one pass",
+      exprs => MinHashSignature(exprs(0), intLit(exprs(1), "numHashes"))),
+    ("graft_simhash",
+      "graft_simhash(tokens, nBits) - n-bit SimHash (majority vote over distinct tokens)",
+      exprs => SimHashBits(exprs(0), intLit(exprs(1), "nBits"))),
+    ("graft_pairs",
+      "graft_pairs(bucket) - unordered (doc_a, ha, doc_b, hb) pairs of an array<struct<id,h>> bucket",
+      exprs => StructPairs(exprs(0))))
 
   /** Register on a LIVE session (the extensions hook only applies at
     * session build; driver-owned sessions need runtime registration).

@@ -55,6 +55,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r === Seq("a b c", "b c d", "c d a", "d a b"))
   }
 
+  test("graft_minhash / graft_simhash / graft_pairs from SQL") {
+    val sig = spark.sql(
+      "SELECT graft_minhash(array('a b c', 'b c d'), 8) AS sig")
+      .collect().head.getSeq[String](0)
+    assert(sig.length === 8 && sig.forall(_.length == 8))
+    // matches the declarative min(substr(md5(seed || s), ...)) formulation
+    val expect = spark.sql(
+      """SELECT min(substr(md5(concat('0:', s)), 1, 8)) FROM
+        |  (SELECT explode(array('a b c', 'b c d')) AS s)""".stripMargin)
+      .head().getString(0)
+    assert(sig.head === expect)
+
+    val sh = spark.sql("SELECT graft_simhash(array('x', 'y', 'x'), 16) AS h")
+      .head().getLong(0)
+    assert(sh >= 0L && sh < (1L << 16))
+
+    val pairs = spark.sql(
+      """SELECT p.* FROM (SELECT array(named_struct('id', 1L, 'h', 10L),
+        |  named_struct('id', 2L, 'h', 20L), named_struct('id', 3L, 'h', 30L)) AS b) t
+        |LATERAL VIEW graft_pairs(b) p AS doc_a, ha, doc_b, hb""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("runtime registration works on a derived session") {
     val s2 = spark.newSession()
     GraftExtensions.register(s2)
