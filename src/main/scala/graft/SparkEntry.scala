@@ -940,6 +940,20 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // two-stage retrieval: f16-quantized coarse shortlist (k·4) + exact
+    // fp32 rerank — equals exact brute force, so it shares the knn_l2
+    // oracle (the correctness gate re-proves shortlist sufficiency)
+    "ann_f16_rerank" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.rerankedTopK(vectors, queries, k = 10, expand = 4)
+        .select(col("qid"), col("rank"), col("label"),
+          round(col("score"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    },
+
     // HLL approximate distinct next to the exact count (no SQL oracle —
     // sketch internals differ per engine; rows-only + spec-pinned bounds)
     "q_approx_distinct" -> { (s, dir) =>
@@ -1170,6 +1184,7 @@ object SparkEntry {
 
     "knn_l2_sqlapi" -> oracleKnnL2,
     "knn_l2_decomposed" -> oracleKnnL2,
+    "ann_f16_rerank" -> oracleKnnL2,
 
     "vec_reconstruct" ->
       """SELECT vec_id, CAST(i AS BIGINT) AS pos,

@@ -94,6 +94,21 @@ class OpsSpec extends AnyFunSuite {
     assert(dist == expected)
   }
 
+  test("f16-coarse + fp32-rerank two-stage retrieval ≡ exact brute force") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = Oracle.genVectors(300, 32)
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("id", "vec")
+    val qdf = Oracle.genVectors(5, 32, seed = 7L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    val exact = graft.ops.Similarity.bruteForceTopK(vdf, qdf, 10, "l2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val reranked = graft.ops.Similarity.rerankedTopK(vdf, qdf, 10, expand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(reranked == exact)
+  }
+
   test("jaccard verification on candidate pairs matches hand computation") {
     val docs = docsDf(Seq(0L -> base, 1L -> nearDup, 2L -> unrelated))
     val pairs = docsDf(Seq.empty).sparkSession.createDataFrame(
