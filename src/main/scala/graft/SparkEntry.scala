@@ -520,6 +520,37 @@ object SparkEntry {
         .orderBy("l_returnflag")
     },
 
+    // salted skew-safe join — must produce exactly the plain join's rows
+    // (dim replicated per salt; hot lineitem keys spread over reducers)
+    "q_salted_join" -> { (s, dir) =>
+      graft.ops.Skew.saltedJoin(
+        Tables(s, dir, "lineitem").filter(col("l_quantity") >= 45),
+        Tables(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")),
+        key = "l_orderkey", buckets = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // cohort retention: per signup-day cohort, share of users active
+    // again 1 and 7 days later
+    "q_events_retention" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
+      val activity = ev.select(col("user_id"), col("d")).distinct()
+      first.join(activity, "user_id")
+        .groupBy(col("cohort_day"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(col("d") === date_add(col("cohort_day"), 1), col("user_id")))
+            .as("d1_retained"),
+          countDistinct(when(col("d") === date_add(col("cohort_day"), 7), col("user_id")))
+            .as("d7_retained"))
+        .orderBy("cohort_day")
+    },
+
     // ---- text analysis: quality, language ID, fingerprint ----
 
     "text_quality" -> { (s, dir) =>
@@ -1383,6 +1414,26 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_quantity >= 45
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_events_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, MIN(d) AS cohort_day FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, d FROM e)
+        |SELECT cohort_day,
+        |  COUNT(DISTINCT a.user_id) AS n_users,
+        |  COUNT(DISTINCT CASE WHEN a.d = f.cohort_day + INTERVAL 1 DAY THEN a.user_id END) AS d1_retained,
+        |  COUNT(DISTINCT CASE WHEN a.d = f.cohort_day + INTERVAL 7 DAY THEN a.user_id END) AS d7_retained
+        |FROM f JOIN a ON f.user_id = a.user_id
+        |GROUP BY cohort_day
+        |ORDER BY cohort_day""".stripMargin,
 
     "text_quality" ->
       """SELECT doc_id,

@@ -29,4 +29,22 @@ object Skew {
       .groupBy(keyCols: _*)
       .agg(sum(col("__psum")).as(s"sum_$valueName"), sum(col("__pn")).as("n_rows"))
   }
+
+  /** Skew-safe equi join: the fact side gets a random-ish salt in
+    * [0, buckets), the dim side is replicated `buckets`× with every salt
+    * value, and the join key becomes (key, salt) — a hot fact key's rows
+    * land on `buckets` reducers instead of one. Exact same rows as the
+    * plain join (each fact row matches exactly the replica carrying its
+    * salt). Use when the dim side is too big to broadcast AND AQE's
+    * skew-join split can't kick in (e.g. the skew is in a grouping that
+    * follows).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 buckets: Int = 16): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1L))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }
