@@ -985,6 +985,50 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // metadata-filtered vector search: predicate on the label column
+    // prunes BEFORE the distance computation (pushed to the parquet scan),
+    // then exact kNN among the survivors
+    "knn_l2_filtered" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.filter(col("label") % 3 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.bruteForceTopK(vectors, queries, 10, "l2")
+        .select(col("qid"), col("rank"), col("label"),
+          round(col("score"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    },
+
+    // array-function surface over the embedding column (scalar outputs)
+    "q_array_funcs" -> { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          size(slice(col("embedding"), 1, 8)).cast(LongType).as("n_slice"),
+          round(array_max(col("embedding")).cast(DoubleType), 4).as("vmax"),
+          round(array_min(col("embedding")).cast(DoubleType), 4).as("vmin"),
+          round(element_at(col("embedding"), 5).cast(DoubleType), 4).as("v5"),
+          round(element_at(array_sort(col("embedding")), 3).cast(DoubleType), 4)
+            .as("third_smallest"))
+        .orderBy("vec_id")
+    },
+
+    // correlated LATERAL subquery (SQL surface): each customer's single
+    // latest order
+    "q_lateral_join" -> { (s, dir) =>
+      Tables(s, dir, "customer").createOrReplaceTempView("graft_cust_lat")
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_ord_lat")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+          |FROM graft_cust_lat c
+          |JOIN LATERAL (
+          |  SELECT o_orderkey, o_totalprice FROM graft_ord_lat
+          |  WHERE o_custkey = c.c_custkey
+          |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o
+          |WHERE c.c_custkey <= 100
+          |ORDER BY c.c_custkey""".stripMargin)
+    },
+
     // HLL approximate distinct next to the exact count (no SQL oracle —
     // sketch internals differ per engine; rows-only + spec-pinned bounds)
     "q_approx_distinct" -> { (s, dir) =>
@@ -1783,6 +1827,44 @@ object SparkEntry {
         |SELECT qid, rank, label, ROUND(score, 4) AS dist
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    "knn_l2_filtered" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id AS label, q.qv, e.embedding AS v
+        |  FROM q CROSS JOIN embeddings e WHERE e.label % 3 = 0),
+        |dists AS (
+        |  SELECT qid, label, SUM((CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE)) * (CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE))) AS score
+        |  FROM (SELECT qid, label, UNNEST(qv) AS qe, UNNEST(v) AS ve FROM pairs)
+        |  GROUP BY qid, label),
+        |ranked AS (
+        |  SELECT qid, label, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank
+        |  FROM dists)
+        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding[1:8]) AS BIGINT) AS n_slice,
+        |  ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS vmax,
+        |  ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS vmin,
+        |  ROUND(CAST(embedding[5] AS DOUBLE), 4) AS v5,
+        |  ROUND(CAST(list_sort(embedding)[3] AS DOUBLE), 4) AS third_smallest
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+
+    "q_lateral_join" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON TRUE
+        |WHERE c.c_custkey <= 100
+        |ORDER BY c.c_custkey""".stripMargin,
 
     "q_top_ngrams" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
