@@ -17,7 +17,10 @@ object Bench {
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // absorb one-time session/codegen warmup so no query pays it
+    // absorb one-time session/codegen warmup so no query pays it.
+    // (Tried: pre-caching all base tables — NET LOSS: InMemoryRelation's
+    // inflated size stats defeat the automatic broadcast-join choices and
+    // the inventory total rose ~40%. Cold parquet scans + AQE win here.)
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => }
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration aid)
