@@ -520,18 +520,19 @@ object SparkEntry {
         .orderBy("l_returnflag")
     },
 
-    // salted skew-safe join — must produce exactly the plain join's rows
-    // (dim replicated per salt; hot lineitem keys spread over reducers)
+    // salted skew-safe join — must produce exactly the plain join's rows.
+    // The replicated side must be the SMALL one (supplier: buckets× a few
+    // rows); hot lineitem supplier-keys spread over `buckets` reducers
     "q_salted_join" -> { (s, dir) =>
       graft.ops.Skew.saltedJoin(
         Tables(s, dir, "lineitem").filter(col("l_quantity") >= 45),
-        Tables(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
-          col("o_orderpriority")),
-        key = "l_orderkey", buckets = 8)
-        .groupBy(col("o_orderpriority"))
+        Tables(s, dir, "supplier").select(col("s_suppkey").as("l_suppkey"),
+          col("s_nationkey")),
+        key = "l_suppkey", buckets = 8)
+        .groupBy(col("s_nationkey").cast(LongType).as("nationkey"))
         .agg(count(lit(1)).as("n"),
           sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_price"))
-        .orderBy("o_orderpriority")
+        .orderBy("nationkey")
     },
 
     // cohort retention: per signup-day cohort, share of users active
@@ -1460,12 +1461,12 @@ object SparkEntry {
         |ORDER BY l_returnflag""".stripMargin,
 
     "q_salted_join" ->
-      """SELECT o_orderpriority, COUNT(*) AS n,
+      """SELECT CAST(s_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |WHERE l_quantity >= 45
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
+        |GROUP BY s_nationkey
+        |ORDER BY nationkey""".stripMargin,
 
     "q_events_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -24,12 +24,15 @@ object Dedup {
 
   /** Fan a small-file scan out to all cores before per-row-heavy work
     * (shingling, hashing). The driver testdata is one parquet file per
-    * table → one input partition → one busy core without this; on a real
-    * multi-file corpus the scan is already parallel and this is a cheap
-    * round-robin of the same width.
+    * table → one input partition → one busy core without this. Guarded:
+    * when the scan is already at least core-parallel (any real multi-file
+    * corpus), this is a no-op — an unconditional repartition would be a
+    * full shuffle of the corpus at 100 TB.
     */
-  private[ops] def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  private[ops] def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   /** Word tokens; split on single spaces, keeping empties (matches DuckDB
     * `string_split(text, ' ')`).
