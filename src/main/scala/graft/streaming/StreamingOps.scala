@@ -87,6 +87,24 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Watermarked stream-stream interval join: each left event matches
+    * right events for the same key whose event time falls in
+    * [left.ts, left.ts + within]. Both sides carry watermarks so the join
+    * state store evicts rows older than the interval — bounded state, the
+    * requirement for running a stream-stream join indefinitely.
+    * Sides must expose (key, ts[, payload...]) with distinct column names.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   within: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, l(key) === r(key)
+      && r(rightTs) >= l(leftTs)
+      && r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within"))
+      .drop(r(key))
+  }
+
   /** Stream-static enrichment join: every micro-batch of the stream joins
     * the (small) static dimension — stateless, the static side broadcast
     * once per batch. The canonical shape for attaching slowly-changing

@@ -63,6 +63,33 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(allFiles < totalFiles, s"pruned scan reads $allFiles of $totalFiles files")
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // one hot key holding ~90% of the fact rows
+      val fact = (0 until 200000)
+        .map(i => (if (i % 10 == 0) i.toLong % 97 else 7L, s"payload-$i"))
+        .toDF("key", "payload")
+      val dim = (0L until 97L).map(k => (k, s"attr$k")).toDF("key", "attr")
+      val joined = fact.join(dim, "key")
+      // collect() (not count()) so THIS Dataset's adaptive plan finalizes
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join handling in plan:\n${plan.take(4000)}")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("pushed filters and pruned columns reach the parquet scan") {
     val dir = Files.createTempDirectory("graft_pushdown").toString
     import spark.implicits._

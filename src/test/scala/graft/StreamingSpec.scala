@@ -63,6 +63,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, "gold"), (3L, null), (2L, "silver")))
   }
 
+  test("stream-stream interval join (watermarked) ≡ batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long)] // (user, ts_sec)
+    val buys = MemoryStream[(Long, Long)]
+    def toTs(df: org.apache.spark.sql.DataFrame, u: String, t: String) =
+      df.select(col("_1").as(u), timestamp_seconds(col("_2")).as(t))
+    val joined = StreamingOps.intervalJoin(
+      toTs(clicks.toDF(), "user_id", "click_ts"),
+      toTs(buys.toDF(), "buy_user", "buy_ts").withColumnRenamed("buy_user", "user_id"),
+      key = "user_id", leftTs = "click_ts", rightTs = "buy_ts",
+      within = "10 SECONDS", watermark = "1 minute")
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    clicks.addData(Seq((1L, 100L), (1L, 200L), (2L, 100L)))
+    buys.addData(Seq((1L, 105L), (1L, 150L), (2L, 109L), (3L, 100L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ij")
+      .select(col("user_id"), expr("unix_seconds(click_ts)"), expr("unix_seconds(buy_ts)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // matches: click(1,100)→buy(1,105); click(2,100)→buy(2,109);
+    // NOT buy(1,150) (outside 10s), NOT user 3 (no click)
+    assert(got == Set((1L, 100L, 105L), (2L, 100L, 109L)))
+  }
+
   test("stateful streaming sessionization == batch sessions (closed sessions)") {
     import spark.implicits._
     import graft.streaming.{SessionEvent, SessionOut}
