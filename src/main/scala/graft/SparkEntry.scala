@@ -986,6 +986,21 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // GEMM-batched kNN: per-partition netlib dgemm over vector blocks —
+    // the reference's tiled-GEMM physical path; bit-compatible output with
+    // the expression path at the oracle's rounding, so it shares the
+    // knn_l2 oracle
+    "knn_l2_gemm" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.gemmTopK(vectors, queries, k = 10)
+        .select(col("qid"), col("rank"), col("label"),
+          round(col("score"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    },
+
     // metadata-filtered vector search: predicate on the label column
     // prunes BEFORE the distance computation (pushed to the parquet scan),
     // then exact kNN among the survivors
@@ -1261,6 +1276,7 @@ object SparkEntry {
     "knn_l2_sqlapi" -> oracleKnnL2,
     "knn_l2_decomposed" -> oracleKnnL2,
     "ann_f16_rerank" -> oracleKnnL2,
+    "knn_l2_gemm" -> oracleKnnL2,
 
     "vec_reconstruct" ->
       """SELECT vec_id, CAST(i AS BIGINT) AS pos,

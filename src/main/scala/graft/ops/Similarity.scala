@@ -82,6 +82,105 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
 
+  /** GEMM-batched exact kNN — the direct Spark analog of the reference's
+    * tiled simdgroup GEMM path (`shaders/simdgroup_gemm.metal:26-138`,
+    * host gate `src/MetalDistance.mm:121-127`): instead of evaluating the
+    * distance expression one (query, vector) pair at a time, each
+    * partition packs its vectors into row blocks and computes the whole
+    * (block × nq) dot-product matrix with one netlib `dgemm` call per
+    * block (`D = ‖v‖² + ‖q‖² − 2·V·Qᵀ`, the decomposition of
+    * `src/MetalDistance.h:21`), feeding per-query BOUNDED top-k buffers —
+    * so, like the fused kernel, a partition emits only nq·k rows however
+    * many vectors it scanned.
+    *
+    * fp64 accumulation (dgemm over widened floats) keeps parity with the
+    * expression path's double math; per-buffer eviction uses the same
+    * (score, label) total order as TopKAgg, and the final per-query merge
+    * IS TopKAgg — the block_select partial/merge/final shape again.
+    */
+  def gemmTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+               blockRows: Int = 1024): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val qRows = queries.select(col("qid"), col("qv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    require(qRows.nonEmpty, "gemmTopK needs at least one query")
+    val d = qRows.head._2.length
+    val nq = qRows.length
+    val qFlat = new Array[Double](nq * d)
+    val qNorm = new Array[Double](nq)
+    qRows.zipWithIndex.foreach { case ((_, qv), j) =>
+      var t = 0; var acc = 0.0
+      while (t < d) { val x = qv(t).toDouble; qFlat(j * d + t) = x; acc += x * x; t += 1 }
+      qNorm(j) = acc
+    }
+    val qids = qRows.map(_._1)
+    val bc = spark.sparkContext.broadcast((qFlat, qNorm, qids, d))
+
+    val partials = Dedup.spread(vectors).select(col("id"), col("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val (qf, qn, ids, dim) = bc.value
+        val nQ = ids.length
+        val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
+        // per-query bounded buffers: scores ascending-best, (score, label) order
+        val bufScore = Array.fill(nQ)(new Array[Double](k))
+        val bufLabel = Array.fill(nQ)(new Array[Long](k))
+        val bufLen = new Array[Int](nQ)
+        def offer(q: Int, s: Double, l: Long): Unit = {
+          val n = bufLen(q); val ss = bufScore(q); val ll = bufLabel(q)
+          if (n < k) {
+            var i = n - 1; ss(n) = s; ll(n) = l
+            while (i >= 0 && (ss(i) > s || (ss(i) == s && ll(i) > l))) {
+              ss(i + 1) = ss(i); ll(i + 1) = ll(i); ss(i) = s; ll(i) = l; i -= 1
+            }
+            bufLen(q) = n + 1
+          } else if (s < ss(k - 1) || (s == ss(k - 1) && l < ll(k - 1))) {
+            var i = k - 2; ss(k - 1) = s; ll(k - 1) = l
+            while (i >= 0 && (ss(i) > s || (ss(i) == s && ll(i) > l))) {
+              ss(i + 1) = ss(i); ll(i + 1) = ll(i); ss(i) = s; ll(i) = l; i -= 1
+            }
+          }
+        }
+        val vFlat = new Array[Double](blockRows * dim)
+        val vNorm = new Array[Double](blockRows)
+        val vIds = new Array[Long](blockRows)
+        val dots = new Array[Double](blockRows * nQ)
+        def flush(rows: Int): Unit = if (rows > 0) {
+          // column-major: C (nq × rows) = Qᵀ(nq × d) · V(d × rows);
+          // C[(i)*nq + j] = dot(q_j, v_i)
+          blas.dgemm("T", "N", nQ, rows, dim, 1.0, qf, dim, vFlat, dim,
+            0.0, dots, nQ)
+          var i = 0
+          while (i < rows) {
+            var j = 0
+            while (j < nQ) {
+              offer(j, vNorm(i) + qn(j) - 2.0 * dots(i * nQ + j), vIds(i))
+              j += 1
+            }
+            i += 1
+          }
+        }
+        var fill = 0
+        it.foreach { case (id, vec) =>
+          var t = 0; var acc = 0.0
+          while (t < dim && t < vec.length) {
+            val x = vec(t).toDouble; vFlat(fill * dim + t) = x; acc += x * x; t += 1
+          }
+          vNorm(fill) = acc; vIds(fill) = id; fill += 1
+          if (fill == blockRows) { flush(fill); fill = 0 }
+        }
+        flush(fill)
+        (0 until nQ).iterator.flatMap { j =>
+          (0 until bufLen(j)).map(i => (ids(j), bufLabel(j)(i), bufScore(j)(i)))
+        }
+      }
+      .toDF("qid", "label", "score")
+    explodeHits(
+      partials.groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
+  }
+
   /** Two-stage retrieval: a coarse pass over FP16-QUANTIZED storage
     * shortlists k·expand candidates per query, then an exact fp32 rerank
     * keeps the true top-k — the reference's reduced-precision bandwidth

@@ -94,6 +94,24 @@ class OpsSpec extends AnyFunSuite {
     assert(dist == expected)
   }
 
+  test("GEMM-batched kNN ≡ expression-path brute force (labels and ranks)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 2500 vectors across a small block size so several dgemm flushes and
+    // partial-buffer merges happen
+    val vdf = Oracle.genVectors(2500, 24).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = Oracle.genVectors(6, 24, seed = 99L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    val exact = graft.ops.Similarity.bruteForceTopK(vdf, qdf, 10, "l2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6))).toSet
+    val gemm = graft.ops.Similarity.gemmTopK(vdf, qdf, 10, blockRows = 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6))).toSet
+    assert(gemm == exact)
+  }
+
   test("f16-coarse + fp32-rerank two-stage retrieval ≡ exact brute force") {
     val spark2 = spark
     import spark2.implicits._
