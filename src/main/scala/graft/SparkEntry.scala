@@ -1045,6 +1045,19 @@ object SparkEntry {
           |ORDER BY c.c_custkey""".stripMargin)
     },
 
+    // IVF with real k-means training (MLlib, seeded) — rows-only: k-means
+    // init isn't SQL-reproducible; recall pinned by OpsSpec
+    "ann_ivf_kmeans" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfKmeansTopK(vectors, queries, k = 10, nClusters = 16, nProbe = 4)
+        .select(col("qid"), col("rank"), col("label"),
+          round(col("score"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    },
+
     // HLL approximate distinct next to the exact count (no SQL oracle —
     // sketch internals differ per engine; rows-only + spec-pinned bounds)
     "q_approx_distinct" -> { (s, dir) =>

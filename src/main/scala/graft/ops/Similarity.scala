@@ -214,6 +214,34 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
 
+  /** IVF with REAL k-means training (MLlib, seeded): the production
+    * version of [[ivfTopK]]'s modulo-centroid stand-in. Same probe
+    * mechanics — centroids ride inside the NearestCentroids expression, so
+    * assignment and probing are narrow projections. Not SQL-reproducible
+    * (k-means init is engine-specific) → recall is spec-pinned instead of
+    * oracle-hashed.
+    */
+  def ivfKmeansTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                    nClusters: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = vectors.select(col("id"), array_to_vector(col("vec")).as("features"))
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").fit(feats)
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }.toSeq
+    val assigned = Dedup.spread(vectors)
+      .withColumn("cid", element_at(nearestCentroids(col("vec"), cents, 1), 1))
+    val probes = queries.select(col("qid"), col("qv"),
+      explode(nearestCentroids(col("qv"), cents, nProbe)).as("cid"))
+    explodeHits(
+      probes.join(assigned, "cid")
+        .select(col("qid"), col("id").as("label"),
+          squaredL2(col("vec"), col("qv")).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
+  }
+
   /** Top-N most-similar pairs by cosine over a bounded vector subset —
     * the embedding-space near-duplicate detector.
     *

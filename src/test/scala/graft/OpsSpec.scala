@@ -94,6 +94,21 @@ class OpsSpec extends AnyFunSuite {
     assert(dist == expected)
   }
 
+  test("k-means IVF: recall@10 ≥ 0.7 at nProbe=4/16 on seeded data") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vdf = Oracle.genVectors(2000, 16).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = Oracle.genVectors(8, 16, seed = 31L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    val exact = graft.ops.Similarity.bruteForceTopK(vdf, qdf, 10, "l2")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = graft.ops.Similarity.ivfKmeansTopK(vdf, qdf, 10, nClusters = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall=$recall")
+  }
+
   test("GEMM-batched kNN ≡ expression-path brute force (labels and ranks)") {
     val spark2 = spark
     import spark2.implicits._

@@ -90,6 +90,34 @@ class StorageLayoutSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
+  test("IVF index persisted partitioned-by-cluster: a probe scans only its clusters") {
+    // the 100 TB ANN layout: assignment materialized once, vectors written
+    // partitionBy(cid); probing nProbe clusters becomes partition pruning —
+    // the scan never touches the other clusters' files
+    val dir = Files.createTempDirectory("graft_ivf").toString
+    import spark.implicits._
+    val vecs = Oracle.genVectors(2000, 8)
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("id", "vec")
+    val cents = (0 until 10).map(c => (c.toLong, vecs(c * 7)))
+    val assigned = vdf.withColumn("cid",
+      org.apache.spark.sql.functions.element_at(
+        graft.functions.nearestCentroids(col("vec"), cents, 1), 1))
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(dir)
+    val probed = spark.read.parquet(dir).filter(col("cid").isin(2L, 5L))
+    assert(probed.count() > 0)
+    val scan = probed.queryExecution.executedPlan.collectLeaves().head match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      case other => fail(s"expected FileSourceScanExec, got $other")
+    }
+    assert(scan.toString.contains("PartitionFilters"))
+    val total = spark.read.parquet(dir).queryExecution.executedPlan
+      .collectLeaves().head.asInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]
+      .selectedPartitions.totalNumberOfFiles
+    assert(scan.selectedPartitions.totalNumberOfFiles < total,
+      "probe must scan a strict subset of cluster files")
+  }
+
   test("pushed filters and pruned columns reach the parquet scan") {
     val dir = Files.createTempDirectory("graft_pushdown").toString
     import spark.implicits._
