@@ -1058,6 +1058,29 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // join-based upsert (MERGE semantics over immutable storage): a delta
+    // of updates + inserts full-outer-joined into the base table; output
+    // is the per-status summary of the merged state
+    "q_upsert_merge" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val updates = o.filter(col("o_orderkey") <= 50)
+        .select(col("o_orderkey"),
+          (dec(col("o_totalprice")) + lit(1000).cast(DecimalType(18, 2))).as("new_price"))
+      val inserts = o.filter(col("o_orderkey") <= 20)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          dec(col("o_totalprice")).as("new_price"))
+      o.select(col("o_orderkey"), dec(col("o_totalprice")).as("old_price"))
+        .join(updates.unionByName(inserts), Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          coalesce(col("new_price"), col("old_price")).as("price"),
+          when(col("old_price").isNull, "inserted")
+            .when(col("new_price").isNull, "unchanged")
+            .otherwise("updated").as("status"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).cast(DoubleType).as("sum_price"))
+        .orderBy("status")
+    },
+
     // HLL approximate distinct next to the exact count (no SQL oracle —
     // sketch internals differ per engine; rows-only + spec-pinned bounds)
     "q_approx_distinct" -> { (s, dir) =>
@@ -1895,6 +1918,27 @@ object SparkEntry {
         |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON TRUE
         |WHERE c.c_custkey <= 100
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q_upsert_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS old_price FROM orders),
+        |delta AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) + CAST(1000 AS DECIMAL(18,2)) AS new_price
+        |  FROM orders WHERE o_orderkey <= 50
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, CAST(o_totalprice AS DECIMAL(18,2))
+        |  FROM orders WHERE o_orderkey <= 20),
+        |merged AS (
+        |  SELECT COALESCE(delta.o_orderkey, base.o_orderkey) AS o_orderkey,
+        |    COALESCE(new_price, old_price) AS price,
+        |    CASE WHEN old_price IS NULL THEN 'inserted'
+        |         WHEN new_price IS NULL THEN 'unchanged'
+        |         ELSE 'updated' END AS status
+        |  FROM base FULL OUTER JOIN delta ON base.o_orderkey = delta.o_orderkey)
+        |SELECT status, COUNT(*) AS n, CAST(SUM(price) AS DOUBLE) AS sum_price
+        |FROM merged
+        |GROUP BY status
+        |ORDER BY status""".stripMargin,
 
     "q_top_ngrams" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
