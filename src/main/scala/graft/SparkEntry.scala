@@ -1081,6 +1081,29 @@ object SparkEntry {
         .orderBy("status")
     },
 
+    // value-bucketed histogram (integer bucket arithmetic on doubles —
+    // identical bucket assignment in both engines)
+    "q_histogram" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .select((floor(col("o_totalprice") / 50000.0)).cast(LongType).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+
+    // stratified sampling: a fixed quota per language, rows chosen by a
+    // deterministic seeded-hash order — the training-data "mix" builder
+    "q_sample_stratified" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = md5(concat(lit("strat:"), col("doc_id").cast(StringType)))
+      val w = Window.partitionBy(col("lang")).orderBy(h, col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 20)
+        .select(col("lang"), col("rn"), col("doc_id"))
+        .orderBy("lang", "rn")
+    },
+
     // HLL approximate distinct next to the exact count (no SQL oracle —
     // sketch internals differ per engine; rows-only + spec-pinned bounds)
     "q_approx_distinct" -> { (s, dir) =>
@@ -1918,6 +1941,21 @@ object SparkEntry {
         |  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) o ON TRUE
         |WHERE c.c_custkey <= 100
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket, COUNT(*) AS n
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT lang, rn, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20
+        |ORDER BY lang, rn""".stripMargin,
 
     "q_upsert_merge" ->
       """WITH base AS (
