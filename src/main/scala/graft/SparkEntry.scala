@@ -538,8 +538,10 @@ object SparkEntry {
     // cohort retention: per signup-day cohort, share of users active
     // again 1 and 7 days later
     "q_events_retention" -> { (s, dir) =>
+      // ev feeds both the cohort agg and the activity set — materialize once
       val ev = Tables.events(s, dir)
         .select(col("user_id"), to_date(col("ts")).as("d"))
+        .localCheckpoint(true)
       val first = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_day"))
       val activity = ev.select(col("user_id"), col("d")).distinct()
       first.join(activity, "user_id")
@@ -883,8 +885,11 @@ object SparkEntry {
 
     // funnel analysis: ordered view → click → purchase progression per user
     "q_events_funnel" -> { (s, dir) =>
+      // ev fans into 4 consumers (fv/fc/fp/spine) — materialize once
       val ev = Tables.events(s, dir)
         .withColumn("ts_us", expr("unix_micros(ts)"))
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+        .localCheckpoint(true)
       val fv = ev.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_view_us"))
       val fc = ev.join(fv, "user_id")
@@ -1126,8 +1131,7 @@ object SparkEntry {
           size(col("features")).cast(LongType).as("n_dims"),
           round(aggregate(col("features"), lit(0.0),
             (acc, x) => acc + x.cast(DoubleType)), 4).as("feat_sum"),
-          round(aggregate(col("features"), lit(0.0),
-            (acc, x) => greatest(acc, x.cast(DoubleType))), 4).as("feat_max"))
+          round(array_max(col("features")).cast(DoubleType), 4).as("feat_max"))
         .orderBy("media_id")
     }
   )

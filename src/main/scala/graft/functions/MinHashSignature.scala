@@ -55,7 +55,10 @@ case class MinHashSignature(child: Expression, numHashes: Int)
     val mins = Array.fill[String](numHashes)(null)
     val hex = new Array[Char](32)
     var i = 0
+    var nonNull = 0
     while (i < n) {
+      if (arr.isNullAt(i)) { i += 1 } else {
+      nonNull += 1
       val s = arr.getUTF8String(i).getBytes
       var m = 0
       while (m < nMd5) {
@@ -81,7 +84,9 @@ case class MinHashSignature(child: Expression, numHashes: Int)
         m += 1
       }
       i += 1
+      }
     }
+    if (nonNull == 0) return null // null elements skipped; all-null ≡ empty
     new GenericArrayData(mins.map(s => UTF8String.fromString(s): Any))
   }
 

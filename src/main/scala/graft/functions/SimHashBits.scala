@@ -30,6 +30,12 @@ case class SimHashBits(child: Expression, nBits: Int)
     if (nBits <= 64) LongType else ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
+  /** null for an empty (or all-null-element) token array — a majority vote
+    * over nothing is undefined; matches [[MinHashSignature]]'s contract and
+    * the declarative formulation, where such docs simply produce no row.
+    */
+  override def nullable: Boolean = true
+
   // one digest per task thread (MessageDigest is stateful; expression
   // instances are shared across local-mode task threads)
   @transient private lazy val mdLocal =
@@ -44,8 +50,8 @@ case class SimHashBits(child: Expression, nBits: Int)
     var n = 0
     var i = 0
     while (i < nt) {
-      val tok = toks.getUTF8String(i)
-      if (seen.add(tok)) {
+      val tok = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      if (tok != null && seen.add(tok)) {
         n += 1
         md.reset()
         val digest = md.digest(tok.getBytes)
@@ -62,6 +68,7 @@ case class SimHashBits(child: Expression, nBits: Int)
       }
       i += 1
     }
+    if (n == 0) return null
     if (nBits <= 64) {
       var h = 0L
       var b = 0

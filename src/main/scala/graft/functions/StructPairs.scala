@@ -45,18 +45,22 @@ case class StructPairs(child: Expression)
     if (n < 2) return Nil
     val ids = new Array[Long](n)
     val hs = new Array[Long](n)
+    var m = 0
     var i = 0
     while (i < n) {
-      val st = arr.getStruct(i, 2)
-      ids(i) = st.getLong(0)
-      hs(i) = st.getLong(1)
+      if (!arr.isNullAt(i)) { // null elements carry no pairable identity
+        val st = arr.getStruct(i, 2)
+        ids(m) = st.getLong(0)
+        hs(m) = st.getLong(1)
+        m += 1
+      }
       i += 1
     }
-    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](n * (n - 1) / 2)
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](m * (m - 1) / 2)
     i = 0
-    while (i < n) {
+    while (i < m) {
       var j = i + 1
-      while (j < n) {
+      while (j < m) {
         out += new GenericInternalRow(
           Array[Any](ids(i), hs(i), ids(j), hs(j)))
         j += 1

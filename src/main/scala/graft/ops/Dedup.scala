@@ -243,6 +243,9 @@ object Dedup {
   def simhash(docs: DataFrame, nBits: Int): DataFrame =
     spread(docs).select(col("doc_id"),
       graft.functions.simhashBits(tokens(col("text")), nBits).as("simhash"))
+      // null = no tokens (can't happen for split-on-space text, which
+      // yields [""] even for empty strings; defensive for other callers)
+      .filter(col("simhash").isNotNull)
 
   /** Per-doc 16-bit SimHash (the oracle-pinned fingerprint surface). */
   def simhash16(docs: DataFrame): DataFrame = simhash(docs, 16)
@@ -364,8 +367,8 @@ object Dedup {
       explode(array(
         struct(lit(0).as("band"), col("simhash").bitwiseAND(lit((1L << 21) - 1)).as("key")),
         struct(lit(1).as("band"),
-          expr("shiftrightunsigned(simhash, 21)").bitwiseAND(lit((1L << 21) - 1)).as("key")),
-        struct(lit(2).as("band"), expr("shiftrightunsigned(simhash, 42)").as("key")))).as("bk"))
+          shiftrightunsigned(col("simhash"), 21).bitwiseAND(lit((1L << 21) - 1)).as("key")),
+        struct(lit(2).as("band"), shiftrightunsigned(col("simhash"), 42).as("key")))).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     // a pair colliding in several bands would duplicate; instead of a
@@ -374,7 +377,7 @@ object Dedup {
     // key also matched, decidable per-row from the two fingerprints
     val m21 = lit((1L << 21) - 1)
     def b0(c: Column) = c.bitwiseAND(m21)
-    def b1(c: Column) = expr(s"shiftrightunsigned(${c.toString}, 21)").bitwiseAND(m21)
+    def b1(c: Column) = shiftrightunsigned(c, 21).bitwiseAND(m21)
     bands.groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(struct(col("doc_id").as("id"), col("simhash").as("h"))))
         .as("its"))

@@ -167,6 +167,10 @@ object Similarity {
           while (t < dim && t < vec.length) {
             val x = vec(t).toDouble; vFlat(fill * dim + t) = x; acc += x * x; t += 1
           }
+          // zero-pad short vectors: vFlat slots are REUSED across blocks,
+          // so leftover components from a previous block would otherwise
+          // leak into the dot product silently
+          while (t < dim) { vFlat(fill * dim + t) = 0.0; t += 1 }
           vNorm(fill) = acc; vIds(fill) = id; fill += 1
           if (fill == blockRows) { flush(fill); fill = 0 }
         }

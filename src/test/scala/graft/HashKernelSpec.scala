@@ -90,6 +90,24 @@ class HashKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("null and empty inputs: kernels skip null elements, all-null/empty → null") {
+    val nullableSchema = StructType(Seq(StructField("a",
+      ArrayType(StringType, containsNull = true), nullable = false)))
+    def run(c: org.apache.spark.sql.Column, in: Seq[String]): Row =
+      spark.createDataFrame(java.util.Arrays.asList(Row(in)), nullableSchema)
+        .select(c).head()
+    // null elements are skipped — result equals the non-null subset's
+    val withNull = run(graft.functions.minhashSignature(col("a"), 8), Seq("x y z", null))
+    val clean = run(graft.functions.minhashSignature(col("a"), 8), Seq("x y z"))
+    assert(withNull.getSeq[String](0) == clean.getSeq[String](0))
+    assert(run(graft.functions.minhashSignature(col("a"), 8), Seq(null)).isNullAt(0))
+    assert(run(graft.functions.minhashSignature(col("a"), 8), Seq.empty).isNullAt(0))
+    val shNull = run(graft.functions.simhashBits(col("a"), 16), Seq("x", null))
+    assert(shNull.getLong(0) == refSimhash(Seq("x"), 16))
+    assert(run(graft.functions.simhashBits(col("a"), 16), Seq.empty).isNullAt(0))
+    assert(run(graft.functions.simhashBits(col("a"), 16), Seq(null)).isNullAt(0))
+  }
+
   test("duplicate-heavy input: simhash counts DISTINCT tokens (majority basis)") {
     // 'a' ×100 + 'b' ×1 — if duplicates counted, every 'a' bit would win;
     // distinct basis makes it a 50/50 tie → majority (2*cnt > n) = false
