@@ -1006,6 +1006,18 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // radius (range) search: every neighbor within squared-L2 1.4 —
+    // FAISS range_search semantics (absent from the reference's GPU path)
+    "vec_range_search" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.radiusSearch(vectors, queries, radius = 1.4)
+        .select(col("qid"), col("label"), round(col("score"), 4).as("dist"))
+        .orderBy("qid", "label")
+    },
+
     // metadata-filtered vector search: predicate on the label column
     // prunes BEFORE the distance computation (pushed to the parquet scan),
     // then exact kNN among the survivors
@@ -1907,6 +1919,20 @@ object SparkEntry {
         |SELECT qid, rank, label, ROUND(score, 4) AS dist
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    "vec_range_search" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id AS label, q.qv, e.embedding AS v
+        |  FROM q CROSS JOIN embeddings e),
+        |dists AS (
+        |  SELECT qid, label, SUM((CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE)) * (CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE))) AS score
+        |  FROM (SELECT qid, label, UNNEST(qv) AS qe, UNNEST(v) AS ve FROM pairs)
+        |  GROUP BY qid, label)
+        |SELECT qid, label, ROUND(score, 4) AS dist
+        |FROM dists WHERE score <= 1.4
+        |ORDER BY qid, label""".stripMargin,
 
     "knn_l2_filtered" ->
       """WITH q AS (

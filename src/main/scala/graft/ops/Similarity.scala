@@ -82,6 +82,20 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
 
+  /** Radius (range) search: ALL neighbors within squared-L2 `radius`, not
+    * a fixed k — FAISS CPU's `range_search` surface, which the reference
+    * does not implement (its Metal path is top-k only); included so a
+    * FAISS-flat user can switch without losing the operation. The filter
+    * runs inside the scan's codegen stage, so at scale only matching pairs
+    * survive to the (small) result; no top-k state at all.
+    */
+  def radiusSearch(vectors: DataFrame, queries: DataFrame,
+                   radius: Double): DataFrame =
+    Dedup.spread(vectors).crossJoin(broadcast(queries))
+      .select(col("qid"), col("id").as("label"),
+        squaredL2(col("vec"), col("qv")).as("score"))
+      .filter(col("score") <= radius)
+
   /** GEMM-batched exact kNN — the direct Spark analog of the reference's
     * tiled simdgroup GEMM path (`shaders/simdgroup_gemm.metal:26-138`,
     * host gate `src/MetalDistance.mm:121-127`): instead of evaluating the
