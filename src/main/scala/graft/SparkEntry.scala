@@ -480,6 +480,17 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     },
 
+    // eval-set decontamination: 8-gram containment of every train doc
+    // against the held-out subset (doc_id % 97 == 0 stands in for the
+    // benchmark set)
+    "dedup_decontaminate" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Dedup.contamination(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), n = 8)
+        .orderBy("doc_id")
+    },
+
     // ---- dedup: SimHash fingerprints ----
 
     "text_simhash" -> { (s, dir) =>
@@ -1486,6 +1497,26 @@ object SparkEntry {
         |JOIN ns nb ON nb.doc_id = i.doc_b
         |WHERE CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) >= 0.5
         |ORDER BY i.doc_a, i.doc_b""".stripMargin,
+
+    "dedup_decontaminate" -> {
+      val gram8 = "i -> " + (0 until 8).map(o => s"w[i+$o]").mkString("||' '||")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id % 97 <> 0),
+         |tsh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-6), $gram8)) AS sh FROM t),
+         |e AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id % 97 = 0),
+         |esh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-6), $gram8)) AS sh FROM e),
+         |tex AS (SELECT doc_id, len(sh) AS n_sh, UNNEST(sh) AS s FROM tsh),
+         |eex AS (SELECT doc_id AS eval_id, UNNEST(sh) AS s FROM esh),
+         |ov AS (SELECT tex.doc_id, eex.eval_id, COUNT(*) AS n_overlap, MIN(tex.n_sh) AS n_sh
+         |       FROM tex JOIN eex ON tex.s = eex.s GROUP BY 1, 2),
+         |top AS (SELECT doc_id, eval_id, n_overlap, n_sh,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY n_overlap DESC, eval_id) AS rn FROM ov)
+         |SELECT t.doc_id, top.eval_id,
+         |  COALESCE(top.n_overlap, 0) AS n_overlap,
+         |  ROUND(COALESCE(CAST(top.n_overlap AS DOUBLE) / CAST(top.n_sh AS DOUBLE), 0.0), 6) AS frac
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) t
+         |LEFT JOIN (SELECT * FROM top WHERE rn = 1) top ON t.doc_id = top.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    },
 
     "text_simhash" -> {
       val sums = (0 until 16)
