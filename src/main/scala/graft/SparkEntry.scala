@@ -491,6 +491,42 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // sequence packing: concat-and-chunk docs into 2048-token training
+    // sequences, packed per language stream (parallel by lang; the chunk
+    // id is a running-token-count prefix sum — deterministic order)
+    "q_pack_sequences" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ", -1)).cast(LongType).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          expr("(cum - n_tokens) div 2048").as("pack_id"),
+          ((col("cum") - col("n_tokens")) % 2048).as("pack_offset"))
+        .orderBy("doc_id")
+    },
+
+    // int8 symmetric per-vector quantization error profile (the next step
+    // down from f16 storage; all arithmetic double + floor → engine-exact)
+    "q_vec_int8" -> { (s, dir) =>
+      val x = col("e").cast(DoubleType)
+      val q = floor(x / col("scale") + lit(0.5)) // symmetric, |q| ≤ 127
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          (aggregate(col("embedding"), lit(0.0),
+            (acc, v) => greatest(acc, abs(v.cast(DoubleType)))) / 127.0).as("scale"),
+          col("embedding"))
+        .select(col("vec_id"), col("embedding"), col("scale"),
+          explode(col("embedding")).as("e"))
+        .groupBy(col("vec_id"))
+        .agg(round(first(col("scale")), 6).as("scale"),
+          round(max(when(col("scale") > 0, abs(x - q * col("scale"))).otherwise(0.0)), 6)
+            .as("max_abs_err"))
+        .orderBy("vec_id")
+    },
+
     // ---- dedup: SimHash fingerprints ----
 
     "text_simhash" -> { (s, dir) =>
@@ -1497,6 +1533,33 @@ object SparkEntry {
         |JOIN ns nb ON nb.doc_id = i.doc_b
         |WHERE CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) >= 0.5
         |ORDER BY i.doc_a, i.doc_b""".stripMargin,
+
+    "q_pack_sequences" ->
+      """SELECT doc_id, lang, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_offset
+        |FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM (SELECT doc_id, lang,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_vec_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |ex AS (SELECT vec_id, scale, UNNEST(embedding) AS e FROM s)
+        |SELECT vec_id, ROUND(MIN(scale), 6) AS scale,
+        |  ROUND(MAX(CASE WHEN scale > 0
+        |    THEN abs(CAST(e AS DOUBLE) - floor(CAST(e AS DOUBLE) / scale + 0.5) * scale)
+        |    ELSE 0.0 END), 6) AS max_abs_err
+        |FROM ex
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
 
     "dedup_decontaminate" -> {
       val gram8 = "i -> " + (0 until 8).map(o => s"w[i+$o]").mkString("||' '||")
