@@ -1178,6 +1178,23 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     },
 
+    // media frame sampling: fixed-size frames cut from each payload (the
+    // frame-sample step of a video/audio pipeline, exercised on character
+    // frames so the oracle can reproduce the chunk arithmetic), every 2nd
+    // frame kept, per-frame digest + byte length
+    "q_media_frames" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id").as("media_id"), col("text"),
+          explode(expr("sequence(0L, (length(text) - 1) div 256)")).as("frame_idx"))
+        .filter(col("frame_idx") % 2 === 0) // sample every 2nd frame
+        .withColumn("frame",
+          expr("substring(text, cast(frame_idx * 256 + 1 as int), 256)"))
+        .select(col("media_id"), col("frame_idx"),
+          md5(col("frame")).as("frame_md5"),
+          length(encode(col("frame"), "UTF-8")).cast(LongType).as("frame_bytes"))
+        .orderBy("media_id", "frame_idx")
+    },
+
     // ---- multimodal: binary-column batched feature extraction (decode
     //      stubbed; plumbing real — no SQL oracle, rows-only check) ----
 
@@ -1533,6 +1550,14 @@ object SparkEntry {
         |JOIN ns nb ON nb.doc_id = i.doc_b
         |WHERE CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) >= 0.5
         |ORDER BY i.doc_a, i.doc_b""".stripMargin,
+
+    "q_media_frames" ->
+      """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+        |  md5(substr(text, CAST(f * 256 + 1 AS BIGINT), 256)) AS frame_md5,
+        |  CAST(octet_length(encode(substr(text, CAST(f * 256 + 1 AS BIGINT), 256))) AS BIGINT) AS frame_bytes
+        |FROM documents, UNNEST(range(0, (length(text) - 1) // 256 + 1)) AS t(f)
+        |WHERE f % 2 = 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "q_pack_sequences" ->
       """SELECT doc_id, lang, n_tokens,
