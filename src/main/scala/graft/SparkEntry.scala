@@ -335,6 +335,35 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // bf16 storage round-trip error profile (SURVEY S8; no SQL oracle —
+    // rows-only; RNE truncation semantics pinned by FloatBitsSpec)
+    "bf16_roundtrip" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      e.select(col("vec_id"), quantizeBf16(col("embedding")).as("q"))
+        .select(col("vec_id"), dequantizeBf16(col("q")).as("deq"))
+        .join(e, "vec_id")
+        .select(col("vec_id"),
+          size(col("embedding")).cast(LongType).as("n_dims"),
+          round(aggregate(
+            zip_with(col("embedding"), col("deq"), (a, b) => abs(a - b)),
+            lit(0.0), (acc, x) => greatest(acc, x.cast(DoubleType))), 6).as("max_abs_err"))
+        .orderBy("vec_id")
+    },
+
+    // training-mix reweighting: per-language upsampling factors to hit a
+    // uniform target share (exact integer/decimal arithmetic end-to-end)
+    "q_mix_weights" -> { (s, dir) =>
+      val counts = Tables(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"))
+      val total = counts.agg(sum(col("n_docs")).as("total")).select(col("total"))
+      counts.crossJoin(total)
+        .select(col("lang"), col("n_docs"), col("n_chars"),
+          round((col("total").cast(DoubleType) /
+            (lit(5.0) * col("n_docs").cast(DoubleType))), 6).as("upsample_weight"))
+        .orderBy("lang")
+    },
+
     // MLlib batch index build: bucketed random-projection LSH over the
     // embedding column, k-NN via the hash-bucket join (no oracle — the
     // random projections aren't SQL-reproducible; recall pinned by tests)
@@ -1550,6 +1579,16 @@ object SparkEntry {
         |JOIN ns nb ON nb.doc_id = i.doc_b
         |WHERE CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) >= 0.5
         |ORDER BY i.doc_a, i.doc_b""".stripMargin,
+
+    "q_mix_weights" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c)
+        |SELECT lang, n_docs, n_chars,
+        |  ROUND(CAST(total AS DOUBLE) / (5.0 * CAST(n_docs AS DOUBLE)), 6) AS upsample_weight
+        |FROM c CROSS JOIN t
+        |ORDER BY lang""".stripMargin,
 
     "q_media_frames" ->
       """SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
