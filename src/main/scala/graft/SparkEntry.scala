@@ -322,11 +322,9 @@ object SparkEntry {
     // fp16 storage round-trip error profile (SURVEY S7; no SQL oracle —
     // DuckDB has no half type → rows-only check; precision pinned by tests)
     "f16_roundtrip" -> { (s, dir) =>
-      val e = Tables(s, dir, "embeddings")
-      e.select(col("vec_id"),
-        quantizeF16(col("embedding")).as("q"))
-        .select(col("vec_id"), dequantizeF16(col("q")).as("deq"))
-        .join(e, "vec_id")
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          dequantizeF16(quantizeF16(col("embedding"))).as("deq"))
         .select(col("vec_id"),
           size(col("embedding")).cast(LongType).as("n_dims"),
           round(aggregate(
@@ -338,10 +336,9 @@ object SparkEntry {
     // bf16 storage round-trip error profile (SURVEY S8; no SQL oracle —
     // rows-only; RNE truncation semantics pinned by FloatBitsSpec)
     "bf16_roundtrip" -> { (s, dir) =>
-      val e = Tables(s, dir, "embeddings")
-      e.select(col("vec_id"), quantizeBf16(col("embedding")).as("q"))
-        .select(col("vec_id"), dequantizeBf16(col("q")).as("deq"))
-        .join(e, "vec_id")
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          dequantizeBf16(quantizeBf16(col("embedding"))).as("deq"))
         .select(col("vec_id"),
           size(col("embedding")).cast(LongType).as("n_dims"),
           round(aggregate(
@@ -351,16 +348,18 @@ object SparkEntry {
     },
 
     // training-mix reweighting: per-language upsampling factors to hit a
-    // uniform target share (exact integer/decimal arithmetic end-to-end)
+    // uniform target share across however many languages the corpus holds
     "q_mix_weights" -> { (s, dir) =>
       val counts = Tables(s, dir, "documents")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("n_chars"))
-      val total = counts.agg(sum(col("n_docs")).as("total")).select(col("total"))
+      val total = counts.agg(sum(col("n_docs")).as("total"),
+        count(lit(1)).as("n_langs"))
       counts.crossJoin(total)
         .select(col("lang"), col("n_docs"), col("n_chars"),
-          round((col("total").cast(DoubleType) /
-            (lit(5.0) * col("n_docs").cast(DoubleType))), 6).as("upsample_weight"))
+          round(col("total").cast(DoubleType) /
+            (col("n_langs").cast(DoubleType) * col("n_docs").cast(DoubleType)), 6)
+            .as("upsample_weight"))
         .orderBy("lang")
     },
 
@@ -510,13 +509,15 @@ object SparkEntry {
     },
 
     // eval-set decontamination: 8-gram containment of every train doc
-    // against the held-out subset (doc_id % 97 == 0 stands in for the
-    // benchmark set)
+    // against the held-out subset (doc_id % 7 == 0 stands in for the
+    // benchmark set — wide enough that real overlaps exist at the
+    // correctness-gate scale, so the oracle exercises the count/tie-break/
+    // frac logic, not just all-zero rows)
     "dedup_decontaminate" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       Dedup.contamination(
-        docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0), n = 8)
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0), n = 8)
         .orderBy("doc_id")
     },
 
@@ -1584,9 +1585,9 @@ object SparkEntry {
       """WITH c AS (
         |  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
         |  FROM documents GROUP BY lang),
-        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c)
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total, COUNT(*) AS n_langs FROM c)
         |SELECT lang, n_docs, n_chars,
-        |  ROUND(CAST(total AS DOUBLE) / (5.0 * CAST(n_docs AS DOUBLE)), 6) AS upsample_weight
+        |  ROUND(CAST(total AS DOUBLE) / (CAST(n_langs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 6) AS upsample_weight
         |FROM c CROSS JOIN t
         |ORDER BY lang""".stripMargin,
 
@@ -1627,9 +1628,9 @@ object SparkEntry {
 
     "dedup_decontaminate" -> {
       val gram8 = "i -> " + (0 until 8).map(o => s"w[i+$o]").mkString("||' '||")
-      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id % 97 <> 0),
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id % 7 <> 0),
          |tsh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-6), $gram8)) AS sh FROM t),
-         |e AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id % 97 = 0),
+         |e AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id % 7 = 0),
          |esh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-6), $gram8)) AS sh FROM e),
          |tex AS (SELECT doc_id, len(sh) AS n_sh, UNNEST(sh) AS s FROM tsh),
          |eex AS (SELECT doc_id AS eval_id, UNNEST(sh) AS s FROM esh),
@@ -1640,7 +1641,7 @@ object SparkEntry {
          |SELECT t.doc_id, top.eval_id,
          |  COALESCE(top.n_overlap, 0) AS n_overlap,
          |  ROUND(COALESCE(CAST(top.n_overlap AS DOUBLE) / CAST(top.n_sh AS DOUBLE), 0.0), 6) AS frac
-         |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) t
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) t
          |LEFT JOIN (SELECT * FROM top WHERE rn = 1) top ON t.doc_id = top.doc_id
          |ORDER BY t.doc_id""".stripMargin
     },

@@ -62,10 +62,10 @@ object Dedup {
     * shingles, staged so tokenization runs once per row. Uses the
     * compiled [[graft.functions.WordShingles]] kernel.
     */
-  def explodedShingles(docs: DataFrame): DataFrame =
+  def explodedShingles(docs: DataFrame, n: Int = 3): DataFrame =
     spread(docs)
       .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), graft.functions.wordShingles(col("w"), 3).as("sh"))
+      .select(col("doc_id"), graft.functions.wordShingles(col("w"), n).as("sh"))
       .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
 
   /** One MinHash signature element: min over shingles of an 8-hex-char
@@ -267,43 +267,6 @@ object Dedup {
     * nodes: one `doc_id` column; edges: (doc_a, doc_b).
     * Returns (doc_id, cluster_id) for every node, singletons included.
     */
-  /** Eval-set decontamination: for every training document, the eval
-    * document sharing the most distinct word n-grams, the overlap count,
-    * and the contaminated-fraction (overlap / the train doc's distinct
-    * n-grams). The classic pre-training hygiene pass: long-n-gram
-    * containment against held-out benchmarks.
-    *
-    * Shape: both sides shingle narrowly (compiled kernel), the only wide
-    * op is the shingle equi-join — cost proportional to SHARED n-grams
-    * (n=8 makes random collisions vanish), never |train|×|eval|.
-    * Returns one row per train doc (zero-overlap docs included).
-    */
-  def contamination(train: DataFrame, eval_ : DataFrame, n: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    def shingled(df: DataFrame) = spread(df)
-      .select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), graft.functions.wordShingles(col("w"), n).as("sh"))
-    val tSh = shingled(train)
-      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
-    val eSh = shingled(eval_)
-      .select(col("doc_id").as("eval_id"), explode(col("sh")).as("s"))
-    val overlap = tSh.join(eSh, "s")
-      .groupBy(col("doc_id"), col("eval_id"))
-      .agg(count(lit(1)).as("n_overlap"), first(col("n_sh")).as("n_sh"))
-    val top = overlap
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("n_overlap").desc, col("eval_id"))))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("eval_id"), col("n_overlap"),
-        (col("n_overlap").cast(DoubleType) / col("n_sh").cast(DoubleType)).as("frac"))
-    train.select(col("doc_id"))
-      .join(top, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("eval_id"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        round(coalesce(col("frac"), lit(0.0)), 6).as("frac"))
-  }
-
   /** Path-compressed union-find over an edge list — the driver-side small-
     * graph fast path of [[connectedComponents]]. Returns id → min-id-root
     * for every id appearing in an edge.
@@ -380,6 +343,39 @@ object Dedup {
     nodes.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Eval-set decontamination: for every training document, the eval
+    * document sharing the most distinct word n-grams, the overlap count,
+    * and the contaminated-fraction (overlap / the train doc's distinct
+    * n-grams). The classic pre-training hygiene pass: long-n-gram
+    * containment against held-out benchmarks.
+    *
+    * Shape: both sides shingle narrowly (compiled kernel), the only wide
+    * op is the shingle equi-join — cost proportional to SHARED n-grams
+    * (n=8 makes random collisions vanish), never |train|×|eval|.
+    * Returns one row per train doc (zero-overlap docs included).
+    */
+  def contamination(train: DataFrame, eval_ : DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tSh = explodedShingles(train, n)
+    val eSh = explodedShingles(eval_, n)
+      .select(col("doc_id").as("eval_id"), col("s"))
+    val overlap = tSh.join(eSh, "s")
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_overlap"), first(col("n_sh")).as("n_sh"))
+    val top = overlap
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("n_overlap").desc, col("eval_id"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("eval_id"), col("n_overlap"),
+        (col("n_overlap").cast(DoubleType) / col("n_sh").cast(DoubleType)).as("frac"))
+    train.select(col("doc_id"))
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("eval_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("frac"), lit(0.0)), 6).as("frac"))
   }
 
   /** SimHash near-duplicate pairs at hamming distance ≤ 2, via 3-band LSH
