@@ -557,6 +557,24 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // dedup endgame, quality-aware: per duplicate cluster keep the
+    // highest-quality member (longest doc, ties to the smaller id) — the
+    // composition of clustering × quality scoring a real pipeline ships
+    "dedup_keep_best" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val cc = Dedup.simhashClusters(docs, hammingMax = 2)
+      val w = Window.partitionBy(col("cluster_id"))
+      cc.join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("n_cluster", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_doc"),
+          col("n_chars").as("keep_chars"), col("n_cluster"))
+        .orderBy("cluster_id")
+    },
+
     // ---- dedup: SimHash fingerprints ----
 
     "text_simhash" -> { (s, dir) =>
@@ -2011,6 +2029,28 @@ object SparkEntry {
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_cluster,
          |  doc_id = cluster_id AS keep
          |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $simhash63Ctes,
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(doc, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc),
+         |lab AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc),
+         |j AS (SELECT lab.doc_id, lab.cluster_id, d.n_chars
+         |      FROM lab JOIN documents d ON lab.doc_id = d.doc_id),
+         |rk AS (SELECT *,
+         |  row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_cluster FROM j)
+         |SELECT cluster_id, doc_id AS keep_doc, CAST(n_chars AS BIGINT) AS keep_chars, n_cluster
+         |FROM rk WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin,
 
     "q_events_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
