@@ -105,6 +105,16 @@ object StreamingOps {
       .drop(r(key))
   }
 
+  /** Streaming exact deduplication on ingest: keep the first occurrence of
+    * each key, with a watermark bounding the dedup state store (a key seen
+    * again after the watermark passes would re-emit — the standard
+    * trade-off for unbounded streams; within the watermark the semantics
+    * equal batch `dropDuplicates`).
+    */
+  def streamingDedup(stream: DataFrame, key: String, tsCol: String,
+                     watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark).dropDuplicates(key)
+
   /** Stream-static enrichment join: every micro-batch of the stream joins
     * the (small) static dimension — stateless, the static side broadcast
     * once per batch. The canonical shape for attaching slowly-changing

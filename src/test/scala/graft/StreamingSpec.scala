@@ -89,6 +89,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 100L, 105L), (2L, 100L, 109L)))
   }
 
+  test("streaming dedup: duplicate keys across micro-batches emit once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(String, Long)] // (content_hash, ts_sec)
+    val in = stream.toDF()
+      .select(col("_1").as("h"), timestamp_seconds(col("_2")).as("ts"))
+    val q = StreamingOps.streamingDedup(in, "h", "ts", "1 minute")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    stream.addData(Seq(("a", 100L), ("b", 101L), ("a", 102L)))
+    q.processAllAvailable()
+    stream.addData(Seq(("a", 103L), ("c", 104L), ("b", 105L)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sdedup")
+      .select(col("h"), expr("unix_seconds(ts)")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // first occurrence of each key only, across batch boundaries
+    assert(got == Set(("a", 100L), ("b", 101L), ("c", 104L)))
+  }
+
   test("stateful streaming sessionization == batch sessions (closed sessions)") {
     import spark.implicits._
     import graft.streaming.{SessionEvent, SessionOut}
