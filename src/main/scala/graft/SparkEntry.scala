@@ -1113,6 +1113,19 @@ object SparkEntry {
         .orderBy("qid", "label")
     },
 
+    // bulk self-retrieval: EVERY vector queries the whole table (the
+    // corpus-vs-corpus regime — query side too big to broadcast at once),
+    // via 4 hash-batched GEMM jobs; k=5 keeps the output bounded
+    "knn_l2_batched" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.batchedTopK(vectors, queries, k = 5, batches = 4)
+        .select(col("qid"), col("rank"), col("label"),
+          round(col("score"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    },
+
     // metadata-filtered vector search: predicate on the label column
     // prunes BEFORE the distance computation (pushed to the parquet scan),
     // then exact kNN among the survivors
@@ -2117,6 +2130,22 @@ object SparkEntry {
         |  FROM dists)
         |SELECT qid, rank, label, ROUND(score, 4) AS dist
         |FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    "knn_l2_batched" ->
+      """WITH pairs AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS label, q.embedding AS qv, e.embedding AS v
+        |  FROM embeddings q CROSS JOIN embeddings e),
+        |dists AS (
+        |  SELECT qid, label, SUM((CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE)) * (CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE))) AS score
+        |  FROM (SELECT qid, label, UNNEST(qv) AS qe, UNNEST(v) AS ve FROM pairs)
+        |  GROUP BY qid, label),
+        |ranked AS (
+        |  SELECT qid, label, score,
+        |    row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank
+        |  FROM dists)
+        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
 
     "vec_range_search" ->

@@ -199,6 +199,26 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
 
+  /** Bulk kNN for query sets too large to broadcast at once: the query
+    * side is split into `batches` deterministic hash blocks, each block
+    * runs the GEMM path against the full vector table, results union.
+    * This is the missing third regime of the reference's path gate —
+    * (small nq: fused) / (medium nq: one broadcast) / (huge nq: batched
+    * broadcasts) — and the standard shape for corpus-vs-corpus jobs
+    * (bulk embedding dedup, all-documents retrieval): at 1e9 queries no
+    * single broadcast fits, but 1e9/batches does, and each batch is one
+    * independent scan-parallel job (batches can even run concurrently
+    * from the driver).
+    */
+  def batchedTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                  batches: Int): DataFrame = {
+    require(batches >= 1, s"batches must be >= 1, got $batches")
+    (0 until batches)
+      .map(b => gemmTopK(vectors,
+        queries.filter(pmod(col("qid"), lit(batches.toLong)) === b), k))
+      .reduce(_ unionByName _)
+  }
+
   /** Two-stage retrieval: a coarse pass over FP16-QUANTIZED storage
     * shortlists k·expand candidates per query, then an exact fp32 rerank
     * keeps the true top-k — the reference's reduced-precision bandwidth
