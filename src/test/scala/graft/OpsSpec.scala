@@ -109,6 +109,20 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall=$recall")
   }
 
+  test("batchedTopK (hash-batched GEMM) ≡ single-broadcast brute force") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vdf = Oracle.genVectors(800, 16).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = Oracle.genVectors(40, 16, seed = 55L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    val exact = graft.ops.Similarity.bruteForceTopK(vdf, qdf, 7, "l2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batched = graft.ops.Similarity.batchedTopK(vdf, qdf, 7, batches = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batched == exact)
+  }
+
   test("GEMM-batched kNN ≡ expression-path brute force (labels and ranks)") {
     val spark2 = spark
     import spark2.implicits._
