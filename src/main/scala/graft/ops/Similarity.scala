@@ -263,8 +263,15 @@ object Similarity {
                     nClusters: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    // materialize the features once — KMeans.fit iterates its input
+    // maxIter times and would re-run the scan+conversion per iteration
     val feats = vectors.select(col("id"), array_to_vector(col("vec")).as("features"))
-    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(10)
+      .localCheckpoint(true)
+    // random seeded init, few iterations: k-means|| init alone costs ~2×
+    // the clustering's job count, and IVF recall is governed by nProbe,
+    // not by the last percent of centroid convergence
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("features").fit(feats)
     val cents = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }.toSeq
