@@ -239,6 +239,45 @@ object SparkEntry {
         .orderBy("o_orderkey")
     },
 
+    // anomalous-hour detection: z-score of each hour's event count
+    // against its event type's mean/stddev, from exact integer moments
+    // (n, Σc, Σc² are integers → identical doubles → identical z)
+    "q_events_anomaly" -> { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val stats = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+          sum(col("c") * col("c")).as("scc"))
+      val n = col("n").cast(DoubleType)
+      val mean = col("sc").cast(DoubleType) / n
+      val variance = (col("scc").cast(DoubleType) - col("sc").cast(DoubleType) * col("sc").cast(DoubleType) / n) / n
+      hourly.join(stats, "event_type")
+        .select(col("event_type"),
+          date_format(col("h"), "yyyy-MM-dd HH").as("hour"), col("c"),
+          round((col("c").cast(DoubleType) - mean) / sqrt(variance), 4).as("z"))
+        .filter(abs(col("z")) > 2.0)
+        .orderBy("event_type", "hour")
+    },
+
+    // time-series densification: fill missing hours per event type with
+    // zero counts (sequence generation + left join — the gap-fill op)
+    "q_events_gapfill" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id") <= 20)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      val hourly = ev.groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("c"))
+      val spans = ev.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val grid = spans.select(col("event_type"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      grid.join(hourly, Seq("event_type", "h"), "left")
+        .select(col("event_type"), date_format(col("h"), "yyyy-MM-dd HH").as("hour"),
+          coalesce(col("c"), lit(0L)).as("n"))
+        .orderBy("event_type", "hour")
+    },
+
     // ---- events: time-bucketed aggregation ----
 
     "q_events_hourly" -> { (s, dir) =>
@@ -1431,6 +1470,35 @@ object SparkEntry {
         |  CAST(length(o_orderpriority) AS BIGINT) AS pri_len
         |FROM orders WHERE o_orderkey <= 500
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS scc
+        |  FROM hourly GROUP BY event_type)
+        |SELECT hourly.event_type, strftime(h, '%Y-%m-%d %H') AS hour, c,
+        |  ROUND((CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / SQRT((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 4) AS z
+        |FROM hourly JOIN stats ON hourly.event_type = stats.event_type
+        |WHERE abs((CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / SQRT((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))) > 2.0
+        |ORDER BY hourly.event_type, hour""".stripMargin,
+
+    "q_events_gapfill" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h FROM events WHERE user_id <= 20),
+        |hourly AS (SELECT event_type, h, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |spans AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM ev GROUP BY 1),
+        |grid AS (
+        |  SELECT event_type, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM spans)
+        |SELECT grid.event_type, strftime(grid.h, '%Y-%m-%d %H') AS hour,
+        |  COALESCE(c, 0) AS n
+        |FROM grid LEFT JOIN hourly ON grid.event_type = hourly.event_type AND grid.h = hourly.h
+        |ORDER BY grid.event_type, hour""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
