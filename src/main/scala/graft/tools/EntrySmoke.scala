@@ -2,11 +2,13 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 object EntrySmoke {
   def main(args: Array[String]): Unit = {
-    // deliberately a bare session (no graft confs) — mimics the driver's smoke
-    val spark = SparkSession.builder().master("local[4]").config("spark.ui.enabled","false").getOrCreate()
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val n = graft.SparkEntry.entry(spark).count()
-    println(s"entry rows: $n")
+    println(s"entry rows: $n (smoke ${if (n > 0) "PASS" else "FAIL"})")
     spark.stop()
   }
 }
