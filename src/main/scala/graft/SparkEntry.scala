@@ -253,10 +253,11 @@ object SparkEntry {
       val mean = col("sc").cast(DoubleType) / n
       val variance = (col("scc").cast(DoubleType) - col("sc").cast(DoubleType) * col("sc").cast(DoubleType) / n) / n
       hourly.join(stats, "event_type")
+        .withColumn("z_raw", (col("c").cast(DoubleType) - mean) / sqrt(variance))
+        .filter(abs(col("z_raw")) > 2.0) // filter on the UNROUNDED z, like the oracle
         .select(col("event_type"),
           date_format(col("h"), "yyyy-MM-dd HH").as("hour"), col("c"),
-          round((col("c").cast(DoubleType) - mean) / sqrt(variance), 4).as("z"))
-        .filter(abs(col("z")) > 2.0)
+          round(col("z_raw"), 4).as("z"))
         .orderBy("event_type", "hour")
     },
 
@@ -1666,8 +1667,10 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id % 4 = 0),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
         |  i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM t),
-        |ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
-        |ns AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |ex0 AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+        |df AS (SELECT s, COUNT(*) AS df FROM ex0 GROUP BY s),
+        |ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN df ON ex0.s = df.s WHERE df.df <= 1000),
+        |ns AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
         |inter AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -1731,8 +1734,14 @@ object SparkEntry {
          |tsh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-6), $gram8)) AS sh FROM t),
          |e AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id % 7 = 0),
          |esh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-6), $gram8)) AS sh FROM e),
-         |tex AS (SELECT doc_id, len(sh) AS n_sh, UNNEST(sh) AS s FROM tsh),
-         |eex AS (SELECT doc_id AS eval_id, UNNEST(sh) AS s FROM esh),
+         |tex0 AS (SELECT doc_id, len(sh) AS n_sh, UNNEST(sh) AS s FROM tsh),
+         |tdf AS (SELECT s, COUNT(*) AS df FROM tex0 GROUP BY s),
+         |tex AS (SELECT tex0.doc_id, tex0.n_sh, tex0.s FROM tex0
+         |        JOIN tdf ON tex0.s = tdf.s WHERE tdf.df <= 1000),
+         |eex0 AS (SELECT doc_id AS eval_id, UNNEST(sh) AS s FROM esh),
+         |edf AS (SELECT s, COUNT(*) AS df FROM eex0 GROUP BY s),
+         |eex AS (SELECT eex0.eval_id, eex0.s FROM eex0
+         |        JOIN edf ON eex0.s = edf.s WHERE edf.df <= 1000),
          |ov AS (SELECT tex.doc_id, eex.eval_id, COUNT(*) AS n_overlap, MIN(tex.n_sh) AS n_sh
          |       FROM tex JOIN eex ON tex.s = eex.s GROUP BY 1, 2),
          |top AS (SELECT doc_id, eval_id, n_overlap, n_sh,
@@ -2053,7 +2062,7 @@ object SparkEntry {
 
     "q_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events

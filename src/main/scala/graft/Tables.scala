@@ -12,12 +12,20 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects. Sessions set `spark.sql.legacy.parquet.nanosAsLong`
-    * (see [[GraftSession]]); this reader converts the raw nanos back to a
+    * reader rejects unless `spark.sql.legacy.parquet.nanosAsLong` is set.
+    * That conf is a runtime SQL conf, so this reader sets it itself — callers
+    * need no special session setup — and converts the raw nanos back to a
     * proper timestamp via integer division (a double division would lose
-    * precision above 2^53 ns).
+    * precision above 2^53 ns). If a future dataset ships `ts` as a real
+    * timestamp, the long branch is skipped and the column passes through.
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
 }

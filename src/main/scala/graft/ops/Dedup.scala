@@ -206,12 +206,38 @@ object Dedup {
           (col("na") + col("nb") - col("n_inter")).cast(DoubleType))
   }
 
+  /** Drop shingles whose document frequency exceeds `maxDf` and recompute
+    * the per-doc distinct-shingle count over the kept (informative)
+    * universe. The guard against the hot-shingle pair blowup: a shingle-
+    * equi-join's cost is Σ df(s)² over shingles, so ONE boilerplate 3-gram
+    * shared by 10⁵ docs produces 10¹⁰ join rows; capping df bounds each
+    * shingle's contribution at maxDf². The df aggregation itself is a
+    * combiner-friendly groupBy — linear, never quadratic.
+    */
+  private[ops] def capShingleDf(sh: DataFrame, maxDf: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // count(*) over (partition by s) instead of a groupBy + self-join:
+    // one shuffle on s, and hot shingles stay together for the filter
+    sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df") <= maxDf)
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), col("n_sh"), col("s"))
+  }
+
   /** All-pairs n-gram Jaccard ≥ minJaccard over a bounded doc subset —
     * the exact (non-LSH) variant; the shingle equi-join means cost is
     * proportional to shared-shingle pairs, not n².
+    *
+    * `maxDf` drops shingles present in more than that many documents
+    * BEFORE the join (see [[capShingleDf]]): Jaccard is then computed over
+    * the informative-shingle universe (boilerplate excluded from both the
+    * intersection and the per-doc counts), which is the standard df-capped
+    * dedup metric and the only formulation that survives template-heavy
+    * corpora at scale.
     */
-  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val sh = explodedShingles(docs)
+  def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
+                        maxDf: Long = 1000L): DataFrame = {
+    val sh = capShingleDf(explodedShingles(docs), maxDf)
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -356,11 +382,23 @@ object Dedup {
     * (n=8 makes random collisions vanish), never |train|×|eval|.
     * Returns one row per train doc (zero-overlap docs included).
     */
-  def contamination(train: DataFrame, eval_ : DataFrame, n: Int = 8): DataFrame = {
+  def contamination(train: DataFrame, eval_ : DataFrame, n: Int = 8,
+                    maxDf: Long = 1000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // df-cap each side before the join: the join's cost is
+    // Σ df_train(s)·df_eval(s), so one boilerplate n-gram shared by 10⁵
+    // docs on both sides is 10¹⁰ rows. Dropping grams with df > maxDf on
+    // either side bounds every term at maxDf². n_sh (the frac denominator)
+    // stays the FULL distinct-gram count — frac is then a lower bound that
+    // ignores boilerplate-gram overlap, which is what decontamination
+    // wants anyway (benchmark leakage is informative-gram overlap).
     val tSh = explodedShingles(train, n)
+      .withColumn("df_t", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df_t") <= maxDf).drop("df_t")
     val eSh = explodedShingles(eval_, n)
       .select(col("doc_id").as("eval_id"), col("s"))
+      .withColumn("df_e", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .filter(col("df_e") <= maxDf).drop("df_e")
     val overlap = tSh.join(eSh, "s")
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_overlap"), first(col("n_sh")).as("n_sh"))
@@ -396,6 +434,11 @@ object Dedup {
     * table — see [[simhashPairs]] for the banding rationale.
     */
   def fingerprintPairs(sims: DataFrame, hammingMax: Int = 2): DataFrame = {
+    // 3 bands guarantee EXACT recall only up to hamming 2 (pigeonhole: ≤ 2
+    // differing bits leave ≥ 1 band untouched). Reject larger thresholds
+    // instead of silently returning an incomplete pair set.
+    require(hammingMax >= 0 && hammingMax <= 2,
+      s"3-band LSH gives exact recall only for hammingMax <= 2, got $hammingMax")
     val bands = sims.select(col("doc_id"), col("simhash"),
       explode(array(
         struct(lit(0).as("band"), col("simhash").bitwiseAND(lit((1L << 21) - 1)).as("key")),

@@ -112,13 +112,46 @@ object Similarity {
     * (score, label) total order as TopKAgg, and the final per-query merge
     * IS TopKAgg — the block_select partial/merge/final shape again.
     */
+  /** Empty kNN result in the canonical (qid, rank, label, score) shape —
+    * what a GEMM-path search over zero queries returns (instead of
+    * throwing, so batch drivers can skip-and-union).
+    */
+  private def emptyHits(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.emptyDataset[(Long, Long, Long, Double)].toDF("qid", "rank", "label", "score")
+  }
+
+  /** [[gemmTopK]] with the query side guarded: the GEMM path must
+    * `collect()` the queries to pack the Qᵀ matrix, so an unbounded query
+    * set would OOM the DRIVER (not an executor). `maxQueries` bounds the
+    * collect — larger sets are transparently routed through
+    * [[batchedTopK]] (count once, split into ceil(n·1.25/max) hash
+    * batches; the 1.25 headroom absorbs hash imbalance so a batch
+    * virtually never re-splits).
+    */
   def gemmTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-               blockRows: Int = 1024): DataFrame = {
+               blockRows: Int = 1024, maxQueries: Int = 65536): DataFrame = {
+    val q = queries.select(col("qid"), col("qv"))
+    // limit(max+1): the probe is no more work than the old unconditional
+    // collect when the set is small, and detects oversize without a count
+    val probe = q.limit(maxQueries + 1).collect()
+    if (probe.isEmpty) return emptyHits(vectors.sparkSession)
+    if (probe.length > maxQueries) {
+      val n = q.count()
+      val batches = math.ceil(n * 1.25 / maxQueries).toInt
+      return batchedTopK(vectors, queries, k, batches, blockRows)
+    }
+    gemmTopKRows(vectors,
+      probe.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)), k, blockRows)
+  }
+
+  /** The GEMM core over an already-collected query array. */
+  private def gemmTopKRows(vectors: DataFrame, qArr: Array[(Long, Array[Float])],
+                           k: Int, blockRows: Int): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val qRows = queries.select(col("qid"), col("qv")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-    require(qRows.nonEmpty, "gemmTopK needs at least one query")
+    val qRows = qArr.sortBy(_._1)
+    require(qRows.nonEmpty, "gemmTopKRows needs at least one query")
     val d = qRows.head._2.length
     val nq = qRows.length
     val qFlat = new Array[Double](nq * d)
@@ -211,12 +244,33 @@ object Similarity {
     * from the driver).
     */
   def batchedTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-                  batches: Int): DataFrame = {
+                  batches: Int, blockRows: Int = 1024): DataFrame = {
     require(batches >= 1, s"batches must be >= 1, got $batches")
-    (0 until batches)
-      .map(b => gemmTopK(vectors,
-        queries.filter(pmod(col("qid"), lit(batches.toLong)) === b), k))
-      .reduce(_ unionByName _)
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    // the per-batch query collects are independent Spark jobs — submit
+    // them from a small pool so they overlap (local mode and clusters both
+    // schedule concurrent jobs fairly). Pool size also bounds peak driver
+    // memory: at most `poolSize` collected batches are alive at once.
+    val poolSize = math.min(batches, 4)
+    val pool = Executors.newFixedThreadPool(poolSize)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+    try {
+      val futs = (0 until batches).map { b =>
+        Future {
+          val rows = queries.select(col("qid"), col("qv"))
+            .filter(pmod(col("qid"), lit(batches.toLong)) === b).collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          // a residue class can be empty (few queries, or qids not
+          // covering every class) — skip it instead of aborting the job
+          if (rows.isEmpty) None else Some(gemmTopKRows(vectors, rows, k, blockRows))
+        }
+      }
+      val dfs = futs.flatMap(Await.result(_, Duration.Inf))
+      if (dfs.isEmpty) emptyHits(vectors.sparkSession)
+      else dfs.reduce(_ unionByName _)
+    } finally pool.shutdown()
   }
 
   /** Two-stage retrieval: a coarse pass over FP16-QUANTIZED storage
