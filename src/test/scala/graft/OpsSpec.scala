@@ -156,6 +156,63 @@ class OpsSpec extends AnyFunSuite {
     assert(reranked == exact)
   }
 
+  test("df-capped shingle joins: hot boilerplate shingles dropped before the pair join") {
+    // 100 docs share 7 boilerplate 3-grams (df=100) plus one unique shingle
+    // each; with the cap the quadratic boilerplate pair block vanishes and
+    // only the genuine near-dup pair remains
+    val boiler = (10 until 110).map(i =>
+      i.toLong -> s"boiler plate common phrase shared by all docs number unique$i")
+    val docs = docsDf(Seq(0L -> base, 1L -> nearDup) ++ boiler)
+    val capped = Dedup.ngramJaccardPairs(docs, 0.5, maxDf = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((0L, 1L)))
+    // contrast: uncapped, the boilerplate block pairs up quadratically
+    val uncapped = Dedup.ngramJaccardPairs(docs, 0.5, maxDf = 1000000L).count()
+    assert(uncapped > 1000L)
+    // contamination: train-side grams above the cap cannot contaminate,
+    // distinctive overlap still detected
+    val train = docsDf(Seq(0L -> base) ++ boiler)
+    val evalDf = docsDf(Seq(500L -> base,
+      501L -> "boiler plate common phrase shared by all docs number other"))
+    val cont = Dedup.contamination(train, evalDf, n = 3, maxDf = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(cont(0L) > 0L)
+    assert(boiler.forall { case (i, _) => cont(i) == 0L })
+  }
+
+  test("gemmTopK guards the driver collect: auto-batching, empty batches, zero queries") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vdf = Oracle.genVectors(600, 12).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = Oracle.genVectors(10, 12, seed = 77L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    val exact = Similarity.bruteForceTopK(vdf, qdf, 5, "l2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 10 queries over a 3-query cap → transparently hash-batched
+    val guarded = Similarity.gemmTopK(vdf, qdf, 5, maxQueries = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(guarded === exact)
+    // qids covering only residue 0 of 4 → empty batches skipped, not fatal
+    val sparse = qdf.filter(col("qid") % 4 === 0)
+    val got = Similarity.batchedTopK(vdf, sparse, 5, batches = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Similarity.bruteForceTopK(vdf, sparse, 5, "l2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    // zero queries → empty result in the canonical shape, no throw
+    val none = Similarity.gemmTopK(vdf, qdf.filter(col("qid") < 0), 5)
+    assert(none.columns.toSeq === Seq("qid", "rank", "label", "score"))
+    assert(none.count() === 0L)
+  }
+
+  test("fingerprintPairs rejects hammingMax beyond the 3-band exact-recall bound") {
+    val docs = docsDf(Seq(0L -> base, 1L -> nearDup))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, hammingMax = 3)
+    }
+  }
+
   test("jaccard verification on candidate pairs matches hand computation") {
     val docs = docsDf(Seq(0L -> base, 1L -> nearDup, 2L -> unrelated))
     val pairs = docsDf(Seq.empty).sparkSession.createDataFrame(
