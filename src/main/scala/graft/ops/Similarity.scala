@@ -130,7 +130,8 @@ object Similarity {
     * virtually never re-splits).
     */
   def gemmTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-               blockRows: Int = 1024, maxQueries: Int = 65536): DataFrame = {
+               blockRows: Int = 1024, maxQueries: Int = 65536,
+               metric: String = "l2"): DataFrame = {
     val q = queries.select(col("qid"), col("qv"))
     // limit(max+1): the probe is no more work than the old unconditional
     // collect when the set is small, and detects oversize without a count
@@ -139,17 +140,34 @@ object Similarity {
     if (probe.length > maxQueries) {
       val n = q.count()
       val batches = math.ceil(n * 1.25 / maxQueries).toInt
-      return batchedTopK(vectors, queries, k, batches, blockRows)
+      return batchedTopK(vectors, queries, k, batches, blockRows, metric)
     }
     gemmTopKRows(vectors,
-      probe.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)), k, blockRows)
+      probe.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)), k, blockRows, metric)
   }
 
-  /** The GEMM core over an already-collected query array. */
+  /** The GEMM core over an already-collected query array.
+    *
+    * Every metric rides the SAME dgemm dot-product matrix — only the
+    * epilogue differs (the reference's fused-epilogue shape,
+    * `shaders/simdgroup_gemm.metal:370-481`): l2 = ‖v‖²+‖q‖²−2·dot
+    * (ascending), ip = dot (descending), cosine = dot/(‖v‖·‖q‖)
+    * (descending). Descending metrics negate the score inside the bounded
+    * buffers so one ascending (score, label) eviction order serves all
+    * three, and un-negate on emission. The fp64 term order matches the
+    * codegen expression kernels exactly, so either physical path produces
+    * bit-identical scores.
+    */
   private def gemmTopKRows(vectors: DataFrame, qArr: Array[(Long, Array[Float])],
-                           k: Int, blockRows: Int): DataFrame = {
+                           k: Int, blockRows: Int, metric: String = "l2"): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    val mCode = metric match {
+      case "l2" => 0
+      case "ip" => 1
+      case "cosine" => 2
+      case other => throw new IllegalArgumentException(s"unknown metric $other")
+    }
     val qRows = qArr.sortBy(_._1)
     require(qRows.nonEmpty, "gemmTopKRows needs at least one query")
     val d = qRows.head._2.length
@@ -169,6 +187,7 @@ object Similarity {
       .mapPartitions { it =>
         val (qf, qn, ids, dim) = bc.value
         val nQ = ids.length
+        val qNormSqrt = qn.map(math.sqrt)
         val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
         // per-query bounded buffers: scores ascending-best, (score, label) order
         val bufScore = Array.fill(nQ)(new Array[Double](k))
@@ -200,9 +219,17 @@ object Similarity {
             0.0, dots, nQ)
           var i = 0
           while (i < rows) {
+            val vNormSqrt = if (mCode == 2) math.sqrt(vNorm(i)) else 0.0
             var j = 0
             while (j < nQ) {
-              offer(j, vNorm(i) + qn(j) - 2.0 * dots(i * nQ + j), vIds(i))
+              val dot = dots(i * nQ + j)
+              // descending metrics negated → single ascending buffer order
+              val s = mCode match {
+                case 0 => vNorm(i) + qn(j) - 2.0 * dot
+                case 1 => -dot
+                case _ => -(dot / (vNormSqrt * qNormSqrt(j)))
+              }
+              offer(j, s, vIds(i))
               j += 1
             }
             i += 1
@@ -223,13 +250,16 @@ object Similarity {
         }
         flush(fill)
         (0 until nQ).iterator.flatMap { j =>
-          (0 until bufLen(j)).map(i => (ids(j), bufLabel(j)(i), bufScore(j)(i)))
+          (0 until bufLen(j)).map { i =>
+            val s = bufScore(j)(i)
+            (ids(j), bufLabel(j)(i), if (mCode == 0) s else -s)
+          }
         }
       }
       .toDF("qid", "label", "score")
     explodeHits(
       partials.groupBy(col("qid"))
-        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
+        .agg(topK(col("score"), col("label"), k, ascending = mCode == 0).as("hits")))
   }
 
   /** Bulk kNN for query sets too large to broadcast at once: the query
@@ -244,7 +274,8 @@ object Similarity {
     * from the driver).
     */
   def batchedTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-                  batches: Int, blockRows: Int = 1024): DataFrame = {
+                  batches: Int, blockRows: Int = 1024,
+                  metric: String = "l2"): DataFrame = {
     require(batches >= 1, s"batches must be >= 1, got $batches")
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
@@ -264,7 +295,7 @@ object Similarity {
             .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
           // a residue class can be empty (few queries, or qids not
           // covering every class) — skip it instead of aborting the job
-          if (rows.isEmpty) None else Some(gemmTopKRows(vectors, rows, k, blockRows))
+          if (rows.isEmpty) None else Some(gemmTopKRows(vectors, rows, k, blockRows, metric))
         }
       }
       val dfs = futs.flatMap(Await.result(_, Duration.Inf))
@@ -341,28 +372,35 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
 
-  /** Top-N most-similar pairs by cosine over a bounded vector subset —
-    * the embedding-space near-duplicate detector.
+  /** Top-N most-similar pairs by cosine — the embedding-space
+    * near-duplicate detector — via an EXACT reduction to self-kNN, not an
+    * all-pairs join: if (i, j) is a global top-N pair then at most N−1
+    * better pairs involve i, so j sits within i's top N+1 cosine
+    * neighbors (self included). Running kNN with k = N+1+margin over the
+    * corpus therefore provably yields a candidate superset of the true
+    * top-N (the margin only absorbs boundary ties), and the candidate
+    * count is n·k — linear in the corpus, never n².
     *
-    * Norms are precomputed per vector (not per pair — n·‖·‖ instead of
-    * n²·‖·‖), and the global top-N runs through the bounded top-k
-    * aggregate: each partition keeps N candidates, one N-row merge at the
-    * end — no global sort of the n² pair scores (a window + row_number
-    * here would range-shuffle every pair).
+    * The kNN stage is [[gemmTopK]] (cosine epilogue), i.e. the same
+    * batched-broadcast GEMM machinery as bulk retrieval — at 100 TB the
+    * query side auto-batches and each batch is one scan-parallel job,
+    * where the old `a.join(b, i < j)` was a BroadcastNestedLoopJoin that
+    * could never finish. A pair surfaces in both endpoints' lists with
+    * bit-identical fp64 scores (dgemm term order is symmetric), so the
+    * groupBy(i, j) dedup is exact.
     *
     * The pair id is packed as i·2³¹ + j, which is order-isomorphic to
     * (i, j) — so the aggregate's (score desc, label asc) total order is
     * exactly the (cos desc, i, j) order the oracle uses.
     */
-  def topCosinePairs(vectors: DataFrame, topN: Int): DataFrame = {
-    val withNorm = Dedup.spread(vectors).select(col("id"), col("vec"),
-      sqrt(vectorNormSq(col("vec"))).as("nrm"))
-    val a = withNorm.select(col("id").as("i"), col("vec").as("va"), col("nrm").as("na"))
-    val b = withNorm.select(col("id").as("j"), col("vec").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("i") < col("j"))
-      .select(
-        (col("i") * lit(1L << 31) + col("j")).as("pair"),
-        (dotProduct(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+  def topCosinePairs(vectors: DataFrame, topN: Int, margin: Int = 12): DataFrame = {
+    val queries = vectors.select(col("id").as("qid"), col("vec").as("qv"))
+    val hits = gemmTopK(vectors, queries, k = topN + 1 + margin, metric = "cosine")
+    hits.filter(col("qid") =!= col("label"))
+      .select(least(col("qid"), col("label")).as("i"),
+        greatest(col("qid"), col("label")).as("j"), col("score"))
+      .groupBy(col("i"), col("j")).agg(max(col("score")).as("cos"))
+      .select((col("i") * lit(1L << 31) + col("j")).as("pair"), col("cos"))
       .agg(topK(col("cos"), col("pair"), topN, ascending = false).as("hits"))
       .select(posexplode(col("hits")))
       .select((col("pos") + 1).cast(LongType).as("rn"),

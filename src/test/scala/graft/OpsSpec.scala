@@ -206,6 +206,57 @@ class OpsSpec extends AnyFunSuite {
     assert(none.count() === 0L)
   }
 
+  test("topCosinePairs: self-kNN reduction ≡ all-pairs reference, no nested-loop join") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = Oracle.genVectors(400, 16)
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val got = Similarity.topCosinePairs(vdf, 25)
+    val gotRows = got.orderBy("rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // collect first so the adaptive plan is final, then assert shape
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "all-pairs join crept back in")
+    assert(!plan.contains("CartesianProduct"), "all-pairs join crept back in")
+    // driver-side all-pairs reference (same fp64 index-order accumulation)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var t = 0
+      while (t < a.length) {
+        dot += a(t).toDouble * b(t).toDouble
+        na += a(t).toDouble * a(t).toDouble; nb += b(t).toDouble * b(t).toDouble
+        t += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = (for { i <- vecs.indices; j <- vecs.indices if i < j }
+      yield (i.toLong, j.toLong, cos(vecs(i), vecs(j))))
+      .sortBy { case (i, j, c) => (-c, i, j) }.take(25)
+    assert(gotRows.length === 25)
+    gotRows.zip(want).zipWithIndex.foreach { case (((rn, i, j, c), (wi, wj, wc)), idx) =>
+      assert(rn === idx + 1L)
+      assert((i, j) === ((wi, wj)), s"rank ${idx + 1}")
+      assert(math.abs(c - wc) < 1e-6) // output cos is round(·, 6)
+    }
+  }
+
+  test("GEMM cosine/ip epilogues ≡ expression-path brute force") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vdf = Oracle.genVectors(700, 20).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = Oracle.genVectors(5, 20, seed = 13L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    for (m <- Seq("cosine", "ip")) {
+      val exact = Similarity.bruteForceTopK(vdf, qdf, 9, m)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e9))).toSet
+      val gemm = Similarity.gemmTopK(vdf, qdf, 9, blockRows = 256, metric = m)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e9))).toSet
+      assert(gemm === exact, s"metric $m")
+    }
+  }
+
   test("fingerprintPairs rejects hammingMax beyond the 3-band exact-recall bound") {
     val docs = docsDf(Seq(0L -> base, 1L -> nearDup))
     intercept[IllegalArgumentException] {
