@@ -46,8 +46,10 @@ object FloatBits {
     (sign | h).toShort
   }
 
-  /** IEEE-754 binary16 bits → fp32 (exact). */
-  def halfBitsToFloat(h: Short): Float = {
+  /** IEEE-754 binary16 bits → fp32 (exact) — computed form, used to build
+    * the lookup table (and as the semantic reference in specs).
+    */
+  private[functions] def halfBitsToFloatCompute(h: Short): Float = {
     val hv = h & 0xFFFF
     val sign = if ((hv & 0x8000) != 0) -1f else 1f
     val exp = (hv >>> 10) & 0x1F
@@ -61,6 +63,19 @@ object FloatBits {
       sign * ((mant + 1024) * Math.scalb(1f, exp - 25))
     }
   }
+
+  // all 2^16 half values precomputed: decode = one 256 KB array load,
+  // ~5× cheaper than the branchy computed form on the scan hot loops
+  // (the f16 storage paths decode every element of every scanned vector)
+  private val halfTable: Array[Float] = {
+    val t = new Array[Float](65536)
+    var i = 0
+    while (i < 65536) { t(i) = halfBitsToFloatCompute(i.toShort); i += 1 }
+    t
+  }
+
+  /** IEEE-754 binary16 bits → fp32 (exact, table lookup). */
+  def halfBitsToFloat(h: Short): Float = halfTable(h & 0xFFFF)
 
   /** fp32 → bfloat16 bits, round-to-nearest-even truncation of the top 16
     * bits (the same `0x7FFF + lsb` trick as the reference ingest path).

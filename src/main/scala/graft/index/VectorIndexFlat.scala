@@ -213,7 +213,8 @@ final class VectorIndexFlat private (
       if (forceDeclarative) Array.empty[Row]
       else q.limit(VectorIndexFlat.maxFusedQueries + 1).collect()
     val scored =
-      if (!forceDeclarative && qRows.length <= VectorIndexFlat.maxFusedQueries)
+      if (!forceDeclarative &&
+          VectorIndexFlat.useFusedPath(qRows.length, cachedNtotal, k))
         fusedPartials(qRows, k)
       else {
         val dist = metric match {
@@ -241,12 +242,93 @@ final class VectorIndexFlat private (
     * which reads the vector column straight from the scan's `ArrayData`
     * (no per-row encoder copy).
     */
-  private def fusedPartials(qRows: Array[Row], k: Int): DataFrame = {
-    val qData = qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-    graft.plans.Knn.partials(
-      decoded.select(col("id"), col("vec")), qData, k,
+  private def fusedPartials(qRows: Array[Row], k: Int): DataFrame =
+    fusedPartialsData(qRows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq, k)
+
+  private def fusedPartialsData(qData: Seq[(Long, Array[Float])], k: Int): DataFrame = {
+    // reduced-precision storage feeds the 16-bit column STRAIGHT into the
+    // fused loop (element decode in-register, ref simdgroup_gemm.metal
+    // f16/bf16 tiles) — the scan moves half the bytes and no fp32 array
+    // is materialized per row, unlike the declarative path's dequantize
+    // projection
+    val (src, dec) = storage match {
+      case StorageType.Float32  => (data.select(col("id"), col("vec")), 0)
+      case StorageType.Float16  => (data.select(col("id"), col("vech")), 1)
+      case StorageType.BFloat16 => (data.select(col("id"), col("vech")), 2)
+    }
+    graft.plans.Knn.partials(src, qData, k,
       ascending = metric.ascending,
-      innerProduct = metric == Metric.InnerProduct)
+      innerProduct = metric == Metric.InnerProduct,
+      decode = dec)
+  }
+
+  /** Serving-style single-query search: ONE job, ONE stage, no shuffle.
+    *
+    * The batch `search` pays the full SQL stack per call — gate-probe job,
+    * planning, partial top-k stage, a shuffle by qid, final aggregate —
+    * a ~300 ms floor on this box regardless of data size. A point lookup
+    * needs none of it: the fused partials (≤ k rows per partition,
+    * straight off the cached scan) are collected and the final
+    * block_select-style merge runs on the driver over ≤ partitions·k rows.
+    * Semantics (sentinel padding, (dist, id) order, k>ntotal clamp) are
+    * identical to `search` with a single query.
+    *
+    * @return (label, dist) best-first, length k, sentinel-padded.
+    */
+  def searchPoint(qvec: Array[Float], k: Int): Array[(Long, Double)] = {
+    require(k > 0, s"k must be > 0, got $k")
+    val pad = (-1L, metric.sentinel)
+    if (cachedNtotal == 0L) return Array.fill(k)(pad)
+    val rows = fusedPartialsData(Seq((0L, qvec)), k).collect()
+    val buf = new graft.operators.TopKBuffer(k, metric.ascending)
+    rows.foreach(r => buf.insert(r.getDouble(2), r.getLong(1)))
+    val order = buf.sortedIndices
+    val out = order.map(i => (buf.labels(i), buf.scores(i)))
+    out ++ Array.fill(k - out.length)(pad)
+  }
+
+  /** Prepared serving handle — the lowest-latency point-search path.
+    *
+    * [[searchPoint]] still pays SQL planning + a tiny broadcast per call
+    * (~150-250 ms on this box). A prepared searcher does that work ONCE:
+    * the corpus is packed into per-partition primitive arrays (ids + flat
+    * fp32) and cached; each subsequent call is one `runJob` over the
+    * cached RDD with the 1-query vector riding in the task closure — no
+    * planning, no broadcast, no shuffle, no SQL. This is the Spark analog
+    * of the reference's persistent command-queue serving loop
+    * (`src/MetalIndexFlat.mm:441-463` reused per-call buffers).
+    *
+    * The handle reflects the index contents AT PREPARE TIME (like a
+    * trained/sealed serving snapshot); re-prepare after `add`/`reset`.
+    * Results are identical to `search` (same fp64 loop, (dist, id) order,
+    * sentinel padding).
+    */
+  def pointSearcher(k: Int): PointSearcher = {
+    require(k > 0, s"k must be > 0, got $k")
+    val asc = metric.ascending
+    val ip = metric == Metric.InnerProduct
+    val dim = d
+    val packed = decoded.select(col("id"), col("vec")).rdd
+      .mapPartitions { it =>
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val flat = scala.collection.mutable.ArrayBuilder.make[Float]
+        it.foreach { r =>
+          ids += r.getLong(0)
+          val v = r.getSeq[Float](1)
+          var t = 0
+          while (t < dim && t < v.length) { flat += v(t); t += 1 }
+          while (t < dim) { flat += 0f; t += 1 } // defensive pad
+        }
+        if (ids.isEmpty) Iterator.empty
+        else Iterator.single((ids.toArray, flat.result()))
+      }
+    // localCheckpoint, not plain persist: it TRUNCATES the lineage to the
+    // cached blocks. The packed RDD descends from a SQL plan whose object
+    // graph otherwise rides inside EVERY task closure — measured ~140 ms
+    // of task-serialization per runJob on this box vs ~20 ms truncated.
+    packed.localCheckpoint()
+    packed.count() // materialize now so first search pays no scan
+    new PointSearcher(spark, packed, dim, k, asc, ip, metric.sentinel)
   }
 
   /** Async search: identical plan on a background thread; results must be
@@ -268,6 +350,54 @@ final class VectorIndexFlat private (
     decoded.write.mode("overwrite").parquet(path)
 }
 
+/** Sealed serving snapshot from [[VectorIndexFlat.pointSearcher]]: one
+  * `runJob` per query over pre-packed per-partition primitive arrays.
+  * `close()` releases the cached blocks.
+  */
+final class PointSearcher private[index] (
+    spark: SparkSession,
+    packed: org.apache.spark.rdd.RDD[(Array[Long], Array[Float])],
+    d: Int, k: Int, ascending: Boolean, innerProduct: Boolean,
+    sentinel: Double) {
+
+  def search(qvec: Array[Float]): Array[(Long, Double)] = {
+    require(qvec.length == d, s"query must have dimension $d")
+    val kk = k; val asc = ascending; val ip = innerProduct; val dim = d
+    val q = qvec // task-closure copy: tiny, cheaper than a broadcast round
+    val partials: Array[(Array[Long], Array[Double])] =
+      spark.sparkContext.runJob(packed,
+        (it: Iterator[(Array[Long], Array[Float])]) => {
+          val buf = new graft.operators.TopKBuffer(kk, asc)
+          it.foreach { case (ids, flat) =>
+            var i = 0
+            while (i < ids.length) {
+              val off = i * dim
+              var acc = 0.0
+              var t = 0
+              if (ip) while (t < dim) { acc += flat(off + t).toDouble * q(t).toDouble; t += 1 }
+              else while (t < dim) {
+                val dd = flat(off + t).toDouble - q(t).toDouble; acc += dd * dd; t += 1
+              }
+              buf.insert(acc, ids(i))
+              i += 1
+            }
+          }
+          val order = buf.sortedIndices
+          (order.map(buf.labels), order.map(buf.scores))
+        })
+    val merged = new graft.operators.TopKBuffer(k, ascending)
+    partials.foreach { case (ls, ss) =>
+      var i = 0
+      while (i < ls.length) { merged.insert(ss(i), ls(i)); i += 1 }
+    }
+    val order = merged.sortedIndices
+    val out = order.map(i => (merged.labels(i), merged.scores(i)))
+    out ++ Array.fill(k - out.length)((-1L, sentinel))
+  }
+
+  def close(): Unit = packed.unpersist(blocking = false)
+}
+
 object VectorIndexFlat {
 
   /** Fused-path gate: query batches up to this size are collected and
@@ -275,6 +405,32 @@ object VectorIndexFlat {
     * wider because a CPU partition loop has no threadgroup-memory limit).
     */
   val maxFusedQueries = 1024
+
+  /** Per-partition fused top-k state budget, in (nq·k) heap rows — beyond
+    * this the bounded buffers themselves dominate partition memory and the
+    * declarative plan's streaming aggregate is the safer shape (the analog
+    * of the reference's k ≤ 32 fused bound, `src/MetalDistance.mm:341-353`).
+    */
+  val maxFusedStateRows: Long = 1L << 22
+
+  /** Below `minFusedNtotalFactor · k` vectors the fused pre-selection
+    * cannot drop anything (every partition emits ≈ everything it scanned),
+    * so the custom-strategy plan is pure overhead — mirror of the
+    * reference's minimum-work gate (nq·nv ≥ 8M, `MetalDistance.mm:341-353`,
+    * which likewise refuses to dispatch the fused kernel on tiny problems).
+    */
+  val minFusedNtotalFactor = 4L
+
+  /** Cost-model choice of physical path from (nq, ntotal, k) — the Spark
+    * analog of the reference's fused gate (`src/MetalDistance.mm:341-353`:
+    * nq·nv ≥ 8M ∧ nq ≤ 4 ∧ k ≤ 32). All three operands are known exactly
+    * at plan time (ntotal is index metadata, not an estimate). Both paths
+    * are proven bit-identical, so the gate affects cost only.
+    */
+  private[graft] def useFusedPath(nq: Int, nv: Long, k: Int): Boolean =
+    nq <= maxFusedQueries &&
+      nq.toLong * k <= maxFusedStateRows &&
+      nv >= minFusedNtotalFactor * k
 
   private val rawSchema = StructType(Seq(
     StructField("id", LongType, nullable = false),

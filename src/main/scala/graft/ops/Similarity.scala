@@ -131,7 +131,7 @@ object Similarity {
     */
   def gemmTopK(vectors: DataFrame, queries: DataFrame, k: Int,
                blockRows: Int = 1024, maxQueries: Int = 65536,
-               metric: String = "l2"): DataFrame = {
+               metric: String = "l2", storage: String = "fp32"): DataFrame = {
     val q = queries.select(col("qid"), col("qv"))
     // limit(max+1): the probe is no more work than the old unconditional
     // collect when the set is small, and detects oversize without a count
@@ -140,10 +140,11 @@ object Similarity {
     if (probe.length > maxQueries) {
       val n = q.count()
       val batches = math.ceil(n * 1.25 / maxQueries).toInt
-      return batchedTopK(vectors, queries, k, batches, blockRows, metric)
+      return batchedTopK(vectors, queries, k, batches, blockRows, metric, storage)
     }
     gemmTopKRows(vectors,
-      probe.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)), k, blockRows, metric)
+      probe.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)), k, blockRows,
+      metric, storage)
   }
 
   /** The GEMM core over an already-collected query array.
@@ -159,7 +160,8 @@ object Similarity {
     * bit-identical scores.
     */
   private def gemmTopKRows(vectors: DataFrame, qArr: Array[(Long, Array[Float])],
-                           k: Int, blockRows: Int, metric: String = "l2"): DataFrame = {
+                           k: Int, blockRows: Int, metric: String = "l2",
+                           storage: String = "fp32"): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val mCode = metric match {
@@ -168,6 +170,7 @@ object Similarity {
       case "cosine" => 2
       case other => throw new IllegalArgumentException(s"unknown metric $other")
     }
+    require(Seq("fp32", "f16", "bf16").contains(storage), s"unknown storage $storage")
     val qRows = qArr.sortBy(_._1)
     require(qRows.nonEmpty, "gemmTopKRows needs at least one query")
     val d = qRows.head._2.length
@@ -182,9 +185,12 @@ object Similarity {
     val qids = qRows.map(_._1)
     val bc = spark.sparkContext.broadcast((qFlat, qNorm, qids, d))
 
-    val partials = Dedup.spread(vectors).select(col("id"), col("vec"))
-      .as[(Long, Array[Float])]
-      .mapPartitions { it =>
+    // the partition kernel over fp32 rows; reduced-precision storage
+    // decodes each 16-bit row to fp32 JUST before packing (the scan —
+    // the 100 TB cost — reads half the bytes, the reference's
+    // reduced-precision GEMM-tile play, shaders/simdgroup_gemm.metal:262-370)
+    val core: Iterator[(Long, Array[Float])] => Iterator[(Long, Long, Double)] =
+      { it =>
         val (qf, qn, ids, dim) = bc.value
         val nQ = ids.length
         val qNormSqrt = qn.map(math.sqrt)
@@ -256,7 +262,24 @@ object Similarity {
           }
         }
       }
-      .toDF("qid", "label", "score")
+    val src = Dedup.spread(vectors).select(col("id"), col("vec"))
+    val partials = (storage match {
+      case "fp32" => src.as[(Long, Array[Float])].mapPartitions(core)
+      case _ =>
+        val bf = storage == "bf16"
+        src.as[(Long, Array[Short])].mapPartitions { it =>
+          core(it.map { case (id, a) =>
+            val f = new Array[Float](a.length)
+            var t = 0
+            while (t < a.length) {
+              f(t) = if (bf) graft.functions.FloatBits.bf16BitsToFloat(a(t))
+                     else graft.functions.FloatBits.halfBitsToFloat(a(t))
+              t += 1
+            }
+            (id, f)
+          })
+        }
+    }).toDF("qid", "label", "score")
     explodeHits(
       partials.groupBy(col("qid"))
         .agg(topK(col("score"), col("label"), k, ascending = mCode == 0).as("hits")))
@@ -275,7 +298,7 @@ object Similarity {
     */
   def batchedTopK(vectors: DataFrame, queries: DataFrame, k: Int,
                   batches: Int, blockRows: Int = 1024,
-                  metric: String = "l2"): DataFrame = {
+                  metric: String = "l2", storage: String = "fp32"): DataFrame = {
     require(batches >= 1, s"batches must be >= 1, got $batches")
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
@@ -295,7 +318,8 @@ object Similarity {
             .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
           // a residue class can be empty (few queries, or qids not
           // covering every class) — skip it instead of aborting the job
-          if (rows.isEmpty) None else Some(gemmTopKRows(vectors, rows, k, blockRows, metric))
+          if (rows.isEmpty) None
+          else Some(gemmTopKRows(vectors, rows, k, blockRows, metric, storage))
         }
       }
       val dfs = futs.flatMap(Await.result(_, Duration.Inf))
@@ -320,15 +344,14 @@ object Similarity {
     */
   def rerankedTopK(vectors: DataFrame, queries: DataFrame, k: Int,
                    expand: Int = 4): DataFrame = {
+    // the coarse scan rides the GEMM physical path over the 16-bit column
+    // DIRECTLY (storage = "f16") — the J4/J5 reduced-precision-input
+    // analog; scores are identical to the expression formulation
+    // (squaredL2 over dequantizeF16), so the shortlist is unchanged
     val quantized = Dedup.spread(vectors)
-      .select(col("id"), quantizeF16(col("vec")).as("vec16"))
-    val shortlist = quantized.crossJoin(broadcast(queries))
-      .select(col("qid"), col("id").as("label"),
-        squaredL2(dequantizeF16(col("vec16")), col("qv")).as("score"))
-      .groupBy(col("qid"))
-      .agg(topK(col("score"), col("label"), k * expand, ascending = true).as("hits"))
-      .select(col("qid"), explode(col("hits")).as("h"))
-      .select(col("qid"), col("h.label").as("label"))
+      .select(col("id"), quantizeF16(col("vec")).as("vec"))
+    val shortlist = gemmTopK(quantized, queries, k * expand, storage = "f16")
+      .select(col("qid"), col("label"))
     explodeHits(
       broadcast(shortlist).join(vectors, shortlist("label") === vectors("id"))
         .join(broadcast(queries), "qid")

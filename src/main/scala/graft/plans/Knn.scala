@@ -28,6 +28,12 @@ case class KnnNode(
     k: Int,
     ascending: Boolean,
     innerProduct: Boolean,
+    // 0 = fp32 child rows; 1 = f16 bits (array<short>); 2 = bf16 bits.
+    // Reduced precision decodes per ELEMENT inside the distance loop —
+    // the scan reads half the bytes and no fp32 array is ever
+    // materialized (the J4/J5 analog of the reference's half-width GEMM
+    // tiles, shaders/simdgroup_gemm.metal:262-370).
+    decode: Int = 0,
     // constructor field, NOT a val: tree copies (optimizer rewrites) must
     // preserve the expression ids consumers already reference
     output: Seq[Attribute] = KnnNode.freshOutput())
@@ -54,6 +60,7 @@ case class KnnPartialExec(
     k: Int,
     ascending: Boolean,
     innerProduct: Boolean,
+    decode: Int,
     child: SparkPlan)
   extends UnaryExecNode {
 
@@ -65,6 +72,7 @@ case class KnnPartialExec(
     val kk = k
     val asc = ascending
     val ip = innerProduct
+    val dec = decode
     child.execute().mapPartitions({ it =>
       val qs = bc.value
       val bufs = Array.fill(qs.length)(new TopKBuffer(kk, asc))
@@ -78,22 +86,55 @@ case class KnnPartialExec(
           val n = math.min(vn, qv.length)
           var acc = 0.0
           var j = 0
+          // element decode inline (dec 1 = f16 bits, 2 = bf16 bits): the
+          // half-width array is read straight from the scan's ArrayData.
+          // dec is branched OUTSIDE the element loop — the fp32 serving
+          // path keeps its original tight loop
           if (ip) {
-            while (j < n) { acc += vec.getFloat(j).toDouble * qv(j).toDouble; j += 1 }
+            if (dec == 0)
+              while (j < n) { acc += vec.getFloat(j).toDouble * qv(j).toDouble; j += 1 }
+            else if (dec == 1)
+              while (j < n) {
+                acc += graft.functions.FloatBits.halfBitsToFloat(vec.getShort(j)).toDouble *
+                  qv(j).toDouble; j += 1
+              }
+            else
+              while (j < n) {
+                acc += graft.functions.FloatBits.bf16BitsToFloat(vec.getShort(j)).toDouble *
+                  qv(j).toDouble; j += 1
+              }
           } else {
-            while (j < n) {
-              val d = vec.getFloat(j).toDouble - qv(j).toDouble; acc += d * d; j += 1
-            }
+            if (dec == 0)
+              while (j < n) {
+                val d = vec.getFloat(j).toDouble - qv(j).toDouble; acc += d * d; j += 1
+              }
+            else if (dec == 1)
+              while (j < n) {
+                val d = graft.functions.FloatBits.halfBitsToFloat(vec.getShort(j)).toDouble -
+                  qv(j).toDouble
+                acc += d * d; j += 1
+              }
+            else
+              while (j < n) {
+                val d = graft.functions.FloatBits.bf16BitsToFloat(vec.getShort(j)).toDouble -
+                  qv(j).toDouble
+                acc += d * d; j += 1
+              }
           }
           bufs(qi).insert(acc, id)
           qi += 1
         }
       }
+      // UnsafeRow output: lets this node sit at the ROOT of a plan too
+      // (e.g. a collect of the partials for a driver-side merge) — Spark's
+      // byte-array collect path casts rows to UnsafeRow
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(output.map(_.dataType).toArray)
       bufs.iterator.zipWithIndex.flatMap { case (b, qi) =>
         val order = b.sortedIndices
         order.iterator.map { i =>
-          new GenericInternalRow(
-            Array[Any](qs(qi)._1, b.labels(i), b.scores(i))): InternalRow
+          proj(new GenericInternalRow(
+            Array[Any](qs(qi)._1, b.labels(i), b.scores(i)))): InternalRow
         }
       }
     }, preservesPartitioning = true)
@@ -110,8 +151,8 @@ object KnnStrategy extends SparkStrategy {
 
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case KnnNode(child, queries, k, asc, ip, out) =>
-      KnnPartialExec(out, queries, k, asc, ip, planLater(child)) :: Nil
+    case KnnNode(child, queries, k, asc, ip, dec, out) =>
+      KnnPartialExec(out, queries, k, asc, ip, dec, planLater(child)) :: Nil
     case _ => Nil
   }
 }
@@ -129,11 +170,16 @@ object Knn {
   /** Fused partial-kNN DataFrame (qid, id, score) over a (id, vec)
     * DataFrame — apply `topK` grouped by qid on top for final results.
     */
+  /** @param decode 0 = the vector column is fp32; 1/2 = f16/bf16 bits
+    *         (array<short>), decoded per element inside the fused loop.
+    */
   def partials(vectors: DataFrame, queries: Seq[(Long, Array[Float])],
-               k: Int, ascending: Boolean, innerProduct: Boolean): DataFrame = {
+               k: Int, ascending: Boolean, innerProduct: Boolean,
+               decode: Int = 0): DataFrame = {
     val spark = vectors.sparkSession
     install(spark)
     GraftBridge.ofRows(spark,
-      KnnNode(vectors.queryExecution.analyzed, queries, k, ascending, innerProduct))
+      KnnNode(vectors.queryExecution.analyzed, queries, k, ascending,
+        innerProduct, decode))
   }
 }

@@ -59,6 +59,37 @@ object BenchShapes {
     println(results.map { case (l, s, ms, q) =>
       s"""{"shape":"$l","storage":"$s","ms_per_search":${f"$ms%.3f"},"qps":${f"$q%.1f"}}"""
     }.mkString("[", ",", "]"))
+
+    // serving path: searchPoint (one job, one stage, no shuffle) on the
+    // latency shape — the floor the batch search API cannot reach
+    {
+      val sh = shapes.last // latency-128d
+      val rnd = new scala.util.Random(42)
+      def vec() = Array.fill(sh.d)(rnd.nextFloat() * 2f - 1f)
+      val idx = VectorIndexFlat(spark, sh.d, Metric.L2, StorageType.Float32)
+      idx.add((0 until sh.nv).map(_ => vec()))
+      val q = vec()
+      (0 until 3).foreach(_ => idx.searchPoint(q, sh.k)) // warmup
+      val times = (0 until 20).map { _ =>
+        val t0 = System.nanoTime()
+        idx.searchPoint(q, sh.k)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      println(f"latency-128d   point ${times(times.size / 2)}%10.3f ms/search (median of 20; " +
+        f"p90 ${times((times.size * 9) / 10)}%.3f)")
+      // prepared serving handle: pre-packed corpus, one runJob per query
+      val searcher = idx.pointSearcher(sh.k)
+      (0 until 3).foreach(_ => searcher.search(q))
+      val ptimes = (0 until 20).map { _ =>
+        val t0 = System.nanoTime()
+        searcher.search(q)
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      println(f"latency-128d   prep  ${ptimes(ptimes.size / 2)}%10.3f ms/search (median of 20; " +
+        f"p90 ${ptimes((ptimes.size * 9) / 10)}%.3f)")
+      searcher.close()
+      idx.reset()
+    }
     spark.stop()
   }
 }

@@ -257,6 +257,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("GEMM over f16/bf16 storage ≡ expression path over dequantized vectors") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.functions.{quantizeF16, quantizeBf16, dequantizeF16, dequantizeBf16}
+    val vdf = Oracle.genVectors(500, 16).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = Oracle.genVectors(6, 16, seed = 3L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    for ((st, qz, dq) <- Seq(
+        ("f16", quantizeF16 _, dequantizeF16 _),
+        ("bf16", quantizeBf16 _, dequantizeBf16 _))) {
+      val quantized = vdf.select(col("id"), qz(col("vec")).as("vec"))
+      val decoded = quantized.select(col("id"), dq(col("vec")).as("vec"))
+      val viaExpr = Similarity.bruteForceTopK(decoded, qdf, 8, "l2")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e6))).toSet
+      val viaGemm = Similarity.gemmTopK(quantized, qdf, 8, storage = st)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          math.round(r.getDouble(3) * 1e6))).toSet
+      assert(viaGemm === viaExpr, s"storage $st")
+    }
+  }
+
   test("fingerprintPairs rejects hammingMax beyond the 3-band exact-recall bound") {
     val docs = docsDf(Seq(0L -> base, 1L -> nearDup))
     intercept[IllegalArgumentException] {

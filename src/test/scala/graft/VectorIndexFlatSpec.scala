@@ -229,6 +229,67 @@ class VectorIndexFlatSpec extends AnyFunSuite {
       ip.search(qs, 5, forceDeclarative = true).orderBy("qid", "rank").collect())
   }
 
+  test("cost-model gate: fused vs declarative chosen per (nq, ntotal, k) regime") {
+    import graft.index.VectorIndexFlat.useFusedPath
+    // serving regime: small batch over a big index → fused
+    assert(useFusedPath(nq = 8, nv = 1000000L, k = 10))
+    // huge query batch → declarative (collect/broadcast bound)
+    assert(!useFusedPath(nq = 2000, nv = 1000000L, k = 10))
+    // per-partition top-k state beyond budget → declarative
+    assert(!useFusedPath(nq = 1024, nv = 1000000L, k = 8192))
+    // tiny index: pre-selection cannot drop anything → declarative
+    assert(!useFusedPath(nq = 8, nv = 30L, k = 10))
+    // the physical plans actually chosen match the model
+    val d = 16
+    val qs = Oracle.queriesDf(spark, Oracle.genVectors(2, d, seed = 5))
+    val big = VectorIndexFlat(spark, d)
+    big.add(Oracle.genVectors(500, d).toSeq)
+    val bigRes = big.search(qs, 5)
+    bigRes.collect()
+    assert(bigRes.queryExecution.executedPlan.toString.contains("KnnPartial"))
+    val tiny = VectorIndexFlat(spark, d)
+    tiny.add(Oracle.genVectors(10, d).toSeq)
+    val tinyRes = tiny.search(qs, 5)
+    tinyRes.collect()
+    assert(!tinyRes.queryExecution.executedPlan.toString.contains("KnnPartial"))
+    // and results are path-independent in every regime
+    assert(tiny.search(qs, 5).orderBy("qid", "rank").collect() ===
+      tiny.search(qs, 5, forceDeclarative = true).orderBy("qid", "rank").collect())
+    big.reset(); tiny.reset()
+  }
+
+  test("searchPoint ≡ search with one query; sentinel padding; empty index") {
+    val d = 32
+    val vecs = Oracle.genVectors(400, d)
+    val q = Oracle.genVectors(1, d, seed = 77).head
+    val idx = VectorIndexFlat(spark, d)
+    idx.add(vecs.toSeq)
+    val viaBatch = runSearch(idx, Array(q), 7)(0L)
+    val point = idx.searchPoint(q, 7)
+    assert(point.map(_._1).toSeq === viaBatch.map(_._1))
+    point.zip(viaBatch).foreach { case ((_, pd), (_, bd)) =>
+      assert(math.abs(pd - bd) <= 1e-5 * math.max(1.0, math.abs(bd)))
+    }
+    // k > ntotal pads with sentinels
+    val small = VectorIndexFlat(spark, d)
+    small.add(vecs.take(3).toSeq)
+    val padded = small.searchPoint(q, 5)
+    assert(padded.length === 5)
+    assert(padded.drop(3).forall(p => p._1 == -1L && p._2.isPosInfinity))
+    // empty index → all sentinels
+    val empty = VectorIndexFlat(spark, d)
+    assert(empty.searchPoint(q, 3).forall(p => p._1 == -1L && p._2.isPosInfinity))
+    // prepared serving handle returns the same rows as the ad-hoc point path
+    val searcher = idx.pointSearcher(7)
+    val prepared = searcher.search(q)
+    assert(prepared.map(_._1).toSeq === point.map(_._1).toSeq)
+    prepared.zip(point).foreach { case ((_, pd), (_, sd)) =>
+      assert(math.abs(pd - sd) <= 1e-12 * math.max(1.0, math.abs(sd)))
+    }
+    searcher.close()
+    idx.reset(); small.reset()
+  }
+
   test("dual-path: direct ‖q−v‖² vs decomposed ‖q‖²+‖v‖²−2⟨q,v⟩ agree ≤5e-2 rel") {
     val d = 64
     val vecs = Oracle.genVectors(50, d)
