@@ -359,8 +359,9 @@ object SparkEntry {
         .orderBy("vec_id", "pos")
     },
 
-    // fp16 storage round-trip error profile (SURVEY S7; no SQL oracle —
-    // DuckDB has no half type → rows-only check; precision pinned by tests)
+    // fp16 storage round-trip error profile (SURVEY S7). Oracled: the RNE
+    // quantization is reproduced in DuckDB as exact double step arithmetic
+    // (see oracleSql), and the f32 subtraction below is exact (Sterbenz).
     "f16_roundtrip" -> { (s, dir) =>
       Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
@@ -373,8 +374,8 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
-    // bf16 storage round-trip error profile (SURVEY S8; no SQL oracle —
-    // rows-only; RNE truncation semantics pinned by FloatBitsSpec)
+    // bf16 storage round-trip error profile (SURVEY S8). Oracled like
+    // f16_roundtrip (8-bit significand, normal range only at this data).
     "bf16_roundtrip" -> { (s, dir) =>
       Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
@@ -1297,7 +1298,8 @@ object SparkEntry {
     },
 
     // ---- multimodal: binary-column batched feature extraction (decode
-    //      stubbed; plumbing real — no SQL oracle, rows-only check) ----
+    //      stubbed; plumbing real). Oracled: the stub's byte-stat features
+    //      are reproduced in DuckDB over the ASCII payload bytes. ----
 
     "multimodal_features" -> { (s, dir) =>
       // flattened to scalar columns: the driver's row compare canonicalizes
@@ -1553,6 +1555,71 @@ object SparkEntry {
         |FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)
         |WHERE vec_id IN (3, 7, 11)
         |ORDER BY vec_id, pos""".stripMargin,
+
+    // f16/bf16 round-trip: DuckDB has no half types, but the quantization
+    // IS expressible as exact double arithmetic — for x with exponent e,
+    // RNE to an m-bit significand is round_even(x/s)*s with step
+    // s = 2^(max(e, e_min) - (m-1)) (e_min = -14 covers f16 subnormals;
+    // bf16 normals reach e_min = -126, never hit here). floor(log2(ax))
+    // can be off by one at binade edges → clamped by direct comparison.
+    // The f32 subtraction in the Spark query is exact (Sterbenz: deq is
+    // within a factor 2 of x), so both sides compute the same double.
+    "f16_roundtrip" ->
+      """WITH el AS (
+        |  SELECT vec_id, len(embedding) AS nd, UNNEST(embedding) AS x FROM embeddings),
+        |e1 AS (
+        |  SELECT vec_id, nd, CAST(x AS DOUBLE) AS xd, abs(CAST(x AS DOUBLE)) AS ax,
+        |    CAST(floor(log2(abs(CAST(x AS DOUBLE)))) AS BIGINT) AS e0 FROM el),
+        |e2 AS (
+        |  SELECT vec_id, nd, xd, power(CAST(2 AS DOUBLE),
+        |    greatest(CASE WHEN ax >= power(CAST(2 AS DOUBLE), e0+1) THEN e0+1
+        |                  WHEN ax <  power(CAST(2 AS DOUBLE), e0)   THEN e0-1
+        |                  ELSE e0 END, -14) - 10) AS s FROM e1),
+        |r AS (
+        |  SELECT vec_id, nd, abs(xd - round_even(xd / s, 0) * s) AS err FROM e2)
+        |SELECT vec_id, CAST(MAX(nd) AS BIGINT) AS n_dims,
+        |  ROUND(MAX(err), 6) AS max_abs_err
+        |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "bf16_roundtrip" ->
+      """WITH el AS (
+        |  SELECT vec_id, len(embedding) AS nd, UNNEST(embedding) AS x FROM embeddings),
+        |e1 AS (
+        |  SELECT vec_id, nd, CAST(x AS DOUBLE) AS xd, abs(CAST(x AS DOUBLE)) AS ax,
+        |    CAST(floor(log2(abs(CAST(x AS DOUBLE)))) AS BIGINT) AS e0 FROM el),
+        |e2 AS (
+        |  SELECT vec_id, nd, xd, power(CAST(2 AS DOUBLE),
+        |    greatest(CASE WHEN ax >= power(CAST(2 AS DOUBLE), e0+1) THEN e0+1
+        |                  WHEN ax <  power(CAST(2 AS DOUBLE), e0)   THEN e0-1
+        |                  ELSE e0 END, -126) - 7) AS s FROM e1),
+        |r AS (
+        |  SELECT vec_id, nd, abs(xd - round_even(xd / s, 0) * s) AS err FROM e2)
+        |SELECT vec_id, CAST(MAX(nd) AS BIGINT) AS n_dims,
+        |  ROUND(MAX(err), 6) AS max_abs_err
+        |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // the stub decoder's byte-stat features are plain arithmetic over the
+    // utf-8 payload bytes; documents.text is pure ASCII (verified), so
+    // unicode(char) == byte value and length == octet_length. The per-dim
+    // double sum is cast to FLOAT on both sides, which absorbs summation-
+    // order differences.
+    "multimodal_features" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+        |bytes AS (
+        |  SELECT media_id, i % 8 AS j, unicode(substr(text, CAST(i AS INT) + 1, 1)) AS bv
+        |  FROM (SELECT media_id, text, UNNEST(range(n)) AS i FROM b)),
+        |feat AS (
+        |  SELECT media_id, j,
+        |    CAST(CAST(SUM(CAST(bv AS DOUBLE) / CAST(255 AS DOUBLE)) AS FLOAT) AS DOUBLE) AS f
+        |  FROM bytes GROUP BY media_id, j),
+        |agg AS (
+        |  SELECT media_id, SUM(f) AS fs, MAX(f) AS fm FROM feat GROUP BY media_id)
+        |SELECT b.media_id, CAST(b.n AS BIGINT) AS n_bytes, 'text/plain' AS mime,
+        |  CAST(8 AS BIGINT) AS n_dims, ROUND(a.fs, 4) AS feat_sum,
+        |  ROUND(a.fm, 4) AS feat_max
+        |FROM b JOIN agg a ON a.media_id = b.media_id
+        |ORDER BY b.media_id""".stripMargin,
 
     "vec_norms" ->
       """SELECT vec_id,

@@ -32,16 +32,22 @@ object Multimodal {
 
   /** STUB decoder: a real implementation would hand `payloads` (one batch,
     * not one row) to an image/audio codec. The fake derives `dim` floats
-    * from byte statistics so tests are deterministic.
+    * from byte statistics so tests are deterministic. Accumulation is in
+    * double with a single final float rounding — an order-insensitive
+    * result (double roundoff never crosses a float rounding boundary
+    * here), which lets a SQL oracle reproduce the features exactly.
     */
   def decodeBatchStub(payloads: Seq[Array[Byte]], dim: Int): Seq[Array[Float]] =
     payloads.map { bytes =>
-      val out = new Array[Float](dim)
+      val acc = new Array[Double](dim)
       var i = 0
       while (i < bytes.length) {
-        out(i % dim) += (bytes(i) & 0xFF) / 255.0f
+        acc(i % dim) += (bytes(i) & 0xFF) / 255.0
         i += 1
       }
+      val out = new Array[Float](dim)
+      i = 0
+      while (i < dim) { out(i) = acc(i).toFloat; i += 1 }
       out
     }
 
