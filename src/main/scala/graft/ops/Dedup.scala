@@ -206,20 +206,59 @@ object Dedup {
           (col("na") + col("nb") - col("n_inter")).cast(DoubleType))
   }
 
+  /** The over-cap shingle blacklist: shingles present in more than `maxDf`
+    * rows of `sh`. The df aggregation is a combiner-friendly `groupBy` —
+    * map-side partial counts mean a boilerplate shingle shared by 10⁸ docs
+    * costs one counter cell per task, never a single-task buffer (the
+    * previous `count(*) OVER (PARTITION BY s)` formulation shuffled and
+    * sorted EVERY occurrence of the hot shingle onto one task before the
+    * filter could discard it — exactly the skew cliff the cap exists to
+    * remove). The result is tiny by construction: ≤ total-occurrences/maxDf
+    * rows, and in practice just the boilerplate set.
+    */
+  private[graft] def hotShingles(sh: DataFrame, maxDf: Long): DataFrame =
+    sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("s"))
+
+  /** Drop rows whose shingle is over the df cap, via a BROADCAST anti-join
+    * against the [[hotShingles]] blacklist — no shuffle of the (huge)
+    * occurrence table, no per-shingle buffering. All other columns of `sh`
+    * pass through unchanged.
+    *
+    * NOTE: `sh` is consumed twice (blacklist + anti-join) — callers should
+    * back it with a localCheckpoint'ed compact form (see
+    * [[explodedShinglesCk]]) so shingling runs once.
+    */
+  private[graft] def dropHotShingles(sh: DataFrame, maxDf: Long): DataFrame =
+    sh.join(broadcast(hotShingles(sh, maxDf)), Seq("s"), "left_anti")
+
+  /** [[explodedShingles]] with the COMPACT per-doc arrays (one row per doc)
+    * eagerly localCheckpointed, so multiple consumers re-run only the
+    * explode off cached blocks instead of re-shingling the corpus.
+    */
+  private[ops] def explodedShinglesCk(docs: DataFrame, n: Int = 3): DataFrame = {
+    val compact = spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), graft.functions.wordShingles(col("w"), n).as("sh"))
+      .localCheckpoint(true)
+    compact.select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+  }
+
   /** Drop shingles whose document frequency exceeds `maxDf` and recompute
     * the per-doc distinct-shingle count over the kept (informative)
     * universe. The guard against the hot-shingle pair blowup: a shingle-
     * equi-join's cost is Σ df(s)² over shingles, so ONE boilerplate 3-gram
     * shared by 10⁵ docs produces 10¹⁰ join rows; capping df bounds each
-    * shingle's contribution at maxDf². The df aggregation itself is a
-    * combiner-friendly groupBy — linear, never quadratic.
+    * shingle's contribution at maxDf². df itself comes from the
+    * combiner-friendly [[hotShingles]] groupBy — linear, never quadratic,
+    * no single-task hot-shingle partition.
     */
-  private[ops] def capShingleDf(sh: DataFrame, maxDf: Long): DataFrame = {
+  private[graft] def capShingleDf(sh: DataFrame, maxDf: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // count(*) over (partition by s) instead of a groupBy + self-join:
-    // one shuffle on s, and hot shingles stay together for the filter
-    sh.withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("df") <= maxDf)
+    // n_sh windows by doc_id — partition size is bounded by document
+    // length (shingles per doc), so no skew cliff, unlike a window by s
+    dropHotShingles(sh, maxDf)
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
       .select(col("doc_id"), col("n_sh"), col("s"))
   }
@@ -237,7 +276,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, minJaccard: Double,
                         maxDf: Long = 1000L): DataFrame = {
-    val sh = capShingleDf(explodedShingles(docs), maxDf)
+    val sh = capShingleDf(explodedShinglesCk(docs), maxDf)
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -388,17 +427,16 @@ object Dedup {
     // df-cap each side before the join: the join's cost is
     // Σ df_train(s)·df_eval(s), so one boilerplate n-gram shared by 10⁵
     // docs on both sides is 10¹⁰ rows. Dropping grams with df > maxDf on
-    // either side bounds every term at maxDf². n_sh (the frac denominator)
-    // stays the FULL distinct-gram count — frac is then a lower bound that
-    // ignores boilerplate-gram overlap, which is what decontamination
-    // wants anyway (benchmark leakage is informative-gram overlap).
-    val tSh = explodedShingles(train, n)
-      .withColumn("df_t", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("df_t") <= maxDf).drop("df_t")
-    val eSh = explodedShingles(eval_, n)
-      .select(col("doc_id").as("eval_id"), col("s"))
-      .withColumn("df_e", count(lit(1)).over(Window.partitionBy(col("s"))))
-      .filter(col("df_e") <= maxDf).drop("df_e")
+    // either side bounds every term at maxDf² — via the combiner-friendly
+    // groupBy + broadcast-blacklist anti-join ([[dropHotShingles]]), never
+    // a window over all occurrences. n_sh (the frac denominator) stays the
+    // FULL distinct-gram count — frac is then a lower bound that ignores
+    // boilerplate-gram overlap, which is what decontamination wants anyway
+    // (benchmark leakage is informative-gram overlap).
+    val tSh = dropHotShingles(explodedShinglesCk(train, n), maxDf)
+    val eSh = dropHotShingles(
+      explodedShinglesCk(eval_, n).select(col("doc_id").as("eval_id"), col("s")),
+      maxDf)
     val overlap = tSh.join(eSh, "s")
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_overlap"), first(col("n_sh")).as("n_sh"))

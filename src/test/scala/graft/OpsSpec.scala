@@ -180,6 +180,25 @@ class OpsSpec extends AnyFunSuite {
     assert(boiler.forall { case (i, _) => cont(i) == 0L })
   }
 
+  test("df-cap blacklist: combiner groupBy + broadcast anti-join, no occurrence window, 1e5-doc hot shingle") {
+    // one boilerplate shingle shared by 100k docs (df = 1e5, 100× the cap)
+    // plus one unique shingle per doc — the shape that made the old
+    // count(*) OVER (PARTITION BY s) formulation buffer 1e5 rows on one task
+    val sh = spark.range(100000).select(
+      col("id").as("doc_id"), lit(2).as("n_sh"),
+      explode(array(lit("the same boilerplate"), concat(lit("unique"), col("id")))).as("s"))
+    val dropped = Dedup.dropHotShingles(sh, maxDf = 1000)
+    val plan = dropped.queryExecution.sparkPlan.toString
+    assert(!plan.contains("Window"), s"df cap must not window over occurrences:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected broadcast anti-join:\n$plan")
+    assert(dropped.count() === 100000L) // every doc keeps exactly its unique shingle
+    val capped = Dedup.capShingleDf(sh, maxDf = 1000)
+      .agg(count(lit(1)), sum(col("n_sh")), countDistinct(col("s"))).head()
+    assert(capped.getLong(0) === 100000L) // rows: one kept shingle per doc
+    assert(capped.getLong(1) === 100000L) // n_sh recomputed over kept universe: 1 per doc
+    assert(capped.getLong(2) === 100000L) // all kept shingles distinct
+  }
+
   test("gemmTopK guards the driver collect: auto-batching, empty batches, zero queries") {
     val spark2 = spark
     import spark2.implicits._
