@@ -27,10 +27,16 @@ package object functions {
   def vectorNormSq(v: Column): Column =
     GraftBridge.column(VectorNormSq(e(v)))
 
-  /** Cosine similarity dot(a,b)/(‖a‖·‖b‖), composed from codegen kernels. */
+  /** Cosine similarity dot(a,b)/(‖a‖·‖b‖), composed from codegen kernels.
+    *
+    * A zero-norm side yields NaN (IEEE 0/0) rather than an ANSI
+    * divide-by-zero error — matching the GEMM path's plain double
+    * arithmetic, and TopKAgg already ranks NaN as always-worst.
+    */
   def cosineSimilarity(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.functions.sqrt
-    dotProduct(a, b) / (sqrt(vectorNormSq(a)) * sqrt(vectorNormSq(b)))
+    import org.apache.spark.sql.functions.{lit, sqrt, when}
+    val denom = sqrt(vectorNormSq(a)) * sqrt(vectorNormSq(b))
+    when(denom === 0.0, lit(Double.NaN)).otherwise(dotProduct(a, b) / denom)
   }
 
   /** fp32 `array<float>` → IEEE-half bits `array<short>` (RNE). */

@@ -140,7 +140,8 @@ object Similarity {
     if (probe.length > maxQueries) {
       val n = q.count()
       val batches = math.ceil(n * 1.25 / maxQueries).toInt
-      return batchedTopK(vectors, queries, k, batches, blockRows, metric, storage)
+      return batchedTopK(vectors, queries, k, batches, blockRows, metric, storage,
+        maxQueries)
     }
     gemmTopKRows(vectors,
       probe.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)), k, blockRows,
@@ -199,17 +200,30 @@ object Similarity {
         val bufScore = Array.fill(nQ)(new Array[Double](k))
         val bufLabel = Array.fill(nQ)(new Array[Long](k))
         val bufLen = new Array[Int](nQ)
+        // mirrors TopKBuffer.cmp: NaN is ALWAYS worst (a zero-norm vector
+        // under cosine yields 0/0 = NaN; naive `>` comparisons are all
+        // false for NaN and would silently break the sorted invariant),
+        // ties toward the smaller label. Keeps the GEMM path bit-identical
+        // to the declarative path on corpora containing zero vectors.
+        @inline def worseThan(s1: Double, l1: Long, s2: Double, l2: Long): Boolean = {
+          val n1 = s1 != s1; val n2 = s2 != s2
+          if (n1 != n2) n1
+          else {
+            val c = if (n1) 0 else java.lang.Double.compare(s1, s2)
+            if (c != 0) c > 0 else l1 > l2
+          }
+        }
         def offer(q: Int, s: Double, l: Long): Unit = {
           val n = bufLen(q); val ss = bufScore(q); val ll = bufLabel(q)
           if (n < k) {
             var i = n - 1; ss(n) = s; ll(n) = l
-            while (i >= 0 && (ss(i) > s || (ss(i) == s && ll(i) > l))) {
+            while (i >= 0 && worseThan(ss(i), ll(i), s, l)) {
               ss(i + 1) = ss(i); ll(i + 1) = ll(i); ss(i) = s; ll(i) = l; i -= 1
             }
             bufLen(q) = n + 1
-          } else if (s < ss(k - 1) || (s == ss(k - 1) && l < ll(k - 1))) {
+          } else if (worseThan(ss(k - 1), ll(k - 1), s, l)) {
             var i = k - 2; ss(k - 1) = s; ll(k - 1) = l
-            while (i >= 0 && (ss(i) > s || (ss(i) == s && ll(i) > l))) {
+            while (i >= 0 && worseThan(ss(i), ll(i), s, l)) {
               ss(i + 1) = ss(i); ll(i + 1) = ll(i); ss(i) = s; ll(i) = l; i -= 1
             }
           }
@@ -298,11 +312,44 @@ object Similarity {
     */
   def batchedTopK(vectors: DataFrame, queries: DataFrame, k: Int,
                   batches: Int, blockRows: Int = 1024,
-                  metric: String = "l2", storage: String = "fp32"): DataFrame = {
+                  metric: String = "l2", storage: String = "fp32",
+                  maxQueries: Int = 65536): DataFrame = {
     require(batches >= 1, s"batches must be >= 1, got $batches")
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    // batch on pmod(xxhash64(qid), batches), NOT raw qid: structured id
+    // sets (all multiples of `batches`, all even with an even count) would
+    // pile the entire query set into one residue class and defeat the
+    // driver-OOM guard; hash residues are uniform regardless of id shape
+    def residue(modulus: Long, b: Long) =
+      queries.select(col("qid"), col("qv"))
+        .filter(pmod(xxhash64(col("qid")), lit(modulus)) === b)
+    // belt-and-braces re-check: probe each class with limit(max+1) before
+    // collecting; a class that still exceeds maxQueries (colliding hash
+    // values) splits in two — h ≡ b and h ≡ b+m (mod 2m) partition
+    // {h ≡ b (mod m)} exactly — down to a bounded depth (16× headroom;
+    // past that the ids are adversarially identical and we collect anyway
+    // rather than recurse forever)
+    def runResidue(modulus: Long, b: Long, depth: Int): Option[DataFrame] = {
+      val part = residue(modulus, b)
+      val probe = part.limit(maxQueries + 1).collect()
+      // an empty residue class (few queries) is skipped, not fatal
+      if (probe.isEmpty) None
+      else if (probe.length <= maxQueries)
+        Some(gemmTopKRows(vectors,
+          probe.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
+          k, blockRows, metric, storage))
+      else if (depth < 4) {
+        val halves = Seq(runResidue(modulus * 2, b, depth + 1),
+          runResidue(modulus * 2, b + modulus, depth + 1)).flatten
+        if (halves.isEmpty) None else Some(halves.reduce(_ unionByName _))
+      } else {
+        val rows = part.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        Some(gemmTopKRows(vectors, rows, k, blockRows, metric, storage))
+      }
+    }
     // the per-batch query collects are independent Spark jobs — submit
     // them from a small pool so they overlap (local mode and clusters both
     // schedule concurrent jobs fairly). Pool size also bounds peak driver
@@ -312,15 +359,7 @@ object Similarity {
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
       val futs = (0 until batches).map { b =>
-        Future {
-          val rows = queries.select(col("qid"), col("qv"))
-            .filter(pmod(col("qid"), lit(batches.toLong)) === b).collect()
-            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-          // a residue class can be empty (few queries, or qids not
-          // covering every class) — skip it instead of aborting the job
-          if (rows.isEmpty) None
-          else Some(gemmTopKRows(vectors, rows, k, blockRows, metric, storage))
-        }
+        Future(runResidue(batches.toLong, b.toLong, 0))
       }
       val dfs = futs.flatMap(Await.result(_, Duration.Inf))
       if (dfs.isEmpty) emptyHits(vectors.sparkSession)
@@ -407,30 +446,46 @@ object Similarity {
     * The kNN stage is [[gemmTopK]] (cosine epilogue), i.e. the same
     * batched-broadcast GEMM machinery as bulk retrieval — at 100 TB the
     * query side auto-batches and each batch is one scan-parallel job,
-    * where the old `a.join(b, i < j)` was a BroadcastNestedLoopJoin that
-    * could never finish. A pair surfaces in both endpoints' lists with
-    * bit-identical fp64 scores (dgemm term order is symmetric), so the
-    * groupBy(i, j) dedup is exact.
+    * where an all-pairs `a.join(b, i < j)` would be a
+    * BroadcastNestedLoopJoin that could never finish. A pair surfaces in
+    * both endpoints' lists with bit-identical fp64 scores (dgemm term
+    * order is symmetric), so the groupBy(i, j) dedup is exact.
     *
-    * The pair id is packed as i·2³¹ + j, which is order-isomorphic to
-    * (i, j) — so the aggregate's (score desc, label asc) total order is
-    * exactly the (cos desc, i, j) order the oracle uses.
+    * The final top-N is `orderBy(cos desc, i, j).limit(topN)` — a
+    * TakeOrderedAndProject over the n·k candidate rows (per-partition
+    * bounded top-N, driver merges topN·partitions rows), keeping i and j
+    * as plain columns for the whole pipeline: ids of ANY long range are
+    * supported (an earlier formulation packed pairs as i·2³¹+j, which
+    * silently aliased once j ≥ 2³¹ — doc ids at 100 TB exceed that).
+    *
+    * Below `directLimit` vectors (≤ ~10⁶ candidate pairs) the self-kNN
+    * machinery is skipped for a direct bounded-pairs plan — same rows,
+    * same scores (the expression kernels match the GEMM fp64 term order
+    * bit-for-bit), without the GEMM path's fixed multi-job latency.
     */
-  def topCosinePairs(vectors: DataFrame, topN: Int, margin: Int = 12): DataFrame = {
-    val queries = vectors.select(col("id").as("qid"), col("vec").as("qv"))
-    val hits = gemmTopK(vectors, queries, k = topN + 1 + margin, metric = "cosine")
-    hits.filter(col("qid") =!= col("label"))
-      .select(least(col("qid"), col("label")).as("i"),
-        greatest(col("qid"), col("label")).as("j"), col("score"))
-      .groupBy(col("i"), col("j")).agg(max(col("score")).as("cos"))
-      .select((col("i") * lit(1L << 31) + col("j")).as("pair"), col("cos"))
-      .agg(topK(col("cos"), col("pair"), topN, ascending = false).as("hits"))
-      .select(posexplode(col("hits")))
-      .select((col("pos") + 1).cast(LongType).as("rn"),
-        // integer `div`, not `/` (Divide casts to double and loses
-        // exactness above 2^53); packing supports ids < 2^32
-        expr(s"col.label div ${1L << 31}").as("i"),
-        (col("col.label") % lit(1L << 31)).as("j"),
-        round(col("col.score"), 6).as("cos"))
+  def topCosinePairs(vectors: DataFrame, topN: Int, margin: Int = 12,
+                     directLimit: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = vectors.count()
+    val pairs =
+      if (n <= directLimit) {
+        val a = vectors.select(col("id").as("i"), col("vec").as("av"))
+        val b = vectors.select(col("id").as("j"), col("vec").as("bv"))
+        Dedup.spread(a).join(broadcast(b), col("i") < col("j"))
+          .select(col("i"), col("j"),
+            cosineSimilarity(col("av"), col("bv")).as("cos"))
+      } else {
+        val queries = vectors.select(col("id").as("qid"), col("vec").as("qv"))
+        val hits = gemmTopK(vectors, queries, k = topN + 1 + margin, metric = "cosine")
+        hits.filter(col("qid") =!= col("label"))
+          .select(least(col("qid"), col("label")).as("i"),
+            greatest(col("qid"), col("label")).as("j"), col("score"))
+          .groupBy(col("i"), col("j")).agg(max(col("score")).as("cos"))
+      }
+    // rn windows over ≤ topN already-limited rows — a single tiny partition
+    pairs.orderBy(col("cos").desc, col("i"), col("j")).limit(topN)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cos").desc, col("i"), col("j"))).cast(LongType))
+      .select(col("rn"), col("i"), col("j"), round(col("cos"), 6).as("cos"))
   }
 }

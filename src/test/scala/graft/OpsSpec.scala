@@ -230,13 +230,19 @@ class OpsSpec extends AnyFunSuite {
     import spark2.implicits._
     val vecs = Oracle.genVectors(400, 16)
     val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
-    val got = Similarity.topCosinePairs(vdf, 25)
+    // directLimit = 0 forces the self-kNN scale path (400 vectors would
+    // otherwise take the small-input direct-pairs shortcut)
+    val got = Similarity.topCosinePairs(vdf, 25, directLimit = 0L)
     val gotRows = got.orderBy("rn").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     // collect first so the adaptive plan is final, then assert shape
     val plan = got.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), "all-pairs join crept back in")
     assert(!plan.contains("CartesianProduct"), "all-pairs join crept back in")
+    // the small-input shortcut must produce the identical ranking
+    val direct = Similarity.topCosinePairs(vdf, 25).orderBy("rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(direct.toSeq === gotRows.toSeq)
     // driver-side all-pairs reference (same fp64 index-order accumulation)
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var t = 0
@@ -255,6 +261,78 @@ class OpsSpec extends AnyFunSuite {
       assert(rn === idx + 1L)
       assert((i, j) === ((wi, wj)), s"rank ${idx + 1}")
       assert(math.abs(c - wc) < 1e-6) // output cos is round(·, 6)
+    }
+  }
+
+  test("batchedTopK: structured qids hash-distribute; oversize residues re-split") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vdf = Oracle.genVectors(300, 10).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    // qids ALL multiples of the batch count — under raw-qid batching every
+    // query landed in residue 0 and one collect held the whole set
+    val qdf = Oracle.genVectors(12, 10, seed = 5L).zipWithIndex
+      .map { case (v, i) => (i.toLong * 4, v) }.toSeq.toDF("qid", "qv")
+    val want = Similarity.bruteForceTopK(vdf, qdf, 5, "l2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hashed = Similarity.batchedTopK(vdf, qdf, 5, batches = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(hashed === want)
+    // maxQueries = 2 with 12 queries over 2 batches: every residue class
+    // exceeds the cap and must recursively split (to depth ~2-3), never
+    // collect more than the cap per class until the depth guard
+    val resplit = Similarity.batchedTopK(vdf, qdf, 5, batches = 2, maxQueries = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(resplit === want)
+  }
+
+  test("GEMM cosine path: zero-norm vector (NaN score) ranks always-worst, both paths agree") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Oracle.genVectors(50, 6)
+    // vector 7 is all-zero: cosine = 0/0 = NaN; it must never displace a
+    // finite score from a top-k buffer, and with k > finite candidates it
+    // fills trailing ranks exactly like the declarative TopKAgg path
+    val vecs = base.zipWithIndex.map { case (v, i) =>
+      (i.toLong, if (i == 7) Array.fill(6)(0.0f) else v) }
+    val vdf = vecs.toSeq.toDF("id", "vec")
+    val qdf = Oracle.genVectors(3, 6, seed = 9L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        val s = r.getDouble(3)
+        (r.getLong(0), r.getLong(1), r.getLong(2), if (s != s) "NaN" else f"$s%.9f")
+      }.toSet
+    val declarative = canon(Similarity.bruteForceTopK(vdf, qdf, 50, "cosine"))
+    val gemm = canon(Similarity.gemmTopK(vdf, qdf, 50, metric = "cosine"))
+    assert(gemm === declarative)
+    // the NaN row is present but ranked last for every query
+    val ranks = Similarity.gemmTopK(vdf, qdf, 50, metric = "cosine")
+      .filter(col("label") === 7).select("rank").collect().map(_.getLong(0))
+    assert(ranks.length === 3 && ranks.forall(_ === 50L))
+  }
+
+  test("topCosinePairs: ids beyond 2^31 survive both paths (no packed-pair aliasing)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the old i·2³¹+j packed key silently aliased once j ≥ 2³¹; 100 TB doc
+    // ids exceed that, so pairs must round-trip as plain (i, j) columns
+    val off = (1L << 33) + 5L
+    val vecs = Oracle.genVectors(60, 8)
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (off + i.toLong, v) }
+      .toSeq.toDF("id", "vec")
+    val small = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("id", "vec")
+    for (limit <- Seq(0L, 1000L)) { // kNN scale path and direct shortcut
+      val big = Similarity.topCosinePairs(vdf, 10, directLimit = limit)
+        .orderBy("rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val ref = Similarity.topCosinePairs(small, 10, directLimit = limit)
+        .orderBy("rn").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      // same ranking, ids shifted by the offset, scores identical
+      assert(big.toSeq === ref.toSeq.map { case (rn, i, j, c) => (rn, i + off, j + off, c) },
+        s"directLimit=$limit")
     }
   }
 
