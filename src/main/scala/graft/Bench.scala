@@ -29,23 +29,36 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None        => SparkEntry.queries
     }
+    // median of `reps` executions per query inside ONE JVM: single-shot
+    // numbers on this box swing 3-6× run-to-run (BASELINE.md documents
+    // same-code swings), which cost the round-3 audit a clean read.
+    // The median discards both the cold-plan first run and GC spikes.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     // a failed query must be visible, not silently fast: it reports -1
     // (and prints the error) instead of its time-to-failure
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          name -> -1.0
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
       }
+      if (times.exists(_ < 0)) name -> -1.0
+      else name -> times.sorted.apply(reps / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision keeps the one-line JSON short enough that no
+    // tail-capture truncates the per-query map (9-digit doubles tripled
+    // the line length for precision that is pure noise here)
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
