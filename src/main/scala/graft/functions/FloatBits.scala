@@ -93,4 +93,14 @@ object FloatBits {
   /** bfloat16 bits → fp32 (exact: the bf16 value *is* the top half). */
   def bf16BitsToFloat(s: Short): Float =
     java.lang.Float.intBitsToFloat((s & 0xFFFF) << 16)
+
+  private lazy val bf16Table: Array[Float] =
+    Array.tabulate(65536)(i => java.lang.Float.intBitsToFloat(i << 16))
+
+  /** Full 2¹⁶-entry bits→fp32 decode table for either 16-bit format —
+    * for hot loops that index `table(bits & 0xFFFF)` directly instead of
+    * paying a per-element method call. Shared; do not mutate.
+    */
+  def decodeTable(bfloat: Boolean): Array[Float] =
+    if (bfloat) bf16Table else halfTable
 }

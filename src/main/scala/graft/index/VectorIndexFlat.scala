@@ -292,43 +292,66 @@ final class VectorIndexFlat private (
     * [[searchPoint]] still pays SQL planning + a tiny broadcast per call
     * (~150-250 ms on this box). A prepared searcher does that work ONCE:
     * the corpus is packed into per-partition primitive arrays (ids + flat
-    * fp32) and cached; each subsequent call is one `runJob` over the
-    * cached RDD with the 1-query vector riding in the task closure — no
-    * planning, no broadcast, no shuffle, no SQL. This is the Spark analog
-    * of the reference's persistent command-queue serving loop
+    * vector data) and cached; each subsequent call is one `runJob` over
+    * the cached RDD with the 1-query vector riding in the task closure —
+    * no planning, no broadcast, no shuffle, no SQL. This is the Spark
+    * analog of the reference's persistent command-queue serving loop
     * (`src/MetalIndexFlat.mm:441-463` reused per-call buffers).
+    *
+    * Reduced-precision indexes pack the RAW 16-bit `vech` shorts — half
+    * the snapshot memory of an fp32 decode — and decode in-register via
+    * the 2¹⁶-entry lookup table inside the scan loop, the serving analog
+    * of the f16 GEMM scan path (`shaders/simdgroup_gemm.metal:262-370`).
+    * Decoded values are bit-exact, so results equal the fp32-decoded path.
     *
     * The handle reflects the index contents AT PREPARE TIME (like a
     * trained/sealed serving snapshot); re-prepare after `add`/`reset`.
     * Results are identical to `search` (same fp64 loop, (dist, id) order,
     * sentinel padding).
+    *
+    * Durability: the snapshot rides on `localCheckpoint`, which is
+    * non-reliable BY DESIGN — if an executor holding cached blocks dies,
+    * the truncated lineage cannot recompute them. The searcher detects
+    * that failure and transparently re-prepares from the index's (still
+    * reliable) lineage, so a lost executor costs one re-pack, not a
+    * permanently broken handle.
     */
   def pointSearcher(k: Int): PointSearcher = {
     require(k > 0, s"k must be > 0, got $k")
-    val asc = metric.ascending
-    val ip = metric == Metric.InnerProduct
     val dim = d
-    val packed = decoded.select(col("id"), col("vec")).rdd
-      .mapPartitions { it =>
-        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
-        val flat = scala.collection.mutable.ArrayBuilder.make[Float]
-        it.foreach { r =>
-          ids += r.getLong(0)
-          val v = r.getSeq[Float](1)
-          var t = 0
-          while (t < dim && t < v.length) { flat += v(t); t += 1 }
-          while (t < dim) { flat += 0f; t += 1 } // defensive pad
-        }
-        if (ids.isEmpty) Iterator.empty
-        else Iterator.single((ids.toArray, flat.result()))
+    val build: () => org.apache.spark.rdd.RDD[(Array[Long], Array[Float], Array[Short])] =
+      storage match {
+        case StorageType.Float32 => () =>
+          data.select(col("id"), col("vec")).rdd.mapPartitions { it =>
+            val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val flat = scala.collection.mutable.ArrayBuilder.make[Float]
+            it.foreach { r =>
+              ids += r.getLong(0)
+              val v = r.getSeq[Float](1)
+              var t = 0
+              while (t < dim && t < v.length) { flat += v(t); t += 1 }
+              while (t < dim) { flat += 0f; t += 1 } // defensive pad
+            }
+            if (ids.isEmpty) Iterator.empty
+            else Iterator.single((ids.toArray, flat.result(), Array.emptyShortArray))
+          }
+        case _ => () =>
+          data.select(col("id"), col("vech")).rdd.mapPartitions { it =>
+            val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val flat = scala.collection.mutable.ArrayBuilder.make[Short]
+            it.foreach { r =>
+              ids += r.getLong(0)
+              val v = r.getSeq[Short](1)
+              var t = 0
+              while (t < dim && t < v.length) { flat += v(t); t += 1 }
+              while (t < dim) { flat += 0.toShort; t += 1 } // defensive pad
+            }
+            if (ids.isEmpty) Iterator.empty
+            else Iterator.single((ids.toArray, Array.emptyFloatArray, flat.result()))
+          }
       }
-    // localCheckpoint, not plain persist: it TRUNCATES the lineage to the
-    // cached blocks. The packed RDD descends from a SQL plan whose object
-    // graph otherwise rides inside EVERY task closure — measured ~140 ms
-    // of task-serialization per runJob on this box vs ~20 ms truncated.
-    packed.localCheckpoint()
-    packed.count() // materialize now so first search pays no scan
-    new PointSearcher(spark, packed, dim, k, asc, ip, metric.sentinel)
+    new PointSearcher(spark, build, storage == StorageType.BFloat16, dim, k,
+      metric.ascending, metric == Metric.InnerProduct, metric.sentinel)
   }
 
   /** Async search: identical plan on a background thread; results must be
@@ -351,32 +374,81 @@ final class VectorIndexFlat private (
 }
 
 /** Sealed serving snapshot from [[VectorIndexFlat.pointSearcher]]: one
-  * `runJob` per query over pre-packed per-partition primitive arrays.
-  * `close()` releases the cached blocks.
+  * `runJob` per query over pre-packed per-partition primitive arrays
+  * (fp32 floats, or raw 16-bit `vech` shorts decoded in the loop via the
+  * [[graft.functions.FloatBits.decodeTable]] lookup — half the snapshot
+  * memory for reduced-precision indexes). `close()` releases the cached
+  * blocks.
+  *
+  * The snapshot uses `localCheckpoint` (lineage truncated to the cached
+  * blocks — ~140 ms/job of task-closure serialization saved). That cache
+  * is non-reliable: a lost executor makes its blocks unrecoverable, which
+  * Spark surfaces as a "Checkpoint block not found" failure. `search`
+  * catches exactly that and re-prepares the snapshot from the index's
+  * reliable lineage, retrying the query once — long-lived cluster serving
+  * degrades to one re-pack per executor loss instead of failing forever.
   */
 final class PointSearcher private[index] (
     spark: SparkSession,
-    packed: org.apache.spark.rdd.RDD[(Array[Long], Array[Float])],
+    build: () => org.apache.spark.rdd.RDD[(Array[Long], Array[Float], Array[Short])],
+    bfloat: Boolean,
     d: Int, k: Int, ascending: Boolean, innerProduct: Boolean,
     sentinel: Double) {
 
-  def search(qvec: Array[Float]): Array[(Long, Double)] = {
+  private def prepare(): org.apache.spark.rdd.RDD[(Array[Long], Array[Float], Array[Short])] = {
+    val p = build()
+    // localCheckpoint, not plain persist: it TRUNCATES the lineage to the
+    // cached blocks. The packed RDD descends from a SQL plan whose object
+    // graph otherwise rides inside EVERY task closure — measured ~140 ms
+    // of task-serialization per runJob on this box vs ~20 ms truncated.
+    p.localCheckpoint()
+    p.count() // materialize now so first search pays no scan
+    p
+  }
+
+  private[graft] var packed = prepare()
+
+  def search(qvec: Array[Float]): Array[(Long, Double)] =
+    try run(qvec)
+    catch {
+      case e: org.apache.spark.SparkException
+          if e.getMessage != null && e.getMessage.contains("Checkpoint block") =>
+        // non-reliable localCheckpoint blocks were lost (dead executor or
+        // external unpersist) — rebuild the snapshot once and retry
+        packed.unpersist(blocking = false)
+        packed = prepare()
+        run(qvec)
+    }
+
+  private def run(qvec: Array[Float]): Array[(Long, Double)] = {
     require(qvec.length == d, s"query must have dimension $d")
     val kk = k; val asc = ascending; val ip = innerProduct; val dim = d
+    val bf = bfloat
     val q = qvec // task-closure copy: tiny, cheaper than a broadcast round
     val partials: Array[(Array[Long], Array[Double])] =
       spark.sparkContext.runJob(packed,
-        (it: Iterator[(Array[Long], Array[Float])]) => {
+        (it: Iterator[(Array[Long], Array[Float], Array[Short])]) => {
+          val table = graft.functions.FloatBits.decodeTable(bf)
           val buf = new graft.operators.TopKBuffer(kk, asc)
-          it.foreach { case (ids, flat) =>
+          it.foreach { case (ids, flatF, flatS) =>
+            val sixteen = flatS.length > 0
             var i = 0
             while (i < ids.length) {
               val off = i * dim
               var acc = 0.0
               var t = 0
-              if (ip) while (t < dim) { acc += flat(off + t).toDouble * q(t).toDouble; t += 1 }
-              else while (t < dim) {
-                val dd = flat(off + t).toDouble - q(t).toDouble; acc += dd * dd; t += 1
+              if (sixteen) {
+                if (ip) while (t < dim) {
+                  acc += table(flatS(off + t) & 0xFFFF).toDouble * q(t).toDouble; t += 1
+                } else while (t < dim) {
+                  val dd = table(flatS(off + t) & 0xFFFF).toDouble - q(t).toDouble
+                  acc += dd * dd; t += 1
+                }
+              } else {
+                if (ip) while (t < dim) { acc += flatF(off + t).toDouble * q(t).toDouble; t += 1 }
+                else while (t < dim) {
+                  val dd = flatF(off + t).toDouble - q(t).toDouble; acc += dd * dd; t += 1
+                }
               }
               buf.insert(acc, ids(i))
               i += 1

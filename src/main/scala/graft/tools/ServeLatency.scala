@@ -48,6 +48,13 @@ object ServeLatency {
     val searcher = idx.pointSearcher(k)
     dist("prepared", () => { searcher.search(q); () })
     searcher.close()
+    // reduced-precision serving: raw 16-bit snapshot (half the memory),
+    // in-loop table decode — must be <= the fp32 latency
+    val idx16 = VectorIndexFlat(spark, d, Metric.L2, StorageType.Float16)
+    idx16.add((0 until nv).map(_ => vec()))
+    val searcher16 = idx16.pointSearcher(k)
+    dist("prepared-f16", () => { searcher16.search(q); () })
+    searcher16.close()
     spark.stop()
   }
 }

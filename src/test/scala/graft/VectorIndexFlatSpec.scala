@@ -290,6 +290,33 @@ class VectorIndexFlatSpec extends AnyFunSuite {
     idx.reset(); small.reset()
   }
 
+  test("16-bit pointSearcher: packs raw shorts, equals batch search; lost blocks re-prepare") {
+    val d = 48
+    val vecs = Oracle.genVectors(400, d)
+    val q = Oracle.genVectors(1, d, seed = 777).head
+    for (storage <- Seq(StorageType.Float16, StorageType.BFloat16)) {
+      val idx = VectorIndexFlat(spark, d, Metric.L2, storage)
+      idx.add(vecs.toSeq)
+      // searchPoint is the fp64 reference path (batch `search` rounds its
+      // dist column to fp32 on output, so it can't anchor a 1e-12 check)
+      val viaBatch = idx.searchPoint(q, 9)
+      val searcher = idx.pointSearcher(9)
+      val prepared = searcher.search(q)
+      assert(prepared.map(_._1).toSeq === viaBatch.map(_._1).toSeq, s"$storage labels")
+      prepared.zip(viaBatch).foreach { case ((_, pd), (_, bd)) =>
+        assert(math.abs(pd - bd) <= 1e-12 * math.max(1.0, math.abs(bd)), s"$storage dist")
+      }
+      // simulate executor loss: drop the non-reliable localCheckpoint
+      // blocks out from under the handle — search must rebuild the
+      // snapshot from the index lineage and still answer correctly
+      searcher.packed.unpersist(blocking = true)
+      val recovered = searcher.search(q)
+      assert(recovered.map(_._1).toSeq === viaBatch.map(_._1).toSeq, s"$storage recovery")
+      searcher.close()
+      idx.reset()
+    }
+  }
+
   test("dual-path: direct ‖q−v‖² vs decomposed ‖q‖²+‖v‖²−2⟨q,v⟩ agree ≤5e-2 rel") {
     val d = 64
     val vecs = Oracle.genVectors(50, d)
