@@ -405,27 +405,43 @@ object SparkEntry {
     },
 
     // MLlib batch index build: bucketed random-projection LSH over the
-    // embedding column, k-NN via the hash-bucket join (no oracle — the
-    // random projections aren't SQL-reproducible; recall pinned by tests)
+    // embedding column, k-NN via the hash-bucket join. The random
+    // projections aren't SQL-reproducible, so the driver-checkable surface
+    // is a per-query RECALL BOUND against exact kNN (the exact side is
+    // itself oracle-verified via knn_l2): each of the 8 queries must keep
+    // ≥ 7 of its true top-10. Measured 9-10/10 at sf0.01 and sf0.1
+    // (seeded, so deterministic); the aggregate ≥ 0.5 recall is
+    // additionally spec-pinned.
     "ann_lsh_mllib" -> { (s, dir) =>
       import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
       import org.apache.spark.ml.functions.array_to_vector
       val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
+      val feat = e.select(col("vec_id"), array_to_vector(col("embedding")).as("features"))
       val lsh = new BucketedRandomProjectionLSH()
         .setBucketLength(2.0).setNumHashTables(3).setSeed(42)
         .setInputCol("features").setOutputCol("hashes")
-      val model = lsh.fit(e)
-      val q = e.filter(col("vec_id") < 8)
-      Similarity.explodeHits(
-        model.approxSimilarityJoin(q, e, 20.0, "dist")
+      val model = lsh.fit(feat)
+      val q = feat.filter(col("vec_id") < 8)
+      val ann = Similarity.explodeHits(
+        model.approxSimilarityJoin(q, feat, 20.0, "dist")
           .select(col("datasetA.vec_id").as("qid"), col("datasetB.vec_id").as("label"),
             (col("dist") * col("dist")).as("score")) // squared L2, ref semantics
           .groupBy(col("qid"))
           .agg(topK(col("score"), col("label"), 10, ascending = true).as("hits")))
-        .select(col("qid"), col("rank"), col("label"),
-          round(col("score"), 4).as("dist"))
-        .orderBy("qid", "rank")
+        .select(col("qid"), col("label"))
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
+        .select(col("qid"), col("label"))
+      ann.join(exact, Seq("qid", "label"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_common"))
+        // right-join the query list: a catastrophic 0-recall query must
+        // surface as a false row, not vanish from the output
+        .join(queries.select(col("qid")), Seq("qid"), "right")
+        .select(col("qid"),
+          (coalesce(col("n_common"), lit(0L)) >= 7L).as("recall_ok"))
+        .orderBy("qid")
     },
 
     "vec_norms" -> { (s, dir) =>
@@ -1211,17 +1227,28 @@ object SparkEntry {
           |ORDER BY c.c_custkey""".stripMargin)
     },
 
-    // IVF with real k-means training (MLlib, seeded) — rows-only: k-means
-    // init isn't SQL-reproducible; recall pinned by OpsSpec
+    // IVF with real k-means training (MLlib, seeded). k-means init isn't
+    // SQL-reproducible, so (like ann_lsh_mllib) the driver-checkable
+    // surface is a per-query recall bound vs exact kNN: ≥ 3 of the true
+    // top-10 with nProbe=4 of 16 clusters. Measured 4-8/10 per query at
+    // sf0.01/sf0.1 (seeded k-means → deterministic); aggregate ≥ 0.7 on
+    // clustered data is spec-pinned.
     "ann_ivf_kmeans" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      Similarity.ivfKmeansTopK(vectors, queries, k = 10, nClusters = 16, nProbe = 4)
-        .select(col("qid"), col("rank"), col("label"),
-          round(col("score"), 4).as("dist"))
-        .orderBy("qid", "rank")
+      val ann = Similarity
+        .ivfKmeansTopK(vectors, queries, k = 10, nClusters = 16, nProbe = 4)
+        .select(col("qid"), col("label"))
+      val exact = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
+        .select(col("qid"), col("label"))
+      ann.join(exact, Seq("qid", "label"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("n_common"))
+        .join(queries.select(col("qid")), Seq("qid"), "right")
+        .select(col("qid"),
+          (coalesce(col("n_common"), lit(0L)) >= 3L).as("recall_ok"))
+        .orderBy("qid")
     },
 
     // join-based upsert (MERGE semantics over immutable storage): a delta
@@ -1270,13 +1297,19 @@ object SparkEntry {
         .orderBy("lang", "rn")
     },
 
-    // HLL approximate distinct next to the exact count (no SQL oracle —
-    // sketch internals differ per engine; rows-only + spec-pinned bounds)
+    // HLL approximate distinct next to the exact count. Sketch internals
+    // differ per engine, so the raw estimate can't hash-match — instead the
+    // output carries the EXACT count (oracle-verifiable in SQL) plus a
+    // bounded-relative-error verdict on the estimate (≤ 5% = 2.5× the
+    // requested rsd; measured ≤ 0.9% at sf0.01/sf0.1)
     "q_approx_distinct" -> { (s, dir) =>
       Tables(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
           countDistinct(col("o_custkey")).as("exact_cust"))
+        .select(col("o_orderpriority"), col("exact_cust"),
+          (abs(col("approx_cust") - col("exact_cust")).cast(DoubleType) <=
+            lit(0.05) * col("exact_cust").cast(DoubleType)).as("approx_ok"))
         .orderBy("o_orderpriority")
     },
 
@@ -1341,6 +1374,25 @@ object SparkEntry {
     * driver records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+
+    // The ANN/sketch queries emit engine-independent VERDICT columns
+    // (recall/error bounds vs the exact side, which other oracles verify
+    // directly), so the oracle's expected output is exact: every bound
+    // must hold. A recall regression or sketch-error blowout flips a
+    // boolean and fails the hash compare.
+    "ann_ivf_kmeans" ->
+      """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "ann_lsh_mllib" ->
+      """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "q_approx_distinct" ->
+      """SELECT o_orderpriority,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+        |  CAST(TRUE AS BOOLEAN) AS approx_ok
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
