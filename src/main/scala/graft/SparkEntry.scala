@@ -1616,19 +1616,29 @@ object SparkEntry {
     // can be off by one at binade edges → clamped by direct comparison.
     // The f32 subtraction in the Spark query is exact (Sterbenz: deq is
     // within a factor 2 of x), so both sides compute the same double.
+    // Edge guards (data-independent correctness): x = 0 pins e0 = 0
+    // (log2(0) = -inf would blow the BIGINT cast; err is exactly 0 via the
+    // arithmetic), and an RNE result beyond the format's max finite value
+    // (65504 for f16) mirrors the Spark side's overflow-to-±Inf: the
+    // round-trip error is +Infinity on both engines.
     "f16_roundtrip" ->
       """WITH el AS (
         |  SELECT vec_id, len(embedding) AS nd, UNNEST(embedding) AS x FROM embeddings),
         |e1 AS (
         |  SELECT vec_id, nd, CAST(x AS DOUBLE) AS xd, abs(CAST(x AS DOUBLE)) AS ax,
-        |    CAST(floor(log2(abs(CAST(x AS DOUBLE)))) AS BIGINT) AS e0 FROM el),
+        |    CASE WHEN x = 0 THEN 0
+        |         ELSE CAST(floor(log2(abs(CAST(x AS DOUBLE)))) AS BIGINT) END AS e0
+        |  FROM el),
         |e2 AS (
         |  SELECT vec_id, nd, xd, power(CAST(2 AS DOUBLE),
         |    greatest(CASE WHEN ax >= power(CAST(2 AS DOUBLE), e0+1) THEN e0+1
         |                  WHEN ax <  power(CAST(2 AS DOUBLE), e0)   THEN e0-1
         |                  ELSE e0 END, -14) - 10) AS s FROM e1),
         |r AS (
-        |  SELECT vec_id, nd, abs(xd - round_even(xd / s, 0) * s) AS err FROM e2)
+        |  SELECT vec_id, nd,
+        |    CASE WHEN abs(round_even(xd / s, 0) * s) > 65504
+        |         THEN CAST('infinity' AS DOUBLE)
+        |         ELSE abs(xd - round_even(xd / s, 0) * s) END AS err FROM e2)
         |SELECT vec_id, CAST(MAX(nd) AS BIGINT) AS n_dims,
         |  ROUND(MAX(err), 6) AS max_abs_err
         |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,
@@ -1638,14 +1648,19 @@ object SparkEntry {
         |  SELECT vec_id, len(embedding) AS nd, UNNEST(embedding) AS x FROM embeddings),
         |e1 AS (
         |  SELECT vec_id, nd, CAST(x AS DOUBLE) AS xd, abs(CAST(x AS DOUBLE)) AS ax,
-        |    CAST(floor(log2(abs(CAST(x AS DOUBLE)))) AS BIGINT) AS e0 FROM el),
+        |    CASE WHEN x = 0 THEN 0
+        |         ELSE CAST(floor(log2(abs(CAST(x AS DOUBLE)))) AS BIGINT) END AS e0
+        |  FROM el),
         |e2 AS (
         |  SELECT vec_id, nd, xd, power(CAST(2 AS DOUBLE),
         |    greatest(CASE WHEN ax >= power(CAST(2 AS DOUBLE), e0+1) THEN e0+1
         |                  WHEN ax <  power(CAST(2 AS DOUBLE), e0)   THEN e0-1
         |                  ELSE e0 END, -126) - 7) AS s FROM e1),
         |r AS (
-        |  SELECT vec_id, nd, abs(xd - round_even(xd / s, 0) * s) AS err FROM e2)
+        |  SELECT vec_id, nd,
+        |    CASE WHEN abs(round_even(xd / s, 0) * s) > 3.3895313892515355e38
+        |         THEN CAST('infinity' AS DOUBLE)
+        |         ELSE abs(xd - round_even(xd / s, 0) * s) END AS err FROM e2)
         |SELECT vec_id, CAST(MAX(nd) AS BIGINT) AS n_dims,
         |  ROUND(MAX(err), 6) AS max_abs_err
         |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,

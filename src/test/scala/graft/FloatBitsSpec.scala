@@ -30,6 +30,17 @@ class FloatBitsSpec extends AnyFunSuite {
     assert(halfBitsToFloat(floatToHalfBits(Float.NaN)).isNaN)
   }
 
+  test("f16 overflow boundary: [65504, 65520) rounds to max finite, ≥65520 to Inf") {
+    // pins the exact RNE boundary the round-trip ORACLE mirrors
+    // (abs(quantized) > 65504 → err = +Inf on both engines)
+    assert(halfBitsToFloat(floatToHalfBits(65504.0f)) === 65504.0f)
+    assert(halfBitsToFloat(floatToHalfBits(65512.0f)) === 65504.0f) // tie → even (65504)
+    assert(halfBitsToFloat(floatToHalfBits(65519.0f)) === 65504.0f)
+    assert(halfBitsToFloat(floatToHalfBits(65520.0f)).isPosInfinity)
+    assert(halfBitsToFloat(floatToHalfBits(-65520.0f)).isNegInfinity)
+    assert(halfBitsToFloat(floatToHalfBits(65536.0f)).isPosInfinity)
+  }
+
   test("f16 round-trip error ≤ 2^-11 relative (RNE)") {
     sweep(20000, -100f, 100f) { f =>
       val r = halfBitsToFloat(floatToHalfBits(f))
