@@ -660,6 +660,23 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // product-quantization ANN: m=8 sub-codebooks of every-25th vector,
+    // codes + ADC scan (the 32×-compression scale path). Deterministic
+    // codebook → the whole operator, tie-breaks included, reproduces in
+    // the SQL oracle
+    "ann_pq" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // dist IS the 1e-6-rounded ADC score — no second rounding (round4 of
+      // a round6 value lands on .5 boundaries where binary-vs-decimal
+      // rounding diverges between engines)
+      Similarity.pqTopK(vectors, queries, k = 10, centroidModulo = 25, m = 8)
+        .select(col("qid"), col("rank"), col("label"), col("score").as("dist"))
+        .orderBy("qid", "rank")
+    },
+
     // ---- salted (skew-safe) two-stage aggregation — must equal the
     //      direct groupBy exactly (decimal sums are order-independent) ----
 
@@ -1941,6 +1958,35 @@ object SparkEntry {
         |ranked AS (SELECT qid, label, score,
         |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM d)
         |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // PQ: per-subspace argmin assignment (codes) + ADC scoring, both as
+    // exact double arithmetic; parallel UNNESTs zip in lockstep so the
+    // element index (→ subspace j = i // 8) rides alongside the values.
+    // Scores round to 1e-6 BEFORE ranking on both sides (fp64 sum-order
+    // ulps must not flip near-ties between engines).
+    "ann_pq" ->
+      """WITH c AS (SELECT CAST(vec_id // 25 AS BIGINT) AS ci, embedding AS cv
+        |           FROM embeddings WHERE vec_id % 25 = 0),
+        |vd AS (SELECT vec_id, i // 8 AS j, ci, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT v.vec_id, c.ci, UNNEST(range(len(v.embedding))) AS i,
+        |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
+        |  FROM embeddings v, c) GROUP BY 1, 2, 3),
+        |assign AS (SELECT vec_id, j, ci FROM (
+        |  SELECT vec_id, j, ci, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, ci) AS rn
+        |  FROM vd) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |qd AS (SELECT qid, i // 8 AS j, ci, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT q.qid, c.ci, UNNEST(range(len(q.qv))) AS i,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
+        |  FROM q, c) GROUP BY 1, 2, 3),
+        |score AS (SELECT qd.qid, a.vec_id AS label, ROUND(SUM(qd.d), 6) AS score
+        |  FROM assign a JOIN qd ON qd.j = a.j AND qd.ci = a.ci
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT qid, label, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM score)
+        |SELECT qid, rank, label, score AS dist
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 

@@ -55,6 +55,14 @@ package object functions {
   def dequantizeBf16(v: Column): Column =
     GraftBridge.column(DequantizeVector16(e(v), bfloat = true))
 
+  /** PQ encode: vector → `m` sub-centroid indices (see [[PqEncode]]). */
+  def pqEncode(v: Column, centroids: Seq[Array[Float]], m: Int): Column =
+    GraftBridge.column(PqEncode(e(v), centroids, m))
+
+  /** PQ ADC distance between a code array and a full-precision query. */
+  def pqAdcScore(codes: Column, q: Column, centroids: Seq[Array[Float]], m: Int): Column =
+    GraftBridge.column(PqAdcScore(e(codes), e(q), centroids, m))
+
   /** Distinct word n-gram shingles from a token-array column (compiled
     * single pass; ~10× the throughput of the transform/array_distinct
     * composition on shingle-heavy dedup pipelines).

@@ -399,6 +399,43 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
 
+  /** Product-quantization ANN (PQ codes + ADC scan) — the memory-
+    * compression scale path: vectors are encoded ONCE into `m` sub-
+    * centroid indices (for d=64/m=8, a 32× reduction of the bytes a scan
+    * must read vs fp32), and each query is scored against the codes via
+    * asymmetric distance (Σⱼ ‖qⱼ − cent[codeⱼ]ⱼ‖², full-precision query,
+    * quantized corpus). At 100 TB the codes column IS the index: the scan
+    * reads m bytes per vector instead of 4d, and both encode and score are
+    * narrow compiled projections with the codebook embedded in the
+    * expression — no join, no shuffle beyond the bounded top-k.
+    *
+    * `centroidModulo` picks the deterministic codebook stand-in (every
+    * modulo-th vector, the same device as [[ivfTopK]]) so the whole
+    * operator — assignment ties included — is reproducible in the SQL
+    * oracle; swap in k-means-trained sub-codebooks for production recall
+    * (the mechanics are identical).
+    *
+    * Ranking uses the ADC score rounded to 1e-6: raw fp64 sums differ
+    * between engines in the last ulp when equal-coded vectors are summed
+    * in different orders, and the round makes the (score, label) total
+    * order engine-independent.
+    */
+  def pqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+             centroidModulo: Int, m: Int = 8): DataFrame = {
+    val cents = vectors.filter(col("id") % centroidModulo === 0)
+      .select(col("id"), col("vec")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray).toSeq
+    val codes = Dedup.spread(vectors)
+      .select(col("id"), pqEncode(col("vec"), cents, m).as("codes"))
+    explodeHits(
+      codes.crossJoin(broadcast(queries))
+        .select(col("qid"), col("id").as("label"),
+          round(pqAdcScore(col("codes"), col("qv"), cents, m), 6).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
+  }
+
   /** IVF with REAL k-means training (MLlib, seeded): the production
     * version of [[ivfTopK]]'s modulo-centroid stand-in. Same probe
     * mechanics — centroids ride inside the NearestCentroids expression, so
