@@ -677,6 +677,20 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // IVFPQ composite: coarse-cluster pruning (nProbe=2 of ~12) × PQ codes
+    // (m=8) — the classic billion-scale index; both codebooks deterministic
+    // so the whole pipeline reproduces in SQL
+    "ann_ivfpq" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfPqTopK(vectors, queries, k = 10,
+        ivfModulo = 40, nProbe = 2, pqModulo = 25, m = 8)
+        .select(col("qid"), col("rank"), col("label"), col("score").as("dist"))
+        .orderBy("qid", "rank")
+    },
+
     // ---- salted (skew-safe) two-stage aggregation — must equal the
     //      direct groupBy exactly (decimal sums are order-independent) ----
 
@@ -1983,6 +1997,51 @@ object SparkEntry {
         |  FROM q, c) GROUP BY 1, 2, 3),
         |score AS (SELECT qd.qid, a.vec_id AS label, ROUND(SUM(qd.d), 6) AS score
         |  FROM assign a JOIN qd ON qd.j = a.j AND qd.ci = a.ci
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT qid, label, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM score)
+        |SELECT qid, rank, label, score AS dist
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // IVFPQ = ann_ivf's coarse assignment/probes ∘ ann_pq's codes/ADC:
+    // candidates come from the probed clusters only, scores from the codes
+    "ann_ivfpq" ->
+      """WITH cc AS (SELECT vec_id AS cid, embedding AS ccv FROM embeddings WHERE vec_id % 40 = 0),
+        |vcc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT v.vec_id, cc.cid,
+        |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(cc.ccv) AS DOUBLE) AS y
+        |  FROM embeddings v, cc) GROUP BY 1, 2),
+        |vassign AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM vcc) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |qcc AS (SELECT qid, cid, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT q.qid, cc.cid,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(cc.ccv) AS DOUBLE) AS y
+        |  FROM q, cc) GROUP BY 1, 2),
+        |probes AS (SELECT qid, cid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn
+        |  FROM qcc) WHERE rn <= 2),
+        |pc AS (SELECT CAST(vec_id // 25 AS BIGINT) AS ci, embedding AS cv
+        |       FROM embeddings WHERE vec_id % 25 = 0),
+        |vd AS (SELECT vec_id, i // 8 AS j, ci, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT v.vec_id, pc.ci, UNNEST(range(len(v.embedding))) AS i,
+        |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(pc.cv) AS DOUBLE) AS y
+        |  FROM embeddings v, pc) GROUP BY 1, 2, 3),
+        |assign AS (SELECT vec_id, j, ci FROM (
+        |  SELECT vec_id, j, ci, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, ci) AS rn
+        |  FROM vd) WHERE rn = 1),
+        |qd AS (SELECT qid, i // 8 AS j, ci, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT q.qid, pc.ci, UNNEST(range(len(q.qv))) AS i,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(pc.cv) AS DOUBLE) AS y
+        |  FROM q, pc) GROUP BY 1, 2, 3),
+        |cand AS (SELECT p.qid, a.vec_id AS label
+        |         FROM probes p JOIN vassign a ON p.cid = a.cid),
+        |score AS (SELECT c.qid, c.label, ROUND(SUM(qd.d), 6) AS score
+        |  FROM cand c
+        |  JOIN assign a ON a.vec_id = c.label
+        |  JOIN qd ON qd.qid = c.qid AND qd.j = a.j AND qd.ci = a.ci
         |  GROUP BY 1, 2),
         |ranked AS (SELECT qid, label, score,
         |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM score)

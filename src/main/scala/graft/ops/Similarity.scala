@@ -436,6 +436,47 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
 
+  /** IVFPQ composite: IVF coarse partitioning × PQ code compression — the
+    * classic billion-scale index shape. Vectors are assigned to a coarse
+    * cluster ([[ivfTopK]] mechanics: at 100 TB the table is
+    * written partitioned by `cid`, so probing prunes partitions) AND
+    * encoded to m PQ codes ([[pqTopK]] mechanics: the scan reads m bytes
+    * per vector); a query probes its nProbe nearest coarse clusters and
+    * ADC-scores only those clusters' codes. The two costs multiply:
+    * nProbe/nClusters of the corpus scanned, at 32× fewer bytes each.
+    *
+    * This variant encodes RAW vectors, not per-cluster residuals (FAISS
+    * IVFPQ subtracts the coarse centroid first — a recall refinement that
+    * needs a per-row centroid lookup); with both codebooks deterministic
+    * (every modulo-th vector) the full operator reproduces in the SQL
+    * oracle. Scores round to 1e-6 before ranking, as in [[pqTopK]].
+    */
+  def ivfPqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                ivfModulo: Int, nProbe: Int,
+                pqModulo: Int, m: Int = 8): DataFrame = {
+    val coarse = vectors.filter(col("id") % ivfModulo === 0)
+      .select(col("id"), col("vec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .sortBy(_._1)
+    val pqCents = vectors.filter(col("id") % pqModulo === 0)
+      .select(col("id"), col("vec")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toArray).toSeq
+    // one narrow pass builds the "index row": coarse cluster id + codes
+    val indexed = Dedup.spread(vectors).select(
+      col("id"),
+      element_at(nearestCentroids(col("vec"), coarse, 1), 1).as("cid"),
+      pqEncode(col("vec"), pqCents, m).as("codes"))
+    val probes = queries.select(col("qid"), col("qv"),
+      explode(nearestCentroids(col("qv"), coarse, nProbe)).as("cid"))
+    explodeHits(
+      probes.join(indexed, "cid")
+        .select(col("qid"), col("id").as("label"),
+          round(pqAdcScore(col("codes"), col("qv"), pqCents, m), 6).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
+  }
+
   /** IVF with REAL k-means training (MLlib, seeded): the production
     * version of [[ivfTopK]]'s modulo-centroid stand-in. Same probe
     * mechanics — centroids ride inside the NearestCentroids expression, so

@@ -304,6 +304,31 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall") // coarse stand-in codebook; ADC still filters
   }
 
+  test("IVFPQ: probing ALL clusters degenerates to plain PQ; pruning keeps probed-cluster hits only") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = 32; val m = 4; val pqModulo = 20; val ivfModulo = 30
+    val vecs = Oracle.genVectors(300, d)
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = Oracle.genVectors(5, d, seed = 3L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    val nClusters = vecs.indices.count(_ % ivfModulo == 0)
+    // probe everything → the coarse stage prunes nothing → ranking must be
+    // EXACTLY pqTopK's (same codes, same ADC, same rounded total order)
+    val all = Similarity.ivfPqTopK(vdf, qdf, 10, ivfModulo, nProbe = nClusters, pqModulo, m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val pq = Similarity.pqTopK(vdf, qdf, 10, pqModulo, m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(all === pq)
+    // pruned probe: every hit's ADC score must exist in the unpruned
+    // ranking with the same value (pruning only removes candidates)
+    val pruned = Similarity.ivfPqTopK(vdf, qdf, 10, ivfModulo, nProbe = 2, pqModulo, m)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    val pqScores = Similarity.pqTopK(vdf, qdf, 300, pqModulo, m)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(pruned.subsetOf(pqScores))
+  }
+
   test("batchedTopK: structured qids hash-distribute; oversize residues re-split") {
     val spark2 = spark
     import spark2.implicits._
