@@ -8,6 +8,8 @@ import org.apache.spark.sql.Row
 import graft.index.VectorIndexFlat
 
 case class SessionEvent(user_id: Long, event_id: Long, ts_us: Long)
+case class BandKeyRow(band: Int, key: String, doc_id: Long, n_bands: Int)
+case class BandFlag(doc_id: Long, n_bands: Int, is_new: Boolean)
 case class SessionState(sessionId: Long, startUs: Long, lastTs: Long, n: Long)
 case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                       start_us: Long, end_us: Long)
@@ -114,6 +116,69 @@ object StreamingOps {
   def streamingDedup(stream: DataFrame, key: String, tsCol: String,
                      watermark: String): DataFrame =
     stream.withWatermark(tsCol, watermark).dropDuplicates(key)
+
+  /** Streaming NEAR-duplicate dedup on ingest (MinHash-LSH): each arriving
+    * document is shingled, MinHash-signed, and banded with the SAME
+    * compiled kernels as the batch pipeline ([[graft.ops.Dedup]]); per
+    * LSH band key, keyed state remembers whether that bucket has ever been
+    * claimed. A document survives iff it is the FIRST claimant of every
+    * one of its band keys — any band collision with an earlier document
+    * (any prior micro-batch, or a smaller doc_id in the same batch) marks
+    * it a near-dup candidate and drops it. This is candidate-level
+    * streaming dedup: collisions are LSH candidates, not verified-Jaccard
+    * pairs — the standard ingest-time trade (verification would need the
+    * earlier doc's shingles in state).
+    *
+    * Arrival order decides winners across batches (first arrival claims
+    * the bucket — the same semantics as [[streamingDedup]]); within one
+    * micro-batch the smallest doc_id wins, so a batch-fed stream in id
+    * order reproduces the batch formulation "doc kept iff it is the min
+    * doc_id of every band bucket" exactly (spec-pinned). State is one
+    * boolean per distinct band key — the compact dedup index itself;
+    * production deployments bound it with a state-store TTL.
+    *
+    * Output: per (doc, band) flags; fold with [[keptDocs]] per micro-batch
+    * (a doc's flags always land in its own batch).
+    */
+  def streamingMinhashDedup(docs: DataFrame, numHashes: Int = 8,
+                            rowsPerBand: Int = 2): org.apache.spark.sql.Dataset[BandFlag] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val numBands = numHashes / rowsPerBand
+    val sigs = docs
+      .select(col("doc_id"),
+        graft.functions.wordShingles(split(col("text"), " ", -1), 3).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.minhashSignature(col("sh"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until numHashes).map(j => element_at(col("sig"), j + 1).as(s"h$j")): _*)
+    val bands = graft.ops.Dedup.lshBands(sigs, numHashes, rowsPerBand)
+      .select(col("band"), col("key"), col("doc_id"),
+        lit(numBands).as("n_bands"))
+      .as[BandKeyRow]
+    def fn(bk: (Int, String), it: Iterator[BandKeyRow],
+           state: GroupState[Boolean]): Iterator[BandFlag] = {
+      val rows = it.toSeq.sortBy(_.doc_id)
+      val unclaimed = !state.exists
+      if (unclaimed) state.update(true)
+      rows.zipWithIndex.iterator.map { case (r, i) =>
+        BandFlag(r.doc_id, r.n_bands, unclaimed && i == 0)
+      }
+    }
+    bands.groupByKey(b => (b.band, b.key))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Fold [[streamingMinhashDedup]]'s per-band flags into surviving doc
+    * ids: kept iff the doc claimed ALL of its bands first.
+    */
+  def keptDocs(flags: DataFrame): DataFrame =
+    flags.groupBy(col("doc_id"))
+      .agg(sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        first(col("n_bands")).as("nb"))
+      .filter(col("n_new") === col("nb"))
+      .select("doc_id")
 
   /** Stream-static enrichment join: every micro-batch of the stream joins
     * the (small) static dimension — stateless, the static side broadcast

@@ -110,6 +110,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set(("a", 100L), ("b", 101L), ("c", 104L)))
   }
 
+  test("streaming minhash near-dup dedup: band-bucket state suppresses near-dups across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+    val nearDup = "the quick brown fox jumps over the lazy dog near the old stone bridge tonight"
+    val other = "completely different content about database engines and query optimization at scale"
+    val otherDup = "completely different content about database engines and query optimization at speed"
+    val stream = MemoryStream[(Long, String)]
+    val in = stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val flags = StreamingOps.streamingMinhashDedup(in)
+    val q = flags.toDF().writeStream.format("memory").queryName("smdedup")
+      .outputMode("append").start()
+    // batch 1: base + an unrelated doc — both survive
+    stream.addData(Seq(0L -> base, 1L -> other))
+    q.processAllAvailable()
+    // batch 2: near-dups of BOTH batch-1 docs (cross-batch suppression)
+    // plus one genuinely new doc
+    stream.addData(Seq(2L -> nearDup, 3L -> otherDup,
+      4L -> "entirely novel text with no overlap to anything seen before in this stream"))
+    q.processAllAvailable()
+    q.stop()
+    val kept = StreamingOps.keptDocs(spark.table("smdedup"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(0L, 1L, 4L), s"got $kept")
+    // id-ordered arrival reproduces the batch formulation exactly:
+    // doc kept iff it is the min doc_id of EVERY one of its band buckets
+    val docs = Seq(0L -> base, 1L -> other, 2L -> nearDup, 3L -> otherDup).toDF("doc_id", "text")
+    val sigs = graft.ops.Dedup.minhashSignatures(docs)
+    val batchKept = graft.ops.Dedup.lshBands(sigs)
+      .groupBy(col("band"), col("key")).agg(min(col("doc_id")).as("first_id"),
+        collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("doc_id"), col("first_id"))
+      .groupBy(col("doc_id"))
+      .agg(max(when(col("doc_id") =!= col("first_id"), 1L).otherwise(0L)).as("lost_any"))
+      .filter(col("lost_any") === 0L).collect().map(_.getLong(0)).toSet
+    assert(batchKept === Set(0L, 1L), s"batch formulation: $batchKept")
+  }
+
   test("stateful streaming sessionization == batch sessions (closed sessions)") {
     import spark.implicits._
     import graft.streaming.{SessionEvent, SessionOut}
