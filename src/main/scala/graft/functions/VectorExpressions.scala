@@ -208,3 +208,80 @@ case class DequantizeVector16(child: Expression, bfloat: Boolean)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** fp32 vector → SQ8 (int8 scalar quantization): per-vector symmetric
+  * max-abs scale (scale = max|x|/127) + one signed byte per element
+  * (code = floor(x/scale + 0.5), exactly ±127 at the extremes) — FAISS's
+  * `IndexScalarQuantizer(QT_8bit)` family recast per-vector. 4× fewer
+  * stored bytes than fp32; decode is `code · scale` (exact in double).
+  * Ingest-time only (CodegenFallback; the hot scan side is the compiled
+  * [[DequantizeVectorInt8]]).
+  */
+case class QuantizeVectorInt8(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(ByteType, containsNull = false), nullable = false),
+    StructField("scale", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(x.getFloat(i).toDouble)
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    val out = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      out(i) =
+        if (scale == 0.0) 0
+        else math.floor(x.getFloat(i).toDouble / scale + 0.5).toByte
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UnsafeArrayData.fromPrimitiveArray(out), scale)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** (int8 codes, scale) → fp32 vector — the SQ8 decode, codegen'd so it
+  * stays inside the scan stage of the declarative search plan.
+  */
+case class DequantizeVectorInt8(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(ByteType), DoubleType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[ArrayData]
+    val scale = r.asInstanceOf[Double]
+    val n = codes.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) { out(i) = (codes.getByte(i).toDouble * scale).toFloat; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, s) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $c.numElements();
+         |float[] $out = new float[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (float) (((double) $c.getByte($i)) * $s);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -55,6 +55,14 @@ package object functions {
   def dequantizeBf16(v: Column): Column =
     GraftBridge.column(DequantizeVector16(e(v), bfloat = true))
 
+  /** SQ8 quantize: vector → struct(codes array<byte>, scale double). */
+  def quantizeInt8(v: Column): Column =
+    GraftBridge.column(QuantizeVectorInt8(e(v)))
+
+  /** SQ8 dequantize: (codes, scale) → fp32 vector (code · scale). */
+  def dequantizeInt8(codes: Column, scale: Column): Column =
+    GraftBridge.column(DequantizeVectorInt8(e(codes), e(scale)))
+
   /** PQ encode: vector → `m` sub-centroid indices (see [[PqEncode]]). */
   def pqEncode(v: Column, centroids: Seq[Array[Float]], m: Int): Column =
     GraftBridge.column(PqEncode(e(v), centroids, m))

@@ -28,12 +28,19 @@ object Metric {
   * or bfloat16. Reduced-precision indexes store only the 16-bit bits
   * column (half the bytes at rest and in memory — the Spark analog of the
   * reference's bandwidth win) plus the fp32-accurate norm.
+  *
+  * `Int8` extends the family with SQ8 scalar quantization (per-vector
+  * max-abs scale + one signed byte per element — the FAISS
+  * `IndexScalarQuantizer(QT_8bit)` family, which the Metal reference does
+  * not implement): 4× fewer stored bytes than fp32. Search paths consume
+  * the codegen'd `DequantizeVectorInt8` projection inside the scan stage.
   */
 sealed trait StorageType
 object StorageType {
   case object Float32 extends StorageType
   case object Float16 extends StorageType
   case object BFloat16 extends StorageType
+  case object Int8 extends StorageType
 }
 
 /** Async search handle — the Spark analog of `MetalSearchToken`
@@ -143,6 +150,11 @@ final class VectorIndexFlat private (
     case StorageType.BFloat16 =>
       raw.select(col("id"), quantizeBf16(col("vec")).as("vech"),
         vectorNormSq(col("vec")).as("norm"))
+    case StorageType.Int8 =>
+      raw.select(col("id"), quantizeInt8(col("vec")).as("q"),
+          vectorNormSq(col("vec")).as("norm"))
+        .select(col("id"), col("q.codes").as("vecb"),
+          col("q.scale").as("scale"), col("norm"))
   }
 
   /** fp32 view of the stored vectors (dequantized when 16-bit). */
@@ -152,6 +164,9 @@ final class VectorIndexFlat private (
       data.select(col("id"), dequantizeF16(col("vech")).as("vec"), col("norm"))
     case StorageType.BFloat16 =>
       data.select(col("id"), dequantizeBf16(col("vech")).as("vec"), col("norm"))
+    case StorageType.Int8 =>
+      data.select(col("id"),
+        dequantizeInt8(col("vecb"), col("scale")).as("vec"), col("norm"))
   }
 
   /** Drop everything (ref `reset`, `mm:492-506`). */
@@ -255,6 +270,10 @@ final class VectorIndexFlat private (
       case StorageType.Float32  => (data.select(col("id"), col("vec")), 0)
       case StorageType.Float16  => (data.select(col("id"), col("vech")), 1)
       case StorageType.BFloat16 => (data.select(col("id"), col("vech")), 2)
+      // SQ8 rides the fused loop through the codegen'd dequantize
+      // projection (the scale is per-row, so the in-register decode the
+      // 16-bit formats use doesn't apply without widening KnnPartialExec)
+      case StorageType.Int8     => (decoded.select(col("id"), col("vec")), 0)
     }
     graft.plans.Knn.partials(src, qData, k,
       ascending = metric.ascending,
@@ -321,8 +340,12 @@ final class VectorIndexFlat private (
     val dim = d
     val build: () => org.apache.spark.rdd.RDD[(Array[Long], Array[Float], Array[Short])] =
       storage match {
-        case StorageType.Float32 => () =>
-          data.select(col("id"), col("vec")).rdd.mapPartitions { it =>
+        case StorageType.Float32 | StorageType.Int8 => () =>
+          // Int8 packs the decoded fp32 (per-row scales rule out a shared
+          // in-loop decode table; the snapshot is still 1× fp32, and the
+          // stored column stays 4× smaller)
+          (if (storage == StorageType.Float32) data else decoded)
+            .select(col("id"), col("vec")).rdd.mapPartitions { it =>
             val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
             val flat = scala.collection.mutable.ArrayBuilder.make[Float]
             it.foreach { r =>
@@ -513,6 +536,11 @@ object VectorIndexFlat {
       case StorageType.Float32 => StructType(Seq(
         StructField("id", LongType, nullable = false),
         StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false),
+        StructField("norm", DoubleType, nullable = false)))
+      case StorageType.Int8 => StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("vecb", ArrayType(ByteType, containsNull = false), nullable = false),
+        StructField("scale", DoubleType, nullable = false),
         StructField("norm", DoubleType, nullable = false)))
       case _ => StructType(Seq(
         StructField("id", LongType, nullable = false),
