@@ -691,6 +691,20 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // binary (1-bit) embedding search: packed sign bits + Hamming ranking
+    // (the 32×-compression end of the ladder; integer-exact, so the oracle
+    // reproduces it bit-for-bit)
+    "ann_hamming" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.hammingTopK(vectors, queries, k = 10)
+        .select(col("qid"), col("rank"), col("label"),
+          col("score").cast(LongType).as("hamming"))
+        .orderBy("qid", "rank")
+    },
+
     // ---- salted (skew-safe) two-stage aggregation — must equal the
     //      direct groupBy exactly (decimal sums are order-independent) ----
 
@@ -2046,6 +2060,27 @@ object SparkEntry {
         |ranked AS (SELECT qid, label, score,
         |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM score)
         |SELECT qid, rank, label, score AS dist
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // sign-bit words rebuilt with exact integer arithmetic (63 bits/word
+    // keeps every power of two in a signed BIGINT); hamming = popcount of
+    // xor per word — integer-exact in both engines
+    "ann_hamming" ->
+      """WITH el AS (SELECT vec_id, UNNEST(range(len(embedding))) AS i,
+        |  CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings),
+        |w AS (SELECT vec_id, i // 63 AS j,
+        |  CAST(SUM(CASE WHEN x > 0 THEN (CAST(1 AS BIGINT) << CAST(i % 63 AS INT))
+        |           ELSE 0 END) AS BIGINT) AS word
+        |  FROM el GROUP BY 1, 2),
+        |h AS (SELECT qw.vec_id AS qid, vw.vec_id AS label,
+        |  CAST(SUM(bit_count(xor(qw.word, vw.word))) AS BIGINT) AS hd
+        |  FROM w qw JOIN w vw ON qw.j = vw.j
+        |  WHERE qw.vec_id < 8
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT qid, label, hd,
+        |  row_number() OVER (PARTITION BY qid ORDER BY hd, label) AS rank FROM h)
+        |SELECT qid, rank, label, hd AS hamming
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 

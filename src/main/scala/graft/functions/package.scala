@@ -63,6 +63,13 @@ package object functions {
   def dequantizeInt8(codes: Column, scale: Column): Column =
     GraftBridge.column(DequantizeVectorInt8(e(codes), e(scale)))
 
+  /** Binary (1-bit) quantization: vector → packed sign bits, 63/word. */
+  def signBits(v: Column): Column = GraftBridge.column(SignBits(e(v)))
+
+  /** Hamming distance between two packed sign-bit arrays (codegen'd). */
+  def hammingDistance(a: Column, b: Column): Column =
+    GraftBridge.column(HammingDistance(e(a), e(b)))
+
   /** PQ encode: vector → `m` sub-centroid indices (see [[PqEncode]]). */
   def pqEncode(v: Column, centroids: Seq[Array[Float]], m: Int): Column =
     GraftBridge.column(PqEncode(e(v), centroids, m))

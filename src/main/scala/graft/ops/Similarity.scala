@@ -436,6 +436,25 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
 
+  /** Binary (1-bit) kNN: vectors and queries collapse to packed sign bits
+    * (1 bit/dimension — 32× fewer scanned bytes than fp32, the extreme
+    * end of the compression ladder after f16 and SQ8 and PQ), ranked by
+    * Hamming distance with (distance, label) ties. Sign-bit Hamming
+    * approximates angular distance (Charikar's sign-LSH); typical use is
+    * a coarse shortlist feeding an exact rerank ([[rerankedTopK]] shape).
+    * Integer-exact end to end — bit-identical in any engine.
+    */
+  def hammingTopK(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val v = Dedup.spread(vectors).select(col("id"), signBits(col("vec")).as("bits"))
+    val q = queries.select(col("qid"), signBits(col("qv")).as("qbits"))
+    explodeHits(
+      v.crossJoin(broadcast(q))
+        .select(col("qid"), col("id").as("label"),
+          hammingDistance(col("bits"), col("qbits")).cast(DoubleType).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
+  }
+
   /** IVFPQ composite: IVF coarse partitioning × PQ code compression — the
     * classic billion-scale index shape. Vectors are assigned to a coarse
     * cluster ([[ivfTopK]] mechanics: at 100 TB the table is

@@ -304,6 +304,35 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall") // coarse stand-in codebook; ADC still filters
   }
 
+  test("binary hamming kNN: matches driver-side sign-bit reference; self-distance 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = 70 // crosses the 63-bit word boundary → 2 packed words
+    val vecs = Oracle.genVectors(200, d)
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qs = vecs.take(4)
+    val qdf = qs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    def pack(v: Array[Float]): Array[Long] = {
+      val w = new Array[Long]((v.length + 62) / 63)
+      v.indices.foreach(i => if (v(i) > 0f) w(i / 63) |= 1L << (i % 63))
+      w
+    }
+    def ham(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y).toLong }.sum
+    val want = qs.zipWithIndex.flatMap { case (q, qi) =>
+      vecs.zipWithIndex.map { case (v, vi) => (ham(pack(q), pack(v)), vi.toLong) }
+        .sorted.take(10).zipWithIndex
+        .map { case ((hd, label), r) => (qi.toLong, (r + 1).toLong, label, hd.toDouble) }
+    }.toSet
+    val got = Similarity.hammingTopK(vdf, qdf, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === want)
+    // queries ARE corpus members → rank 1 is self at hamming 0
+    val firsts = Similarity.hammingTopK(vdf, qdf, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(firsts.forall { case (qid, label, s) => label == qid && s == 0.0 })
+  }
+
   test("IVFPQ: probing ALL clusters degenerates to plain PQ; pruning keeps probed-cluster hits only") {
     val spark2 = spark
     import spark2.implicits._
