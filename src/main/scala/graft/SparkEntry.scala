@@ -705,6 +705,19 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // binary-coarse two-stage retrieval: hamming shortlist (40 candidates)
+    // → exact fp32 rerank to top-10; both stages deterministic → oracled
+    "ann_hamming_rerank" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.hammingRerankTopK(vectors, queries, k = 10, expand = 4)
+        .select(col("qid"), col("rank"), col("label"),
+          round(col("score"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    },
+
     // ---- salted (skew-safe) two-stage aggregation — must equal the
     //      direct groupBy exactly (decimal sums are order-independent) ----
 
@@ -2081,6 +2094,35 @@ object SparkEntry {
         |ranked AS (SELECT qid, label, hd,
         |  row_number() OVER (PARTITION BY qid ORDER BY hd, label) AS rank FROM h)
         |SELECT qid, rank, label, hd AS hamming
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // hamming shortlist (top-40 by integer hamming, exact) → fp32 L2
+    // rerank of just those rows; ROUND(,4) as in the other knn oracles
+    "ann_hamming_rerank" ->
+      """WITH el AS (SELECT vec_id, UNNEST(range(len(embedding))) AS i,
+        |  CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings),
+        |w AS (SELECT vec_id, i // 63 AS j,
+        |  CAST(SUM(CASE WHEN x > 0 THEN (CAST(1 AS BIGINT) << CAST(i % 63 AS INT))
+        |           ELSE 0 END) AS BIGINT) AS word
+        |  FROM el GROUP BY 1, 2),
+        |h AS (SELECT qw.vec_id AS qid, vw.vec_id AS label,
+        |  CAST(SUM(bit_count(xor(qw.word, vw.word))) AS BIGINT) AS hd
+        |  FROM w qw JOIN w vw ON qw.j = vw.j
+        |  WHERE qw.vec_id < 8
+        |  GROUP BY 1, 2),
+        |short AS (SELECT qid, label FROM (
+        |  SELECT qid, label, row_number() OVER (PARTITION BY qid ORDER BY hd, label) AS rn
+        |  FROM h) WHERE rn <= 40),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |d AS (SELECT qid, label, SUM((x-y)*(x-y)) AS score FROM (
+        |  SELECT s.qid, s.label,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(v.embedding) AS DOUBLE) AS y
+        |  FROM short s JOIN q ON s.qid = q.qid
+        |  JOIN embeddings v ON s.label = v.vec_id) GROUP BY 1, 2),
+        |ranked AS (SELECT qid, label, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM d)
+        |SELECT qid, rank, label, ROUND(score, 4) AS dist
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 

@@ -455,6 +455,27 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
 
+  /** Binary-coarse rerank: a Hamming shortlist of k·expand candidates per
+    * query over the 1-bit column ([[hammingTopK]] — 32× fewer scanned
+    * bytes), then an exact fp32 squared-L2 rerank of just those nq·k·expand
+    * rows via a broadcast join — the [[rerankedTopK]] two-stage shape with
+    * the cheapest possible coarse pass. Both stages are deterministic
+    * ((hamming, label) then (dist, label) total orders), so the composite
+    * reproduces exactly in SQL — unlike a recall-based gate, no verdict
+    * column needed.
+    */
+  def hammingRerankTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                        expand: Int = 4): DataFrame = {
+    val shortlist = hammingTopK(vectors, queries, k * expand)
+      .select(col("qid"), col("label"))
+    explodeHits(
+      broadcast(shortlist).join(vectors, shortlist("label") === vectors("id"))
+        .join(broadcast(queries), "qid")
+        .select(col("qid"), col("label"), squaredL2(col("vec"), col("qv")).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
+  }
+
   /** IVFPQ composite: IVF coarse partitioning × PQ code compression — the
     * classic billion-scale index shape. Vectors are assigned to a coarse
     * cluster ([[ivfTopK]] mechanics: at 100 TB the table is

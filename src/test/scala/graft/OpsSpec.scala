@@ -333,6 +333,28 @@ class OpsSpec extends AnyFunSuite {
     assert(firsts.forall { case (qid, label, s) => label == qid && s == 0.0 })
   }
 
+  test("hamming rerank: whole-corpus shortlist ≡ exact kNN; self found at rank 1 when pruned") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = Oracle.genVectors(200, 24)
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = vecs.take(4).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("qid", "qv")
+    // expand wide enough that the shortlist IS the corpus → the rerank
+    // must reproduce exact brute-force top-k bit-for-bit
+    val full = Similarity.hammingRerankTopK(vdf, qdf, 10, expand = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = Similarity.bruteForceTopK(vdf, qdf, 10, "l2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full === exact)
+    // pruned shortlist: the query is a corpus member, hamming 0 to itself
+    // → always shortlisted → rank 1 at distance 0 after the exact rerank
+    val pruned = Similarity.hammingRerankTopK(vdf, qdf, 5, expand = 4)
+      .filter(col("rank") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    assert(pruned.forall { case (qid, label, s) => label == qid && s == 0.0 })
+  }
+
   test("IVFPQ: probing ALL clusters degenerates to plain PQ; pruning keeps probed-cluster hits only") {
     val spark2 = spark
     import spark2.implicits._
