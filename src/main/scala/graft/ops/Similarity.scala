@@ -59,8 +59,9 @@ object Similarity {
     // "train": the centroid table is small by definition — collect it once
     // and embed it in a narrow projection (no cross-join, no shuffle for
     // assignment or probe lists)
-    val cents = vectors.filter(col("id") % centroidModulo === 0)
-      .select(col("id"), col("vec")).collect()
+    val cents = collectSmall(
+        vectors.filter(col("id") % centroidModulo === 0).select(col("id"), col("vec")),
+        "IVF centroid table")
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
       .sortBy(_._1)
 
@@ -112,6 +113,21 @@ object Similarity {
     * (score, label) total order as TopKAgg, and the final per-query merge
     * IS TopKAgg — the block_select partial/merge/final shape again.
     */
+  /** Guarded driver collect for centroid/codebook tables: these embed in
+    * expressions and broadcast inside closures, so they must stay small.
+    * The limit-probe costs no more than the collect itself and fails fast
+    * with a clear message instead of OOMing the driver when a caller picks
+    * a modulo that no longer selects a "small" subset at corpus scale.
+    */
+  private def collectSmall(df: DataFrame, what: String,
+                           maxRows: Int = 1 << 17): Array[org.apache.spark.sql.Row] = {
+    val probe = df.limit(maxRows + 1).collect()
+    require(probe.length <= maxRows,
+      s"$what exceeds $maxRows rows — a centroid/codebook table must be small " +
+        "enough to embed in an expression; raise the modulo / lower nClusters")
+    probe
+  }
+
   /** Empty kNN result in the canonical (qid, rank, label, score) shape —
     * what a GEMM-path search over zero queries returns (instead of
     * throwing, so batch drivers can skip-and-union).
@@ -422,8 +438,9 @@ object Similarity {
     */
   def pqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
              centroidModulo: Int, m: Int = 8): DataFrame = {
-    val cents = vectors.filter(col("id") % centroidModulo === 0)
-      .select(col("id"), col("vec")).collect()
+    val cents = collectSmall(
+        vectors.filter(col("id") % centroidModulo === 0).select(col("id"), col("vec")),
+        "PQ codebook")
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).toArray).toSeq
     val codes = Dedup.spread(vectors)
@@ -494,12 +511,14 @@ object Similarity {
   def ivfPqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
                 ivfModulo: Int, nProbe: Int,
                 pqModulo: Int, m: Int = 8): DataFrame = {
-    val coarse = vectors.filter(col("id") % ivfModulo === 0)
-      .select(col("id"), col("vec")).collect()
+    val coarse = collectSmall(
+        vectors.filter(col("id") % ivfModulo === 0).select(col("id"), col("vec")),
+        "IVFPQ coarse centroid table")
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
       .sortBy(_._1)
-    val pqCents = vectors.filter(col("id") % pqModulo === 0)
-      .select(col("id"), col("vec")).collect()
+    val pqCents = collectSmall(
+        vectors.filter(col("id") % pqModulo === 0).select(col("id"), col("vec")),
+        "IVFPQ codebook")
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).toArray).toSeq
     // one narrow pass builds the "index row": coarse cluster id + codes

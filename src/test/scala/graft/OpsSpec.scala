@@ -355,6 +355,30 @@ class OpsSpec extends AnyFunSuite {
     assert(pruned.forall { case (qid, label, s) => label == qid && s == 0.0 })
   }
 
+  test("centroid/codebook collects are guarded: oversize table fails fast, not driver-OOM") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vdf = Oracle.genVectors(50, 8).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = Oracle.genVectors(2, 8, seed = 1L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    // modulo 1 selects EVERY vector as a centroid — at corpus scale that
+    // collect would OOM the driver; the guard must throw instead (maxRows
+    // here is the default 2^17, so use a tiny corpus with a tiny cap via
+    // the message check: the require fires only above the cap, so assert
+    // the happy path stays intact and the guard path throws on a
+    // deliberately oversized synthetic)
+    val ok = Similarity.ivfTopK(vdf, qdf, 3, centroidModulo = 10, nProbe = 2)
+    assert(ok.count() > 0)
+    val big = spark.range(140000).select(col("id"),
+      array(lit(1.0f), lit(2.0f)).as("vec"))
+    val q2 = Seq((0L, Array(1.0f, 2.0f))).toDF("qid", "qv")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(big, q2, 1, centroidModulo = 1, m = 1)
+    }
+    assert(e.getMessage.contains("codebook"))
+  }
+
   test("IVFPQ: probing ALL clusters degenerates to plain PQ; pruning keeps probed-cluster hits only") {
     val spark2 = spark
     import spark2.implicits._
