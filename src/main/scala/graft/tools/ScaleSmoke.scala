@@ -77,6 +77,17 @@ object ScaleSmoke {
         vecs.select(col("id").as("qid"), col("vec").as("qv")), 10,
         maxQueries = 2000).count()
     }
+    val queries = vecs.filter(col("id") < 8)
+      .select(col("id").as("qid"), col("vec").as("qv")).localCheckpoint(true)
+    time("pqTopK (codes+ADC)") {
+      Similarity.pqTopK(vecs, queries, 10, centroidModulo = 250).count()
+    }
+    time("ivfPqTopK (prune x codes)") {
+      Similarity.ivfPqTopK(vecs, queries, 10,
+        ivfModulo = 400, nProbe = 2, pqModulo = 250).count()
+    }
+    time("hammingTopK (1-bit)") { Similarity.hammingTopK(vecs, queries, 10).count() }
+    time("hammingRerankTopK") { Similarity.hammingRerankTopK(vecs, queries, 10).count() }
     spark.stop()
   }
 }
