@@ -474,6 +474,14 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // overlapping token-window chunking (the RAG/pretraining splitter):
+    // 64-token windows at stride 48, per-chunk digest + token count
+    "text_chunks" -> { (s, dir) =>
+      graft.ops.TextAnalysis
+        .chunkDocs(Tables(s, dir, "documents"), window = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // ---- rollup / set operators ----
 
     "q_rollup" -> { (s, dir) =>
@@ -1767,6 +1775,23 @@ object SparkEntry {
         |  length(text) AS n_chars_measured
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // chunk c covers tokens [48c+1, 48c+64] (1-based list_slice, clipped
+    // at the end); a doc shorter than one window yields exactly one chunk
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w, UNNEST(range(0, (len(w) - 1) // 48 + 1)) AS chunk_id
+        |      FROM t),
+        |ch AS (SELECT doc_id, chunk_id, chunk_id * 48 AS start_tok,
+        |  array_to_string(list_slice(w, CAST(chunk_id * 48 + 1 AS BIGINT),
+        |    CAST(chunk_id * 48 + 64 AS BIGINT)), ' ') AS chunk
+        |  FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(start_tok AS BIGINT) AS start_tok,
+        |  CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tok,
+        |  md5(chunk) AS chunk_md5
+        |FROM ch
+        |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

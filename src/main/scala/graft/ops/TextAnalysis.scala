@@ -24,6 +24,31 @@ object TextAnalysis {
 
   private def toks(text: Column): Column = Dedup.tokens(text)
 
+  /** Overlapping token-window chunking — the RAG/pretraining document
+    * splitter: chunk c covers tokens [c·stride, c·stride + window), the
+    * final chunk may be shorter, and a doc shorter than one window yields
+    * exactly one chunk. One narrow pass (tokenize → explode chunk starts →
+    * slice) — no shuffle; at 100 TB this is scan-bound, exactly as a
+    * chunker should be. Output: (doc_id, chunk_id, start_tok, n_tok,
+    * chunk_md5) — the digest stands in for the chunk payload so the
+    * result stays scalar-typed for the oracle compare.
+    */
+  def chunkDocs(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1, s"window/stride must be >= 1")
+    Dedup.spread(docs)
+      .select(col("doc_id"), toks(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0L, cast((n - 1) / $stride as long))")).as("c"))
+      .select(col("doc_id"), col("c").as("chunk_id"),
+        (col("c") * stride).as("start_tok"),
+        concat_ws(" ", slice(col("w"), (col("c") * stride + 1).cast(IntegerType),
+          lit(window))).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(split(col("chunk"), " ", -1)).cast(LongType).as("n_tok"),
+        md5(col("chunk")).as("chunk_md5"))
+  }
+
   /** Distinct-token hits against one dictionary. */
   def langScore(text: Column, words: Seq[String]): Column =
     size(array_intersect(array_distinct(toks(text)), array(words.map(lit): _*)))

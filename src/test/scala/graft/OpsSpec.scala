@@ -355,6 +355,30 @@ class OpsSpec extends AnyFunSuite {
     assert(pruned.forall { case (qid, label, s) => label == qid && s == 0.0 })
   }
 
+  test("chunkDocs: overlapping windows match a driver reference; short/boundary docs") {
+    val docs = docsDf(Seq(
+      0L -> (1 to 10).map(i => s"t$i").mkString(" "), // 10 tokens, w=4 s=3
+      1L -> "a b c",                                  // shorter than one window
+      2L -> (1 to 7).map(i => s"u$i").mkString(" "),  // last chunk exactly at end
+      3L -> ""))                                      // empty text → [""] → one chunk
+    val got = TextAnalysis.chunkDocs(docs, window = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def ref(id: Long, toks: Seq[String], w: Int, s: Int) = {
+      val starts = 0 to ((toks.length - 1) / s)
+      starts.map(c => (id, c.toLong, (c * s).toLong,
+        toks.slice(c * s, c * s + w).length.toLong))
+    }
+    val want = (ref(0L, (1 to 10).map(i => s"t$i"), 4, 3) ++
+      ref(1L, Seq("a", "b", "c"), 4, 3) ++
+      ref(2L, (1 to 7).map(i => s"u$i"), 4, 3) ++
+      Seq((3L, 0L, 0L, 1L))).toSet // split("") = [""] → one 1-token chunk
+    assert(got === want)
+    // every token is covered: union of [start, start+n_tok) spans 0..n
+    val cov = got.filter(_._1 == 0L).toSeq.sortBy(_._2)
+    assert(cov.head._3 == 0L && cov.map(c => c._3 + c._4).max == 10L)
+  }
+
   test("centroid/codebook collects are guarded: oversize table fails fast, not driver-OOM") {
     val spark2 = spark
     import spark2.implicits._
