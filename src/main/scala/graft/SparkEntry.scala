@@ -726,6 +726,18 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // MMR diversity re-ranking: top-20 cosine candidates per query,
+    // greedy λ=0.5 selection of 5 (relevance minus max-sim-to-selected) —
+    // the retrieval-diversification pass of a RAG pipeline
+    "ann_mmr" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.mmrTopK(vectors, queries, k = 5, candN = 20, lambda = 0.5)
+        .orderBy("qid", "rank")
+    },
+
     // ---- salted (skew-safe) two-stage aggregation — must equal the
     //      direct groupBy exactly (decimal sums are order-independent) ----
 
@@ -2150,6 +2162,52 @@ object SparkEntry {
         |SELECT qid, rank, label, ROUND(score, 4) AS dist
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // greedy MMR as a recursive CTE: state = (qid, rank, selected list);
+    // each step's LATERAL picks the remaining candidate maximizing
+    // 0.5·rel − 0.5·max-sim-to-selected (exact arithmetic on round6
+    // inputs; ties → min id). Matches mapGroups greedy step for step.
+    "ann_mmr" ->
+      """WITH RECURSIVE
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |qc AS (SELECT qid, id, ROUND(cos, 6) AS rel FROM (
+        |  SELECT t.qid, t.id,
+        |    SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos
+        |  FROM (SELECT q.qid, v.vec_id AS id,
+        |          CAST(UNNEST(q.qv) AS DOUBLE) AS x,
+        |          CAST(UNNEST(v.embedding) AS DOUBLE) AS y
+        |        FROM q, embeddings v) t
+        |  GROUP BY 1, 2)),
+        |cand AS (SELECT qid, id, rel FROM (
+        |  SELECT qid, id, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn
+        |  FROM qc) WHERE rn <= 20),
+        |cc AS (SELECT qid, ia, ib, ROUND(cos, 6) AS sim FROM (
+        |  SELECT t.qid, t.ia, t.ib,
+        |    SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos
+        |  FROM (SELECT a.qid, a.id AS ia, b.id AS ib,
+        |          CAST(UNNEST(va.embedding) AS DOUBLE) AS x,
+        |          CAST(UNNEST(vb.embedding) AS DOUBLE) AS y
+        |        FROM cand a JOIN cand b ON a.qid = b.qid
+        |        JOIN embeddings va ON va.vec_id = a.id
+        |        JOIN embeddings vb ON vb.vec_id = b.id) t
+        |  GROUP BY 1, 2, 3)),
+        |mmr AS (
+        |  SELECT qid, 1 AS rank, [id] AS sel, id, rel AS score FROM (
+        |    SELECT qid, id, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn
+        |    FROM cand) WHERE rn = 1
+        |  UNION ALL
+        |  SELECT m.qid, m.rank + 1, list_append(m.sel, p.id), p.id, p.score
+        |  FROM mmr m, LATERAL (
+        |    SELECT c.id, 0.5 * c.rel - 0.5 * ms.mx AS score
+        |    FROM cand c
+        |    JOIN LATERAL (SELECT MAX(cc.sim) AS mx FROM cc
+        |                  WHERE cc.qid = m.qid AND cc.ia = c.id
+        |                    AND list_contains(m.sel, cc.ib)) ms ON TRUE
+        |    WHERE c.qid = m.qid AND NOT list_contains(m.sel, c.id)
+        |    ORDER BY score DESC, c.id LIMIT 1) p
+        |  WHERE m.rank < 5)
+        |SELECT qid, CAST(rank AS BIGINT) AS rank, id, score
+        |FROM mmr ORDER BY qid, rank""".stripMargin,
 
     "q_salted_agg" ->
       """SELECT l_returnflag,

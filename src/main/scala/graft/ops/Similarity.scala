@@ -493,6 +493,76 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
 
+  /** Maximal-marginal-relevance diversity re-ranking (Carbonell &
+    * Goldstein, SIGIR 1998): from each query's top-`candN` cosine
+    * candidates, greedily select k maximizing
+    * λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s) — the standard
+    * retrieval-diversification pass (RAG context assembly, dedup'd search
+    * results). Plan shape: one kNN pass for candidates, one bounded
+    * candidate×candidate cosine join (nq·candN² rows — candN is a
+    * constant, never the corpus), then the inherently-sequential greedy
+    * runs per-query inside `mapGroups` — distributed BY QUERY, each group
+    * a few hundred rows. Relevances and pairwise sims are rounded to 1e-6
+    * (identical doubles in every engine); the combined score is then exact
+    * arithmetic on those — so the (score desc, id asc) selection order is
+    * engine-independent and the whole operator reproduces in a DuckDB
+    * recursive CTE.
+    */
+  def mmrTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+              candN: Int = 20, lambda: Double = 0.5): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cand = bruteForceTopK(vectors, queries, candN, "cosine")
+      .select(col("qid"), col("label").as("id"), round(col("score"), 6).as("rel"))
+    // attach each candidate's vector: broadcast the (tiny) candidate set
+    // against the (huge) corpus — never the reverse
+    val withVec = broadcast(cand)
+      .join(vectors.select(col("id"), col("vec")), "id")
+      .select(col("qid"), col("id"), col("rel"), col("vec"))
+      .localCheckpoint(true) // feeds both sides of the pair join
+    val pairs = withVec.as("x").join(withVec.as("y"), "qid")
+      .select(col("qid"), col("x.id").as("ia"), col("x.rel").as("rel"),
+        col("y.id").as("ib"),
+        round(cosineSimilarity(col("x.vec"), col("y.vec")), 6).as("sim"))
+      .as[(Long, Long, Double, Long, Double)]
+    pairs.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val rows = it.toArray
+      val rel = rows.map(r => r._2 -> r._3).toMap
+      val sim = rows.map(r => (r._2, r._4) -> r._5).toMap
+      val ids = rel.keys.toArray.sorted
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+      var rank = 1
+      while (rank <= math.min(k, ids.length)) {
+        var bestId = -1L
+        var bestScore = 0.0
+        ids.foreach { id =>
+          if (!selected.contains(id)) {
+            // rel and sim are round6 values — identical doubles in every
+            // engine — so the combined score needs NO further rounding:
+            // λ·rel − (1−λ)·mx is deterministic arithmetic on identical
+            // inputs (a second rounding would land exactly on half-ulp
+            // boundaries at λ=0.5, where round-half conventions diverge)
+            val score =
+              if (selected.isEmpty) rel(id)
+              else {
+                val mx = selected.map(s => sim((id, s))).max
+                lambda * rel(id) - (1 - lambda) * mx
+              }
+            if (bestId < 0 || score > bestScore ||
+                (score == bestScore && id < bestId)) {
+              bestId = id; bestScore = score
+            }
+          }
+        }
+        selected += bestId
+        out += ((qid, rank.toLong, bestId, bestScore))
+        rank += 1
+      }
+      out.iterator
+    }.toDF("qid", "rank", "id", "score")
+  }
+
   /** IVFPQ composite: IVF coarse partitioning × PQ code compression — the
     * classic billion-scale index shape. Vectors are assigned to a coarse
     * cluster ([[ivfTopK]] mechanics: at 100 TB the table is

@@ -355,6 +355,64 @@ class OpsSpec extends AnyFunSuite {
     assert(pruned.forall { case (qid, label, s) => label == qid && s == 0.0 })
   }
 
+  test("MMR re-ranking: matches driver greedy reference; demotes near-duplicate candidates") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = 16
+    // two relevant clusters: ids 0-2 are near-copies of direction a
+    // (highest relevance), id 3 is direction b (slightly less relevant but
+    // far from a); the rest are orthogonal-to-q noise. Plain top-3 is the
+    // a-clique; MMR must jump to b at rank 2.
+    val rnd = new scala.util.Random(7)
+    def vec(first: Float, second: Float, jitterDim: Int = -1, j: Float = 0f) = {
+      val v = new Array[Float](d)
+      v(0) = first; v(1) = second
+      if (jitterDim >= 0) v(jitterDim) = j
+      v
+    }
+    val vecs: Seq[Array[Float]] =
+      (0 to 2).map(i => vec(1f, 0.25f, 3 + i, 1e-3f * (i + 1))) ++
+        Seq(vec(0.2f, 1f)) ++
+        (4 until 60).map { _ =>
+          val v = Array.fill(d)(rnd.nextFloat() * 0.2f - 0.1f); v(0) = 0f; v(1) = 0f; v
+        }
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = Seq((0L, vec(1f, 1f))).toDF("qid", "qv")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dd = 0.0; var na = 0.0; var nb = 0.0
+      for (t <- a.indices) {
+        dd += a(t).toDouble * b(t).toDouble
+        na += a(t).toDouble * a(t).toDouble; nb += b(t).toDouble * b(t).toDouble
+      }
+      math.rint(dd / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val qv = vec(1f, 1f)
+    // driver greedy reference with the same round6-inputs / exact-combined rule
+    val rel = vecs.indices.map(i => i.toLong -> cos(qv, vecs(i))).toMap
+    val cand = rel.toSeq.sortBy { case (i, r) => (-r, i) }.take(20)
+    var sel = List(cand.head._1)
+    var want = List((0L, 1L, cand.head._1, cand.head._2))
+    for (rank <- 2 to 5) {
+      val best = cand.filterNot(c => sel.contains(c._1)).map { case (i, r) =>
+        val mx = sel.map(s => cos(vecs(i.toInt), vecs(s.toInt))).max
+        (0.5 * r - 0.5 * mx, i)
+      }.maxBy { case (s, i) => (s, -i) }
+      sel = sel :+ best._2
+      want = want :+ ((0L, rank.toLong, best._2, best._1))
+    }
+    val got = Similarity.mmrTopK(vdf, qdf, 5, candN = 20)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toList
+    assert(got === want)
+    // diversity: plain cosine top-3 is the a-clique {0,1,2}; MMR takes one
+    // a-member then jumps to the b-direction (id 3) at rank 2
+    val plain = Similarity.bruteForceTopK(vdf, qdf, 3, "cosine")
+      .collect().map(_.getLong(2)).toSet
+    assert(plain === Set(0L, 1L, 2L))
+    assert(Set(0L, 1L, 2L).contains(got.head._3))
+    assert(got(1)._3 === 3L, s"rank 2 should diversify to id 3, got ${got(1)._3}")
+  }
+
   test("chunkDocs: overlapping windows match a driver reference; short/boundary docs") {
     val docs = docsDf(Seq(
       0L -> (1 to 10).map(i => s"t$i").mkString(" "), // 10 tokens, w=4 s=3
