@@ -437,9 +437,18 @@ final class PointSearcher private[index] (
       case e: org.apache.spark.SparkException
           if e.getMessage != null && e.getMessage.contains("Checkpoint block") =>
         // non-reliable localCheckpoint blocks were lost (dead executor or
-        // external unpersist) — rebuild the snapshot once and retry
-        packed.unpersist(blocking = false)
-        packed = prepare()
+        // external unpersist) — rebuild the snapshot once and retry.
+        // Synchronized so concurrent searchers racing into recovery
+        // re-prepare ONCE instead of each building (and leaking) a
+        // snapshot; the double-check skips the rebuild if another thread
+        // already replaced the RDD this thread failed on.
+        val failed = packed
+        this.synchronized {
+          if (packed eq failed) {
+            packed.unpersist(blocking = false)
+            packed = prepare()
+          }
+        }
         run(qvec)
     }
 
