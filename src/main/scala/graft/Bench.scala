@@ -51,14 +51,36 @@ object Bench {
       if (times.exists(_ < 0)) name -> -1.0
       else name -> times.sorted.apply(reps / 2)
     }
-    // millisecond precision keeps the one-line JSON short enough that no
-    // tail-capture truncates the per-query map (9-digit doubles tripled
-    // the line length for precision that is pure noise here)
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // Locale.ROOT pins the decimal point: the f"" interpolator is
+    // locale-sensitive and a comma-decimal JVM would print invalid JSON
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else String.format(java.util.Locale.ROOT, "%.3f", v)
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the LAST 2000 chars of output and parses
+    // the JSON line out of that tail; the sbt [success] trailer eats ~75.
+    // A 102-query map is ~2.3k chars — physically over budget — so the
+    // stdout line carries the SLOWEST queries first (the informative ones)
+    // up to a hard char budget, plus n/omitted so truncation is explicit;
+    // the complete per-query map goes to bench_full.json alongside.
+    val ordered = results.toSeq.sortBy { case (_, v) => -v }
+    val fullMap = ordered.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter("bench_full.json", "UTF-8")
+      w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$fullMap,"sf":"$sfDir"}""")
+      w.close()
+    } catch { case _: Throwable => }
+    val budget = 1850
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"""
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var len = head.length + s""""omitted":000,"queries":{},"sf":"$sfDir"}""".length
+    ordered.foreach { case (k, v) =>
+      val e = "\"" + k + "\":" + fmt(v)
+      if (len + e.length + 1 <= budget) { entries += e; len += e.length + 1 }
+    }
+    val omitted = results.size - entries.size
+    println(head +
+      s""""omitted":$omitted,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -429,9 +429,15 @@ final class PointSearcher private[index] (
     p
   }
 
-  private[graft] var packed = prepare()
+  // @volatile: written under this.synchronized during recovery but read
+  // lock-free in run() — without it a concurrent searcher can see the
+  // stale (lost-block) RDD and burn an extra failed job before healing.
+  @volatile private[graft] var packed = prepare()
+  @volatile private[this] var closed = false
 
-  def search(qvec: Array[Float]): Array[(Long, Double)] =
+  def search(qvec: Array[Float]): Array[(Long, Double)] = {
+    if (closed) throw new IllegalStateException(
+      "PointSearcher is closed — create a new searcher via pointSearcher()")
     try run(qvec)
     catch {
       case e: org.apache.spark.SparkException
@@ -444,6 +450,8 @@ final class PointSearcher private[index] (
         // already replaced the RDD this thread failed on.
         val failed = packed
         this.synchronized {
+          if (closed) throw new IllegalStateException(
+            "PointSearcher closed during recovery")
           if (packed eq failed) {
             packed.unpersist(blocking = false)
             packed = prepare()
@@ -451,6 +459,7 @@ final class PointSearcher private[index] (
         }
         run(qvec)
     }
+  }
 
   private def run(qvec: Array[Float]): Array[(Long, Double)] = {
     require(qvec.length == d, s"query must have dimension $d")
@@ -499,7 +508,10 @@ final class PointSearcher private[index] (
     out ++ Array.fill(k - out.length)((-1L, sentinel))
   }
 
-  def close(): Unit = packed.unpersist(blocking = false)
+  def close(): Unit = this.synchronized {
+    closed = true
+    packed.unpersist(blocking = false)
+  }
 }
 
 object VectorIndexFlat {

@@ -512,8 +512,19 @@ object Similarity {
               candN: Int = 20, lambda: Double = 0.5): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val cand = bruteForceTopK(vectors, queries, candN, "cosine")
-      .select(col("qid"), col("label").as("id"), round(col("score"), 6).as("rel"))
+    // Candidate selection ranks the ROUNDED relevance (not the raw cosine):
+    // the greedy below — and the oracle — operate on round-6 values, so the
+    // cutoff at candN must too, or a raw near-tie (<1e-6 apart, equal after
+    // rounding) picks a different candidate SET than (rel desc, id asc).
+    // TopKAgg's smaller-label tie-break matches the oracle's ORDER BY id.
+    val cand = explodeHits(
+      Dedup.spread(vectors).crossJoin(broadcast(queries))
+        .select(col("qid"), col("id").as("label"),
+          round(cosineSimilarity(col("vec"), col("qv")), 6).as("score"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.topK(col("score"), col("label"), candN,
+          ascending = false).as("hits")))
+      .select(col("qid"), col("label").as("id"), col("score").as("rel"))
     // attach each candidate's vector: broadcast the (tiny) candidate set
     // against the (huge) corpus — never the reverse
     val withVec = broadcast(cand)
@@ -689,8 +700,14 @@ object Similarity {
             greatest(col("qid"), col("label")).as("j"), col("score"))
           .groupBy(col("i"), col("j")).agg(max(col("score")).as("cos"))
       }
+    // Drop NaN pairs (zero-norm vectors) BEFORE ranking: Spark's total
+    // order sorts NaN greater than every double, so a desc orderBy would
+    // rank them first — while the kNN path's TopKAgg ranks NaN always
+    // worst. Filtering makes both paths agree: zero-norm vectors have no
+    // defined cosine and never form a top pair.
     // rn windows over ≤ topN already-limited rows — a single tiny partition
-    pairs.orderBy(col("cos").desc, col("i"), col("j")).limit(topN)
+    pairs.filter(!isnan(col("cos")))
+      .orderBy(col("cos").desc, col("i"), col("j")).limit(topN)
       .withColumn("rn", row_number().over(
         Window.orderBy(col("cos").desc, col("i"), col("j"))).cast(LongType))
       .select(col("rn"), col("i"), col("j"), round(col("cos"), 6).as("cos"))

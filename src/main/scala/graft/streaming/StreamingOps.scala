@@ -145,11 +145,19 @@ object StreamingOps {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val numBands = numHashes / rowsPerBand
-    val sigs = docs
+    val rawSigs = docs
       .select(col("doc_id"),
         graft.functions.wordShingles(split(col("text"), " ", -1), 3).as("sh"))
       .select(col("doc_id"),
         graft.functions.minhashSignature(col("sh"), numHashes).as("sig"))
+    // Docs too short to shingle (null signature) form no LSH bands — batch
+    // minhashDedup keeps them (no candidate pairs), so streaming must too:
+    // emit a stateless pass-through flag (one trivially-claimed band) that
+    // keptDocs counts as fully new, instead of silently dropping the doc.
+    val passThrough = rawSigs.filter(col("sig").isNull)
+      .select(col("doc_id"), lit(1).as("n_bands"), lit(true).as("is_new"))
+      .as[BandFlag]
+    val sigs = rawSigs
       .filter(col("sig").isNotNull)
       .select(col("doc_id") +:
         (0 until numHashes).map(j => element_at(col("sig"), j + 1).as(s"h$j")): _*)
@@ -168,6 +176,7 @@ object StreamingOps {
     }
     bands.groupByKey(b => (b.band, b.key))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+      .union(passThrough)
   }
 
   /** Fold [[streamingMinhashDedup]]'s per-band flags into surviving doc

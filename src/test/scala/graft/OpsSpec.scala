@@ -558,6 +558,55 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("topCosinePairs: zero-norm vectors (NaN cosine) never rank; paths agree") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a zero vector makes cosine NaN; Spark's total order sorts NaN ABOVE
+    // every double, so an unfiltered desc orderBy would rank it first in
+    // the direct path — while the kNN path's TopKBuffer ranks NaN worst
+    val vecs = Oracle.genVectors(30, 8)
+    val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) } :+
+      (99L, Array.fill(8)(0f))
+    val vdf = rows.toSeq.toDF("id", "vec")
+    for (limit <- Seq(0L, 1000L)) { // kNN scale path and direct shortcut
+      val got = Similarity.topCosinePairs(vdf, 10, directLimit = limit)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.length === 10, s"directLimit=$limit")
+      assert(got.forall { case (i, j, c) => i != 99L && j != 99L && !c.isNaN },
+        s"zero-norm vector leaked into top pairs (directLimit=$limit): ${got.toSeq}")
+    }
+    // both paths produce the identical ranking on this corpus
+    val a = Similarity.topCosinePairs(vdf, 10, directLimit = 0L).orderBy("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val b = Similarity.topCosinePairs(vdf, 10, directLimit = 1000L).orderBy("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("mmrTopK: candidate cutoff ranks the ROUNDED relevance (oracle order)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two docs whose raw cosines differ by <1e-6 (equal after round6): the
+    // higher RAW score sits on the LARGER id, so a raw-ranked candN=1
+    // cutoff picks id 7 while the oracle's (round6 desc, id asc) picks 3
+    val d = 8
+    def unit(x: Double): Array[Float] = {
+      val v = new Array[Float](d)
+      v(0) = x.toFloat; v(1) = math.sqrt(1.0 - x * x).toFloat; v
+    }
+    val q = new Array[Float](d); q(0) = 1f
+    val vdf = Seq(
+      (3L, unit(0.80000004)), // raw lower of the tied pair, smaller id
+      (7L, unit(0.80000040)), // raw higher, larger id
+      (9L, unit(0.30000000))  // clearly below — must never be a candidate
+    ).toDF("id", "vec")
+    val qdf = Seq((0L, q)).toDF("qid", "qv")
+    val got = Similarity.mmrTopK(vdf, qdf, k = 1, candN = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 3L)),
+      s"candidate cutoff must rank rounded rel with id tie-break, got ${got.toSeq}")
+  }
+
   test("GEMM cosine/ip epilogues ≡ expression-path brute force") {
     val spark2 = spark
     import spark2.implicits._

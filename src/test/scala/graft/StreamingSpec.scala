@@ -128,12 +128,14 @@ class StreamingSpec extends AnyFunSuite {
     // batch 2: near-dups of BOTH batch-1 docs (cross-batch suppression)
     // plus one genuinely new doc
     stream.addData(Seq(2L -> nearDup, 3L -> otherDup,
-      4L -> "entirely novel text with no overlap to anything seen before in this stream"))
+      4L -> "entirely novel text with no overlap to anything seen before in this stream",
+      5L -> "too short")) // <3 tokens → null signature → must pass through,
+                          // exactly as batch minhashDedup keeps it
     q.processAllAvailable()
     q.stop()
     val kept = StreamingOps.keptDocs(spark.table("smdedup"))
       .collect().map(_.getLong(0)).toSet
-    assert(kept === Set(0L, 1L, 4L), s"got $kept")
+    assert(kept === Set(0L, 1L, 4L, 5L), s"got $kept")
     // id-ordered arrival reproduces the batch formulation exactly:
     // doc kept iff it is the min doc_id of EVERY one of its band buckets
     val docs = Seq(0L -> base, 1L -> other, 2L -> nearDup, 3L -> otherDup).toDF("doc_id", "text")

@@ -349,6 +349,9 @@ class VectorIndexFlatSpec extends AnyFunSuite {
       val recovered = searcher.search(q)
       assert(recovered.map(_._1).toSeq === viaBatch.map(_._1).toSeq, s"$storage recovery")
       searcher.close()
+      // a closed searcher must refuse, not silently re-prepare (which would
+      // resurrect cached blocks the caller just released)
+      intercept[IllegalStateException] { searcher.search(q) }
       idx.reset()
     }
   }
