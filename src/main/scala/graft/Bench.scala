@@ -62,16 +62,23 @@ object Bench {
     // stdout line carries the SLOWEST queries first (the informative ones)
     // up to a hard char budget, plus n/omitted so truncation is explicit;
     // the complete per-query map goes to bench_full.json alongside.
-    val ordered = results.toSeq.sortBy { case (_, v) => -v }
+    // failures FIRST (they'd otherwise sort last in descending time and be
+    // the first entries truncated — a failed query must be visible), then
+    // slowest-first for the informative tail
+    val ordered = results.toSeq.sortBy { case (_, v) => (if (v < 0) 0 else 1, -v) }
+    val failed = ordered.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
     val fullMap = ordered.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("bench_full.json", "UTF-8")
-      w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"queries":$fullMap,"sf":"$sfDir"}""")
+      w.println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","reps":$reps,"failed":${failed.mkString("[", ",", "]")},"queries":$fullMap,"sf":"$sfDir"}""")
       w.close()
-    } catch { case _: Throwable => }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] bench_full.json write FAILED: $e")
+    }
     val budget = 1850
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":${failed.mkString("[", ",", "]")},"""
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     var len = head.length + s""""omitted":000,"queries":{},"sf":"$sfDir"}""".length
     ordered.foreach { case (k, v) =>
@@ -79,8 +86,10 @@ object Bench {
       if (len + e.length + 1 <= budget) { entries += e; len += e.length + 1 }
     }
     val omitted = results.size - entries.size
+    // stop Spark BEFORE the JSON line: the driver parses the tail of stdout,
+    // and shutdown logging after the line could push it out of the capture
+    spark.stop()
     println(head +
       s""""omitted":$omitted,"queries":${entries.mkString("{", ",", "}")},"sf":"$sfDir"}""")
-    spark.stop()
   }
 }

@@ -2177,7 +2177,7 @@ object SparkEntry {
         |          CAST(UNNEST(q.qv) AS DOUBLE) AS x,
         |          CAST(UNNEST(v.embedding) AS DOUBLE) AS y
         |        FROM q, embeddings v) t
-        |  GROUP BY 1, 2)),
+        |  GROUP BY 1, 2) WHERE NOT isnan(cos)),
         |cand AS (SELECT qid, id, rel FROM (
         |  SELECT qid, id, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn
         |  FROM qc) WHERE rn <= 20),

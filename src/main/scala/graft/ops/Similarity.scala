@@ -517,10 +517,16 @@ object Similarity {
     // cutoff at candN must too, or a raw near-tie (<1e-6 apart, equal after
     // rounding) picks a different candidate SET than (rel desc, id asc).
     // TopKAgg's smaller-label tie-break matches the oracle's ORDER BY id.
+    // Zero-norm vectors have NaN cosine; TopKAgg only ranks NaN worst
+    // WITHIN a full buffer — under candN entries a NaN candidate survives,
+    // and the greedy's unconditional first-pick would then select it at
+    // rank 1 (NaN comparisons block any later replacement). Filter before
+    // the topK, mirroring [[topCosinePairs]]; the oracle filters likewise.
     val cand = explodeHits(
       Dedup.spread(vectors).crossJoin(broadcast(queries))
         .select(col("qid"), col("id").as("label"),
           round(cosineSimilarity(col("vec"), col("qv")), 6).as("score"))
+        .filter(!isnan(col("score")))
         .groupBy(col("qid"))
         .agg(graft.functions.topK(col("score"), col("label"), candN,
           ascending = false).as("hits")))
@@ -537,38 +543,55 @@ object Similarity {
         round(cosineSimilarity(col("x.vec"), col("y.vec")), 6).as("sim"))
       .as[(Long, Long, Double, Long, Double)]
     pairs.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      // index candidates 0..n−1 once (ids ascending, so index order = id
+      // order and the ascending scan's first-wins IS the min-id tie-break);
+      // rel and sim become array reads — no boxed tuple keys, no linear
+      // `selected.contains` scans in the O(n²·k) inner loop
       val rows = it.toArray
-      val rel = rows.map(r => r._2 -> r._3).toMap
-      val sim = rows.map(r => (r._2, r._4) -> r._5).toMap
-      val ids = rel.keys.toArray.sorted
-      val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val ids = rows.map(_._2).distinct.sorted
+      val n = ids.length
+      val idx = new scala.collection.mutable.LongMap[Int](n * 2)
+      var i = 0
+      while (i < n) { idx(ids(i)) = i; i += 1 }
+      val rel = new Array[Double](n)
+      val sim = Array.ofDim[Double](n, n)
+      rows.foreach { r =>
+        val a = idx(r._2); rel(a) = r._3; sim(a)(idx(r._4)) = r._5
+      }
+      val kEff = math.min(k, n)
+      val selected = new Array[Int](kEff)
+      val taken = new Array[Boolean](n)
       val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
-      var rank = 1
-      while (rank <= math.min(k, ids.length)) {
-        var bestId = -1L
+      var nSel = 0
+      while (nSel < kEff) {
+        var best = -1
         var bestScore = 0.0
-        ids.foreach { id =>
-          if (!selected.contains(id)) {
+        var c = 0
+        while (c < n) {
+          if (!taken(c)) {
             // rel and sim are round6 values — identical doubles in every
             // engine — so the combined score needs NO further rounding:
             // λ·rel − (1−λ)·mx is deterministic arithmetic on identical
             // inputs (a second rounding would land exactly on half-ulp
             // boundaries at λ=0.5, where round-half conventions diverge)
             val score =
-              if (selected.isEmpty) rel(id)
+              if (nSel == 0) rel(c)
               else {
-                val mx = selected.map(s => sim((id, s))).max
-                lambda * rel(id) - (1 - lambda) * mx
+                var mx = Double.NegativeInfinity
+                var s = 0
+                while (s < nSel) {
+                  val v = sim(c)(selected(s)); if (v > mx) mx = v; s += 1
+                }
+                lambda * rel(c) - (1 - lambda) * mx
               }
-            if (bestId < 0 || score > bestScore ||
-                (score == bestScore && id < bestId)) {
-              bestId = id; bestScore = score
-            }
+            if (best < 0 || score > bestScore) { best = c; bestScore = score }
           }
+          c += 1
         }
-        selected += bestId
-        out += ((qid, rank.toLong, bestId, bestScore))
-        rank += 1
+        taken(best) = true
+        selected(nSel) = best
+        nSel += 1
+        out += ((qid, nSel.toLong, ids(best), bestScore))
       }
       out.iterator
     }.toDF("qid", "rank", "id", "score")

@@ -607,6 +607,27 @@ class OpsSpec extends AnyFunSuite {
       s"candidate cutoff must rank rounded rel with id tie-break, got ${got.toSeq}")
   }
 
+  test("mmrTopK: zero-norm (NaN-relevance) vectors are never selected") {
+    val spark2 = spark
+    import spark2.implicits._
+    // with candN > corpus size the topK buffer never fills, so without the
+    // NaN filter the zero-norm candidate survives to the greedy — whose
+    // unconditional first pick would take it at rank 1 and NaN comparisons
+    // would then freeze the selection
+    val vdf = Seq(
+      (1L, Array(0f, 0f)),  // zero norm → NaN cosine
+      (2L, Array(1f, 0f)),
+      (3L, Array(0f, 1f))
+    ).toDF("id", "vec")
+    val qdf = Seq((0L, Array(1f, 1f))).toDF("qid", "qv")
+    val got = Similarity.mmrTopK(vdf, qdf, k = 3, candN = 20)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.length === 2, s"only the 2 finite candidates selectable: ${got.toSeq}")
+    assert(got.map(_._2).toSet === Set(2L, 3L))
+    assert(got.forall(r => !r._3.isNaN), s"no NaN scores: ${got.toSeq}")
+  }
+
   test("GEMM cosine/ip epilogues ≡ expression-path brute force") {
     val spark2 = spark
     import spark2.implicits._
