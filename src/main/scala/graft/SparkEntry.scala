@@ -1329,6 +1329,71 @@ object SparkEntry {
         .orderBy("qid")
     },
 
+    // Residual-encoded IVFPQ (FAISS IVFPQ proper: PQ codes v − coarse
+    // centroid, k-means-trained residual sub-codebooks). Training isn't
+    // SQL-reproducible → driver-checkable verdicts: per-query recall ≥ 1
+    // of the exact top-10, AND the residual total recall beats the
+    // raw-encoded variant at the same m/probes (measured 32 vs 19 at
+    // sf0.01, 24 vs 21 at sf0.1; seeded + un-spread training input →
+    // identical across 8/32 cores)
+    "ann_ivfpq_residual" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
+        .select(col("qid"), col("label"))
+      def overlap(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("qid"), col("label")).join(exact, Seq("qid", "label"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_common"))
+      val resid = overlap(Similarity.ivfPqResidualTopK(vectors, queries,
+        k = 10, ivfModulo = 40, nProbe = 8, pqModulo = 25, m = 8,
+        trainedNcent = 64))
+      val raw = overlap(Similarity.ivfPqTopK(vectors, queries,
+        k = 10, ivfModulo = 40, nProbe = 8, pqModulo = 25, m = 8))
+      val totals = resid.agg(sum(col("n_common")).as("t_resid"))
+        .crossJoin(raw.agg(sum(col("n_common")).as("t_raw")))
+        .select((col("t_resid") >= col("t_raw")).as("beats_raw"))
+      queries.select(col("qid"))
+        .join(resid, Seq("qid"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("qid"),
+          (coalesce(col("n_common"), lit(0L)) >= 1L).as("recall_ok"),
+          col("beats_raw"))
+        .orderBy("qid")
+    },
+
+    // PQ with k-means-trained sub-codebooks at the SAME codebook budget as
+    // the modulo stand-in (ncent = n/25): per-query recall bound plus the
+    // trained-beats-sampled aggregate (measured 38 vs 17 at sf0.01, 27 vs
+    // 24 at sf0.1; training input is the un-spread table → core-stable)
+    "ann_pq_kmeans" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val ncent = math.max(8, (vectors.count() / 25L).toInt)
+      val exact = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
+        .select(col("qid"), col("label"))
+      def overlap(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("qid"), col("label")).join(exact, Seq("qid", "label"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_common"))
+      val trained = overlap(Similarity.pqKmeansTopK(vectors, queries,
+        k = 10, ncent = ncent, m = 8))
+      val modulo = overlap(Similarity.pqTopK(vectors, queries,
+        k = 10, centroidModulo = 25, m = 8))
+      val totals = trained.agg(sum(col("n_common")).as("t_km"))
+        .crossJoin(modulo.agg(sum(col("n_common")).as("t_mod")))
+        .select((col("t_km") > col("t_mod")).as("beats_modulo"))
+      queries.select(col("qid"))
+        .join(trained, Seq("qid"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("qid"),
+          (coalesce(col("n_common"), lit(0L)) >= 1L).as("recall_ok"),
+          col("beats_modulo"))
+        .orderBy("qid")
+    },
+
     // join-based upsert (MERGE semantics over immutable storage): a delta
     // of updates + inserts full-outer-joined into the base table; output
     // is the per-status summary of the merged state
@@ -1464,6 +1529,16 @@ object SparkEntry {
 
     "ann_lsh_mllib" ->
       """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "ann_ivfpq_residual" ->
+      """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok,
+        |  CAST(TRUE AS BOOLEAN) AS beats_raw
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "ann_pq_kmeans" ->
+      """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok,
+        |  CAST(TRUE AS BOOLEAN) AS beats_modulo
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "q_approx_distinct" ->

@@ -55,3 +55,44 @@ case class NearestCentroids(
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** (vec array<float>, cid long) → vec − centroid(cid), the per-row residual
+  * used by residual-encoded IVFPQ (FAISS IVFPQ semantics: PQ codes the
+  * residual to the coarse centroid, not the raw vector — residual energy is
+  * far smaller, so the same codebook budget quantizes finer). The centroid
+  * table rides inside the expression like [[NearestCentroids]]: a narrow
+  * projection, no join. Unknown cid throws — a wiring bug, not data.
+  */
+case class CentroidResidual(
+    left: Expression,
+    right: Expression,
+    centroids: Seq[(Long, Array[Float])])
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with ImplicitCastInputTypes with CodegenFallback {
+
+  require(centroids.nonEmpty, "centroid table must be non-empty")
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), LongType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val byId: Map[Long, Array[Float]] = centroids.toMap
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val cid = r.asInstanceOf[Long]
+    val c = byId.getOrElse(cid,
+      throw new IllegalArgumentException(s"unknown centroid id $cid"))
+    val n = v.numElements()
+    val out = new Array[Float](n)
+    var j = 0
+    while (j < n) {
+      out(j) = v.getFloat(j) - (if (j < c.length) c(j) else 0f)
+      j += 1
+    }
+    new GenericArrayData(out.map(x => x: Any))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -111,6 +111,13 @@ package object functions {
                        nProbe: Int): Column =
     GraftBridge.column(NearestCentroids(e(v), centroids, nProbe))
 
+  /** v − centroid(cid): the residual-IVFPQ encode/score input (see
+    * [[CentroidResidual]]); centroid table embedded, narrow projection.
+    */
+  def centroidResidual(v: Column, cid: Column,
+                       centroids: Seq[(Long, Array[Float])]): Column =
+    GraftBridge.column(CentroidResidual(e(v), e(cid), centroids))
+
   /** Grouped bounded top-k: `array<struct<label, score>>` best-first.
     * ascending=true keeps smallest scores (L2), false largest (IP);
     * ties break toward the smaller label. `padToK` fills missing slots

@@ -304,6 +304,106 @@ class OpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall=$recall") // coarse stand-in codebook; ADC still filters
   }
 
+  test("CentroidResidual: subtracts the looked-up centroid; unknown cid throws") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cents = Seq(10L -> Array(1f, 2f, 3f), 20L -> Array(-1f, 0f, 5f))
+    val df = Seq((Array(4f, 4f, 4f), 10L), (Array(4f, 4f, 4f), 20L))
+      .toDF("vec", "cid")
+    val got = df.select(graft.functions.centroidResidual(col("vec"), col("cid"), cents))
+      .collect().map(_.getSeq[Float](0).toArray)
+    assert(got(0).toSeq === Seq(3f, 2f, 1f))
+    assert(got(1).toSeq === Seq(5f, 4f, -1f))
+    val bad = Seq((Array(1f, 1f, 1f), 99L)).toDF("vec", "cid")
+      .select(graft.functions.centroidResidual(col("vec"), col("cid"), cents))
+    intercept[Exception] { bad.collect() }
+  }
+
+  test("residual IVFPQ (deterministic codebook): scores ≡ driver residual-ADC reference") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = 32; val m = 4; val ds = d / m
+    val ivfModulo = 40; val nProbe = 3; val pqModulo = 20
+    val vecs = Oracle.genVectors(300, d)
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qs = Oracle.genVectors(5, d, seed = 3L)
+    val qdf = qs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    def dist2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var t = 0
+      while (t < a.length) { val dd = a(t).toDouble - b(t).toDouble; acc += dd * dd; t += 1 }
+      acc
+    }
+    // driver reference of every pipeline stage, same tie rules
+    val coarseIds = vecs.indices.filter(_ % ivfModulo == 0).map(_.toLong)
+    val coarse = coarseIds.map(i => i -> vecs(i.toInt))
+    def nearestCid(v: Array[Float]): Long =
+      coarse.minBy { case (cid, c) => (dist2(v, c), cid) }._1
+    def residual(v: Array[Float], cid: Long): Array[Float] = {
+      val c = vecs(cid.toInt)
+      Array.tabulate(d)(j => v(j) - c(j))
+    }
+    val residCents = vecs.indices.filter(_ % pqModulo == 0)
+      .map(i => residual(vecs(i), nearestCid(vecs(i)))).toArray
+    def subDist(a: Array[Float], b: Array[Float], j: Int): Double = {
+      var acc = 0.0; var t = j * ds
+      while (t < (j + 1) * ds) {
+        val dd = a(t).toDouble - b(t).toDouble; acc += dd * dd; t += 1
+      }
+      acc
+    }
+    def encode(r: Array[Float]): Array[Int] =
+      Array.tabulate(m)(j =>
+        residCents.indices.minBy(ci => (subDist(r, residCents(ci), j), ci)))
+    def adcResid(qr: Array[Float], codes: Array[Int]): Double =
+      (0 until m).map(j => subDist(qr, residCents(codes(j)), j)).sum
+    val got = Similarity.ivfPqResidualTopK(vdf, qdf, 10, ivfModulo, nProbe, pqModulo, m)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._1).distinct.length === 5)
+    got.groupBy(_._1).foreach { case (_, rows) => assert(rows.length === 10) }
+    got.foreach { case (qid, _, label, score) =>
+      val q = qs(qid.toInt); val v = vecs(label.toInt)
+      val cid = nearestCid(v)
+      // the scored row must come from a probed cluster of this query
+      val probed = coarse.map { case (c, cv) => (dist2(q, cv), c) }
+        .sorted.take(nProbe).map(_._2).toSet
+      assert(probed.contains(cid), s"label $label cluster $cid not probed for $qid")
+      val want = math.rint(adcResid(residual(q, cid), encode(residual(v, cid))) * 1e6) / 1e6
+      assert(score === want, s"ADC mismatch for ($qid,$label): $score vs $want")
+    }
+  }
+
+  test("trained PQ codebooks beat the modulo stand-in on clustered data; clamp holds") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = 16; val nCenters = 12
+    val rnd = new scala.util.Random(11)
+    val centers = Array.fill(nCenters)(Array.fill(d)(rnd.nextFloat() * 4f - 2f))
+    val vecs = (0 until 600).map { i =>
+      val c = centers(i % nCenters)
+      Array.tabulate(d)(j => c(j) + (rnd.nextFloat() - 0.5f) * 0.3f)
+    }
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = vecs.take(6).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    val exact = Similarity.bruteForceTopK(vdf, qdf, 10, "l2")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val pairs = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact & pairs).size.toDouble / exact.size
+    }
+    val rTrained = recall(Similarity.pqKmeansTopK(vdf, qdf, 10, ncent = 24, m = 4))
+    val rModulo = recall(Similarity.pqTopK(vdf, qdf, 10, centroidModulo = 25, m = 4))
+    assert(rTrained > rModulo,
+      s"trained codebook recall $rTrained must beat modulo $rModulo on clustered data")
+    // clamp: requesting more centroids than distinct subspace points must
+    // not crash — codebook shrinks to the feasible count, codes stay valid
+    val tiny = vecs.take(5).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val cb = Similarity.trainPqCodebook(tiny.select(col("vec").as("v")), 4, 64)
+    assert(cb.nonEmpty && cb.length <= 64)
+    assert(cb.forall(_.length == d))
+  }
+
   test("binary hamming kNN: matches driver-side sign-bit reference; self-distance 0") {
     val spark2 = spark
     import spark2.implicits._
