@@ -94,6 +94,32 @@ class OpsSpec extends AnyFunSuite {
     assert(dist == expected)
   }
 
+  test("connectedComponents: distributed min-label loop ≡ union-find on a random graph") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 2000 nodes with sparse random edges (some long chains, many
+    // components, ~40% singletons) — the distributed loop must converge to
+    // exactly the driver union-find labels, including 63-bit-style ids
+    val rnd = new scala.util.Random(23)
+    val ids = (0 until 2000).map(i => (i.toLong << 32) | (rnd.nextInt(1 << 30)).toLong)
+    val edgeSeq = (0 until 1200).map { _ =>
+      val a = ids(rnd.nextInt(ids.length)); val b = ids(rnd.nextInt(ids.length))
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }
+    val nodes = ids.toDF("doc_id")
+    val edges = edgeSeq.toDF("doc_a", "doc_b")
+    val fast = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(nodes, edges, smallEdgeLimit = 0L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist.size === ids.size)
+    assert(dist == fast)
+    // sanity: every label is the min id of its component
+    dist.groupBy(_._2).foreach { case (root, members) =>
+      assert(members.keys.min === root)
+    }
+  }
+
   test("k-means IVF: recall@10 ≥ 0.7 at nProbe=4/16 on seeded data") {
     val spark2 = spark
     import spark2.implicits._
