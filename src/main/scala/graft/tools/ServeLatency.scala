@@ -55,6 +55,30 @@ object ServeLatency {
     val searcher16 = idx16.pointSearcher(k)
     dist("prepared-f16", () => { searcher16.search(q); () })
     searcher16.close()
+
+    // streaming kNN: end-to-end micro-batch latency (addData →
+    // processAllAvailable over a foreachBatch search+collect sink) — the
+    // Structured-Streaming serving figure next to the prepared searcher
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[(Long, Array[Float])]
+      val queryDf = stream.toDF().toDF("qid", "qvec")
+        .select(col("qid"), col("qvec").cast("array<float>").as("qvec"))
+      val writer = graft.streaming.StreamingOps.streamingKnn(idx, queryDf, k) {
+        (result, _) => result.collect(); ()
+      }
+      val sq = writer.start()
+      var qi = 0L
+      def one(): Unit = {
+        stream.addData((qi, vec())); qi += 1
+        sq.processAllAvailable()
+      }
+      dist("streamKnn", () => one())
+      sq.stop()
+    }
     spark.stop()
   }
 }
