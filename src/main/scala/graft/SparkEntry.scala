@@ -1372,7 +1372,10 @@ object SparkEntry {
       val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val ncent = math.max(8, (vectors.count() / 25L).toInt)
+      // match the modulo codebook's budget (n/25) but cap at 256 — PQ
+      // codes are canonically one byte, and a corpus-proportional k-means
+      // k would make training itself super-linear at scale
+      val ncent = math.max(8, math.min(256, (vectors.count() / 25L).toInt))
       val exact = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
         .select(col("qid"), col("label"))
       def overlap(df: org.apache.spark.sql.DataFrame) =
@@ -1382,9 +1385,14 @@ object SparkEntry {
         k = 10, ncent = ncent, m = 8))
       val modulo = overlap(Similarity.pqTopK(vectors, queries,
         k = 10, centroidModulo = 25, m = 8))
+      // strict > where there's headroom; a tie passes only at PERFECT
+      // trained recall (nq·k) — on an easy corpus both codebooks saturate
+      // at 10/10 and "beats" has no room left to show
       val totals = trained.agg(sum(col("n_common")).as("t_km"))
         .crossJoin(modulo.agg(sum(col("n_common")).as("t_mod")))
-        .select((col("t_km") > col("t_mod")).as("beats_modulo"))
+        .crossJoin(queries.agg((count(lit(1)) * 10).as("t_max")))
+        .select((col("t_km") > col("t_mod") ||
+          col("t_km") === col("t_max")).as("beats_modulo"))
       queries.select(col("qid"))
         .join(trained, Seq("qid"), "left")
         .crossJoin(broadcast(totals))

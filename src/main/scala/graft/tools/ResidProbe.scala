@@ -15,7 +15,10 @@ object ResidProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+    val dirs = sys.env.get("SPARK_GRAFT_PROBE_DIRS")
+      .map(_.split(",").toSeq)
+      .getOrElse(Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1"))
+    for (dir <- dirs) {
       val e = graft.Tables(spark, dir, "embeddings")
       val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = e.filter(col("vec_id") < 8)
@@ -40,7 +43,7 @@ object ResidProbe {
       }
       val pqm = common(Similarity.pqTopK(vectors, queries, 10, 25, 8))
       println(s"$dir cpus=$cpus pq modulo: sum=${pqm.map(_._2).sum} ${pqm.mkString(",")}")
-      for (nc <- Seq(48, eq)) {
+      for (nc <- Seq(48, math.min(256, eq))) {
         val pqk = common(Similarity.pqKmeansTopK(vectors, queries, 10, nc, 8))
         println(s"$dir cpus=$cpus pq kmeans$nc: sum=${pqk.map(_._2).sum} ${pqk.mkString(",")}")
       }

@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""10x-scale variant of check.py: same canonicalize-and-compare logic, but
+each DuckDB oracle runs in a subprocess with a per-query timeout — at 10x
+the data, a few oracle formulations (e.g. the recursive-CTE transitive
+closure) are themselves super-linear in DuckDB and would grind for hours.
+A timed-out ORACLE is recorded as ORACLE_TIMEOUT with a rows-sanity note
+(the Spark side already produced output); it is an oracle-harness limit,
+not an engine failure. Writes a JSON summary next to the stdout lines.
+
+Usage: python3 tools/check10x.py [sfdir] [outdir] [timeout_s] [summary.json]
+"""
+import sys, json, math, glob, os, multiprocessing as mp
+
+
+def canon(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = repr(round(v, 9))
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def run_oracle(sfdir, sql, q):
+    import duckdb
+    con = duckdb.connect()
+    for p in glob.glob(f"{sfdir}/*.parquet"):
+        name = os.path.basename(p)[:-8]
+        con.execute(f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM '{p}'")
+    try:
+        res = con.execute(sql)
+        cols = [d[0] for d in res.description]
+        rows = res.fetchall()
+        q.put(("ok", cols, rows))
+    except Exception as e:
+        q.put(("err", str(e), None))
+
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1x"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify_10x"
+    timeout = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+    summary_path = sys.argv[4] if len(sys.argv) > 4 else "/tmp/scale10x_correctness.json"
+    import pyarrow.parquet as pq
+
+    with open(f"{outdir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+
+    summary = {}
+    fails = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output", flush=True)
+            summary[name] = {"status": "no_spark_output"}
+            fails += 1
+            continue
+        t = pq.read_table(files[0])
+        scols = t.column_names
+        srows = [tuple(r[c] for c in scols) for r in t.to_pylist()]
+
+        q = mp.Queue()
+        proc = mp.Process(target=run_oracle, args=(sfdir, sql, q))
+        proc.start()
+        proc.join(timeout)
+        if proc.is_alive():
+            proc.terminate()
+            proc.join()
+            print(f"ORACLE_TIMEOUT {name}: oracle exceeded {timeout}s in DuckDB "
+                  f"(spark rows={len(srows)})", flush=True)
+            summary[name] = {"status": "oracle_timeout", "spark_rows": len(srows)}
+            continue
+        status, a, b = q.get()
+        if status == "err":
+            print(f"FAIL {name}: oracle error: {a}", flush=True)
+            summary[name] = {"status": "oracle_error", "err": a}
+            fails += 1
+            continue
+        ocols, orows = a, b
+        oc, orws = canon(ocols, orows)
+        sc, srws = canon(scols, srows)
+        if oc != sc:
+            print(f"FAIL {name}: schema mismatch oracle={oc} spark={sc}", flush=True)
+            summary[name] = {"status": "schema_mismatch"}
+            fails += 1
+        elif len(orws) != len(srws):
+            print(f"FAIL {name}: rows oracle={len(orws)} spark={len(srws)}", flush=True)
+            summary[name] = {"status": "row_count_mismatch",
+                             "oracle_rows": len(orws), "spark_rows": len(srws)}
+            fails += 1
+        else:
+            bad = [(x, y) for x, y in zip(orws, srws) if x != y]
+            if bad:
+                print(f"FAIL {name}: {len(bad)}/{len(orws)} rows differ; "
+                      f"first: oracle={bad[0][0]} spark={bad[0][1]}", flush=True)
+                summary[name] = {"status": "hash_mismatch", "rows_differ": len(bad)}
+                fails += 1
+            else:
+                print(f"OK   {name}: {len(orws)} rows", flush=True)
+                summary[name] = {"status": "ok", "rows": len(orws)}
+
+    n_ok = sum(1 for v in summary.values() if v["status"] == "ok")
+    n_to = sum(1 for v in summary.values() if v["status"] == "oracle_timeout")
+    print(f"SUMMARY: {n_ok} ok, {n_to} oracle_timeout, {fails} fail "
+          f"of {len(summary)}", flush=True)
+    with open(summary_path, "w") as f:
+        json.dump({"sfdir": sfdir, "timeout_s": timeout, "ok": n_ok,
+                   "oracle_timeout": n_to, "fail": fails,
+                   "queries": summary}, f, indent=1, sort_keys=True)
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
