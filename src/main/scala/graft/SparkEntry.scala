@@ -1496,6 +1496,33 @@ object SparkEntry {
             (acc, x) => acc + x.cast(DoubleType)), 4).as("feat_sum"),
           round(array_max(col("features")).cast(DoubleType), 4).as("feat_max"))
         .orderBy("media_id")
+    },
+
+    // ---- multimodal: REAL JDK codec roundtrips. Payloads are generated
+    //      from a closed-form pixel/sample formula, encoded into genuine
+    //      compressed/structured containers (PNG via javax.imageio, WAV
+    //      via javax.sound.sampled, a length-prefixed frame container),
+    //      then DECODED by the real codec; the oracle recomputes every
+    //      decoded statistic from the formula alone. PNG is lossless and
+    //      WAV is PCM, so values are exact doubles on both sides — no
+    //      rounding needed. ----
+    "multimodal_image_decode" -> { (s, dir) =>
+      val ids = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0).select(col("doc_id").as("media_id"))
+      Multimodal.imageDecodeStats(Multimodal.imageMedia(ids))
+        .orderBy("media_id")
+    },
+    "multimodal_audio_decode" -> { (s, dir) =>
+      val ids = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0).select(col("doc_id").as("media_id"))
+      Multimodal.audioDecodeStats(Multimodal.audioMedia(ids))
+        .orderBy("media_id")
+    },
+    "multimodal_frame_sample" -> { (s, dir) =>
+      val ids = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0).select(col("doc_id").as("media_id"))
+      Multimodal.frameSampleStats(Multimodal.videoMedia(ids), stride = 2)
+        .orderBy("media_id", "frame_idx")
     }
   )
 
@@ -1848,6 +1875,61 @@ object SparkEntry {
         |  ROUND(a.fm, 4) AS feat_max
         |FROM b JOIN agg a ON a.media_id = b.media_id
         |ORDER BY b.media_id""".stripMargin,
+
+    // Real-codec roundtrips: the oracle recomputes each decoded statistic
+    // from the closed-form generator formula (pixel = (id*31+x*7+y*13)%256,
+    // sample = (id*131+i*17)%4096-2048, frame f of video id = image
+    // id*1000+f). PNG/WAV are lossless, integer sums divide identically in
+    // double on both sides → exact hash match without rounding.
+    "multimodal_image_decode" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    16 + CAST(doc_id % 3 AS INT) * 4 AS w,
+        |    12 + CAST(doc_id % 2 AS INT) * 4 AS h
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |xs AS (SELECT media_id, w, h, UNNEST(range(w)) AS x FROM ids),
+        |ps AS (SELECT media_id, w, h, x, UNNEST(range(h)) AS y FROM xs),
+        |v AS (SELECT media_id, w, h, x, y,
+        |    (media_id * 31 + x * 7 + y * 13) % 256 AS g FROM ps),
+        |agg AS (SELECT media_id, w, h, SUM(g) AS sg,
+        |    SUM(CASE WHEN x < w // 2 AND y < h // 2 THEN g ELSE 0 END) AS st
+        |  FROM v GROUP BY media_id, w, h)
+        |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sg AS DOUBLE) / (w * h) AS mean_gray,
+        |  CAST(st AS DOUBLE) / ((w // 2) * (h // 2)) AS mean_tl
+        |FROM agg ORDER BY media_id""".stripMargin,
+
+    "multimodal_audio_decode" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    800 + CAST(doc_id % 5 AS INT) * 100 AS n
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |s AS (SELECT media_id, n, UNNEST(range(n)) AS i FROM ids),
+        |v AS (SELECT media_id, n,
+        |    ABS((media_id * 131 + i * 17) % 4096 - 2048) AS a FROM s),
+        |agg AS (SELECT media_id, n, SUM(a) AS sa FROM v GROUP BY media_id, n)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(8000 AS INT) AS sample_rate,
+        |  CAST(sa AS DOUBLE) / n AS mean_abs
+        |FROM agg ORDER BY media_id""".stripMargin,
+
+    "multimodal_frame_sample" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    3 + CAST(doc_id % 3 AS INT) AS nf
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |fr AS (SELECT media_id, UNNEST(range(nf)) AS f FROM ids),
+        |sel AS (SELECT media_id, f, media_id * 1000 + f AS fid
+        |  FROM fr WHERE f % 2 = 0),
+        |dims AS (SELECT media_id, f, fid,
+        |    16 + CAST(fid % 3 AS INT) * 4 AS w,
+        |    12 + CAST(fid % 2 AS INT) * 4 AS h FROM sel),
+        |xs AS (SELECT media_id, f, fid, w, h, UNNEST(range(w)) AS x FROM dims),
+        |ps AS (SELECT media_id, f, fid, w, h, x, UNNEST(range(h)) AS y FROM xs),
+        |agg AS (SELECT media_id, f, w, h,
+        |    SUM((fid * 31 + x * 7 + y * 13) % 256) AS sg
+        |  FROM ps GROUP BY media_id, f, fid, w, h)
+        |SELECT media_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sg AS DOUBLE) / (w * h) AS mean_gray
+        |FROM agg ORDER BY media_id, frame_idx""".stripMargin,
 
     "vec_norms" ->
       """SELECT vec_id,

@@ -8,11 +8,18 @@ import org.apache.spark.sql.types._
   * `binary` columns with a typed metadata struct, and run decode /
   * feature-extraction as batched per-partition transforms.
   *
-  * The decode step itself is STUBBED (no image/audio codecs in this
-  * environment) with a deterministic fake that derives pseudo-features
-  * from the bytes; everything Spark-side — schema, batching, partition
-  * parallelism, the mapPartitions seam where a JNI/codec library would be
-  * invoked once per batch rather than once per row — is real and tested.
+  * Two tiers of decode:
+  *   - REAL JDK codecs (no extra deps): PNG via `javax.imageio`, WAV/PCM
+  *     via `javax.sound.sampled`, plus a length-prefixed multi-frame
+  *     container for frame sampling ([[imageDecodeStats]],
+  *     [[audioDecodeStats]], [[frameSampleStats]]) — payloads generated
+  *     from a closed-form pixel/sample formula so a SQL oracle verifies
+  *     the full encode→decode roundtrip without a codec.
+  *   - the original byte-statistics stub ([[decodeBatchStub]]) kept as
+  *     the seam demo for codecs the JDK lacks (JPEG2000, H.264, …).
+  * Everything Spark-side — schema, batching, partition parallelism, the
+  * mapPartitions seam where a codec library is invoked once per batch
+  * rather than once per row — is real and tested in both tiers.
   */
 object Multimodal {
 
@@ -84,4 +91,235 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       struct(lit("text/plain").as("mime"),
         lit(0).as("width"), lit(0).as("height")).as("meta"))
+
+  // --------------------------------------------------------------------
+  // REAL codecs (JDK-native, zero extra dependencies): PNG via
+  // javax.imageio, WAV/PCM via javax.sound.sampled. The payloads are
+  // generated deterministically from a closed-form pixel/sample formula,
+  // so a SQL oracle can recompute every decoded statistic without a codec
+  // — the roundtrip (encode → real compressed container → decode →
+  // aggregate) is machine-verified end to end. PNG is lossless and
+  // TYPE_BYTE_GRAY raster access bypasses color-space conversion, so the
+  // recovered samples are bit-exact; WAV is uncompressed PCM.
+  // --------------------------------------------------------------------
+
+  /** Deterministic grayscale pixel for (id, x, y); range [0, 256). */
+  def pixel(id: Long, x: Int, y: Int): Int = ((id * 31 + x * 7 + y * 13) % 256).toInt
+
+  /** Per-id image dims: a small mix of shapes so width/height are decoded,
+    * not assumed. */
+  def imgW(id: Long): Int = 16 + (id % 3).toInt * 4
+  def imgH(id: Long): Int = 12 + (id % 2).toInt * 4
+
+  /** Encode the deterministic pattern for `id` as a real PNG. */
+  def makePng(id: Long): Array[Byte] = {
+    val (w, h) = (imgW(id), imgH(id))
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { r.setSample(x, y, 0, pixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decoded-image statistics: (width, height, sumGray, sumTopLeft) where
+    * sumTopLeft sums the x < w/2, y < h/2 quadrant (the area-average
+    * "resize" cell a 2× downsample would produce, scaled by its count). */
+  def decodeImageStats(png: Array[Byte]): (Int, Int, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val r = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L; var tl = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = r.getSample(x, y, 0)
+        sum += v
+        if (x < w / 2 && y < h / 2) tl += v
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, sum, tl)
+  }
+
+  /** Deterministic 16-bit PCM sample for (id, i); range [-2048, 2047]. */
+  def sample(id: Long, i: Int): Int = ((id * 131 + i * 17) % 4096).toInt - 2048
+  def audioN(id: Long): Int = 800 + (id % 5).toInt * 100
+  val AudioRate = 8000f
+
+  /** Encode the deterministic samples for `id` as a real WAV container
+    * (PCM_SIGNED, 16-bit little-endian, mono). */
+  def makeWav(id: Long): Array[Byte] = {
+    val n = audioN(id)
+    val raw = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = sample(id, i)
+      raw(i * 2) = (s & 0xFF).toByte
+      raw(i * 2 + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, AudioRate, 16, 1, 2, AudioRate, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decoded-audio statistics: (nSamples, sampleRate, sumAbs). The WAV
+    * header drives the format — nothing is assumed from the generator. */
+  def decodeWavStats(wav: Array[Byte]): (Long, Int, Long) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"unexpected WAV format: $fmt")
+    val raw = ais.readAllBytes()
+    val n = raw.length / 2
+    var sumAbs = 0L
+    var i = 0
+    while (i < n) {
+      val s = ((raw(i * 2) & 0xFF) | (raw(i * 2 + 1).toInt << 8)).toShort.toInt
+      sumAbs += math.abs(s)
+      i += 1
+    }
+    (n.toLong, fmt.getSampleRate.toInt, sumAbs)
+  }
+
+  // --- trivial multi-frame container ("GFV1"): the JDK has no video
+  // codec, so frames are real PNGs inside a length-prefixed container —
+  // frame SAMPLING and per-frame DECODE are real; only inter-frame
+  // compression is out of scope. Frame f of media id uses the pixel
+  // pattern of id*1000 + f.
+  def videoFrames(id: Long): Int = 3 + (id % 3).toInt
+
+  def makeVideo(id: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(0x47465631) // "GFV1"
+    val nf = videoFrames(id)
+    out.writeInt(nf)
+    var f = 0
+    while (f < nf) {
+      val png = makePng(id * 1000 + f)
+      out.writeInt(png.length)
+      out.write(png)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Sample every `stride`-th frame and decode it: Seq of
+    * (frameIdx, width, height, sumGray). */
+  def sampleFrames(video: Array[Byte], stride: Int): Seq[(Int, Int, Int, Long)] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(video))
+    require(in.readInt() == 0x47465631, "bad container magic")
+    val nf = in.readInt()
+    (0 until nf).flatMap { f =>
+      val len = in.readInt()
+      val png = new Array[Byte](len)
+      in.readFully(png)
+      if (f % stride == 0) {
+        val (w, h, sum, _) = decodeImageStats(png)
+        Some((f, w, h, sum))
+      } else None
+    }
+  }
+
+  private val imageStatSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_gray", DoubleType, nullable = false),
+    StructField("mean_tl", DoubleType, nullable = false)))
+
+  private val payloadSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Encode stage: ids → (media_id, payload) with a REAL binary container
+    * per row. `make` runs in a narrow mapPartitions; the payload then
+    * flows through the DataFrame as a genuine `binary` column. */
+  private def encodeMedia(ids: DataFrame, make: Long => Array[Byte]): DataFrame = {
+    val spark = ids.sparkSession
+    val out = ids.select(col("media_id")).rdd.mapPartitions { it =>
+      it.map { row => val id = row.getLong(0); Row(id, make(id)) }
+    }
+    spark.createDataFrame(out, payloadSchema)
+  }
+
+  def imageMedia(ids: DataFrame): DataFrame = encodeMedia(ids, makePng)
+  def audioMedia(ids: DataFrame): DataFrame = encodeMedia(ids, makeWav)
+  def videoMedia(ids: DataFrame): DataFrame = encodeMedia(ids, makeVideo)
+
+  /** Decode stage over a (media_id, payload) frame: batched mapPartitions
+    * on the consumer side of the codec seam (same shape as
+    * [[extractFeatures]]). A narrow, shuffle-free pass — at 100 TB this is
+    * scan-bound, exactly what a decode stage should be. */
+  def imageDecodeStats(media: DataFrame, batchSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("media_id"), col("payload"))
+      .rdd.mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { row =>
+            val (w, h, sum, tl) = decodeImageStats(row.getAs[Array[Byte]](1))
+            Row(row.getLong(0), w, h, sum.toDouble / (w.toLong * h),
+              tl.toDouble / ((w / 2).toLong * (h / 2)))
+          }
+        }
+      }
+    spark.createDataFrame(out, imageStatSchema)
+  }
+
+  private val audioStatSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("mean_abs", DoubleType, nullable = false)))
+
+  def audioDecodeStats(media: DataFrame, batchSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("media_id"), col("payload"))
+      .rdd.mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { row =>
+            val (n, rate, sumAbs) = decodeWavStats(row.getAs[Array[Byte]](1))
+            Row(row.getLong(0), n, rate, sumAbs.toDouble / n)
+          }
+        }
+      }
+    spark.createDataFrame(out, audioStatSchema)
+  }
+
+  private val frameStatSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_gray", DoubleType, nullable = false)))
+
+  def frameSampleStats(media: DataFrame, stride: Int = 2, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("media_id"), col("payload"))
+      .rdd.mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { row =>
+            val id = row.getLong(0)
+            sampleFrames(row.getAs[Array[Byte]](1), stride).map { case (f, w, h, sum) =>
+              Row(id, f, w, h, sum.toDouble / (w.toLong * h))
+            }
+          }
+        }
+      }
+    spark.createDataFrame(out, frameStatSchema)
+  }
 }

@@ -991,4 +991,67 @@ class OpsSpec extends AnyFunSuite {
     assert(f1.map(_.getAs[scala.collection.Seq[Float]]("features")).toSeq ===
       f2.map(_.getAs[scala.collection.Seq[Float]]("features")).toSeq)
   }
+
+  test("multimodal: PNG codec roundtrip is bit-exact against the generator formula") {
+    for (id <- Seq(0L, 1L, 7L, 123456789L, 3000000042L)) {
+      val (w, h, sum, tl) = Multimodal.decodeImageStats(Multimodal.makePng(id))
+      assert(w === Multimodal.imgW(id) && h === Multimodal.imgH(id))
+      var eSum = 0L; var eTl = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = Multimodal.pixel(id, x, y)
+        eSum += g; if (x < w / 2 && y < h / 2) eTl += g
+      }
+      assert(sum === eSum, s"id=$id gray sum"); assert(tl === eTl, s"id=$id tl sum")
+    }
+  }
+
+  test("multimodal: WAV codec roundtrip recovers every PCM sample and the header rate") {
+    for (id <- Seq(0L, 3L, 999L, 3000000042L)) {
+      val (n, rate, sumAbs) = Multimodal.decodeWavStats(Multimodal.makeWav(id))
+      assert(n === Multimodal.audioN(id).toLong)
+      assert(rate === Multimodal.AudioRate.toInt)
+      val expected = (0 until n.toInt).map(i => math.abs(Multimodal.sample(id, i)).toLong).sum
+      assert(sumAbs === expected, s"id=$id")
+    }
+  }
+
+  test("multimodal: frame sampling picks every stride-th frame, each decoded exactly") {
+    for (id <- Seq(0L, 1L, 2L, 77L)) {
+      val nf = Multimodal.videoFrames(id)
+      val got = Multimodal.sampleFrames(Multimodal.makeVideo(id), stride = 2)
+      assert(got.map(_._1) === (0 until nf).filter(_ % 2 == 0))
+      got.foreach { case (f, w, h, sum) =>
+        val fid = id * 1000 + f
+        assert(w === Multimodal.imgW(fid) && h === Multimodal.imgH(fid))
+        val eSum = (for (y <- 0 until h; x <- 0 until w)
+          yield Multimodal.pixel(fid, x, y).toLong).sum
+        assert(sum === eSum, s"id=$id f=$f")
+      }
+    }
+  }
+
+  test("multimodal: DataFrame codec pipeline carries real payloads and matches local decode") {
+    import spark.implicits._
+    val ids = spark.range(0, 50).select(col("id").as("media_id"))
+    val media = Multimodal.imageMedia(ids)
+    // the payload column holds genuine PNG containers (magic bytes)
+    val sig = media.orderBy("media_id").limit(3).collect()
+      .map(_.getAs[Array[Byte]]("payload").take(4).toSeq)
+    assert(sig.forall(_ === Seq[Byte](0x89.toByte, 0x50, 0x4E, 0x47)))
+    val rows = Multimodal.imageDecodeStats(media, batchSize = 16)
+      .orderBy("media_id").collect()
+    assert(rows.length === 50)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, sum, tl) = Multimodal.decodeImageStats(Multimodal.makePng(id))
+      assert(r.getInt(1) === w && r.getInt(2) === h)
+      assert(r.getDouble(3) === sum.toDouble / (w.toLong * h))
+      assert(r.getDouble(4) === tl.toDouble / ((w / 2).toLong * (h / 2)))
+    }
+    // audio path: header-driven format, exact mean
+    val arow = Multimodal.audioDecodeStats(Multimodal.audioMedia(ids.limit(5)))
+      .orderBy("media_id").collect()
+    assert(arow.map(_.getLong(1)).toSeq === (0L until 5L).map(Multimodal.audioN(_).toLong))
+    assert(arow.forall(_.getInt(2) === 8000))
+  }
 }
