@@ -520,13 +520,14 @@ object Dedup {
     * the doc-level components (identical fingerprints are distance 0;
     * doc-pair edges depend only on fingerprint pairs).
     */
-  def simhashClusters(docs: DataFrame, hammingMax: Int = 2): DataFrame = {
+  def simhashClusters(docs: DataFrame, hammingMax: Int = 2,
+                      smallEdgeLimit: Long = 2000000L): DataFrame = {
     val sims = simhash(docs, 63).localCheckpoint(true)
     // quotient nodes: each distinct fingerprint, node id = the fingerprint
     val distinctH = sims.select(col("simhash").as("doc_id"), col("simhash"))
       .distinct().localCheckpoint(true)
     val hPairs = fingerprintPairs(distinctH, hammingMax)
-    val hComp = connectedComponents(distinctH.select(col("doc_id")), hPairs)
+    val hComp = connectedComponents(distinctH.select(col("doc_id")), hPairs, smallEdgeLimit)
       .select(col("doc_id").as("simhash"), col("cluster_id").as("comp"))
     // back to docs: component id = min doc_id over the component's docs
     val docComp = sims.join(hComp, "simhash")
