@@ -641,36 +641,172 @@ object Similarity {
   }
 
   /** Per-subspace k-means PQ codebook training (the production form of
-    * the deterministic every-Nth-vector stand-in): m independent seeded
-    * MLlib KMeans fits, one per d/m-dim subspace slice. Returned as
-    * `ncent` FULL-dim arrays where slice j of entry ci is subspace j's
-    * centroid ci — [[PqEncode]]/[[PqAdcScore]] only ever read the slice
-    * for the subspace they're scoring, so the stacked layout plugs into
-    * the existing kernels unchanged. Training input is whatever sample
-    * the caller passes (at 100 TB: a bounded sample — codebook training
-    * is always on a sample); the m fits each iterate a localCheckpoint'd
-    * slice, not the raw scan.
+    * the deterministic every-Nth-vector stand-in): m independent Lloyd
+    * fits on the driver, one per d/m-dim subspace slice of a bounded
+    * collected sample. Returned as `ncent` FULL-dim arrays where slice j
+    * of entry ci is subspace j's centroid ci — [[PqEncode]]/[[PqAdcScore]]
+    * only ever read the slice for the subspace they're scoring, so the
+    * stacked layout plugs into the existing kernels unchanged. Training
+    * input is whatever sample the caller passes (at 100 TB: a bounded
+    * sample — codebook training is always on a sample, exactly as FAISS
+    * trains in-process on ≤ ~100k vectors); running Lloyd on the driver
+    * instead of m MLlib fits trades ~50 scheduler round-trips for
+    * microseconds of compute AND makes the codebook partitioning- and
+    * core-count-invariant (the sample is sorted before init).
     */
   def trainPqCodebook(vecs: DataFrame, m: Int, ncent: Int,
-                      seed: Long = 42L): Seq[Array[Float]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+                      seed: Long = 42L): Seq[Array[Float]] = trainPqCodebookImpl(vecs, m, ncent, seed)
+
+  /** Deterministic driver-side Lloyd's k-means over an already-sorted
+    * point set: seeded k-means++ init (D²-weighted, `java.util.Random`
+    * over the sorted sample → byte-identical for the same point multiset
+    * on every run and partitioning), argmin assignment with
+    * (dist, center-index) tie order, empty clusters re-seeded from the
+    * globally farthest point. Returns only non-empty centers (≤ k).
+    */
+  private def lloyd(points: Array[Array[Double]], k: Int,
+                    iters: Int, seed: Long): Array[Array[Double]] = {
+    val n = points.length
+    require(n > 0, "k-means needs a non-empty training sample")
+    val ds = points(0).length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var t = 0
+      while (t < ds) { val d = a(t) - b(t); acc += d * d; t += 1 }
+      acc
+    }
+    val kEff = math.min(k, n)
+    val rnd = new java.util.Random(seed)
+    // k-means++ over the sorted sample: first center uniform, each next
+    // D²-weighted — O(k·n·ds), driver-trivial at the bounded sample size
+    val centers: Array[Array[Double]] = new Array(kEff)
+    centers(0) = points(rnd.nextInt(n)).clone()
+    val minD = new Array[Double](n)
+    java.util.Arrays.fill(minD, Double.MaxValue)
+    var ci = 1
+    while (ci < kEff) {
+      var total = 0.0; var i = 0
+      while (i < n) {
+        val d = d2(points(i), centers(ci - 1))
+        if (d < minD(i)) minD(i) = d
+        total += minD(i)
+        i += 1
+      }
+      if (total <= 0.0) {
+        // fewer distinct points than centers — fall back to strided picks
+        centers(ci) = points((ci.toLong * n / kEff).toInt).clone()
+      } else {
+        var target = rnd.nextDouble() * total
+        var pick = n - 1; i = 0
+        var acc = 0.0
+        while (i < n && pick == n - 1) {
+          acc += minD(i)
+          if (acc >= target) pick = i
+          i += 1
+        }
+        centers(ci) = points(pick).clone()
+      }
+      ci += 1
+    }
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var best = Double.MaxValue; var bc = 0; var c = 0
+        while (c < centers.length) {
+          val d = d2(points(i), centers(c))
+          if (d < best) { best = d; bc = c }
+          c += 1
+        }
+        assign(i) = bc
+        i += 1
+      }
+      val sums = Array.fill(centers.length)(new Array[Double](ds))
+      val counts = new Array[Int](centers.length)
+      i = 0
+      while (i < n) {
+        val c = assign(i); counts(c) += 1
+        var t = 0
+        while (t < ds) { sums(c)(t) += points(i)(t); t += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < centers.length) {
+        if (counts(c) > 0) {
+          var t = 0
+          while (t < ds) { centers(c)(t) = sums(c)(t) / counts(c); t += 1 }
+        } else {
+          // re-seed from the point farthest from its own center (ties →
+          // lowest point index) — deterministic split of the worst cluster
+          var far = -1; var farD = -1.0; var p = 0
+          while (p < n) {
+            val d = d2(points(p), centers(assign(p)))
+            if (d > farD) { farD = d; far = p }
+            p += 1
+          }
+          centers(c) = points(far).clone()
+        }
+        c += 1
+      }
+      it += 1
+    }
+    // final assignment decides which centers survive (a center can end
+    // empty when distinct points < k)
+    val used = new Array[Boolean](centers.length)
+    var i = 0
+    while (i < n) {
+      var best = Double.MaxValue; var bc = 0; var c = 0
+      while (c < centers.length) {
+        val d = d2(points(i), centers(c))
+        if (d < best) { best = d; bc = c }
+        c += 1
+      }
+      used(bc) = true
+      i += 1
+    }
+    centers.indices.filter(used).map(centers).toArray
+  }
+
+  private def trainPqCodebookImpl(vecs: DataFrame, m: Int, ncent: Int,
+                                  seed: Long): Seq[Array[Float]] = {
     val d = vecs.select(size(col("v"))).head().getInt(0)
     require(d % m == 0, s"dim $d not divisible into $m subspaces")
     val ds = d / m
-    val mat = vecs.select(col("v")).localCheckpoint(true)
+    // Codebook training is ALWAYS on a bounded sample at scale (FAISS
+    // trains in-process on ≤ ~100k vectors regardless of index size), so
+    // collect the limit-probed sample and run seeded Lloyd on the driver:
+    // m×iters scheduler round-trips become pure compute, and sorting the
+    // sample lexicographically first makes the codebook a function of the
+    // sample SET alone — invariant to partitioning and core count (an
+    // MLlib fit's random init samples by partition and is not).
+    val sample: Array[Array[Float]] = collectSmall(
+        vecs.select(col("v")), "PQ training sample")
+      .map(_.getSeq[Float](0).toArray)
+    java.util.Arrays.sort(sample, new java.util.Comparator[Array[Float]] {
+      def compare(a: Array[Float], b: Array[Float]): Int = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val c = java.lang.Float.compare(a(i), b(i))
+          if (c != 0) return c
+          i += 1
+        }
+        Integer.compare(a.length, b.length)
+      }
+    })
     val subCents: Seq[Array[Array[Float]]] = (0 until m).map { j =>
-      val sub = mat.select(
-        array_to_vector(slice(col("v"), j * ds + 1, ds)).as("features"))
-      // random seeded init + few iters: k-means|| init alone costs ~2× the
-      // clustering's jobs, and PQ distortion converges in the first iters
-      val model = new KMeans().setK(ncent).setSeed(seed + j).setMaxIter(5)
-        .setInitMode("random").setFeaturesCol("features").fit(sub)
-      model.clusterCenters.map(_.toArray.map(_.toFloat))
+      val pts = sample.map { v =>
+        val s = new Array[Double](ds)
+        var t = 0
+        while (t < ds) { s(t) = v(j * ds + t).toDouble; t += 1 }
+        s
+      }
+      lloyd(pts, ncent, iters = 10, seed = seed + j).map(_.map(_.toFloat))
     }
-    // MLlib returns FEWER than k centers when a subspace has fewer distinct
-    // points — clamp the codebook to the smallest subspace's count so the
-    // stacked entries are fully populated (codes index entries uniformly)
+    // a subspace can yield FEWER than ncent centers when it has fewer
+    // distinct points — clamp the codebook to the smallest subspace's
+    // count so the stacked entries are fully populated (codes index
+    // entries uniformly)
     val effNcent = subCents.map(_.length).min
     (0 until effNcent).map { ci =>
       val full = new Array[Float](d)
@@ -749,10 +885,9 @@ object Similarity {
     // exploit that); 0 → deterministic modulo-sampled residuals
     val residCents =
       if (trainedNcent > 0)
-        // training input stays UN-spread: k-means init samples by partition,
-        // so a core-count-dependent repartition would make the codebook (and
-        // the recall verdict) vary with local parallelism. The residual
-        // projection over a training sample is cheap on any partitioning.
+        // trainPqCodebook sorts its collected sample before Lloyd init, so
+        // the codebook (and the recall verdict) is invariant to partitioning
+        // and local parallelism by construction
         trainPqCodebook(
           vectors.select(
             centroidResidual(col("vec"),
