@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions._
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Lexical, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -654,6 +654,60 @@ object SparkEntry {
           .select(col("vec_id").as("id"), col("embedding").as("vec")),
         topN = 20)
         .orderBy("rn")
+    },
+
+    // ---- lexical retrieval: BM25 more-like-this over documents ----
+
+    "text_bm25" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      Lexical.bm25TopK(docs,
+        docs.filter(col("doc_id") < 4).select(col("doc_id").as("qid"), col("text")),
+        k = 10)
+        .orderBy("qid", "rank")
+    },
+
+    // ---- hybrid retrieval: RRF fusion of BM25 + dense cosine kNN ----
+    // (documents and embeddings share the 0..n-1 id space, so doc_id q
+    // is also its embedding row — the standard dual-index hybrid setup)
+
+    "hybrid_rrf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val e = Tables(s, dir, "embeddings")
+      val lex = Lexical.bm25TopK(docs,
+        docs.filter(col("doc_id") < 4).select(col("doc_id").as("qid"), col("text")),
+        k = 20)
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // k+1 then self-exclude and re-rank: the dense list must carry
+      // within-list ranks 1..20 after the query row itself is dropped
+      val dense = Similarity.bruteForceTopK(vectors, qs, k = 21, metric = "cosine")
+        .filter(col("label") =!= col("qid"))
+        .withColumnRenamed("rank", "rank0")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("rank0"))).cast(LongType))
+        .filter(col("rank") <= 20)
+        .drop("rank0")
+      Lexical.rrfFuse(Seq(lex, dense), k = 10).orderBy("qid", "rank")
+    },
+
+    // ---- dedup: SemDeDup (cluster-bounded embedding near-dup drop) ----
+
+    "dedup_semantic" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      Similarity.semanticDedup(
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        centroidModulo = 40, tau = 0.4)
+        .select(col("id").as("vec_id"), col("cid"), col("dropped"), col("dup_of"))
+        .orderBy("vec_id")
+    },
+
+    // ---- dedup: per-doc duplicated-span profile (exact-substring
+    // dedup at token granularity) ----
+
+    "dedup_spans" -> { (s, dir) =>
+      Dedup.duplicatedSpans(Tables(s, dir, "documents"), n = 8).orderBy("doc_id")
     },
 
     // ---- similarity: IVF-partitioned ANN ----
@@ -1547,11 +1601,111 @@ object SparkEntry {
       |FROM ranked WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
+  /** BM25 posting-statistic CTEs shared by `text_bm25` and `hybrid_rrf`:
+    * Okapi BM25, k1=1.2, b=0.75, +1-smoothed idf; queries are the
+    * distinct token sets of doc_id < 4 with the query doc self-excluded.
+    * Constants are written as the same literal arithmetic the Spark side
+    * evaluates (`1.2 + 1.0`, `1.0 - 0.75`) so both engines fold them to
+    * identical doubles.
+    */
+  private val oracleBm25Ctes: String =
+    """toksb AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      |lensb AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM toksb),
+      |tfb AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      |        FROM (SELECT doc_id, UNNEST(w) AS tok FROM toksb) GROUP BY 1, 2),
+      |dfb AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tfb GROUP BY 1),
+      |statsb AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n_docs,
+      |           (SELECT avg(len) FROM lensb) AS avg_len),
+      |qb AS (SELECT doc_id AS qid, UNNEST(list_distinct(string_split(text,' '))) AS tok
+      |       FROM documents WHERE doc_id < 4),
+      |contribb AS (
+      |  SELECT qb.qid, tfb.doc_id AS label,
+      |    ln(1.0 + (s.n_docs - dfb.df + 0.5)/(dfb.df + 0.5)) * (tfb.tf * (1.2 + 1.0)) /
+      |      (tfb.tf + 1.2*((1.0 - 0.75) + 0.75*lensb.len/s.avg_len)) AS c
+      |  FROM qb JOIN dfb ON qb.tok = dfb.tok JOIN tfb ON qb.tok = tfb.tok
+      |  JOIN lensb ON tfb.doc_id = lensb.doc_id, statsb s
+      |  WHERE tfb.doc_id <> qb.qid),
+      |scb AS (SELECT qid, label, ROUND(SUM(c), 6) AS score FROM contribb GROUP BY 1, 2),
+      |bm25 AS (SELECT qid, label, score,
+      |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, label) AS rank
+      |         FROM scb)""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops →
     * driver records a weaker rows-only check.
     */
   def oracleSql: Map[String, String] = Map(
+
+    "text_bm25" ->
+      s"""WITH $oracleBm25Ctes
+         |SELECT qid, rank, label, score FROM bm25 WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+
+    "hybrid_rrf" ->
+      s"""WITH $oracleBm25Ctes,
+         |qd AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+         |pairsd AS (SELECT qd.qid, e.vec_id AS label, qd.qv, e.embedding AS v
+         |           FROM qd CROSS JOIN embeddings e WHERE e.vec_id <> qd.qid),
+         |distsd AS (
+         |  SELECT qid, label,
+         |    SUM(CAST(qe AS DOUBLE) * CAST(ve AS DOUBLE)) /
+         |      (SQRT(SUM(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE))) *
+         |       SQRT(SUM(CAST(ve AS DOUBLE) * CAST(ve AS DOUBLE)))) AS score
+         |  FROM (SELECT qid, label, UNNEST(qv) AS qe, UNNEST(v) AS ve FROM pairsd)
+         |  GROUP BY qid, label),
+         |dense AS (SELECT qid, label,
+         |          row_number() OVER (PARTITION BY qid ORDER BY score DESC, label) AS rank
+         |          FROM distsd),
+         |votes AS (SELECT qid, label, 1.0/(60 + rank) AS v FROM bm25 WHERE rank <= 20
+         |          UNION ALL
+         |          SELECT qid, label, 1.0/(60 + rank) FROM dense WHERE rank <= 20),
+         |fs AS (SELECT qid, label, ROUND(SUM(v), 6) AS score FROM votes GROUP BY 1, 2),
+         |fr AS (SELECT qid, label, score,
+         |       row_number() OVER (PARTITION BY qid ORDER BY score DESC, label) AS rank
+         |       FROM fs)
+         |SELECT qid, rank, label, score FROM fr WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+
+    "dedup_semantic" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+        |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
+        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |va AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM vc) WHERE rn = 1),
+        |pr AS (SELECT a.vec_id AS i, b.vec_id AS j FROM va a
+        |       JOIN va b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |ex AS (SELECT i, j, UNNEST(av) AS ae, UNNEST(bv) AS be FROM (
+        |  SELECT pr.i, pr.j, x.embedding AS av, y.embedding AS bv
+        |  FROM pr JOIN embeddings x ON pr.i = x.vec_id
+        |  JOIN embeddings y ON pr.j = y.vec_id)),
+        |p AS (SELECT i, j,
+        |  SUM(CAST(ae AS DOUBLE)*CAST(be AS DOUBLE)) /
+        |    (SQRT(SUM(CAST(ae AS DOUBLE)*CAST(ae AS DOUBLE))) *
+        |     SQRT(SUM(CAST(be AS DOUBLE)*CAST(be AS DOUBLE)))) AS cos
+        |  FROM ex GROUP BY 1, 2),
+        |dups AS (SELECT j, MIN(i) AS dup_of FROM p WHERE cos > 0.4 GROUP BY j)
+        |SELECT va.vec_id, va.cid, (dups.dup_of IS NOT NULL) AS dropped,
+        |  CAST(COALESCE(dups.dup_of, -1) AS BIGINT) AS dup_of
+        |FROM va LEFT JOIN dups ON va.vec_id = dups.j
+        |ORDER BY va.vec_id""".stripMargin,
+
+    "dedup_spans" -> {
+      val gram8 = "i -> " + (0 until 8).map(o => s"w[i+$o]").mkString("||' '||")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |spans AS (SELECT doc_id, UNNEST(list_transform(range(1, len(w)-6), $gram8)) AS gram FROM t),
+         |ddf AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM spans GROUP BY gram),
+         |dup AS (SELECT s.doc_id, COUNT(*) AS n_dup FROM spans s
+         |        JOIN ddf ON s.gram = ddf.gram WHERE ddf.df >= 2 GROUP BY 1),
+         |lens AS (SELECT doc_id, CAST(greatest(len(w)-7, 0) AS BIGINT) AS n_spans FROM t)
+         |SELECT l.doc_id, l.n_spans, CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup,
+         |  ROUND(CASE WHEN l.n_spans > 0
+         |        THEN CAST(COALESCE(d.n_dup, 0) AS DOUBLE)/l.n_spans ELSE 0.0 END, 6) AS dup_frac
+         |FROM lens l LEFT JOIN dup d ON l.doc_id = d.doc_id
+         |ORDER BY l.doc_id""".stripMargin
+    },
 
     // The ANN/sketch queries emit engine-independent VERDICT columns
     // (recall/error bounds vs the exact side, which other oracles verify

@@ -6,18 +6,20 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Distinct word n-gram shingles from a token array, as one compiled pass.
+/** Word n-gram shingles from a token array, as one compiled pass —
+  * distinct (set semantics, the dedup default) or positional (every
+  * occurrence in order, for span-level duplicate profiling).
   *
   * The composable formulation —
   * `array_distinct(transform(sequence(...), i -> concat_ws(...)))` — runs
   * through Spark's interpreted higher-order-function path and measures
   * ~10× slower (each element pays interpreted `element_at` + `concat_ws`
   * dispatch); shingling is the innermost loop of every dedup operator, so
-  * it gets a dedicated expression. Output order is first-occurrence, same
-  * as `array_distinct`; docs with fewer than n tokens yield an empty
-  * array (DuckDB `range(1, len-1)` semantics).
+  * it gets a dedicated expression. Distinct output order is
+  * first-occurrence, same as `array_distinct`; docs with fewer than n
+  * tokens yield an empty array (DuckDB `range(1, len-1)` semantics).
   */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
@@ -33,8 +35,19 @@ case class WordShingles(child: Expression, n: Int)
     val nt = toks.numElements()
     val count = nt - n + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
     val parts = new Array[UTF8String](n)
+    if (!distinct) {
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        var j = 0
+        while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(space, parts: _*)
+        i += 1
+      }
+      return new GenericArrayData(out)
+    }
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
     var i = 0
     while (i < count) {
       var j = 0

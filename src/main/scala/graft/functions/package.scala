@@ -82,8 +82,8 @@ package object functions {
     * single pass; ~10× the throughput of the transform/array_distinct
     * composition on shingle-heavy dedup pipelines).
     */
-  def wordShingles(tokens: Column, n: Int = 3): Column =
-    GraftBridge.column(WordShingles(e(tokens), n))
+  def wordShingles(tokens: Column, n: Int = 3, distinct: Boolean = true): Column =
+    GraftBridge.column(WordShingles(e(tokens), n, distinct))
 
   /** MinHash signature (numHashes 8-hex-char mins) of a shingle array in
     * one compiled pass — see [[MinHashSignature]]; null for empty arrays.

@@ -454,6 +454,47 @@ object Dedup {
         round(coalesce(col("frac"), lit(0.0)), 6).as("frac"))
   }
 
+  /** Per-document duplicated-span profile — the token-level approximation
+    * of exact-substring dedup ("Deduplicating Training Data Makes
+    * Language Models Better", Lee et al. 2022: suffix-array spans become
+    * positional n-gram hits at token granularity). A span (positional
+    * n-gram occurrence) counts as duplicated when its n-gram appears in
+    * at least `minDocs` DISTINCT documents; the output is each doc's span
+    * count, duplicated-span count, and duplicated fraction — the signal a
+    * pipeline thresholds to drop boilerplate-heavy documents.
+    *
+    * Scale shape: one positional-shingle pass (compiled
+    * [[graft.functions.WordShingles]] kernel, distinct=false), one
+    * combiner-friendly df aggregation over DISTINCT per-doc grams, and
+    * one join of positional grams against the duplicated-gram set — all
+    * shuffles keyed on the gram, no pair expansion anywhere (unlike
+    * pair-mining dedup, the profile is linear in corpus size by
+    * construction).
+    *
+    * Output: (doc_id, n_spans, n_dup, dup_frac[round 6]).
+    */
+  def duplicatedSpans(docs: DataFrame, n: Int = 8,
+                      minDocs: Int = 2): DataFrame = {
+    val toks = spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+    val pos = toks.select(col("doc_id"),
+      graft.functions.wordShingles(col("w"), n, distinct = false).as("g"))
+    val spans = pos.select(col("doc_id"), explode(col("g")).as("gram"))
+    val dupGrams = spans.select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("gram"))
+    val dupCounts = spans.join(dupGrams, "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    pos.select(col("doc_id"), size(col("g")).cast(LongType).as("n_spans"))
+      .join(dupCounts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(when(col("n_spans") > 0,
+          coalesce(col("n_dup"), lit(0L)).cast(DoubleType) / col("n_spans"))
+          .otherwise(0.0), 6).as("dup_frac"))
+  }
+
   /** SimHash near-duplicate pairs at hamming distance ≤ 2, via 3-band LSH
     * over a 63-bit fingerprint (21 bits per band — two differing bits
     * leave at least one band untouched, so recall at the threshold is

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions._
+
+/** Lexical (sparse) retrieval over the documents table: BM25 scoring on
+  * corpus posting statistics, and reciprocal-rank fusion for combining a
+  * lexical list with a dense (embedding-kNN) list — the standard hybrid
+  * retrieval shape of a training-data / RAG pipeline.
+  *
+  * Scale shape: the posting statistics (tf, df, doc length) are ONE
+  * combiner-friendly shuffle each over the token stream — the same pass
+  * that builds an inverted index. Queries are a handful of rows joined
+  * against those stats; every downstream aggregate is k-bounded. At
+  * 100 TB the stats tables are computed once and reused across query
+  * batches, and `maxDf` prunes stopword postings (a term present in half
+  * the corpus contributes ~zero idf but df(t) join rows — the classic
+  * posting-list cap, cf. the df cap in [[Dedup.ngramJaccardPairs]]).
+  */
+object Lexical {
+
+  /** BM25 "more-like-this": rank corpus docs against each query doc's
+    * distinct token set. docs: (doc_id, text); queryDocs: (qid, text).
+    * Output: (qid, rank, label, score[round 6]) — score DESC, ties to the
+    * smaller label; the query doc itself is excluded. Okapi BM25 with the
+    * +1-smoothed idf `ln(1 + (N−df+0.5)/(df+0.5))` (always positive, so a
+    * stopword can never flip a ranking with a negative contribution).
+    */
+  def bm25TopK(docs: DataFrame, queryDocs: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               maxDf: Long = Long.MaxValue): DataFrame = {
+    val toks = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+    val lens = toks.select(col("doc_id"), size(col("w")).cast(LongType).as("len"))
+    // one row per (doc, term): the posting list with term frequency
+    val tf = toks.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val stats = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+      .crossJoin(lens.agg(avg(col("len")).as("avg_len")))
+    val qterms = queryDocs.select(col("qid"),
+      explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
+    val contrib = qterms
+      .join(dfreq, "tok")
+      .join(tf, "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id").as("label"),
+        (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len") / col("avg_len"))))
+          .as("c"))
+    Similarity.explodeHits(
+      contrib.groupBy(col("qid"), col("label"))
+        .agg(round(sum(col("c")), 6).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = false).as("hits")))
+  }
+
+  /** Reciprocal-rank fusion (Cormack & Clarke 2009): each input list
+    * contributes 1/(c+rank) per (qid, label); fused score DESC, ties to
+    * the smaller label. Inputs are (qid, rank, label, ...) frames — the
+    * [[Similarity.explodeHits]] shape both the dense and lexical rankers
+    * emit. Rank-only fusion needs no score calibration between lists,
+    * which is why it is the default hybrid combiner in production search.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val votes = lists.map(_.select(col("qid"), col("label"),
+        (lit(1.0) / (lit(c.toDouble) + col("rank"))).as("v")))
+      .reduce(_ unionByName _)
+    Similarity.explodeHits(
+      votes.groupBy(col("qid"), col("label"))
+        .agg(round(sum(col("v")), 6).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = false).as("hits")))
+  }
+}

@@ -657,6 +657,42 @@ object Similarity {
   def trainPqCodebook(vecs: DataFrame, m: Int, ncent: Int,
                       seed: Long = 42L): Seq[Array[Float]] = trainPqCodebookImpl(vecs, m, ncent, seed)
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the embedding space, then drop any vector whose cosine similarity to
+    * an EARLIER-id member of the same cluster exceeds `tau` (the kept
+    * member is the anchor — deterministic "keep the first" tie rule).
+    * Clustering bounds the pair work: candidates are only in-cluster
+    * pairs, never the corpus cross join, so with cluster count ∝ corpus
+    * size the total pair volume stays linear. Centroids here are the
+    * deterministic modulo subset ([[ivfTopK]]'s stand-in) so the whole
+    * operator — assignment tie-breaks included — reproduces exactly in a
+    * SQL oracle; swap in k-means centroids ([[ivfKmeansTopK]]) for the
+    * production form.
+    *
+    * Input: (id, vec). Output: (id, cid, dropped, dup_of[-1 if kept]).
+    */
+  def semanticDedup(embeddings: DataFrame, centroidModulo: Int,
+                    tau: Double): DataFrame = {
+    val cents = collectSmall(
+        embeddings.filter(col("id") % centroidModulo === 0)
+          .select(col("id"), col("vec")),
+        "semantic-dedup centroid table")
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    val assigned = Dedup.spread(embeddings)
+      .select(col("id"), col("vec"),
+        element_at(nearestCentroids(col("vec"), cents, 1), 1).as("cid"))
+    // in-cluster (i < j) pairs only — the join key IS the cluster id
+    val dups = assigned.select(col("cid"), col("id").as("i"), col("vec").as("vi"))
+      .join(assigned.select(col("cid"), col("id").as("j"), col("vec").as("vj")), "cid")
+      .filter(col("i") < col("j") && cosineSimilarity(col("vi"), col("vj")) > tau)
+      .groupBy(col("j")).agg(min(col("i")).as("dup_of"))
+    assigned.select(col("id"), col("cid"))
+      .join(dups.withColumnRenamed("j", "id"), Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        col("dup_of").isNotNull.as("dropped"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
   /** Deterministic driver-side Lloyd's k-means over an already-sorted
     * point set: seeded k-means++ init (D²-weighted, `java.util.Random`
     * over the sorted sample → byte-identical for the same point multiset

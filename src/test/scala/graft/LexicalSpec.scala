@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Lexical
+
+/** BM25 lexical retrieval + reciprocal-rank fusion vs driver-side
+  * references with the same formula and tie rules.
+  */
+class LexicalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val corpus = Seq(
+    0L -> "apple banana apple cherry",
+    1L -> "banana cherry cherry date",
+    2L -> "apple apple apple banana",
+    3L -> "date egg fig grape",
+    4L -> "cherry date egg apple")
+
+  /** Scalar Okapi BM25 (k1=1.2, b=0.75, +1-smoothed idf), query doc's
+    * distinct tokens, self-excluded — same spec as [[Lexical.bm25TopK]].
+    */
+  private def refBm25(docs: Seq[(Long, String)], qid: Long,
+                      maxDf: Long = Long.MaxValue): Seq[(Long, Double)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val n = docs.size.toDouble
+    val avgLen = toks.values.map(_.size).sum.toDouble / docs.size
+    val df = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val qTerms = toks(qid).distinct.filter(t => df(t) <= maxDf)
+    docs.collect { case (id, _) if id != qid =>
+      val tf = toks(id).groupBy(identity).view.mapValues(_.size).toMap
+      val len = toks(id).size.toDouble
+      val s = qTerms.collect { case t if tf.contains(t) =>
+        math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+          (tf(t) * (1.2 + 1.0)) /
+          (tf(t) + 1.2 * ((1.0 - 0.75) + 0.75 * len / avgLen))
+      }.sum
+      id -> math.rint(s * 1e6) / 1e6
+    }.filter(_._2 != 0.0)
+      .sortBy { case (id, s) => (-s, id) }
+  }
+
+  test("bm25TopK matches the scalar reference (scores, ranks, self-exclusion)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val got = Lexical.bm25TopK(docs,
+        docs.filter(col("doc_id") < 2).select(col("doc_id").as("qid"), col("text")),
+        k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    for (qid <- Seq(0L, 1L)) {
+      val want = refBm25(corpus, qid)
+      val mine = got.filter(_._1 == qid).sortBy(_._2)
+      assert(mine.map(_._3).toSeq === want.map(_._1),
+        s"rank order for query $qid")
+      assert(mine.map(_._4).toSeq === want.map(_._2), s"scores for query $qid")
+      assert(!mine.exists(_._3 == qid), "query doc must be self-excluded")
+    }
+  }
+
+  test("bm25TopK maxDf prunes high-df terms (stopword cap)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    // df: apple=3 banana=3 cherry=3 date=3 egg=2 fig=1 grape=1
+    val got = Lexical.bm25TopK(docs,
+        docs.filter(col("doc_id") === 3).select(col("doc_id").as("qid"), col("text")),
+        k = 10, maxDf = 2)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    val want = refBm25(corpus, 3L, maxDf = 2)
+    assert(got.map(_._1).toSeq === want.map(_._1))
+    assert(got.map(_._2).toSeq === want.map(_._2))
+    // 'date' (df=3) pruned → doc 1 (date only) must not appear
+    assert(!got.exists(_._1 == 1L))
+  }
+
+  test("rrfFuse sums 1/(c+rank) across lists, ranks by (score desc, label)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // one query, two lists: label 10 is rank 1+2, label 20 rank 2+1,
+    // label 30 only in list A rank 3, label 40 only in B rank 3
+    val a = Seq((0L, 1L, 10L), (0L, 2L, 20L), (0L, 3L, 30L))
+      .toDF("qid", "rank", "label")
+    val b = Seq((0L, 1L, 20L), (0L, 2L, 10L), (0L, 3L, 40L))
+      .toDF("qid", "rank", "label")
+    val got = Lexical.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    def rr(ranks: Int*) = math.rint(ranks.map(r => 1.0 / (60.0 + r)).sum * 1e6) / 1e6
+    // 10 and 20 tie exactly (1/61+1/62 both) → smaller label first
+    assert(got.toSeq === Seq(
+      (1L, 10L, rr(1, 2)), (2L, 20L, rr(2, 1)), (3L, 30L, rr(3)), (4L, 40L, rr(3))))
+  }
+}

@@ -1054,4 +1054,58 @@ class OpsSpec extends AnyFunSuite {
     assert(arow.map(_.getLong(1)).toSeq === (0L until 5L).map(Multimodal.audioN(_).toLong))
     assert(arow.forall(_.getInt(2) === 8000))
   }
+
+  test("WordShingles distinct=false keeps every positional occurrence in order") {
+    import graft.functions.wordShingles
+    val df = docsDf(Seq(0L -> "a b a b", 1L -> "x"))
+      .select(col("doc_id"),
+        wordShingles(Dedup.tokens(col("text")), 2, distinct = false).as("pos"),
+        wordShingles(Dedup.tokens(col("text")), 2).as("dist"))
+      .orderBy("doc_id").collect()
+    assert(df(0).getSeq[String](1) === Seq("a b", "b a", "a b"))
+    assert(df(0).getSeq[String](2) === Seq("a b", "b a"))
+    assert(df(1).getSeq[String](1) === Seq.empty)
+  }
+
+  test("duplicatedSpans: positional counts, short docs, df threshold") {
+    val docs = docsDf(Seq(
+      0L -> "a b c d",         // spans: "a b c", "b c d"
+      1L -> "x a b c",         // spans: "x a b", "a b c"
+      2L -> "z z",             // < 3 tokens → 0 spans
+      3L -> "a b c a b c a"))  // "a b c" twice positionally
+    val got = Dedup.duplicatedSpans(docs, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // only "a b c" appears in ≥ 2 distinct docs
+    assert(got.toSeq === Seq(
+      (0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5), (2L, 0L, 0L, 0.0),
+      (3L, 5L, 2L, 0.4)))
+  }
+
+  test("semanticDedup: drops only in-cluster near-dups, keeps earliest anchor") {
+    val spark2 = spark
+    import spark2.implicits._
+    def v(x: Double, y: Double, z: Double) = Array(x.toFloat, y.toFloat, z.toFloat)
+    // centroids = id % 40 == 0 → ids 0 and 40. Cross-cluster pair
+    // (50, 51) has cosine ≈ 0.9987 but lands in different clusters and
+    // must survive — SemDeDup's pair work is cluster-bounded by design.
+    val rows = Seq(
+      0L  -> v(1, 0, 0),      // centroid A (kept)
+      1L  -> v(1, 0.01, 0),   // dup of 0
+      2L  -> v(0.6, 0, 0.8),  // cluster A, cos 0.6 → kept
+      3L  -> v(1, 0.011, 0),  // dup of BOTH 0 and 1 → anchor min(0,1) = 0
+      40L -> v(0, 1, 0),      // centroid B (kept)
+      41L -> v(0.01, 1, 0),   // dup of 40
+      43L -> v(0, 0.6, -0.8), // cluster B, cos 0.6 → kept
+      50L -> v(0.72, 0.69, 0), // cluster A ┐ cross-cluster near-identical
+      51L -> v(0.69, 0.72, 0)) // cluster B ┘ pair — both kept
+    val got = Similarity.semanticDedup(rows.toDF("id", "vec"),
+        centroidModulo = 40, tau = 0.9)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (0L, 0L, false, -1L), (1L, 0L, true, 0L), (2L, 0L, false, -1L),
+      (3L, 0L, true, 0L), (40L, 40L, false, -1L), (41L, 40L, true, 40L),
+      (43L, 40L, false, -1L), (50L, 0L, false, -1L), (51L, 40L, false, -1L)))
+  }
 }
