@@ -710,6 +710,34 @@ object SparkEntry {
       Dedup.duplicatedSpans(Tables(s, dir, "documents"), n = 8).orderBy("doc_id")
     },
 
+    // ---- end-to-end corpus filter: the stage composition a
+    // pretraining-data run actually ships — language ID, length band,
+    // lexical quality, span-level dedup — each doc tagged with its FIRST
+    // failing stage (the order a real pipeline applies them: cheap and
+    // high-yield first). All four signals are independently oracled
+    // queries (text_langid, text_quality, dedup_spans); this query pins
+    // their composition.
+
+    "pipeline_filter" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val lang = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+      val qual = d.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          size(col("w")).cast(LongType).as("n_tokens"),
+          (size(array_distinct(col("w"))).cast(DoubleType) /
+            size(col("w")).cast(DoubleType)).as("ttr"))
+      val spans = Dedup.duplicatedSpans(d, n = 8).select(col("doc_id"), col("dup_frac"))
+      d.select(col("doc_id"))
+        .join(lang, "doc_id").join(qual, "doc_id").join(spans, "doc_id")
+        .select(col("doc_id"),
+          when(col("pred_lang") === "und", "lang")
+            .when(col("n_tokens") < 16 || col("n_tokens") > 94, "length")
+            .when(col("ttr") < 0.31, "quality")
+            .when(col("dup_frac") > 0.5, "span_dup")
+            .otherwise("kept").as("verdict"))
+        .orderBy("doc_id")
+    },
+
     // ---- similarity: IVF-partitioned ANN ----
 
     "ann_ivf" -> { (s, dir) =>
@@ -1691,6 +1719,40 @@ object SparkEntry {
         |  CAST(COALESCE(dups.dup_of, -1) AS BIGINT) AS dup_of
         |FROM va LEFT JOIN dups ON va.vec_id = dups.j
         |ORDER BY va.vec_id""".stripMargin,
+
+    "pipeline_filter" -> {
+      val dicts = TextAnalysis.stopwords.map { case (code, words) =>
+        val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_intersect(list_distinct(w), $arr)) AS $code"
+      }.mkString(",\n  ")
+      val gram8 = "i -> " + (0 until 8).map(o => s"w[i+$o]").mkString("||' '||")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |s AS (SELECT doc_id, DICTS FROM t),
+         |lang AS (SELECT doc_id, CASE WHEN greatest(de,en,es,fr,zh) = 0 THEN 'und'
+         |  WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+         |  WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+         |  WHEN es >= fr AND es >= zh THEN 'es'
+         |  WHEN fr >= zh THEN 'fr' ELSE 'zh' END AS pred_lang FROM s),
+         |qual AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(w)) AS DOUBLE)/CAST(len(w) AS DOUBLE) AS ttr FROM t),
+         |spansf AS (SELECT doc_id, UNNEST(list_transform(range(1, len(w)-6), $gram8)) AS gram FROM t),
+         |ddff AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM spansf GROUP BY gram),
+         |dupf AS (SELECT s2.doc_id, COUNT(*) AS n_dup FROM spansf s2
+         |         JOIN ddff ON s2.gram = ddff.gram WHERE ddff.df >= 2 GROUP BY 1),
+         |lensf AS (SELECT doc_id, CAST(greatest(len(w)-7, 0) AS BIGINT) AS n_spans FROM t),
+         |sp AS (SELECT l.doc_id, ROUND(CASE WHEN l.n_spans > 0
+         |       THEN CAST(COALESCE(d2.n_dup, 0) AS DOUBLE)/l.n_spans ELSE 0.0 END, 6) AS dup_frac
+         |       FROM lensf l LEFT JOIN dupf d2 ON l.doc_id = d2.doc_id)
+         |SELECT lang.doc_id,
+         |  CASE WHEN pred_lang = 'und' THEN 'lang'
+         |       WHEN n_tokens < 16 OR n_tokens > 94 THEN 'length'
+         |       WHEN ttr < 0.31 THEN 'quality'
+         |       WHEN dup_frac > 0.5 THEN 'span_dup'
+         |       ELSE 'kept' END AS verdict
+         |FROM lang JOIN qual ON lang.doc_id = qual.doc_id
+         |JOIN sp ON lang.doc_id = sp.doc_id
+         |ORDER BY lang.doc_id""".stripMargin.replace("DICTS", dicts)
+    },
 
     "dedup_spans" -> {
       val gram8 = "i -> " + (0 until 8).map(o => s"w[i+$o]").mkString("||' '||")
