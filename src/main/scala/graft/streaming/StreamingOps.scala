@@ -13,6 +13,8 @@ case class BandFlag(doc_id: Long, n_bands: Int, is_new: Boolean)
 case class SessionState(sessionId: Long, startUs: Long, lastTs: Long, n: Long)
 case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                       start_us: Long, end_us: Long)
+case class SemMember(id: Long, vec: Array[Float])
+case class SemFlag(id: Long, cid: Long, dropped: Boolean, dup_of: Long)
 
 /** Structured-Streaming operators.
   *
@@ -188,6 +190,59 @@ object StreamingOps {
         first(col("n_bands")).as("nb"))
       .filter(col("n_new") === col("nb"))
       .select("doc_id")
+
+  /** Streaming SemDeDup ([[graft.ops.Similarity.semanticDedup]] on
+    * ingest): each arriving (id, vec) row is assigned to its nearest
+    * centroid by the same `NearestCentroids` expression as batch, and
+    * keyed state PER CLUSTER holds every member seen so far — a new row
+    * is dropped when its cosine to any earlier-arrived member of the same
+    * cluster exceeds `tau` (anchor = the smallest matching id, exactly
+    * the batch rule). Cluster-bounded state mirrors cluster-bounded pair
+    * work: a row is only ever compared against its own cluster's
+    * members, and arrival order decides "earlier" (id-ordered arrival
+    * reproduces the batch output byte-for-byte — spec-pinned; production
+    * bounds state with a TTL like the other ingest-dedup stores).
+    */
+  def streamingSemanticDedup(stream: DataFrame,
+                             centroids: Seq[(Long, Array[Float])],
+                             tau: Double): org.apache.spark.sql.Dataset[SemFlag] = {
+    import stream.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val assigned = stream.select(col("id"), col("vec"),
+      element_at(graft.functions.nearestCentroids(col("vec"), centroids, 1), 1)
+        .as("cid"))
+      .as[(Long, Array[Float], Long)]
+    // same cosine semantics as the cosineSimilarity column (fp64
+    // accumulate, NaN on a zero norm — and NaN > tau is false, so a
+    // zero-norm vector can neither drop nor be dropped)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) Double.NaN else dot / denom
+    }
+    def fn(cid: Long, it: Iterator[(Long, Array[Float], Long)],
+           state: GroupState[Seq[SemMember]]): Iterator[SemFlag] = {
+      var members: Vector[SemMember] =
+        if (state.exists) state.get.toVector else Vector.empty
+      val out = it.toSeq.sortBy(_._1).map { case (id, vec, _) =>
+        val matches = members.collect { case m if cos(m.vec, vec) > tau => m.id }
+        val dupOf = if (matches.nonEmpty) matches.min else -1L
+        members :+= SemMember(id, vec)
+        SemFlag(id, cid, dupOf >= 0L, dupOf)
+      }
+      state.update(members)
+      out.iterator
+    }
+    assigned.groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 
   /** Stream-static enrichment join: every micro-batch of the stream joins
     * the (small) static dimension — stateless, the static side broadcast

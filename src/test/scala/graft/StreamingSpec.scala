@@ -233,4 +233,38 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("window_start", "event_type").collect()
     assert(got === want)
   }
+
+  test("streaming semantic dedup == batch semanticDedup across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def v(x: Double, y: Double, z: Double) = Array(x.toFloat, y.toFloat, z.toFloat)
+    // the batch spec's fixture: two clusters (centroids 0 and 40), dups
+    // inside each, one cross-cluster near-identical pair that must survive
+    val rows: Seq[(Long, Array[Float])] = Seq(
+      0L -> v(1, 0, 0), 1L -> v(1, 0.01, 0), 2L -> v(0.6, 0, 0.8),
+      3L -> v(1, 0.011, 0), 40L -> v(0, 1, 0), 41L -> v(0.01, 1, 0),
+      43L -> v(0, 0.6, -0.8), 50L -> v(0.72, 0.69, 0), 51L -> v(0.69, 0.72, 0))
+    val cents = rows.filter(_._1 % 40 == 0).sortBy(_._1)
+    val stream = MemoryStream[(Long, Array[Float])]
+    val in = stream.toDF().select(col("_1").as("id"), col("_2").as("vec"))
+    val flags = StreamingOps.streamingSemanticDedup(in, cents, tau = 0.9)
+    val q = flags.toDF().writeStream.format("memory").queryName("semdd")
+      .outputMode("append").start()
+    // split so the dup pair (0, 1) straddles a batch boundary — state, not
+    // the within-batch fold, must carry the anchor
+    stream.addData(Seq(rows(0), rows(2)))         // ids 0, 2
+    q.processAllAvailable()
+    stream.addData(Seq(rows(1), rows(3), rows(4))) // ids 1, 3, 40
+    q.processAllAvailable()
+    stream.addData(Seq(rows(5), rows(6), rows(7), rows(8))) // 41, 43, 50, 51
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("semdd").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    val want = graft.ops.Similarity.semanticDedup(
+        rows.toDF("id", "vec"), centroidModulo = 40, tau = 0.9)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+    assert(got.toSeq === want.toSeq)
+  }
 }
