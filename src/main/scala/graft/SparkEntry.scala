@@ -738,6 +738,27 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- text quality: corpus-self unigram LM score (CCNet stand-in) ----
+
+    "text_unigram_lp" -> { (s, dir) =>
+      TextAnalysis.unigramLogProb(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // ---- contrastive hard-negative mining (similar embedding, different
+    // cluster) ----
+
+    "mining_hard_negatives" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      Similarity.hardNegatives(
+        e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+        k = 10, centroidModulo = 40)
+        .select(col("qid"), col("rank"), col("label"),
+          round(col("score"), 6).as("cos"))
+        .orderBy("qid", "rank")
+    },
+
     // ---- similarity: IVF-partitioned ANN ----
 
     "ann_ivf" -> { (s, dir) =>
@@ -1719,6 +1740,47 @@ object SparkEntry {
         |  CAST(COALESCE(dups.dup_of, -1) AS BIGINT) AS dup_of
         |FROM va LEFT JOIN dups ON va.vec_id = dups.j
         |ORDER BY va.vec_id""".stripMargin,
+
+    "text_unigram_lp" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, UNNEST(w) AS tok FROM t) GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM t),
+        |cnt AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM cnt),
+        |m AS (SELECT tf.doc_id, MIN(lens.len) AS n_tokens,
+        |      SUM(tf.tf * ln(CAST(cnt.cnt AS DOUBLE)/t2.total)) / MIN(lens.len) AS mlp
+        |      FROM tf JOIN cnt ON tf.tok = cnt.tok
+        |      JOIN lens ON tf.doc_id = lens.doc_id, tot t2 GROUP BY 1)
+        |SELECT doc_id, n_tokens, ROUND(mlp, 6) AS mean_lp, ROUND(exp(-mlp), 6) AS ppl
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "mining_hard_negatives" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+        |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
+        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |va AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM vc) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |qa AS (SELECT vec_id AS qid, cid AS qcid FROM va WHERE vec_id < 8),
+        |pairs AS (SELECT q.qid, v.vec_id AS label, q.qv, v.embedding AS vv
+        |          FROM q JOIN qa ON q.qid = qa.qid
+        |          CROSS JOIN embeddings v JOIN va ON v.vec_id = va.vec_id
+        |          WHERE va.cid <> qa.qcid),
+        |d AS (SELECT qid, label,
+        |  SUM(CAST(qe AS DOUBLE) * CAST(ve AS DOUBLE)) /
+        |    (SQRT(SUM(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE))) *
+        |     SQRT(SUM(CAST(ve AS DOUBLE) * CAST(ve AS DOUBLE)))) AS score
+        |  FROM (SELECT qid, label, UNNEST(qv) AS qe, UNNEST(vv) AS ve FROM pairs)
+        |  GROUP BY qid, label),
+        |r AS (SELECT qid, label, score,
+        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, label) AS rank
+        |      FROM d)
+        |SELECT qid, rank, label, ROUND(score, 6) AS cos FROM r WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
 
     "pipeline_filter" -> {
       val dicts = TextAnalysis.stopwords.map { case (code, words) =>

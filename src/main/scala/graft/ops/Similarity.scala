@@ -693,6 +693,36 @@ object Similarity {
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
   }
 
+  /** Contrastive hard-negative mining: for each query, the top-k most
+    * cosine-similar vectors from OUTSIDE the query's own cluster — the
+    * "similar surface, different semantic bucket" examples a contrastive
+    * training run pairs against its positives (the cluster stands in for
+    * the label). Same assignment mechanics as [[semanticDedup]] (modulo
+    * centroids → SQL-exact); the anti-cluster predicate filters inside
+    * the scan stage before the k-bounded aggregate, so the plan is the
+    * broadcast-queries kNN plan plus one comparison.
+    */
+  def hardNegatives(vectors: DataFrame, queries: DataFrame, k: Int,
+                    centroidModulo: Int): DataFrame = {
+    val cents = collectSmall(
+        vectors.filter(col("id") % centroidModulo === 0)
+          .select(col("id"), col("vec")),
+        "hard-negative centroid table")
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    val assigned = Dedup.spread(vectors)
+      .select(col("id"), col("vec"),
+        element_at(nearestCentroids(col("vec"), cents, 1), 1).as("cid"))
+    val probes = queries.select(col("qid"), col("qv"),
+      element_at(nearestCentroids(col("qv"), cents, 1), 1).as("qcid"))
+    explodeHits(
+      assigned.crossJoin(broadcast(probes))
+        .filter(col("cid") =!= col("qcid"))
+        .select(col("qid"), col("id").as("label"),
+          cosineSimilarity(col("vec"), col("qv")).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = false).as("hits")))
+  }
+
   /** Deterministic driver-side Lloyd's k-means over an already-sorted
     * point set: seeded k-means++ init (D²-weighted, `java.util.Random`
     * over the sorted sample → byte-identical for the same point multiset

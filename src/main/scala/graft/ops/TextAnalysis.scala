@@ -89,6 +89,35 @@ object TextAnalysis {
     * invariant to word order and repetition (catches shuffled near-dups
     * that exact hashing misses).
     */
+  /** CCNet-style unigram language-model quality score: the corpus's own
+    * unigram MLE distribution scores each document's mean token log-prob
+    * (and its exp, the per-token perplexity). Rare-token-heavy documents
+    * (garbled text, boilerplate IDs) score low-probability / high-ppl and
+    * get filtered; the real CCNet uses a pretrained KenLM — the unigram
+    * self-model is the engine-side stand-in with identical plumbing (one
+    * token-frequency aggregation, one join, one per-doc aggregate — all
+    * combiner-friendly, keyed on the token).
+    *
+    * Output: (doc_id, n_tokens, mean_lp[round 6], ppl[round 6]).
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+    val tf = toks.select(col("doc_id"), size(col("w")).cast(LongType).as("len"),
+        explode(col("w")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), first(col("len")).as("len"))
+    val cnt = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).cast(DoubleType).as("total"))
+    val mean = tf.join(cnt, "tok").crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(first(col("len")).as("n_tokens"),
+        (sum(col("tf") * log(col("cnt").cast(DoubleType) / col("total"))) /
+          first(col("len"))).as("mlp"))
+    mean.select(col("doc_id"), col("n_tokens"),
+      round(col("mlp"), 6).as("mean_lp"),
+      round(exp(-col("mlp")), 6).as("ppl"))
+  }
+
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks(text)))))
 

@@ -75,6 +75,25 @@ class LexicalSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 1L))
   }
 
+  test("unigramLogProb matches the scalar unigram-MLE reference") {
+    val spark2 = spark
+    import spark2.implicits._
+    val got = graft.ops.TextAnalysis.unigramLogProb(corpus.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val toks = corpus.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val cnt = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val total = toks.map(_._2.size).sum.toDouble
+    corpus.foreach { case (id, _) =>
+      val ws = toks.find(_._1 == id).get._2
+      val mlp = ws.map(w => math.log(cnt(w) / total)).sum / ws.size
+      val (gid, gn, glp, gppl) = got(id.toInt)
+      assert(gid === id && gn === ws.size.toLong)
+      assert(glp === math.rint(mlp * 1e6) / 1e6)
+      assert(gppl === math.rint(math.exp(-mlp) * 1e6) / 1e6)
+    }
+  }
+
   test("rrfFuse sums 1/(c+rank) across lists, ranks by (score desc, label)") {
     val spark2 = spark
     import spark2.implicits._

@@ -1082,6 +1082,38 @@ class OpsSpec extends AnyFunSuite {
       (3L, 5L, 2L, 0.4)))
   }
 
+  test("hardNegatives: top cosine OUTSIDE the query's cluster, matches driver reference") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = 16
+    val vecs = Oracle.genVectors(300, d)
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qs = vecs.take(3)
+    val qdf = qs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    val modulo = 50
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(j => { val x = a(j).toDouble - b(j).toDouble; x * x }).sum
+    val cents = vecs.indices.filter(_ % modulo == 0).map(i => i.toLong -> vecs(i))
+    def cid(v: Array[Float]): Long = cents.minBy { case (c, cv) => (d2(v, cv), c) }._1
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.indices.map(j => a(j).toDouble * b(j).toDouble).sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val got = graft.ops.Similarity.hardNegatives(vdf, qdf, k = 5, centroidModulo = modulo)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    qs.zipWithIndex.foreach { case (q, qi) =>
+      val qc = cid(q)
+      val want = vecs.zipWithIndex
+        .filter { case (v, _) => cid(v) != qc }
+        .map { case (v, i) => (i.toLong, cos(v, q)) }
+        .sortBy { case (i, s) => (-s, i) }.take(5)
+      val mine = got.filter(_._1 == qi.toLong).sortBy(_._2)
+      assert(mine.map(_._3).toSeq === want.map(_._1), s"labels for query $qi")
+      // every mined negative must be from a different cluster than the query
+      mine.foreach { case (_, _, label, _) => assert(cid(vecs(label.toInt)) != qc) }
+    }
+  }
+
   test("semanticDedup: drops only in-cluster near-dups, keeps earliest anchor") {
     val spark2 = spark
     import spark2.implicits._
