@@ -738,6 +738,13 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- dedup: winnowing fingerprint profile (MOSS selection) ----
+
+    "text_winnowing" -> { (s, dir) =>
+      Dedup.winnowedFingerprints(Tables(s, dir, "documents"), n = 5, window = 4)
+        .orderBy("doc_id")
+    },
+
     // ---- text quality: corpus-self unigram LM score (CCNet stand-in) ----
 
     "text_unigram_lp" -> { (s, dir) =>
@@ -1740,6 +1747,29 @@ object SparkEntry {
         |  CAST(COALESCE(dups.dup_of, -1) AS BIGINT) AS dup_of
         |FROM va LEFT JOIN dups ON va.vec_id = dups.j
         |ORDER BY va.vec_id""".stripMargin,
+
+    "text_winnowing" -> {
+      val gram5 = "i -> " + (0 until 5).map(o => s"w[i+$o]").mkString("||' '||")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, n_grams,
+         |        substr(md5(gram), 1, 16) || lpad(CAST(i AS VARCHAR), 10, '0') AS comb
+         |      FROM (SELECT doc_id, CAST(greatest(len(w)-4, 0) AS BIGINT) AS n_grams,
+         |              UNNEST(list_transform(range(1, len(w)-3), $gram5)) AS gram,
+         |              UNNEST(range(1, len(w)-3)) AS i FROM t)),
+         |sel AS (SELECT doc_id, pos, n_grams,
+         |        MIN(comb) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s
+         |        FROM g),
+         |f AS (SELECT DISTINCT doc_id, s FROM sel WHERE pos <= n_grams - 3),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM f GROUP BY 1),
+         |lens AS (SELECT doc_id, CAST(greatest(len(w)-4-3, 0) AS BIGINT) AS n_windows FROM t)
+         |SELECT l.doc_id, l.n_windows, COALESCE(cnt.n_fp, 0) AS n_fp,
+         |  ROUND(CASE WHEN l.n_windows > 0
+         |        THEN CAST(COALESCE(cnt.n_fp, 0) AS DOUBLE)/l.n_windows ELSE 0.0 END, 6)
+         |    AS fp_density
+         |FROM lens l LEFT JOIN cnt ON l.doc_id = cnt.doc_id
+         |ORDER BY l.doc_id""".stripMargin
+    },
 
     "text_unigram_lp" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),

@@ -495,6 +495,52 @@ object Dedup {
           .otherwise(0.0), 6).as("dup_frac"))
   }
 
+  /** Winnowing fingerprint profile (Schleimer, Wilkerson & Aiken 2003 —
+    * the MOSS algorithm): hash every positional n-gram, slide a window of
+    * `window` consecutive gram hashes, and select each window's minimum
+    * (ties to the smaller position) — guaranteeing any shared run of
+    * `window + n − 1` tokens shares a fingerprint while storing only
+    * ~2/(window+1) of the grams. The hash is the fixed-width md5-hex
+    * prefix with the zero-padded position appended, so lexicographic MIN
+    * is the (hash, pos) argmin and both engines agree byte-for-byte (the
+    * [[minhashElemSql]] trick).
+    *
+    * The per-doc window runs inside a `doc_id` partition — bounded by
+    * document length, never by corpus frequency (the safe window class;
+    * cf. the banned shingle-keyed windows). Output:
+    * (doc_id, n_windows, n_fp, fp_density[round 6]).
+    */
+  def winnowedFingerprints(docs: DataFrame, n: Int = 5,
+                           window: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = spread(docs).select(col("doc_id"), tokens(col("text")).as("w"))
+    val grams = toks.select(col("doc_id"),
+        graft.functions.wordShingles(col("w"), n, distinct = false).as("g"))
+    val pos = grams
+      .select(col("doc_id"), size(col("g")).cast(LongType).as("n_grams"),
+        posexplode(col("g")))
+      .select(col("doc_id"), col("n_grams"),
+        (col("pos") + 1).cast(LongType).as("pos"),
+        concat(substring(md5(col("col")), 1, 16),
+          lpad((col("pos") + 1).cast(StringType), 10, "0")).as("comb"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    val fps = pos
+      .withColumn("sel", min(col("comb")).over(win))
+      .filter(col("pos") <= col("n_grams") - (window - 1))
+      .select(col("doc_id"), col("sel")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    grams.select(col("doc_id"),
+        greatest(size(col("g")).cast(LongType) - (window - 1), lit(0L))
+          .as("n_windows"))
+      .join(fps, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        round(when(col("n_windows") > 0,
+          coalesce(col("n_fp"), lit(0L)).cast(DoubleType) / col("n_windows"))
+          .otherwise(0.0), 6).as("fp_density"))
+  }
+
   /** SimHash near-duplicate pairs at hamming distance ≤ 2, via 3-band LSH
     * over a 63-bit fingerprint (21 bits per band — two differing bits
     * leave at least one band untouched, so recall at the threshold is

@@ -1114,6 +1114,39 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowedFingerprints matches the driver MOSS-selection reference") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ref(text: String): (Long, Long) = {
+      val w = text.split(" ", -1)
+      val grams = (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" "))
+      val comb = grams.zipWithIndex.map { case (g, i) =>
+        md5hex(g).take(16) + "%010d".format(i + 1)
+      }
+      val nw = math.max(grams.length - 3, 0)
+      val sel = (0 until nw).map(i => comb.slice(i, i + 4).min).distinct
+      (nw.toLong, sel.length.toLong)
+    }
+    val docs = Seq(
+      0L -> "a b c d e f g h i j k l",
+      1L -> "a b c d e f g h i j k l", // identical doc → identical profile
+      2L -> "one two three four",      // < n tokens → no grams, no windows
+      3L -> "p q r s t u v w")         // exactly one window
+    val got = Dedup.winnowedFingerprints(docsDf(docs), n = 5, window = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    docs.foreach { case (id, text) =>
+      val (nw, nfp) = ref(text)
+      val (gid, gnw, gnfp, gd) = got(id.toInt)
+      assert(gid === id && gnw === nw && gnfp === nfp, s"doc $id")
+      val wantD = if (nw > 0) math.rint(nfp.toDouble / nw * 1e6) / 1e6 else 0.0
+      assert(gd === wantD, s"density for doc $id")
+    }
+    assert(got(0)._2 === 5L && got(0)._3 === got(1)._3) // identical docs agree
+    assert(got(2) === ((2L, 0L, 0L, 0.0)))
+    assert(got(3)._2 === 1L && got(3)._3 === 1L)
+  }
+
   test("semanticDedup: drops only in-cluster near-dups, keeps earliest anchor") {
     val spark2 = spark
     import spark2.implicits._
