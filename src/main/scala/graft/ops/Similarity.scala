@@ -833,6 +833,22 @@ object Similarity {
     centers.indices.filter(used).map(centers).toArray
   }
 
+  /** Deterministic codebook-training sample: every `ceil(n / maxRows)`-th
+    * id, so training stays bounded at ANY corpus size (FAISS trains on a
+    * capped sample the same way) while remaining a pure function of the
+    * id set — below the cap this is the identity, so gate-scale results
+    * are unchanged by the bound existing.
+    */
+  private def trainSample(vectors: DataFrame,
+                          maxRows: Long = 1L << 15): DataFrame = {
+    val n = vectors.count()
+    if (n <= maxRows) vectors
+    else {
+      val modulo = (n + maxRows - 1) / maxRows
+      vectors.filter(col("id") % modulo === 0)
+    }
+  }
+
   private def trainPqCodebookImpl(vecs: DataFrame, m: Int, ncent: Int,
                                   seed: Long): Seq[Array[Float]] = {
     val d = vecs.select(size(col("v"))).head().getInt(0)
@@ -895,7 +911,7 @@ object Similarity {
   def pqKmeansTopK(vectors: DataFrame, queries: DataFrame, k: Int,
                    ncent: Int, m: Int = 8, seed: Long = 42L): DataFrame = {
     val cents = trainPqCodebook(
-      vectors.select(col("vec").as("v")), m, ncent, seed)
+      trainSample(vectors).select(col("vec").as("v")), m, ncent, seed)
     val encoded = Dedup.spread(vectors)
       .select(col("id"), pqEncode(col("vec"), cents, m).as("codes"))
     explodeHits(
@@ -955,7 +971,7 @@ object Similarity {
         // the codebook (and the recall verdict) is invariant to partitioning
         // and local parallelism by construction
         trainPqCodebook(
-          vectors.select(
+          trainSample(vectors).select(
             centroidResidual(col("vec"),
               element_at(nearestCentroids(col("vec"), coarse, 1), 1),
               coarse).as("v")),

@@ -131,4 +131,31 @@ class StorageLayoutSpec extends AnyFunSuite {
     assert(scan.contains("ReadSchema") && !scan.contains("struct<a:bigint,b:double,c:string,d:bigint>"),
       s"column pruning must drop b and c:\n$scan")
   }
+
+  test("round-6 text/dedup plans: no hot-key windows, no unbounded cross joins") {
+    import spark.implicits._
+    val docs = (0L until 200L)
+      .map(i => (i, s"tok${i % 11} tok${i % 7} tok${i % 5} tok${i % 3} " * 5))
+      .toDF("doc_id", "text")
+    // BM25: posting stats must not introduce a Window; the only cross
+    // join is the 1-row stats broadcast
+    val bm = graft.ops.Lexical.bm25TopK(docs,
+      docs.filter(col("doc_id") < 2).select(col("doc_id").as("qid"), col("text")), 5)
+    val bmPlan = bm.queryExecution.executedPlan.toString
+    assert(!bmPlan.contains("Window"), s"bm25 must not use windows:\n$bmPlan")
+    assert(!bmPlan.contains("CartesianProduct"),
+      s"bm25 must not materialize a cartesian product:\n$bmPlan")
+    // duplicated spans / winnowing: any Window may partition ONLY by
+    // doc_id (bounded by document length), never by the gram
+    val wf = graft.ops.Dedup.winnowedFingerprints(docs)
+    val wfWindows = wf.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.map(_.sql).mkString(",")
+    }
+    assert(wfWindows.nonEmpty && wfWindows.forall(_.contains("doc_id")),
+      s"winnowing windows must partition by doc_id: $wfWindows")
+    val ds = graft.ops.Dedup.duplicatedSpans(docs, n = 3)
+    assert(!ds.queryExecution.executedPlan.toString.contains("Window"),
+      "duplicatedSpans must not use windows at all")
+  }
 }
