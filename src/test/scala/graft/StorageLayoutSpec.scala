@@ -132,6 +132,43 @@ class StorageLayoutSpec extends AnyFunSuite {
       s"column pruning must drop b and c:\n$scan")
   }
 
+  test("PQ index persists to parquet and searches identically after reload") {
+    // the compressed-tier analog of the S5/S6 cpu<->metal round-trip: the
+    // m-byte codes + the codebook ARE the index; write codes to parquet,
+    // reload, ADC-search — results must be byte-identical to the
+    // in-memory path (codes and codebook are integers/exact floats, so
+    // no tolerance is needed)
+    val dir = Files.createTempDirectory("graft_pq").toString
+    import spark.implicits._
+    import graft.functions.{pqAdcScore, pqEncode, topK}
+    val m = 4
+    val vecs = Oracle.genVectors(800, 16)
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("id", "vec")
+    val qdf = vecs.take(3).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("qid", "qv")
+    val cents = vecs.indices.filter(_ % 25 == 0).map(vecs(_)).toSeq
+    vdf.select(col("id"), pqEncode(col("vec"), cents, m).as("codes"))
+      .write.mode("overwrite").parquet(dir)
+    def search(codes: org.apache.spark.sql.DataFrame) =
+      graft.ops.Similarity.explodeHits(
+        codes.crossJoin(broadcast(qdf))
+          .select(col("qid"), col("id").as("label"),
+            round(pqAdcScore(col("codes"), col("qv"), cents, m), 6).as("score"))
+          .groupBy(col("qid"))
+          .agg(topK(col("score"), col("label"), 10, ascending = true).as("hits")))
+        .orderBy("qid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val mem = search(vdf.select(col("id"), pqEncode(col("vec"), cents, m).as("codes")))
+    val disk = search(spark.read.parquet(dir))
+    assert(mem.toSeq === disk.toSeq)
+    // the persisted index reads m bytes/vector: codes column only, no vec
+    val scan = spark.read.parquet(dir).select("id", "codes")
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema") && !scan.contains("vec"),
+      s"persisted PQ scan must not read raw vectors:\n$scan")
+  }
+
   test("round-6 text/dedup plans: no hot-key windows, no unbounded cross joins") {
     import spark.implicits._
     val docs = (0L until 200L)
