@@ -23,6 +23,15 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Shared recall-verdict scaffolding for the seeded-ANN queries:
+    * per-query overlap-with-exact counts (the one definition of the
+    * gating semantics — `ann_ivfpq_residual`, `ann_pq_kmeans`, and
+    * `tools/ResidProbe` all count commonality the same way).
+    */
+  private def annOverlap(exact: DataFrame, ann: DataFrame): DataFrame =
+    ann.select(col("qid"), col("label")).join(exact, Seq("qid", "label"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_common"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Brute-force k-NN of the first 4 embedding vectors against the whole
     * embeddings table (squared L2, top-5) — the reference's core query.
@@ -1453,13 +1462,10 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val exact = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
         .select(col("qid"), col("label"))
-      def overlap(df: org.apache.spark.sql.DataFrame) =
-        df.select(col("qid"), col("label")).join(exact, Seq("qid", "label"))
-          .groupBy(col("qid")).agg(count(lit(1)).as("n_common"))
-      val resid = overlap(Similarity.ivfPqResidualTopK(vectors, queries,
+      val resid = annOverlap(exact, Similarity.ivfPqResidualTopK(vectors, queries,
         k = 10, ivfModulo = 40, nProbe = 8, pqModulo = 25, m = 8,
         trainedNcent = 64))
-      val raw = overlap(Similarity.ivfPqTopK(vectors, queries,
+      val raw = annOverlap(exact, Similarity.ivfPqTopK(vectors, queries,
         k = 10, ivfModulo = 40, nProbe = 8, pqModulo = 25, m = 8))
       val totals = resid.agg(sum(col("n_common")).as("t_resid"))
         .crossJoin(raw.agg(sum(col("n_common")).as("t_raw")))
@@ -1475,8 +1481,8 @@ object SparkEntry {
 
     // PQ with k-means-trained sub-codebooks at the SAME codebook budget as
     // the modulo stand-in (ncent = n/25): per-query recall bound plus the
-    // trained-beats-sampled aggregate (measured 38 vs 17 at sf0.01, 27 vs
-    // 24 at sf0.1; training input is the un-spread table → core-stable)
+    // trained-beats-sampled aggregate (Lloyd trainer: 35 vs 17 at sf0.01,
+    // 26 vs 24 at sf0.1; the sorted training sample → core-stable)
     "ann_pq_kmeans" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -1484,16 +1490,15 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       // match the modulo codebook's budget (n/25) but cap at 256 — PQ
       // codes are canonically one byte, and a corpus-proportional k-means
-      // k would make training itself super-linear at scale
-      val ncent = math.max(8, math.min(256, (vectors.count() / 25L).toInt))
+      // k would make training itself super-linear at scale. ONE count
+      // feeds both the budget and the training-sample bound.
+      val n = vectors.count()
+      val ncent = math.max(8, math.min(256, (n / 25L).toInt))
       val exact = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
         .select(col("qid"), col("label"))
-      def overlap(df: org.apache.spark.sql.DataFrame) =
-        df.select(col("qid"), col("label")).join(exact, Seq("qid", "label"))
-          .groupBy(col("qid")).agg(count(lit(1)).as("n_common"))
-      val trained = overlap(Similarity.pqKmeansTopK(vectors, queries,
-        k = 10, ncent = ncent, m = 8))
-      val modulo = overlap(Similarity.pqTopK(vectors, queries,
+      val trained = annOverlap(exact, Similarity.pqKmeansTopK(vectors, queries,
+        k = 10, ncent = ncent, m = 8, knownCount = n))
+      val modulo = annOverlap(exact, Similarity.pqTopK(vectors, queries,
         k = 10, centroidModulo = 25, m = 8))
       // strict > where there's headroom; a tie passes only at PERFECT
       // trained recall (nq·k) — on an easy corpus both codebooks saturate
@@ -1801,15 +1806,15 @@ object SparkEntry {
         |          CROSS JOIN embeddings v JOIN va ON v.vec_id = va.vec_id
         |          WHERE va.cid <> qa.qcid),
         |d AS (SELECT qid, label,
-        |  SUM(CAST(qe AS DOUBLE) * CAST(ve AS DOUBLE)) /
+        |  ROUND(SUM(CAST(qe AS DOUBLE) * CAST(ve AS DOUBLE)) /
         |    (SQRT(SUM(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE))) *
-        |     SQRT(SUM(CAST(ve AS DOUBLE) * CAST(ve AS DOUBLE)))) AS score
+        |     SQRT(SUM(CAST(ve AS DOUBLE) * CAST(ve AS DOUBLE)))), 6) AS score
         |  FROM (SELECT qid, label, UNNEST(qv) AS qe, UNNEST(vv) AS ve FROM pairs)
         |  GROUP BY qid, label),
         |r AS (SELECT qid, label, score,
         |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, label) AS rank
-        |      FROM d)
-        |SELECT qid, rank, label, ROUND(score, 6) AS cos FROM r WHERE rank <= 10
+        |      FROM d WHERE NOT isnan(score))
+        |SELECT qid, rank, label, score AS cos FROM r WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
     "pipeline_filter" -> {

@@ -475,10 +475,16 @@ object Dedup {
     */
   def duplicatedSpans(docs: DataFrame, n: Int = 8,
                       minDocs: Int = 2): DataFrame = {
-    val toks = spread(docs)
+    // the positional-gram frame feeds three sub-plans (df aggregation,
+    // dup-membership probe, n_spans projection) and Spark does not share
+    // common sub-plans across join inputs — checkpoint the compact
+    // one-row-per-doc form so tokenize+shingle runs ONCE (the mmrTopK
+    // pattern)
+    val pos = spread(docs)
       .select(col("doc_id"), tokens(col("text")).as("w"))
-    val pos = toks.select(col("doc_id"),
-      graft.functions.wordShingles(col("w"), n, distinct = false).as("g"))
+      .select(col("doc_id"),
+        graft.functions.wordShingles(col("w"), n, distinct = false).as("g"))
+      .localCheckpoint(true)
     val spans = pos.select(col("doc_id"), explode(col("g")).as("gram"))
     val dupGrams = spans.select(col("doc_id"), col("gram")).distinct()
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
@@ -513,9 +519,13 @@ object Dedup {
   def winnowedFingerprints(docs: DataFrame, n: Int = 5,
                            window: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = spread(docs).select(col("doc_id"), tokens(col("text")).as("w"))
-    val grams = toks.select(col("doc_id"),
+    // checkpointed for the same reason as [[duplicatedSpans]]: the gram
+    // frame feeds both the fingerprint selection and the n_windows base
+    val grams = spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
         graft.functions.wordShingles(col("w"), n, distinct = false).as("g"))
+      .localCheckpoint(true)
     val pos = grams
       .select(col("doc_id"), size(col("g")).cast(LongType).as("n_grams"),
         posexplode(col("g")))

@@ -681,10 +681,15 @@ object Similarity {
     val assigned = Dedup.spread(embeddings)
       .select(col("id"), col("vec"),
         element_at(nearestCentroids(col("vec"), cents, 1), 1).as("cid"))
-    // in-cluster (i < j) pairs only — the join key IS the cluster id
+    // in-cluster (i < j) pairs only — the join key IS the cluster id.
+    // NaN cosines (zero-norm vectors) are filtered BEFORE the tau
+    // predicate: Spark SQL's NaN-total-order would rank NaN above any
+    // finite tau (unlike the streaming path's IEEE compare) — the same
+    // zero-norm class topCosinePairs and mmrTopK filter.
     val dups = assigned.select(col("cid"), col("id").as("i"), col("vec").as("vi"))
       .join(assigned.select(col("cid"), col("id").as("j"), col("vec").as("vj")), "cid")
-      .filter(col("i") < col("j") && cosineSimilarity(col("vi"), col("vj")) > tau)
+      .withColumn("cos", cosineSimilarity(col("vi"), col("vj")))
+      .filter(col("i") < col("j") && !isnan(col("cos")) && col("cos") > tau)
       .groupBy(col("j")).agg(min(col("i")).as("dup_of"))
     assigned.select(col("id"), col("cid"))
       .join(dups.withColumnRenamed("j", "id"), Seq("id"), "left")
@@ -714,11 +719,15 @@ object Similarity {
         element_at(nearestCentroids(col("vec"), cents, 1), 1).as("cid"))
     val probes = queries.select(col("qid"), col("qv"),
       element_at(nearestCentroids(col("qv"), cents, 1), 1).as("qcid"))
+    // NaN scores (zero-norm vectors) filtered before ranking, and the
+    // cutoff ranks on the ROUNDED score (the mmrTopK rule) so a <1e-6
+    // cross-engine tie can't pick a different top-k set than the oracle
     explodeHits(
       assigned.crossJoin(broadcast(probes))
         .filter(col("cid") =!= col("qcid"))
         .select(col("qid"), col("id").as("label"),
-          cosineSimilarity(col("vec"), col("qv")).as("score"))
+          round(cosineSimilarity(col("vec"), col("qv")), 6).as("score"))
+        .filter(!isnan(col("score")))
         .groupBy(col("qid"))
         .agg(topK(col("score"), col("label"), k, ascending = false).as("hits")))
   }
@@ -796,6 +805,10 @@ object Similarity {
         while (t < ds) { sums(c)(t) += points(i)(t); t += 1 }
         i += 1
       }
+      // stolen tracks re-seed picks within THIS iteration: two clusters
+      // empty at once must steal DIFFERENT points, or they collapse into
+      // duplicate centers and one stays empty forever
+      val stolen = new java.util.HashSet[Integer]()
       var c = 0
       while (c < centers.length) {
         if (counts(c) > 0) {
@@ -806,11 +819,16 @@ object Similarity {
           // lowest point index) — deterministic split of the worst cluster
           var far = -1; var farD = -1.0; var p = 0
           while (p < n) {
-            val d = d2(points(p), centers(assign(p)))
-            if (d > farD) { farD = d; far = p }
+            if (!stolen.contains(p)) {
+              val d = d2(points(p), centers(assign(p)))
+              if (d > farD) { farD = d; far = p }
+            }
             p += 1
           }
-          centers(c) = points(far).clone()
+          if (far >= 0) {
+            stolen.add(far)
+            centers(c) = points(far).clone()
+          }
         }
         c += 1
       }
@@ -840,8 +858,9 @@ object Similarity {
     * are unchanged by the bound existing.
     */
   private def trainSample(vectors: DataFrame,
-                          maxRows: Long = 1L << 15): DataFrame = {
-    val n = vectors.count()
+                          maxRows: Long = 1L << 15,
+                          knownCount: Long = -1L): DataFrame = {
+    val n = if (knownCount >= 0) knownCount else vectors.count()
     if (n <= maxRows) vectors
     else {
       val modulo = (n + maxRows - 1) / maxRows
@@ -851,19 +870,22 @@ object Similarity {
 
   private def trainPqCodebookImpl(vecs: DataFrame, m: Int, ncent: Int,
                                   seed: Long): Seq[Array[Float]] = {
-    val d = vecs.select(size(col("v"))).head().getInt(0)
-    require(d % m == 0, s"dim $d not divisible into $m subspaces")
-    val ds = d / m
     // Codebook training is ALWAYS on a bounded sample at scale (FAISS
     // trains in-process on ≤ ~100k vectors regardless of index size), so
     // collect the limit-probed sample and run seeded Lloyd on the driver:
     // m×iters scheduler round-trips become pure compute, and sorting the
     // sample lexicographically first makes the codebook a function of the
     // sample SET alone — invariant to partitioning and core count (an
-    // MLlib fit's random init samples by partition and is not).
+    // MLlib fit's random init samples by partition and is not). The
+    // dimension comes from the collected sample itself — no separate
+    // probe job.
     val sample: Array[Array[Float]] = collectSmall(
         vecs.select(col("v")), "PQ training sample")
       .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "PQ codebook training needs a non-empty sample")
+    val d = sample(0).length
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val ds = d / m
     java.util.Arrays.sort(sample, new java.util.Comparator[Array[Float]] {
       def compare(a: Array[Float], b: Array[Float]): Int = {
         val n = math.min(a.length, b.length)
@@ -909,9 +931,11 @@ object Similarity {
     * must beat the modulo codebook at equal m.
     */
   def pqKmeansTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-                   ncent: Int, m: Int = 8, seed: Long = 42L): DataFrame = {
+                   ncent: Int, m: Int = 8, seed: Long = 42L,
+                   knownCount: Long = -1L): DataFrame = {
     val cents = trainPqCodebook(
-      trainSample(vectors).select(col("vec").as("v")), m, ncent, seed)
+      trainSample(vectors, knownCount = knownCount).select(col("vec").as("v")),
+      m, ncent, seed)
     val encoded = Dedup.spread(vectors)
       .select(col("id"), pqEncode(col("vec"), cents, m).as("codes"))
     explodeHits(

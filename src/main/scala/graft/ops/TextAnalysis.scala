@@ -101,7 +101,7 @@ object TextAnalysis {
     * Output: (doc_id, n_tokens, mean_lp[round 6], ppl[round 6]).
     */
   def unigramLogProb(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+    val toks = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
     val tf = toks.select(col("doc_id"), size(col("w")).cast(LongType).as("len"),
         explode(col("w")).as("tok"))
       .groupBy(col("doc_id"), col("tok"))

@@ -213,8 +213,10 @@ object StreamingOps {
         .as("cid"))
       .as[(Long, Array[Float], Long)]
     // same cosine semantics as the cosineSimilarity column (fp64
-    // accumulate, NaN on a zero norm — and NaN > tau is false, so a
-    // zero-norm vector can neither drop nor be dropped)
+    // accumulate, NaN on a zero norm). IEEE `NaN > tau` is false here,
+    // and the batch path filters !isnan before its tau predicate (Spark
+    // SQL's NaN-total-order would otherwise rank NaN above tau) — both
+    // sides agree: a zero-norm vector can neither drop nor be dropped.
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       val n = math.min(a.length, b.length)
