@@ -1147,6 +1147,47 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3)._2 === 1L && got(3)._3 === 1L)
   }
 
+  test("semanticDedup and hardNegatives: zero-norm vectors are inert (NaN-safe)") {
+    val spark2 = spark
+    import spark2.implicits._
+    def v(x: Double, y: Double, z: Double) = Array(x.toFloat, y.toFloat, z.toFloat)
+    // id 1 is all-zero: cosine to anything is NaN. Spark SQL's
+    // NaN-total-order would rank NaN above any tau — the filtered
+    // predicate must keep the zero vector AND every other member
+    // (regression for the round-6 review finding).
+    val rows = Seq(0L -> v(1, 0, 0), 1L -> v(0, 0, 0), 2L -> v(0.6, 0.8, 0),
+      3L -> v(1, 0.01, 0))
+    val sd = graft.ops.Similarity.semanticDedup(rows.toDF("id", "vec"),
+        centroidModulo = 100, tau = 0.9)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getLong(3)))
+    assert(sd.toSeq === Seq((0L, false, -1L), (1L, false, -1L),
+      (2L, false, -1L), (3L, true, 0L)))
+    // streaming path must agree byte-for-byte on the same corpus
+    implicit val sqlCtx = spark.sqlContext
+    val stream = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Float])]
+    val in = stream.toDF().select(col("_1").as("id"), col("_2").as("vec"))
+    val cents = Seq(0L -> v(1, 0, 0))
+    val flags = graft.streaming.StreamingOps.streamingSemanticDedup(in, cents, tau = 0.9)
+    val q = flags.toDF().writeStream.format("memory").queryName("semnan")
+      .outputMode("append").start()
+    stream.addData(rows)
+    q.processAllAvailable(); q.stop()
+    val st = spark.table("semnan").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getLong(3)))
+    assert(st.toSeq === sd.toSeq)
+    // hardNegatives: the zero vector must never appear in results (its
+    // cosine is NaN), and no returned score may be NaN
+    val qdf = Seq(0L -> v(1, 0, 0)).toDF("qid", "qv")
+    // ids 0,1,2,3 + 100 so modulo 100 yields two clusters
+    val vdf = (rows :+ (100L -> v(0, 1, 0))).toDF("id", "vec")
+    val hn = graft.ops.Similarity.hardNegatives(vdf, qdf, k = 10, centroidModulo = 100)
+      .collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(hn.nonEmpty)
+    assert(!hn.exists(_._1 == 1L), "zero-norm vector must not be mined")
+    assert(hn.forall(p => !p._2.isNaN))
+  }
+
   test("semanticDedup: drops only in-cluster near-dups, keeps earliest anchor") {
     val spark2 = spark
     import spark2.implicits._
