@@ -1479,6 +1479,36 @@ object SparkEntry {
         .orderBy("qid")
     },
 
+    // the production composition the recall sweep motivates: residual-
+    // IVFPQ shortlist (k·5 candidates at m bytes/vector) + exact fp32
+    // rerank. Rerank recall ≥ the un-reranked tier BY CONSTRUCTION (a
+    // true-top-k member in the shortlist cannot be outranked by k others),
+    // so beats_resid is a structural invariant, not a tuned bound.
+    "ann_ivfpq_rerank" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
+        .select(col("qid"), col("label"))
+      val rerank = annOverlap(exact, Similarity.ivfPqResidualRerankTopK(
+        vectors, queries, k = 10, ivfModulo = 40, nProbe = 8, pqModulo = 25,
+        m = 8, trainedNcent = 64, expand = 5))
+      val resid = annOverlap(exact, Similarity.ivfPqResidualTopK(vectors, queries,
+        k = 10, ivfModulo = 40, nProbe = 8, pqModulo = 25, m = 8,
+        trainedNcent = 64))
+      val totals = rerank.agg(sum(col("n_common")).as("t_rr"))
+        .crossJoin(resid.agg(sum(col("n_common")).as("t_resid")))
+        .select((col("t_rr") >= col("t_resid")).as("beats_resid"))
+      queries.select(col("qid"))
+        .join(rerank, Seq("qid"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("qid"),
+          (coalesce(col("n_common"), lit(0L)) >= 1L).as("recall_ok"),
+          col("beats_resid"))
+        .orderBy("qid")
+    },
+
     // PQ with k-means-trained sub-codebooks at the SAME codebook budget as
     // the modulo stand-in (ncent = n/25): per-query recall bound plus the
     // trained-beats-sampled aggregate (Lloyd trainer: 35 vs 17 at sf0.01,
@@ -1887,6 +1917,11 @@ object SparkEntry {
     "ann_pq_kmeans" ->
       """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok,
         |  CAST(TRUE AS BOOLEAN) AS beats_modulo
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "ann_ivfpq_rerank" ->
+      """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok,
+        |  CAST(TRUE AS BOOLEAN) AS beats_resid
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "q_approx_distinct" ->

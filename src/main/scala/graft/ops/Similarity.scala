@@ -1027,6 +1027,31 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
 
+  /** Residual-IVFPQ shortlist + exact fp32 rerank — the production ANN
+    * composition the recall sweep motivates: ADC quantization caps the
+    * PQ tier's recall regardless of probe budget, so retrieve k·expand
+    * candidates at m bytes/vector and re-score just those against the
+    * raw vectors. Any candidate that is in the true top-k and in the
+    * shortlist ends in the reranked top-k (at most k−1 others can beat
+    * it), so recall is ≥ the un-reranked tier by construction. Rerank
+    * cost is nq·k·expand rows — independent of corpus size.
+    */
+  def ivfPqResidualRerankTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                              ivfModulo: Int, nProbe: Int, pqModulo: Int,
+                              m: Int = 8, trainedNcent: Int = 0,
+                              expand: Int = 5): DataFrame = {
+    val shortlist = ivfPqResidualTopK(vectors, queries, k * expand,
+        ivfModulo, nProbe, pqModulo, m, trainedNcent)
+      .select(col("qid"), col("label"))
+    explodeHits(
+      vectors.join(broadcast(shortlist.withColumnRenamed("label", "id")), "id")
+        .join(broadcast(queries), "qid")
+        .select(col("qid"), col("id").as("label"),
+          round(squaredL2(col("vec"), col("qv")), 6).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
+  }
+
   /** IVF with REAL k-means training (MLlib, seeded): the production
     * version of [[ivfTopK]]'s modulo-centroid stand-in. Same probe
     * mechanics — centroids ride inside the NearestCentroids expression, so

@@ -398,6 +398,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("residual-IVFPQ + exact rerank: recall >= un-reranked; full expand covers exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = 16
+    val vecs = Oracle.genVectors(400, d)
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = vecs.take(4).zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    val exact = Similarity.bruteForceTopK(vdf, qdf, 10, "l2")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Int =
+      (df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet & exact).size
+    val resid = recall(Similarity.ivfPqResidualTopK(vdf, qdf, 10, 50, 4, 20, 4,
+      trainedNcent = 32))
+    val rr = recall(Similarity.ivfPqResidualRerankTopK(vdf, qdf, 10, 50, 4, 20, 4,
+      trainedNcent = 32, expand = 5))
+    assert(rr >= resid, s"rerank recall $rr must be >= un-reranked $resid")
+    // degeneracy: probe every cluster and expand past the corpus size →
+    // the shortlist IS the corpus, so the rerank equals exact kNN labels
+    val full = Similarity.ivfPqResidualRerankTopK(vdf, qdf, 10, 50, 8, 20, 4,
+        trainedNcent = 0, expand = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(full === exact)
+  }
+
   test("trained PQ codebooks beat the modulo stand-in on clustered data; clamp holds") {
     val spark2 = spark
     import spark2.implicits._
