@@ -747,6 +747,36 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- approximate heavy hitters: SpaceSaving sketch with verdict
+    // columns (est >= true, est - err <= true, every true heavy tracked
+    // — the mergeable-summaries invariants) over a deterministic
+    // log-bucketed item stream (geometric counts => real heavy hitters;
+    // the raw columns are uniform by construction) ----
+
+    "q_heavy_hitters" -> { (s, dir) =>
+      val items = Tables(s, dir, "lineitem")
+        .select((col("l_orderkey") % 1024).as("v"))
+        .select(when(col("v") < 512, "h0").when(col("v") < 768, "h1")
+          .when(col("v") < 896, "h2").when(col("v") < 960, "h3")
+          .when(col("v") < 992, "h4").when(col("v") < 1008, "h5")
+          .when(col("v") < 1016, "h6").when(col("v") < 1020, "h7")
+          .otherwise("h8").as("item"))
+      val sketch = items.agg(spaceSavingHH(col("item"), 6).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.est").as("est"),
+          col("e.err").as("err"))
+      val exact = items.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      val tot = exact.agg(sum(col("cnt")).as("n"))
+      exact.crossJoin(broadcast(tot))
+        .filter(col("cnt") * 6 >= col("n"))
+        .join(sketch, Seq("item"), "left")
+        .select(col("item"), col("cnt"),
+          col("est").isNotNull.as("in_sketch"),
+          (col("est") >= col("cnt")).as("overest_ok"),
+          (col("est") - col("err") <= col("cnt")).as("lower_ok"))
+        .orderBy("item")
+    },
+
     // ---- dedup: winnowing fingerprint profile (MOSS selection) ----
 
     "text_winnowing" -> { (s, dir) =>
@@ -1782,6 +1812,17 @@ object SparkEntry {
         |  CAST(COALESCE(dups.dup_of, -1) AS BIGINT) AS dup_of
         |FROM va LEFT JOIN dups ON va.vec_id = dups.j
         |ORDER BY va.vec_id""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH it AS (SELECT CASE WHEN v < 512 THEN 'h0' WHEN v < 768 THEN 'h1'
+        |  WHEN v < 896 THEN 'h2' WHEN v < 960 THEN 'h3' WHEN v < 992 THEN 'h4'
+        |  WHEN v < 1008 THEN 'h5' WHEN v < 1016 THEN 'h6' WHEN v < 1020 THEN 'h7'
+        |  ELSE 'h8' END AS item
+        |  FROM (SELECT l_orderkey % 1024 AS v FROM lineitem)),
+        |e AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM it GROUP BY 1),
+        |t AS (SELECT SUM(cnt) AS n FROM e)
+        |SELECT item, cnt, TRUE AS in_sketch, TRUE AS overest_ok, TRUE AS lower_ok
+        |FROM e, t WHERE cnt * 6 >= n ORDER BY item""".stripMargin,
 
     "text_winnowing" -> {
       val gram5 = "i -> " + (0 until 5).map(o => s"w[i+$o]").mkString("||' '||")

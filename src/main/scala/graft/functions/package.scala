@@ -128,4 +128,12 @@ package object functions {
            padToK: Boolean = false): Column =
     GraftBridge.column(
       TopKAgg(e(score), e(label), k, ascending, padToK).toAggregateExpression())
+
+  /** SpaceSaving heavy-hitter sketch (capacity-bounded, mergeable):
+    * `array<struct<item, est, err>>`, est desc. See
+    * [[graft.operators.SpaceSavingAgg]] for the invariants.
+    */
+  def spaceSavingHH(item: Column, capacity: Int): Column =
+    GraftBridge.column(
+      graft.operators.SpaceSavingAgg(e(item), capacity).toAggregateExpression())
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.spaceSavingHH
+import graft.operators.SpaceSavingBuffer
+
+/** SpaceSaving sketch invariants on adversarial (zipf) data, for every
+  * partition structure: est >= true, est - err <= true, and every item
+  * with true count > n/capacity is tracked (Metwally et al. 2005;
+  * mergeability per Agarwal et al. 2012).
+  */
+class SpaceSavingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  // zipf-ish stream: item i (1..120) appears ceil(600/i) times
+  private val stream: Seq[String] = (1 to 120).flatMap { i =>
+    Seq.fill((600 + i - 1) / i)(f"item$i%03d")
+  }
+  private val truth: Map[String, Long] =
+    stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+  private val n = stream.size.toLong
+
+  private def checkInvariants(rows: Seq[(String, Long, Long)], cap: Int): Unit = {
+    rows.foreach { case (item, est, err) =>
+      val t = truth.getOrElse(item, 0L)
+      assert(est >= t, s"$item: est $est must overestimate true $t")
+      assert(est - err <= t, s"$item: est-err ${est - err} must lower-bound $t")
+    }
+    val tracked = rows.map(_._1).toSet
+    truth.foreach { case (item, t) =>
+      if (t > n / cap)
+        assert(tracked(item), s"heavy item $item (true $t > ${n / cap}) must be tracked")
+    }
+    assert(rows.size <= cap)
+  }
+
+  test("driver buffer: invariants hold through updates and an upper-bound merge") {
+    val cap = 20
+    val (a, b) = stream.splitAt(stream.size / 3)
+    val b1 = new SpaceSavingBuffer(cap); a.foreach(b1.update)
+    val b2 = new SpaceSavingBuffer(cap); b.foreach(b2.update)
+    b1.mergeIn(b2)
+    checkInvariants(b1.sorted, cap)
+    // single-buffer (no merge) pass too
+    val b3 = new SpaceSavingBuffer(cap); stream.foreach(b3.update)
+    checkInvariants(b3.sorted, cap)
+  }
+
+  test("distributed sketch: invariants hold at every partition count") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cap = 20
+    for (parts <- Seq(1, 3, 8)) {
+      val df = stream.toDF("item").repartition(parts)
+      val rows = df.agg(spaceSavingHH(col("item"), cap).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item"), col("e.est"), col("e.err"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      checkInvariants(rows.toSeq, cap)
+      // output is sorted est desc, item asc
+      assert(rows.toSeq == rows.sortBy { case (k, c, _) => (-c, k) }.toSeq)
+    }
+  }
+
+  test("capacity >= distinct items degenerates to exact counts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = stream.toDF("item").repartition(5)
+      .agg(spaceSavingHH(col("item"), 200).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est"), col("e.err"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === truth.size)
+    rows.foreach { case (item, est, err) =>
+      assert(est === truth(item) && err === 0L, s"$item must be exact")
+    }
+  }
+}
