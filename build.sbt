@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output normally passes through sbt's logger, which prefixes
+// every line with `[info] ` — that defeats any line-anchored parser reading
+// the bench JSON off stdout (the driver's BENCH_r*.json `parsed` field).
+// StdoutOutput inherits the parent's stdout/stderr directly: the final
+// bench line reaches the log bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

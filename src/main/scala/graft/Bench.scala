@@ -46,6 +46,14 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             -1.0
+        } finally {
+          // drop leaked localCheckpoint blocks OUTSIDE the timed region:
+          // each rep rebuilds its DataFrames, so blocks from the previous
+          // rep are dead — but they stay registered in the BlockManager.
+          // Across 117 queries × reps that is hundreds of stale RDDs of
+          // memory pressure landing on whichever (checkpoint-heavy) query
+          // runs late in the suite.
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         }
       }
       if (times.exists(_ < 0)) name -> -1.0

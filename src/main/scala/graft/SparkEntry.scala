@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions._
-import graft.ops.{Dedup, Lexical, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsofJoin, Dedup, Lexical, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -563,6 +563,25 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // the skew-safe formulation of the same as-of join: range-bucketed
+    // two-pass (see AsofJoin.asofJoinBucketed) — same oracle as
+    // q_asof_join because the plans are semantically identical; this one
+    // survives a single user_id holding 10⁹ events where the window form
+    // straggles. Bucket = 1 day of event time.
+    "q_asof_join_bucketed" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("unix_micros(ts)"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), col("ts_us").as("click_ts_us"))
+      AsofJoin.asofJoinBucketed(purchases, clicks, "user_id",
+          "ts_us", "ts_us", Seq("click_ts_us"), bucketWidth = 86400000000L)
+        .select(col("event_id"), col("user_id"),
+          col("ts_us").as("purchase_ts_us"),
+          col("asof_click_ts_us").as("last_click_us"))
+        .orderBy("event_id")
+    },
+
     // ---- dedup: MinHash + LSH with exact-Jaccard verification ----
 
     "dedup_minhash" -> { (s, dir) =>
@@ -683,9 +702,13 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
       val e = Tables(s, dir, "embeddings")
-      val lex = Lexical.bm25TopK(docs,
+      // pre-built posting stats (the production shape: corpus state is
+      // computed once and shared across the lexical stack; the dense
+      // stack reads embeddings, not text, so its corpus pass is disjoint)
+      val st = Lexical.bm25Stats(docs)
+      val lex = Lexical.bm25TopK(st,
         docs.filter(col("doc_id") < 4).select(col("doc_id").as("qid"), col("text")),
-        k = 20)
+        k = 20, k1 = 1.2, b = 0.75)
       val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val qs = e.filter(col("vec_id") < 4)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -1734,7 +1757,8 @@ object SparkEntry {
       |lensb AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM toksb),
       |tfb AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
       |        FROM (SELECT doc_id, UNNEST(w) AS tok FROM toksb) GROUP BY 1, 2),
-      |dfb AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tfb GROUP BY 1),
+      |dfb AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tfb GROUP BY 1
+      |        HAVING count(*) <= 100000),
       |statsb AS (SELECT CAST((SELECT count(*) FROM documents) AS DOUBLE) AS n_docs,
       |           (SELECT avg(len) FROM lensb) AS avg_len),
       |qb AS (SELECT doc_id AS qid, UNNEST(list_distinct(string_split(text,' '))) AS tok
@@ -1807,7 +1831,8 @@ object SparkEntry {
         |    (SQRT(SUM(CAST(ae AS DOUBLE)*CAST(ae AS DOUBLE))) *
         |     SQRT(SUM(CAST(be AS DOUBLE)*CAST(be AS DOUBLE)))) AS cos
         |  FROM ex GROUP BY 1, 2),
-        |dups AS (SELECT j, MIN(i) AS dup_of FROM p WHERE cos > 0.4 GROUP BY j)
+        |dups AS (SELECT j, MIN(i) AS dup_of FROM p
+        |         WHERE cos > 0.4 AND NOT isnan(cos) GROUP BY j)
         |SELECT va.vec_id, va.cid, (dups.dup_of IS NOT NULL) AS dropped,
         |  CAST(COALESCE(dups.dup_of, -1) AS BIGINT) AS dup_of
         |FROM va LEFT JOIN dups ON va.vec_id = dups.j
@@ -2399,6 +2424,24 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, 1 AS tag, event_id,
+        |         NULL::BIGINT AS click_ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 0, NULL, epoch_us(ts)
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT *, MAX(click_ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, tag ROWS UNBOUNDED PRECEDING) AS last_click_us
+        |  FROM u)
+        |SELECT event_id, user_id, ts_us AS purchase_ts_us, last_click_us
+        |FROM w WHERE tag = 1
+        |ORDER BY event_id""".stripMargin,
+
+    // the bucketed two-pass plan answers the SAME question — one oracle
+    // text, two physical strategies (window vs range-bucketed)
+    "q_asof_join_bucketed" ->
       """WITH u AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, 1 AS tag, event_id,
         |         NULL::BIGINT AS click_ts_us

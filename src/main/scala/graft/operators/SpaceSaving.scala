@@ -127,7 +127,12 @@ case class SpaceSavingAgg(
     val out = new DataOutputStream(bos)
     out.writeInt(buffer.counts.size)
     buffer.counts.foreach { case (k, (c, e)) =>
-      out.writeUTF(k); out.writeLong(c); out.writeLong(e)
+      // length-prefixed raw UTF-8, not writeUTF: writeUTF throws
+      // UTFDataFormatException past 65535 modified-UTF-8 bytes, and a
+      // general-purpose string aggregate must survive long items
+      val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length); out.write(kb)
+      out.writeLong(c); out.writeLong(e)
     }
     out.flush()
     bos.toByteArray
@@ -139,7 +144,10 @@ case class SpaceSavingAgg(
     val buf = new SpaceSavingBuffer(capacity)
     var i = 0
     while (i < n) {
-      val k = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      val kl = in.readInt()
+      val kb = new Array[Byte](kl); in.readFully(kb)
+      val k = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
+      val c = in.readLong(); val e = in.readLong()
       buf.counts.update(k, (c, e))
       i += 1
     }

@@ -58,4 +58,90 @@ object AsofJoin {
     u.filter(col("__tag") === 1)
       .select(leftCols.map(col) ++ rightVals.map(c => col(s"asof_$c")): _*)
   }
+
+  /** Floor division that is exact for the full long range (no double
+    * round-trip) and floors toward −∞ (a plain `div` truncates toward 0,
+    * which mis-buckets negative timestamps).
+    */
+  private def floorDiv(ts: Column, width: Long): Column =
+    ((ts - pmod(ts, lit(width))) / lit(width)).cast("long")
+
+  /** Skew-safe [[asofJoin]]: identical semantics, but no window keyed on
+    * the raw join key. `Window.partitionBy(key)` puts one key's ENTIRE
+    * merged history on one task — fine when keys are balanced, a straggler
+    * when one key is 10⁹ rows (one hot instrument at 100 TB). This variant
+    * range-buckets event time and runs two bounded passes:
+    *
+    *  1. in-bucket: the same union + ordered-window trick partitioned by
+    *     (key, bucket) — partition size is bounded by rows-per-bucket
+    *     (tunable via `bucketWidth`), not by per-key history;
+    *  2. carry-forward: right rows collapse to ONE summary row per
+    *     (key, bucket) (`max(struct(ts, vals…))` — exactly the window's
+    *     tie rule: latest ts, then greatest carried values), and the
+    *     latest summary at-or-before each left row's PREVIOUS bucket is
+    *     attached with the same trick at bucket granularity, where the
+    *     per-key partition is bounded by the number of distinct buckets.
+    *
+    * A same-bucket hit always out-timestamps every earlier-bucket row, so
+    * `coalesce(pass1, pass2)` reproduces [[asofJoin]] bit-for-bit
+    * (dual-planned in the spec). Use this form when a key's history can
+    * exceed one task's comfort; the plain window form is one shuffle
+    * cheaper and remains the default for balanced keys.
+    */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       rightVals: Seq[String],
+                       bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val leftCols = left.columns.toSeq
+    // ---- pass 1: union-window within (key, bucket) ----
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__b", floorDiv(col(leftTs), bucketWidth))
+      .withColumn("__tag", lit(1))
+      .select((leftCols.map(col) :+ col("__ts") :+ col("__b") :+ col("__tag")) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__rv_$c")): _*)
+    val rFixed = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__b", floorDiv(col(rightTs), bucketWidth))
+      .withColumn("__tag", lit(0))
+      .select((leftCols.map { c =>
+        if (c == key) col(key).as(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)
+      } :+ col("__ts") :+ col("__b") :+ col("__tag")) ++
+        rightVals.map(c => col(c).as(s"__rv_$c")): _*)
+    val wIn = Window.partitionBy(col(key), col("__b"))
+      .orderBy((col("__ts") +: col("__tag") +: rightVals.map(c => col(s"__rv_$c"))): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var u = l.unionByName(rFixed)
+    rightVals.foreach { c =>
+      u = u.withColumn(s"__in_$c", last(col(s"__rv_$c"), ignoreNulls = true).over(wIn))
+    }
+    val inBucket = u.filter(col("__tag") === 1)
+    // ---- pass 2: per-(key, bucket) right summary, carried forward ----
+    val summaryStruct = struct((col("__ts") +: rightVals.map(c => col(s"__rv_$c"))): _*)
+    val summaries = rFixed
+      .groupBy(col(key), col("__b"))
+      .agg(max(summaryStruct).as("__s"))
+      .select(col(key), col("__b").as("__sb"), lit(0).as("__btag"), col("__s"))
+    // left rows ask at bucket B−1: same-bucket right rows are pass 1's
+    // job, and bucket B's summary may contain rows LATER than the left ts
+    val asks = inBucket.select(col(key), col("__b")).distinct()
+      .select(col(key), col("__b"), (col("__b") - 1).as("__sb"), lit(1).as("__btag"),
+        lit(null).cast(summaries.schema("__s").dataType).as("__s"))
+    val wCarry = Window.partitionBy(col(key))
+      .orderBy(col("__sb"), col("__btag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = summaries.select(col(key), lit(null).cast("long").as("__b"),
+        col("__sb"), col("__btag"), col("__s"))
+      .unionByName(asks)
+      .withColumn("__fb", last(col("__s"), ignoreNulls = true).over(wCarry))
+      .filter(col("__btag") === 1)
+      .select(col(key), col("__b"), col("__fb"))
+    // ---- stitch: same-bucket hit wins (it always out-timestamps) ----
+    inBucket.join(carried, Seq(key, "__b"), "left")
+      .select(leftCols.map(col) ++ rightVals.map { c =>
+        coalesce(col(s"__in_$c"), col("__fb").getField(s"__rv_$c")).as(s"asof_$c")
+      }: _*)
+  }
 }

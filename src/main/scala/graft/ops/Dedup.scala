@@ -22,15 +22,28 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Fan a small-file scan out to all cores before per-row-heavy work
+  /** Fan a small-file scan out to more cores before per-row-heavy work
     * (shingling, hashing). The driver testdata is one parquet file per
-    * table → one input partition → one busy core without this. Guarded:
-    * when the scan is already at least core-parallel (any real multi-file
-    * corpus), this is a no-op — an unconditional repartition would be a
-    * full shuffle of the corpus at 100 TB.
+    * table → one input partition → one busy core without this. Two guards:
+    *  - when the scan is already at least target-parallel (any real
+    *    multi-file corpus), this is a no-op — an unconditional repartition
+    *    would be a full shuffle of the corpus at 100 TB;
+    *  - the target is capped by what the INPUT SIZE justifies (one task
+    *    per 64 KiB of plan-stats bytes — shingling+hashing is ~100×
+    *    heavier per byte than a plain scan, hence far below Spark's
+    *    128 MiB scan split), so a 500-doc corpus on a 32-core box doesn't
+    *    pay 32-near-empty-task fixed costs per downstream stage: measured
+    *    as the r6 driver-bench amplification on the dedup trio. Stats come
+    *    from the optimized plan (parquet file bytes) — no job; an unknown
+    *    size falls back to full parallelism.
     */
   private[ops] def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
+    val max = df.sparkSession.sparkContext.defaultParallelism.toLong
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val justified =
+      if (bytes <= 0 || bytes > BigInt(Long.MaxValue) / 2) max
+      else math.max(1L, (bytes / (64L << 10)).toLong)
+    val target = math.min(max, justified).toInt
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 

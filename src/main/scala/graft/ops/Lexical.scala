@@ -22,6 +22,50 @@ import graft.functions._
   */
 object Lexical {
 
+  /** Default posting-list df cap: a term present in more than this many
+    * documents is dropped from the index. Finite BY DEFAULT — the cap is
+    * the guard against the stopword cliff (one "the" in a query doc joins
+    * df(t) posting rows; at corpus scale with no cap that is a scan of
+    * half the corpus per stopword), and a guard that must be opted into is
+    * not a guard (the [[Dedup.ngramJaccardPairs]] convention). At 10⁹+
+    * docs, callers who want the long idf tail should RAISE the cap
+    * deliberately (e.g. ~0.1 × corpus size); nothing reachable with
+    * default arguments may generate an unbounded join.
+    */
+  val defaultMaxDf: Long = 100000L
+
+  /** The corpus-side BM25 state: posting list with term frequencies (tf),
+    * per-term document frequencies after the df cap (dfreq), per-doc
+    * lengths (lens), and the (n_docs, avg_len) scalar frame. Each is ONE
+    * combiner-friendly shuffle over the token stream; at 100 TB this is
+    * computed once and reused across every query batch and every hybrid
+    * composition — rebuilding it per query would re-tokenize the corpus.
+    */
+  final case class Bm25Stats(tf: DataFrame, dfreq: DataFrame,
+                             lens: DataFrame, stats: DataFrame)
+
+  /** Build [[Bm25Stats]] from (doc_id, text). The token frame and the
+    * posting table are eagerly localCheckpointed: `toks` feeds both lens
+    * and tf, and `tf` feeds both dfreq and the scoring join, so without
+    * the checkpoints tokenization runs ≥ 3× per call (the
+    * [[Dedup.explodedShinglesCk]] pattern; blocks are released by the
+    * ContextCleaner when the stats go out of scope).
+    */
+  def bm25Stats(docs: DataFrame, maxDf: Long = defaultMaxDf): Bm25Stats = {
+    val toks = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .localCheckpoint(true)
+    val lens = toks.select(col("doc_id"), size(col("w")).cast(LongType).as("len"))
+    // one row per (doc, term): the posting list with term frequency
+    val tf = toks.select(col("doc_id"), explode(col("w")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val stats = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+      .crossJoin(lens.agg(avg(col("len")).as("avg_len")))
+    Bm25Stats(tf, dfreq, lens, stats)
+  }
+
   /** BM25 "more-like-this": rank corpus docs against each query doc's
     * distinct token set. docs: (doc_id, text); queryDocs: (qid, text).
     * Output: (qid, rank, label, score[round 6]) — score DESC, ties to the
@@ -31,24 +75,25 @@ object Lexical {
     */
   def bm25TopK(docs: DataFrame, queryDocs: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75,
-               maxDf: Long = Long.MaxValue): DataFrame = {
-    val toks = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
-    val lens = toks.select(col("doc_id"), size(col("w")).cast(LongType).as("len"))
-    // one row per (doc, term): the posting list with term frequency
-    val tf = toks.select(col("doc_id"), explode(col("w")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
-    val stats = docs.agg(count(lit(1)).cast(DoubleType).as("n_docs"))
-      .crossJoin(lens.agg(avg(col("len")).as("avg_len")))
+               maxDf: Long = defaultMaxDf): DataFrame =
+    bm25TopK(bm25Stats(docs, maxDf), queryDocs, k, k1, b)
+
+  /** [[bm25TopK]] over pre-built corpus statistics — the production shape:
+    * the posting/length/df state is built once ([[bm25Stats]]) and shared
+    * across query batches and hybrid compositions (`hybrid_rrf` scores the
+    * same corpus lexically and densely; only this overload avoids paying
+    * the corpus passes twice).
+    */
+  def bm25TopK(st: Bm25Stats, queryDocs: DataFrame, k: Int,
+               k1: Double, b: Double): DataFrame = {
     val qterms = queryDocs.select(col("qid"),
       explode(array_distinct(Dedup.tokens(col("text")))).as("tok"))
     val contrib = qterms
-      .join(dfreq, "tok")
-      .join(tf, "tok")
+      .join(st.dfreq, "tok")
+      .join(st.tf, "tok")
       .filter(col("doc_id") =!= col("qid"))
-      .join(lens, "doc_id")
-      .crossJoin(broadcast(stats))
+      .join(st.lens, "doc_id")
+      .crossJoin(broadcast(st.stats))
       .select(col("qid"), col("doc_id").as("label"),
         (log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
           (col("tf") * (k1 + 1.0)) /

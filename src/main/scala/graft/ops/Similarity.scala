@@ -851,11 +851,15 @@ object Similarity {
     centers.indices.filter(used).map(centers).toArray
   }
 
-  /** Deterministic codebook-training sample: every `ceil(n / maxRows)`-th
-    * id, so training stays bounded at ANY corpus size (FAISS trains on a
-    * capped sample the same way) while remaining a pure function of the
-    * id set — below the cap this is the identity, so gate-scale results
-    * are unchanged by the bound existing.
+  /** Deterministic codebook-training sample: keep ids whose Murmur3 hash
+    * lands in the 1-in-`ceil(n / maxRows)` residue class, so training
+    * stays bounded at ANY corpus size (FAISS trains on a capped sample
+    * the same way) while remaining a pure function of the id SET —
+    * partitioning- and core-count-invariant. Hashing (not `id % modulo`)
+    * keeps the sample ~maxRows even when the id space is sparse or
+    * offset: a modulo filter over ids {10⁹..10⁹+n} with a large modulo
+    * can be empty. Below the cap this is the identity, so gate-scale
+    * results are unchanged by the bound existing.
     */
   private def trainSample(vectors: DataFrame,
                           maxRows: Long = 1L << 15,
@@ -863,8 +867,8 @@ object Similarity {
     val n = if (knownCount >= 0) knownCount else vectors.count()
     if (n <= maxRows) vectors
     else {
-      val modulo = (n + maxRows - 1) / maxRows
-      vectors.filter(col("id") % modulo === 0)
+      val modulo = ((n + maxRows - 1) / maxRows).toInt
+      vectors.filter(pmod(hash(col("id")), lit(modulo)) === 0)
     }
   }
 
@@ -968,7 +972,8 @@ object Similarity {
   def ivfPqResidualTopK(vectors: DataFrame, queries: DataFrame, k: Int,
                         ivfModulo: Int, nProbe: Int,
                         pqModulo: Int, m: Int = 8,
-                        trainedNcent: Int = 0, seed: Long = 42L): DataFrame = {
+                        trainedNcent: Int = 0, seed: Long = 42L,
+                        knownCount: Long = -1L): DataFrame = {
     val coarse = collectSmall(
         vectors.filter(col("id") % ivfModulo === 0).select(col("id"), col("vec")),
         "IVFPQ coarse centroid table")
@@ -995,7 +1000,7 @@ object Similarity {
         // the codebook (and the recall verdict) is invariant to partitioning
         // and local parallelism by construction
         trainPqCodebook(
-          trainSample(vectors).select(
+          trainSample(vectors, knownCount = knownCount).select(
             centroidResidual(col("vec"),
               element_at(nearestCentroids(col("vec"), coarse, 1), 1),
               coarse).as("v")),
@@ -1039,9 +1044,10 @@ object Similarity {
   def ivfPqResidualRerankTopK(vectors: DataFrame, queries: DataFrame, k: Int,
                               ivfModulo: Int, nProbe: Int, pqModulo: Int,
                               m: Int = 8, trainedNcent: Int = 0,
-                              expand: Int = 5): DataFrame = {
+                              expand: Int = 5,
+                              knownCount: Long = -1L): DataFrame = {
     val shortlist = ivfPqResidualTopK(vectors, queries, k * expand,
-        ivfModulo, nProbe, pqModulo, m, trainedNcent)
+        ivfModulo, nProbe, pqModulo, m, trainedNcent, knownCount = knownCount)
       .select(col("qid"), col("label"))
     explodeHits(
       vectors.join(broadcast(shortlist.withColumnRenamed("label", "id")), "id")

@@ -24,9 +24,12 @@ object RecallSweep {
       val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val nq = 8
       val exact = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
         .select(col("qid"), col("label")).localCheckpoint(true)
+      // recall denominator from the ACTUAL exact result, not a hardcoded
+      // nq·10: an id space not dense from 0 (or < 8 vectors) would
+      // silently deflate every reported recall otherwise
+      val exactHits = exact.count().toDouble
       val nClusters = (vectors.count() / 40L + 1).toInt
       def recallAndTime(mk: Int => org.apache.spark.sql.DataFrame,
                         nProbe: Int): (Double, Double) = {
@@ -34,7 +37,7 @@ object RecallSweep {
         val t0 = System.nanoTime()
         val common = mk(nProbe).select(col("qid"), col("label"))
           .join(exact, Seq("qid", "label")).count()
-        ((System.nanoTime() - t0) / 1e9, common.toDouble / (nq * 10))
+        ((System.nanoTime() - t0) / 1e9, common.toDouble / exactHits)
       }
       for (np <- Seq(1, 2, 4, 8, 16)) {
         val (tIvf, rIvf) = recallAndTime(
