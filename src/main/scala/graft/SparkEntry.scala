@@ -982,6 +982,41 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // REAL corpus-trained BPE (Sennrich 2016): merge table trained on the
+    // corpus's own word histogram (bounded, deterministic tie order),
+    // applied as a narrow compiled pass. Token COUNTS have no closed SQL
+    // form, so the oracle is the seeded-ANN pattern: it reproduces the
+    // SQL-expressible pre-token count exactly and asserts the machine-
+    // checked invariants the Spark side computes for real —
+    //  roundtrip_ok: concat(bpe tokens) == concat(pre-tokens) per doc
+    //    (segmentation is exact, tokens never cross a pre-token boundary);
+    //  bounds_ok: n_pretok <= n_bpe_tokens <= total pre-token chars
+    //    (each pre-token is >= 1 token; each token is >= 1 char);
+    //  compressed: Σ n_bpe_tokens < Σ chars globally (training actually
+    //    found repeating pairs — a no-op tokenizer fails this).
+    "text_bpe_real" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val merges = TextAnalysis.trainBpe(docs, numMerges = 200)
+      val perDoc = docs
+        .select(col("doc_id"),
+          graft.functions.bpeEncode(col("text"), merges).as("t"),
+          TextAnalysis.pretokens(col("text")).as("p"))
+        .select(col("doc_id"),
+          size(col("p")).cast(LongType).as("n_pretok"),
+          size(col("t")).cast(LongType).as("n_bpe"),
+          length(concat_ws("", col("p"))).cast(LongType).as("n_chars"),
+          (concat_ws("", col("t")) === concat_ws("", col("p"))).as("roundtrip_ok"))
+        .localCheckpoint(true)
+      val totals = perDoc
+        .agg((sum(col("n_bpe")) < sum(col("n_chars"))).as("compressed"))
+      perDoc.crossJoin(broadcast(totals))
+        .select(col("doc_id"), col("n_pretok"), col("roundtrip_ok"),
+          (col("n_bpe") >= col("n_pretok") && col("n_bpe") <= col("n_chars"))
+            .as("bounds_ok"),
+          col("compressed"))
+        .orderBy("doc_id")
+    },
+
     // ---- TPC-H-shaped additions (round 2) ----
 
     // Q4 shape: EXISTS with a non-equi correlated predicate. Evaluated as
@@ -2871,6 +2906,19 @@ object SparkEntry {
         |  CAST(len(list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
         |    x -> len(x) > 0)) AS BIGINT) AS n_bpe_tokens
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // verdict-pattern oracle (cf. q_heavy_hitters): n_pretok is exact
+    // SQL; the BPE-specific columns are invariants the Spark side
+    // computes for real and the oracle asserts
+    "text_bpe_real" ->
+      """WITH p AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(text, '[^\p{L}\p{N}]+'),
+        |    x -> len(x) > 0) AS p
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(p) AS BIGINT) AS n_pretok,
+        |  TRUE AS roundtrip_ok, TRUE AS bounds_ok, TRUE AS compressed
+        |FROM p
         |ORDER BY doc_id""".stripMargin,
 
     "q4_order_priority" ->

@@ -129,6 +129,14 @@ package object functions {
     GraftBridge.column(
       TopKAgg(e(score), e(label), k, ascending, padToK).toAggregateExpression())
 
+  /** Corpus-trained BPE tokenization of a text column: pre-tokenize on
+    * the `[\p{L}\p{N}]` boundary rule, then apply the trained merge table
+    * (see [[graft.ops.TextAnalysis.trainBpe]]) in one compiled narrow
+    * pass — `array<string>` of subword tokens for the whole document.
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(BpeEncode(e(text), merges))
+
   /** SpaceSaving heavy-hitter sketch (capacity-bounded, mergeable):
     * `array<struct<item, est, err>>`, est desc. See
     * [[graft.operators.SpaceSavingAgg]] for the invariants.

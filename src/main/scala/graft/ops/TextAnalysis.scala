@@ -126,4 +126,77 @@ object TextAnalysis {
     */
   def bpeishTokenCount(text: Column): Column =
     size(filter(split(text, "[^\\p{L}\\p{N}]+", -1), t => length(t) > 0))
+
+  /** The pre-token array itself (the rule behind [[bpeishTokenCount]]):
+    * maximal letter/digit runs, empties dropped. Identical to
+    * [[graft.functions.BpeEncode.preTokenize]] and the DuckDB
+    * `regexp_split_to_array(text, '[^\p{L}\p{N}]+')` + filter oracle.
+    */
+  def pretokens(text: Column): Column =
+    filter(split(text, "[^\\p{L}\\p{N}]+", -1), t => length(t) > 0)
+
+  /** Train a BPE merge table ON the corpus (Sennrich et al. 2016) —
+    * deterministic and bounded at any corpus size:
+    *
+    *  - the word histogram is ONE combiner-friendly groupBy over the
+    *    pre-token stream (map-side partial counts — a 10⁹-occurrence
+    *    stopword costs one counter cell per task), truncated to the
+    *    `maxWords` most frequent words by a bounded
+    *    TakeOrderedAndProject (count DESC, word ASC tie order — a pure
+    *    function of the histogram, invariant to partitioning and core
+    *    count). BPE training canonically runs on the word-frequency
+    *    dictionary, not the raw corpus, so the collect is histogram-sized
+    *    regardless of corpus size — the FAISS-style bounded-sample
+    *    training model ([[Similarity.trainPqCodebook]] uses the same
+    *    shape).
+    *  - the merge loop runs on the driver over that bounded histogram:
+    *    `numMerges` rounds of count-weighted adjacent-pair frequencies,
+    *    picking (freq DESC, left ASC, right ASC) — the deterministic tie
+    *    order — and stopping early when no pair repeats (merging a
+    *    pair seen once cannot compress anything).
+    *
+    * Apply is [[graft.functions.bpeEncode]] — a narrow compiled
+    * projection with the merge table riding in the plan. Both sides share
+    * [[graft.functions.BpeEncode.mergePair]], so the trainer's view of a
+    * merge and the encoder's cannot drift.
+    */
+  def trainBpe(docs: DataFrame, numMerges: Int,
+               maxWords: Int = 1 << 15): Seq[(String, String)] = {
+    require(numMerges >= 0, s"numMerges must be >= 0, got $numMerges")
+    val hist: Array[(Array[String], Long)] = Dedup.spread(docs)
+      .select(explode(pretokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w"))
+      .limit(maxWords)
+      .collect()
+      .map(r => (graft.functions.BpeEncode.baseSymbols(r.getString(0)), r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var words = hist
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, cnt) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + cnt)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val (bestPair, bestCnt) = pairCounts.minBy { case ((l, r), c) => (-c, l, r) }
+        if (bestCnt < 2) done = true // nothing repeats: no compression left
+        else {
+          merges += bestPair
+          words = words.map { case (syms, cnt) =>
+            (graft.functions.BpeEncode.mergePair(syms, bestPair._1, bestPair._2), cnt)
+          }
+          round += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
 }

@@ -996,6 +996,51 @@ class OpsSpec extends AnyFunSuite {
     assert(picks.head === 7.5)
   }
 
+  test("BPE: trained merges match hand-computed table; apply is exact") {
+    // low:4, lower:1, lowest:1 — Sennrich's canonical example family.
+    // Pair counts r1: (l,o)=6 (o,w)=6 (w,e)=2 rest 1 → tie to lex-least
+    // (l,o); r2: (lo,w)=6; r3: (low,e)=2; r4: all pairs count 1 → stop.
+    val docs = docsDf(Seq(
+      (0L, "low low low lower"),
+      (1L, "lowest low!")))
+    val merges = TextAnalysis.trainBpe(docs, numMerges = 100)
+    assert(merges === Seq(("l", "o"), ("lo", "w"), ("low", "e")))
+    // training is a pure function of the histogram: partitioning-invariant
+    assert(TextAnalysis.trainBpe(docs.repartition(7), numMerges = 100) === merges)
+    // apply: pre-token boundaries hold, merges apply in training order
+    val enc = docsDf(Seq((0L, "low lower lowest loow")))
+      .select(graft.functions.bpeEncode(col("text"), merges))
+      .head.getAs[scala.collection.Seq[String]](0)
+    assert(enc === Seq("low", "lowe", "r", "lowe", "s", "t", "lo", "o", "w"))
+    // overlap rule: "aaa" under (a,a) merges left-to-right → [aa, a]
+    val m2 = TextAnalysis.trainBpe(docsDf(Seq((0L, "aaa aaa"))), 100)
+    assert(m2 === Seq(("a", "a"), ("aa", "a")))
+    val enc2 = docsDf(Seq((0L, "aaaa")))
+      .select(graft.functions.bpeEncode(col("text"), m2))
+      .head.getAs[scala.collection.Seq[String]](0)
+    assert(enc2 === Seq("aa", "aa"))
+  }
+
+  test("BPE roundtrip + bounds + compression on the real corpus") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val merges = TextAnalysis.trainBpe(docs, numMerges = 80)
+    assert(merges.nonEmpty)
+    val rows = docs.select(col("doc_id"),
+        graft.functions.bpeEncode(col("text"), merges).as("t"),
+        TextAnalysis.pretokens(col("text")).as("p"))
+      .select(
+        (concat_ws("", col("t")) === concat_ws("", col("p"))).as("rt"),
+        size(col("t")).cast(LongType).as("nb"),
+        size(col("p")).cast(LongType).as("np"),
+        length(concat_ws("", col("p"))).cast(LongType).as("nc"))
+      .collect()
+    assert(rows.forall(_.getBoolean(0)), "roundtrip must be exact on every doc")
+    assert(rows.forall(r => r.getLong(1) >= r.getLong(2) && r.getLong(1) <= r.getLong(3)))
+    // trained merges actually compress the corpus (strictly fewer tokens
+    // than characters in total)
+    assert(rows.map(_.getLong(1)).sum < rows.map(_.getLong(3)).sum)
+  }
+
   test("asofJoinBucketed ≡ asofJoin (dual-plan, several widths, hot key)") {
     import org.apache.spark.sql.types._
     // hot-key fixture: key 1 carries nearly all rows (the skew the
