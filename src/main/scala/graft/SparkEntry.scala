@@ -1756,6 +1756,19 @@ object SparkEntry {
         .filter(col("doc_id") % 10 === 0).select(col("doc_id").as("media_id"))
       Multimodal.frameSampleStats(Multimodal.videoMedia(ids), stride = 2)
         .orderBy("media_id", "frame_idx")
+    },
+    // Lossy-codec roundtrip: encode the closed-form pattern as a REAL JPEG
+    // (javax.imageio, quality 0.95), decode it back, and emit tolerance
+    // VERDICTS — dims are exact even under DCT compression; pixel values
+    // are bounded-error (bounds calibrated with headroom in OpsSpec).
+    // The oracle recomputes dims from the closed form and asserts the
+    // verdicts uniformly true (the seeded-ANN oracle pattern: lossy decode
+    // has no hashable SQL form, but the machine-checked invariants do).
+    "multimodal_jpeg_decode" -> { (s, dir) =>
+      val ids = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0).select(col("doc_id").as("media_id"))
+      Multimodal.jpegDecodeStats(Multimodal.jpegMedia(ids))
+        .orderBy("media_id")
     }
   )
 
@@ -2346,6 +2359,15 @@ object SparkEntry {
         |  CAST(sg AS DOUBLE) / (w * h) AS mean_gray,
         |  CAST(st AS DOUBLE) / ((w // 2) * (h // 2)) AS mean_tl
         |FROM agg ORDER BY media_id""".stripMargin,
+
+    // lossy codec → tolerance-verdict oracle: dims exact, verdicts TRUE
+    "multimodal_jpeg_decode" ->
+      """SELECT doc_id AS media_id,
+        |  16 + CAST(doc_id % 3 AS INT) * 4 AS width,
+        |  12 + CAST(doc_id % 2 AS INT) * 4 AS height,
+        |  TRUE AS mean_ok, TRUE AS px_ok
+        |FROM documents WHERE doc_id % 10 = 0
+        |ORDER BY media_id""".stripMargin,
 
     "multimodal_audio_decode" ->
       """WITH ids AS (SELECT doc_id AS media_id,

@@ -149,6 +149,106 @@ object Multimodal {
     (w, h, sum, tl)
   }
 
+  /** Encode the deterministic pattern for `id` as a real JPEG — the LOSSY
+    * branch of the codec seam (PNG exercises the lossless one). Explicit
+    * quality 0.95: the pattern's mod-256 wraps are the adversarial
+    * high-frequency case for a DCT codec, and the verdict bounds below are
+    * calibrated against this writer setting.
+    */
+  def makeJpeg(id: Long): Array[Byte] = {
+    val (w, h) = (imgW(id), imgH(id))
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { r.setSample(x, y, 0, pixel(id, x, y)); x += 1 }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.95f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Decode a JPEG and compare against the closed-form pattern:
+    * (width, height, meanAbsErr, maxAbsErr). Lossy decode means the
+    * recovered samples are NOT bit-exact (unlike PNG), so correctness is a
+    * tolerance verdict — the seeded-ANN pattern — not a hash match.
+    */
+  def jpegDecodeCompare(id: Long, jpeg: Array[Byte]): (Int, Int, Double, Int) = {
+    val img0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    // normalize to single-band gray in case the decoder hands back RGB
+    val img =
+      if (img0.getRaster.getNumBands == 1) img0
+      else {
+        val g = new java.awt.image.BufferedImage(
+          img0.getWidth, img0.getHeight, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val gg = g.createGraphics(); gg.drawImage(img0, 0, 0, null); gg.dispose(); g
+      }
+    val r = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sumErr = 0L; var maxErr = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val e = math.abs(r.getSample(x, y, 0) - pixel(id, x, y))
+        sumErr += e
+        if (e > maxErr) maxErr = e
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, sumErr.toDouble / (w.toLong * h), maxErr)
+  }
+
+  def jpegMedia(ids: DataFrame): DataFrame = encodeMedia(ids, makeJpeg)
+
+  /** Verdict bounds for [[jpegDecodeStats]], calibrated on the quality-0.95
+    * writer over the adversarial mod-wrap pattern (see JpegSpec, which
+    * measures the actual error envelope and asserts headroom): DCT ringing
+    * at a 255→0 wrap can push a single pixel tens of levels, but the mean
+    * absolute error stays within a few levels.
+    */
+  val JpegMeanAbsErrBound = 8.0
+  val JpegMaxAbsErrBound = 128
+
+  private val jpegStatSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("mean_ok", BooleanType, nullable = false),
+    StructField("px_ok", BooleanType, nullable = false)))
+
+  /** Decode stage for the lossy codec: same batched narrow mapPartitions
+    * seam as [[imageDecodeStats]], but emitting tolerance VERDICTS
+    * (dims are exact even under lossy compression; pixel values are
+    * bounded-error). The oracle recomputes dims from the closed form and
+    * asserts the verdicts are uniformly true.
+    */
+  def jpegDecodeStats(media: DataFrame, batchSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("media_id"), col("payload"))
+      .rdd.mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { row =>
+            val id = row.getLong(0)
+            val (w, h, meanErr, maxErr) = jpegDecodeCompare(id, row.getAs[Array[Byte]](1))
+            Row(id, w, h, meanErr <= JpegMeanAbsErrBound, maxErr <= JpegMaxAbsErrBound)
+          }
+        }
+      }
+    spark.createDataFrame(out, jpegStatSchema)
+  }
+
   /** Deterministic 16-bit PCM sample for (id, i); range [-2048, 2047]. */
   def sample(id: Long, i: Int): Int = ((id * 131 + i * 17) % 4096).toInt - 2048
   def audioN(id: Long): Int = 800 + (id % 5).toInt * 100

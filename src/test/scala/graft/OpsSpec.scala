@@ -1102,6 +1102,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: JPEG lossy roundtrip — exact dims, calibrated error envelope with headroom") {
+    // measure the ACTUAL error envelope of the quality-0.95 writer over
+    // the adversarial mod-wrap pattern, so the verdict bounds in
+    // Multimodal are calibrated numbers with headroom, not guesses
+    var worstMean = 0.0; var worstMax = 0
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 7L, 123456789L, 3000000042L)) {
+      val jpeg = Multimodal.makeJpeg(id)
+      // real JPEG container: SOI marker
+      assert((jpeg(0) & 0xFF) === 0xFF && (jpeg(1) & 0xFF) === 0xD8)
+      val (w, h, meanErr, maxErr) = Multimodal.jpegDecodeCompare(id, jpeg)
+      assert(w === Multimodal.imgW(id) && h === Multimodal.imgH(id),
+        s"id=$id dims survive lossy compression exactly")
+      worstMean = math.max(worstMean, meanErr)
+      worstMax = math.max(worstMax, maxErr)
+    }
+    // the committed bounds must hold with >= 25% headroom so codec-version
+    // jitter can't silently flip the verdicts
+    assert(worstMean <= Multimodal.JpegMeanAbsErrBound * 0.8,
+      s"measured worst meanAbsErr $worstMean vs bound ${Multimodal.JpegMeanAbsErrBound}")
+    assert(worstMax <= Multimodal.JpegMaxAbsErrBound * 0.8,
+      s"measured worst maxAbsErr $worstMax vs bound ${Multimodal.JpegMaxAbsErrBound}")
+    // and the decode is actually lossy-but-close: a broken decode path
+    // (e.g. misread band order) would blow the mean far past 8 levels
+    assert(worstMean > 0.0, "JPEG at q=0.95 on the wrap pattern is not lossless")
+    // DataFrame pipeline: every verdict true over a real id set
+    val ids = spark.range(0, 40).select(col("id").as("media_id"))
+    val rows = Multimodal.jpegDecodeStats(Multimodal.jpegMedia(ids), batchSize = 16)
+      .collect()
+    assert(rows.length === 40)
+    assert(rows.forall(r => r.getBoolean(3) && r.getBoolean(4)))
+  }
+
   test("multimodal: WAV codec roundtrip recovers every PCM sample and the header rate") {
     for (id <- Seq(0L, 3L, 999L, 3000000042L)) {
       val (n, rate, sumAbs) = Multimodal.decodeWavStats(Multimodal.makeWav(id))
