@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions._
-import graft.ops.{AsofJoin, Dedup, Lexical, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{AsofJoin, Dedup, Lexical, Multimodal, Scan, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -629,6 +629,33 @@ object SparkEntry {
           expr("(cum - n_tokens) div 2048").as("pack_id"),
           ((col("cum") - col("n_tokens")) % 2048).as("pack_offset"))
         .orderBy("doc_id")
+    },
+
+    // the SCALE-SAFE packing plan: same output as q_pack_sequences (same
+    // oracle), but the cumulative token count runs as a distributed
+    // two-pass prefix sum (Scan.prefixSum) instead of a per-lang window —
+    // one language holding half a 100 TB corpus stays spread over range
+    // partitions instead of stalling one task
+    "q_pack_sequences_scan" -> { (s, dir) =>
+      Scan.packSequences(Tables(s, dir, "documents"), seqLen = 2048)
+        .select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
+        .orderBy("doc_id")
+    },
+
+    // GLOBAL running revenue over the full ordered orders stream — the
+    // cumsum Spark's window runs on a single task at any size; the scan
+    // form is the only shape that survives 100 TB. Cents-integer amounts
+    // so the sum is exact at any accumulation order.
+    "q_global_running_sum" -> { (s, dir) =>
+      val cents = Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          // round-half-up BEFORE the cast: a bare double→long cast
+          // truncates in Spark but rounds in DuckDB — positive prices
+          // make half-up identical in both engines
+          round(col("o_totalprice") * 100, 0).cast(LongType).as("cents"))
+      Scan.prefixSum(cents, Seq.empty, Seq("o_orderkey"), "cents", "cum_cents")
+        .select(col("o_orderkey"), col("cents"), col("cum_cents"))
+        .orderBy("o_orderkey")
     },
 
     // int8 symmetric per-vector quantization error profile (the next step
@@ -2596,6 +2623,29 @@ object SparkEntry {
         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |    FROM documents))
         |ORDER BY doc_id""".stripMargin,
+
+    // same semantics as q_pack_sequences — the scan plan must reproduce
+    // the window plan's answer bit-for-bit
+    "q_pack_sequences_scan" ->
+      """SELECT doc_id, lang, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_offset
+        |FROM (
+        |  SELECT doc_id, lang, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM (SELECT doc_id, lang,
+        |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_global_running_sum" ->
+      """SELECT o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS cum_cents
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_vec_int8" ->
       """WITH s AS (

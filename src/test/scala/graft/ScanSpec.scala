@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Scan
+
+/** Distributed prefix-sum (Scan.prefixSum): dual-planned against the
+  * window cumsum it replaces, including the case the window CANNOT
+  * handle without a straggler — one group holding ~all rows — and the
+  * global (no-group) scan, which the window runs on a single task.
+  */
+class ScanSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def fixture(rows: Seq[(String, Long, Long)]) = {
+    val schema = StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("v", LongType, nullable = false)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (g, i, v) => Row(g, i, v) }: _*), schema)
+  }
+
+  private def windowCum(df: org.apache.spark.sql.DataFrame, grouped: Boolean) = {
+    val w = (if (grouped) Window.partitionBy(col("g")) else Window.partitionBy())
+      .orderBy(col("id")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum", sum(col("v")).over(w))
+  }
+
+  private def collectCum(df: org.apache.spark.sql.DataFrame) =
+    df.select("g", "id", "v", "cum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+  test("prefixSum ≡ window cumsum on a multi-group fixture, any partitioning") {
+    val rows = for (g <- Seq("a", "b", "c"); i <- 0 until 500)
+      yield (g, i.toLong, ((i * 7 + g.hashCode) % 13).toLong)
+    val df = fixture(rows)
+    val want = collectCum(windowCum(df, grouped = true))
+    assert(collectCum(Scan.prefixSum(df, Seq("g"), Seq("id"), "v")) === want)
+    // invariant to input partitioning and to the scan's own partition count
+    assert(collectCum(Scan.prefixSum(df.repartition(17), Seq("g"), Seq("id"), "v")) === want)
+    assert(collectCum(Scan.prefixSum(df, Seq("g"), Seq("id"), "v", numParts = 3)) === want)
+  }
+
+  test("prefixSum: one group with 200k rows — the hot case — stays multi-partition and exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = spark.range(200000)
+      .select(lit("hot").as("g"), col("id"), (col("id") % 101).as("v"))
+    val got = Scan.prefixSum(df, Seq("g"), Seq("id"), "v", numParts = 16)
+    // the scan's second pass runs on the range partitions — the hot group
+    // provably occupies many tasks, where the window would use ONE
+    val partSizes = got.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(partSizes.count(_ > 0) >= 8,
+      s"hot group must spread over partitions, got ${partSizes.count(_ > 0)}")
+    assert(partSizes.max < 200000, "no single partition may hold the whole group")
+    // exactness at the boundaries: spot-check closed form cum(id) =
+    // sum_{j<=id} (j % 101) without materializing the window on one task
+    val check = got.filter(col("id").isin(0L, 1L, 12499L, 12500L, 99999L, 199999L))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    def closed(n: Long): Long = {
+      val full = (n + 1) / 101; val rem = (n + 1) % 101
+      full * (100 * 101 / 2) + rem * (rem - 1) / 2
+    }
+    check.foreach { case (id, cum) => assert(cum === closed(id), s"id=$id") }
+  }
+
+  test("prefixSum: global scan (no group) ≡ single-task window, plus empty input") {
+    val rows = (0 until 1000).map(i => ("x", i.toLong, (i % 7).toLong))
+    val df = fixture(rows)
+    val want = collectCum(windowCum(df, grouped = false))
+    assert(collectCum(Scan.prefixSum(df, Seq.empty, Seq("id"), "v")) === want)
+    assert(Scan.prefixSum(fixture(Seq.empty), Seq("g"), Seq("id"), "v").count() === 0L)
+  }
+
+  test("prefixSum: driver-state guard fires loudly on pathological group counts") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = spark.range(5000).select(col("id").as("g"), col("id"), lit(1L).as("v"))
+      .withColumn("g", col("g").cast(StringType))
+    val e = intercept[IllegalArgumentException] {
+      Scan.prefixSum(df, Seq("g"), Seq("id"), "v", maxDriverEntries = 100)
+    }
+    assert(e.getMessage.contains("driver state"))
+  }
+
+  test("packSequences ≡ the window q_pack_sequences formulation on the gate corpus") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val viaScan = Scan.packSequences(docs, seqLen = 2048)
+      .select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viaWindow = docs
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ", -1)).cast(LongType).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        expr("(cum - n_tokens) div 2048").as("pack_id"),
+        ((col("cum") - col("n_tokens")) % 2048).as("pack_offset"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(viaScan === viaWindow)
+  }
+}
