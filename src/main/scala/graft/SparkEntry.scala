@@ -1021,6 +1021,14 @@ object SparkEntry {
     //    (each pre-token is >= 1 token; each token is >= 1 char);
     //  compressed: Σ n_bpe_tokens < Σ chars globally (training actually
     //    found repeating pairs — a no-op tokenizer fails this).
+    // Gopher repetition filters (Rae 2021): fraction of document chars in
+    // the most frequent 2/3/4-gram — per-doc narrow compiled pass, ties
+    // to the lexicographically smallest gram, short docs report ("", 0)
+    "text_repetition" -> { (s, dir) =>
+      TextAnalysis.repetition(Tables(s, dir, "documents"))
+        .orderBy("doc_id")
+    },
+
     "text_bpe_real" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val merges = TextAnalysis.trainBpe(docs, numMerges = 200)
@@ -2979,6 +2987,31 @@ object SparkEntry {
         |    x -> len(x) > 0)) AS BIGINT) AS n_bpe_tokens
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" -> {
+      def gramExpr(n: Int) = (0 until n).map(o => s"w[i+$o]").mkString("||' '||")
+      def ctes(n: Int) =
+        s"""g$n AS (SELECT doc_id,
+           |  UNNEST(list_transform(range(1, len(w) - ${n - 2}), i -> ${gramExpr(n)})) AS g FROM t),
+           |c$n AS (SELECT doc_id, g, COUNT(*) AS c FROM g$n GROUP BY 1, 2),
+           |b$n AS (SELECT doc_id, g, c FROM (SELECT doc_id, g, c,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+           |  FROM c$n) WHERE rn = 1)""".stripMargin
+      def cols(n: Int) =
+        s"""COALESCE(b$n.g, '') AS top${n}_gram,
+           |  ROUND(COALESCE(b$n.c * length(b$n.g) / CAST(t.nc AS DOUBLE), 0.0), 6) AS top${n}_frac""".stripMargin
+      s"""WITH t AS (SELECT doc_id, length(text) AS nc, string_split(text, ' ') AS w
+         |  FROM documents),
+         |${ctes(2)},
+         |${ctes(3)},
+         |${ctes(4)}
+         |SELECT t.doc_id, ${cols(2)}, ${cols(3)}, ${cols(4)}
+         |FROM t
+         |LEFT JOIN b2 ON t.doc_id = b2.doc_id
+         |LEFT JOIN b3 ON t.doc_id = b3.doc_id
+         |LEFT JOIN b4 ON t.doc_id = b4.doc_id
+         |ORDER BY t.doc_id""".stripMargin
+    },
 
     // verdict-pattern oracle (cf. q_heavy_hitters): n_pretok is exact
     // SQL; the BPE-specific columns are invariants the Spark side

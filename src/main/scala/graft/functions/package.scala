@@ -129,6 +129,14 @@ package object functions {
     GraftBridge.column(
       TopKAgg(e(score), e(label), k, ascending, padToK).toAggregateExpression())
 
+  /** Most-frequent word n-gram of a token-array column:
+    * `struct<gram, cnt>`, ties to the lexicographically smallest gram,
+    * null below n tokens — the narrow kernel behind the Gopher
+    * repetition filters (see [[graft.ops.TextAnalysis.repetition]]).
+    */
+  def topNgram(tokens: Column, n: Int): Column =
+    GraftBridge.column(TopNgram(e(tokens), n))
+
   /** Corpus-trained BPE tokenization of a text column: pre-tokenize on
     * the `[\p{L}\p{N}]` boundary rule, then apply the trained merge table
     * (see [[graft.ops.TextAnalysis.trainBpe]]) in one compiled narrow

@@ -127,6 +127,28 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(filter(split(text, "[^\\p{L}\\p{N}]+", -1), t => length(t) > 0))
 
+  /** Gopher-style repetition profile (Rae et al. 2021 §A1.1): for each
+    * n in `ns`, the fraction of the document's characters contained in
+    * its most frequent word n-gram (occurrences × gram chars / doc
+    * chars), with the gram itself. One narrow compiled pass per n
+    * ([[graft.functions.topNgram]]) — a per-doc metric never needs a
+    * (doc, gram) shuffle; at 100 TB the quality stage stays scan-bound.
+    * Docs with fewer than n tokens report ("", 0.0).
+    */
+  def repetition(docs: DataFrame, ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"), Dedup.tokens(col("text")).as("w"))
+    ns.foldLeft(base) { (df, n) =>
+      df.withColumn(s"t$n", graft.functions.topNgram(col("w"), n))
+        .withColumn(s"top${n}_gram", coalesce(col(s"t$n.gram"), lit("")))
+        .withColumn(s"top${n}_frac",
+          round(coalesce(
+            col(s"t$n.cnt") * length(col(s"t$n.gram")) /
+              length(col("text")).cast(DoubleType),
+            lit(0.0)), 6))
+        .drop(s"t$n")
+    }.drop("text", "w")
+  }
+
   /** The pre-token array itself (the rule behind [[bpeishTokenCount]]):
     * maximal letter/digit runs, empties dropped. Identical to
     * [[graft.functions.BpeEncode.preTokenize]] and the DuckDB

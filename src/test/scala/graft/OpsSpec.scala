@@ -996,6 +996,56 @@ class OpsSpec extends AnyFunSuite {
     assert(picks.head === 7.5)
   }
 
+  test("repetition: topNgram kernel ≡ scalar reference, ties lex-min, short docs zero, no shuffle") {
+    // scalar reference over deterministic pseudo-random token streams
+    val rng = new scala.util.Random(42)
+    val docs = (0L until 40L).map { i =>
+      val toks = (0 until 3 + rng.nextInt(60)).map(_ => s"w${rng.nextInt(6)}")
+      (i, toks.mkString(" "))
+    }
+    def ref(text: String, n: Int): (String, Int) = {
+      val w = text.split(" ", -1)
+      if (w.length < n) ("", 0)
+      else {
+        val counts = w.sliding(n).map(_.mkString(" ")).toSeq
+          .groupBy(identity).map { case (g, o) => (g, o.size) }
+        val best = counts.toSeq.minBy { case (g, c) => (-c, g) }
+        best
+      }
+    }
+    val got = graft.ops.TextAnalysis.repetition(docsDf(docs), Seq(2, 3))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getString(3), r.getDouble(4))).toMap
+    docs.foreach { case (i, text) =>
+      val (g2, c2) = ref(text, 2)
+      val (g3, c3) = ref(text, 3)
+      val (gotG2, gotF2, gotG3, gotF3) = got(i)
+      assert(gotG2 === g2, s"doc $i 2-gram")
+      assert(gotG3 === g3, s"doc $i 3-gram")
+      def frac(c: Int, g: String) =
+        if (c == 0) 0.0
+        else BigDecimal(c.toDouble * g.length / text.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(gotF2 - frac(c2, g2)) < 1e-9, s"doc $i 2-frac")
+      assert(math.abs(gotF3 - frac(c3, g3)) < 1e-9, s"doc $i 3-frac")
+    }
+    // tie order: "b a b a" has 2-grams {b a: 2? no — b a, a b, b a} → b a
+    // wins by count; "a b a b" → a b (count 2) over b a (count 1)
+    val tie = graft.ops.TextAnalysis.repetition(
+      docsDf(Seq((0L, "a b a b"), (1L, "c c c c"), (2L, "x"))), Seq(2))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(tie(0L)._1 === "a b") // count 2 beats "b a" count 1
+    // 3 (overlapping) occurrences × 3 chars / 7 chars — the standard
+    // count×len formula deliberately counts overlaps, so a pathological
+    // single-token loop scores > 1 (maximally repetitive)
+    assert(tie(1L) === (("c c", 1.285714)))
+    assert(tie(2L) === (("", 0.0))) // below n tokens
+    // per-doc metric must stay narrow: no exchange anywhere in the plan
+    val plan = graft.ops.TextAnalysis.repetition(docsDf(docs))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition must not shuffle:\n$plan")
+  }
+
   test("BPE: trained merges match hand-computed table; apply is exact") {
     // low:4, lower:1, lowest:1 — Sennrich's canonical example family.
     // Pair counts r1: (l,o)=6 (o,w)=6 (w,e)=2 rest 1 → tie to lex-least
