@@ -255,6 +255,27 @@ object StreamingOps {
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
 
+  /** Streaming heavy hitters: the mergeable SpaceSaving sketch
+    * ([[graft.operators.SpaceSavingAgg]]) as a streaming aggregation.
+    * The aggregate's partial/merge path is exactly what the streaming
+    * state store needs — per group the state is ONE O(capacity)
+    * serialized buffer, merged into by each micro-batch — so the
+    * unbounded-distinct-item problem that rules out a naive streaming
+    * `groupBy(item).count()` (state grows with distinct items forever)
+    * is capped by construction: use complete/update mode, no watermark
+    * needed, state size is `capacity` entries per group at any stream
+    * length. Invariants (est ≥ true ≥ est−err; every item with true
+    * count > n/capacity tracked) hold across any micro-batch split
+    * because SpaceSaving merge preserves them (Agarwal et al. 2012).
+    */
+  def streamingHeavyHitters(stream: DataFrame, itemCol: String, capacity: Int,
+                            groupCols: Seq[String] = Seq.empty): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) stream.groupBy()
+      else stream.groupBy(groupCols.map(col): _*)
+    grouped.agg(graft.functions.spaceSavingHH(col(itemCol), capacity).as("hh"))
+  }
+
   /** Convenience: run a memory-sink streaming query to completion over a
     * bounded source (availableNow) and return the collected table name.
     */

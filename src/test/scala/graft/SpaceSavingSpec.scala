@@ -64,6 +64,44 @@ class SpaceSavingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming sketch: invariants hold at every micro-batch boundary, state stays capped") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cap = 20
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val out = graft.streaming.StreamingOps.streamingHeavyHitters(
+      in.toDF().withColumnRenamed("value", "item"), "item", cap)
+    val q = out.writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    try {
+      // three uneven micro-batches; after each, the CURRENT sketch must
+      // satisfy the invariants against the prefix-truth so far
+      val cuts = Seq(stream.size / 5, stream.size / 2, stream.size)
+      var done = 0
+      cuts.foreach { cut =>
+        in.addData(stream.slice(done, cut)); done = cut
+        q.processAllAvailable()
+        val prefix = stream.take(cut)
+        val pTruth = prefix.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val rows = spark.table("hh_stream")
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.item"), col("e.est"), col("e.err"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(rows.size <= cap, "state must stay capped at every boundary")
+        rows.foreach { case (item, est, err) =>
+          val t = pTruth.getOrElse(item, 0L)
+          assert(est >= t, s"$item@$cut: est $est < true $t")
+          assert(est - err <= t, s"$item@$cut: est-err ${est - err} > true $t")
+        }
+        val tracked = rows.map(_._1).toSet
+        pTruth.foreach { case (item, t) =>
+          if (t > cut / cap) assert(tracked(item), s"heavy $item@$cut must be tracked")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("capacity >= distinct items degenerates to exact counts") {
     val spark2 = spark
     import spark2.implicits._
