@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions._
-import graft.ops.{AsofJoin, Dedup, Lexical, Multimodal, Scan, Similarity, TextAnalysis}
+import graft.ops.{AsofJoin, BloomJoin, Dedup, Lexical, Multimodal, Scan, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -629,6 +629,23 @@ object SparkEntry {
           expr("(cum - n_tokens) div 2048").as("pack_id"),
           ((col("cum") - col("n_tokens")) % 2048).as("pack_offset"))
         .orderBy("doc_id")
+    },
+
+    // Bloom-pruned fact-dim join: the dim subset matches ~a few % of fact
+    // rows; the serialized Bloom filter rides in the fact scan's filter so
+    // the non-matching bulk is discarded BEFORE the shuffle (false
+    // positives drop out in the exact join — row-identical to the plain
+    // join, which is exactly what this oracle checks)
+    "q_bloom_join" -> { (s, dir) =>
+      val small = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 150000.0)
+        .select(col("o_orderkey"))
+      val big = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+      BloomJoin.bloomPrunedJoin(big, small, "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy("o_orderkey")
     },
 
     // the SCALE-SAFE packing plan: same output as q_pack_sequences (same
@@ -1732,6 +1749,37 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     },
 
+    // GK quantile sketch (percentile_approx's guarantee is |rank(v) −
+    // q·n| ≤ n/accuracy): the verdict re-ranks each approximate quantile
+    // against the data — count(< v) and count(≤ v) bracket v's true rank
+    // range, which must intersect [q·n − n/acc − 1, q·n + n/acc + 1].
+    // The sketch is mergeable partial/merge aggregation state, so the
+    // check holds at any partition count; oracle recomputes n exactly
+    // and asserts the verdicts (the q_approx_distinct pattern).
+    "q_approx_quantiles" -> { (s, dir) =>
+      val acc = 1000
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), lit(acc)).as("vs"))
+        .select(col("l_returnflag"),
+          posexplode(col("vs")).as(Seq("qi", "v")))
+        .withColumn("q", element_at(
+          array(lit(0.25), lit(0.5), lit(0.75), lit(0.95)), col("qi") + 1))
+      approx.join(li, "l_returnflag")
+        .groupBy(col("l_returnflag"), col("q"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("v"), 1L).otherwise(0L)).as("below"),
+          sum(when(col("l_extendedprice") <= col("v"), 1L).otherwise(0L)).as("at_or_below"))
+        .select(col("l_returnflag"), col("q"), col("n"),
+          (col("below").cast(DoubleType) <=
+             col("q") * col("n") + col("n").cast(DoubleType) / acc + 1 &&
+           col("at_or_below").cast(DoubleType) >=
+             col("q") * col("n") - col("n").cast(DoubleType) / acc - 1).as("rank_ok"))
+        .orderBy("l_returnflag", "q")
+    },
+
     // media frame sampling: fixed-size frames cut from each payload (the
     // frame-sample step of a video/audio pipeline, exercised on character
     // frames so the oracle can reproduce the chunk arithmetic), every 2nd
@@ -2078,6 +2126,14 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
         |  CAST(TRUE AS BOOLEAN) AS approx_ok
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_approx_quantiles" ->
+      """SELECT l_returnflag, q, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(TRUE AS BOOLEAN) AS rank_ok
+        |FROM lineitem
+        |CROSS JOIN (SELECT CAST(UNNEST([0.25, 0.5, 0.75, 0.95]) AS DOUBLE) AS q)
+        |GROUP BY l_returnflag, q
+        |ORDER BY l_returnflag, q""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2631,6 +2687,16 @@ object SparkEntry {
         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |    FROM documents))
         |ORDER BY doc_id""".stripMargin,
+
+    // the bloom-pruned plan must be row-identical to the plain join
+    "q_bloom_join" ->
+      """SELECT l_orderkey AS o_orderkey, COUNT(*) AS n_items,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     // same semantics as q_pack_sequences — the scan plan must reproduce
     // the window plan's answer bit-for-bit

@@ -129,6 +129,13 @@ package object functions {
     GraftBridge.column(
       TopKAgg(e(score), e(label), k, ascending, padToK).toAggregateExpression())
 
+  /** Bloom-filter membership test with the serialized filter riding in
+    * the plan — the scan-stage predicate behind
+    * [[graft.ops.BloomJoin.bloomPrunedJoin]].
+    */
+  def bloomMightContain(key: Column, filterBytes: Array[Byte]): Column =
+    GraftBridge.column(BloomMightContain(e(key), filterBytes))
+
   /** Most-frequent word n-gram of a token-array column:
     * `struct<gram, cnt>`, ties to the lexicographically smallest gram,
     * null below n tokens — the narrow kernel behind the Gopher

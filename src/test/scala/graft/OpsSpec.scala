@@ -1091,6 +1091,36 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum < rows.map(_.getLong(3)).sum)
   }
 
+  test("bloomPrunedJoin ≡ plain join; the filter prunes at the scan, long and string keys") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.BloomJoin
+    // 100k fact rows, 500 dim keys covering 1% of the fact key space
+    val big = spark.range(100000)
+      .select((col("id") % 50000).as("k"), col("id").as("payload"))
+    val small = spark.range(500).select((col("id") * 100).as("k"))
+    val plain = big.join(small, "k")
+    val pruned = BloomJoin.bloomPrunedJoin(big, small, "k")
+    assert(pruned.count() === plain.count())
+    assert(pruned.exceptAll(plain).count() === 0L)
+    assert(plain.exceptAll(pruned).count() === 0L)
+    // the membership test actually discards the non-matching bulk before
+    // the join: survivors ≈ matches + fpp·misses, far below the full scan
+    val bytes = BloomJoin.buildFilter(small, "k")
+    val survivors = big.filter(graft.functions.bloomMightContain(col("k"), bytes)).count()
+    val trueMatches = plain.count()
+    assert(survivors < 100000 / 10,
+      s"bloom must prune ~99% of the scan, kept $survivors")
+    assert(survivors >= trueMatches, "bloom can never drop a true match")
+    // string keys go through the same path
+    val bigS = big.select(concat(lit("k"), col("k")).as("k"), col("payload"))
+    val smallS = small.select(concat(lit("k"), col("k")).as("k"))
+    val plainS = bigS.join(smallS, "k")
+    val prunedS = BloomJoin.bloomPrunedJoin(bigS, smallS, "k")
+    assert(prunedS.count() === plainS.count())
+    assert(prunedS.exceptAll(plainS).count() === 0L)
+  }
+
   test("asofJoinBucketed ≡ asofJoin (dual-plan, several widths, hot key)") {
     import org.apache.spark.sql.types._
     // hot-key fixture: key 1 carries nearly all rows (the skew the
