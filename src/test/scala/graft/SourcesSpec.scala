@@ -44,6 +44,31 @@ class SourcesSpec extends AnyFunSuite {
       sample.orderBy("id").collect().toSeq)
   }
 
+  test("ORC round-trip: schema, nulls, predicate pushdown reaches the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    sample.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy("id").collect().toSeq ===
+      sample.orderBy("id").collect().toSeq)
+    // vectors too: ORC is the columnar alternative to parquet, so the
+    // embedding column type must survive intact
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false)))
+    import org.apache.spark.sql.Row
+    val vdf = spark.createDataFrame(java.util.Arrays.asList(
+      Row(0L, Array(0.25f, -1.5f)), Row(1L, Array(3.0f, 0.125f))), vecSchema)
+    val vdir = Files.createTempDirectory("graft_orc_vec").toString
+    vdf.write.mode("overwrite").orc(vdir)
+    assert(spark.read.orc(vdir).orderBy("vec_id").collect().map(_.getSeq[Float](1)).toSeq ===
+      Seq(Seq(0.25f, -1.5f), Seq(3.0f, 0.125f)))
+    // filters push into the ORC scan like parquet (the 100 TB contract)
+    val scan = spark.read.orc(dir).filter(col("id") > 2L)
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters") && scan.contains("id"),
+      s"ORC scan must carry pushed filters:\n$scan")
+  }
+
   test("vector tables survive a JSON hop (array<float> fidelity)") {
     val dir = Files.createTempDirectory("graft_vec_json").toString
     val vecSchema = StructType(Seq(
