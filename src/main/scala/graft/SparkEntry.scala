@@ -56,6 +56,28 @@ object SparkEntry {
   private def knnL2(s: SparkSession, dir: String, nq: Int, k: Int): DataFrame =
     knn(s, dir, nq, k, "l2")
 
+  /** The corpus-filter verdict per doc (first failing stage of language →
+    * length → lexical quality → span-dedup), shared by `pipeline_filter`
+    * and the end-to-end `pipeline_e2e` composition.
+    */
+  private def filterVerdicts(d: DataFrame): DataFrame = {
+    val lang = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+    val qual = d.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast(LongType).as("n_tokens"),
+        (size(array_distinct(col("w"))).cast(DoubleType) /
+          size(col("w")).cast(DoubleType)).as("ttr"))
+    val spans = Dedup.duplicatedSpans(d, n = 8).select(col("doc_id"), col("dup_frac"))
+    d.select(col("doc_id"))
+      .join(lang, "doc_id").join(qual, "doc_id").join(spans, "doc_id")
+      .select(col("doc_id"),
+        when(col("pred_lang") === "und", "lang")
+          .when(col("n_tokens") < 16 || col("n_tokens") > 94, "length")
+          .when(col("ttr") < 0.31, "quality")
+          .when(col("dup_frac") > 0.5, "span_dup")
+          .otherwise("kept").as("verdict"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -795,22 +817,26 @@ object SparkEntry {
     // their composition.
 
     "pipeline_filter" -> { (s, dir) =>
+      filterVerdicts(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // the FULL pretraining-data composition, one query: filter (language/
+    // length/quality/span-dedup) → exact dedup (keep the earliest copy)
+    // → pack the survivors into 2048-token training sequences via the
+    // distributed scan (q_pack_sequences_scan's skew-safe plan). Every
+    // stage is an independently oracled query; this pins the composition
+    // end to end — what a user actually ships.
+    "pipeline_e2e" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
-      val lang = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
-      val qual = d.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
-        .select(col("doc_id"),
-          size(col("w")).cast(LongType).as("n_tokens"),
-          (size(array_distinct(col("w"))).cast(DoubleType) /
-            size(col("w")).cast(DoubleType)).as("ttr"))
-      val spans = Dedup.duplicatedSpans(d, n = 8).select(col("doc_id"), col("dup_frac"))
-      d.select(col("doc_id"))
-        .join(lang, "doc_id").join(qual, "doc_id").join(spans, "doc_id")
-        .select(col("doc_id"),
-          when(col("pred_lang") === "und", "lang")
-            .when(col("n_tokens") < 16 || col("n_tokens") > 94, "length")
-            .when(col("ttr") < 0.31, "quality")
-            .when(col("dup_frac") > 0.5, "span_dup")
-            .otherwise("kept").as("verdict"))
+      val keptIds = filterVerdicts(d)
+        .filter(col("verdict") === "kept").select("doc_id")
+      val kept = d.join(keptIds, "doc_id")
+      val firstPerHash = kept
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      Scan.packSequences(kept.join(firstPerHash, "doc_id"), seqLen = 2048)
+        .select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
         .orderBy("doc_id")
     },
 
@@ -2076,6 +2102,51 @@ object SparkEntry {
          |FROM lang JOIN qual ON lang.doc_id = qual.doc_id
          |JOIN sp ON lang.doc_id = sp.doc_id
          |ORDER BY lang.doc_id""".stripMargin.replace("DICTS", dicts)
+    },
+
+    // filter CTEs (same as pipeline_filter) + exact dedup keep-earliest +
+    // per-lang window cumsum packing — the whole pipeline in one statement
+    "pipeline_e2e" -> {
+      val dicts = TextAnalysis.stopwords.map { case (code, words) =>
+        val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+        s"len(list_intersect(list_distinct(w), $arr)) AS $code"
+      }.mkString(",\n  ")
+      val gram8 = "i -> " + (0 until 8).map(o => s"w[i+$o]").mkString("||' '||")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |s AS (SELECT doc_id, DICTS FROM t),
+         |lang AS (SELECT doc_id, CASE WHEN greatest(de,en,es,fr,zh) = 0 THEN 'und'
+         |  WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de'
+         |  WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+         |  WHEN es >= fr AND es >= zh THEN 'es'
+         |  WHEN fr >= zh THEN 'fr' ELSE 'zh' END AS pred_lang FROM s),
+         |qual AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(w)) AS DOUBLE)/CAST(len(w) AS DOUBLE) AS ttr FROM t),
+         |spansf AS (SELECT doc_id, UNNEST(list_transform(range(1, len(w)-6), $gram8)) AS gram FROM t),
+         |ddff AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM spansf GROUP BY gram),
+         |dupf AS (SELECT s2.doc_id, COUNT(*) AS n_dup FROM spansf s2
+         |         JOIN ddff ON s2.gram = ddff.gram WHERE ddff.df >= 2 GROUP BY 1),
+         |lensf AS (SELECT doc_id, CAST(greatest(len(w)-7, 0) AS BIGINT) AS n_spans FROM t),
+         |sp AS (SELECT l.doc_id, ROUND(CASE WHEN l.n_spans > 0
+         |       THEN CAST(COALESCE(d2.n_dup, 0) AS DOUBLE)/l.n_spans ELSE 0.0 END, 6) AS dup_frac
+         |       FROM lensf l LEFT JOIN dupf d2 ON l.doc_id = d2.doc_id),
+         |kept AS (SELECT lang.doc_id FROM lang
+         |  JOIN qual ON lang.doc_id = qual.doc_id
+         |  JOIN sp ON lang.doc_id = sp.doc_id
+         |  WHERE pred_lang <> 'und' AND n_tokens >= 16 AND n_tokens <= 94
+         |    AND ttr >= 0.31 AND dup_frac <= 0.5),
+         |dd AS (SELECT MIN(d.doc_id) AS doc_id FROM documents d
+         |  JOIN kept ON d.doc_id = kept.doc_id GROUP BY md5(d.text)),
+         |surv AS (SELECT d.doc_id, d.lang,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents d JOIN dd ON d.doc_id = dd.doc_id)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+         |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_offset
+         |FROM (SELECT doc_id, lang, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM surv)
+         |ORDER BY doc_id""".stripMargin.replace("DICTS", dicts)
     },
 
     "dedup_spans" -> {
