@@ -1398,6 +1398,20 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // leakage-safe train/val/test split: the q_hash_split recipe applied
+    // to the near-dup CLUSTER id instead of the doc id, so every member
+    // of a duplicate cluster lands in the SAME split — the hygiene rule
+    // that stops a train doc's near-copy from leaking into eval. Hashing
+    // doc_id (q_hash_split) is only safe AFTER dedup; this is the split
+    // that is safe before it.
+    "q_split_cluster_safe" -> { (s, dir) =>
+      val h = substring(md5(concat(lit("split:"), col("cluster_id").cast(StringType))), 1, 2)
+      Dedup.simhashClusters(Tables(s, dir, "documents"), hammingMax = 2)
+        .select(col("doc_id"), col("cluster_id"),
+          when(h < "0d", "val").when(h < "1a", "test").otherwise("train").as("split"))
+        .orderBy("doc_id")
+    },
+
     // funnel analysis: ordered view → click → purchase progression per user
     "q_events_funnel" -> { (s, dir) =>
       // ev fans into 4 consumers (fv/fc/fp/spine) — materialize once
@@ -3405,6 +3419,26 @@ object SparkEntry {
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_cluster,
          |  doc_id = cluster_id AS keep
          |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "q_split_cluster_safe" ->
+      s"""WITH RECURSIVE $simhash63Ctes,
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |reach(doc, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc),
+         |lab AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc),
+         |h AS (SELECT doc_id, cluster_id,
+         |  substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 2) AS hx FROM lab)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN hx < '0d' THEN 'val' WHEN hx < '1a' THEN 'test'
+         |       ELSE 'train' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin,
 
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $simhash63Ctes,
