@@ -910,6 +910,21 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // filtered ANN (FAISS IDSelector): metadata predicate INSIDE the
+    // probed-cluster scan — k fills from surviving candidates (a
+    // post-filtered k-list would under-fill), and a selective predicate
+    // cuts distance work proportionally
+    "ann_ivf_filtered" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfFilteredTopK(vectors, queries, k = 10,
+          centroidModulo = 40, nProbe = 2, pred = col("id") % 3 =!= 0)
+        .select(col("qid"), col("rank"), col("label"), round(col("score"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    },
+
     // product-quantization ANN: m=8 sub-codebooks of every-25th vector,
     // codes + ADC scan (the 32×-compression scale path). Deterministic
     // codebook → the whole operator, tie-breaks included, reproduces in
@@ -2891,6 +2906,38 @@ object SparkEntry {
         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn
         |  FROM qc) WHERE rn <= 2),
         |cand AS (SELECT p.qid, a.vec_id AS label FROM probes p JOIN vassign a ON p.cid = a.cid),
+        |d AS (SELECT qid, label, SUM((x-y)*(x-y)) AS score FROM (
+        |  SELECT cand.qid, cand.label,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(v.embedding) AS DOUBLE) AS y
+        |  FROM cand JOIN q ON cand.qid = q.qid
+        |  JOIN embeddings v ON cand.label = v.vec_id) GROUP BY 1, 2),
+        |ranked AS (SELECT qid, label, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM d)
+        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // same CTEs as ann_ivf with the predicate applied to the candidate
+    // set (search-time filtering), not to the index build
+    "ann_ivf_filtered" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+        |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
+        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |vassign AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM vc) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |qc AS (SELECT qid, cid, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT q.qid, c.cid,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
+        |  FROM q, c) GROUP BY 1, 2),
+        |probes AS (SELECT qid, cid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn
+        |  FROM qc) WHERE rn <= 2),
+        |cand AS (SELECT p.qid, a.vec_id AS label FROM probes p
+        |  JOIN vassign a ON p.cid = a.cid WHERE a.vec_id % 3 <> 0),
         |d AS (SELECT qid, label, SUM((x-y)*(x-y)) AS score FROM (
         |  SELECT cand.qid, cand.label,
         |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(v.embedding) AS DOUBLE) AS y

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -75,6 +75,40 @@ object Similarity {
         explode(nearestCentroids(col("qv"), cents, nProbe)).as("cid"))
 
     // 3b. scan only the probed clusters
+    explodeHits(
+      probes.join(assigned, "cid")
+        .select(col("qid"), col("id").as("label"),
+          squaredL2(col("vec"), col("qv")).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
+  }
+
+  /** [[ivfTopK]] with a metadata predicate on the corpus rows — FAISS's
+    * `IDSelector` search-time filtering. The predicate is applied INSIDE
+    * the probed-cluster scan, before distances and the k-bounded
+    * aggregate, so (a) a 1%-selective filter cuts the distance work
+    * ~100× instead of being paid after it, and (b) the k results come
+    * from the SURVIVING candidates — post-filtering a precomputed k-list
+    * would under-fill k whenever the filter removes shortlist members,
+    * the classic filtered-ANN correctness trap. At 100 TB the predicate
+    * rides the same partition-pruned (`cid`) scan as the probe.
+    */
+  def ivfFilteredTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                      centroidModulo: Int, nProbe: Int,
+                      pred: Column): DataFrame = {
+    val cents = collectSmall(
+        vectors.filter(col("id") % centroidModulo === 0).select(col("id"), col("vec")),
+        "IVF centroid table")
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .sortBy(_._1)
+    // assignment runs over the FULL corpus (the index is built once);
+    // the predicate prunes at SEARCH time, inside the probed scan
+    val assigned = Dedup.spread(vectors)
+      .withColumn("cid", element_at(nearestCentroids(col("vec"), cents, 1), 1))
+      .filter(pred)
+    val probes = queries
+      .select(col("qid"), col("qv"),
+        explode(nearestCentroids(col("qv"), cents, nProbe)).as("cid"))
     explodeHits(
       probes.join(assigned, "cid")
         .select(col("qid"), col("id").as("label"),

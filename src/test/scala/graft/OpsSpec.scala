@@ -1091,6 +1091,42 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum < rows.map(_.getLong(3)).sum)
   }
 
+  test("ivfFilteredTopK: k fills from survivors, filtered labels never appear, honest under-fill") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = Oracle.genVectors(800, 12)
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = Oracle.genVectors(6, 12, seed = 91L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    val got = Similarity.ivfFilteredTopK(vdf, qdf, k = 10,
+        centroidModulo = 40, nProbe = 3, pred = col("id") % 3 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // no filtered-out label can surface, and k fills per query
+    assert(got.forall { case (_, _, label) => label % 3 != 0 })
+    assert(got.groupBy(_._1).values.forall(_.length == 10))
+    // reference: same probe/assignment semantics with the filter applied
+    // INSIDE, computed via the unfiltered path over a pre-filtered
+    // candidate set per probe — equivalent because assignment of each
+    // surviving vector is unchanged (centroids come from the full corpus)
+    val probedAll = Similarity.ivfTopK(vdf, qdf, k = 800,
+        centroidModulo = 40, nProbe = 3)
+      .filter(col("label") % 3 =!= 0)
+      .withColumn("rank2", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("score"), col("label"))))
+      .filter(col("rank2") <= 10)
+      .collect().map(r => (r.getLong(0), r.getInt(4).toLong, r.getLong(2))).toSet
+    // (k=800 = corpus size → the unfiltered probe list is complete, so
+    // post-filtering IT is exact here and must equal the in-scan filter)
+    assert(got.map { case (q, r, l) => (q, r, l) }.toSet === probedAll)
+    // a near-everything filter under-fills honestly instead of padding
+    val sparse = Similarity.ivfFilteredTopK(vdf, qdf, k = 10,
+        centroidModulo = 40, nProbe = 1, pred = col("id") % 97 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(sparse.forall(_._2 % 97 == 0))
+    assert(sparse.groupBy(_._1).values.forall(_.size <= 10))
+  }
+
   test("bloomPrunedJoin ≡ plain join; the filter prunes at the scan, long and string keys") {
     val spark2 = spark
     import spark2.implicits._
