@@ -76,7 +76,10 @@ object GraftExtensions {
       exprs => SimHashBits(exprs(0), intLit(exprs(1), "nBits"))),
     ("graft_pairs",
       "graft_pairs(bucket) - unordered (doc_a, ha, doc_b, hb) pairs of an array<struct<id,h>> bucket",
-      exprs => StructPairs(exprs(0))))
+      exprs => StructPairs(exprs(0))),
+    ("graft_top_ngram",
+      "graft_top_ngram(tokens, n) - most frequent word n-gram: struct<gram, cnt>, ties lex-min",
+      exprs => TopNgram(exprs(0), intLit(exprs(1), "n"))))
 
   /** Register on a LIVE session (the extensions hook only applies at
     * session build; driver-owned sessions need runtime registration).

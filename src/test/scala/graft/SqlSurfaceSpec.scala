@@ -79,6 +79,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("graft_top_ngram from SQL") {
+    val r = spark.sql(
+      "SELECT graft_top_ngram(array('a','b','a','b'), 2) AS t")
+      .select("t.gram", "t.cnt").head()
+    assert(r.getString(0) === "a b" && r.getInt(1) === 2)
+    // below n tokens → null struct
+    assert(spark.sql("SELECT graft_top_ngram(array('x'), 2) AS t")
+      .head().isNullAt(0))
+  }
+
   test("runtime registration works on a derived session") {
     val s2 = spark.newSession()
     GraftExtensions.register(s2)
