@@ -1521,6 +1521,20 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // adaptive (Matryoshka) retrieval: coarse shortlist on the first 16
+    // of 64 dims (quarter the scan bytes on a columnar layout), exact
+    // full-dim rerank of the k·4 candidates — knn_l2_prefix's first
+    // stage composed with the rerank that restores exact ordering
+    "ann_prefix_rerank" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.prefixRerankTopK(vectors, queries, k = 10, prefixDims = 16)
+        .select(col("qid"), col("rank"), col("label"), round(col("score"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    },
+
     // two-stage retrieval: f16-quantized coarse shortlist (k·4) + exact
     // fp32 rerank — equals exact brute force, so it shares the knn_l2
     // oracle (the correctness gate re-proves shortlist sufficiency)
@@ -1895,6 +1909,16 @@ object SparkEntry {
       Multimodal.frameSampleStats(Multimodal.videoMedia(ids), stride = 2)
         .orderBy("media_id", "frame_idx")
     },
+    // decode + nearest-neighbor resize to 8×6 (the thumbnail/preprocess
+    // step): NN sampling is integer-exact, so the oracle reproduces the
+    // whole resized raster from the closed-form generator
+    "multimodal_image_resize" -> { (s, dir) =>
+      val ids = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0).select(col("doc_id").as("media_id"))
+      Multimodal.imageResizeStats(Multimodal.imageMedia(ids), ow = 8, oh = 6)
+        .orderBy("media_id")
+    },
+
     // Lossy-codec roundtrip: encode the closed-form pattern as a REAL JPEG
     // (javax.imageio, quality 0.95), decode it back, and emit tolerance
     // VERDICTS — dims are exact even under DCT compression; pixel values
@@ -2440,6 +2464,37 @@ object SparkEntry {
     "knn_l2_sqlapi" -> oracleKnnL2,
     "knn_l2_decomposed" -> oracleKnnL2,
     "ann_f16_rerank" -> oracleKnnL2,
+
+    // exact two-stage reproduction: prefix-16 shortlist (rank ≤ k·4 by
+    // truncated distance, (score, label) ties) then full-dim rerank —
+    // NOT oracleKnnL2: a quarter-signal shortlist need not contain the
+    // true full-dim top-10, and the oracle must reproduce what the
+    // composition actually returns
+    "ann_prefix_rerank" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |pre AS (
+        |  SELECT qid, label, SUM((CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE)) * (CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE))) AS pscore
+        |  FROM (SELECT q.qid, e.vec_id AS label,
+        |      UNNEST(q.qv[1:16]) AS qe, UNNEST(e.embedding[1:16]) AS ve
+        |    FROM q CROSS JOIN embeddings e)
+        |  GROUP BY qid, label),
+        |short AS (SELECT qid, label FROM (
+        |  SELECT qid, label,
+        |    row_number() OVER (PARTITION BY qid ORDER BY pscore, label) AS rn
+        |  FROM pre) WHERE rn <= 40),
+        |d AS (
+        |  SELECT qid, label, SUM((CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE)) * (CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE))) AS score
+        |  FROM (SELECT s.qid, s.label,
+        |      UNNEST(q.qv) AS qe, UNNEST(v.embedding) AS ve
+        |    FROM short s JOIN q ON s.qid = q.qid
+        |    JOIN embeddings v ON s.label = v.vec_id)
+        |  GROUP BY qid, label),
+        |ranked AS (SELECT qid, label, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM d)
+        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
     "knn_l2_gemm" -> oracleKnnL2,
 
     "vec_reconstruct" ->
@@ -2549,6 +2604,22 @@ object SparkEntry {
         |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  CAST(sg AS DOUBLE) / (w * h) AS mean_gray,
         |  CAST(st AS DOUBLE) / ((w // 2) * (h // 2)) AS mean_tl
+        |FROM agg ORDER BY media_id""".stripMargin,
+
+    // NN resize: out(x,y) = pattern(x*w//8, y*h//6), integer-exact
+    "multimodal_image_resize" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    16 + CAST(doc_id % 3 AS INT) * 4 AS w,
+        |    12 + CAST(doc_id % 2 AS INT) * 4 AS h
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |xs AS (SELECT media_id, w, h, UNNEST(range(8)) AS x FROM ids),
+        |ps AS (SELECT media_id, w, h, x, UNNEST(range(6)) AS y FROM xs),
+        |v AS (SELECT media_id, w, h,
+        |    (media_id * 31 + (x * w // 8) * 7 + (y * h // 6) * 13) % 256 AS g
+        |  FROM ps),
+        |agg AS (SELECT media_id, w, h, SUM(g) AS sg FROM v GROUP BY 1, 2, 3)
+        |SELECT media_id, CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+        |  CAST(sg AS BIGINT) AS out_sum, CAST(sg AS DOUBLE) / 48 AS out_mean
         |FROM agg ORDER BY media_id""".stripMargin,
 
     // lossy codec → tolerance-verdict oracle: dims exact, verdicts TRUE

@@ -149,6 +149,60 @@ object Multimodal {
     (w, h, sum, tl)
   }
 
+  /** Nearest-neighbor resize of a decoded PNG raster to (ow, oh): output
+    * pixel (x, y) samples source pixel (x·w/ow, y·h/oh) — integer
+    * division, the standard NN mapping. Deterministic and lossless on the
+    * sampled pixels, so the SQL oracle reproduces the ENTIRE resized
+    * image from the closed-form generator; returns (sumResized) for the
+    * aggregate surface.
+    */
+  def resizeSum(png: Array[Byte], ow: Int, oh: Int): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val r = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sum = 0L
+    var y = 0
+    while (y < oh) {
+      val sy = y * h / oh
+      var x = 0
+      while (x < ow) {
+        sum += r.getSample(x * w / ow, sy, 0)
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  private val resizeStatSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("src_w", IntegerType, nullable = false),
+    StructField("src_h", IntegerType, nullable = false),
+    StructField("out_sum", LongType, nullable = false),
+    StructField("out_mean", DoubleType, nullable = false)))
+
+  /** Decode + nearest-neighbor resize stage (the thumbnail/preprocess
+    * step of an image pipeline): same batched narrow mapPartitions seam
+    * as [[imageDecodeStats]]; scan-bound at any corpus size.
+    */
+  def imageResizeStats(media: DataFrame, ow: Int, oh: Int,
+                       batchSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("media_id"), col("payload"))
+      .rdd.mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { row =>
+            val png = row.getAs[Array[Byte]](1)
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+            val s = resizeSum(png, ow, oh)
+            Row(row.getLong(0), img.getWidth, img.getHeight, s,
+              s.toDouble / (ow.toLong * oh))
+          }
+        }
+      }
+    spark.createDataFrame(out, resizeStatSchema)
+  }
+
   /** Encode the deterministic pattern for `id` as a real JPEG — the LOSSY
     * branch of the codec seam (PNG exercises the lossless one). Explicit
     * quality 0.95: the pattern's mod-256 wraps are the adversarial

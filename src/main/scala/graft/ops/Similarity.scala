@@ -449,6 +449,30 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
 
+  /** Adaptive (Matryoshka-style) two-stage retrieval: coarse shortlist on
+    * the first `prefixDims` dimensions, then an exact full-dimension
+    * rerank of the k·expand candidates. On a columnar layout the coarse
+    * scan reads prefixDims/d of the bytes (the same scan-byte argument as
+    * the f16 rerank, by truncation instead of quantization — Kusupati et
+    * al. 2022, "Matryoshka Representation Learning", the serving pattern
+    * it proposes); the rerank restores exact full-dim ordering within the
+    * shortlist at nq·k·expand cost, corpus-independent.
+    */
+  def prefixRerankTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                       prefixDims: Int, expand: Int = 4): DataFrame = {
+    val vPre = Dedup.spread(vectors)
+      .select(col("id"), slice(col("vec"), 1, prefixDims).as("vec"))
+    val qPre = queries.select(col("qid"), slice(col("qv"), 1, prefixDims).as("qv"))
+    val shortlist = gemmTopK(vPre, qPre, k * expand)
+      .select(col("qid"), col("label"))
+    explodeHits(
+      broadcast(shortlist).join(vectors, shortlist("label") === vectors("id"))
+        .join(broadcast(queries), "qid")
+        .select(col("qid"), col("label"), squaredL2(col("vec"), col("qv")).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
+  }
+
   /** Product-quantization ANN (PQ codes + ADC scan) — the memory-
     * compression scale path: vectors are encoded ONCE into `m` sub-
     * centroid indices (for d=64/m=8, a 32× reduction of the bytes a scan
