@@ -828,8 +828,12 @@ object SparkEntry {
     // end to end — what a user actually ships.
     "pipeline_e2e" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
+      // kept feeds TWO consumers (hash-dedup + final join): checkpoint the
+      // tiny id set so the span-profile filter stage runs once, not twice
+      // (the mmrTopK/bm25Stats checkpoint convention)
       val keptIds = filterVerdicts(d)
         .filter(col("verdict") === "kept").select("doc_id")
+        .localCheckpoint(true)
       val kept = d.join(keptIds, "doc_id")
       val firstPerHash = kept
         .select(col("doc_id"), md5(col("text")).as("h"))
