@@ -340,6 +340,23 @@ object SparkEntry {
     "knn_l2" -> ((s, dir) => knn(s, dir, nq = 8, k = 10, metric = "l2")),
     "knn_ip" -> ((s, dir) => knn(s, dir, nq = 8, k = 10, metric = "ip")),
 
+    // same result as knn_l2 via the tiled SHUFFLE join — the exact-kNN
+    // formulation for when the query batch is itself too large to
+    // broadcast (both sides 100 TB-scale). Vectors hash-tiled once,
+    // queries replicated per tile, shuffle-hash join, k-bounded partials
+    // per tile. Bit-identical to the broadcast path by the shared
+    // (score, label) total order.
+    "knn_shuffle_tiled" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.shuffleTiledTopK(vectors, queries, k = 10, metric = "l2")
+        .select(col("qid"), col("rank"), col("label"),
+          round(col("score"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    },
+
     // same result as knn_l2 via the norm-decomposed formulation
     // ‖q‖²+‖v‖²−2⟨q,v⟩ with norms precomputed per side (the reference's
     // GEMM path, SURVEY J3/P3: norms once + dot per pair, fused epilogue)
@@ -2446,6 +2463,7 @@ object SparkEntry {
         |ORDER BY event_type, rank""".stripMargin,
 
     "knn_l2" -> oracleKnnL2,
+    "knn_shuffle_tiled" -> oracleKnnL2,
 
     "knn_ip" ->
       """WITH q AS (

@@ -41,6 +41,54 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = asc).as("hits")))
   }
 
+  /** Exact kNN join when BOTH sides are too large to broadcast — the shape
+    * `bruteForceTopK` cannot take: a 10⁹-row query batch does not fit in a
+    * driver broadcast, and at 100 TB neither side does.
+    *
+    * Tiled shuffle formulation (block-nested-loop over hash tiles):
+    *   1. vectors are hash-tiled on `id` into `numTiles` buckets — each
+    *      vector lands in exactly ONE tile (the corpus is shuffled once,
+    *      never replicated);
+    *   2. queries are replicated to every tile (`explode(sequence)`) — the
+    *      replication factor is numTiles, chosen so a tile's vectors fit
+    *      one task, NOT proportional to corpus size;
+    *   3. a shuffle-hash join on `tile` co-locates each (query, tile)
+    *      pair with that tile's vectors; distances are the same codegen
+    *      expressions as the broadcast path;
+    *   4. `topK` partial aggregation bounds each task's output at k rows
+    *      per query per tile; the final shuffle moves ≤ numTiles·k rows
+    *      per query, independent of corpus size.
+    *
+    * Same (score, label) total order as every other path, so results are
+    * bit-identical to `bruteForceTopK` (spec-pinned). The reference's
+    * analog is the multi-threadgroup partial/merge selection split
+    * (`/root/reference/shaders/block_select.metal:111-274`) — here the
+    * "threadgroups" are shuffle tiles.
+    */
+  def shuffleTiledTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                       metric: String = "l2", numTiles: Int = 0): DataFrame = {
+    val t =
+      if (numTiles > 0) numTiles
+      else vectors.sparkSession.sparkContext.defaultParallelism
+    val (scoreCol, asc) = metric match {
+      case "l2"     => (squaredL2(col("vec"), col("qv")), true)
+      case "ip"     => (dotProduct(col("vec"), col("qv")), false)
+      case "cosine" => (cosineSimilarity(col("vec"), col("qv")), false)
+      case other    => throw new IllegalArgumentException(s"unknown metric $other")
+    }
+    val vt = vectors.withColumn("tile", pmod(hash(col("id")), lit(t)))
+    val qt = queries.withColumn("tile",
+      explode(sequence(lit(0), lit(t - 1))))
+    explodeHits(
+      // hint pins the shuffle join: without it Catalyst would broadcast
+      // the (replicated) query side, which is exactly the plan this
+      // formulation exists to avoid
+      vt.hint("shuffle_hash").join(qt, "tile")
+        .select(col("qid"), col("id").as("label"), scoreCol.as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = asc).as("hits")))
+  }
+
   /** IVF-style ANN:
     *  1. centroids = a deterministic subset of the vectors (id % modulo == 0
     *     — a stand-in for k-means; the partitioning mechanics are what

@@ -52,4 +52,58 @@ class KnnPlanSpec extends AnyFunSuite {
       assert(got === want(q).map(_._1).toSeq)
     }
   }
+
+  private def vecDf(n: Int, d: Int, seed: Long = 42): org.apache.spark.sql.DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("vec",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false), nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(
+      Oracle.genVectors(n, d, seed = seed).zipWithIndex.map { case (v, i) =>
+        org.apache.spark.sql.Row(i.toLong, v) }: _*), schema)
+  }
+
+  test("shuffleTiledTopK ≡ bruteForceTopK bit-identically, all metrics") {
+    import graft.ops.Similarity
+    val vdf = vecDf(300, 16).repartition(5)
+    val qdf = vecDf(7, 16, seed = 9)
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    for (metric <- Seq("l2", "ip", "cosine")) {
+      val want = Similarity.bruteForceTopK(vdf, qdf, 6, metric)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      val got = Similarity.shuffleTiledTopK(vdf, qdf, 6, metric, numTiles = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(got === want, s"tiled path diverged for metric=$metric")
+    }
+  }
+
+  test("shuffleTiledTopK plans a shuffle join — no broadcast of either side") {
+    import graft.ops.Similarity
+    val vdf = vecDf(300, 16).repartition(5)
+    val qdf = vecDf(7, 16, seed = 9)
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    val rendered = Similarity.shuffleTiledTopK(vdf, qdf, 6, "l2", numTiles = 4)
+      .queryExecution.executedPlan.toString
+    assert(rendered.contains("ShuffledHashJoin"),
+      s"expected a shuffle-hash tile join in:\n$rendered")
+    assert(!rendered.contains("BroadcastHashJoin"),
+      s"the tiled formulation must not broadcast:\n$rendered")
+  }
+
+  test("shuffleTiledTopK covers every vector exactly once across tiles") {
+    import graft.ops.Similarity
+    // k ≥ n: every vector must appear for every query — a tile dropping
+    // or double-counting rows would break the cardinality
+    val vdf = vecDf(40, 8)
+    val qdf = vecDf(3, 8, seed = 5)
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    val rows = Similarity.shuffleTiledTopK(vdf, qdf, 40, "l2", numTiles = 7)
+      .collect()
+    assert(rows.length === 3 * 40)
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).distinct.length === 3 * 40)
+  }
 }
