@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions._
-import graft.ops.{AsofJoin, BloomJoin, Dedup, Lexical, Multimodal, Scan, Similarity, TextAnalysis}
+import graft.ops.{AsofJoin, BloomJoin, Curation, Dedup, Lexical, Multimodal, Scan, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1821,6 +1821,45 @@ object SparkEntry {
         .filter(col("rn") <= 20)
         .select(col("lang"), col("rn"), col("doc_id"))
         .orderBy("lang", "rn")
+    },
+
+    // α-power source-mixture resampling (GPT-3 appendix A style): small
+    // sources upweighted via w_s ∝ n_s^0.7, per-source keep rates applied
+    // as deterministic md5 thresholds — no RNG, so the sample is
+    // reproducible across runs, partitionings, and engines. Plan: two
+    // tiny aggs + a broadcast rate join + a narrow filter; zero corpus
+    // shuffle.
+    "q_mixture_sample" -> { (s, dir) =>
+      Curation.mixtureSample(Tables(s, dir, "documents"),
+        alpha = 0.7, targetTotal = 250)
+        .orderBy("doc_id")
+    },
+
+    // per-domain cap: ≤ 8 docs per source by hash priority, selected with
+    // the mergeable bounded topK aggregate — the skew-safe formulation of
+    // q_sample_stratified's window (a 10⁹-page domain ships `cap` rows
+    // per partition, not its whole history to one task)
+    "q_domain_cap" -> { (s, dir) =>
+      Curation.domainCap(Tables(s, dir, "documents"), cap = 8)
+        .orderBy("source", "rank")
+    },
+
+    // Gopher-style within-doc repetition: characters inside lines that
+    // repeat in the SAME document (lines = 5-token chunks; fixture text
+    // has no newlines). Exact-integer outputs; doc-keyed shuffle only.
+    "text_dup_lines" -> { (s, dir) =>
+      Curation.dupLineStats(Tables(s, dir, "documents"), lineTokens = 5)
+        .orderBy("doc_id")
+    },
+
+    // C4/Lee-style corpus-wide boilerplate line filter: lines occurring
+    // in > 5 distinct docs are dropped everywhere; per-doc retention
+    // counts. Line-df agg is combiner-friendly; the join back has a
+    // unique df side — no pair expansion at any corpus frequency.
+    "text_line_df_filter" -> { (s, dir) =>
+      Curation.lineDfFilter(Tables(s, dir, "documents"), maxDf = 5,
+        lineTokens = 5)
+        .orderBy("doc_id")
     },
 
     // HLL approximate distinct next to the exact count. Sketch internals
@@ -3751,6 +3790,63 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rn <= 20
         |ORDER BY lang, rn""".stripMargin,
+
+    "q_mixture_sample" ->
+      """WITH cnt AS (
+        |  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n_src
+        |  FROM documents GROUP BY source),
+        |z AS (SELECT SUM(pow(n_src, 0.7)) AS z FROM cnt),
+        |rates AS (
+        |  SELECT source,
+        |    LEAST(1.0, ROUND(250.0 * pow(n_src, 0.7) / z.z / n_src, 6)) AS rate
+        |  FROM cnt CROSS JOIN z)
+        |SELECT d.doc_id, d.source, r.rate
+        |FROM documents d JOIN rates r ON d.source = r.source
+        |WHERE r.rate >= 1.0
+        |   OR substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |      < lpad(lower(to_hex(CAST(floor(r.rate * 65536.0) AS BIGINT))), 4, '0')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_domain_cap" ->
+      """SELECT source, CAST(rank AS BIGINT) AS rank, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 12),
+        |        doc_id) AS rank
+        |  FROM documents)
+        |WHERE rank <= 8
+        |ORDER BY source, rank""".stripMargin,
+
+    "text_dup_lines" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(w, i * 5 + 1, i * 5 + 5), ' ') AS line
+        |  FROM toks, UNNEST(range(0, (len(w) - 1) // 5 + 1)) AS t(i)),
+        |per AS (
+        |  SELECT doc_id, line, COUNT(*) AS cnt,
+        |    CAST(length(line) AS BIGINT) AS chars
+        |  FROM lines GROUP BY doc_id, line)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_lines,
+        |  CAST(SUM(cnt * chars) AS BIGINT) AS chars_total,
+        |  CAST(SUM(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END) AS BIGINT) AS chars_dup
+        |FROM per GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_line_df_filter" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |lines AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(w, i * 5 + 1, i * 5 + 5), ' ') AS line
+        |  FROM toks, UNNEST(range(0, (len(w) - 1) // 5 + 1)) AS t(i)),
+        |ldf AS (
+        |  SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM lines GROUP BY line)
+        |SELECT l.doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN d.line_df <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN d.line_df <= 5 THEN length(l.line) ELSE 0 END) AS BIGINT) AS chars_kept
+        |FROM lines l JOIN ldf d ON l.line = d.line
+        |GROUP BY l.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q_upsert_merge" ->
       """WITH base AS (

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.topK
+
+/** Corpus-curation operators for training-data assembly: source-mixture
+  * resampling, per-domain caps, and line-level dedup statistics (the
+  * Gopher/C4-style repetition and boilerplate filters).
+  *
+  * Everything here is deterministic — sampling decisions are md5-hash
+  * thresholds, never RNG — so every result is reproducible run-to-run,
+  * engine-to-engine (the DuckDB oracles evaluate the same arithmetic),
+  * and stable under repartitioning. That is the property a 100 TB
+  * pipeline needs: re-running a failed stage must keep the SAME rows.
+  *
+  * Reference relation: the reference engine has no corpus operators
+  * (it is a vector-search backend); these extend the engine along the
+  * BASELINE.json LLM-pipeline axis, like ops/Dedup and ops/TextAnalysis.
+  */
+object Curation {
+
+  /** α-power source-mixture resampling (the multilingual/multi-source
+    * reweighting rule of GPT-3 appendix A / Conneau & Lample 2019):
+    * source s with n_s docs gets sampling weight w_s = n_s^α / Σ_t n_t^α,
+    * a per-source keep rate min(1, target·w_s / n_s), and each doc is
+    * kept iff the first 4 hex chars of md5(salt:id) fall below the
+    * rate's 16-bit threshold. α < 1 upweights small sources (the reason
+    * the rule exists); α = 1 is proportional sampling.
+    *
+    * Scale shape: one combiner-friendly count per source, one scalar
+    * aggregate, one broadcast join of the (tiny) rate table, then a
+    * narrow hash filter — no corpus shuffle at all. The rate is rounded
+    * to 6 decimals BEFORE quantization so both engines floor the same
+    * double.
+    */
+  def mixtureSample(docs: DataFrame, alpha: Double, targetTotal: Long,
+                    sourceCol: String = "source", idCol: String = "doc_id",
+                    salt: String = "mix"): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).cast(DoubleType).as("n_src"))
+    val z = counts.agg(sum(pow(col("n_src"), lit(alpha))).as("z"))
+    val rates = counts.crossJoin(broadcast(z))
+      .select(col(sourceCol), col("n_src"),
+        least(lit(1.0),
+          round(lit(targetTotal.toDouble) * pow(col("n_src"), lit(alpha)) /
+            col("z") / col("n_src"), 6)).as("rate"))
+    val thr = lpad(lower(hex(floor(col("rate") * 65536.0))), 4, "0")
+    docs.join(broadcast(rates), sourceCol)
+      .filter(col("rate") >= 1.0 ||
+        substring(md5(concat(lit(salt + ":"), col(idCol).cast(StringType))), 1, 4) < thr)
+      .select(col(idCol), col(sourceCol), col("rate"))
+  }
+
+  /** Per-domain document cap: keep at most `cap` docs per source, chosen
+    * by a deterministic hash priority (first 12 md5 hex chars as a 48-bit
+    * integer — exact in a double). The selection runs through the same
+    * mergeable bounded [[graft.functions.topK]] aggregate as the kNN
+    * paths, so it is map-side k-bounded: a domain with 10⁹ pages ships
+    * `cap` rows per partition, never its whole history — the skew-safe
+    * alternative to `row_number() OVER (PARTITION BY domain)`, which
+    * puts the hottest domain on one task.
+    */
+  def domainCap(docs: DataFrame, cap: Int, sourceCol: String = "source",
+                idCol: String = "doc_id", salt: String = "cap"): DataFrame = {
+    val prio = conv(
+        substring(md5(concat(lit(salt + ":"), col(idCol).cast(StringType))), 1, 12),
+        16, 10)
+      .cast(LongType).cast(DoubleType)
+    docs.select(col(sourceCol), col(idCol))
+      .groupBy(col(sourceCol))
+      .agg(topK(prio, col(idCol), cap, ascending = true).as("hits"))
+      .select(col(sourceCol), posexplode(col("hits")))
+      .select(col(sourceCol), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.label").as(idCol))
+  }
+
+  /** Deterministic "lines" for corpora without newlines: consecutive
+    * non-overlapping groups of `lineTokens` space-separated tokens,
+    * re-joined with single spaces. (Real corpora split on '\n'; the
+    * fixture text has none, and a closed-form chunking is what the SQL
+    * oracle can reproduce exactly — same trade as `q_media_frames`.)
+    */
+  def tokenLines(text: Column, lineTokens: Int): Column = {
+    val w = split(text, " ", -1)
+    transform(
+      sequence(lit(0L), ((size(w) - lit(1)) / lit(lineTokens)).cast(LongType)),
+      i => array_join(slice(w, (i * lineTokens + 1).cast(IntegerType), lit(lineTokens)), " "))
+  }
+
+  /** Gopher-style within-document repetition stat: per doc, the number of
+    * characters inside lines that occur more than once in the SAME doc
+    * (all occurrences counted), plus totals — all exact integers, no
+    * float drift. The shuffle is keyed by (doc, line): bounded by
+    * document length, never by corpus frequency.
+    */
+  def dupLineStats(docs: DataFrame, lineTokens: Int = 5,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col(idCol),
+        explode(tokenLines(col(textCol), lineTokens)).as("line"))
+    lines.groupBy(col(idCol), col("line"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("chars", length(col("line")).cast(LongType))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_lines"),
+        sum(col("cnt") * col("chars")).as("chars_total"),
+        sum(when(col("cnt") > 1, col("cnt") * col("chars")).otherwise(0L))
+          .as("chars_dup"))
+  }
+
+  /** Corpus-wide boilerplate line filter (the cross-document line dedup
+    * of C4 / Lee et al. 2022 §2.1): a line occurring in more than `maxDf`
+    * DISTINCT documents is boilerplate (headers, nav bars, license
+    * blurbs) and is dropped from every doc. Returns per-doc retention
+    * counts as exact integers.
+    *
+    * Scale shape: line-df is a combiner-friendly distinct aggregate on
+    * the line key; the join back is line-keyed with a UNIQUE df side, so
+    * a boilerplate line shared by 10⁹ docs contributes one row per
+    * occurrence — no pair expansion anywhere (same bound structure as
+    * `Dedup.ngramJaccardPairs`'s df cap).
+    */
+  def lineDfFilter(docs: DataFrame, maxDf: Long, lineTokens: Int = 5,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col(idCol),
+        explode(tokenLines(col(textCol), lineTokens)).as("line"))
+      .localCheckpoint(true) // feeds both the df agg and the join probe
+    val df = lines.select(col(idCol), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("line_df"))
+    lines.join(df, "line")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("line_df") <= maxDf, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("line_df") <= maxDf, length(col("line")).cast(LongType))
+          .otherwise(0L)).as("chars_kept"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.Curation
+
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: Seq[(Long, String, String)]): DataFrame =
+    rows.toDF("doc_id", "source", "text")
+
+  // 3 sources with very different sizes: A=60, B=30, C=10
+  private def skewedCorpus: DataFrame = docs(
+    (0L until 60L).map(i => (i, "A", s"a $i")) ++
+    (60L until 90L).map(i => (i, "B", s"b $i")) ++
+    (90L until 100L).map(i => (i, "C", s"c $i")))
+
+  test("mixtureSample: α<1 upweights small sources, rates capped at 1") {
+    val kept = Curation.mixtureSample(skewedCorpus, alpha = 0.5, targetTotal = 50)
+    val rates = kept.select($"source", $"rate").distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // α-power: keep-rate ∝ n^(α−1) — strictly increasing as n shrinks
+    assert(rates("A") < rates("B") && rates("B") < rates("C"),
+      s"expected small-source upweighting, got $rates")
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
+    // the realized sample is in the target's neighborhood (hash thresholds
+    // are per-doc Bernoulli at the exact rate; 100 docs → loose band)
+    val n = kept.count()
+    assert(n > 20 && n < 80, s"sample size $n wildly off target 50")
+  }
+
+  test("mixtureSample: targetTotal ≥ corpus keeps everything at rate 1") {
+    val kept = Curation.mixtureSample(skewedCorpus, alpha = 0.7, targetTotal = 1000)
+    assert(kept.count() === 100)
+    assert(kept.select($"rate").distinct().collect().map(_.getDouble(0)).toSeq === Seq(1.0))
+  }
+
+  test("mixtureSample: deterministic under repartitioning") {
+    val a = Curation.mixtureSample(skewedCorpus.repartition(7), alpha = 0.5, targetTotal = 50)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Curation.mixtureSample(skewedCorpus.coalesce(1), alpha = 0.5, targetTotal = 50)
+      .select($"doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("domainCap ≡ the window row_number formulation, bit-exact") {
+    import org.apache.spark.sql.expressions.Window
+    val d = skewedCorpus
+    val capped = Curation.domainCap(d, cap = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val h = substring(md5(concat(lit("cap:"), $"doc_id".cast("string"))), 1, 12)
+    val w = Window.partitionBy($"source").orderBy(h, $"doc_id")
+    val window = d.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 7).select($"source", $"rank", $"doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(capped === window)
+  }
+
+  test("domainCap: a 95%-hot domain still emits exactly cap rows for it") {
+    val hot = docs(
+      (0L until 950L).map(i => (i, "hot", "x")) ++
+      (950L until 1000L).map(i => (i, "cold", "y")))
+    val out = Curation.domainCap(hot, cap = 5)
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("hot" -> 5L, "cold" -> 5L))
+  }
+
+  test("tokenLines: chunking arithmetic incl. trailing partial line") {
+    val got = docs(Seq((1L, "s", "a b c d e f g")))
+      .select(Curation.tokenLines($"text", 3).as("lines"))
+      .collect().head.getSeq[String](0)
+    assert(got === Seq("a b c", "d e f", "g"))
+  }
+
+  test("dupLineStats: hand-computed repetition counts") {
+    // lines(3): "a b c" | "a b c" | "d" → dup chars = 2 lines × 5 chars
+    val out = Curation.dupLineStats(
+        docs(Seq((1L, "s", "a b c a b c d"))), lineTokens = 3)
+      .collect().head
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) === ((3L, 11L, 10L)))
+  }
+
+  test("lineDfFilter: a line shared by every doc is dropped everywhere") {
+    val boiler = "the same nav bar text here" // 6 tokens → >1 line at 3
+    val d = docs((0L until 20L).map(i => (i, "s", s"$boiler unique token $i")))
+    val out = Curation.lineDfFilter(d, maxDf = 5, lineTokens = 3)
+    // lines per doc: "the same nav", "bar text here", "unique token <i>"
+    // — the first two appear in all 20 docs (df=20 > 5), the last is
+    // unique (df=1 ≤ 5)
+    val rows = out.collect()
+    assert(rows.length === 20)
+    assert(rows.forall(_.getLong(1) === 3L), "3 lines per doc")
+    assert(rows.forall(_.getLong(2) === 1L), "only the unique line survives")
+  }
+
+  test("lineDfFilter: deterministic under repartitioning") {
+    val d = skewedCorpus
+    val a = Curation.lineDfFilter(d.repartition(5), maxDf = 3, lineTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val b = Curation.lineDfFilter(d.coalesce(1), maxDf = 3, lineTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(a === b)
+  }
+}
