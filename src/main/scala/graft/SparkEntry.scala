@@ -1862,6 +1862,16 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Efraimidis–Spirakis weighted sampling without replacement: 25 docs
+    // drawn ∝ length(text), keys = ln(u)/w from deterministic md5
+    // uniforms — reproducible, engine-portable, and selected by the
+    // k-bounded mergeable topK aggregate (no global sort).
+    "q_weighted_sample" -> { (s, dir) =>
+      Curation.weightedSample(Tables(s, dir, "documents"), k = 25,
+        weight = length(col("text")).cast(DoubleType))
+        .orderBy("rank")
+    },
+
     // HLL approximate distinct next to the exact count. Sketch internals
     // differ per engine, so the raw estimate can't hash-match — instead the
     // output carries the EXACT count (oracle-verifiable in SQL) plus a
@@ -3847,6 +3857,19 @@ object SparkEntry {
         |FROM lines l JOIN ldf d ON l.line = d.line
         |GROUP BY l.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS weight,
+        |    ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 0.5)
+        |       / 281474976710656.0) / CAST(length(text) AS DOUBLE) AS es_key
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT rank, doc_id, weight FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY es_key DESC, doc_id) AS BIGINT) AS rank,
+        |         doc_id, weight
+        |  FROM keyed)
+        |WHERE rank <= 25
+        |ORDER BY rank""".stripMargin,
 
     "q_upsert_merge" ->
       """WITH base AS (

@@ -110,6 +110,39 @@ object Curation {
           .as("chars_dup"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, algorithm A-ES): each row draws a deterministic
+    * uniform u ∈ (0,1) from a 48-bit md5 slice (exact in a double), gets
+    * key = ln(u) / w, and the k rows with the LARGEST keys are the
+    * weighted sample — provably equivalent to sequential
+    * draw-without-replacement proportional to w. No RNG anywhere, so the
+    * sample is identical across runs, partitionings, and engines.
+    *
+    * Selection runs through the mergeable bounded [[graft.functions.topK]]
+    * aggregate: per-partition k-bounded partials, one k-row final merge —
+    * never a global sort of the corpus (the `ORDER BY key LIMIT k` a
+    * naive formulation would shuffle). The k winners then broadcast back
+    * onto the corpus scan to recover their attributes. Rows with w ≤ 0
+    * are excluded (they have no sampling mass).
+    */
+  def weightedSample(docs: DataFrame, k: Int, weight: Column,
+                     idCol: String = "doc_id", salt: String = "ws"): DataFrame = {
+    val h = conv(
+        substring(md5(concat(lit(salt + ":"), col(idCol).cast(StringType))), 1, 12),
+        16, 10)
+      .cast(LongType).cast(DoubleType)
+    val u = (h + lit(0.5)) / lit(math.pow(2.0, 48))
+    val key = log(u) / weight
+    val picked = docs.filter(weight > lit(0.0))
+      .select(key.as("es_key"), col(idCol))
+      .agg(topK(col("es_key"), col(idCol), k, ascending = false).as("hits"))
+      .select(posexplode(col("hits")))
+      .select((col("pos") + 1).cast(LongType).as("rank"),
+        col("col.label").as(idCol))
+    docs.join(broadcast(picked), idCol)
+      .select(col("rank"), col(idCol), weight.cast(DoubleType).as("weight"))
+  }
+
   /** Corpus-wide boilerplate line filter (the cross-document line dedup
     * of C4 / Lee et al. 2022 §2.1): a line occurring in more than `maxDf`
     * DISTINCT documents is boilerplate (headers, nav bars, license

@@ -72,6 +72,44 @@ class CurationSpec extends AnyFunSuite {
     assert(out === Map("hot" -> 5L, "cold" -> 5L))
   }
 
+  test("weightedSample ≡ the global-sort formulation, bit-exact") {
+    val d = skewedCorpus
+    val w = length($"text").cast("double")
+    val got = graft.ops.Curation.weightedSample(d, k = 15, weight = w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    // reference: compute the same A-ES key and take ORDER BY key DESC LIMIT k
+    val h = conv(substring(md5(concat(lit("ws:"), $"doc_id".cast("string"))), 1, 12), 16, 10)
+      .cast("long").cast("double")
+    val key = log((h + lit(0.5)) / lit(math.pow(2.0, 48))) / w
+    val ref = d.filter(w > 0.0)
+      .select($"doc_id", w.as("w"), key.as("k"))
+      .orderBy(desc("k"), $"doc_id").limit(15)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i + 1L, r.getLong(0), r.getDouble(1)) }.sorted.toSeq
+    assert(got === ref)
+  }
+
+  test("weightedSample: a dominant weight is always selected; w<=0 never") {
+    val d = docs(
+      Seq((0L, "s", "x" * 5000)) ++            // w = 5000
+      (1L until 50L).map(i => (i, "s", "x")) ++ // w = 1
+      Seq((50L, "s", "")))                      // w = 0 → excluded
+    val ids = graft.ops.Curation.weightedSample(d, k = 5, weight = length($"text").cast("double"))
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(0L), "the 5000x-weight doc must be in a 5-of-50 sample")
+    assert(!ids.contains(50L), "zero-weight rows have no sampling mass")
+  }
+
+  test("weightedSample: deterministic under repartitioning") {
+    val d = skewedCorpus
+    val w = length($"text").cast("double")
+    val a = graft.ops.Curation.weightedSample(d.repartition(7), 10, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = graft.ops.Curation.weightedSample(d.coalesce(1), 10, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a === b)
+  }
+
   test("tokenLines: chunking arithmetic incl. trailing partial line") {
     val got = docs(Seq((1L, "s", "a b c d e f g")))
       .select(Curation.tokenLines($"text", 3).as("lines"))
