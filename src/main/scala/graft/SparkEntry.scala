@@ -1556,6 +1556,40 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // PCA-coarse two-stage retrieval (FAISS PCAMatrix / "PCAR16,..."
+    // pre-transform): corpus + queries projected onto the trained
+    // 16-of-64-dim max-variance basis (narrow no-shuffle pass, coarse
+    // scan reads 1/4 of the bytes), GEMM top-40 in the projected space,
+    // exact full-dim rerank to top-10. The eigendecomposition has no
+    // closed SQL form, so the gate is the verdict pattern: per-query
+    // recall vs exact kNN (≥1 of top-10, the seeded-ANN convention;
+    // measured 3–7 at sf0.01, 1–7 at sf0.1 — the synthetic embeddings
+    // are near-isotropic, spectrum ratio 0.31–0.38 vs the 0.25 floor,
+    // so 16 kept dims carry ~30% of the signal and recall is honestly
+    // modest), plus the spectral-mass invariant (top-16 eigenvalues
+    // carry ≥ 16/64 of the trace — violated by any wrong sort order or
+    // broken eigensolve, machine-checked driver-side)
+    "ann_pca_rerank" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val dOut = 16
+      val model = Similarity.trainPca(vectors, dOut)
+      val exact = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
+        .select(col("qid"), col("label"))
+      val overlap = annOverlap(exact,
+        Similarity.pcaRerankTopK(vectors, queries, k = 10, model, expand = 4))
+      val d = model.mean.length
+      val varOk = model.explained.sum >= model.totalVar * dOut / d - 1e-9
+      queries.select(col("qid"))
+        .join(overlap, Seq("qid"), "left")
+        .select(col("qid"),
+          (coalesce(col("n_common"), lit(0L)) >= 1L).as("recall_ok"),
+          lit(varOk).as("var_ok"))
+        .orderBy("qid")
+    },
+
     // two-stage retrieval: f16-quantized coarse shortlist (k·4) + exact
     // fp32 rerank — equals exact brute force, so it shares the knn_l2
     // oracle (the correctness gate re-proves shortlist sufficiency)
@@ -2308,6 +2342,11 @@ object SparkEntry {
     "ann_pq_kmeans" ->
       """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok,
         |  CAST(TRUE AS BOOLEAN) AS beats_modulo
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "ann_pca_rerank" ->
+      """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok,
+        |  CAST(TRUE AS BOOLEAN) AS var_ok
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "ann_ivfpq_rerank" ->

@@ -152,6 +152,14 @@ package object functions {
   def bpeEncode(text: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.column(BpeEncode(e(text), merges))
 
+  /** Project a vector onto a trained PCA basis (mean-centered, fp64 acc,
+    * fp32 out) — see [[PcaProject]]; the basis rides in the expression so
+    * the reduction is a narrow no-shuffle pass.
+    */
+  def pcaProject(v: Column, mean: Array[Double],
+                 components: Array[Array[Double]]): Column =
+    GraftBridge.column(PcaProject(e(v), mean, components))
+
   /** SpaceSaving heavy-hitter sketch (capacity-bounded, mergeable):
     * `array<struct<item, est, err>>`, est desc. See
     * [[graft.operators.SpaceSavingAgg]] for the invariants.

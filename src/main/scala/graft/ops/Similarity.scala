@@ -521,6 +521,186 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
 
+  /** A trained PCA basis: `mean` (d), `components` (dOut rows × d, unit
+    * L2 norm, mutually orthogonal, descending eigenvalue order),
+    * `explained` (the dOut kept eigenvalues, descending) and `totalVar`
+    * (trace of the covariance — the full spectrum's mass, for explained-
+    * variance ratios).
+    */
+  case class PcaModel(mean: Array[Double], components: Array[Array[Double]],
+                      explained: Array[Double], totalVar: Double)
+
+  /** Train a PCA basis on a bounded deterministic sample — FAISS's
+    * PCAMatrix::train model (faiss/VectorTransform.h): the transform is
+    * always fit on a capped in-process sample regardless of index size,
+    * so training cost is corpus-independent at 100 TB. The collected
+    * sample is sorted lexicographically before any fp accumulation, making
+    * mean/covariance (and therefore the basis) a pure function of the
+    * sample SET — invariant to partitioning and core count, the same
+    * determinism contract as [[trainPqCodebook]].
+    *
+    * Eigendecomposition is a driver-side cyclic Jacobi sweep over the
+    * d×d covariance (d is an embedding width — 64 here, ≤ a few thousand
+    * anywhere — so O(d³) is microseconds-to-ms and needs no LAPACK
+    * dependency); Jacobi on a symmetric matrix is unconditionally
+    * convergent and, with the fixed (p,q) sweep order used here, fully
+    * deterministic. Each kept component's sign is normalized so its
+    * largest-|entry| coordinate (first index on ties) is positive —
+    * eigenvectors are sign-ambiguous, and an unpinned sign would make the
+    * projected space (and every downstream hash) run-dependent.
+    */
+  def trainPca(vectors: DataFrame, dOut: Int,
+               knownCount: Long = -1L): PcaModel = {
+    val sample: Array[Array[Float]] = collectSmall(
+        trainSample(vectors, knownCount = knownCount).select(col("vec").as("v")),
+        "PCA training sample")
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "PCA training needs a non-empty sample")
+    val d = sample(0).length
+    require(dOut >= 1 && dOut <= d, s"dOut must be in [1, $d], got $dOut")
+    java.util.Arrays.sort(sample, new java.util.Comparator[Array[Float]] {
+      def compare(a: Array[Float], b: Array[Float]): Int = {
+        var i = 0
+        while (i < a.length && i < b.length) {
+          val c = java.lang.Float.compare(a(i), b(i))
+          if (c != 0) return c
+          i += 1
+        }
+        java.lang.Integer.compare(a.length, b.length)
+      }
+    })
+    val n = sample.length
+    val mean = new Array[Double](d)
+    sample.foreach { v =>
+      var j = 0; while (j < d) { mean(j) += v(j).toDouble; j += 1 }
+    }
+    locally { var j = 0; while (j < d) { mean(j) /= n; j += 1 } }
+    // covariance (population form — the 1/n vs 1/(n−1) choice only scales
+    // eigenvalues, never rotates eigenvectors)
+    val cov = Array.ofDim[Double](d, d)
+    sample.foreach { v =>
+      val c = new Array[Double](d)
+      var j = 0; while (j < d) { c(j) = v(j).toDouble - mean(j); j += 1 }
+      var p = 0
+      while (p < d) {
+        var q = p
+        while (q < d) { cov(p)(q) += c(p) * c(q); q += 1 }
+        p += 1
+      }
+    }
+    locally {
+      var p = 0
+      while (p < d) {
+        var q = p
+        while (q < d) {
+          cov(p)(q) /= n; cov(q)(p) = cov(p)(q); q += 1
+        }
+        p += 1
+      }
+    }
+    var totalVar = 0.0
+    locally { var j = 0; while (j < d) { totalVar += cov(j)(j); j += 1 } }
+    // cyclic Jacobi: rotate away each off-diagonal (p,q) in fixed order
+    // until the off-diagonal mass is negligible relative to the trace
+    val a = cov.map(_.clone())
+    val vecs = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val tol = 1e-12 * math.max(totalVar, 1e-300)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > tol) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off += 2.0 * apq * apq
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case s   => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = vecs(i)(p); val viq = vecs(i)(q)
+              vecs(i)(p) = c * vip - s * viq
+              vecs(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    // eigenpairs sorted by descending eigenvalue, column index as the
+    // deterministic tiebreak; sign pinned at the largest-|entry| coord
+    val order = (0 until d).sortBy(j => (-a(j)(j), j))
+    val kept = order.take(dOut)
+    val components = kept.map { j =>
+      val v = Array.tabulate(d)(i => vecs(i)(j))
+      var big = 0
+      var i = 1
+      while (i < d) {
+        if (math.abs(v(i)) > math.abs(v(big))) big = i
+        i += 1
+      }
+      if (v(big) < 0.0) { i = 0; while (i < d) { v(i) = -v(i); i += 1 } }
+      v
+    }.toArray
+    PcaModel(mean, components, kept.map(j => a(j)(j)).toArray, totalVar)
+  }
+
+  /** PCA-coarse two-stage retrieval: project corpus + queries onto the
+    * trained `dOut`-dim basis (narrow no-shuffle pass, scans dOut/d of
+    * the raw bytes — FAISS's "PCARx,..." index-factory prefix), GEMM
+    * top-(k·expand) in the projected space, then exact full-dimension
+    * rerank. vs [[prefixRerankTopK]]: the prefix keeps arbitrary
+    * coordinates; PCA keeps the max-variance subspace, so at equal kept
+    * width the coarse ranking is at least as faithful on any corpus with
+    * correlated dimensions. An orthonormal projection contracts L2, so
+    * at dOut = d the coarse order equals the exact order and the
+    * composition IS exact kNN (spec-pinned).
+    */
+  def pcaRerankTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                    dOut: Int, expand: Int = 4,
+                    knownCount: Long = -1L): DataFrame =
+    pcaRerankTopK(vectors, queries, k,
+      trainPca(vectors, dOut, knownCount = knownCount), expand)
+
+  /** [[pcaRerankTopK]] with an already-trained basis — train once, reuse
+    * across the retrieval and any model-level verdict columns.
+    */
+  def pcaRerankTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                    model: PcaModel, expand: Int): DataFrame = {
+    val vP = Dedup.spread(vectors)
+      .select(col("id"), pcaProject(col("vec"), model.mean, model.components).as("vec"))
+    val qP = queries.select(col("qid"),
+      pcaProject(col("qv"), model.mean, model.components).as("qv"))
+    val shortlist = gemmTopK(vP, qP, k * expand)
+      .select(col("qid"), col("label"))
+    explodeHits(
+      broadcast(shortlist).join(vectors, shortlist("label") === vectors("id"))
+        .join(broadcast(queries), "qid")
+        .select(col("qid"), col("label"), squaredL2(col("vec"), col("qv")).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
+  }
+
   /** Product-quantization ANN (PQ codes + ADC scan) — the memory-
     * compression scale path: vectors are encoded ONCE into `m` sub-
     * centroid indices (for d=64/m=8, a 32× reduction of the bytes a scan

@@ -1459,4 +1459,67 @@ class OpsSpec extends AnyFunSuite {
       (3L, 0L, true, 0L), (40L, 40L, false, -1L), (41L, 40L, true, 40L),
       (43L, 40L, false, -1L), (50L, 0L, false, -1L), (51L, 40L, false, -1L)))
   }
+
+  test("PCA basis: orthonormal, descending spectrum, mass invariant, partition-invariant, kernel ≡ matvec") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vdf = Oracle.genVectors(400, 24).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val m = Similarity.trainPca(vdf, 6)
+    val d = m.mean.length
+    assert(d == 24 && m.components.length == 6)
+    // rows are unit-norm and mutually orthogonal
+    for (i <- m.components.indices; j <- i until m.components.length) {
+      val dot = m.components(i).zip(m.components(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"gram($i,$j)=$dot")
+    }
+    // spectrum descending, non-negative, and the top-6 mass dominates
+    // the uniform floor 6/24 of the trace (exact property of a correct
+    // eigensolve + sort; fails on ascending order or a broken sweep)
+    assert(m.explained.sameElements(m.explained.sortBy(-_)))
+    assert(m.explained.forall(_ >= -1e-12))
+    assert(m.explained.sum >= m.totalVar * 6.0 / 24.0 - 1e-9)
+    assert(m.explained.sum <= m.totalVar + 1e-9)
+    // the trained basis is a pure function of the vector SET
+    val m7 = Similarity.trainPca(vdf.repartition(7), 6)
+    assert(m.mean.sameElements(m7.mean))
+    assert(m.components.zip(m7.components).forall { case (a, b) => a.sameElements(b) })
+    // the compiled PcaProject kernel matches a driver-side matvec exactly
+    val one = vdf.filter(col("id") === 123L)
+    val proj = one.select(graft.functions.pcaProject(col("vec"), m.mean, m.components))
+      .collect()(0).getSeq[Float](0)
+    val raw = one.collect()(0).getSeq[Float](1)
+    val want = m.components.map { row =>
+      row.indices.map(t => row(t) * (raw(t).toDouble - m.mean(t))).sum.toFloat
+    }
+    assert(proj.toArray.sameElements(want))
+  }
+
+  test("PCA full-rank rerank ≡ exact brute force (orthonormal rotation is an isometry)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vdf = Oracle.genVectors(300, 16).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = Oracle.genVectors(5, 16, seed = 7L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    val exact = Similarity.bruteForceTopK(vdf, qdf, 10, "l2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6))).toSet
+    // dOut = d keeps the whole rotated space: coarse order ≈ exact order
+    // (fp32 projection rounding only), and the full-precision rerank
+    // restores exact scores — the composition must equal brute force
+    val full = Similarity.pcaRerankTopK(vdf, qdf, 10, dOut = 16, expand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6))).toSet
+    assert(full == exact)
+    // reduced-rank: verdict-style sanity — every query still finds at
+    // least one true neighbor through a quarter-width coarse pass
+    val reduced = Similarity.pcaRerankTopK(vdf, qdf, 10, dOut = 4, expand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val exactPairs = exact.map(t => (t._1, t._3))
+    val overlap = (0 until 5).map(q =>
+      reduced.count(p => p._1 == q && exactPairs((p._1, p._2))))
+    assert(overlap.forall(_ >= 1), s"per-query overlap: $overlap")
+  }
 }
