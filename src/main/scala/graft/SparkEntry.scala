@@ -904,6 +904,13 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(Tables(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // interpolated bigram LM quality score (KenLM-shaped): mean over the
+    // doc's bigram positions of log(0.7·P(w2|w1) + 0.3·P(w2)), corpus-MLE
+    // counts; docs with < 2 tokens have no positions and are omitted
+    "text_bigram_lp" -> { (s, dir) =>
+      TextAnalysis.bigramLogProb(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
     // ---- contrastive hard-negative mining (similar embedding, different
     // cluster) ----
 
@@ -2198,6 +2205,29 @@ object SparkEntry {
         |      FROM tf JOIN cnt ON tf.tok = cnt.tok
         |      JOIN lens ON tf.doc_id = lens.doc_id, tot t2 GROUP BY 1)
         |SELECT doc_id, n_tokens, ROUND(mlp, 6) AS mean_lp, ROUND(exp(-mlp), 6) AS ppl
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_bigram_lp" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+        |        FROM (SELECT UNNEST(w) AS tok FROM t) GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c1) AS DOUBLE) AS total FROM uni),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |       FROM t, LATERAL (SELECT UNNEST(range(1, len(w))) AS i)),
+        |docbg AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
+        |          FROM bg GROUP BY 1, 2, 3),
+        |bgc AS (SELECT w1, w2, SUM(m) AS c2 FROM docbg GROUP BY 1, 2),
+        |sc AS (SELECT d.doc_id, d.m,
+        |       ln(0.7 * CAST(bgc.c2 AS DOUBLE) / u1.c1
+        |          + 0.3 * CAST(u2.c1 AS DOUBLE) / t2.total) AS lp
+        |       FROM docbg d
+        |       JOIN bgc ON d.w1 = bgc.w1 AND d.w2 = bgc.w2
+        |       JOIN uni u1 ON d.w1 = u1.tok
+        |       JOIN uni u2 ON d.w2 = u2.tok, tot t2),
+        |m AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+        |      SUM(m * lp) / SUM(m) AS mlp FROM sc GROUP BY 1)
+        |SELECT doc_id, n_bigrams, ROUND(mlp, 6) AS mean_lp,
+        |  ROUND(exp(-mlp), 6) AS ppl
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "mining_hard_negatives" ->

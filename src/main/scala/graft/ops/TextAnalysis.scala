@@ -118,6 +118,59 @@ object TextAnalysis {
       round(exp(-col("mlp")), 6).as("ppl"))
   }
 
+  /** Interpolated bigram language-model quality score — the KenLM-shaped
+    * upgrade of [[unigramLogProb]]: each in-document bigram (w₁,w₂)
+    * contributes `log(λ·P(w₂|w₁) + (1−λ)·P(w₂))` with corpus-MLE
+    * estimates `P(w₂|w₁) = c₂(w₁,w₂)/c₁(w₁)`, `P(w₂) = c₁(w₂)/total`,
+    * and the document score is the mean over its `len−1` bigram
+    * positions. The unigram backoff makes every observed bigram's
+    * probability strictly positive, so the log is total; documents with
+    * fewer than two tokens have no bigram positions and are omitted
+    * (n_bigrams would be 0 — there is nothing to average).
+    *
+    * Plumbing is the inverted-index shape throughout: positional bigrams
+    * come from the compiled [[graft.functions.wordShingles]] kernel
+    * (n=2, distinct=false — one narrow pass, no per-position explode of
+    * token structs), and both count tables are single combiner-friendly
+    * shuffles keyed on the gram/token. The token frame is eagerly
+    * checkpointed ([[Lexical.bm25Stats]] pattern): it fans out to the
+    * unigram and bigram sub-plans, and without the checkpoint
+    * tokenization would run twice per call.
+    *
+    * Output: (doc_id, n_bigrams, mean_lp[round 6], ppl[round 6]).
+    */
+  def bigramLogProb(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    val toks = Dedup.spread(docs)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .localCheckpoint(true)
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val total = uni.agg(sum(col("c1")).cast(DoubleType).as("total"))
+    // per-(doc, bigram) multiplicity first (the unigram tf shape): each
+    // distinct in-doc bigram is scored once and weighted by its count,
+    // and the global bigram table is a combiner rollup of the same frame
+    val docBg = toks.select(col("doc_id"),
+        explode(graft.functions.wordShingles(col("w"), 2, distinct = false)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    val bgCnt = docBg.groupBy(col("bg")).agg(sum(col("m")).as("c2"))
+    val scored = docBg.join(bgCnt, "bg")
+      .select(col("doc_id"), col("m"),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"),
+        col("c2"))
+      .join(uni.select(col("tok").as("w1"), col("c1").as("c1w1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c1").as("c1w2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("m"),
+        log(lit(lambda) * col("c2").cast(DoubleType) / col("c1w1") +
+          lit(1.0 - lambda) * col("c1w2").cast(DoubleType) / col("total")).as("lp"))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(sum(col("m") * col("lp")) / sum(col("m")), 6).as("mean_lp"),
+        round(exp(-sum(col("m") * col("lp")) / sum(col("m"))), 6).as("ppl"))
+  }
+
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks(text)))))
 

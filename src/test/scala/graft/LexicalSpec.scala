@@ -94,6 +94,33 @@ class LexicalSpec extends AnyFunSuite {
     }
   }
 
+  test("bigramLogProb matches the scalar interpolated-bigram reference; <2-token docs omitted") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = corpus :+ (5L -> "solo")  // 1 token → no bigram positions
+    val got = graft.ops.TextAnalysis.bigramLogProb(docs.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._1).toSeq === corpus.map(_._1))  // doc 5 omitted
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }
+    val c1 = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val total = toks.map(_._2.size).sum.toDouble
+    val c2 = toks.flatMap { case (_, ws) => ws.sliding(2).filter(_.size == 2) }
+      .map(p => (p(0), p(1))).groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    corpus.foreach { case (id, _) =>
+      val ws = toks.find(_._1 == id).get._2
+      val lps = ws.sliding(2).filter(_.size == 2).map { p =>
+        math.log(0.7 * c2((p(0), p(1))) / c1(p(0)) + 0.3 * c1(p(1)) / total)
+      }.toSeq
+      val mlp = lps.sum / lps.size
+      val (gid, gn, glp, gppl) = got(id.toInt)
+      assert(gid === id && gn === lps.size.toLong)
+      assert(math.abs(glp - math.rint(mlp * 1e6) / 1e6) < 2e-6,
+        s"doc $id: $glp vs $mlp")
+      assert(math.abs(gppl - math.rint(math.exp(-mlp) * 1e6) / 1e6) < 2e-6)
+    }
+  }
+
   test("rrfFuse sums 1/(c+rank) across lists, ranks by (score desc, label)") {
     val spark2 = spark
     import spark2.implicits._
