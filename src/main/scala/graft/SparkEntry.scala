@@ -629,6 +629,19 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     },
 
+    // incremental dedup: docs < 400 are the already-ingested corpus (its
+    // MinhashStore stands in for the persisted band index + shingle
+    // features), docs >= 400 are the arriving batch; each new doc is
+    // flagged with its best stored near-dup (Jaccard >= 0.5) WITHOUT
+    // re-scanning old text — bands prune, verification fetches only
+    // candidate old docs' features
+    "dedup_incremental" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val store = Dedup.minhashStore(docs.filter(col("doc_id") < 400))
+      Dedup.incrementalMinhash(docs.filter(col("doc_id") >= 400), store)
+        .orderBy("doc_id")
+    },
+
     // ---- dedup: exact n-gram Jaccard over a bounded subset ----
 
     "dedup_ngram_jaccard" -> { (s, dir) =>
@@ -2946,6 +2959,44 @@ object SparkEntry {
          |JOIN ns na ON na.doc_id = c.doc_a
          |JOIN ns nb ON nb.doc_id = c.doc_b
          |ORDER BY c.doc_a, c.doc_b""".stripMargin
+    },
+
+    "dedup_incremental" -> {
+      val mins = (0 until 8).map(Dedup.minhashElemSql).mkString(", ")
+      val bands = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, h${2 * b}||h${2 * b + 1} AS key FROM mh")
+        .mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+         |  i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM t),
+         |ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+         |mh AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+         |bands AS ($bands),
+         |cand AS (
+         |  SELECT b.doc_id AS doc_a, a.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.key = b.key AND a.band = b.band
+         |    AND a.doc_id < 400 AND b.doc_id >= 400
+         |  GROUP BY 1, 2),
+         |ns AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+         |  FROM cand c
+         |  JOIN ex ea ON ea.doc_id = c.doc_a
+         |  JOIN ex eb ON eb.doc_id = c.doc_b AND eb.s = ea.s
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT i.doc_a, i.doc_b,
+         |    CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+         |  FROM inter i
+         |  JOIN ns na ON na.doc_id = i.doc_a
+         |  JOIN ns nb ON nb.doc_id = i.doc_b),
+         |best AS (
+         |  SELECT doc_a, doc_b, jaccard,
+         |    row_number() OVER (PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) AS rn
+         |  FROM j WHERE jaccard >= 0.5)
+         |SELECT doc_a AS doc_id, doc_b AS dup_of, ROUND(jaccard, 6) AS jaccard
+         |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
 
     "dedup_ngram_jaccard" ->

@@ -144,6 +144,82 @@ object Dedup {
     jaccardOnShingles(sh, cand)
   }
 
+  /** The persisted fingerprint state of an already-ingested corpus, for
+    * incremental dedup of later batches: the LSH band table (doc_id,
+    * band, key — the join index) and the per-doc distinct-shingle arrays
+    * (the verification features). This is exactly what a production
+    * pipeline keeps between ingests so a new batch NEVER re-scans old
+    * text: bands prune, and verification fetches only the candidate old
+    * docs' shingles (a semi-join-pruned point read at scale).
+    */
+  final case class MinhashStore(bands: DataFrame, shingles: DataFrame)
+
+  /** Build the [[MinhashStore]] for a corpus — one compiled shingle pass
+    * (checkpointed compact arrays, the [[minhashDedup]] pattern), one
+    * signature kernel pass, one band explode. Run once per ingested
+    * corpus generation; at 100 TB both outputs are written to a table
+    * bucketed by (band, key) / doc_id instead of checkpointed.
+    */
+  def minhashStore(docs: DataFrame, numHashes: Int = 8,
+                   rowsPerBand: Int = 2): MinhashStore = {
+    val shingled = spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), graft.functions.wordShingles(col("w"), 3).as("sh"))
+      .localCheckpoint(true)
+    val sigs = shingled
+      .select(col("doc_id"),
+        graft.functions.minhashSignature(col("sh"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until numHashes).map(j => element_at(col("sig"), j + 1).as(s"h$j")): _*)
+    MinhashStore(lshBands(sigs, numHashes, rowsPerBand), shingled)
+  }
+
+  /** Incremental MinHash dedup: flag each NEW-batch document that is a
+    * near-dup (exact shingle Jaccard ≥ tau) of some document already in
+    * the [[MinhashStore]], without touching old text. doc ids must be
+    * disjoint between batch and store (they are ids of one corpus).
+    *
+    * Shape at 100 TB: the new batch's band table is the SMALL side — the
+    * band join broadcasts it against the stored index (no shuffle of the
+    * store), candidate old-doc shingles are fetched by a semi-join on
+    * candidate ids only, and verification touches |candidates| pairs.
+    * Output: (doc_id, dup_of, jaccard[round 6]) — the best match per new
+    * doc (max jaccard, ties to the smaller stored id).
+    */
+  def incrementalMinhash(newDocs: DataFrame, store: MinhashStore,
+                         numHashes: Int = 8, rowsPerBand: Int = 2,
+                         tau: Double = 0.5): DataFrame = {
+    val shingledNew = spread(newDocs)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), graft.functions.wordShingles(col("w"), 3).as("sh"))
+      .localCheckpoint(true)
+    val sigsNew = shingledNew
+      .select(col("doc_id"),
+        graft.functions.minhashSignature(col("sh"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until numHashes).map(j => element_at(col("sig"), j + 1).as(s"h$j")): _*)
+    val cand = lshBands(sigsNew, numHashes, rowsPerBand)
+      .select(col("doc_id").as("doc_a"), col("band"), col("key"))
+      .join(store.bands.select(col("doc_id").as("doc_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // verification features: new-batch shingles (in hand) + ONLY the
+    // candidate old docs' shingles (semi-join prune — the store is never
+    // scanned in full)
+    val oldSh = store.shingles
+      .join(cand.select(col("doc_b").as("doc_id")).distinct(), "doc_id", "left_semi")
+    val sh = shingledNew.unionByName(oldSh)
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+    jaccardOnShingles(sh, cand)
+      .filter(col("jaccard") >= tau)
+      .groupBy(col("doc_a"))
+      .agg(max(struct(col("jaccard").as("j"), (-col("doc_b")).as("nb"))).as("best"))
+      .select(col("doc_a").as("doc_id"), (-col("best.nb")).as("dup_of"),
+        round(col("best.j"), 6).as("jaccard"))
+  }
+
   /** LSH banding: rowsPerBand signature elements concatenated per band.
     * Returns (doc_id, band, key).
     */

@@ -1460,6 +1460,29 @@ class OpsSpec extends AnyFunSuite {
       (43L, 40L, false, -1L), (50L, 0L, false, -1L), (51L, 40L, false, -1L)))
   }
 
+  test("incrementalMinhash: batch flagged vs store only, no old-text rescan shape, keep-best ties") {
+    // store: doc 0 (base) + doc 1 (unrelated); batch: 10 = near-dup of 0,
+    // 11 = fresh content, 12 = EXACT copy of base (jaccard 1.0 vs 0)
+    val store = Dedup.minhashStore(docsDf(Seq(0L -> base, 1L -> unrelated)))
+    val batch = docsDf(Seq(10L -> nearDup, 11L ->
+      "entirely novel sentence with tokens appearing nowhere else in any stored document here",
+      12L -> base))
+    val got = Dedup.incrementalMinhash(batch, store)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSeq === Seq((10L, 0L), (12L, 0L)))
+    assert(got(1)._3 === 1.0) // exact copy
+    assert(got(0)._3 > 0.8 && got(0)._3 < 1.0)
+    // batch-internal near-dups (10 vs 12) must NOT be flagged here —
+    // incremental dedup is vs the store; in-batch dedup is minhashDedup
+    assert(!got.exists(t => t._2 >= 10L))
+    // keep-best tie: two identical stored docs -> the smaller stored id
+    val store2 = Dedup.minhashStore(docsDf(Seq(5L -> base, 3L -> base)))
+    val best = Dedup.incrementalMinhash(docsDf(Seq(20L -> base)), store2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(best.toSeq === Seq((20L, 3L, 1.0)))
+  }
+
   test("PCA basis: orthonormal, descending spectrum, mass invariant, partition-invariant, kernel ≡ matvec") {
     val spark2 = spark
     import spark2.implicits._
