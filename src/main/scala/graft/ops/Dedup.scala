@@ -200,11 +200,15 @@ object Dedup {
       .filter(col("sig").isNotNull)
       .select(col("doc_id") +:
         (0 until numHashes).map(j => element_at(col("sig"), j + 1).as(s"h$j")): _*)
+    // checkpoint the (small) candidate-pair frame: it fans out to the
+    // old-shingle semi-join AND the verification pair join, and without
+    // the checkpoint the band join runs twice (the bm25Stats pattern)
     val cand = lshBands(sigsNew, numHashes, rowsPerBand)
       .select(col("doc_id").as("doc_a"), col("band"), col("key"))
       .join(store.bands.select(col("doc_id").as("doc_b"), col("band"), col("key")),
         Seq("band", "key"))
       .select(col("doc_a"), col("doc_b")).distinct()
+      .localCheckpoint(true)
     // verification features: new-batch shingles (in hand) + ONLY the
     // candidate old docs' shingles (semi-join prune — the store is never
     // scanned in full)
