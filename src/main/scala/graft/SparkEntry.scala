@@ -642,6 +642,19 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // exact similarity self-join via prefix filtering (Chaudhuri 2006)
+    // with the PPJoin positional filter (Xiao 2008): EVERY pair with
+    // Jaccard >= 0.7 over the FULL corpus — the deterministic
+    // counterpart to dedup_minhash (no probabilistic recall) and to
+    // dedup_ngram_jaccard (no sample, no df-cap erosion); rare-first
+    // prefixes keep boilerplate shingles out of the candidate join, and
+    // tau fixes the prefix fraction at 1−tau (the production near-dup
+    // threshold 0.7 scans 30% prefixes)
+    "dedup_prefix_filter" -> { (s, dir) =>
+      Dedup.prefixFilterPairs(Tables(s, dir, "documents"), 0.7)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ---- dedup: exact n-gram Jaccard over a bounded subset ----
 
     "dedup_ngram_jaccard" -> { (s, dir) =>
@@ -2998,6 +3011,24 @@ object SparkEntry {
          |SELECT doc_a AS doc_id, doc_b AS dup_of, ROUND(jaccard, 6) AS jaccard
          |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
+
+    "dedup_prefix_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |  i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM t),
+        |ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+        |ns AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_inter,
+        |  CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN ns na ON na.doc_id = i.doc_a
+        |JOIN ns nb ON nb.doc_id = i.doc_b
+        |WHERE CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) >= 0.7
+        |ORDER BY i.doc_a, i.doc_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id % 4 = 0),

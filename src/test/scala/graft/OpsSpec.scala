@@ -1460,6 +1460,32 @@ class OpsSpec extends AnyFunSuite {
       (43L, 40L, false, -1L), (50L, 0L, false, -1L), (51L, 40L, false, -1L)))
   }
 
+  test("prefixFilterPairs: exact ≡ all-pairs on a boilerplate-heavy corpus; tau boundary included") {
+    // 100 boilerplate docs (pairwise near-dups — the quadratic-OUTPUT
+    // case) + one genuine near-dup pair: the prefix filter must find
+    // exactly what the uncapped all-pairs join finds
+    val boiler = (10 until 110).map(i =>
+      i.toLong -> s"boiler plate common phrase shared by all docs number unique$i")
+    val docs = docsDf(Seq(0L -> base, 1L -> nearDup) ++ boiler)
+    val got = Dedup.prefixFilterPairs(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Dedup.ngramJaccardPairs(docs, 0.5, maxDf = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
+    assert(got((0L, 1L, got.find(t => t._1 == 0L && t._2 == 1L).get._3)))
+    assert(got.size > 1000) // the boilerplate block IS quadratic output
+    // J exactly tau is included: sh(A)={abc,bcd,cde}, sh(B)={abc,bcd,cdx}
+    // → 2/4 = 0.5
+    val edge = Dedup.prefixFilterPairs(
+        docsDf(Seq(0L -> "a b c d e", 1L -> "a b c d x")), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(edge.toSeq === Seq((0L, 1L, 0.5)))
+    // a candidate that fails verification (shares a shingle, J = 1/5) is
+    // rejected by the exact-Jaccard stage, not silently emitted
+    assert(Dedup.prefixFilterPairs(
+      docsDf(Seq(0L -> "a b c d e", 1L -> "a b c x y")), 0.5).count() === 0L)
+  }
+
   test("incrementalMinhash: batch flagged vs store only, no old-text rescan shape, keep-best ties") {
     // store: doc 0 (base) + doc 1 (unrelated); batch: 10 = near-dup of 0,
     // 11 = fresh content, 12 = EXACT copy of base (jaccard 1.0 vs 0)
