@@ -1589,6 +1589,42 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // transform-then-quantize composition (FAISS index factory
+    // "PCAR64,PQ8"): full-rank PCA ROTATION (trace-preserving, verified
+    // by the rot_ok verdict to 1e-6 relative) in front of k-means PQ —
+    // the rotation decorrelates dimensions so each PQ subspace quantizes
+    // independent coordinates (the cheap standard approximation of OPQ,
+    // Ge et al. 2013). Same deterministic training as ann_pq_kmeans
+    // (sorted bounded samples, seeded Lloyd), recall gated vs exact kNN
+    // in the ORIGINAL space — valid because an orthonormal rotation
+    // preserves L2 exactly up to fp32 projection rounding
+    "ann_pca_pq" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val n = vectors.count()
+      val model = Similarity.trainPca(vectors, dOut = 64, knownCount = n)
+      val rotV = vectors.select(col("id"),
+        graft.functions.pcaProject(col("vec"), model.mean, model.components).as("vec"))
+      val rotQ = queries.select(col("qid"),
+        graft.functions.pcaProject(col("qv"), model.mean, model.components).as("qv"))
+      val ncent = math.max(8, math.min(256, (n / 25L).toInt))
+      val exact = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
+        .select(col("qid"), col("label"))
+      val overlap = annOverlap(exact,
+        Similarity.pqKmeansTopK(rotV, rotQ, k = 10, ncent = ncent, m = 8,
+          knownCount = n))
+      val rotOk = math.abs(model.explained.sum - model.totalVar) <=
+        1e-6 * model.totalVar
+      queries.select(col("qid"))
+        .join(overlap, Seq("qid"), "left")
+        .select(col("qid"),
+          (coalesce(col("n_common"), lit(0L)) >= 1L).as("recall_ok"),
+          lit(rotOk).as("rot_ok"))
+        .orderBy("qid")
+    },
+
     // PCA-coarse two-stage retrieval (FAISS PCAMatrix / "PCAR16,..."
     // pre-transform): corpus + queries projected onto the trained
     // 16-of-64-dim max-variance basis (narrow no-shuffle pass, coarse
@@ -2403,6 +2439,11 @@ object SparkEntry {
     "ann_pca_rerank" ->
       """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok,
         |  CAST(TRUE AS BOOLEAN) AS var_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "ann_pca_pq" ->
+      """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok,
+        |  CAST(TRUE AS BOOLEAN) AS rot_ok
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "ann_ivfpq_rerank" ->
