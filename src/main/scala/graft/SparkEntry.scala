@@ -1589,6 +1589,20 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // ColBERT-style late-interaction retrieval: the 8 query vectors act
+    // as one multi-token query, documents are the label groups;
+    // score(doc) = sum over tokens of the best in-doc cosine (MaxSim) —
+    // per-(doc, token) max and per-doc sum are combiner aggs, the top-5
+    // a TakeOrdered
+    "ann_maxsim" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("label"), col("embedding").as("vec"))
+      val tokens = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("tid"), col("embedding").as("qv"))
+      Similarity.maxSimTopK(vectors, tokens, k = 5)
+        .orderBy("rank")
+    },
+
     // transform-then-quantize composition (FAISS index factory
     // "PCAR64,PQ8"): full-rank PCA ROTATION (trace-preserving, verified
     // by the rot_ok verdict to 1e-6 relative) in front of k-means PQ —
@@ -2445,6 +2459,26 @@ object SparkEntry {
       """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok,
         |  CAST(TRUE AS BOOLEAN) AS rot_ok
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "ann_maxsim" ->
+      """WITH q AS (
+        |  SELECT vec_id AS tid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |cos AS (
+        |  SELECT tid, label, vec_id,
+        |    SUM(CAST(qe AS DOUBLE) * CAST(ve AS DOUBLE)) /
+        |      (SQRT(SUM(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE))) *
+        |       SQRT(SUM(CAST(ve AS DOUBLE) * CAST(ve AS DOUBLE)))) AS score
+        |  FROM (SELECT q.tid, e.label, e.vec_id,
+        |      UNNEST(q.qv) AS qe, UNNEST(e.embedding) AS ve
+        |    FROM q CROSS JOIN embeddings e)
+        |  GROUP BY tid, label, vec_id),
+        |pt AS (SELECT label, tid, MAX(score) AS m FROM cos
+        |       WHERE NOT isnan(score) GROUP BY 1, 2),
+        |sc AS (SELECT label, SUM(m) AS maxsim FROM pt GROUP BY 1),
+        |ranked AS (SELECT label, maxsim,
+        |  row_number() OVER (ORDER BY maxsim DESC, label) AS rank FROM sc)
+        |SELECT rank, label, ROUND(maxsim, 6) AS maxsim
+        |FROM ranked WHERE rank <= 5 ORDER BY rank""".stripMargin,
 
     "ann_ivfpq_rerank" ->
       """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok,

@@ -521,6 +521,43 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
 
+  /** ColBERT-style late-interaction retrieval (MaxSim — Khattab &
+    * Zaharia 2020, SIGIR): a query is a SET of token vectors, a document
+    * a SET of vectors (here: the `label` groups of the embeddings
+    * table), and score(doc) = Σ_t max_{v∈doc} cos(t, v) — each query
+    * token matches its best document vector independently, which is what
+    * makes late interaction robust to word order and partial matches.
+    *
+    * Shape at scale: the token set is small by construction (a query has
+    * tens of tokens) → broadcast; the per-(doc, token) max and per-doc
+    * sum are both combiner-friendly aggregations keyed on the doc label —
+    * no shuffle ever carries more than |docs|·|tokens| rows, and the
+    * global top-k is a TakeOrdered, not a sort. Zero-norm vectors (NaN
+    * cosine) are inert on both sides of the oracle (filtered before the
+    * max, the semanticDedup convention).
+    *
+    * vectors: (label, vec); queryTokens: (tid, qv).
+    * Output: (rank, label, maxsim[round 6]) — best `k` docs, score desc,
+    * ties to the smaller label.
+    */
+  def maxSimTopK(vectors: DataFrame, queryTokens: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perTok = Dedup.spread(vectors).crossJoin(broadcast(queryTokens))
+      .select(col("label"), col("tid"),
+        graft.functions.cosineSimilarity(col("vec"), col("qv")).as("cos"))
+      .filter(!isnan(col("cos")))
+      .groupBy(col("label"), col("tid")).agg(max(col("cos")).as("m"))
+    val top = perTok.groupBy(col("label")).agg(sum(col("m")).as("maxsim"))
+      .orderBy(col("maxsim").desc, col("label"))
+      .limit(k)
+    // rank over the k survivors only — a single-partition window over k
+    // rows, not over the corpus
+    top.select(
+      row_number().over(Window.orderBy(col("maxsim").desc, col("label")))
+        .cast(LongType).as("rank"),
+      col("label"), round(col("maxsim"), 6).as("maxsim"))
+  }
+
   /** A trained PCA basis: `mean` (d), `components` (dOut rows × d, unit
     * L2 norm, mutually orthogonal, descending eigenvalue order),
     * `explained` (the dOut kept eigenvalues, descending) and `totalVar`

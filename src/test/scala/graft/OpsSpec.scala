@@ -1460,6 +1460,29 @@ class OpsSpec extends AnyFunSuite {
       (43L, 40L, false, -1L), (50L, 0L, false, -1L), (51L, 40L, false, -1L)))
   }
 
+  test("maxSimTopK: per-token best match summed, ties to smaller label, zero-norm inert") {
+    val spark2 = spark
+    import spark2.implicits._
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    // doc 0: unit x + unit y; doc 1: unit x only (plus a zero vector
+    // that must be ignored); tokens: x-axis and y-axis
+    val docs = Seq(
+      (0, v(1, 0)), (0, v(0, 1)),
+      (1, v(1, 0)), (1, v(0, 0))).toDF("label", "vec")
+    val toks = Seq((0L, v(1, 0)), (1L, v(0, 1))).toDF("tid", "qv")
+    val got = Similarity.maxSimTopK(docs, toks, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // doc 0: max cos vs token x = 1, vs token y = 1 → 2.0
+    // doc 1: token x → 1; token y has NO finite match except cos 0 from
+    // the x vector (zero vector is NaN-filtered) → 1.0 + 0.0
+    assert(got.toSeq === Seq((1L, 0, 2.0), (2L, 1, 1.0)))
+    // tie: two docs with identical vector sets → smaller label first
+    val tied = Seq((7, v(1, 0)), (3, v(1, 0))).toDF("label", "vec")
+    val gotTie = Similarity.maxSimTopK(tied, toks.filter(col("tid") === 0L), 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(gotTie.toSeq === Seq((1L, 3), (2L, 7)))
+  }
+
   test("prefixFilterPairs: exact ≡ all-pairs on a boilerplate-heavy corpus; tau boundary included") {
     // 100 boilerplate docs (pairwise near-dups — the quadratic-OUTPUT
     // case) + one genuine near-dup pair: the prefix filter must find
