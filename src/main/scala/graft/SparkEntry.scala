@@ -1994,6 +1994,37 @@ object SparkEntry {
     // output carries the EXACT count (oracle-verifiable in SQL) plus a
     // bounded-relative-error verdict on the estimate (≤ 5% = 2.5× the
     // requested rsd; measured ≤ 0.9% at sf0.01/sf0.1)
+    // Count-Min sketch point-frequency estimates (Cormode & Muthukrishnan
+    // 2005) via Spark's built-in mergeable count_min_sketch aggregate —
+    // the sketch is one combiner-friendly aggregation at ANY corpus size
+    // (width·depth counters per partial), probed driver-side for 20 fixed
+    // keys. Machine-checked CMS guarantees: est ≥ true (one-sided error,
+    // deterministic) and est ≤ true + eps·N (holds w.p. 1−δ per key;
+    // eps = 1e-3 → slack 15 at sf0.01 — a violation means a broken
+    // sketch, not noise)
+    "q_count_min" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables(s, dir, "orders")
+      val eps = 0.001
+      val bytes = o.agg(expr(
+          "count_min_sketch(o_custkey, CAST(0.001 AS DOUBLE), " +
+            "CAST(0.99 AS DOUBLE), 42)").as("sk"))
+        .head.getAs[Array[Byte]]("sk")
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bytes))
+      val slack = math.ceil(eps * cms.totalCount()).toLong
+      val est = (1L to 20L).map(k =>
+        (k, cms.estimateCount(java.lang.Long.valueOf(k)))).toDF("o_custkey", "est")
+      val exact = o.filter(col("o_custkey") <= 20)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+      est.join(exact, Seq("o_custkey"), "left")
+        .select(col("o_custkey"),
+          coalesce(col("cnt"), lit(0L)).as("exact_cnt"),
+          (col("est") >= coalesce(col("cnt"), lit(0L))).as("lower_ok"),
+          (col("est") <= coalesce(col("cnt"), lit(0L)) + slack).as("upper_ok"))
+        .orderBy("o_custkey")
+    },
+
     "q_approx_distinct" -> { (s, dir) =>
       Tables(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -2484,6 +2515,15 @@ object SparkEntry {
       """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok,
         |  CAST(TRUE AS BOOLEAN) AS beats_resid
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "q_count_min" ->
+      """WITH k AS (SELECT CAST(UNNEST(range(1, 21)) AS BIGINT) AS o_custkey),
+        |c AS (SELECT o_custkey, COUNT(*) AS cnt FROM orders
+        |      WHERE o_custkey <= 20 GROUP BY 1)
+        |SELECT k.o_custkey, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS exact_cnt,
+        |  CAST(TRUE AS BOOLEAN) AS lower_ok, CAST(TRUE AS BOOLEAN) AS upper_ok
+        |FROM k LEFT JOIN c ON k.o_custkey = c.o_custkey
+        |ORDER BY k.o_custkey""".stripMargin,
 
     "q_approx_distinct" ->
       """SELECT o_orderpriority,
