@@ -246,6 +246,71 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Streaming incremental dedup — the
+    * [[graft.ops.Dedup.incrementalMinhash]] ingest path as a STATELESS
+    * streaming query: each arriving document is checked against the
+    * static [[graft.ops.Dedup.MinhashStore]] of the already-ingested
+    * corpus. Signature and band keys are narrow per-row kernels, the
+    * band match and the feature fetch are stream-static joins (static
+    * side broadcast per micro-batch; a 100 TB store is a bucketed table
+    * and the joins partition-pruned), verification is one
+    * `array_intersect` per matched band — no streaming state store at
+    * all, so there is nothing to bound, watermark, or expire. This is
+    * the real-time counterpart of batch incremental ingest: the
+    * arriving batch never re-scans old text.
+    *
+    * Emits one row per (doc_id, dup_of, band) with the exact Jaccard
+    * (unrounded; a pair matching in several bands emits one row per
+    * band, all with identical jaccard). Fold with [[bestStoredMatch]] to
+    * reproduce the batch operator's keep-best output.
+    */
+  def streamingIncrementalDedup(stream: DataFrame,
+                                store: graft.ops.Dedup.MinhashStore,
+                                numHashes: Int = 8, rowsPerBand: Int = 2,
+                                tau: Double = 0.5): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val sigs = stream
+      .select(col("doc_id"),
+        graft.functions.wordShingles(split(col("text"), " ", -1), 3).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        graft.functions.minhashSignature(col("sh"), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id") +: col("sh") +:
+        (0 until numHashes).map(j => element_at(col("sig"), j + 1).as(s"h$j")): _*)
+    val bandStructs = (0 until numBands).map { b =>
+      val key = concat((0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), col("sh"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
+    bands
+      .join(broadcast(store.bands.select(col("doc_id").as("dup_of"),
+        col("band"), col("key"))), Seq("band", "key"))
+      .join(broadcast(store.shingles.select(col("doc_id").as("dup_of"),
+        col("sh").as("shb"))), Seq("dup_of"))
+      .select(col("doc_id"), col("dup_of"), col("band"),
+        size(array_intersect(col("sh"), col("shb"))).cast(org.apache.spark.sql.types.LongType).as("n_inter"),
+        size(col("sh")).cast(org.apache.spark.sql.types.LongType).as("na"),
+        size(col("shb")).cast(org.apache.spark.sql.types.LongType).as("nb"))
+      .withColumn("jaccard",
+        col("n_inter").cast(org.apache.spark.sql.types.DoubleType) /
+          (col("na") + col("nb") - col("n_inter")).cast(org.apache.spark.sql.types.DoubleType))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_id"), col("dup_of"), col("band"), col("jaccard"))
+  }
+
+  /** Fold [[streamingIncrementalDedup]]'s per-band rows into the batch
+    * operator's keep-best output: best match per new doc (max jaccard,
+    * ties to the smaller stored id), jaccard rounded AFTER the argmax —
+    * byte-identical to [[graft.ops.Dedup.incrementalMinhash]].
+    */
+  def bestStoredMatch(flags: DataFrame): DataFrame =
+    flags.groupBy(col("doc_id"))
+      .agg(max(struct(col("jaccard").as("j"), (-col("dup_of")).as("nb"))).as("best"))
+      .select(col("doc_id"), (-col("best.nb")).as("dup_of"),
+        round(col("best.j"), 6).as("jaccard"))
+
   /** Stream-static enrichment join: every micro-batch of the stream joins
     * the (small) static dimension — stateless, the static side broadcast
     * once per batch. The canonical shape for attaching slowly-changing

@@ -150,6 +150,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchKept === Set(0L, 1L), s"batch formulation: $batchKept")
   }
 
+  test("streaming incremental dedup vs static store == batch incrementalMinhash, stateless") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+    val nearDup = "the quick brown fox jumps over the lazy dog near the old stone bridge tonight"
+    val other = "completely different content about database engines and query optimization at scale"
+    val store = graft.ops.Dedup.minhashStore(
+      Seq(0L -> base, 1L -> other).toDF("doc_id", "text"))
+    val stream = MemoryStream[(Long, String)]
+    val in = stream.toDF().select(col("_1").as("doc_id"), col("_2").as("text"))
+    val flags = StreamingOps.streamingIncrementalDedup(in, store)
+    val q = flags.writeStream.format("memory").queryName("sincdedup")
+      .outputMode("append").start()
+    // two micro-batches; the second re-tests the store with no carryover
+    // state (exact copy of base must flag in BOTH batches — stateless)
+    stream.addData(Seq(10L -> nearDup, 11L ->
+      "entirely novel sentence with tokens appearing nowhere else in any stored document here"))
+    q.processAllAvailable()
+    stream.addData(Seq(12L -> base, 13L -> other))
+    q.processAllAvailable()
+    q.stop()
+    val got = StreamingOps.bestStoredMatch(spark.table("sincdedup"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // batch reference over the SAME new docs — stateless streaming must
+    // reproduce it exactly, including jaccard values
+    val batch = graft.ops.Dedup.incrementalMinhash(
+        Seq(10L -> nearDup, 11L -> "entirely novel sentence with tokens appearing nowhere else in any stored document here",
+          12L -> base, 13L -> other).toDF("doc_id", "text"), store)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === batch.toSeq)
+    assert(got.map(_._1).toSeq === Seq(10L, 12L, 13L))
+    assert(got(1)._3 === 1.0 && got(2)._3 === 1.0) // exact copies
+  }
+
   test("stateful streaming sessionization == batch sessions (closed sessions)") {
     import spark.implicits._
     import graft.streaming.{SessionEvent, SessionOut}
