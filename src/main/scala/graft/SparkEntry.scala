@@ -1589,6 +1589,38 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // kNN label classification (leave-self-out majority vote over the 10
+    // nearest neighbors) — the label-propagation / auto-labeling shape of
+    // a curation pipeline. Fully deterministic and hash-exact: top-11 by
+    // (L2², id), remove self, re-rank, majority by (count desc, class
+    // asc) — the oracle reproduces the identical three steps, so even
+    // duplicate vectors cannot diverge the two sides
+    "ann_knn_classify" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val classes = e.select(col("vec_id").as("nid"), col("label").as("cls"))
+      val queries = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val trueCls = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("qid"), col("label").as("true_cls"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("score"), col("nid"))
+      val top10 = Similarity.bruteForceTopK(vectors, queries, k = 11, "l2")
+        .select(col("qid"), col("label").as("nid"), col("score"))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+      val voted = top10.join(broadcast(classes), "nid")
+        .groupBy(col("qid"), col("cls")).agg(count(lit(1)).as("votes"))
+        .groupBy(col("qid"))
+        .agg(max(struct(col("votes"), (-col("cls")).cast(LongType).as("nc"))).as("best"))
+        .select(col("qid"), (-col("best.nc")).cast(IntegerType).as("pred_cls"))
+      voted.join(broadcast(trueCls), "qid")
+        .select(col("qid"), col("pred_cls"), col("true_cls"),
+          (col("pred_cls") === col("true_cls")).as("correct"))
+        .orderBy("qid")
+    },
+
     // ColBERT-style late-interaction retrieval: the 8 query vectors act
     // as one multi-token query, documents are the label groups;
     // score(doc) = sum over tokens of the best in-doc cosine (MaxSim) —
@@ -2490,6 +2522,31 @@ object SparkEntry {
       """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok,
         |  CAST(TRUE AS BOOLEAN) AS rot_ok
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "ann_knn_classify" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 16),
+        |t AS (SELECT vec_id AS qid, label AS true_cls FROM embeddings WHERE vec_id < 16),
+        |d AS (
+        |  SELECT qid, nid,
+        |    SUM((CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE)) * (CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE))) AS score
+        |  FROM (SELECT q.qid, e.vec_id AS nid,
+        |      UNNEST(q.qv) AS qe, UNNEST(e.embedding) AS ve
+        |    FROM q CROSS JOIN embeddings e)
+        |  GROUP BY qid, nid),
+        |k11 AS (SELECT qid, nid, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score, nid) AS rk FROM d),
+        |k10 AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score, nid) AS rn
+        |  FROM (SELECT * FROM k11 WHERE rk <= 11 AND nid != qid)),
+        |v AS (SELECT k10.qid, e.label AS cls, COUNT(*) AS votes
+        |  FROM k10 JOIN embeddings e ON e.vec_id = k10.nid
+        |  WHERE k10.rn <= 10 GROUP BY 1, 2),
+        |p AS (SELECT qid, cls AS pred_cls,
+        |  row_number() OVER (PARTITION BY qid ORDER BY votes DESC, cls) AS pr FROM v)
+        |SELECT p.qid, p.pred_cls, t.true_cls,
+        |  p.pred_cls = t.true_cls AS correct
+        |FROM p JOIN t ON p.qid = t.qid WHERE p.pr = 1 ORDER BY p.qid""".stripMargin,
 
     "ann_maxsim" ->
       """WITH q AS (
