@@ -930,6 +930,26 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(Tables(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // code-point entropy quality filter: natural text sits in a narrow
+    // band, base64/binary blobs run high, padding runs low; one compiled
+    // narrow pass (per-doc histogram — no (doc, char) shuffle exists),
+    // with the corpus-relative band verdict (within ±30% of the corpus
+    // median entropy) a real filter would gate on
+    "text_entropy" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val ent = docs.select(col("doc_id"),
+        graft.functions.charEntropy(col("text")).as("ent"))
+      // exact interpolated median (matches DuckDB's median/quantile_cont
+      // bit-for-bit over the same fp64 values) — an approx median could
+      // flip band verdicts at the boundary
+      val med = ent.agg(expr("percentile(ent, 0.5)").as("med"))
+      ent.crossJoin(broadcast(med))
+        .select(col("doc_id"), round(col("ent"), 6).as("entropy"),
+          (col("ent") >= col("med") * 0.7 && col("ent") <= col("med") * 1.3)
+            .as("in_band"))
+        .orderBy("doc_id")
+    },
+
     // interpolated bigram LM quality score (KenLM-shaped): mean over the
     // doc's bigram positions of log(0.7·P(w2|w1) + 0.3·P(w2)), corpus-MLE
     // counts; docs with < 2 tokens have no positions and are omitted
@@ -2345,6 +2365,17 @@ object SparkEntry {
         |      JOIN lens ON tf.doc_id = lens.doc_id, tot t2 GROUP BY 1)
         |SELECT doc_id, n_tokens, ROUND(mlp, 6) AS mean_lp, ROUND(exp(-mlp), 6) AS ppl
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_entropy" ->
+      """WITH ch AS (SELECT doc_id, UNNEST(string_split(text, '')) AS c FROM documents),
+        |f AS (SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS cnt FROM ch GROUP BY 1, 2),
+        |n AS (SELECT doc_id, SUM(cnt) AS n FROM f GROUP BY 1),
+        |e AS (SELECT f.doc_id, -SUM((f.cnt / n.n) * ln(f.cnt / n.n)) AS ent
+        |      FROM f JOIN n ON f.doc_id = n.doc_id GROUP BY 1),
+        |m AS (SELECT median(ent) AS med FROM e)
+        |SELECT e.doc_id, ROUND(e.ent, 6) AS entropy,
+        |  (e.ent >= m.med * 0.7 AND e.ent <= m.med * 1.3) AS in_band
+        |FROM e, m ORDER BY e.doc_id""".stripMargin,
 
     "text_bigram_lp" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),

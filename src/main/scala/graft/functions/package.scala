@@ -160,6 +160,12 @@ package object functions {
                  components: Array[Array[Double]]): Column =
     GraftBridge.column(PcaProject(e(v), mean, components))
 
+  /** Shannon entropy (nats) of a string's code-point distribution — the
+    * gibberish/blob quality filter; one compiled pass, null for empty.
+    */
+  def charEntropy(text: Column): Column =
+    GraftBridge.column(CharEntropy(e(text)))
+
   /** SpaceSaving heavy-hitter sketch (capacity-bounded, mergeable):
     * `array<struct<item, est, err>>`, est desc. See
     * [[graft.operators.SpaceSavingAgg]] for the invariants.

@@ -108,6 +108,26 @@ class HashKernelSpec extends AnyFunSuite {
     assert(run(graft.functions.simhashBits(col("a"), 16), Seq(null)).isNullAt(0))
   }
 
+  test("charEntropy: closed forms, code-point counting, empty/null → null") {
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    def ent(s: String): java.lang.Double = {
+      val r = Seq(Tuple1(s)).toDF("t")
+        .select(graft.functions.charEntropy(col("t"))).collect()(0)
+      if (r.isNullAt(0)) null else r.getDouble(0)
+    }
+    assert(ent("aaaa") === 0.0)                          // one symbol
+    assert(math.abs(ent("ab") - math.log(2)) < 1e-12)    // uniform 2
+    assert(math.abs(ent("aab") - (-(2.0/3)*math.log(2.0/3) - (1.0/3)*math.log(1.0/3))) < 1e-12)
+    assert(ent("") == null)
+    assert(Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(graft.functions.charEntropy(col("t"))).collect()(0).isNullAt(0))
+    // a surrogate-pair code point (U+1D11E) counts ONCE, not as 2 chars:
+    // "𝄞𝄞aa" = two distinct code points, 2+2 → ln 2
+    val clef = new String(Character.toChars(0x1D11E))
+    assert(math.abs(ent(clef + clef + "aa") - math.log(2)) < 1e-12)
+  }
+
   test("duplicate-heavy input: simhash counts DISTINCT tokens (majority basis)") {
     // 'a' ×100 + 'b' ×1 — if duplicates counted, every 'a' bit would win;
     // distinct basis makes it a 50/50 tie → majority (2*cnt > n) = false
