@@ -69,6 +69,49 @@ class SourcesSpec extends AnyFunSuite {
       s"ORC scan must carry pushed filters:\n$scan")
   }
 
+  test("trained index state IS a table: PQ codebook + PCA basis round-trip parquet, search identical") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = Oracle.genVectors(400, 16).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = Oracle.genVectors(4, 16, seed = 9L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    // PQ codebook: the trained state a 100 TB deployment persists between
+    // encode (ingest) and search (serving) — sub-centroid rows keyed by
+    // codebook slot, reloaded in slot order
+    val cents = graft.ops.Similarity.trainPqCodebook(vecs.select(col("vec").as("v")), m = 4, ncent = 16)
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("slot", "centroid")
+      .write.mode("overwrite").parquet(s"$dir/pq_codebook")
+    val reloaded = spark.read.parquet(s"$dir/pq_codebook")
+      .orderBy("slot").collect()
+      .map(_.getSeq[Float](1).toArray).toSeq
+    assert(reloaded.length == cents.length)
+    assert(reloaded.zip(cents).forall { case (a, b) => a.sameElements(b) })
+    def adc(cb: Seq[Array[Float]]) =
+      vecs.select(col("id"), graft.functions.pqEncode(col("vec"), cb, 4).as("codes"))
+        .crossJoin(broadcast(qdf))
+        .select(col("qid"), col("id"),
+          graft.functions.pqAdcScore(col("codes"), col("qv"), cb, 4).as("s"))
+        .orderBy("qid", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(adc(reloaded).toSeq === adc(cents).toSeq)
+    // PCA basis: mean + components as rows keyed by component index
+    // (row -1 = mean), reloaded into an identical projection
+    val model = graft.ops.Similarity.trainPca(vecs, 6)
+    ((-1, model.mean) +: model.components.zipWithIndex.map { case (c, i) => (i, c) }.toSeq)
+      .toDF("row", "values").write.mode("overwrite").parquet(s"$dir/pca_basis")
+    val rows = spark.read.parquet(s"$dir/pca_basis").orderBy("row").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val mean2 = rows.find(_._1 == -1).get._2
+    val comps2 = rows.filter(_._1 >= 0).sortBy(_._1).map(_._2)
+    val p1 = vecs.select(graft.functions.pcaProject(col("vec"), model.mean, model.components))
+      .collect().map(_.getSeq[Float](0))
+    val p2 = vecs.select(graft.functions.pcaProject(col("vec"), mean2, comps2))
+      .collect().map(_.getSeq[Float](0))
+    assert(p1.zip(p2).forall { case (a, b) => a == b })
+  }
+
   test("vector tables survive a JSON hop (array<float> fidelity)") {
     val dir = Files.createTempDirectory("graft_vec_json").toString
     val vecSchema = StructType(Seq(
