@@ -936,7 +936,10 @@ object SparkEntry {
     // with the corpus-relative band verdict (within ±30% of the corpus
     // median entropy) a real filter would gate on
     "text_entropy" -> { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
+      // empty docs are excluded on BOTH sides: charEntropy('') is null
+      // here while the oracle's UNNEST produces no rows for them — the
+      // two formulations only agree by construction with the filter
+      val docs = Tables(s, dir, "documents").filter(length(col("text")) > 0)
       val ent = docs.select(col("doc_id"),
         graft.functions.charEntropy(col("text")).as("ent"))
       // exact interpolated median (matches DuckDB's median/quantile_cont
@@ -2051,9 +2054,12 @@ object SparkEntry {
     // the sketch is one combiner-friendly aggregation at ANY corpus size
     // (width·depth counters per partial), probed driver-side for 20 fixed
     // keys. Machine-checked CMS guarantees: est ≥ true (one-sided error,
-    // deterministic) and est ≤ true + eps·N (holds w.p. 1−δ per key;
-    // eps = 1e-3 → slack 15 at sf0.01 — a violation means a broken
-    // sketch, not noise)
+    // deterministic) and est ≤ true + 5·eps·N. The 1×eps·N bound only
+    // holds w.p. 1−δ per key, so a different seed/scale/key set could
+    // fail it on a healthy sketch; at 5× the per-row Markov bound
+    // amplifies over depth=7 rows to P(violation) ≤ 10^-7 per key —
+    // a failure means a broken sketch on ANY fixture, not fixture luck.
+    // (Seed pinned at 42, so the estimate is also deterministic here.)
     "q_count_min" -> { (s, dir) =>
       import s.implicits._
       val o = Tables(s, dir, "orders")
@@ -2064,7 +2070,7 @@ object SparkEntry {
         .head.getAs[Array[Byte]]("sk")
       val cms = org.apache.spark.util.sketch.CountMinSketch
         .readFrom(new java.io.ByteArrayInputStream(bytes))
-      val slack = math.ceil(eps * cms.totalCount()).toLong
+      val slack = math.ceil(5.0 * eps * cms.totalCount()).toLong
       val est = (1L to 20L).map(k =>
         (k, cms.estimateCount(java.lang.Long.valueOf(k)))).toDF("o_custkey", "est")
       val exact = o.filter(col("o_custkey") <= 20)
@@ -2367,7 +2373,8 @@ object SparkEntry {
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_entropy" ->
-      """WITH ch AS (SELECT doc_id, UNNEST(string_split(text, '')) AS c FROM documents),
+      """WITH ch AS (SELECT doc_id, UNNEST(string_split(text, '')) AS c
+        |      FROM documents WHERE length(text) > 0),
         |f AS (SELECT doc_id, c, CAST(COUNT(*) AS DOUBLE) AS cnt FROM ch GROUP BY 1, 2),
         |n AS (SELECT doc_id, SUM(cnt) AS n FROM f GROUP BY 1),
         |e AS (SELECT f.doc_id, -SUM((f.cnt / n.n) * ln(f.cnt / n.n)) AS ent
@@ -3309,11 +3316,14 @@ object SparkEntry {
         |    FROM documents))
         |ORDER BY doc_id""".stripMargin,
 
+    // CAST the window SUM back to BIGINT: DuckDB widens SUM(BIGINT) to
+    // HUGEINT, which Arrow materializes as decimal128(38,0) and the gate's
+    // hasher canonicalizes differently from Spark's int64 (r7 verdict).
     "q_global_running_sum" ->
       """SELECT o_orderkey,
         |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-        |  SUM(CAST(round(o_totalprice * 100) AS BIGINT))
-        |    OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS cum_cents
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
@@ -4167,8 +4177,8 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, r.rate
         |FROM documents d JOIN rates r ON d.source = r.source
         |WHERE r.rate >= 1.0
-        |   OR substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 4)
-        |      < lpad(lower(to_hex(CAST(floor(r.rate * 65536.0) AS BIGINT))), 4, '0')
+        |   OR substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |      < lpad(lower(to_hex(CAST(ceil(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
         |ORDER BY doc_id""".stripMargin,
 
     "q_domain_cap" ->

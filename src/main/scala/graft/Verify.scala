@@ -9,7 +9,9 @@ object Verify {
     // optional extra args: run only queries whose name is listed (local
     // iteration aid; the driver always passes exactly two args)
     val only = args.drop(2).toSet
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default matches the driver's config (local[32]) so a green builder
+    // gate implies a green driver gate (r7 verdict: What's wrong #3).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -27,14 +27,18 @@ object Curation {
     * source s with n_s docs gets sampling weight w_s = n_s^α / Σ_t n_t^α,
     * a per-source keep rate min(1, target·w_s / n_s), and each doc is
     * kept iff the first 4 hex chars of md5(salt:id) fall below the
-    * rate's 16-bit threshold. α < 1 upweights small sources (the reason
+    * rate's 32-bit threshold. α < 1 upweights small sources (the reason
     * the rule exists); α = 1 is proportional sampling.
     *
     * Scale shape: one combiner-friendly count per source, one scalar
     * aggregate, one broadcast join of the (tiny) rate table, then a
     * narrow hash filter — no corpus shuffle at all. The rate is rounded
-    * to 6 decimals BEFORE quantization so both engines floor the same
-    * double.
+    * to 6 decimals BEFORE quantization so both engines ceil the same
+    * double. The threshold is ceil(rate·2³²)/2³² over an 8-hex-char
+    * hash slice: the realized keep probability brackets the exact rate
+    * from above by < 2⁻³² (a floor over 16 bits undershoots by up to
+    * 1/65536 and silently drops sources with rate < 1/65536 — the exact
+    * small-source upweighting this operator exists for).
     */
   def mixtureSample(docs: DataFrame, alpha: Double, targetTotal: Long,
                     sourceCol: String = "source", idCol: String = "doc_id",
@@ -47,10 +51,10 @@ object Curation {
         least(lit(1.0),
           round(lit(targetTotal.toDouble) * pow(col("n_src"), lit(alpha)) /
             col("z") / col("n_src"), 6)).as("rate"))
-    val thr = lpad(lower(hex(floor(col("rate") * 65536.0))), 4, "0")
+    val thr = lpad(lower(hex(ceil(col("rate") * 4294967296.0).cast(LongType))), 8, "0")
     docs.join(broadcast(rates), sourceCol)
       .filter(col("rate") >= 1.0 ||
-        substring(md5(concat(lit(salt + ":"), col(idCol).cast(StringType))), 1, 4) < thr)
+        substring(md5(concat(lit(salt + ":"), col(idCol).cast(StringType))), 1, 8) < thr)
       .select(col(idCol), col(sourceCol), col("rate"))
   }
 

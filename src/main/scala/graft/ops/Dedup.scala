@@ -189,8 +189,15 @@ object Dedup {
       .agg(first(col("n_sh")).as("n_sh"),
         sort_array(collect_list(struct(col("df"), col("s")))).as("o"))
       .select(col("doc_id"), col("n_sh"),
+        // the 1e-9 epsilon guards fp64 ceil: for tau whose double repr
+        // rounds above the decimal (0.1, 0.3, ...), tau*n can land one ulp
+        // above an exact integer and ceil would overestimate, silently
+        // shortening the prefix and dropping a pair at exactly J = tau.
+        // Erring downward only lengthens prefixes — more candidates, same
+        // exact output after verification.
         posexplode(slice(col("o"), lit(1),
-          (col("n_sh") - ceil(lit(tau) * col("n_sh")) + 1).cast(IntegerType))))
+          (col("n_sh") - ceil(lit(tau) * col("n_sh") - lit(1e-9)) + 1)
+            .cast(IntegerType))))
       .select(col("doc_id"), col("n_sh"), (col("pos") + 1).as("i"),
         col("col.s").as("s"))
     // candidate pairs with the POSITIONAL filter (Xiao et al. 2008): a
@@ -204,7 +211,7 @@ object Dedup {
         col("i").as("ib"), col("s")), "s")
       .filter(col("doc_a") < col("doc_b"))
       .filter(least(col("na") - col("ia"), col("nb") - col("ib")) + 1 >=
-        ceil(lit(tau / (1.0 + tau)) * (col("na") + col("nb"))))
+        ceil(lit(tau / (1.0 + tau)) * (col("na") + col("nb")) - lit(1e-9)))
       .select(col("doc_a"), col("doc_b")).distinct()
     // verification on the compact arrays: one narrow array_intersect per
     // candidate pair — no pair × shingle row expansion (the exploded

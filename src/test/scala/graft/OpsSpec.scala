@@ -1509,6 +1509,31 @@ class OpsSpec extends AnyFunSuite {
       docsDf(Seq(0L -> "a b c d e", 1L -> "a b c x y")), 0.5).count() === 0L)
   }
 
+  test("prefixFilterPairs thresholds: fp64-safe for ALL tau (PPJoin correctness condition)") {
+    // The operator's exactness rests on two ceil() thresholds never
+    // exceeding the minimal overlap of any pair that passes the final
+    // fp filter `jaccard >= tau`. Computed naively in fp64 that fails:
+    // at tau = 9.0/11, na = 77, ceil(tau*77) = 64, yet a pair with
+    // n_inter = 63 has fp jaccard 63.0/77.0 == tau and must be emitted.
+    // The shipped thresholds subtract 1e-9 before ceil; this property
+    // sweeps tau = p/q grids and sizes and asserts the condition holds.
+    assert(math.ceil((9.0 / 11) * 77) == 64.0) // the naive form DOES overshoot
+    for (tden <- 2 to 40; tnum <- 1 until tden; na <- Seq(5, 11, 63, 77, 143, 500)) {
+      val tau = tnum.toDouble / tden
+      val nb = na // worst case for the positional filter is symmetric
+      // minimal o whose fp jaccard passes the final filter
+      val oMin = (1 to na).find(o => o.toDouble / (na + nb - o) >= tau)
+      oMin.foreach { o =>
+        val prefixReq = math.ceil(tau * na - 1e-9) // shipped prefix threshold
+        assert(prefixReq <= o,
+          s"prefix threshold $prefixReq > minimal passing overlap $o at tau=$tnum/$tden na=$na")
+        val posReq = math.ceil(tau / (1.0 + tau) * (na + nb) - 1e-9)
+        assert(posReq <= o,
+          s"positional threshold $posReq > minimal passing overlap $o at tau=$tnum/$tden na=$na")
+      }
+    }
+  }
+
   test("incrementalMinhash: batch flagged vs store only, no old-text rescan shape, keep-best ties") {
     // store: doc 0 (base) + doc 1 (unrelated); batch: 10 = near-dup of 0,
     // 11 = fresh content, 12 = EXACT copy of base (jaccard 1.0 vs 0)
