@@ -11,13 +11,21 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects unless `spark.sql.legacy.parquet.nanosAsLong` is set.
-    * That conf is a runtime SQL conf, so this reader sets it itself — callers
-    * need no special session setup — and converts the raw nanos back to a
-    * proper timestamp via integer division (a double division would lose
-    * precision above 2^53 ns). If a future dataset ships `ts` as a real
-    * timestamp, the long branch is skipped and the column passes through.
+  /** Normalizes `events.ts` to session-TZ TIMESTAMP regardless of the
+    * physical parquet type the generator happened to emit. Three cases have
+    * been observed across testdata regenerations:
+    *   - TIMESTAMP(NANOS): Spark's vectorized reader rejects it unless
+    *     `spark.sql.legacy.parquet.nanosAsLong` is set (a runtime SQL conf,
+    *     so this reader sets it itself); the raw nanos Long is converted via
+    *     integer division (a double division would lose precision above
+    *     2^53 ns).
+    *   - timestamp[us] without TZ annotation: Spark reads TIMESTAMP_NTZ,
+    *     which `unix_micros`/`withWatermark` reject; cast to TIMESTAMP is
+    *     value-exact under the pinned UTC session timezone.
+    *   - TIMESTAMP: passes through.
+    * `EventsContractSpec` asserts the post-read type is TimestampType so a
+    * future re-type fails loudly in `sbt test` rather than in downstream
+    * queries.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -25,6 +33,8 @@ object Tables {
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

@@ -27,6 +27,19 @@ case class SemFlag(id: Long, cid: Long, dropped: Boolean, dup_of: Long)
   */
 object StreamingOps {
 
+  /** `withWatermark` rejects TIMESTAMP_NTZ event-time columns
+    * (`EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE`), and parquet sources without a
+    * TZ annotation read as NTZ — so every watermark-taking operator here
+    * normalizes its event-time column first (value-exact under the pinned
+    * UTC session timezone; a no-op for TIMESTAMP sources).
+    */
+  private def ensureEventTime(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   /** Streaming kNN: every micro-batch of (qid, qvec) rows is searched
     * against the static index and appended to `sink`.
     */
@@ -46,7 +59,7 @@ object StreamingOps {
                            window_ : String = "1 hour",
                            slide: String = "1 hour",
                            watermark: String = "2 hours"): DataFrame =
-    events
+    ensureEventTime(events, "ts")
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -101,8 +114,8 @@ object StreamingOps {
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
                    within: String, watermark: String): DataFrame = {
-    val l = left.withWatermark(leftTs, watermark)
-    val r = right.withWatermark(rightTs, watermark)
+    val l = ensureEventTime(left, leftTs).withWatermark(leftTs, watermark)
+    val r = ensureEventTime(right, rightTs).withWatermark(rightTs, watermark)
     l.join(r, l(key) === r(key)
       && r(rightTs) >= l(leftTs)
       && r(rightTs) <= l(leftTs) + expr(s"INTERVAL $within"))
@@ -117,7 +130,7 @@ object StreamingOps {
     */
   def streamingDedup(stream: DataFrame, key: String, tsCol: String,
                      watermark: String): DataFrame =
-    stream.withWatermark(tsCol, watermark).dropDuplicates(key)
+    ensureEventTime(stream, tsCol).withWatermark(tsCol, watermark).dropDuplicates(key)
 
   /** Streaming NEAR-duplicate dedup on ingest (MinHash-LSH): each arriving
     * document is shingled, MinHash-signed, and banded with the SAME
