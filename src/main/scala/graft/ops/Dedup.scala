@@ -200,6 +200,13 @@ object Dedup {
             .cast(IntegerType))))
       .select(col("doc_id"), col("n_sh"), (col("pos") + 1).as("i"),
         col("col.s").as("s"))
+      // checkpointed: the self-join below reads this subtree TWICE, and
+      // exchange reuse under AQE is not reliable for it — unchecked, the
+      // df-join + groupBy + posexplode upstream recomputes on both sides
+      // (measured 5-23 s full-pipeline vs 3.6 s with the cut; the
+      // regenerated small-vocabulary corpus made the upstream heavy
+      // enough to expose it)
+      .localCheckpoint(true)
     // candidate pairs with the POSITIONAL filter (Xiao et al. 2008): a
     // prefix match at rare-first positions (i, j) caps the achievable
     // overlap at min(nx−i, ny−j) + 1, and J ≥ tau needs overlap ≥
