@@ -1972,6 +1972,31 @@ object SparkEntry {
         .orderBy("status")
     },
 
+    // JSONL round-trip as an ORACLED query (not just a spec): a documents
+    // slice is written to JSON-lines and read back under an explicit
+    // schema, and the oracle — DuckDB over the ORIGINAL parquet — must
+    // hash-match the re-read values, so JSON escaping of real corpus text
+    // (quotes, unicode, control chars) is verified byte-exact through the
+    // engine's ingest boundary. At 100 TB this is the narrow
+    // export/import path: a partitioned columnar scan → line-delimited
+    // text → schema-enforced parallel re-read, no shuffle anywhere.
+    "q_jsonl_roundtrip" -> { (s, dir) =>
+      val slice = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      slice.write.mode("overwrite").json(out)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text", StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("lang", StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("source", StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("n_chars", LongType, nullable = true)))
+      s.read.schema(schema).json(out)
+        .orderBy("doc_id")
+    },
+
     // value-bucketed histogram (integer bucket arithmetic on doubles —
     // identical bucket assignment in both engines)
     "q_histogram" -> { (s, dir) =>
@@ -4155,6 +4180,12 @@ object SparkEntry {
         |FROM orders
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents
+        |WHERE doc_id % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT lang, rn, doc_id FROM (
