@@ -621,6 +621,42 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // nearest-direction as-of join (pandas merge_asof direction='nearest',
+    // the sensor/feature-alignment variant): per purchase, the click ts
+    // nearest in event time in EITHER direction, ties to the earlier
+    // click. One union + two cumulative windows (backward max, forward
+    // min) — still a single shuffle on user_id, no self-join; at a
+    // billion events per user this is the same bounded-window shape as
+    // q_asof_join. Same-ts clicks sort before the purchase (tag order) so
+    // they count as the backward candidate with delta 0, which the tie
+    // rule then keeps.
+    "q_asof_join_nearest" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("unix_micros(ts)"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), lit(1).as("tag"),
+          col("event_id"), lit(null).cast(LongType).as("click_ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), lit(0).as("tag"),
+          lit(null).cast(LongType).as("event_id"), col("ts_us").as("click_ts_us"))
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("tag"))
+      val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      purchases.unionByName(clicks)
+        .withColumn("prev_click_us", max(col("click_ts_us")).over(wB))
+        .withColumn("next_click_us", min(col("click_ts_us")).over(wF))
+        .filter(col("tag") === 1)
+        .withColumn("nearest_click_us",
+          when(col("prev_click_us").isNull, col("next_click_us"))
+            .when(col("next_click_us").isNull, col("prev_click_us"))
+            .when(col("ts_us") - col("prev_click_us") <=
+              col("next_click_us") - col("ts_us"), col("prev_click_us"))
+            .otherwise(col("next_click_us")))
+        .select(col("event_id"), col("user_id"),
+          col("ts_us").as("purchase_ts_us"), col("nearest_click_us"))
+        .orderBy("event_id")
+    },
+
     // ---- dedup: MinHash + LSH with exact-Jaccard verification ----
 
     "dedup_minhash" -> { (s, dir) =>
@@ -3156,6 +3192,30 @@ object SparkEntry {
         |    ORDER BY ts_us, tag ROWS UNBOUNDED PRECEDING) AS last_click_us
         |  FROM u)
         |SELECT event_id, user_id, ts_us AS purchase_ts_us, last_click_us
+        |FROM w WHERE tag = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q_asof_join_nearest" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, 1 AS tag, event_id,
+        |         NULL::BIGINT AS click_ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 0, NULL, epoch_us(ts)
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT *,
+        |    MAX(click_ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, tag ROWS UNBOUNDED PRECEDING) AS prev_click_us,
+        |    MIN(click_ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, tag
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click_us
+        |  FROM u)
+        |SELECT event_id, user_id, ts_us AS purchase_ts_us,
+        |  CASE WHEN prev_click_us IS NULL THEN next_click_us
+        |       WHEN next_click_us IS NULL THEN prev_click_us
+        |       WHEN ts_us - prev_click_us <= next_click_us - ts_us THEN prev_click_us
+        |       ELSE next_click_us END AS nearest_click_us
         |FROM w WHERE tag = 1
         |ORDER BY event_id""".stripMargin,
 
