@@ -631,29 +631,15 @@ object SparkEntry {
     // they count as the backward candidate with delta 0, which the tie
     // rule then keeps.
     "q_asof_join_nearest" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, dir).withColumn("ts_us", expr("unix_micros(ts)"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_us"), lit(1).as("tag"),
-          col("event_id"), lit(null).cast(LongType).as("click_ts_us"))
+        .select(col("event_id"), col("user_id"), col("ts_us"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts_us"), lit(0).as("tag"),
-          lit(null).cast(LongType).as("event_id"), col("ts_us").as("click_ts_us"))
-      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("tag"))
-      val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      purchases.unionByName(clicks)
-        .withColumn("prev_click_us", max(col("click_ts_us")).over(wB))
-        .withColumn("next_click_us", min(col("click_ts_us")).over(wF))
-        .filter(col("tag") === 1)
-        .withColumn("nearest_click_us",
-          when(col("prev_click_us").isNull, col("next_click_us"))
-            .when(col("next_click_us").isNull, col("prev_click_us"))
-            .when(col("ts_us") - col("prev_click_us") <=
-              col("next_click_us") - col("ts_us"), col("prev_click_us"))
-            .otherwise(col("next_click_us")))
+        .select(col("user_id"), col("ts_us"))
+      AsofJoin.asofJoinNearest(purchases, clicks, "user_id", "ts_us", "ts_us")
         .select(col("event_id"), col("user_id"),
-          col("ts_us").as("purchase_ts_us"), col("nearest_click_us"))
+          col("ts_us").as("purchase_ts_us"),
+          col("asof_ts").as("nearest_click_us"))
         .orderBy("event_id")
     },
 

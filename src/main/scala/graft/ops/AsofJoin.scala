@@ -144,4 +144,60 @@ object AsofJoin {
         coalesce(col(s"__in_$c"), col("__fb").getField(s"__rv_$c")).as(s"asof_$c")
       }: _*)
   }
+
+  /** Nearest-direction as-of join (pandas `merge_asof(direction=
+    * 'nearest')` — the sensor/feature-alignment variant): for every left
+    * row, the right row with the same key whose timestamp is nearest in
+    * EITHER direction; equidistant ties go to the earlier (at-or-before)
+    * right row. Same union trick and the same single key shuffle as
+    * [[asofJoin]], with TWO cumulative windows over one sort: backward
+    * `last(ignoreNulls)` gives the at-or-before candidate, forward
+    * `first(ignoreNulls)` the strictly-after candidate, and a narrow
+    * projection picks by |Δts|. A right row tying the left timestamp
+    * sorts first (tag order), so it is the backward candidate with Δ = 0
+    * and always wins.
+    *
+    * Output: left columns + `asof_ts` (the chosen right timestamp, null
+    * when the key has no right rows) + `asof_<col>` for each carried
+    * value column.
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String,
+                      rightVals: Seq[String] = Seq.empty): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rvStruct = struct((col("__ts").as("__rts") +:
+      rightVals.map(c => col(s"__rv_$c"))): _*)
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__tag", lit(1))
+      .select((leftCols.map(col) :+ col("__ts") :+ col("__tag")) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__rv_$c")): _*)
+    val rFixed = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__tag", lit(0))
+      .select((leftCols.map { c =>
+        if (c == key) col(key).as(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)
+      } :+ col("__ts") :+ col("__tag")) ++
+        rightVals.map(c => col(c).as(s"__rv_$c")): _*)
+    // deterministic order under right-ts ties: carried values break them,
+    // same as asofJoin
+    val ord = Window.partitionBy(col(key))
+      .orderBy((col("__ts") +: col("__tag") +: rightVals.map(c => col(s"__rv_$c"))): _*)
+    val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val u = l.unionByName(rFixed)
+      .withColumn("__r", when(col("__tag") === 0, rvStruct))
+      .withColumn("__prev", last(col("__r"), ignoreNulls = true).over(wB))
+      .withColumn("__next", first(col("__r"), ignoreNulls = true).over(wF))
+    val chosen = when(col("__prev").isNull, col("__next"))
+      .when(col("__next").isNull, col("__prev"))
+      .when(col("__ts") - col("__prev").getField("__rts") <=
+        col("__next").getField("__rts") - col("__ts"), col("__prev"))
+      .otherwise(col("__next"))
+    u.filter(col("__tag") === 1)
+      .withColumn("__c", chosen)
+      .select(leftCols.map(col) ++ (col("__c").getField("__rts").as("asof_ts") +:
+        rightVals.map(c => col("__c").getField(s"__rv_$c").as(s"asof_$c"))): _*)
+  }
 }

@@ -996,6 +996,35 @@ class OpsSpec extends AnyFunSuite {
     assert(picks.head === 7.5)
   }
 
+  test("asofJoinNearest picks the nearer direction; equidistant and same-ts ties go backward") {
+    import org.apache.spark.sql.types._
+    val ls = StructType(Seq(StructField("k", LongType), StructField("lts", LongType),
+      StructField("lid", LongType)))
+    val rs = StructType(Seq(StructField("k", LongType), StructField("rts", LongType),
+      StructField("price", DoubleType)))
+    val left = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, 10L, 100L), // prev at 8 (d=2) beats next at 15 (d=5)
+      Row(1L, 14L, 101L), // next at 15 (d=1) beats prev at 8 (d=6)
+      Row(1L, 3L, 102L),  // nothing before → next at 8
+      Row(2L, 50L, 103L), // nothing after → prev at 40
+      Row(3L, 10L, 104L), // equidistant 5 vs 15 → backward (5)
+      Row(4L, 10L, 105L), // same-ts right row → Δ=0 backward win
+      Row(5L, 10L, 106L)  // no right rows at all → null
+    ), ls)
+    val right = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, 8L, 1.0), Row(1L, 15L, 2.0), Row(2L, 40L, 3.0),
+      Row(3L, 5L, 4.0), Row(3L, 15L, 5.0), Row(4L, 10L, 6.0), Row(4L, 30L, 7.0)), rs)
+    val got = graft.ops.AsofJoin.asofJoinNearest(left, right, "k", "lts", "rts", Seq("price"))
+      .collect().map(r => r.getLong(2) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(got(100L) === (Some(8L), Some(1.0)))
+    assert(got(101L) === (Some(15L), Some(2.0)))
+    assert(got(102L) === (Some(8L), Some(1.0)))
+    assert(got(103L) === (Some(40L), Some(3.0)))
+    assert(got(104L) === (Some(5L), Some(4.0)))   // equidistant → earlier
+    assert(got(105L) === (Some(10L), Some(6.0)))  // Δ=0 backward
+    assert(got(106L) === (None, None))
+  }
+
   test("repetition: topNgram kernel ≡ scalar reference, ties lex-min, short docs zero, no shuffle") {
     // scalar reference over deterministic pseudo-random token streams
     val rng = new scala.util.Random(42)
