@@ -621,6 +621,27 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // tolerance-bounded as-of join (pandas merge_asof tolerance=...): the
+    // backward match is DISCARDED when staler than 30 minutes — the
+    // feature-store freshness rule (a stale feature is worse than a null
+    // one). Same plan as q_asof_join; the tolerance is a narrow
+    // projection on the carried match timestamp, zero extra shuffles.
+    "q_asof_join_tolerance" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("unix_micros(ts)"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"))
+      val tolUs = 1800L * 1000000L
+      AsofJoin.asofJoin(purchases, clicks, "user_id", "ts_us", "ts_us",
+          Seq("ts_us"))
+        .select(col("event_id"), col("user_id"),
+          col("ts_us").as("purchase_ts_us"),
+          when(col("ts_us") - col("asof_ts_us") <= tolUs, col("asof_ts_us"))
+            .as("fresh_click_us"))
+        .orderBy("event_id")
+    },
+
     // nearest-direction as-of join (pandas merge_asof direction='nearest',
     // the sensor/feature-alignment variant): per purchase, the click ts
     // nearest in event time in EITHER direction, ties to the earlier
@@ -3178,6 +3199,24 @@ object SparkEntry {
         |    ORDER BY ts_us, tag ROWS UNBOUNDED PRECEDING) AS last_click_us
         |  FROM u)
         |SELECT event_id, user_id, ts_us AS purchase_ts_us, last_click_us
+        |FROM w WHERE tag = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q_asof_join_tolerance" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, 1 AS tag, event_id,
+        |         NULL::BIGINT AS click_ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 0, NULL, epoch_us(ts)
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT *, MAX(click_ts_us) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, tag ROWS UNBOUNDED PRECEDING) AS last_click_us
+        |  FROM u)
+        |SELECT event_id, user_id, ts_us AS purchase_ts_us,
+        |  CASE WHEN ts_us - last_click_us <= 1800000000 THEN last_click_us
+        |  END AS fresh_click_us
         |FROM w WHERE tag = 1
         |ORDER BY event_id""".stripMargin,
 
