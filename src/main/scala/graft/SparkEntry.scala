@@ -664,6 +664,25 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // the skew-safe formulation of the nearest as-of join: symmetric
+    // range-bucketed two-pass (AsofJoin.asofJoinNearestBucketed) — same
+    // oracle as q_asof_join_nearest because the plans are semantically
+    // identical; this one survives a single user_id holding 10⁹ events
+    // (no window keyed on the raw user_id alone). Bucket = 1 day.
+    "q_asof_join_nearest_bucketed" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("unix_micros(ts)"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"))
+      AsofJoin.asofJoinNearestBucketed(purchases, clicks, "user_id",
+          "ts_us", "ts_us", Seq.empty, bucketWidth = 86400000000L)
+        .select(col("event_id"), col("user_id"),
+          col("ts_us").as("purchase_ts_us"),
+          col("asof_ts").as("nearest_click_us"))
+        .orderBy("event_id")
+    },
+
     // ---- dedup: MinHash + LSH with exact-Jaccard verification ----
 
     "dedup_minhash" -> { (s, dir) =>
@@ -3221,6 +3240,30 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
 
     "q_asof_join_nearest" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, 1 AS tag, event_id,
+        |         NULL::BIGINT AS click_ts_us
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, epoch_us(ts), 0, NULL, epoch_us(ts)
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT *,
+        |    MAX(click_ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, tag ROWS UNBOUNDED PRECEDING) AS prev_click_us,
+        |    MIN(click_ts_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, tag
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_click_us
+        |  FROM u)
+        |SELECT event_id, user_id, ts_us AS purchase_ts_us,
+        |  CASE WHEN prev_click_us IS NULL THEN next_click_us
+        |       WHEN next_click_us IS NULL THEN prev_click_us
+        |       WHEN ts_us - prev_click_us <= next_click_us - ts_us THEN prev_click_us
+        |       ELSE next_click_us END AS nearest_click_us
+        |FROM w WHERE tag = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q_asof_join_nearest_bucketed" ->
       """WITH u AS (
         |  SELECT user_id, epoch_us(ts) AS ts_us, 1 AS tag, event_id,
         |         NULL::BIGINT AS click_ts_us

@@ -200,4 +200,93 @@ object AsofJoin {
       .select(leftCols.map(col) ++ (col("__c").getField("__rts").as("asof_ts") +:
         rightVals.map(c => col("__c").getField(s"__rv_$c").as(s"asof_$c"))): _*)
   }
+
+  /** Skew-safe [[asofJoinNearest]] — the same two-pass range-bucketing as
+    * [[asofJoinBucketed]], applied SYMMETRICALLY: pass 1 finds both
+    * in-bucket candidates with windows bounded by rows-per-bucket; pass 2
+    * carries per-(key, bucket) summaries in BOTH directions — the
+    * backward candidate as the latest summary at-or-before bucket B−1
+    * (max(struct), carried forward), the forward candidate as the
+    * earliest summary at-or-after bucket B+1 (min(struct), carried
+    * backward over a descending bucket order). An in-bucket hit always
+    * beats the carried one on |Δts| by construction (any same-bucket ts
+    * is strictly nearer than any other-bucket ts on its side), so
+    * `coalesce(in-bucket, carried)` per side reproduces
+    * [[asofJoinNearest]] bit-for-bit (dual-planned in the spec). No
+    * window is keyed on the raw join key alone.
+    */
+  def asofJoinNearestBucketed(left: DataFrame, right: DataFrame, key: String,
+                              leftTs: String, rightTs: String,
+                              rightVals: Seq[String],
+                              bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val leftCols = left.columns.toSeq
+    val rvStruct = struct((col("__ts").as("__rts") +:
+      rightVals.map(c => col(s"__rv_$c"))): _*)
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__b", floorDiv(col(leftTs), bucketWidth))
+      .withColumn("__tag", lit(1))
+      .select((leftCols.map(col) :+ col("__ts") :+ col("__b") :+ col("__tag")) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__rv_$c")): _*)
+    val rFixed = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__b", floorDiv(col(rightTs), bucketWidth))
+      .withColumn("__tag", lit(0))
+      .select((leftCols.map { c =>
+        if (c == key) col(key).as(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)
+      } :+ col("__ts") :+ col("__b") :+ col("__tag")) ++
+        rightVals.map(c => col(c).as(s"__rv_$c")): _*)
+    // ---- pass 1: both in-bucket candidates, windows bounded per bucket ----
+    val ordIn = Window.partitionBy(col(key), col("__b"))
+      .orderBy((col("__ts") +: col("__tag") +: rightVals.map(c => col(s"__rv_$c"))): _*)
+    val inBucket = l.unionByName(rFixed)
+      .withColumn("__r", when(col("__tag") === 0, rvStruct))
+      .withColumn("__inPrev", last(col("__r"), ignoreNulls = true)
+        .over(ordIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__inNext", first(col("__r"), ignoreNulls = true)
+        .over(ordIn.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("__tag") === 1)
+    // ---- pass 2: per-(key, bucket) summaries carried in BOTH directions ----
+    val rr = rFixed.withColumn("__r", rvStruct)
+    val prevSums = rr.groupBy(col(key), col("__b"))
+      .agg(max(col("__r")).as("__s"))
+      .select(col(key), col("__b").as("__sb"), lit(0).as("__btag"), col("__s"))
+    val nextSums = rr.groupBy(col(key), col("__b"))
+      .agg(min(col("__r")).as("__s"))
+      .select(col(key), col("__b").as("__sb"), lit(0).as("__btag"), col("__s"))
+    val askBuckets = inBucket.select(col(key), col("__b")).distinct()
+    val sType = prevSums.schema("__s").dataType
+    def carried(sums: DataFrame, askAt: Column, descending: Boolean): DataFrame = {
+      val asks = askBuckets.select(col(key), col("__b"), askAt.as("__sb"),
+        lit(1).as("__btag"), lit(null).cast(sType).as("__s"))
+      val w = Window.partitionBy(col(key))
+        .orderBy(if (descending) col("__sb").desc else col("__sb").asc, col("__btag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sums.select(col(key), lit(null).cast("long").as("__b"), col("__sb"),
+          col("__btag"), col("__s"))
+        .unionByName(asks)
+        .withColumn("__fb", last(col("__s"), ignoreNulls = true).over(w))
+        .filter(col("__btag") === 1)
+        .select(col(key), col("__b"), col("__fb"))
+    }
+    val carrPrev = carried(prevSums, col("__b") - 1, descending = false)
+      .withColumnRenamed("__fb", "__cPrev")
+    val carrNext = carried(nextSums, col("__b") + 1, descending = true)
+      .withColumnRenamed("__fb", "__cNext")
+    // ---- stitch: in-bucket hit wins its side; then pick by |Δts| ----
+    val prevC = coalesce(col("__inPrev"), col("__cPrev"))
+    val nextC = coalesce(col("__inNext"), col("__cNext"))
+    val chosen = when(prevC.isNull, nextC)
+      .when(nextC.isNull, prevC)
+      .when(col("__ts") - prevC.getField("__rts") <=
+        nextC.getField("__rts") - col("__ts"), prevC)
+      .otherwise(nextC)
+    inBucket.join(carrPrev, Seq(key, "__b"), "left")
+      .join(carrNext, Seq(key, "__b"), "left")
+      .withColumn("__c", chosen)
+      .select(leftCols.map(col) ++ (col("__c").getField("__rts").as("asof_ts") +:
+        rightVals.map(c => col("__c").getField(s"__rv_$c").as(s"asof_$c"))): _*)
+  }
 }

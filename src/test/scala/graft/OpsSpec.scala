@@ -1214,6 +1214,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofJoinNearestBucketed ≡ asofJoinNearest (dual-plan, several widths, hot key)") {
+    import org.apache.spark.sql.types._
+    val ls = StructType(Seq(StructField("k", LongType), StructField("lts", LongType),
+      StructField("lid", LongType)))
+    val rs = StructType(Seq(StructField("k", LongType), StructField("rts", LongType),
+      StructField("price", DoubleType)))
+    // key 1 is hot (200 left rows, 62 right incl. same-ts ties); key 2 has
+    // only-before and only-after edges; negative timestamps exercise the
+    // floor-toward-minus-infinity bucketing
+    val lRows = (0 until 200).map(i => Row(1L, (i * 7L) - 350L, i.toLong)) ++
+      Seq(Row(2L, 10L, 900L), Row(2L, -10L, 901L), Row(3L, 5L, 902L))
+    val rRows = (0 until 60).map(i => Row(1L, (i * 23L) - 340L, i * 1.25)) ++
+      Seq(Row(1L, 10L, 5.0), Row(1L, 10L, 6.0), Row(2L, 0L, 9.9))
+    val left = spark.createDataFrame(java.util.Arrays.asList(lRows: _*), ls)
+    val right = spark.createDataFrame(java.util.Arrays.asList(rRows: _*), rs)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("lid").collect().map(r =>
+        (r.getLong(2), Option(r.get(3)), Option(r.get(4)))).toSeq
+    val plain = canon(graft.ops.AsofJoin.asofJoinNearest(
+      left, right, "k", "lts", "rts", Seq("price")))
+    // key 3 has no right rows at all → nearest must be null
+    assert(plain.find(_._1 == 902L).get._2 === None)
+    for (w <- Seq(1L, 13L, 100L, 1000000L)) {
+      val bucketed = canon(graft.ops.AsofJoin.asofJoinNearestBucketed(
+        left, right, "k", "lts", "rts", Seq("price"), bucketWidth = w))
+      assert(bucketed === plain, s"bucketWidth=$w diverged from window plan")
+    }
+  }
+
   test("multimodal: batched feature extraction preserves rows, bytes, determinism") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val media = Multimodal.mediaFromDocuments(docs)
