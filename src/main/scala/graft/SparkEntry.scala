@@ -23,6 +23,22 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Per-JVM scratch dir for `q_jsonl_roundtrip`, recursively deleted by a
+    * shutdown hook — `mode("overwrite")` reuses it across bench reps
+    * instead of leaking one JSON copy of the slice per invocation.
+    */
+  private[graft] lazy val jsonlScratch: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      catch { case _: Throwable => () }
+    }))
+    p.toString
+  }
+
   /** Shared recall-verdict scaffolding for the seeded-ANN queries:
     * per-query overlap-with-exact counts (the one definition of the
     * gating semantics — `ann_ivfpq_residual`, `ann_pq_kmeans`, and
@@ -2047,7 +2063,9 @@ object SparkEntry {
         .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars"))
-      val out = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+      // one fixed scratch dir per JVM, deleted on exit: a fresh temp dir
+      // per invocation leaked a JSON copy of the slice per bench rep
+      val out = SparkEntry.jsonlScratch
       slice.write.mode("overwrite").json(out)
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id", LongType, nullable = false),

@@ -29,6 +29,12 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→TIMESTAMP cast below (and StreamingOps.ensureEventTime) is
+    // value-exact ONLY under a UTC session timezone; a session built
+    // without the pin would silently shift every instant. Self-set it
+    // here (runtime SQL conf, same pattern as nanosAsLong) so the read
+    // boundary doesn't depend on every entrypoint remembering the config.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = apply(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -20,6 +20,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // refuse to run the gate against silently re-typed testdata (r7/r8
+    // both shipped red artifacts this way); throws with each changed
+    // column named — see graft.tools.SchemaGate
+    graft.tools.SchemaGate.check(sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only.contains(name) }

@@ -59,12 +59,20 @@ object AsofJoin {
       .select(leftCols.map(col) ++ rightVals.map(c => col(s"asof_$c")): _*)
   }
 
-  /** Floor division that is exact for the full long range (no double
-    * round-trip) and floors toward −∞ (a plain `div` truncates toward 0,
-    * which mis-buckets negative timestamps).
+  /** Floor division that is exact for the full long range and floors
+    * toward −∞ (a plain `div` truncates toward 0, which mis-buckets
+    * negative timestamps). `ts - pmod(ts, w)` is an exact multiple of `w`,
+    * and the quotient is taken with Catalyst's `IntegralDivide` (SQL
+    * `div`) so the arithmetic never leaves long — Spark's `/` on longs is
+    * DOUBLE division, which above 2^53 (e.g. nanosecond epochs) can land
+    * one bucket off after the cast.
     */
-  private def floorDiv(ts: Column, width: Long): Column =
-    ((ts - pmod(ts, lit(width))) / lit(width)).cast("long")
+  private def floorDiv(ts: Column, width: Long): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{IntegralDivide, Literal}
+    val shifted = GraftBridge.expression(ts - pmod(ts, lit(width)))
+    GraftBridge.column(new IntegralDivide(shifted, Literal(width)))
+  }
 
   /** Skew-safe [[asofJoin]]: identical semantics, but no window keyed on
     * the raw join key. `Window.partitionBy(key)` puts one key's ENTIRE

@@ -31,11 +31,20 @@ for p in sorted(glob.glob(f"{sfdir}/*.parquet")):
     name = os.path.basename(p)[:-8]
     current[name] = {f.name: str(f.type) for f in pq.read_schema(p)}
 
-if update or not os.path.exists(snap_path):
+if update:
     with open(snap_path, "w") as f:
         json.dump(current, f, indent=2, sort_keys=True)
     print(f"snapshot written: {snap_path}")
     sys.exit(0)
+
+if not os.path.exists(snap_path):
+    # a missing snapshot is the one state where the tripwire MUST scream:
+    # silently rewriting it here would pass trivially on a bad checkout
+    print(f"ERROR: snapshot file absent: {snap_path}")
+    print("The drift gate cannot run without its committed baseline.")
+    print("Restore it from git, or (only if intentionally re-baselining)")
+    print(f"run: python3 tools/lint_schema_drift.py {sfdir} --update")
+    sys.exit(2)
 
 with open(snap_path) as f:
     want = json.load(f)
