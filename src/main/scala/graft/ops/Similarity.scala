@@ -229,7 +229,8 @@ object Similarity {
     */
   def gemmTopK(vectors: DataFrame, queries: DataFrame, k: Int,
                blockRows: Int = 1024, maxQueries: Int = 65536,
-               metric: String = "l2", storage: String = "fp32"): DataFrame = {
+               metric: String = "l2", storage: String = "fp32",
+               compute: String = "fp64"): DataFrame = {
     val q = queries.select(col("qid"), col("qv"))
     // limit(max+1): the probe is no more work than the old unconditional
     // collect when the set is small, and detects oversize without a count
@@ -243,7 +244,7 @@ object Similarity {
     }
     gemmTopKRows(vectors,
       probe.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)), k, blockRows,
-      metric, storage)
+      metric, storage, compute)
   }
 
   /** The GEMM core over an already-collected query array.
@@ -257,10 +258,23 @@ object Similarity {
     * three, and un-negate on emission. The fp64 term order matches the
     * codegen expression kernels exactly, so either physical path produces
     * bit-identical scores.
+    *
+    * `compute = "fp32"` switches the dot-product matrix to netlib `sgemm`
+    * over float-packed blocks — HALF the GEMM memory traffic of the
+    * fp64-widened default, the Spark analog of the reference's
+    * reduced-precision-multiply/tile play
+    * (`shaders/simdgroup_gemm.metal:7-14,47-50`: half multiplies, fp32
+    * accumulate). Norms still accumulate in fp64 (an O(n·d) side pass vs
+    * the O(n·d·nq) GEMM) and the epilogue combines in fp64, so only the
+    * dot carries fp32 rounding — `GemmComputeSpec` pins agreement with
+    * the fp64 path (the forced-MPS-style dual-path analog,
+    * `tests/test_metal_flat.mm:270-307`). Default stays fp64: the oracled
+    * queries need bit-parity with the expression path.
     */
   private def gemmTopKRows(vectors: DataFrame, qArr: Array[(Long, Array[Float])],
                            k: Int, blockRows: Int, metric: String = "l2",
-                           storage: String = "fp32"): DataFrame = {
+                           storage: String = "fp32",
+                           compute: String = "fp64"): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val mCode = metric match {
@@ -270,19 +284,28 @@ object Similarity {
       case other => throw new IllegalArgumentException(s"unknown metric $other")
     }
     require(Seq("fp32", "f16", "bf16").contains(storage), s"unknown storage $storage")
+    require(Seq("fp64", "fp32").contains(compute), s"unknown compute $compute")
     val qRows = qArr.sortBy(_._1)
     require(qRows.nonEmpty, "gemmTopKRows needs at least one query")
     val d = qRows.head._2.length
     val nq = qRows.length
-    val qFlat = new Array[Double](nq * d)
+    // exactly one of the two Q packings is populated — the other ships as
+    // a zero-length array so the broadcast doesn't pay for both
+    val fp32 = compute == "fp32"
+    val qFlat = new Array[Double](if (fp32) 0 else nq * d)
+    val qFlatF = new Array[Float](if (fp32) nq * d else 0)
     val qNorm = new Array[Double](nq)
     qRows.zipWithIndex.foreach { case ((_, qv), j) =>
       var t = 0; var acc = 0.0
-      while (t < d) { val x = qv(t).toDouble; qFlat(j * d + t) = x; acc += x * x; t += 1 }
+      while (t < d) {
+        val x = qv(t).toDouble
+        if (fp32) qFlatF(j * d + t) = qv(t) else qFlat(j * d + t) = x
+        acc += x * x; t += 1
+      }
       qNorm(j) = acc
     }
     val qids = qRows.map(_._1)
-    val bc = spark.sparkContext.broadcast((qFlat, qNorm, qids, d))
+    val bc = spark.sparkContext.broadcast((qFlat, qFlatF, qNorm, qids, d, fp32))
 
     // the partition kernel over fp32 rows; reduced-precision storage
     // decodes each 16-bit row to fp32 JUST before packing (the scan —
@@ -290,7 +313,7 @@ object Similarity {
     // reduced-precision GEMM-tile play, shaders/simdgroup_gemm.metal:262-370)
     val core: Iterator[(Long, Array[Float])] => Iterator[(Long, Long, Double)] =
       { it =>
-        val (qf, qn, ids, dim) = bc.value
+        val (qf, qff, qn, ids, dim, fp32c) = bc.value
         val nQ = ids.length
         val qNormSqrt = qn.map(math.sqrt)
         val blas = dev.ludovic.netlib.blas.BLAS.getInstance()
@@ -326,21 +349,27 @@ object Similarity {
             }
           }
         }
-        val vFlat = new Array[Double](blockRows * dim)
+        val vFlat = new Array[Double](if (fp32c) 0 else blockRows * dim)
+        val vFlatF = new Array[Float](if (fp32c) blockRows * dim else 0)
         val vNorm = new Array[Double](blockRows)
         val vIds = new Array[Long](blockRows)
-        val dots = new Array[Double](blockRows * nQ)
+        val dots = new Array[Double](if (fp32c) 0 else blockRows * nQ)
+        val dotsF = new Array[Float](if (fp32c) blockRows * nQ else 0)
         def flush(rows: Int): Unit = if (rows > 0) {
           // column-major: C (nq × rows) = Qᵀ(nq × d) · V(d × rows);
           // C[(i)*nq + j] = dot(q_j, v_i)
-          blas.dgemm("T", "N", nQ, rows, dim, 1.0, qf, dim, vFlat, dim,
-            0.0, dots, nQ)
+          if (fp32c)
+            blas.sgemm("T", "N", nQ, rows, dim, 1.0f, qff, dim, vFlatF, dim,
+              0.0f, dotsF, nQ)
+          else
+            blas.dgemm("T", "N", nQ, rows, dim, 1.0, qf, dim, vFlat, dim,
+              0.0, dots, nQ)
           var i = 0
           while (i < rows) {
             val vNormSqrt = if (mCode == 2) math.sqrt(vNorm(i)) else 0.0
             var j = 0
             while (j < nQ) {
-              val dot = dots(i * nQ + j)
+              val dot = if (fp32c) dotsF(i * nQ + j).toDouble else dots(i * nQ + j)
               // descending metrics negated → single ascending buffer order
               val s = mCode match {
                 case 0 => vNorm(i) + qn(j) - 2.0 * dot
@@ -357,12 +386,18 @@ object Similarity {
         it.foreach { case (id, vec) =>
           var t = 0; var acc = 0.0
           while (t < dim && t < vec.length) {
-            val x = vec(t).toDouble; vFlat(fill * dim + t) = x; acc += x * x; t += 1
+            val x = vec(t).toDouble
+            if (fp32c) vFlatF(fill * dim + t) = vec(t)
+            else vFlat(fill * dim + t) = x
+            acc += x * x; t += 1
           }
-          // zero-pad short vectors: vFlat slots are REUSED across blocks,
-          // so leftover components from a previous block would otherwise
-          // leak into the dot product silently
-          while (t < dim) { vFlat(fill * dim + t) = 0.0; t += 1 }
+          // zero-pad short vectors: the flat slots are REUSED across
+          // blocks, so leftover components from a previous block would
+          // otherwise leak into the dot product silently
+          while (t < dim) {
+            if (fp32c) vFlatF(fill * dim + t) = 0f else vFlat(fill * dim + t) = 0.0
+            t += 1
+          }
           vNorm(fill) = acc; vIds(fill) = id; fill += 1
           if (fill == blockRows) { flush(fill); fill = 0 }
         }

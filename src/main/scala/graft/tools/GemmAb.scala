@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Interleaved A/B for the medium-768d GEMM shape (100k vectors × 768d,
+  * nq=10, k=10) — the one bandwidth-bound workload whose best-of-3
+  * full-run cells have swung 3× on unchanged code twice (r3, r9). A 2×
+  * code effect cannot hide from this design: the two variants alternate
+  * WITHIN one JVM session on the same cached data, ≥10 reps each, with
+  * the A/B order flipped every rep so slow drift (JIT state, box load)
+  * cancels instead of biasing one arm.
+  *
+  * Arms: fp64 `dgemm` (the default oracle-parity path) vs fp32 `sgemm`
+  * (half the GEMM memory traffic — the reference's reduced-precision
+  * compute idea, `shaders/simdgroup_gemm.metal:7-14,47-50`).
+  *
+  * `sbt "runMain graft.tools.GemmAb [nv] [d] [nq] [k] [reps]"`
+  */
+object GemmAb {
+  def main(args: Array[String]): Unit = {
+    val nv = args.lift(0).map(_.toInt).getOrElse(100000)
+    val d = args.lift(1).map(_.toInt).getOrElse(768)
+    val nq = args.lift(2).map(_.toInt).getOrElse(10)
+    val k = args.lift(3).map(_.toInt).getOrElse(10)
+    val reps = args.lift(4).map(_.toInt).getOrElse(12)
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def gen(n: Int, dd: Int, seed: Long) = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(n)(Array.fill(dd)(rnd.nextFloat() * 2f - 1f))
+    }
+    // cache + materialize the corpus once: the A/B isolates GEMM compute,
+    // which is exactly the axis the two arms differ on
+    val vdf = spark.sparkContext
+      .parallelize(gen(nv, d, 42L).zipWithIndex.map { case (v, i) => (i.toLong, v) }, 32)
+      .toDF("id", "vec").localCheckpoint()
+    val qdf = gen(nq, d, 99L).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("qid", "qv").localCheckpoint()
+
+    def run(compute: String): Double = {
+      val t0 = System.nanoTime()
+      graft.ops.Similarity.gemmTopK(vdf, qdf, k, metric = "l2", compute = compute).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // untimed warmup of BOTH arms (codegen + netlib load)
+    run("fp64"); run("fp32")
+
+    val t64 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val t32 = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (rep <- 1 to reps) {
+      if (rep % 2 == 1) { t64 += run("fp64"); t32 += run("fp32") }
+      else { t32 += run("fp32"); t64 += run("fp64") }
+    }
+    def stats(ts: Seq[Double]): (Double, Double, Double) = {
+      val s = ts.sorted
+      (s(s.size / 2), s(s.size / 4), s((s.size * 3) / 4))
+    }
+    val (m64, q64a, q64b) = stats(t64.toSeq)
+    val (m32, q32a, q32b) = stats(t32.toSeq)
+    val msq64 = m64 * 1000 / nq
+    val msq32 = m32 * 1000 / nq
+    println(f"shape nv=$nv d=$d nq=$nq k=$k reps=$reps (interleaved, order-flipped)")
+    println(f"dgemm(fp64): median ${m64}%.3f s  IQR [${q64a}%.3f, ${q64b}%.3f]  ${msq64}%.1f ms/search")
+    println(f"sgemm(fp32): median ${m32}%.3f s  IQR [${q32a}%.3f, ${q32b}%.3f]  ${msq32}%.1f ms/search")
+    println(f"speedup dgemm/sgemm: ${m64 / m32}%.2fx")
+    println(s"""{"shape":"${nv}x${d}q${nq}k$k","dgemm_median_sec":${f"$m64%.4f"},"sgemm_median_sec":${f"$m32%.4f"},"dgemm_iqr":[${f"$q64a%.4f"},${f"$q64b%.4f"}],"sgemm_iqr":[${f"$q32a%.4f"},${f"$q32b%.4f"}],"speedup":${f"${m64 / m32}%.3f"},"reps":$reps}""")
+    spark.stop()
+  }
+}
