@@ -3552,15 +3552,25 @@ object SparkEntry {
          |FROM s ORDER BY doc_id""".stripMargin
     },
 
+    // Exact global-top-20 cosine pairs, two-stage for sf1 scale: native
+    // fp32 cosine pre-filter keeps everything within 1e-4 of the 200th
+    // approx score (threshold-based, NOT LIMIT-based — exact-duplicate
+    // pairs all sit at cos=1.0 within fp32 noise of each other, and a
+    // hard top-200 heap could drop the (i,j)-smallest ones the exact
+    // rank keeps), then the exact fp64 formula re-scores survivors.
     "dedup_embedding_cosine" ->
-      """WITH e AS (SELECT i, j, UNNEST(av) AS ae, UNNEST(bv) AS be FROM (
-        |  SELECT a.vec_id AS i, b.vec_id AS j, a.embedding AS av, b.embedding AS bv
-        |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)),
-        |p AS (SELECT i, j,
-        |  SUM(CAST(ae AS DOUBLE)*CAST(be AS DOUBLE)) /
-        |    (SQRT(SUM(CAST(ae AS DOUBLE)*CAST(ae AS DOUBLE))) *
-        |     SQRT(SUM(CAST(be AS DOUBLE)*CAST(be AS DOUBLE)))) AS cos
-        |  FROM e GROUP BY 1, 2),
+      """WITH a AS (SELECT vec_id, embedding, embedding::FLOAT[64] AS arr FROM embeddings),
+        |approx AS MATERIALIZED (
+        |  SELECT x.vec_id AS i, y.vec_id AS j, array_cosine_similarity(x.arr, y.arr) AS ascore
+        |  FROM a x JOIN a y ON x.vec_id < y.vec_id),
+        |thr AS (SELECT MIN(ascore) AS t FROM (SELECT ascore FROM approx ORDER BY ascore DESC LIMIT 200)),
+        |cand AS (SELECT i, j FROM approx WHERE ascore >= (SELECT t FROM thr) - 1e-4),
+        |p AS (SELECT c.i, c.j,
+        |  list_sum(list_transform(list_zip(x.embedding, y.embedding),
+        |    t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) /
+        |  (SQRT(list_sum(list_transform(x.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)))) *
+        |   SQRT(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+        |  FROM cand c JOIN a x ON c.i = x.vec_id JOIN a y ON c.j = y.vec_id),
         |r AS (SELECT i, j, cos, row_number() OVER (ORDER BY cos DESC, i, j) AS rn FROM p)
         |SELECT rn, i, j, ROUND(cos, 6) AS cos FROM r WHERE rn <= 20
         |ORDER BY rn""".stripMargin,
@@ -4115,48 +4125,27 @@ object SparkEntry {
         |ORDER BY qid, rank""".stripMargin,
 
     "simhash_pairs" ->
-      // brute-force all-pairs oracle over the same 63-bit fingerprint;
-      // the Spark side's 3-band LSH has exact recall at hamming ≤ 2
-      s"""WITH $simhash63Ctes
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      // banded-candidate oracle over the same 63-bit fingerprint — the
+      // 3-band pigeonhole is EXACT at hamming ≤ 2, so this equals the
+      // old brute-force all-pairs text without its O(n²) bit_count scan
+      s"""WITH $simhashBandedPairCtes
+         |SELECT p.doc_a, p.doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+         |FROM p JOIN sim a ON p.doc_a = a.doc_id JOIN sim b ON p.doc_b = b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_clusters" ->
-      // transitive closure via recursive CTE over the same brute-force
-      // pair set; cluster id = min reachable doc id
-      s"""WITH RECURSIVE $simhash63Ctes,
-         |p AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-         |  UNION ALL SELECT doc_b, doc_a FROM p),
-         |reach(doc, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc),
-         |lab AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc)
+      // connected components over the banded pair set; cluster id = min
+      // reachable doc id via unrolled min-label propagation (see
+      // simhashClusterLabCtes for the convergence guard)
+      s"""WITH $simhashClusterLabCtes
          |SELECT doc_id, cluster_id,
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_cluster,
          |  doc_id = cluster_id AS keep
          |FROM lab ORDER BY doc_id""".stripMargin,
 
     "q_split_cluster_safe" ->
-      s"""WITH RECURSIVE $simhash63Ctes,
-         |p AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-         |  UNION ALL SELECT doc_b, doc_a FROM p),
-         |reach(doc, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc),
-         |lab AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc),
+      s"""WITH $simhashClusterLabCtes,
          |h AS (SELECT doc_id, cluster_id,
          |  substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 2) AS hx FROM lab)
          |SELECT doc_id, cluster_id,
@@ -4165,18 +4154,7 @@ object SparkEntry {
          |FROM h ORDER BY doc_id""".stripMargin,
 
     "dedup_keep_best" ->
-      s"""WITH RECURSIVE $simhash63Ctes,
-         |p AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM p
-         |  UNION ALL SELECT doc_b, doc_a FROM p),
-         |reach(doc, r) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc),
-         |lab AS (SELECT doc AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc),
+      s"""WITH $simhashClusterLabCtes,
          |j AS (SELECT lab.doc_id, lab.cluster_id, d.n_chars
          |      FROM lab JOIN documents d ON lab.doc_id = d.doc_id),
          |rk AS (SELECT *,
@@ -4253,14 +4231,28 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
+    // Exact brute-force kNN, two-stage so the oracle scales: a native
+    // fp32 array_distance pre-filter keeps every pair within the per-qid
+    // 1%-quantile + 1e-3 absolute margin (the margin is ~2500× the fp32
+    // noise on these d=64 uniforms, so approx-vs-exact rank inversions —
+    // and all exact-duplicate ties, which sit at distance 0 together —
+    // cannot cross it), then the EXACT fp64 sum re-scores survivors and
+    // the final rank/ROUND text is unchanged. Replaces an UNNEST plan
+    // that exploded n²·d rows and timed out at sf1.
     "knn_l2_batched" ->
-      """WITH pairs AS (
-        |  SELECT q.vec_id AS qid, e.vec_id AS label, q.embedding AS qv, e.embedding AS v
-        |  FROM embeddings q CROSS JOIN embeddings e),
+      """WITH a AS (SELECT vec_id, embedding, embedding::FLOAT[64] AS arr FROM embeddings),
+        |approx AS MATERIALIZED (
+        |  SELECT q.vec_id AS qid, e.vec_id AS label, array_distance(q.arr, e.arr) AS ascore
+        |  FROM a q CROSS JOIN a e),
+        |thr AS (SELECT qid, quantile_disc(ascore, 0.01) AS t FROM approx GROUP BY qid),
+        |cand AS (
+        |  SELECT ap.qid, ap.label FROM approx ap JOIN thr ON ap.qid = thr.qid
+        |  WHERE ap.ascore <= thr.t + 1e-3),
         |dists AS (
-        |  SELECT qid, label, SUM((CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE)) * (CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE))) AS score
-        |  FROM (SELECT qid, label, UNNEST(qv) AS qe, UNNEST(v) AS ve FROM pairs)
-        |  GROUP BY qid, label),
+        |  SELECT c.qid, c.label,
+        |    list_sum(list_transform(list_zip(q.embedding, e.embedding),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS score
+        |  FROM cand c JOIN a q ON c.qid = q.vec_id JOIN a e ON c.label = e.vec_id),
         |ranked AS (
         |  SELECT qid, label, score,
         |    row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank
@@ -4445,7 +4437,7 @@ object SparkEntry {
   )
 
   /** Shared DuckDB CTE text building the 63-bit SimHash table `sim`
-    * (doc_id, simhash) — used by simhash_pairs and dedup_clusters.
+    * (doc_id, simhash) — used by simhash_pairs and the cluster family.
     */
   private lazy val simhash63Ctes: String = {
     val sums = (0 until 63)
@@ -4457,6 +4449,75 @@ object SparkEntry {
        |  SELECT doc_id, UNNEST(list_distinct(string_split(text,' '))) AS tok
        |  FROM documents),
        |s AS (SELECT doc_id, COUNT(*) AS n, $sums FROM toks GROUP BY doc_id),
-       |sim AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s)""".stripMargin
+       |sim AS MATERIALIZED (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM s)""".stripMargin
+  }
+
+  /** `sim` + banded candidate pairs `p`: the brute-force all-pairs
+    * `sim a JOIN sim b ... bit_count(...) <= 2` is O(n²) and was the sf1
+    * oracle-timeout cause; the 3×21-bit band join is the engine's own
+    * pigeonhole (hamming ≤ 2 over 3 disjoint bands ⇒ at least one band
+    * identical, so recall is EXACT) and keeps candidates linear in the
+    * duplicate mass. DISTINCT dedups pairs matching in several bands.
+    * Produces the identical pair set (verified value-identical at
+    * sf0.01/sf0.1 against the all-pairs text).
+    */
+  private lazy val simhashBandedPairCtes: String =
+    s"""$simhash63Ctes,
+       |bands AS (
+       |  SELECT doc_id, simhash, 0 AS band, simhash & 2097151 AS bkey FROM sim
+       |  UNION ALL SELECT doc_id, simhash, 1, (simhash >> 21) & 2097151 FROM sim
+       |  UNION ALL SELECT doc_id, simhash, 2, simhash >> 42 FROM sim),
+       |p AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2)""".stripMargin
+
+  /** Banded pairs + connected-component labels `lab (doc_id, cluster_id)`
+    * via UNROLLED min-label propagation with pointer jumping — replaces
+    * the recursive-CTE transitive closure whose working set is
+    * Σ|component|² (the other sf1 timeout cause: the adversarial corpus
+    * has components with 10⁵ reachability pairs).
+    *
+    * Each round r does (1) neighbor-min over `edges` (self-loops
+    * included) and (2) one pointer jump `lab ← min(lab, lab(lab))`, so
+    * label influence distance at least DOUBLES per round: 20 rounds cover
+    * any component diameter ≤ 2²⁰. Every per-round CTE is MATERIALIZED —
+    * the jump references its round twice, and inlining would blow up
+    * 2^rounds. Correctness does not rest on the round count: any fixpoint
+    * of (neighbor-min, jump) is exactly the component-min labeling
+    * (induction along a path from the min), and `conv` verifies the
+    * fixpoint on the final table, calling error() — a loud oracle
+    * failure, not a wrong hash — if 20 rounds were ever insufficient.
+    */
+  private lazy val simhashClusterLabCtes: String = {
+    val rounds = 20
+    val sb = new StringBuilder
+    sb.append(simhashBandedPairCtes).append(",\n")
+    sb.append(
+      """edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM p
+        |  UNION ALL SELECT doc_b, doc_a FROM p
+        |  UNION ALL SELECT doc_id, doc_id FROM documents),
+        |l0 AS MATERIALIZED (SELECT e.src AS doc, MIN(e.dst) AS lab FROM edges e GROUP BY e.src)""".stripMargin)
+    var prev = "l0"
+    for (r <- 1 to rounds) {
+      sb.append(
+        s""",
+           |n$r AS MATERIALIZED (SELECT e.src AS doc, MIN(l.lab) AS lab
+           |  FROM edges e JOIN $prev l ON l.doc = e.dst GROUP BY e.src),
+           |j$r AS MATERIALIZED (SELECT a.doc, LEAST(a.lab, b.lab) AS lab
+           |  FROM n$r a JOIN n$r b ON a.lab = b.doc)""".stripMargin)
+      prev = s"j$r"
+    }
+    sb.append(
+      s""",
+         |final AS MATERIALIZED (SELECT doc, lab FROM $prev),
+         |conv AS (SELECT CASE WHEN EXISTS (
+         |    SELECT 1 FROM edges e JOIN final a ON a.doc = e.src
+         |    JOIN final b ON b.doc = e.dst WHERE b.lab < a.lab)
+         |  THEN error('label propagation not converged') ELSE 1 END AS ok),
+         |lab AS (SELECT doc AS doc_id, lab AS cluster_id FROM final
+         |  WHERE (SELECT ok FROM conv) = 1)""".stripMargin)
+    sb.toString
   }
 }
