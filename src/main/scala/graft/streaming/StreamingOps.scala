@@ -15,6 +15,12 @@ case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                       start_us: Long, end_us: Long)
 case class SemMember(id: Long, vec: Array[Float])
 case class SemFlag(id: Long, cid: Long, dropped: Boolean, dup_of: Long)
+case class AsofStateRow(key: Long, ts_us: Long, value: Double)
+case class AsofEvent(key: Long, event_id: Long, ts_us: Long)
+case class AsofIn(key: Long, tag: Int, ts_us: Long, event_id: Long, value: Double)
+case class AsofLatest(ts_us: Long, value: Double, has: Boolean)
+case class AsofEnriched(key: Long, event_id: Long, ts_us: Long,
+                        asof_ts: Option[Long], asof_value: Option[Double])
 
 /** Structured-Streaming operators.
   *
@@ -332,6 +338,62 @@ object StreamingOps {
     */
   def enrichStream(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), Seq(key), "left")
+
+  /** Streaming as-of enrichment — the feature-store pattern: a stream of
+    * events is joined to the latest at-or-before state row for its key,
+    * with the per-key latest state carried across micro-batches in
+    * `flatMapGroupsWithState` (so a state row arriving in batch n
+    * enriches events in batch n+1, n+2, …).
+    *
+    * Semantics match batch [[graft.ops.AsofJoin.asofJoin]]: within a
+    * micro-batch the unioned (state ∪ events) rows are sorted by
+    * (ts, tag state-first, value) before folding, so a state row at the
+    * event's exact timestamp IS visible to it (ties inclusive) and equal-ts
+    * state rows resolve to the greatest carried value — the same
+    * (latest ts, then greatest value) tie rule as the batch window/bucket
+    * forms. An event with no at-or-before state yields None.
+    *
+    * State is ONE (ts, value) summary per key — bounded regardless of
+    * stream length, the property that lets this run indefinitely where a
+    * stream-stream join's state store would grow with history. The cost
+    * of that summary: a cross-batch LATE event (older than the retained
+    * latest state ts) cannot be enriched with the superseded state row —
+    * it gets the conservative None, mirroring `streamingSessionize`'s
+    * late-event drop policy (in-order arrivals, the normal case under an
+    * upstream watermark, are exact).
+    */
+  def streamingAsofEnrich(states: org.apache.spark.sql.Dataset[AsofStateRow],
+                          events: org.apache.spark.sql.Dataset[AsofEvent]):
+      org.apache.spark.sql.Dataset[AsofEnriched] = {
+    import states.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val unioned =
+      states.map(s => AsofIn(s.key, 0, s.ts_us, 0L, s.value))
+        .union(events.map(e => AsofIn(e.key, 1, e.ts_us, e.event_id, 0.0)))
+    def fn(key: Long, it: Iterator[AsofIn],
+           state: GroupState[AsofLatest]): Iterator[AsofEnriched] = {
+      val rows = it.toSeq.sortBy(r => (r.ts_us, r.tag, r.value, r.event_id))
+      var latest = state.getOption.getOrElse(AsofLatest(Long.MinValue, 0.0, has = false))
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsofEnriched]
+      rows.foreach { r =>
+        if (r.tag == 0) {
+          // (ts, value) lexicographic max — the batch forms' tie rule
+          if (!latest.has || r.ts_us > latest.ts_us ||
+              (r.ts_us == latest.ts_us && r.value >= latest.value))
+            latest = AsofLatest(r.ts_us, r.value, has = true)
+        } else {
+          val visible = latest.has && latest.ts_us <= r.ts_us
+          out += AsofEnriched(key, r.event_id, r.ts_us,
+            if (visible) Some(latest.ts_us) else None,
+            if (visible) Some(latest.value) else None)
+        }
+      }
+      state.update(latest)
+      out.iterator
+    }
+    unioned.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
 
   /** Streaming heavy hitters: the mergeable SpaceSaving sketch
     * ([[graft.operators.SpaceSavingAgg]]) as a streaming aggregation.

@@ -303,4 +303,60 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
     assert(got.toSeq === want.toSeq)
   }
+
+  test("streaming as-of enrichment ≡ batch asofJoin across micro-batch boundaries") {
+    import spark.implicits._
+    import graft.streaming.{AsofEvent, AsofEnriched, AsofStateRow}
+    implicit val sqlCtx = spark.sqlContext
+    // state rows: two keys, multiple versions, one equal-ts tie (key 1 @
+    // ts 3000 has values 5.0 and 7.0 — batch tie rule keeps 7.0)
+    val states = Seq(
+      AsofStateRow(1L, 1000L, 1.0), AsofStateRow(1L, 3000L, 5.0),
+      AsofStateRow(1L, 3000L, 7.0), AsofStateRow(1L, 8000L, 9.0),
+      AsofStateRow(2L, 2000L, 4.0))
+    // events: before any state (→ null), at exact state ts (tie
+    // inclusive), between versions, after all; key 3 has no state at all
+    val events = Seq(
+      AsofEvent(1L, 10L, 500L), AsofEvent(1L, 11L, 3000L),
+      AsofEvent(1L, 12L, 5000L), AsofEvent(1L, 13L, 9000L),
+      AsofEvent(2L, 20L, 1999L), AsofEvent(2L, 21L, 2000L),
+      AsofEvent(3L, 30L, 4000L))
+    val sStream = MemoryStream[AsofStateRow]
+    val eStream = MemoryStream[AsofEvent]
+    val out = StreamingOps.streamingAsofEnrich(sStream.toDS(), eStream.toDS())
+    val q = out.writeStream.format("memory").queryName("asof_enrich")
+      .outputMode("append").start()
+    // batch 1: early state + the pre-state event
+    sStream.addData(states(0), states(4)); eStream.addData(events(0), events(4))
+    q.processAllAvailable()
+    // batch 2: the ts-3000 versions (tie) + events at/after it — the
+    // feature-store case: state from batch 1 enriches THESE events too
+    sStream.addData(states(1), states(2)); eStream.addData(events(1), events(5), events(6))
+    q.processAllAvailable()
+    // batch 3: later state + remaining events (state from batch 2 carries)
+    sStream.addData(states(3)); eStream.addData(events(2), events(3))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_enrich").as[AsofEnriched].collect()
+      .map(e => (e.key, e.event_id, e.ts_us, e.asof_ts, e.asof_value)).toSet
+    // batch truth: asofJoin over the data with the equal-ts tie removed —
+    // in-batch equal-ts right-row order is unspecified in the window
+    // form, so the batch side is made tie-free; the STREAMING side still
+    // ingests both ts-3000 versions, and matching the tie-free batch
+    // output proves its (ts, value)-lex-max tie rule resolved to 7.0
+    val lbatch = events.toDF().select(col("key"), col("event_id"),
+      col("ts_us").as("ts"))
+    val rbatch = states.filterNot(s => s.ts_us == 3000L && s.value == 5.0)
+      .toDF().select(col("key"), col("ts_us").as("sts"),
+        col("value"), col("ts_us").as("state_ts"))
+    val want = graft.ops.AsofJoin.asofJoin(lbatch, rbatch, "key", "ts",
+        "sts", Seq("value", "state_ts")).collect()
+      .map { r =>
+        val ts = if (r.isNullAt(4)) None else Some(r.getLong(4))
+        val v = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+        (r.getLong(0), r.getLong(1), r.getLong(2), ts, v)
+      }.toSet
+    assert(got === want)
+    assert(got.exists(_._4.isEmpty) && got.exists(_._4.nonEmpty))
+  }
 }
