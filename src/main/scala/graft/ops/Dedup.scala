@@ -337,6 +337,44 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame =
     candidatesFromSignatures(minhashSignatures(docs, numHashes), numHashes, rowsPerBand)
 
+  /** Theoretical banded-LSH hit probability for a pair at Jaccard `j`
+    * under `b` bands of `r` rows: 1 − (1 − jʳ)ᵇ (the standard banding
+    * analysis, Leskovec/Rajaraman/Ullman MMDS ch. 3; measured within
+    * 0.043 of this curve on the exact-Jaccard fixture — BASELINE.md
+    * round-9 grid).
+    */
+  def lshRecallTheory(j: Double, r: Int, b: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(j, r), b)
+
+  /** Band-config chooser: the cheapest (numHashes, rowsPerBand) whose
+    * theoretical recall at Jaccard `tau` meets `targetRecall`.
+    *
+    * Feasible set: power-of-two signature widths up to `maxHashes`, any
+    * divisor row count. Cost order: signature width first (hashing
+    * compute + signature storage + shuffle bytes scale with it — the
+    * 100 TB cost), then band count b = h/r (each band is one more
+    * bucket-join pass and more false candidates at sub-τ similarity;
+    * for a fixed width, fewer, taller bands give the sharper S-curve).
+    * Throws when even `maxHashes` cannot reach the target — raising the
+    * width is a capacity decision the caller must make, not a silent
+    * degradation.
+    */
+  def chooseBandConfig(tau: Double, targetRecall: Double,
+                       maxHashes: Int = 128): (Int, Int) = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0,1], got $tau")
+    require(targetRecall > 0 && targetRecall < 1,
+      s"targetRecall must be in (0,1), got $targetRecall")
+    val widths = Iterator.iterate(4)(_ * 2).takeWhile(_ <= maxHashes).toSeq
+    val feasible = for {
+      h <- widths
+      r <- (1 to h).filter(h % _ == 0)
+      if lshRecallTheory(tau, r, h / r) >= targetRecall
+    } yield (h, r)
+    feasible.sortBy { case (h, r) => (h, h / r) }.headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no config with <= $maxHashes hashes reaches recall $targetRecall at tau=$tau"))
+  }
+
   /** Candidate pairs from an already-built signature table. One linear
     * pipeline, no self-join and no persist: group band rows by bucket, emit
     * each bucket's internal pairs (buckets are tiny — only genuine near-dup

@@ -68,4 +68,36 @@ class LshRecallSpec extends AnyFunSuite {
     // larger r at same hash budget: steeper curve, worse at J=0.5
     assert(meas((16, 4))("0.50") < meas((16, 2))("0.50"))
   }
+
+  test("chooseBandConfig: chosen config meets its target on the fixture, the cheaper one misses") {
+    // τ = 0.70 (fixture level "0.70", exact J = 66/94), target 90%
+    val tau = LshRecall.exactJ(14)
+    val (h, r) = Dedup.chooseBandConfig(tau, 0.90)
+    // the chooser's own theory must clear the target, and the next
+    // cheaper width must NOT (otherwise the choice wasn't minimal)
+    assert(Dedup.lshRecallTheory(tau, r, h / r) >= 0.90)
+    val cheaperWidths = Iterator.iterate(4)(_ * 2).takeWhile(_ < h).toSeq
+    for (ch <- cheaperWidths; cr <- (1 to ch).filter(ch % _ == 0))
+      assert(Dedup.lshRecallTheory(tau, cr, ch / cr) < 0.90,
+        s"cheaper ($ch,$cr) would have sufficed — chooser not minimal")
+
+    // measured on the exact-Jaccard fixture: chosen config ≥ target − 0.10
+    // (60 pairs/level sampling noise; r9 grid: |meas − theory| ≤ 0.043),
+    // while the cheapest INfeasible config at the same width count
+    // measurably misses the target
+    val got = LshRecall.recalls(docs, truth, h, r)("0.70")
+    assert(got >= 0.90 - 0.10, s"chosen ($h,$r) measured $got at tau=$tau")
+    // a provably infeasible same-or-cheaper config: (8, 4) → b=2
+    assert(Dedup.lshRecallTheory(tau, 4, 2) < 0.90)
+    val miss = LshRecall.recalls(docs, truth, 8, 4)("0.70")
+    assert(miss < 0.90, s"infeasible (8,4) measured $miss — should miss target")
+
+    // chooser sanity across the τ range: wider targets need wider signatures
+    val (h1, _) = Dedup.chooseBandConfig(0.5, 0.95)
+    val (h2, _) = Dedup.chooseBandConfig(0.5, 0.999)
+    assert(h1 <= h2)
+    intercept[IllegalArgumentException] {
+      Dedup.chooseBandConfig(0.05, 0.999, maxHashes = 8)
+    }
+  }
 }
