@@ -707,6 +707,20 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     },
 
+    // the band-config chooser as a first-class query: the (τ=0.6,
+    // recall≥0.98) requirement resolves — deterministically, on both the
+    // Spark and oracle sides — to (8 hashes, 1 row/band) via the banding
+    // S-curve, and the candidate join runs under THAT config instead of
+    // a hand-picked one. The chosen config rides in the output so the
+    // oracle pins the chooser's decision, not just the pair set.
+    "dedup_minhash_auto" -> { (s, dir) =>
+      val (h, r) = Dedup.chooseBandConfig(0.6, 0.98)
+      Dedup.minhashCandidates(Tables(s, dir, "documents"), h, r)
+        .select(col("doc_a"), col("doc_b"), col("shared_bands"),
+          lit(h).as("num_hashes"), lit(r).as("rows_per_band"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // incremental dedup: docs < 400 are the already-ingested corpus (its
     // MinhashStore stands in for the persisted band index + shingle
     // features), docs >= 400 are the arriving batch; each new doc is
@@ -3353,6 +3367,30 @@ object SparkEntry {
          |JOIN ns na ON na.doc_id = c.doc_a
          |JOIN ns nb ON nb.doc_id = c.doc_b
          |ORDER BY c.doc_a, c.doc_b""".stripMargin
+    },
+
+    "dedup_minhash_auto" -> {
+      val (h, r) = Dedup.chooseBandConfig(0.6, 0.98)
+      val mins = (0 until h).map(Dedup.minhashElemSql).mkString(", ")
+      val nBands = h / r
+      val bands = (0 until nBands)
+        .map { b =>
+          val key = (0 until r).map(i => s"h${b * r + i}").mkString("||")
+          s"SELECT doc_id, $b AS band, $key AS key FROM mh"
+        }
+        .mkString(" UNION ALL ")
+      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+         |  i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM t),
+         |ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+         |mh AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+         |bands AS ($bands)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands,
+         |  $h AS num_hashes, $r AS rows_per_band
+         |FROM bands a JOIN bands b
+         |  ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
 
     "dedup_incremental" -> {
