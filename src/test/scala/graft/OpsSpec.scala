@@ -1243,6 +1243,46 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed as-of joins stay exact for |ts| above 2^53 (nanosecond epochs)") {
+    import org.apache.spark.sql.types._
+    // regression for the floorDiv double-division hazard: Spark's `/` on
+    // longs rounds through double, and above 2^53 the quotient can land
+    // one bucket off — here timestamps sit at a ns-epoch magnitude
+    // (~1.7e18) where doubles step by 256, with rows straddling a bucket
+    // boundary by ±1 ns so one mis-bucket flips the join result
+    val base = 1700000000000000000L // > 2^60
+    val w = 3600L * 1000000000L     // 1-hour-of-ns buckets
+    val boundary = (base / w + 1L) * w
+    val ls = StructType(Seq(StructField("k", LongType), StructField("lts", LongType),
+      StructField("lid", LongType)))
+    val rs = StructType(Seq(StructField("k", LongType), StructField("rts", LongType),
+      StructField("price", DoubleType)))
+    val lRows = Seq(
+      Row(1L, boundary - 1L, 0L), Row(1L, boundary, 1L), Row(1L, boundary + 1L, 2L),
+      Row(1L, boundary + w - 1L, 3L), Row(1L, boundary + w, 4L))
+    val rRows = Seq(
+      Row(1L, boundary - 2L, 10.0), Row(1L, boundary, 20.0),
+      Row(1L, boundary + w, 30.0))
+    val left = spark.createDataFrame(java.util.Arrays.asList(lRows: _*), ls)
+    val right = spark.createDataFrame(java.util.Arrays.asList(rRows: _*), rs)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("lid").collect().map(r => (r.getLong(2), Option(r.get(3)))).toSeq
+    val plain = canon(graft.ops.AsofJoin.asofJoin(
+      left, right, "k", "lts", "rts", Seq("price")))
+    assert(plain === Seq(0L -> Some(10.0), 1L -> Some(20.0), 2L -> Some(20.0),
+      3L -> Some(20.0), 4L -> Some(30.0)))
+    val bucketed = canon(graft.ops.AsofJoin.asofJoinBucketed(
+      left, right, "k", "lts", "rts", Seq("price"), bucketWidth = w))
+    assert(bucketed === plain, "bucketed diverged at ns-epoch magnitude")
+    val nearest = canon(graft.ops.AsofJoin.asofJoinNearestBucketed(
+        left, right, "k", "lts", "rts", Seq("price"), bucketWidth = w)
+      .select(col("k"), col("lts"), col("lid"), col("asof_price")))
+    val nearestPlain = canon(graft.ops.AsofJoin.asofJoinNearest(
+        left, right, "k", "lts", "rts", Seq("price"))
+      .select(col("k"), col("lts"), col("lid"), col("asof_price")))
+    assert(nearest === nearestPlain, "nearest-bucketed diverged at ns-epoch magnitude")
+  }
+
   test("multimodal: batched feature extraction preserves rows, bytes, determinism") {
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val media = Multimodal.mediaFromDocuments(docs)
