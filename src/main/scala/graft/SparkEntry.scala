@@ -538,6 +538,31 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // PII scrub (the mandatory pre-training redaction pass): the corpus
+    // text is laced with deterministic synthetic PII (email, IPv4,
+    // phone — built from doc_id so both engines construct the identical
+    // string) and redacted via the codegen'd regexp chain. Marker counts
+    // are recomputed from the redacted text, so the oracle pins both the
+    // replacement text and that every planted instance was caught.
+    "text_redact_pii" -> { (s, dir) =>
+      val laced = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast(StringType),
+        lit("@mail.example.org ip 10.0."),
+        (col("doc_id") % 256).cast(StringType), lit(".17 call +1 555-010-"),
+        lpad((col("doc_id") % 10000).cast(StringType), 4, "0"))
+      def markers(c: Column, m: String) =
+        ((length(c) - length(regexp_replace(c, m, ""))) / m.length).cast(LongType)
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), graft.ops.TextAnalysis.redactPii(laced).as("red"))
+        .select(col("doc_id"), col("red"),
+          markers(col("red"), "<EMAIL>").as("n_email"),
+          markers(col("red"), "<IP>").as("n_ip"),
+          markers(col("red"), "<PHONE>").as("n_phone"))
+        .orderBy("doc_id")
+    },
+
     // overlapping token-window chunking (the RAG/pretraining splitter):
     // 64-token windows at stride 48, per-chunk digest + token count
     "text_chunks" -> { (s, dir) =>
@@ -3179,6 +3204,28 @@ object SparkEntry {
         |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
         |  length(text) AS n_chars_measured
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // NOTE: regex patterns must behave identically under Java regex
+    // (Spark codegen) and RE2 (DuckDB) — conservative ASCII classes, no
+    // lookaround; DuckDB needs the explicit 'g' flag Spark implies
+    "text_redact_pii" ->
+      """WITH laced AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail.example.org ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |    || '.17 call +1 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |red AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d{1,3}[ .-]\d{3}[ .-]\d{3}[ .-]?\d{2,4}\b', '<PHONE>', 'g') AS red
+        |  FROM laced)
+        |SELECT doc_id, red,
+        |  CAST((length(red) - length(regexp_replace(red, '<EMAIL>', '', 'g'))) / 7 AS BIGINT) AS n_email,
+        |  CAST((length(red) - length(regexp_replace(red, '<IP>', '', 'g'))) / 4 AS BIGINT) AS n_ip,
+        |  CAST((length(red) - length(regexp_replace(red, '<PHONE>', '', 'g'))) / 7 AS BIGINT) AS n_phone
+        |FROM red
         |ORDER BY doc_id""".stripMargin,
 
     // chunk c covers tokens [48c+1, 48c+64] (1-based list_slice, clipped

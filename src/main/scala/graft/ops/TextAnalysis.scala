@@ -174,6 +174,31 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks(text)))))
 
+  /** PII redaction for training corpora: emails, IPv4 addresses, and
+    * international-ish phone numbers are replaced by stable placeholder
+    * tokens. Three chained `regexp_replace` — codegen'd native
+    * expressions, one scan pass, no UDF — so at 100 TB the scrub stage
+    * is scan-bound like the rest of the quality pipeline.
+    *
+    * The patterns are deliberately conservative (high-precision, ASCII):
+    * a corpus scrub must not mangle ordinary prose, and both engines of
+    * the oracle pair (Java regex here, RE2 in DuckDB) must agree on
+    * every match. Order matters: emails go first (an address would
+    * otherwise be half-eaten by the phone pattern's digit runs), then
+    * IPs (dotted digit runs), then phones.
+    */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    // +country-optional, separator-tolerant, 9-14 digits total
+    val phone = "\\+?\\d{1,3}[ .-]\\d{3}[ .-]\\d{3}[ .-]?\\d{2,4}\\b"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        ipv4, "<IP>"),
+      phone, "<PHONE>")
+  }
+
   /** Whitespace+punct-aware token count approximating BPE pre-tokenization:
     * splits on the regex boundary between word chars and non-word chars.
     */

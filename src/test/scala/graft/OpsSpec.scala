@@ -877,6 +877,23 @@ class OpsSpec extends AnyFunSuite {
     assert(n === 5) // hello, world, it, s, 42 — empties filtered
   }
 
+  test("redactPii scrubs emails/IPs/phones, leaves ordinary prose and near-misses alone") {
+    val docs = docsDf(Seq(
+      0L -> "write to jane.doe+spam@sub.example.co.uk today",
+      1L -> "server at 192.168.0.1 and 10.0.255.17 responded",
+      2L -> "call +1 555-010-1234 or 044 123 456 78 now",
+      3L -> "version 1.2 of lib-3.4 costs 12.50 at example.com shop", // near-misses
+      4L -> "mixed: a@b.io, 8.8.8.8, +49 171-555-0000, done"))
+    val got = docs.select(col("doc_id"), TextAnalysis.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(0L) === "write to <EMAIL> today")
+    assert(got(1L) === "server at <IP> and <IP> responded")
+    assert(got(2L) === "call <PHONE> or <PHONE> now")
+    // bare domains, decimal versions, prices: untouched (precision over recall)
+    assert(got(3L) === "version 1.2 of lib-3.4 costs 12.50 at example.com shop")
+    assert(got(4L) === "mixed: <EMAIL>, <IP>, <PHONE>, done")
+  }
+
   test("ivf recall ≥ 0.9 on clustered data vs brute force") {
     val rnd = new scala.util.Random(42)
     val d = 16
