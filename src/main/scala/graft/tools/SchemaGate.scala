@@ -92,14 +92,14 @@ object SchemaGate {
     * missing-snapshot failure for the recipe path — the gate must not be
     * un-runnable on a fresh checkout that predates the snapshot).
     */
-  def check(sfDir: String): Unit = {
+  def check(sfDir: String, snapshot: String = snapshotPath): Unit = {
     if (sys.env.get("SPARK_GRAFT_SKIP_SCHEMA_GATE").contains("1")) {
       System.err.println("[schema-gate] SKIPPED via SPARK_GRAFT_SKIP_SCHEMA_GATE=1")
       return
     }
-    val p = Paths.get(snapshotPath)
+    val p = Paths.get(snapshot)
     if (!Files.exists(p)) {
-      System.err.println(s"[schema-gate] snapshot $snapshotPath absent — " +
+      System.err.println(s"[schema-gate] snapshot $snapshot absent — " +
         "gate runs unprotected; regenerate with runMain graft.tools.SchemaGate <sfdir> --update")
       return
     }
@@ -129,7 +129,7 @@ object SchemaGate {
     }
     if (fatal.nonEmpty) {
       val msg = "TESTDATA SCHEMA DRIFT — physical parquet types changed since " +
-        s"the committed snapshot ($snapshotPath):\n" +
+        s"the committed snapshot ($snapshot):\n" +
         fatal.map("  " + _).mkString("\n") +
         "\nThe correctness gate refuses to run against re-typed testdata: " +
         "every DuckDB compare would be against different physics. " +
@@ -137,7 +137,7 @@ object SchemaGate {
         "refresh: sbt \"runMain graft.tools.SchemaGate " + sfDir + " --update\""
       throw new IllegalStateException(msg)
     }
-    println(s"[schema-gate] OK (${got.size} tables match $snapshotPath)")
+    println(s"[schema-gate] OK (${got.size} tables match $snapshot)")
   }
 
   // minimal flat {"k":"v",...} JSON codec — the snapshot is written and
@@ -177,15 +177,20 @@ object SchemaGate {
     m.toMap
   }
 
+  /** Write the snapshot for `sfDir` to `path` (used by --update and specs). */
+  def writeSnapshot(sfDir: String, path: String): Unit = {
+    val schemas = footerSchemas(sfDir)
+    val json = schemas.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"""  "${esc(k)}": "${esc(v)}"""" }
+      .mkString("{\n", ",\n", "\n}\n")
+    Files.writeString(Paths.get(path), json)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     if (args.contains("--update")) {
-      val schemas = footerSchemas(sfDir)
-      val json = schemas.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"""  "${esc(k)}": "${esc(v)}"""" }
-        .mkString("{\n", ",\n", "\n}\n")
-      Files.writeString(Paths.get(snapshotPath), json)
-      println(s"snapshot written: $snapshotPath (${schemas.size} tables)")
+      writeSnapshot(sfDir, snapshotPath)
+      println(s"snapshot written: $snapshotPath")
     } else check(sfDir)
   }
 }
