@@ -23,12 +23,12 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
-  /** Per-JVM scratch dir for `q_jsonl_roundtrip`, recursively deleted by a
-    * shutdown hook — `mode("overwrite")` reuses it across bench reps
-    * instead of leaking one JSON copy of the slice per invocation.
+  /** Per-JVM scratch dir, recursively deleted by a shutdown hook —
+    * `mode("overwrite")` reuses it across bench reps instead of leaking
+    * one export copy of the slice per invocation.
     */
-  private[graft] lazy val jsonlScratch: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft_jsonl")
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
@@ -38,6 +38,8 @@ object SparkEntry {
     }))
     p.toString
   }
+  private[graft] lazy val jsonlScratch: String = scratchDir("graft_jsonl")
+  private[graft] lazy val csvScratch: String = scratchDir("graft_csv")
 
   /** Shared recall-verdict scaffolding for the seeded-ANN queries:
     * per-query overlap-with-exact counts (the one definition of the
@@ -2113,6 +2115,33 @@ object SparkEntry {
         org.apache.spark.sql.types.StructField("source", StringType, nullable = true),
         org.apache.spark.sql.types.StructField("n_chars", LongType, nullable = true)))
       s.read.schema(schema).json(out)
+        .orderBy("doc_id")
+    },
+
+    // CSV round-trip through the other line-delimited export boundary:
+    // quoting/escaping of real corpus text (commas, quotes, newlines in
+    // values are quoted per RFC 4180 by Spark's writer) must survive a
+    // schema-enforced parallel re-read byte-exact vs the ORIGINAL
+    // parquet. Same scale shape as q_jsonl_roundtrip: columnar scan →
+    // text files → parallel re-read, no shuffle. multiLine handles
+    // quoted embedded newlines (at the cost of file-granular splits —
+    // the documented CSV trade-off; JSONL keeps line-granular splits,
+    // which is why it is the preferred 100 TB interchange format).
+    "q_csv_roundtrip" -> { (s, dir) =>
+      val slice = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+      val out = SparkEntry.csvScratch
+      slice.write.mode("overwrite").option("header", "true").csv(out)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text", StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("lang", StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("source", StringType, nullable = true),
+        org.apache.spark.sql.types.StructField("n_chars", LongType, nullable = true)))
+      s.read.schema(schema).option("header", "true").option("multiLine", "true")
+        .csv(out)
         .orderBy("doc_id")
     },
 
@@ -4408,6 +4437,12 @@ object SparkEntry {
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents
         |WHERE doc_id % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents
+        |WHERE doc_id % 9 = 0
         |ORDER BY doc_id""".stripMargin,
 
     "q_sample_stratified" ->
