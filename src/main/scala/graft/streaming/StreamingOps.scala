@@ -416,6 +416,26 @@ object StreamingOps {
     grouped.agg(graft.functions.spaceSavingHH(col(itemCol), capacity).as("hh"))
   }
 
+  /** Streaming approximate quantiles: Spark's GK-style
+    * `percentile_approx` as a streaming aggregation. Like
+    * [[streamingHeavyHitters]], the sketch's mergeable partial state is
+    * exactly what the state store holds per group — O(accuracy) entries
+    * regardless of stream length — so distribution monitoring
+    * (latency/price/length percentiles per key) runs indefinitely in
+    * complete/update mode with no watermark. The rank guarantee
+    * |rank(v) − q·n| ≤ n/accuracy holds across any micro-batch split
+    * because GK merge preserves it.
+    */
+  def streamingQuantiles(stream: DataFrame, valueCol: String,
+                         quantiles: Seq[Double], accuracy: Int,
+                         groupCols: Seq[String] = Seq.empty): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) stream.groupBy()
+      else stream.groupBy(groupCols.map(col): _*)
+    grouped.agg(percentile_approx(col(valueCol),
+      array(quantiles.map(lit): _*), lit(accuracy)).as("quantiles"))
+  }
+
   /** Convenience: run a memory-sink streaming query to completion over a
     * bounded source (availableNow) and return the collected table name.
     */

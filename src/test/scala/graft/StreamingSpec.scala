@@ -304,6 +304,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("streaming quantiles ≡ batch percentile_approx across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic skewed values over two keys
+    val rows = (0 until 3000).map { i =>
+      (if (i % 3 == 0) "a" else "b", ((i * 1103515245L + 12345) % 10007).toDouble)
+    }
+    val qs = Seq(0.25, 0.5, 0.9)
+    val stream = MemoryStream[(String, Double)]
+    val out = StreamingOps.streamingQuantiles(
+      stream.toDS().toDF("k", "v"), "v", qs, accuracy = 500, groupCols = Seq("k"))
+    val q = out.writeStream.format("memory").queryName("squant")
+      .outputMode("complete").start()
+    rows.grouped(1000).foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("squant").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val want = StreamingOps.streamingQuantiles( // same plan, batch df
+        rows.toDF("k", "v"), "v", qs, accuracy = 500, groupCols = Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    // GK merge order may differ between the incremental and batch runs;
+    // the CONTRACT is the rank guarantee, so re-rank each side's answers
+    // against the data: |rank(v) − q·n| ≤ n/accuracy (+1 slack)
+    val byKey = rows.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    for (k <- Seq("a", "b"); side <- Seq(got, want); (qq, v) <- qs.zip(side(k))) {
+      val data = byKey(k); val n = data.length.toDouble
+      val below = data.count(_ < v); val atOrBelow = data.count(_ <= v)
+      assert(below <= qq * n + n / 500 + 1 && atOrBelow >= qq * n - n / 500 - 1,
+        s"key $k q=$qq v=$v violates the rank guarantee (n=$n below=$below)")
+    }
+    assert(got.keySet === Set("a", "b"))
+  }
+
   test("streaming as-of enrichment ≡ batch asofJoin across micro-batch boundaries") {
     import spark.implicits._
     import graft.streaming.{AsofEvent, AsofEnriched, AsofStateRow}
