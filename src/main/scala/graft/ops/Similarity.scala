@@ -240,7 +240,7 @@ object Similarity {
       val n = q.count()
       val batches = math.ceil(n * 1.25 / maxQueries).toInt
       return batchedTopK(vectors, queries, k, batches, blockRows, metric, storage,
-        maxQueries)
+        maxQueries, compute)
     }
     gemmTopKRows(vectors,
       probe.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)), k, blockRows,
@@ -446,7 +446,8 @@ object Similarity {
   def batchedTopK(vectors: DataFrame, queries: DataFrame, k: Int,
                   batches: Int, blockRows: Int = 1024,
                   metric: String = "l2", storage: String = "fp32",
-                  maxQueries: Int = 65536): DataFrame = {
+                  maxQueries: Int = 65536,
+                  compute: String = "fp64"): DataFrame = {
     require(batches >= 1, s"batches must be >= 1, got $batches")
     import java.util.concurrent.Executors
     import scala.concurrent.{Await, ExecutionContext, Future}
@@ -472,7 +473,7 @@ object Similarity {
       else if (probe.length <= maxQueries)
         Some(gemmTopKRows(vectors,
           probe.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
-          k, blockRows, metric, storage))
+          k, blockRows, metric, storage, compute))
       else if (depth < 4) {
         val halves = Seq(runResidue(modulus * 2, b, depth + 1),
           runResidue(modulus * 2, b + modulus, depth + 1)).flatten
@@ -480,7 +481,7 @@ object Similarity {
       } else {
         val rows = part.collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-        Some(gemmTopKRows(vectors, rows, k, blockRows, metric, storage))
+        Some(gemmTopKRows(vectors, rows, k, blockRows, metric, storage, compute))
       }
     }
     // the per-batch query collects are independent Spark jobs — submit

@@ -61,6 +61,17 @@ class GemmComputeSpec extends AnyFunSuite {
     assert(inter >= math.ceil(d64.size * 0.98).toInt, s"overlap $inter/${d64.size}")
   }
 
+  test("compute mode survives the auto-batching route (oversize query sets)") {
+    val (vdf, qdf) = fixtures(500, 12, 32)
+    // maxQueries=4 forces gemmTopK through batchedTopK; fp32 must still
+    // agree with the un-batched fp32 path (hash-split changes nothing)
+    val direct = Similarity.gemmTopK(vdf, qdf, 5, compute = "fp32")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batched = Similarity.gemmTopK(vdf, qdf, 5, maxQueries = 4, compute = "fp32")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batched === direct)
+  }
+
   test("unknown compute mode is rejected") {
     val (vdf, qdf) = fixtures(10, 2, 8)
     intercept[IllegalArgumentException] {
