@@ -3414,16 +3414,7 @@ object SparkEntry {
         |ORDER BY event_id""".stripMargin,
 
     "dedup_minhash" -> {
-      val mins = (0 until 8).map(Dedup.minhashElemSql).mkString(", ")
-      val bands = (0 until 4)
-        .map(b => s"SELECT doc_id, $b AS band, h${2 * b}||h${2 * b + 1} AS key FROM mh")
-        .mkString(" UNION ALL ")
-      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
-         |  i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM t),
-         |ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
-         |mh AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
-         |bands AS ($bands),
+      s"""WITH ${minhashBandCtes(8, 2)},
          |cand AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands
          |  FROM bands a JOIN bands b
@@ -3447,20 +3438,7 @@ object SparkEntry {
 
     "dedup_minhash_auto" -> {
       val (h, r) = Dedup.chooseBandConfig(0.6, 0.98)
-      val mins = (0 until h).map(Dedup.minhashElemSql).mkString(", ")
-      val nBands = h / r
-      val bands = (0 until nBands)
-        .map { b =>
-          val key = (0 until r).map(i => s"h${b * r + i}").mkString("||")
-          s"SELECT doc_id, $b AS band, $key AS key FROM mh"
-        }
-        .mkString(" UNION ALL ")
-      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
-         |  i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM t),
-         |ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
-         |mh AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
-         |bands AS ($bands)
+      s"""WITH ${minhashBandCtes(h, r)}
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_bands,
          |  $h AS num_hashes, $r AS rows_per_band
          |FROM bands a JOIN bands b
@@ -3470,16 +3448,7 @@ object SparkEntry {
     },
 
     "dedup_incremental" -> {
-      val mins = (0 until 8).map(Dedup.minhashElemSql).mkString(", ")
-      val bands = (0 until 4)
-        .map(b => s"SELECT doc_id, $b AS band, h${2 * b}||h${2 * b + 1} AS key FROM mh")
-        .mkString(" UNION ALL ")
-      s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
-         |  i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM t),
-         |ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
-         |mh AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
-         |bands AS ($bands),
+      s"""WITH ${minhashBandCtes(8, 2)},
          |cand AS (
          |  SELECT b.doc_id AS doc_a, a.doc_id AS doc_b
          |  FROM bands a JOIN bands b
@@ -4359,9 +4328,13 @@ object SparkEntry {
         |  SELECT q.vec_id AS qid, e.vec_id AS label, array_distance(q.arr, e.arr) AS ascore
         |  FROM a q CROSS JOIN a e),
         |thr AS (SELECT qid, quantile_disc(ascore, 0.01) AS t FROM approx GROUP BY qid),
-        |cand AS (
+        |cand AS MATERIALIZED (
         |  SELECT ap.qid, ap.label FROM approx ap JOIN thr ON ap.qid = thr.qid
         |  WHERE ap.ascore <= thr.t + 1e-3),
+        |guard AS (SELECT CASE WHEN (
+        |    SELECT MIN(c) FROM (SELECT COUNT(*) AS c FROM cand GROUP BY qid)) < 5
+        |  THEN error('knn_l2_batched oracle pre-filter under-selected: 0.01-quantile must give >= k candidates (requires 0.01*n >= k, i.e. n >= 500 at k=5)')
+        |  ELSE 1 END AS ok),
         |dists AS (
         |  SELECT c.qid, c.label,
         |    list_sum(list_transform(list_zip(q.embedding, e.embedding),
@@ -4372,7 +4345,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank
         |  FROM dists)
         |SELECT qid, rank, label, ROUND(score, 4) AS dist
-        |FROM ranked WHERE rank <= 5
+        |FROM ranked WHERE rank <= 5 AND (SELECT ok FROM guard) = 1
         |ORDER BY qid, rank""".stripMargin,
 
     "vec_range_search" ->
@@ -4555,6 +4528,27 @@ object SparkEntry {
         |ORDER BY df DESC, shingle
         |LIMIT 30""".stripMargin
   )
+
+  /** Shared DuckDB CTE text: shingles → MinHash signatures (`mh` with
+    * h0..h{n−1}) → band rows (`bands`) for a (numHashes, rowsPerBand)
+    * config — the common prefix of every minhash oracle, kept in ONE
+    * place so a future edit cannot desynchronize the copies (the same
+    * role simhash63Ctes plays for the simhash family).
+    */
+  private def minhashBandCtes(numHashes: Int, rowsPerBand: Int): String = {
+    val mins = (0 until numHashes).map(Dedup.minhashElemSql).mkString(", ")
+    val nBands = numHashes / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val key = (0 until rowsPerBand).map(i => s"h${b * rowsPerBand + i}").mkString("||")
+      s"SELECT doc_id, $b AS band, $key AS key FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+       |  i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM t),
+       |ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+       |mh AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
+       |bands AS ($bands)""".stripMargin
+  }
 
   /** Shared DuckDB CTE text building the 63-bit SimHash table `sim`
     * (doc_id, simhash) — used by simhash_pairs and the cluster family.

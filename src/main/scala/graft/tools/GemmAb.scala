@@ -49,28 +49,12 @@ object GemmAb {
       graft.ops.Similarity.gemmTopK(vdf, qdf, k, metric = "l2", compute = compute).count()
       (System.nanoTime() - t0) / 1e9
     }
-    // untimed warmup of BOTH arms (codegen + netlib load)
-    run("fp64"); run("fp32")
-
-    val t64 = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val t32 = scala.collection.mutable.ArrayBuffer.empty[Double]
-    for (rep <- 1 to reps) {
-      if (rep % 2 == 1) { t64 += run("fp64"); t32 += run("fp32") }
-      else { t32 += run("fp32"); t64 += run("fp64") }
-    }
-    def stats(ts: Seq[Double]): (Double, Double, Double) = {
-      val s = ts.sorted
-      (s(s.size / 2), s(s.size / 4), s((s.size * 3) / 4))
-    }
-    val (m64, q64a, q64b) = stats(t64.toSeq)
-    val (m32, q32a, q32b) = stats(t32.toSeq)
-    val msq64 = m64 * 1000 / nq
-    val msq32 = m32 * 1000 / nq
     println(f"shape nv=$nv d=$d nq=$nq k=$k reps=$reps (interleaved, order-flipped)")
-    println(f"dgemm(fp64): median ${m64}%.3f s  IQR [${q64a}%.3f, ${q64b}%.3f]  ${msq64}%.1f ms/search")
-    println(f"sgemm(fp32): median ${m32}%.3f s  IQR [${q32a}%.3f, ${q32b}%.3f]  ${msq32}%.1f ms/search")
+    val (m64, m32) = AbHarness.run(
+      "dgemm(fp64)", () => run("fp64"),
+      "sgemm(fp32)", () => run("fp32"), reps, nq)
     println(f"speedup dgemm/sgemm: ${m64 / m32}%.2fx")
-    println(s"""{"shape":"${nv}x${d}q${nq}k$k","dgemm_median_sec":${f"$m64%.4f"},"sgemm_median_sec":${f"$m32%.4f"},"dgemm_iqr":[${f"$q64a%.4f"},${f"$q64b%.4f"}],"sgemm_iqr":[${f"$q32a%.4f"},${f"$q32b%.4f"}],"speedup":${f"${m64 / m32}%.3f"},"reps":$reps}""")
+    println(s"""{"shape":"${nv}x${d}q${nq}k$k","dgemm_median_sec":${f"$m64%.4f"},"sgemm_median_sec":${f"$m32%.4f"},"speedup":${f"${m64 / m32}%.3f"},"reps":$reps}""")
     spark.stop()
   }
 }

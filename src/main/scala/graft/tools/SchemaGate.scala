@@ -70,18 +70,27 @@ object SchemaGate {
       case c => sb.append(c)
     }
     fields.filter(_.nonEmpty).map { f =>
-      // name = token before the first `(`-annotation/`{`/`=` boundary of
-      // the declaration head: `<rep> <type> name (ANN) ...` or
-      // `<rep> group name (LIST) { ... }`
+      // declaration heads: `<rep> <primitive> name (ANN) ...` for leaves,
+      // `<rep> group name (LIST) { ... }` for nested columns. For a group
+      // the name directly follows the `group` keyword (there is no
+      // primitive-type token), so keying on "token after the type" would
+      // mis-key every group column as its annotation — two LIST columns
+      // in one table would then collide in the Map and a re-type of the
+      // first would be invisible to the fatal check.
       val head = f.takeWhile(c => c != '{').trim
       val toks = head.split("\\s+")
-      val nameIdx = toks.indexWhere(t => !Set("required", "optional", "repeated",
-        "group").contains(t) && !t.startsWith("(") && !t.startsWith("="))
-      // toks(nameIdx) is the primitive type for leaf fields; name follows
-      val name = if (nameIdx >= 0 && nameIdx + 1 < toks.length &&
-        !toks(nameIdx + 1).startsWith("(") && !toks(nameIdx + 1).startsWith("="))
-        toks(nameIdx + 1)
-      else toks.last
+      val gi = toks.indexOf("group")
+      val name =
+        if (gi >= 0 && gi + 1 < toks.length) toks(gi + 1)
+        else {
+          val typeIdx = toks.indexWhere(t =>
+            !Set("required", "optional", "repeated").contains(t) &&
+              !t.startsWith("(") && !t.startsWith("="))
+          if (typeIdx >= 0 && typeIdx + 1 < toks.length &&
+            !toks(typeIdx + 1).startsWith("(") && !toks(typeIdx + 1).startsWith("="))
+            toks(typeIdx + 1)
+          else toks.last
+        }
       name -> f
     }.toMap
   }

@@ -48,22 +48,10 @@ object ShapeAb {
       idx.search(queries, k).count()
       (System.nanoTime() - t0) / 1e9
     }
-    run(idx32); run(idx16) // untimed warmup of both arms
-
-    val t32 = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val t16 = scala.collection.mutable.ArrayBuffer.empty[Double]
-    for (rep <- 1 to reps) {
-      if (rep % 2 == 1) { t32 += run(idx32); t16 += run(idx16) }
-      else { t16 += run(idx16); t32 += run(idx32) }
-    }
-    def stats(ts: Seq[Double]) = {
-      val s = ts.sorted; (s(s.size / 2), s(s.size / 4), s((s.size * 3) / 4))
-    }
-    val (m32, a32, b32) = stats(t32.toSeq)
-    val (m16, a16, b16) = stats(t16.toSeq)
     println(f"shape nv=$nv d=$d nq=$nq k=$k reps=$reps (interleaved, order-flipped)")
-    println(f"fp32 storage: median ${m32}%.3f s  IQR [${a32}%.3f, ${b32}%.3f]  ${m32 * 1000 / nq}%.1f ms/search")
-    println(f"f16  storage: median ${m16}%.3f s  IQR [${a16}%.3f, ${b16}%.3f]  ${m16 * 1000 / nq}%.1f ms/search")
+    val (m32, m16) = AbHarness.run(
+      "fp32 storage", () => run(idx32),
+      "f16  storage", () => run(idx16), reps, nq)
     println(f"ratio fp32/f16: ${m32 / m16}%.2fx")
     idx32.reset(); idx16.reset()
     spark.stop()

@@ -44,6 +44,22 @@ class SchemaGateSpec extends AnyFunSuite {
     assert(e.getMessage.contains("events") || e.getMessage.contains("ts"))
   }
 
+  test("group (LIST) columns key by NAME — a re-typed list element is fatal and named") {
+    val dir = Files.createTempDirectory("graft_schema_gate3").toString
+    val snap = s"$dir/snap.json"
+    SchemaGate.writeSnapshot(sfDir, snap)
+    // re-type the embedding list element float → double inside the group
+    val txt = Files.readString(Paths.get(snap))
+    assert(txt.contains("optional float element"), "fixture assumption broken")
+    Files.writeString(Paths.get(snap),
+      txt.replace("optional float element", "optional double element"))
+    val e = intercept[IllegalStateException] { SchemaGate.check(sfDir, snap) }
+    // the message must name the COLUMN (embedding), not its annotation —
+    // the mis-keyed parser reported group columns as "(LIST)" and two
+    // such columns in one table would have collided silently
+    assert(e.getMessage.contains("embeddings.embedding"), e.getMessage.take(300))
+  }
+
   test("new tables and absent snapshot only warn — a benign difference must not nuke a round") {
     val dir = Files.createTempDirectory("graft_schema_gate2").toString
     val snap = s"$dir/snap.json"
