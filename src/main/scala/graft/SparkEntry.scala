@@ -785,6 +785,16 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     },
 
+    // asymmetric near-CONTAINMENT (Broder 1997): |A∩B| / min(|A|,|B|) —
+    // the quote-inclusion / syndication dup shape Jaccard structurally
+    // misses (short doc embedded in a 10× doc: J≈0.1, containment 1.0);
+    // `contained_id` is the member a keep-longest policy would drop
+    "dedup_containment" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents").filter(col("doc_id") % 4 === 2)
+      Dedup.containmentPairs(docs, 0.8)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // eval-set decontamination: 8-gram containment of every train doc
     // against the held-out subset (doc_id % 7 == 0 stands in for the
     // benchmark set — wide enough that real overlaps exist at the
@@ -874,6 +884,31 @@ object SparkEntry {
         .groupBy(col("vec_id"))
         .agg(round(first(col("scale")), 6).as("scale"),
           round(max(when(col("scale") > 0, abs(x - q * col("scale"))).otherwise(0.0)), 6)
+            .as("max_abs_err"))
+        .orderBy("vec_id")
+    },
+
+    // int4 (SQ4) nibble-packed quantization error profile — the rung
+    // below SQ8 on the compression ladder (8× fewer stored bytes than
+    // fp32). Unlike q_vec_int8's pure column math, this runs the REAL
+    // QuantizeVectorInt4/DequantizeVectorInt4 expressions end-to-end:
+    // packed_bytes pins the nibble-packing (⌈d/2⌉) and max_abs_err is
+    // computed from the round-tripped floats, so encode+pack+decode all
+    // have to be exactly the documented arithmetic for the hash to match
+    "q_vec_int4" -> { (s, dir) =>
+      import graft.functions.{quantizeInt4, dequantizeInt4}
+      val enc = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), quantizeInt4(col("embedding")).as("q"))
+        .select(col("vec_id"), col("embedding"), col("q.scale").as("scale"),
+          size(col("q.codes")).cast(LongType).as("packed_bytes"),
+          dequantizeInt4(col("q.codes"), col("q.scale"), col("q.n")).as("xhat"))
+      enc
+        .select(col("vec_id"), col("scale"), col("packed_bytes"),
+          explode(arrays_zip(col("embedding").as("x"), col("xhat").as("y"))).as("z"))
+        .groupBy(col("vec_id"))
+        .agg(round(first(col("scale")), 6).as("scale"),
+          first(col("packed_bytes")).as("packed_bytes"),
+          round(max(abs(col("z.x").cast(DoubleType) - col("z.y").cast(DoubleType))), 6)
             .as("max_abs_err"))
         .orderBy("vec_id")
     },
@@ -1117,6 +1152,22 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.ivfFilteredTopK(vectors, queries, k = 10,
           centroidModulo = 40, nProbe = 2, pred = col("id") % 3 =!= 0)
+        .select(col("qid"), col("rank"), col("label"), round(col("score"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    },
+
+    // IVF over SQ8 storage (FAISS "IVF…,SQ8" factory composite): coarse
+    // pruning scans nProbe/nClusters of the corpus AND each scanned record
+    // is 4× smaller (int8 codes + scale, decoded in-register). Assignment
+    // on the raw vector at ingest → inverted lists identical to ann_ivf's;
+    // decode is exact double arithmetic + one IEEE float rounding, so the
+    // whole composite is hash-exact against SQL, not a recall bound
+    "ann_ivf_sq8" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfSq8TopK(vectors, queries, k = 10, centroidModulo = 40, nProbe = 2)
         .select(col("qid"), col("rank"), col("label"), round(col("score"), 4).as("dist"))
         .orderBy("qid", "rank")
     },
@@ -3514,6 +3565,27 @@ object SparkEntry {
         |WHERE CAST(i.n_inter AS DOUBLE) / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) >= 0.5
         |ORDER BY i.doc_a, i.doc_b""".stripMargin,
 
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents WHERE doc_id % 4 = 2),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |  i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM t),
+        |ex0 AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+        |df AS (SELECT s, COUNT(*) AS df FROM ex0 GROUP BY s),
+        |ex AS (SELECT ex0.doc_id, ex0.s FROM ex0 JOIN df ON ex0.s = df.s WHERE df.df <= 1000),
+        |ns AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_inter,
+        |  CAST(i.n_inter AS DOUBLE) / CAST(LEAST(na.n_sh, nb.n_sh) AS DOUBLE) AS containment,
+        |  CASE WHEN na.n_sh <= nb.n_sh THEN i.doc_a ELSE i.doc_b END AS contained_id
+        |FROM inter i
+        |JOIN ns na ON na.doc_id = i.doc_a
+        |JOIN ns nb ON nb.doc_id = i.doc_b
+        |WHERE CAST(i.n_inter AS DOUBLE) / CAST(LEAST(na.n_sh, nb.n_sh) AS DOUBLE) >= 0.8
+        |ORDER BY i.doc_a, i.doc_b""".stripMargin,
+
     "q_mix_weights" ->
       """WITH c AS (
         |  SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
@@ -3590,6 +3662,24 @@ object SparkEntry {
         |SELECT vec_id, ROUND(MIN(scale), 6) AS scale,
         |  ROUND(MAX(CASE WHEN scale > 0
         |    THEN abs(CAST(e AS DOUBLE) - floor(CAST(e AS DOUBLE) / scale + 0.5) * scale)
+        |    ELSE 0.0 END), 6) AS max_abs_err
+        |FROM ex
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
+
+    // scale = max|x|/7, code = floor(x/scale + 0.5), decode =
+    // float(code·scale); packed_bytes = ⌈d/2⌉ (two biased nibbles/byte)
+    "q_vec_int4" ->
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 7.0 AS scale
+        |  FROM embeddings),
+        |ex AS (SELECT vec_id, scale, len(embedding) AS d, UNNEST(embedding) AS e FROM s)
+        |SELECT vec_id, ROUND(MIN(scale), 6) AS scale,
+        |  CAST((MIN(d) + 1) // 2 AS BIGINT) AS packed_bytes,
+        |  ROUND(MAX(CASE WHEN scale > 0
+        |    THEN abs(CAST(e AS DOUBLE) -
+        |      CAST(CAST(floor(CAST(e AS DOUBLE) / scale + 0.5) * scale AS REAL) AS DOUBLE))
         |    ELSE 0.0 END), 6) AS max_abs_err
         |FROM ex
         |GROUP BY vec_id
@@ -3681,6 +3771,47 @@ object SparkEntry {
         |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(v.embedding) AS DOUBLE) AS y
         |  FROM cand JOIN q ON cand.qid = q.qid
         |  JOIN embeddings v ON cand.label = v.vec_id) GROUP BY 1, 2),
+        |ranked AS (SELECT qid, label, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM d)
+        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // ann_ivf's CTEs with the candidate scan over int8-DEQUANTIZED vectors:
+    // scale = max|x|/127, code = floor(x/scale + 0.5), decode =
+    // float(code·scale) — the exact arithmetic of QuantizeVectorInt8/
+    // DequantizeVectorInt8, so the composite hash-matches
+    "ann_ivf_sq8" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+        |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
+        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |vassign AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM vc) WHERE rn = 1),
+        |sc AS (SELECT vec_id,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |deq AS (SELECT e.vec_id, list_transform(e.embedding, x ->
+        |    CAST(CAST(CASE WHEN s.scale > 0
+        |      THEN floor(CAST(x AS DOUBLE) / s.scale + 0.5) * s.scale
+        |      ELSE 0.0 END AS REAL) AS DOUBLE)) AS dv
+        |  FROM embeddings e JOIN sc s ON e.vec_id = s.vec_id),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |qc AS (SELECT qid, cid, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT q.qid, c.cid,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
+        |  FROM q, c) GROUP BY 1, 2),
+        |probes AS (SELECT qid, cid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn
+        |  FROM qc) WHERE rn <= 2),
+        |cand AS (SELECT p.qid, a.vec_id AS label FROM probes p JOIN vassign a ON p.cid = a.cid),
+        |d AS (SELECT qid, label, SUM((x-y)*(x-y)) AS score FROM (
+        |  SELECT cand.qid, cand.label,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, UNNEST(v.dv) AS y
+        |  FROM cand JOIN q ON cand.qid = q.qid
+        |  JOIN deq v ON cand.label = v.vec_id) GROUP BY 1, 2),
         |ranked AS (SELECT qid, label, score,
         |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM d)
         |SELECT qid, rank, label, ROUND(score, 4) AS dist

@@ -286,6 +286,104 @@ case class DequantizeVectorInt8(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** fp32 vector → SQ4 (int4 scalar quantization): per-vector symmetric
+  * 15-level grid (scale = max|x|/7, code = floor(x/scale + 0.5) ∈ [−7, 7])
+  * with TWO codes nibble-packed per stored byte — 8× fewer scanned bytes
+  * than fp32, the rung between SQ8 and PQ on the compression ladder
+  * (FAISS `IndexScalarQuantizer(QT_4bit)`). Nibbles are stored BIASED
+  * (code + 8 ∈ [1, 15]): bias keeps the nibble unsigned, and 0 is never a
+  * valid code, so the odd-length pad nibble (0) can't collide with data.
+  * Byte i holds element 2i in its low nibble, element 2i+1 in its high
+  * nibble. `n` (the element count) is carried in the struct because the
+  * packed length alone can't distinguish 2m−1 from 2m elements.
+  * Ingest-time only (CodegenFallback); the scan side is the compiled
+  * [[DequantizeVectorInt4]].
+  */
+case class QuantizeVectorInt4(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("codes", ArrayType(ByteType, containsNull = false), nullable = false),
+    StructField("scale", DoubleType, nullable = false),
+    StructField("n", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(x.getFloat(i).toDouble)
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val scale = maxAbs / 7.0
+    val out = new Array[Byte]((n + 1) / 2)
+    i = 0
+    while (i < n) {
+      val code =
+        if (scale == 0.0) 0
+        else math.floor(x.getFloat(i).toDouble / scale + 0.5).toInt
+      val nib = code + 8 // biased, ∈ [1, 15]
+      if ((i & 1) == 0) out(i / 2) = nib.toByte
+      else out(i / 2) = (out(i / 2) | (nib << 4)).toByte
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      UnsafeArrayData.fromPrimitiveArray(out), scale, n)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** (packed int4 codes, scale, n) → fp32 vector — the SQ4 decode,
+  * codegen'd so it stays inside the scan stage of a declarative search
+  * plan. Decode of nibble v is `float((v − 8) · scale)` — exact double
+  * arithmetic + one IEEE float rounding, reproducible in SQL.
+  */
+case class DequantizeVectorInt4(first: Expression, second: Expression,
+                                third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(ByteType), DoubleType, IntegerType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(c: Any, s: Any, len: Any): Any = {
+    val codes = c.asInstanceOf[ArrayData]
+    val scale = s.asInstanceOf[Double]
+    val n = len.asInstanceOf[Int]
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val b = codes.getByte(i / 2) & 0xff
+      val nib = if ((i & 1) == 0) b & 0xf else b >>> 4
+      out(i) = ((nib - 8).toDouble * scale).toFloat
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, s, n) => {
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val nib = ctx.freshName("nib")
+      val out = ctx.freshName("out")
+      s"""
+         |float[] $out = new float[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  int $b = $c.getByte($i / 2) & 0xff;
+         |  int $nib = (($i & 1) == 0) ? ($b & 0xf) : ($b >>> 4);
+         |  $out[$i] = (float) (((double) ($nib - 8)) * $s);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** fp32 vector → packed sign bits (binary/1-bit quantization, the
   * sign-LSH family): bit t of word j is set iff element 63·j + t > 0.
   * 63 bits per word — not 64 — so every per-bit power of two stays inside

@@ -63,6 +63,15 @@ package object functions {
   def dequantizeInt8(codes: Column, scale: Column): Column =
     GraftBridge.column(DequantizeVectorInt8(e(codes), e(scale)))
 
+  /** SQ4 quantize: vector → struct(codes array<byte> nibble-packed,
+    * scale double, n int). */
+  def quantizeInt4(v: Column): Column =
+    GraftBridge.column(QuantizeVectorInt4(e(v)))
+
+  /** SQ4 dequantize: (packed codes, scale, n) → fp32 vector. */
+  def dequantizeInt4(codes: Column, scale: Column, n: Column): Column =
+    GraftBridge.column(DequantizeVectorInt4(e(codes), e(scale), e(n)))
+
   /** Binary (1-bit) quantization: vector → packed sign bits, 63/word. */
   def signBits(v: Column): Column = GraftBridge.column(SignBits(e(v)))
 

@@ -514,6 +514,40 @@ object Dedup {
       .select("doc_a", "doc_b", "n_inter", "jaccard")
   }
 
+  /** Asymmetric near-CONTAINMENT pairs: C(A,B) = |A∩B| / min(|A|,|B|)
+    * over df-capped word 3-gram shingles — Broder's containment measure
+    * (Broder 1997, "On the resemblance and containment of documents"),
+    * the metric that catches a short document quoted inside a long one.
+    * Jaccard structurally misses these: a doc fully embedded in one 10×
+    * its size has J ≈ 0.1 but containment 1.0, and quote-inclusion /
+    * article-syndication duplicates are exactly this shape in web-scale
+    * pretraining corpora.
+    *
+    * Same shingle equi-join skeleton as [[ngramJaccardPairs]] (cost is
+    * Σ df(s)² over the df-capped shingle universe, never n²), so the
+    * 100 TB story is identical; only the final score differs. Emits the
+    * undirected pair plus `contained_id` — the member with the SMALLER
+    * informative-shingle set (ties to the smaller doc_id), i.e. the doc a
+    * keep-longest dedup policy would drop.
+    */
+  def containmentPairs(docs: DataFrame, minContainment: Double,
+                       maxDf: Long = 1000L): DataFrame = {
+    val sh = capShingleDf(explodedShinglesCk(docs), maxDf)
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"),
+        first(col("a.n_sh")).as("na"), first(col("b.n_sh")).as("nb"))
+    inter
+      .withColumn("containment",
+        col("n_inter").cast(DoubleType) /
+          least(col("na"), col("nb")).cast(DoubleType))
+      .filter(col("containment") >= minContainment)
+      .withColumn("contained_id",
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b")))
+      .select("doc_a", "doc_b", "n_inter", "containment", "contained_id")
+  }
+
   /** Shared Spark/DuckDB arithmetic for a 16-bit SimHash from md5 nibbles:
     * bit b of token-hash = bit (b%4) of the hex nibble at position b/4+1.
     * `divOp` is "div" (Spark) or "//" (DuckDB) — everything else is

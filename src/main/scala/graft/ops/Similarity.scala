@@ -165,6 +165,45 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
 
+  /** IVF over SQ8 (int8) storage — the `IVF…,SQ8` FAISS factory composite
+    * and the missing middle rung of the compression ladder (IVF×raw and
+    * IVF×PQ exist; this is IVF×scalar-quantized): coarse-cluster pruning
+    * scans nProbe/nClusters of the corpus, and each scanned vector is a
+    * 4×-smaller (d bytes + scale) record decoded in-register by the
+    * codegen'd [[graft.functions.DequantizeVectorInt8]] — the scan stage
+    * reads a quarter of the bytes of [[ivfTopK]] at the same probe shape.
+    *
+    * Assignment happens on the RAW vector at ingest (FAISS assigns before
+    * quantizing on `add`), so the inverted lists are identical to the
+    * fp32 index's; only the stored payload differs. Decode is
+    * `float(code·scale)` — exact double arithmetic + one IEEE float
+    * rounding, both reproducible in SQL, so the whole composite oracles
+    * hash-exact rather than by recall bound.
+    */
+  def ivfSq8TopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                 centroidModulo: Int, nProbe: Int): DataFrame = {
+    val cents = collectSmall(
+        vectors.filter(col("id") % centroidModulo === 0).select(col("id"), col("vec")),
+        "IVF centroid table")
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .sortBy(_._1)
+    // ingest: assign raw, store int8 — the index a 100 TB deployment
+    // would persist partitioned by cid with the (codes, scale) payload
+    val enc = Dedup.spread(vectors)
+      .withColumn("cid", element_at(nearestCentroids(col("vec"), cents, 1), 1))
+      .select(col("cid"), col("id"), quantizeInt8(col("vec")).as("q"))
+    val probes = queries
+      .select(col("qid"), col("qv"),
+        explode(nearestCentroids(col("qv"), cents, nProbe)).as("cid"))
+    explodeHits(
+      probes.join(enc, "cid")
+        .select(col("qid"), col("id").as("label"),
+          squaredL2(dequantizeInt8(col("q.codes"), col("q.scale")),
+            col("qv")).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
+  }
+
   /** Radius (range) search: ALL neighbors within squared-L2 `radius`, not
     * a fixed k — FAISS CPU's `range_search` surface, which the reference
     * does not implement (its Metal path is top-k only); included so a

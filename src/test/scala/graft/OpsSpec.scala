@@ -182,6 +182,116 @@ class OpsSpec extends AnyFunSuite {
     assert(reranked == exact)
   }
 
+  test("SQ4 nibble packing: grid round-trip exact; odd dims; zero vector; error ≤ scale/2; ⌈d/2⌉ bytes") {
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.functions.{quantizeInt4, dequantizeInt4}
+    def roundtrip(vs: Seq[(Long, Array[Float])]) =
+      vs.toDF("id", "v")
+        .select(col("id"), col("v"), quantizeInt4(col("v")).as("q"))
+        .select(col("id"), col("v"), col("q.scale").as("scale"),
+          size(col("q.codes")).as("nb"),
+          dequantizeInt4(col("q.codes"), col("q.scale"), col("q.n")).as("r"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getDouble(2),
+          r.getInt(3), r.getSeq[Float](4).toArray))
+
+    // integer grid with max|x| = 7 → scale = 1.0 → lossless round-trip,
+    // including an ODD dimension count (pad nibble exercised)
+    val grid = Seq(
+      0L -> Array(7f, -7f, 0f, 3f, -5f),           // d=5 (odd)
+      1L -> Array(1f, 2f, 3f, 4f, 5f, 6f, 7f, -1f) // d=8 (even)
+    )
+    roundtrip(grid).foreach { case (_, x, scale, nb, r) =>
+      assert(scale == 1.0)
+      assert(nb == (x.length + 1) / 2)
+      assert(r.toSeq == x.toSeq, s"grid round-trip not exact: ${r.toSeq} vs ${x.toSeq}")
+    }
+    // all-zero vector: scale 0, decodes to zeros (no division blowup)
+    val zero = roundtrip(Seq(2L -> Array(0f, 0f, 0f)))
+    assert(zero.head._3 == 0.0 && zero.head._5.toSeq == Seq(0f, 0f, 0f))
+    // random vectors: reconstruction error bounded by half the step size
+    // (+ one float rounding), the defining property of the 15-level grid
+    val rand = Oracle.genVectors(50, 33).zipWithIndex // odd d again
+      .map { case (v, i) => (i.toLong, v) }.toSeq
+    roundtrip(rand).foreach { case (_, x, scale, nb, r) =>
+      assert(nb == 17)
+      val maxErr = x.zip(r).map { case (a, b) => math.abs(a.toDouble - b.toDouble) }.max
+      assert(maxErr <= scale / 2 + 1e-6, s"err $maxErr > scale/2 = ${scale / 2}")
+    }
+  }
+
+  test("ivfSq8TopK: lossless on the int8 grid (≡ ivfTopK bit-exact); high recall + bounded score drift on random vectors") {
+    val spark2 = spark
+    import spark2.implicits._
+    // (a) integer-grid corpus with max|x| = 127 exactly → scale = 1.0,
+    // codes = the integers themselves, decode bit-exact → the SQ8 index
+    // must reproduce the fp32 IVF index to the last bit (assignment,
+    // probes, scores, tie-breaks)
+    val grid = (0 until 200).map { i =>
+      val v = Array.tabulate(16)(j => (((i * 31 + j * 17) % 255) - 127).toFloat)
+      v(0) = if (i % 2 == 0) 127f else -127f
+      (i.toLong, v)
+    }
+    val gdf = grid.toDF("id", "vec")
+    val gq = grid.take(6).map { case (i, v) => (i, v) }.toDF("qid", "qv")
+    val sq8 = Similarity.ivfSq8TopK(gdf, gq, k = 5, centroidModulo = 20, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val raw = Similarity.ivfTopK(gdf, gq, k = 5, centroidModulo = 20, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(sq8 == raw)
+
+    // (b) random fp32 corpus: same raw-assignment inverted lists, so the
+    // candidate sets match; quantization only perturbs scores — recall
+    // vs the fp32 IVF ranking stays high and common-label score drift is
+    // bounded by the SQ8 step size
+    val vecs = Oracle.genVectors(300, 32)
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = Oracle.genVectors(5, 32, seed = 7L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    val s8 = Similarity.ivfSq8TopK(vdf, qdf, k = 10, centroidModulo = 30, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val r32 = Similarity.ivfTopK(vdf, qdf, k = 10, centroidModulo = 30, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val overlap = s8.keySet.intersect(r32.keySet)
+    assert(overlap.size >= 40, s"recall@10 too low: ${overlap.size}/50")
+    // per-element decode error ≤ scale/2 + float rounding; at d=32,
+    // |x| ≤ 1 (scale ≤ 1/127) the squared-distance drift stays well
+    // under 0.2 — generous 4× headroom on the analytic bound
+    overlap.foreach { key =>
+      assert(math.abs(s8(key) - r32(key)) <= 0.2,
+        s"score drift at $key: ${s8(key)} vs ${r32(key)}")
+    }
+  }
+
+  test("containmentPairs: quote-inclusion pair found at C=1.0 where Jaccard misses it; contained_id is the smaller set") {
+    // doc 1 = doc 0 fully embedded in ~4× unrelated framing text: every
+    // informative shingle of doc 0 appears in doc 1 → containment 1.0,
+    // but Jaccard ≈ |A|/|B| ≈ 0.25 — below any useful dedup threshold
+    val framing = "surrounding article text with framing paragraphs " +
+      "introduction context analysis commentary opinions elaboration " +
+      "citations footnotes references appendix supplementary material " +
+      "closing remarks editorial notes further reading acknowledgements"
+    val docs = docsDf(Seq(
+      0L -> base,
+      1L -> (framing + " " + base + " " + framing.split(" ").reverse.mkString(" ")),
+      2L -> unrelated))
+    val pairs = Dedup.containmentPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4)))
+    assert(pairs.length == 1)
+    val (a, b, c, contained) = pairs.head
+    assert((a, b) == (0L, 1L))
+    assert(c == 1.0) // every doc-0 shingle present in doc 1 — exact
+    assert(contained == 0L) // the embedded (smaller-set) doc is the droppable one
+    // the same pair is invisible to symmetric Jaccard at the same threshold
+    val jac = Dedup.ngramJaccardPairs(docs, 0.5).collect()
+    assert(jac.isEmpty)
+    // sanity: containment never exceeds 1 and respects the threshold filter
+    val all = Dedup.containmentPairs(docs, 0.0).collect()
+      .map(r => r.getDouble(3))
+    assert(all.forall(v => v > 0.0 && v <= 1.0))
+  }
+
   test("df-capped shingle joins: hot boilerplate shingles dropped before the pair join") {
     // 100 docs share 7 boilerplate 3-grams (df=100) plus one unique shingle
     // each; with the cap the quadratic boilerplate pair block vanishes and
