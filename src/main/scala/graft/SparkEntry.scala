@@ -610,6 +610,24 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     },
 
+    // SCD2 state history: compact each user's event-type stream into
+    // validity intervals [valid_from_us, valid_to_us) — the slowly-
+    // changing-dimension type-2 build a feature store derives from an
+    // event log; consecutive same-state events collapse into one interval
+    // and the open (current) interval carries NULL valid_to. Same
+    // bounded-per-user window class as sessionize.
+    "q_scd2_history" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("unix_micros(ts)"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      ev.withColumn("prev_state", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_state").isNull || col("prev_state") =!= col("event_type"))
+        .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts_us").as("valid_from_us"), col("valid_to_us"))
+        .orderBy("user_id", "valid_from_us")
+    },
+
     // ---- range-predicate join (equi key co-locates, range filters) ----
 
     "q_range_join" -> { (s, dir) =>
@@ -952,6 +970,17 @@ object SparkEntry {
     "text_bm25" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
       Lexical.bm25TopK(docs,
+        docs.filter(col("doc_id") < 4).select(col("doc_id").as("qid"), col("text")),
+        k = 10)
+        .orderBy("qid", "rank")
+    },
+
+    // TF-IDF cosine more-like-this (vector space model, Salton 1988) —
+    // the second lexical scorer, sharing the BM25 posting stats; cosine
+    // length normalization where BM25 uses b·len/avg_len
+    "text_tfidf" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      Lexical.tfidfTopK(Lexical.bm25Stats(docs),
         docs.filter(col("doc_id") < 4).select(col("doc_id").as("qid"), col("text")),
         k = 10)
         .orderBy("qid", "rank")
@@ -2496,6 +2525,34 @@ object SparkEntry {
          |SELECT qid, rank, label, score FROM bm25 WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin,
 
+    // reuses the shared posting CTEs (toksb/tfb/dfb/statsb); query-side
+    // weights from the query doc's term FREQUENCIES (classic VSM), norms
+    // over each doc's full capped-term vector
+    "text_tfidf" ->
+      s"""WITH $oracleBm25Ctes,
+         |wtb AS (SELECT tfb.doc_id, tfb.tok, tfb.tf * ln(1.0 + s.n_docs/dfb.df) AS w
+         |        FROM tfb JOIN dfb ON tfb.tok = dfb.tok, statsb s),
+         |nrmb AS (SELECT doc_id, SQRT(SUM(w*w)) AS nrm FROM wtb GROUP BY 1),
+         |qtfb AS (SELECT doc_id AS qid, tok, CAST(count(*) AS BIGINT) AS qtf
+         |         FROM (SELECT doc_id, UNNEST(string_split(text,' ')) AS tok
+         |               FROM documents WHERE doc_id < 4)
+         |         GROUP BY 1, 2),
+         |qwb AS (SELECT qtfb.qid, qtfb.tok, qtfb.qtf * ln(1.0 + s.n_docs/dfb.df) AS qw
+         |        FROM qtfb JOIN dfb ON qtfb.tok = dfb.tok, statsb s),
+         |qnrmb AS (SELECT qid, SQRT(SUM(qw*qw)) AS qnrm FROM qwb GROUP BY 1),
+         |dotb AS (SELECT qwb.qid, wtb.doc_id AS label, SUM(qwb.qw * wtb.w) AS dot
+         |         FROM qwb JOIN wtb ON qwb.tok = wtb.tok
+         |         WHERE wtb.doc_id <> qwb.qid GROUP BY 1, 2),
+         |sctf AS (SELECT dotb.qid, dotb.label,
+         |         ROUND(dotb.dot/(nrmb.nrm*qnrmb.qnrm), 6) AS score
+         |         FROM dotb JOIN nrmb ON dotb.label = nrmb.doc_id
+         |         JOIN qnrmb ON dotb.qid = qnrmb.qid),
+         |tfr AS (SELECT qid, label, score,
+         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, label) AS rank
+         |        FROM sctf)
+         |SELECT qid, rank, label, score FROM tfr WHERE rank <= 10
+         |ORDER BY qid, rank""".stripMargin,
+
     "hybrid_rrf" ->
       s"""WITH $oracleBm25Ctes,
          |qd AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
@@ -3355,6 +3412,19 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |f AS (SELECT *, lag(event_type) OVER
+        |        (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_state
+        |      FROM e),
+        |r AS (SELECT * FROM f WHERE prev_state IS NULL OR prev_state <> event_type),
+        |g AS (SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+        |        lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
+        |      FROM r)
+        |SELECT user_id, state, valid_from_us, valid_to_us
+        |FROM g ORDER BY user_id, valid_from_us""".stripMargin,
 
     "q_range_join" ->
       """SELECT o_orderkey, COUNT(*) AS n_shipped_30d

@@ -106,6 +106,55 @@ object Lexical {
         .agg(topK(col("score"), col("label"), k, ascending = false).as("hits")))
   }
 
+  /** TF-IDF cosine "more-like-this" — the vector-space-model baseline
+    * (Salton & Buckley 1988) that predates BM25 and remains the standard
+    * second lexical scorer (length-normalized via the cosine, where BM25
+    * normalizes via b·len/avg_len). Shares [[Bm25Stats]] with the BM25
+    * stack so the corpus is tokenized once for both scorers.
+    *
+    * w(d,t) = tf(d,t) · ln(1 + N/df(t)) over the df-capped term universe;
+    * score = cos(q, d) on those sparse vectors; query-side weights use the
+    * query doc's own term FREQUENCIES (classic VSM, unlike BM25's distinct
+    * query-term set). Norms are over each doc's full capped-term vector,
+    * so a doc matching one rare query term doesn't score 1.0.
+    *
+    * Scale shape: identical to [[bm25TopK]] — one posting join per query
+    * batch bounded by df-capped posting lists, k-bounded aggregates, norms
+    * from one combiner groupBy computed once with the stats.
+    */
+  def tfidfTopK(st: Bm25Stats, queryDocs: DataFrame, k: Int): DataFrame = {
+    val nDocs = st.stats.select(col("n_docs"))
+    // corpus-side sparse weights: feeds BOTH norms and the scoring join —
+    // checkpointed so the posting join runs once (explodedShinglesCk
+    // pattern)
+    val w = st.tf.join(st.dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * log(lit(1.0) + col("n_docs") / col("df"))).as("w"))
+      .localCheckpoint(true)
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val qtf = queryDocs
+      .select(col("qid"), explode(Dedup.tokens(col("text"))).as("tok"))
+      .groupBy(col("qid"), col("tok")).agg(count(lit(1)).as("qtf"))
+    val qw = qtf.join(st.dfreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .select(col("qid"), col("tok"),
+        (col("qtf") * log(lit(1.0) + col("n_docs") / col("df"))).as("qw"))
+      .localCheckpoint(true)
+    val qnorms = qw.groupBy(col("qid")).agg(sqrt(sum(col("qw") * col("qw"))).as("qnrm"))
+    val dots = qw.join(w, "tok")
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("qw") * col("w")).as("dot"))
+    Similarity.explodeHits(
+      dots.join(norms, "doc_id").join(broadcast(qnorms), "qid")
+        .select(col("qid"), col("doc_id").as("label"),
+          round(col("dot") / (col("nrm") * col("qnrm")), 6).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = false).as("hits")))
+  }
+
   /** Reciprocal-rank fusion (Cormack & Clarke 2009): each input list
     * contributes 1/(c+rank) per (qid, label); fused score DESC, ties to
     * the smaller label. Inputs are (qid, rank, label, ...) frames — the

@@ -75,6 +75,55 @@ class LexicalSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 1L))
   }
 
+  /** Scalar TF-IDF cosine: w(d,t) = tf·ln(1+N/df) over the df-capped
+    * universe, query-side weights from query term FREQUENCIES, norms over
+    * each doc's full capped vector — same spec as [[Lexical.tfidfTopK]].
+    */
+  private def refTfidf(docs: Seq[(Long, String)], qid: Long,
+                       maxDf: Long = Long.MaxValue): Seq[(Long, Double)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val n = docs.size.toDouble
+    val df = toks.values.flatMap(_.distinct).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap.filter(_._2 <= maxDf)
+    def weights(ws: Seq[String]): Map[String, Double] =
+      ws.groupBy(identity).collect { case (t, occ) if df.contains(t) =>
+        t -> occ.size * math.log(1.0 + n / df(t))
+      }
+    def norm(w: Map[String, Double]): Double =
+      math.sqrt(w.values.map(v => v * v).sum)
+    val qw = weights(toks(qid))
+    docs.collect { case (id, _) if id != qid =>
+      val dw = weights(toks(id))
+      val dot = qw.collect { case (t, v) if dw.contains(t) => v * dw(t) }.sum
+      id -> math.rint(dot / (norm(dw) * norm(qw)) * 1e6) / 1e6
+    }.filter(_._2 != 0.0)
+      .sortBy { case (id, s) => (-s, id) }
+  }
+
+  test("tfidfTopK matches the scalar VSM reference (cosine, query tf weights, self-exclusion)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = corpus.toDF("doc_id", "text")
+    val st = Lexical.bm25Stats(docs)
+    val got = Lexical.tfidfTopK(st,
+        docs.filter(col("doc_id") < 2).select(col("doc_id").as("qid"), col("text")),
+        k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    for (qid <- Seq(0L, 1L)) {
+      val want = refTfidf(corpus, qid)
+      val mine = got.filter(_._1 == qid).sortBy(_._2)
+      assert(mine.map(_._3).toSeq === want.map(_._1), s"rank order for query $qid")
+      mine.map(_._4).zip(want.map(_._2)).foreach { case (g, w) =>
+        assert(math.abs(g - w) < 2e-6, s"score for query $qid: $g vs $w")
+      }
+      assert(!mine.exists(_._3 == qid), "query doc must be self-excluded")
+    }
+    // doc 0 = "apple banana apple cherry", doc 2 = "apple apple apple
+    // banana": same dominant terms → doc 2 must outrank the date-heavy
+    // docs for query 0 (cosine sanity beyond the formula identity)
+    assert(got.filter(_._1 == 0L).minBy(_._2)._3 == 2L)
+  }
+
   test("unigramLogProb matches the scalar unigram-MLE reference") {
     val spark2 = spark
     import spark2.implicits._
