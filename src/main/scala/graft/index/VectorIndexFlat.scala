@@ -41,6 +41,7 @@ object StorageType {
   case object Float16 extends StorageType
   case object BFloat16 extends StorageType
   case object Int8 extends StorageType
+  case object Int4 extends StorageType
 }
 
 /** Async search handle — the Spark analog of `MetalSearchToken`
@@ -155,6 +156,14 @@ final class VectorIndexFlat private (
           vectorNormSq(col("vec")).as("norm"))
         .select(col("id"), col("q.codes").as("vecb"),
           col("q.scale").as("scale"), col("norm"))
+    case StorageType.Int4 =>
+      // nibble-packed: ⌈d/2⌉ stored bytes — 8× fewer scanned bytes than
+      // fp32; the element count is the index's fixed `d`, so only codes
+      // and scale are persisted
+      raw.select(col("id"), quantizeInt4(col("vec")).as("q"),
+          vectorNormSq(col("vec")).as("norm"))
+        .select(col("id"), col("q.codes").as("vecb"),
+          col("q.scale").as("scale"), col("norm"))
   }
 
   /** fp32 view of the stored vectors (dequantized when 16-bit). */
@@ -167,6 +176,9 @@ final class VectorIndexFlat private (
     case StorageType.Int8 =>
       data.select(col("id"),
         dequantizeInt8(col("vecb"), col("scale")).as("vec"), col("norm"))
+    case StorageType.Int4 =>
+      data.select(col("id"),
+        dequantizeInt4(col("vecb"), col("scale"), lit(d)).as("vec"), col("norm"))
   }
 
   /** Drop everything (ref `reset`, `mm:492-506`). */
@@ -270,10 +282,11 @@ final class VectorIndexFlat private (
       case StorageType.Float32  => (data.select(col("id"), col("vec")), 0)
       case StorageType.Float16  => (data.select(col("id"), col("vech")), 1)
       case StorageType.BFloat16 => (data.select(col("id"), col("vech")), 2)
-      // SQ8 rides the fused loop through the codegen'd dequantize
+      // SQ8/SQ4 ride the fused loop through the codegen'd dequantize
       // projection (the scale is per-row, so the in-register decode the
       // 16-bit formats use doesn't apply without widening KnnPartialExec)
-      case StorageType.Int8     => (decoded.select(col("id"), col("vec")), 0)
+      case StorageType.Int8 | StorageType.Int4 =>
+        (decoded.select(col("id"), col("vec")), 0)
     }
     graft.plans.Knn.partials(src, qData, k,
       ascending = metric.ascending,
@@ -340,10 +353,10 @@ final class VectorIndexFlat private (
     val dim = d
     val build: () => org.apache.spark.rdd.RDD[(Array[Long], Array[Float], Array[Short])] =
       storage match {
-        case StorageType.Float32 | StorageType.Int8 => () =>
-          // Int8 packs the decoded fp32 (per-row scales rule out a shared
-          // in-loop decode table; the snapshot is still 1× fp32, and the
-          // stored column stays 4× smaller)
+        case StorageType.Float32 | StorageType.Int8 | StorageType.Int4 => () =>
+          // SQ8/SQ4 pack the decoded fp32 (per-row scales rule out a
+          // shared in-loop decode table; the snapshot is still 1× fp32,
+          // and the stored column stays 4×/8× smaller)
           (if (storage == StorageType.Float32) data else decoded)
             .select(col("id"), col("vec")).rdd.mapPartitions { it =>
             val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
@@ -558,7 +571,7 @@ object VectorIndexFlat {
         StructField("id", LongType, nullable = false),
         StructField("vec", ArrayType(FloatType, containsNull = false), nullable = false),
         StructField("norm", DoubleType, nullable = false)))
-      case StorageType.Int8 => StructType(Seq(
+      case StorageType.Int8 | StorageType.Int4 => StructType(Seq(
         StructField("id", LongType, nullable = false),
         StructField("vecb", ArrayType(ByteType, containsNull = false), nullable = false),
         StructField("scale", DoubleType, nullable = false),

@@ -127,6 +127,45 @@ class VectorIndexFlatSpec extends AnyFunSuite {
     idx.reset()
   }
 
+  test("int4 (SQ4) storage: labels match oracle on dequantized vectors; odd d pad nibble; error bounded; serving parity") {
+    val d = 33 // odd → the last stored byte carries a pad nibble
+    val vecs = Oracle.genVectors(400, d)
+    val qs = Oracle.genVectors(5, d, seed = 4242)
+    // driver-side SQ4 reference: 15-level symmetric grid, round-half-up
+    val deq = vecs.map { v =>
+      val scale = v.map(x => math.abs(x.toDouble)).max / 7.0
+      v.map(x => if (scale == 0.0) 0f
+                 else (math.floor(x.toDouble / scale + 0.5) * scale).toFloat)
+    }
+    val idx = VectorIndexFlat(spark, d, Metric.L2, StorageType.Int4)
+    idx.add(vecs.toSeq)
+    // stored payload really is nibble-packed: ⌈d/2⌉ bytes per row
+    val storedBytes = idx.vectors.select(size(col("vecb"))).head.getInt(0)
+    assert(storedBytes === (d + 1) / 2)
+    val got = runSearch(idx, qs, 5)
+    val want = Oracle.bruteForceKnn(deq, qs, 5, innerProduct = false)
+    for (qid <- 0 until 5) {
+      assert(got(qid.toLong).map(_._1) === want(qid).map(_._1).toSeq, s"qid=$qid")
+    }
+    // reconstruct error ≤ scale/2 + float-rounding slack per element
+    val r7 = idx.reconstruct(7L)
+    val scale7 = vecs(7).map(x => math.abs(x.toDouble)).max / 7.0
+    r7.zip(vecs(7)).foreach { case (r, o) =>
+      assert(math.abs(r - o) <= scale7 / 2 + 1e-6, s"err ${math.abs(r - o)} scale $scale7")
+    }
+    // prepared serving handle ≡ fp64 point path on the quantized index
+    val q = qs.head
+    val viaPoint = idx.searchPoint(q, 5)
+    val searcher = idx.pointSearcher(5)
+    val prepared = searcher.search(q)
+    assert(prepared.map(_._1).toSeq === viaPoint.map(_._1).toSeq)
+    prepared.zip(viaPoint).foreach { case ((_, pd), (_, sd)) =>
+      assert(math.abs(pd - sd) <= 1e-12 * math.max(1.0, math.abs(sd)))
+    }
+    searcher.close()
+    idx.reset()
+  }
+
   test("edge-empty-index: all sentinels") {
     for (metric <- Seq(Metric.L2, Metric.InnerProduct)) {
       val idx = VectorIndexFlat(spark, 32, metric)
