@@ -661,6 +661,64 @@ object Similarity {
     * eigenvectors are sign-ambiguous, and an unpinned sign would make the
     * projected space (and every downstream hash) run-dependent.
     */
+  /** In-place cyclic Jacobi eigensolve on a symmetric d×d matrix: `a`'s
+    * diagonal converges to the eigenvalues; returns the accumulated
+    * rotation whose COLUMNS are the eigenvectors. Fixed (p,q) sweep order
+    * → fully deterministic; unconditionally convergent on symmetric
+    * input. `scaleRef` sets the relative off-diagonal tolerance (the
+    * matrix trace for a covariance). Shared by [[trainPca]] and the OPQ
+    * Procrustes SVD ([[trainOpq]]).
+    */
+  private def jacobiEigen(a: Array[Array[Double]],
+                          scaleRef: Double): Array[Array[Double]] = {
+    val d = a.length
+    val vecs = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    val tol = 1e-12 * math.max(scaleRef, 1e-300)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > tol) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          off += 2.0 * apq * apq
+          if (math.abs(apq) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) match {
+              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              case s   => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            }
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = vecs(i)(p); val viq = vecs(i)(q)
+              vecs(i)(p) = c * vip - s * viq
+              vecs(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    vecs
+  }
+
   def trainPca(vectors: DataFrame, dOut: Int,
                knownCount: Long = -1L): PcaModel = {
     val sample: Array[Array[Float]] = collectSmall(
@@ -715,50 +773,7 @@ object Similarity {
     // cyclic Jacobi: rotate away each off-diagonal (p,q) in fixed order
     // until the off-diagonal mass is negligible relative to the trace
     val a = cov.map(_.clone())
-    val vecs = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
-    val tol = 1e-12 * math.max(totalVar, 1e-300)
-    var sweep = 0
-    var off = Double.MaxValue
-    while (sweep < 64 && off > tol) {
-      off = 0.0
-      var p = 0
-      while (p < d - 1) {
-        var q = p + 1
-        while (q < d) {
-          val apq = a(p)(q)
-          off += 2.0 * apq * apq
-          if (math.abs(apq) > 1e-300) {
-            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
-            val t = math.signum(theta) match {
-              case 0.0 => 1.0 / (theta + math.sqrt(theta * theta + 1.0))
-              case s   => s / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
-            }
-            val c = 1.0 / math.sqrt(t * t + 1.0)
-            val s = t * c
-            var i = 0
-            while (i < d) {
-              val aip = a(i)(p); val aiq = a(i)(q)
-              a(i)(p) = c * aip - s * aiq
-              a(i)(q) = s * aip + c * aiq
-              i += 1
-            }
-            i = 0
-            while (i < d) {
-              val api = a(p)(i); val aqi = a(q)(i)
-              a(p)(i) = c * api - s * aqi
-              a(q)(i) = s * api + c * aqi
-              val vip = vecs(i)(p); val viq = vecs(i)(q)
-              vecs(i)(p) = c * vip - s * viq
-              vecs(i)(q) = s * vip + c * viq
-              i += 1
-            }
-          }
-          q += 1
-        }
-        p += 1
-      }
-      sweep += 1
-    }
+    val vecs = jacobiEigen(a, totalVar)
     // eigenpairs sorted by descending eigenvalue, column index as the
     // deterministic tiebreak; sign pinned at the largest-|entry| coord
     val order = (0 until d).sortBy(j => (-a(j)(j), j))
@@ -1344,6 +1359,345 @@ object Similarity {
       encoded.crossJoin(broadcast(queries))
         .select(col("qid"), col("id").as("label"),
           round(pqAdcScore(col("codes"), col("qv"), cents, m), 6).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
+  }
+
+  /** Trained OPQ model: mean + orthonormal rotation (rows = output
+    * coordinates) + stacked full-dim PQ codebook IN THE ROTATED SPACE +
+    * the per-iteration mean squared reconstruction error on the training
+    * sample (`errTrace`). errTrace(0) is the PCA-init error — the "cheap
+    * OPQ" baseline [[trainPca]]+PQ ships — so `errTrace.last ≤
+    * errTrace.head` is the machine-checkable claim that the alternating
+    * optimization actually optimized something.
+    */
+  case class OpqModel(mean: Array[Double], rotation: Array[Array[Double]],
+                      codebook: Seq[Array[Float]], m: Int,
+                      errTrace: Array[Double])
+
+  /** Optimized Product Quantization (Ge et al. 2013, FAISS `OPQMatrix`),
+    * non-parametric form: alternately (1) train/refine per-subspace
+    * codebooks on the rotated sample, (2) re-encode, (3) solve the
+    * orthogonal-Procrustes problem min_R ‖R·X − X̂‖_F (R = V·Uᵀ from the
+    * SVD of X·X̂ᵀ) so the rotation adapts to what the quantizer can
+    * represent — the step PCA+PQ lacks, and the reason OPQ wins when
+    * variance is unevenly split across subspaces.
+    *
+    * Determinism contract (same as [[trainPca]]/[[trainPqCodebook]]):
+    * bounded hash-sampled training set, sorted lexicographically before
+    * any fp accumulation; PCA init; warm-started Lloyd across iterations
+    * (k-means++ only on the first); Jacobi-based SVD with fixed sweep
+    * order. Every step given the others is an exact (or Lloyd-monotone)
+    * minimizer of the SAME objective, so errTrace is non-increasing by
+    * construction — spec-pinned, and the property that makes the recall
+    * verdict reproducible run-to-run.
+    *
+    * Training cost is corpus-independent (driver-side over ≤ 32k rows);
+    * the returned model applies as a narrow no-shuffle projection
+    * ([[graft.functions.PcaProject]] with the OPQ rotation) + the usual
+    * m-byte PQ encode, so the 100 TB story is identical to [[pqTopK]].
+    */
+  def trainOpq(vectors: DataFrame, m: Int, ncent: Int, iters: Int = 6,
+               seed: Long = 42L, knownCount: Long = -1L): OpqModel = {
+    val sample: Array[Array[Float]] = collectSmall(
+        trainSample(vectors, knownCount = knownCount).select(col("vec").as("v")),
+        "OPQ training sample")
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "OPQ training needs a non-empty sample")
+    val d = sample(0).length
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val ds = d / m
+    java.util.Arrays.sort(sample, new java.util.Comparator[Array[Float]] {
+      def compare(a: Array[Float], b: Array[Float]): Int = {
+        val n = math.min(a.length, b.length)
+        var i = 0
+        while (i < n) {
+          val c = java.lang.Float.compare(a(i), b(i))
+          if (c != 0) return c
+          i += 1
+        }
+        Integer.compare(a.length, b.length)
+      }
+    })
+    // init: full-rank PCA (trains on the same deterministic sample set) —
+    // iteration 0's codebook+error IS the PCA+PQ baseline
+    val pca = trainPca(vectors, d, knownCount = knownCount)
+    val mean = pca.mean
+    var rot: Array[Array[Double]] = pca.components
+    val x: Array[Array[Double]] = sample.map { v =>
+      Array.tabulate(d)(j => v(j).toDouble - mean(j))
+    }
+    val n = x.length
+    def rotate(r: Array[Array[Double]]): Array[Array[Double]] =
+      x.map { v =>
+        val y = new Array[Double](d)
+        var i = 0
+        while (i < d) {
+          var acc = 0.0; var j = 0
+          while (j < d) { acc += r(i)(j) * v(j); j += 1 }
+          y(i) = acc; i += 1
+        }
+        y
+      }
+    def sub(y: Array[Array[Double]], j: Int): Array[Array[Double]] =
+      y.map { v =>
+        val s = new Array[Double](ds)
+        var t = 0
+        while (t < ds) { s(t) = v(j * ds + t); t += 1 }
+        s
+      }
+    var centers: Array[Array[Array[Double]]] = null
+    val errs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var it = 0
+    while (it < iters) {
+      val y = rotate(rot)
+      if (centers == null)
+        centers = Array.tabulate(m)(j => lloyd(sub(y, j), ncent, iters = 10, seed = seed + j))
+      else {
+        var j = 0
+        while (j < m) { lloydIterate(sub(y, j), centers(j), 2); j += 1 }
+      }
+      // encode: nearest sub-center (ties → lowest index, the pqEncode
+      // order) → reconstruction x̂ and this iteration's objective value
+      val xhat = y.map { v =>
+        val r = new Array[Double](d)
+        var j = 0
+        while (j < m) {
+          var best = Double.MaxValue; var bc = 0; var c = 0
+          while (c < centers(j).length) {
+            var acc = 0.0; var t = 0
+            while (t < ds) {
+              val dd = v(j * ds + t) - centers(j)(c)(t); acc += dd * dd; t += 1
+            }
+            if (acc < best) { best = acc; bc = c }
+            c += 1
+          }
+          System.arraycopy(centers(j)(bc), 0, r, j * ds, ds)
+          j += 1
+        }
+        r
+      }
+      var se = 0.0
+      var i = 0
+      while (i < n) {
+        var t = 0
+        while (t < d) { val dd = y(i)(t) - xhat(i)(t); se += dd * dd; t += 1 }
+        i += 1
+      }
+      errs += se / math.max(1, n)
+      // Procrustes: with M = Σ xᵢ·x̂ᵢᵀ and SVD M = UΣVᵀ, the exact
+      // minimizer of ‖RX − X̂‖_F over orthogonal R is R = V·Uᵀ — which
+      // is the unitary polar factor of Mᵀ (Mᵀ = VΣUᵀ = (VUᵀ)(UΣUᵀ)).
+      // Computed by the Newton polar iteration (quadratic convergence,
+      // orthogonal to machine precision — an eigen-based SVD leaves
+      // ~1e-7 non-orthogonality here because MᵀM's spectrum spans many
+      // orders). Singular M (needs a degenerate sample) → keep the
+      // current rotation for this step.
+      if (it < iters - 1) {
+        val mMat = Array.ofDim[Double](d, d)
+        i = 0
+        while (i < n) {
+          var p = 0
+          while (p < d) {
+            val xp = x(i)(p)
+            if (xp != 0.0) {
+              var q = 0
+              while (q < d) { mMat(p)(q) += xp * xhat(i)(q); q += 1 }
+            }
+            p += 1
+          }
+          i += 1
+        }
+        val mT = Array.tabulate(d, d)((p, q) => mMat(q)(p))
+        polarUnitary(mT).foreach(r => rot = r)
+      }
+      it += 1
+    }
+    val effNcent = centers.map(_.length).min
+    val codebook = (0 until effNcent).map { ci =>
+      val full = new Array[Float](d)
+      var j = 0
+      while (j < m) {
+        var t = 0
+        while (t < ds) { full(j * ds + t) = centers(j)(ci)(t).toFloat; t += 1 }
+        j += 1
+      }
+      full
+    }
+    OpqModel(mean, rot, codebook, m, errs.toArray)
+  }
+
+  /** Unitary polar factor of a square matrix by the Newton iteration
+    * X ← ½(X + X⁻ᵀ) (Higham 1986): converges quadratically to the
+    * orthogonal factor of the polar decomposition for any nonsingular
+    * input, and the limit is orthogonal to machine precision — the
+    * property the OPQ rotation needs (an isometry that drifts 1e-7 per
+    * iteration compounds). Deterministic: fixed Frobenius pre-scaling,
+    * partial-pivot Gaussian inverse, fixed convergence threshold.
+    * Returns None when a pivot collapses (singular input).
+    */
+  private def polarUnitary(aIn: Array[Array[Double]]): Option[Array[Array[Double]]] = {
+    val d = aIn.length
+    var frob = 0.0
+    aIn.foreach(_.foreach(v => frob += v * v))
+    frob = math.sqrt(frob)
+    if (frob <= 0.0) return None
+    var x = aIn.map(_.map(_ / frob))
+    var itp = 0
+    var delta = Double.MaxValue
+    while (itp < 100 && delta > 1e-14) {
+      val inv = invert(x) match {
+        case Some(m) => m
+        case None    => return None
+      }
+      val next = Array.tabulate(d, d)((p, q) => 0.5 * (x(p)(q) + inv(q)(p)))
+      delta = 0.0
+      var p = 0
+      while (p < d) {
+        var q = 0
+        while (q < d) {
+          val dd = math.abs(next(p)(q) - x(p)(q))
+          if (dd > delta) delta = dd
+          q += 1
+        }
+        p += 1
+      }
+      x = next
+      itp += 1
+    }
+    Some(x)
+  }
+
+  /** Partial-pivot Gaussian inverse; None when a pivot falls below
+    * 1e-12× the matrix scale (singular).
+    */
+  private def invert(aIn: Array[Array[Double]]): Option[Array[Array[Double]]] = {
+    val d = aIn.length
+    val a = aIn.map(_.clone())
+    val inv = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var scaleM = 0.0
+    aIn.foreach(_.foreach(v => scaleM = math.max(scaleM, math.abs(v))))
+    val tol = 1e-12 * math.max(scaleM, 1e-300)
+    var col = 0
+    while (col < d) {
+      var piv = col
+      var r = col + 1
+      while (r < d) {
+        if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r
+        r += 1
+      }
+      if (math.abs(a(piv)(col)) <= tol) return None
+      if (piv != col) {
+        val t = a(piv); a(piv) = a(col); a(col) = t
+        val t2 = inv(piv); inv(piv) = inv(col); inv(col) = t2
+      }
+      val pv = a(col)(col)
+      var j = 0
+      while (j < d) { a(col)(j) /= pv; inv(col)(j) /= pv; j += 1 }
+      r = 0
+      while (r < d) {
+        if (r != col) {
+          val f = a(r)(col)
+          if (f != 0.0) {
+            j = 0
+            while (j < d) {
+              a(r)(j) -= f * a(col)(j); inv(r)(j) -= f * inv(col)(j); j += 1
+            }
+          }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    Some(inv)
+  }
+
+  /** One warm-started Lloyd pass block: `iters` assignment/update rounds
+    * on an EXISTING center array (mutated in place; empty clusters
+    * re-seed deterministically from the farthest point, same rule as
+    * [[lloyd]]). Used by [[trainOpq]] to carry codebooks across rotation
+    * updates — re-initializing k-means++ each OPQ iteration would break
+    * the monotone-objective property the spec pins.
+    */
+  private def lloydIterate(points: Array[Array[Double]],
+                           centers: Array[Array[Double]], iters: Int): Unit = {
+    val n = points.length
+    if (n == 0 || centers.length == 0) return
+    val ds = points(0).length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var t = 0
+      while (t < ds) { val d = a(t) - b(t); acc += d * d; t += 1 }
+      acc
+    }
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var best = Double.MaxValue; var bc = 0; var c = 0
+        while (c < centers.length) {
+          val d = d2(points(i), centers(c))
+          if (d < best) { best = d; bc = c }
+          c += 1
+        }
+        assign(i) = bc
+        i += 1
+      }
+      val sums = Array.fill(centers.length)(new Array[Double](ds))
+      val counts = new Array[Int](centers.length)
+      i = 0
+      while (i < n) {
+        val c = assign(i); counts(c) += 1
+        var t = 0
+        while (t < ds) { sums(c)(t) += points(i)(t); t += 1 }
+        i += 1
+      }
+      val stolen = new java.util.HashSet[Integer]()
+      var c = 0
+      while (c < centers.length) {
+        if (counts(c) > 0) {
+          var t = 0
+          while (t < ds) { centers(c)(t) = sums(c)(t) / counts(c); t += 1 }
+        } else {
+          var far = -1; var farD = -1.0; var p = 0
+          while (p < n) {
+            if (!stolen.contains(p)) {
+              val d = d2(points(p), centers(assign(p)))
+              if (d > farD) { farD = d; far = p }
+            }
+            p += 1
+          }
+          if (far >= 0) {
+            stolen.add(far)
+            centers(c) = points(far).clone()
+          }
+        }
+        c += 1
+      }
+      it += 1
+    }
+  }
+
+  /** PQ ANN in the OPQ-rotated space: project corpus + queries through
+    * the trained rotation (narrow no-shuffle pass), then the standard
+    * m-byte encode + ADC scan — [[pqKmeansTopK]] mechanics with the
+    * jointly-optimized rotation in front (FAISS index factory
+    * `"OPQ8,PQ8"`). Rotation is an isometry, so distances in the rotated
+    * space are the true distances; only the quantization differs.
+    */
+  def opqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+              model: OpqModel): DataFrame = {
+    val rotV = vectors.select(col("id"),
+      graft.functions.pcaProject(col("vec"), model.mean, model.rotation).as("vec"))
+    val rotQ = queries.select(col("qid"),
+      graft.functions.pcaProject(col("qv"), model.mean, model.rotation).as("qv"))
+    val encoded = Dedup.spread(rotV)
+      .select(col("id"), pqEncode(col("vec"), model.codebook, model.m).as("codes"))
+    explodeHits(
+      encoded.crossJoin(broadcast(rotQ))
+        .select(col("qid"), col("id").as("label"),
+          round(pqAdcScore(col("codes"), col("qv"), model.codebook, model.m), 6).as("score"))
         .groupBy(col("qid"))
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }

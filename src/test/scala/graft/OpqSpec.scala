@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Similarity
+
+/** OPQ (Ge et al. 2013) — alternating rotation + codebook optimization.
+  * Pins: orthonormal rotation, monotone non-increasing training
+  * objective with strict improvement over the PCA+PQ init on data whose
+  * variance is unevenly split across subspaces (the regime OPQ exists
+  * for), isometry of the learned rotation, and retrieval quality at
+  * least matching raw-space PQ at an identical code budget.
+  */
+class OpqSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Deterministic anisotropic fixture: axis-aligned Gaussians with a
+    * steeply decaying spectrum, mixed by a dense rotation (Householder)
+    * so no coordinate subspace is aligned with the variance structure.
+    * PCA re-sorts variance DESCENDING, which concentrates nearly all of
+    * it in the first PQ subspace — exactly the imbalance OPQ's rotation
+    * update repairs.
+    */
+  private def anisotropic(n: Int, d: Int, seed: Long): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(seed)
+    val sd = Array.tabulate(d)(j => math.pow(0.45, j).max(1e-3) * 10.0)
+    // Householder reflector H = I − 2uuᵀ from a fixed unit vector
+    val u = Array.tabulate(d)(j => math.sin(j * 2.39996 + 1.0))
+    val un = math.sqrt(u.map(x => x * x).sum)
+    for (j <- 0 until d) u(j) /= un
+    Array.fill(n) {
+      val z = Array.tabulate(d)(j => rnd.nextGaussian() * sd(j))
+      val proj = (0 until d).map(j => u(j) * z(j)).sum
+      Array.tabulate(d)(j => (z(j) - 2.0 * proj * u(j)).toFloat)
+    }
+  }
+
+  test("trainOpq: orthonormal rotation, monotone objective, strict win over the PCA+PQ init on subspace-imbalanced data") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = 16
+    val vecs = anisotropic(600, d, seed = 11L)
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val model = Similarity.trainOpq(vdf, m = 4, ncent = 8, iters = 6)
+    // rotation is orthonormal: R·Rᵀ = I within 1e-9
+    val r = model.rotation
+    for (p <- 0 until d; q <- 0 until d) {
+      val dot = (0 until d).map(j => r(p)(j) * r(q)(j)).sum
+      val want = if (p == q) 1.0 else 0.0
+      assert(math.abs(dot - want) <= 1e-9, s"R·Rᵀ[$p][$q] = $dot")
+    }
+    // the alternating optimization is monotone non-increasing (each step
+    // exactly minimizes the shared objective; Lloyd is warm-started)
+    model.errTrace.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"objective rose: $a -> $b (${model.errTrace.toSeq})")
+    }
+    // and strictly improves on the PCA-init (= PCA+PQ) error here: PCA
+    // packs ~all variance into subspace 0, OPQ rebalances it
+    assert(model.errTrace.last < model.errTrace.head * 0.98,
+      s"no real improvement: ${model.errTrace.toSeq}")
+  }
+
+  test("the learned rotation is an isometry; OPQ reconstruction beats raw-space PQ at equal budget on subspace-imbalanced data") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = 16
+    val m = 4; val ds = d / m; val ncent = 8
+    // AXIS-ALIGNED decaying variances: raw subspace 0 holds ~all the
+    // energy, raw subspace 3 ~none — the imbalance a fixed per-subspace
+    // code budget cannot serve and OPQ's rotation exists to repair
+    // (Ge 2013 §1). No mixing rotation here: mixing would balance the
+    // raw coordinates and hand raw-PQ the win by construction.
+    val rnd = new scala.util.Random(23L)
+    val sd = Array.tabulate(d)(j => math.pow(0.45, j).max(1e-3) * 10.0)
+    val vecs = Array.fill(600)(
+      Array.tabulate(d)(j => (rnd.nextGaussian() * sd(j)).toFloat))
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = vecs.take(30).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("qid", "qv")
+    val model = Similarity.trainOpq(vdf, m = m, ncent = ncent, iters = 6)
+    // isometry: pairwise distances survive the rotation exactly (1e-6 rel)
+    val r = model.rotation
+    def rotv(v: Array[Float]): Array[Double] = {
+      val c = Array.tabulate(d)(j => v(j).toDouble - model.mean(j))
+      Array.tabulate(d)(i => (0 until d).map(j => r(i)(j) * c(j)).sum)
+    }
+    for (Seq(a, b) <- vecs.take(8).toSeq.combinations(2)) {
+      val raw = a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+      val rot = rotv(a).zip(rotv(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(math.abs(raw - rot) <= 1e-6 * math.max(raw, 1.0), s"$raw vs $rot")
+    }
+    // reconstruction error (the quantity PQ retrieval quality tracks):
+    // OPQ's optimized (rotation, codebook) pair must beat the raw-space
+    // trained codebook at the identical (m, ncent) budget — computed
+    // driver-side with the same nearest-sub-entry encode both sides
+    def mse(points: Array[Array[Double]], cb: Seq[Array[Float]]): Double = {
+      var se = 0.0
+      points.foreach { v =>
+        var j = 0
+        while (j < m) {
+          var best = Double.MaxValue; var c = 0
+          while (c < cb.length) {
+            var acc = 0.0; var t = 0
+            while (t < ds) {
+              val dd = v(j * ds + t) - cb(c)(j * ds + t); acc += dd * dd; t += 1
+            }
+            if (acc < best) best = acc
+            c += 1
+          }
+          se += best; j += 1
+        }
+      }
+      se / points.length
+    }
+    val rawCb = Similarity.trainPqCodebook(
+      vdf.select(col("vec").as("v")), m, ncent)
+    val rawErr = mse(vecs.map(_.map(_.toDouble)), rawCb)
+    val opqErr = mse(vecs.map(v => rotv(v)), model.codebook)
+    assert(opqErr < rawErr,
+      s"OPQ reconstruction $opqErr not below raw-PQ $rawErr")
+    // retrieval: the better reconstruction carries to retrieval — over
+    // 30 queries (300 hit slots; 6 was noise-level) OPQ's exact-top-10
+    // overlap beats raw-space PQ's at the identical budget STRICTLY
+    // (measured 84 vs 54 — everything seeded, so the margin is stable)
+    val exact = Similarity.bruteForceTopK(vdf, qdf, 10, "l2")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val opq = Similarity.opqTopK(vdf, qdf, 10, model)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rawPq = Similarity.pqKmeansTopK(vdf, qdf, 10, ncent = ncent, m = m)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val opqHits = opq.intersect(exact).size
+    val rawHits = rawPq.intersect(exact).size
+    assert(opqHits > rawHits,
+      s"OPQ overlap $opqHits not above raw-PQ overlap $rawHits")
+    assert(opqHits >= 60, s"OPQ recall too low: $opqHits/300")
+  }
+}
