@@ -15,6 +15,10 @@ case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                       start_us: Long, end_us: Long)
 case class SemMember(id: Long, vec: Array[Float])
 case class SemFlag(id: Long, cid: Long, dropped: Boolean, dup_of: Long)
+case class Scd2Event(user_id: Long, event_id: Long, ts_us: Long, state: String)
+case class Scd2State(state: String, validFromUs: Long, lastTs: Long)
+case class Scd2Out(user_id: Long, state: String, valid_from_us: Long,
+                   valid_to_us: Long)
 case class AsofStateRow(key: Long, ts_us: Long, value: Double)
 case class AsofEvent(key: Long, event_id: Long, ts_us: Long)
 case class AsofIn(key: Long, tag: Int, ts_us: Long, event_id: Long, value: Double)
@@ -104,6 +108,47 @@ object StreamingOps {
         }
       }
       state.update(st)
+      out.iterator
+    }
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming SCD2 interval build — the streaming form of
+    * `q_scd2_history` (slowly-changing-dimension type-2 from an event
+    * log): per key, the OPEN interval (state, valid_from) rides in group
+    * state across micro-batches; a state CHANGE closes it at the
+    * change's timestamp and emits the closed row. Append mode can only
+    * emit closed intervals — the open one is exactly the row the batch
+    * query marks with NULL valid_to, so the contract is the sessionize
+    * contract: stream output ≡ batch output restricted to closed
+    * intervals. Consecutive same-state events collapse as in batch;
+    * events inside a micro-batch sort by (ts_us, event_id); cross-batch
+    * late events are dropped (the watermark-style choice — folding one
+    * in would retroactively split an already-closed interval).
+    */
+  def streamingScd2(events: org.apache.spark.sql.Dataset[Scd2Event])
+      : org.apache.spark.sql.Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fn(userId: Long, it: Iterator[Scd2Event],
+           st8: GroupState[Scd2State]): Iterator[Scd2Out] = {
+      val evts = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = st8.getOption.orNull
+      val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Out]
+      evts.foreach { e =>
+        if (st != null && e.ts_us < st.lastTs) {
+          // cross-batch late event — dropped (see scaladoc)
+        } else if (st == null) {
+          st = Scd2State(e.state, e.ts_us, e.ts_us)
+        } else if (e.state != st.state) {
+          out += Scd2Out(userId, st.state, st.validFromUs, e.ts_us)
+          st = Scd2State(e.state, e.ts_us, e.ts_us)
+        } else {
+          st = st.copy(lastTs = e.ts_us)
+        }
+      }
+      if (st != null) st8.update(st)
       out.iterator
     }
     events.groupByKey(_.user_id)

@@ -227,6 +227,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming SCD2 == batch q_scd2_history closed intervals across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.{Scd2Event, Scd2Out}
+    val dir = "/root/testdata/sf0.001"
+    // batch truth from the ORACLE-CHECKED registry query, restricted to
+    // closed intervals (the NULL-valid_to open row is the stream's state)
+    val batch = SparkEntry.queries("q_scd2_history")(spark, dir)
+      .filter(col("valid_to_us").isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .select($"user_id", $"event_id", $"ts_us", $"event_type".as("state"))
+      .as[Scd2Event].collect().sortBy(e => (e.ts_us, e.event_id))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Scd2Event]
+    val out = graft.streaming.StreamingOps.streamingScd2(stream.toDS())
+    val q = out.writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    // a state change straddling a batch boundary must still close at the
+    // right timestamp — feed three chronological chunks
+    val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
+    chunks.foreach { c => stream.addData(c.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("scd2_out").as[Scd2Out].collect()
+      .map(s => (s.user_id, s.state, s.valid_from_us, s.valid_to_us)).toSet
+    assert(got === batch)
+    assert(got.nonEmpty)
+  }
+
   test("streaming sessionize drops cross-batch late events instead of corrupting sessions") {
     import spark.implicits._
     import graft.streaming.{SessionEvent, SessionOut}
