@@ -1909,8 +1909,13 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val n = vectors.count()
       val ncent = math.max(8, math.min(256, (n / 25L).toInt))
+      // iters = 8 keeps the gate-query cost in the text_bm25 class;
+      // the operator default (20, measured in tools/OpqRecall) is for
+      // production training where the one-off driver cost is irrelevant.
+      // The verdicts (monotone improvement, orthonormality) hold at any
+      // iteration count by construction.
       val model = Similarity.trainOpq(vectors, m = 8, ncent = ncent,
-        iters = 4, knownCount = n)
+        iters = 8, knownCount = n)
       val exact = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
         .select(col("qid"), col("label"))
       val overlap = annOverlap(exact,

@@ -1396,8 +1396,15 @@ object Similarity {
     * the returned model applies as a narrow no-shuffle projection
     * ([[graft.functions.PcaProject]] with the OPQ rotation) + the usual
     * m-byte PQ encode, so the 100 TB story is identical to [[pqTopK]].
+    *
+    * Default `iters = 20`: the measured recall grid (`tools/OpqRecall`,
+    * BASELINE.md) shows the objective still descending steeply at 6
+    * iterations (recall 0.275 vs 0.468 at 20 on the axis-decay shape) —
+    * an undertrained OPQ can even sit below an already-balanced identity
+    * rotation; by 20 iterations it clears both raw-PQ and PCA+PQ on
+    * both measured corpus shapes.
     */
-  def trainOpq(vectors: DataFrame, m: Int, ncent: Int, iters: Int = 6,
+  def trainOpq(vectors: DataFrame, m: Int, ncent: Int, iters: Int = 20,
                seed: Long = 42L, knownCount: Long = -1L): OpqModel = {
     val sample: Array[Array[Float]] = collectSmall(
         trainSample(vectors, knownCount = knownCount).select(col("vec").as("v")),
