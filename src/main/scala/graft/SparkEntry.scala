@@ -1946,6 +1946,31 @@ object SparkEntry {
         .orderBy("qid")
     },
 
+    // the full production factory string OPQ8,IVF40,PQ8: trained OPQ
+    // rotation+codebook in front of IVF coarse pruning — nProbe/nClusters
+    // of the corpus scanned at m bytes/vector with the rotation-optimized
+    // codebook. Verdict-gated like every trained-ANN query
+    "ann_opq_ivfpq" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val n = vectors.count()
+      val ncent = math.max(8, math.min(256, (n / 25L).toInt))
+      val model = Similarity.trainOpq(vectors, m = 8, ncent = ncent,
+        iters = 8, knownCount = n)
+      val exact = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
+        .select(col("qid"), col("label"))
+      val overlap = annOverlap(exact,
+        Similarity.ivfOpqTopK(vectors, queries, k = 10, ivfModulo = 40,
+          nProbe = 4, model))
+      queries.select(col("qid"))
+        .join(overlap, Seq("qid"), "left")
+        .select(col("qid"),
+          (coalesce(col("n_common"), lit(0L)) >= 1L).as("recall_ok"))
+        .orderBy("qid")
+    },
+
     // PCA-coarse two-stage retrieval (FAISS PCAMatrix / "PCAR16,..."
     // pre-transform): corpus + queries projected onto the trained
     // 16-of-64-dim max-variance basis (narrow no-shuffle pass, coarse
@@ -2899,6 +2924,10 @@ object SparkEntry {
       """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok,
         |  CAST(TRUE AS BOOLEAN) AS improved_ok,
         |  CAST(TRUE AS BOOLEAN) AS rot_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "ann_opq_ivfpq" ->
+      """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "ann_knn_classify" ->

@@ -1709,6 +1709,42 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
 
+  /** OPQ × IVF × PQ — the full production factory string
+    * (`"OPQ8,IVF…,PQ8"`): the trained OPQ rotation in front of the IVFPQ
+    * composite, all in the ROTATED space (rotation is an isometry, so
+    * coarse assignment, probing, and ADC scores are all faithful to true
+    * distances). Coarse centroids are the deterministic modulo stand-in
+    * over rotated vectors ([[ivfPqTopK]] mechanics — partition-prunable
+    * by `cid` at scale); codes use the OPQ-TRAINED codebook, which is
+    * the point of the composition: nProbe/nClusters of the corpus
+    * scanned, at m bytes per vector, quantized by the
+    * rotation-optimized codebook. Scores round to 1e-6 before ranking.
+    */
+  def ivfOpqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                 ivfModulo: Int, nProbe: Int, model: OpqModel): DataFrame = {
+    val rotV = vectors.select(col("id"),
+      graft.functions.pcaProject(col("vec"), model.mean, model.rotation).as("vec"))
+    val rotQ = queries.select(col("qid"),
+      graft.functions.pcaProject(col("qv"), model.mean, model.rotation).as("qv"))
+    val coarse = collectSmall(
+        rotV.filter(col("id") % ivfModulo === 0).select(col("id"), col("vec")),
+        "OPQ-IVFPQ coarse centroid table")
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .sortBy(_._1)
+    val indexed = Dedup.spread(rotV).select(
+      col("id"),
+      element_at(nearestCentroids(col("vec"), coarse, 1), 1).as("cid"),
+      pqEncode(col("vec"), model.codebook, model.m).as("codes"))
+    val probes = rotQ.select(col("qid"), col("qv"),
+      explode(nearestCentroids(col("qv"), coarse, nProbe)).as("cid"))
+    explodeHits(
+      probes.join(indexed, "cid")
+        .select(col("qid"), col("id").as("label"),
+          round(pqAdcScore(col("codes"), col("qv"), model.codebook, model.m), 6).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
+  }
+
   /** Residual-encoded IVFPQ — the FAISS IVFPQ formulation proper: PQ
     * codes the RESIDUAL v − centroid(cid), not the raw vector. Residual
     * energy is a fraction of vector energy (the coarse step already

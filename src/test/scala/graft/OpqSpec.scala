@@ -61,6 +61,35 @@ class OpqSpec extends AnyFunSuite {
       s"no real improvement: ${model.errTrace.toSeq}")
   }
 
+  test("ivfOpqTopK probing ALL clusters ≡ opqTopK (pure composition); degenerate corpora don't break training") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = 16
+    val vecs = anisotropic(300, d, seed = 31L)
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = vecs.take(5).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("qid", "qv")
+    val model = Similarity.trainOpq(vdf, m = 4, ncent = 8, iters = 3)
+    // ivfModulo 30 → 10 coarse clusters; probing all 10 must remove the
+    // pruning entirely and reproduce the flat OPQ ADC ranking bit-exact
+    val full = Similarity.opqTopK(vdf, qdf, 10, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6))).toSet
+    val probedAll = Similarity.ivfOpqTopK(vdf, qdf, 10, ivfModulo = 30,
+        nProbe = 10, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6))).toSet
+    assert(probedAll === full)
+    // degenerate corpus: every vector identical → zero-centered sample is
+    // all zeros, Procrustes M is singular → rotation kept, no crash,
+    // objective identically 0
+    val same = Array.fill(50)(Array.fill(8)(1.5f))
+    val sdf = same.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val degModel = Similarity.trainOpq(sdf, m = 2, ncent = 4, iters = 3)
+    assert(degModel.errTrace.forall(_ == 0.0))
+    assert(degModel.rotation.length == 8)
+  }
+
   test("the learned rotation is an isometry; OPQ reconstruction beats raw-space PQ at equal budget on subspace-imbalanced data") {
     val spark2 = spark
     import spark2.implicits._
