@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions._
-import graft.ops.{AsofJoin, BloomJoin, Curation, Dedup, Lexical, Multimodal, Scan, Similarity, TextAnalysis}
+import graft.ops.{AsofJoin, BloomJoin, Curation, Dedup, Layout, Lexical, Multimodal, Scan, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -610,6 +610,25 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     },
 
+    // Z-order (Morton) clustering value over (user_id, event-time) — the
+    // data-layout operator behind multi-dimensional min/max pruning
+    // (Delta OPTIMIZE ZORDER BY; Orenstein 1984): sorting a 100 TB table
+    // by this value makes range predicates on EITHER dimension prune row
+    // groups, where a single-column sort serves only its own column.
+    // Exact integer shift/mask arithmetic shared with the oracle
+    // (Layout.zorderSqlExpr — the simhashBitSql pattern), so the whole
+    // operator hash-matches; the locality property itself is spec-pinned
+    // (LayoutSpec: an x-slab touches ≤1/4 of z-sorted buckets vs ALL
+    // buckets of a y-sorted layout)
+    "q_zorder_layout" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("unix_micros(ts)"))
+      ev.select(col("event_id"),
+          Layout.zorder2(
+            pmod(col("user_id"), lit(65536L)),
+            pmod(expr("ts_us div 1000000"), lit(65536L)), 16).as("z"))
+        .orderBy("event_id")
+    },
+
     // SCD2 state history: compact each user's event-type stream into
     // validity intervals [valid_from_us, valid_to_us) — the slowly-
     // changing-dimension type-2 build a feature store derives from an
@@ -1111,6 +1130,29 @@ object SparkEntry {
 
     "text_unigram_lp" -> { (s, dir) =>
       TextAnalysis.unigramLogProb(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // CCNet's head/middle/tail split (Wenzek 2020): per-language
+    // perplexity terciles over the corpus-self unigram LM — the bucket
+    // assignment a CCNet-style pipeline trains/filters on (head = most
+    // fluent third). Exact arithmetic end-to-end: the per-doc ppl is the
+    // 6-dp-rounded oracle-proven value, terciles are ntile(3) over the
+    // deterministic (ppl, doc_id) order, and the per-bucket sum runs in
+    // DECIMAL so accumulation order can't move the hash
+    "q_ppl_buckets" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+      val lp = TextAnalysis.unigramLogProb(docs).select(col("doc_id"), col("ppl"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("ppl"), col("doc_id"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(lp, "doc_id")
+        .withColumn("bucket", ntile(3).over(w).cast(LongType))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ppl").cast(DecimalType(25, 6))).cast(DoubleType).as("sum_ppl"),
+          min(col("ppl")).as("min_ppl"),
+          max(col("ppl")).as("max_ppl"))
+        .orderBy("lang", "bucket")
     },
 
     // code-point entropy quality filter: natural text sits in a narrow
@@ -2731,6 +2773,29 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, ROUND(mlp, 6) AS mean_lp, ROUND(exp(-mlp), 6) AS ppl
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    // same unigram-LM CTEs as text_unigram_lp; buckets over the SAME
+    // 6-dp-rounded ppl, deterministic (ppl, doc_id) tercile order
+    "q_ppl_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, UNNEST(w) AS tok FROM t) GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS len FROM t),
+        |cnt AS (SELECT tok, SUM(tf) AS cnt FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM cnt),
+        |m AS (SELECT tf.doc_id,
+        |      SUM(tf.tf * ln(CAST(cnt.cnt AS DOUBLE)/t2.total)) / MIN(lens.len) AS mlp
+        |      FROM tf JOIN cnt ON tf.tok = cnt.tok
+        |      JOIN lens ON tf.doc_id = lens.doc_id, tot t2 GROUP BY 1),
+        |p AS (SELECT doc_id, ROUND(exp(-mlp), 6) AS ppl FROM m),
+        |b AS (SELECT d.lang, p.doc_id, p.ppl,
+        |      ntile(3) OVER (PARTITION BY d.lang ORDER BY p.ppl, p.doc_id) AS bucket
+        |      FROM p JOIN documents d ON p.doc_id = d.doc_id)
+        |SELECT lang, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(CAST(ppl AS DECIMAL(25,6))) AS DOUBLE) AS sum_ppl,
+        |  MIN(ppl) AS min_ppl, MAX(ppl) AS max_ppl
+        |FROM b GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
     "text_entropy" ->
       """WITH ch AS (SELECT doc_id, UNNEST(string_split(text, '')) AS c
         |      FROM documents WHERE length(text) > 0),
@@ -3500,6 +3565,14 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value
         |FROM g GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    // identical shift/mask interleave, generated by the same code
+    "q_zorder_layout" -> {
+      val z = graft.ops.Layout.zorderSqlExpr(
+        "(user_id % 65536)", "((epoch_us(ts) // 1000000) % 65536)", 16)
+      s"""SELECT event_id, $z AS z
+         |FROM events ORDER BY event_id""".stripMargin
+    },
 
     "q_scd2_history" ->
       """WITH e AS (
