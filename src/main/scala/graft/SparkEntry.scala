@@ -1132,6 +1132,37 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(Tables(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // model-based quality filter (the CCNet/LLaMA-pipeline "quality
+    // classifier" stage): logistic regression DISTILLING the rule-based
+    // pipeline_filter verdicts from cheap per-doc features (length
+    // parabola basis, TTR, language, span-dup, entropy — all existing
+    // oracle-proven kernels), IRLS-trained on the even-doc_id half,
+    // judged on the held-out odd half. Verdict-gated (training isn't
+    // SQL-expressible): held-out accuracy ≥ 0.9 + the Newton loss
+    // actually descended; n_eval pins the split arithmetic exactly
+    "q_quality_model" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val labels = filterVerdicts(docs)
+        .select(col("doc_id"),
+          when(col("verdict") === "kept", 1.0).otherwise(0.0).as("label"))
+      val labeled = Curation.qualityFeatures(docs).join(labels, "doc_id")
+      val model = Curation.trainQualityFilter(
+        labeled.filter(col("doc_id") % 2 === 0))
+      val eval_ = labeled.filter(col("doc_id") % 2 === 1)
+      val agg = Curation.scoreQualityModel(eval_.select(col("doc_id"), col("f")), model)
+        .join(labels, "doc_id")
+        .agg(count(lit(1)).as("n"),
+          sum(when((col("score") >= 0.5) === (col("label") >= 0.5), 1L)
+            .otherwise(0L)).as("ok")).head
+      val nEval = agg.getLong(0)
+      val acc = agg.getLong(1).toDouble / math.max(1L, nEval)
+      val lossOk = model.lossTrace.last < model.lossTrace.head - 1e-9
+      s.range(1).select(
+        lit(nEval).as("n_eval"),
+        lit(acc >= 0.9).as("acc_ok"),
+        lit(lossOk).as("loss_ok"))
+    },
+
     // CCNet's head/middle/tail split (Wenzek 2020): per-language
     // perplexity terciles over the corpus-self unigram LM — the bucket
     // assignment a CCNet-style pipeline trains/filters on (head = most
@@ -2772,6 +2803,11 @@ object SparkEntry {
         |      JOIN lens ON tf.doc_id = lens.doc_id, tot t2 GROUP BY 1)
         |SELECT doc_id, n_tokens, ROUND(mlp, 6) AS mean_lp, ROUND(exp(-mlp), 6) AS ppl
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_quality_model" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+        |  CAST(TRUE AS BOOLEAN) AS acc_ok, CAST(TRUE AS BOOLEAN) AS loss_ok
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
 
     // same unigram-LM CTEs as text_unigram_lp; buckets over the SAME
     // 6-dp-rounded ppl, deterministic (ppl, doc_id) tercile order

@@ -173,4 +173,140 @@ object Curation {
         sum(when(col("line_df") <= maxDf, length(col("line")).cast(LongType))
           .otherwise(0L)).as("chars_kept"))
   }
+
+  /** Trained model-based quality filter: logistic-regression weights +
+    * the per-Newton-step negative log-likelihood trace (for the
+    * loss-improved verdict) + the feature names in weight order.
+    */
+  final case class QualityModel(weights: Array[Double],
+                                lossTrace: Array[Double],
+                                featureNames: Seq[String])
+
+  /** Per-doc feature frame for the model-based quality filter — all from
+    * existing deterministic kernels, one narrow pass each:
+    * ln(n_tokens) and its square (a two-sided length window is a
+    * PARABOLA threshold — linearly separable in this basis, not in
+    * ln(n) alone), type-token ratio, average token length, an
+    * unknown-language indicator, the duplicated-span fraction, and
+    * code-point entropy. Output: (doc_id, f: array<double> length 7).
+    */
+  def qualityFeatures(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("n_tokens"), col("type_token_ratio"),
+        col("avg_token_len"))
+    val lang = docs.select(col("doc_id"),
+      when(TextAnalysis.langId(col("text")) === "und", 1.0).otherwise(0.0).as("und"))
+    val ent = docs.select(col("doc_id"),
+      coalesce(graft.functions.charEntropy(col("text")), lit(0.0)).as("ent"))
+    val spans = Dedup.duplicatedSpans(docs, n = 8)
+      .select(col("doc_id"), col("dup_frac"))
+    val lnTok = log(col("n_tokens").cast(DoubleType) + 1.0)
+    q.join(lang, "doc_id").join(ent, "doc_id").join(spans, "doc_id")
+      .select(col("doc_id"), array(
+        lnTok, lnTok * lnTok, col("type_token_ratio"), col("avg_token_len"),
+        col("und"), col("dup_frac"), col("ent")).as("f"))
+  }
+
+  /** Train the model-based quality filter (the fastText/CCNet
+    * "quality classifier" pipeline stage, distilling whatever labeling
+    * the caller provides — typically a rule-based filter's verdicts —
+    * into a single scored model): plain logistic regression fit by IRLS
+    * Newton steps on the driver over a SORTED collected sample, ridge
+    * λ=1e-6 for conditioning. Deterministic by the same contract as
+    * every trained model here (sorted sample → pure function of the
+    * sample set; fixed iteration count; no RNG), so the scored corpus
+    * and the verdicts are reproducible run-to-run. Training cost is
+    * corpus-independent at scale (bounded sample); scoring is a narrow
+    * projection with the weights as literals.
+    *
+    * `labeled`: (doc_id, f: array<double>, label: 0.0/1.0).
+    */
+  def trainQualityFilter(labeled: DataFrame, iters: Int = 25): QualityModel = {
+    val rows = labeled.select(col("doc_id"), col("f"), col("label"))
+      .collect().sortBy(_.getLong(0))
+    require(rows.nonEmpty, "quality-filter training needs a non-empty sample")
+    val nf = rows.head.getSeq[Double](1).length + 1 // + intercept
+    val x = rows.map(r => Array(1.0) ++ r.getSeq[Double](1))
+    val y = rows.map(_.getDouble(2))
+    val n = x.length
+    val w = new Array[Double](nf)
+    val lambda = 1e-6
+    def sigmoid(z: Double): Double =
+      if (z >= 0) 1.0 / (1.0 + math.exp(-z))
+      else { val e = math.exp(z); e / (1.0 + e) }
+    def nll(): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        var z = 0.0; var j = 0
+        while (j < nf) { z += w(j) * x(i)(j); j += 1 }
+        val p = sigmoid(z)
+        // clamp: a perfectly separated point would otherwise log(0)
+        val pc = math.min(1.0 - 1e-12, math.max(1e-12, p))
+        s -= y(i) * math.log(pc) + (1.0 - y(i)) * math.log(1.0 - pc)
+        i += 1
+      }
+      s / n
+    }
+    val trace = scala.collection.mutable.ArrayBuffer.empty[Double]
+    trace += nll()
+    var it = 0
+    while (it < iters) {
+      // Newton step: w += (XᵀSX + λI)⁻¹ Xᵀ(y − p)
+      val g = new Array[Double](nf)
+      val h = Array.ofDim[Double](nf, nf)
+      var i = 0
+      while (i < n) {
+        var z = 0.0; var j = 0
+        while (j < nf) { z += w(j) * x(i)(j); j += 1 }
+        val p = sigmoid(z)
+        val s = math.max(p * (1.0 - p), 1e-9)
+        val r = y(i) - p
+        j = 0
+        while (j < nf) {
+          g(j) += r * x(i)(j)
+          var k2 = j
+          while (k2 < nf) { h(j)(k2) += s * x(i)(j) * x(i)(k2); k2 += 1 }
+          j += 1
+        }
+        i += 1
+      }
+      var j = 0
+      while (j < nf) {
+        h(j)(j) += lambda * n
+        var k2 = j + 1
+        while (k2 < nf) { h(k2)(j) = h(j)(k2); k2 += 1 }
+        j += 1
+      }
+      Similarity.invert(h) match {
+        case Some(hi) =>
+          j = 0
+          while (j < nf) {
+            var d = 0.0; var k2 = 0
+            while (k2 < nf) { d += hi(j)(k2) * g(k2); k2 += 1 }
+            w(j) += d
+            j += 1
+          }
+        case None => it = iters // singular Hessian: stop cleanly
+      }
+      trace += nll()
+      it += 1
+    }
+    QualityModel(w, trace.toArray,
+      Seq("intercept", "ln_tokens", "ln_tokens_sq", "ttr", "avg_token_len",
+        "und", "dup_frac", "entropy"))
+  }
+
+  /** Score docs with a trained quality model: sigmoid(w·[1, f]) as a
+    * narrow projection — the weights ride the plan as literals, no
+    * join, no shuffle. Output: (doc_id, score).
+    */
+  def scoreQualityModel(features: DataFrame, model: QualityModel): DataFrame = {
+    val z = model.weights.zipWithIndex.map { case (wj, j) =>
+      if (j == 0) lit(wj)
+      else element_at(col("f"), j) * lit(wj)
+    }.reduce(_ + _)
+    features.select(col("doc_id"),
+      (lit(1.0) / (lit(1.0) + exp(-z))).as("score"))
+  }
 }

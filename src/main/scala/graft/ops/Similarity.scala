@@ -1577,9 +1577,10 @@ object Similarity {
   }
 
   /** Partial-pivot Gaussian inverse; None when a pivot falls below
-    * 1e-12× the matrix scale (singular).
+    * 1e-12× the matrix scale (singular). Shared with
+    * [[Curation.trainQualityFilter]]'s IRLS Newton step.
     */
-  private def invert(aIn: Array[Array[Double]]): Option[Array[Array[Double]]] = {
+  private[ops] def invert(aIn: Array[Array[Double]]): Option[Array[Array[Double]]] = {
     val d = aIn.length
     val a = aIn.map(_.clone())
     val inv = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)

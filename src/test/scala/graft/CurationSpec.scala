@@ -21,6 +21,36 @@ class CurationSpec extends AnyFunSuite {
     (60L until 90L).map(i => (i, "B", s"b $i")) ++
     (90L until 100L).map(i => (i, "C", s"c $i")))
 
+  test("trainQualityFilter: learns a separable rule (monotone loss), scores match, deterministic under repartitioning") {
+    import graft.ops.Curation
+    // synthetic labeled features with a known linear rule: label = 1 iff
+    // f0 + 2·f1 > 3 (deterministic grid, comfortably separable)
+    val rows = (0 until 200).map { i =>
+      val f0 = (i % 20).toDouble / 4.0
+      val f1 = (i / 20).toDouble / 3.0
+      (i.toLong, Array(f0, f1), if (f0 + 2 * f1 > 3.0) 1.0 else 0.0)
+    }
+    val df = rows.toDF("doc_id", "f", "label")
+    val model = Curation.trainQualityFilter(df)
+    // Newton descent actually descends, by a lot on separable data
+    assert(model.lossTrace.last < model.lossTrace.head / 10,
+      s"loss ${model.lossTrace.head} -> ${model.lossTrace.last}")
+    // train accuracy ≥ 0.98 (ridge keeps weights finite; the boundary
+    // can shave at most a sliver of the grid)
+    val scored = Curation.scoreQualityModel(df.select(col("doc_id"), col("f")), model)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val correct = rows.count { case (id, _, y) => (scored(id) >= 0.5) == (y >= 0.5) }
+    assert(correct >= 196, s"train accuracy $correct/200")
+    // determinism: a different partitioning must give IDENTICAL weights
+    // (the sorted-sample contract every trained model here carries)
+    val model2 = Curation.trainQualityFilter(df.repartition(7))
+    assert(model.weights.toSeq === model2.weights.toSeq)
+    // degenerate: single-class labels converge without blowup (ridge)
+    val oneClass = rows.map { case (id, f, _) => (id, f, 1.0) }.toDF("doc_id", "f", "label")
+    val m1 = Curation.trainQualityFilter(oneClass, iters = 5)
+    assert(m1.weights.forall(w => !w.isNaN && !w.isInfinite))
+  }
+
   test("mixtureSample: α<1 upweights small sources, rates capped at 1") {
     val kept = Curation.mixtureSample(skewedCorpus, alpha = 0.5, targetTotal = 50)
     val rates = kept.select($"source", $"rate").distinct()
