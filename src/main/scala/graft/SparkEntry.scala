@@ -2498,6 +2498,56 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     },
 
+    // sketch-based set-intersection estimate: |A∩B| from HLL sketches by
+    // inclusion–exclusion (est_A + est_B − est_A∪B) — the audience-
+    // overlap question ("users who viewed AND purchased") answered
+    // without shuffling user sets; exact counts ride the same output so
+    // the verdict (estimate within 5% of the exact union + slack) is
+    // machine-checked, the q_approx_distinct pattern
+    "q_set_intersection_est" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_type"))
+      val flags = ev.groupBy(col("user_id")).agg(
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      val exact = flags.agg(
+        sum(col("v")).as("exact_view"),
+        sum(col("p")).as("exact_purchase"),
+        count(lit(1)).as("exact_union"),
+        sum(col("v") * col("p")).as("exact_inter"))
+      val est = ev.agg(
+        approx_count_distinct(when(col("event_type") === "view", col("user_id")), 0.02).as("ea"),
+        approx_count_distinct(when(col("event_type") === "purchase", col("user_id")), 0.02).as("eb"),
+        approx_count_distinct(col("user_id"), 0.02).as("eu"))
+      exact.crossJoin(est)
+        .select(col("exact_view"), col("exact_purchase"),
+          col("exact_union"), col("exact_inter"),
+          (abs((col("ea") + col("eb") - col("eu")) - col("exact_inter"))
+            .cast(DoubleType) <=
+            lit(0.05) * col("exact_union").cast(DoubleType) + 10.0).as("est_ok"))
+    },
+
+    // per-user event-type transition mining (first-order Markov counts):
+    // (from → to) over each user's (ts, event_id)-ordered stream, with
+    // the conditional probability — the sequence-pattern summary a
+    // behavioral pipeline derives before training sequence models
+    "q_event_transitions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("unix_micros(ts)"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val pairs = ev
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+      pairs.join(totals, "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast(DoubleType) / col("tot").cast(DoubleType), 6).as("prob"))
+        .orderBy("from_type", "to_type")
+    },
+
     // GK quantile sketch (percentile_approx's guarantee is |rank(v) −
     // q·n| ≤ n/accuracy): the verdict re-ranks each approximate quantile
     // against the data — count(< v) and count(≤ v) bracket v's true rank
@@ -3095,6 +3145,31 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
         |  CAST(TRUE AS BOOLEAN) AS approx_ok
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_set_intersection_est" ->
+      """WITH f AS (SELECT user_id,
+        |  MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events WHERE event_type IN ('view', 'purchase') GROUP BY user_id)
+        |SELECT CAST(SUM(v) AS BIGINT) AS exact_view,
+        |  CAST(SUM(p) AS BIGINT) AS exact_purchase,
+        |  CAST(COUNT(*) AS BIGINT) AS exact_union,
+        |  CAST(SUM(v * p) AS BIGINT) AS exact_inter,
+        |  CAST(TRUE AS BOOLEAN) AS est_ok
+        |FROM f""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |pr AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+        |       FROM e),
+        |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |  ROUND(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS prob
+        |FROM c JOIN t ON c.from_type = t.from_type
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
 
     "q_approx_quantiles" ->
       """SELECT l_returnflag, q, CAST(COUNT(*) AS BIGINT) AS n,

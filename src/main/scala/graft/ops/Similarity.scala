@@ -1621,6 +1621,34 @@ object Similarity {
     Some(inv)
   }
 
+  /** Persist a trained [[OpqModel]] as parquet (one row: mean, rotation
+    * rows, stacked codebook entries, m, errTrace) — train once on the
+    * bounded sample, reuse across every query batch and session; the
+    * FAISS analog is writing the OPQMatrix + codebooks inside the index
+    * file. Round-trip is exact: doubles and floats pass through parquet
+    * bit-for-bit.
+    */
+  def saveOpq(model: OpqModel, path: String,
+              spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    Seq((model.mean, model.rotation.map(_.toSeq).toSeq,
+        model.codebook.map(_.toSeq), model.m, model.errTrace))
+      .toDF("mean", "rotation", "codebook", "m", "err_trace")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted [[OpqModel]] — exact inverse of [[saveOpq]]. */
+  def loadOpq(path: String,
+              spark: org.apache.spark.sql.SparkSession): OpqModel = {
+    val r = spark.read.parquet(path).head
+    OpqModel(
+      r.getSeq[Double](0).toArray,
+      r.getSeq[scala.collection.Seq[Double]](1).map(_.toArray).toArray,
+      r.getSeq[scala.collection.Seq[Float]](2).map(_.toArray).toSeq,
+      r.getInt(3),
+      r.getSeq[Double](4).toArray)
+  }
+
   /** One warm-started Lloyd pass block: `iters` assignment/update rounds
     * on an EXISTING center array (mutated in place; empty clusters
     * re-seed deterministically from the farthest point, same rule as

@@ -88,6 +88,19 @@ class OpqSpec extends AnyFunSuite {
     val degModel = Similarity.trainOpq(sdf, m = 2, ncent = 4, iters = 3)
     assert(degModel.errTrace.forall(_ == 0.0))
     assert(degModel.rotation.length == 8)
+    // persistence: save → load is bit-exact and the reloaded model
+    // reproduces the SAME search results (the train-once production path)
+    val path = java.nio.file.Files.createTempDirectory("graft-opq").toString + "/model"
+    Similarity.saveOpq(model, path, spark2)
+    val re = Similarity.loadOpq(path, spark2)
+    assert(re.mean.toSeq === model.mean.toSeq)
+    assert(re.rotation.map(_.toSeq).toSeq === model.rotation.map(_.toSeq).toSeq)
+    assert(re.codebook.map(_.toSeq) === model.codebook.map(_.toSeq))
+    assert(re.m === model.m && re.errTrace.toSeq === model.errTrace.toSeq)
+    val again = Similarity.opqTopK(vdf, qdf, 10, re)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6))).toSet
+    assert(again === full)
   }
 
   test("the learned rotation is an isometry; OPQ reconstruction beats raw-space PQ at equal budget on subspace-imbalanced data") {
