@@ -2019,6 +2019,36 @@ object SparkEntry {
         .orderBy("qid")
     },
 
+    // OPQ-ADC shortlist + exact fp32 rerank — the composition that
+    // recovers the ADC quantization cap with the OPQ coarse stage; one
+    // trained model shared by both arms of the beats-un-reranked verdict
+    "ann_opq_rerank" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val n = vectors.count()
+      val ncent = math.max(8, math.min(256, (n / 25L).toInt))
+      val model = Similarity.trainOpq(vectors, m = 8, ncent = ncent,
+        iters = 8, knownCount = n)
+      val exact = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
+        .select(col("qid"), col("label"))
+      val rerank = annOverlap(exact,
+        Similarity.opqRerankTopK(vectors, queries, k = 10, model, expand = 4))
+      val plain = annOverlap(exact,
+        Similarity.opqTopK(vectors, queries, k = 10, model))
+      val totals = rerank.agg(sum(col("n_common")).as("t_rr"))
+        .crossJoin(plain.agg(sum(col("n_common")).as("t_plain")))
+        .select((col("t_rr") >= col("t_plain")).as("beats_unreranked"))
+      queries.select(col("qid"))
+        .join(rerank, Seq("qid"), "left")
+        .crossJoin(broadcast(totals))
+        .select(col("qid"),
+          (coalesce(col("n_common"), lit(0L)) >= 1L).as("recall_ok"),
+          col("beats_unreranked"))
+        .orderBy("qid")
+    },
+
     // the full production factory string OPQ8,IVF40,PQ8: trained OPQ
     // rotation+codebook in front of IVF coarse pruning — nProbe/nClusters
     // of the corpus scanned at m bytes/vector with the rotation-optimized
@@ -3079,6 +3109,11 @@ object SparkEntry {
 
     "ann_opq_ivfpq" ->
       """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "ann_opq_rerank" ->
+      """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok,
+        |  CAST(TRUE AS BOOLEAN) AS beats_unreranked
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "ann_knn_classify" ->

@@ -1621,6 +1621,26 @@ object Similarity {
     Some(inv)
   }
 
+  /** OPQ-ADC coarse shortlist (k·expand) + exact fp32 rerank — the
+    * composition that recovers the ADC quantization-recall cap, with
+    * the OPQ codebook as the coarse stage (cf.
+    * [[ivfPqResidualRerankTopK]] for the residual-IVFPQ coarse stage).
+    * Rerank cost is nq·k·expand exact distances over a broadcast
+    * shortlist join — independent of corpus size.
+    */
+  def opqRerankTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                    model: OpqModel, expand: Int = 4): DataFrame = {
+    val shortlist = opqTopK(vectors, queries, k * expand, model)
+      .select(col("qid"), col("label"))
+    explodeHits(
+      vectors.join(broadcast(shortlist.withColumnRenamed("label", "id")), "id")
+        .join(broadcast(queries), "qid")
+        .select(col("qid"), col("id").as("label"),
+          round(squaredL2(col("vec"), col("qv")), 6).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
+  }
+
   /** Persist a trained [[OpqModel]] as parquet (one row: mean, rotation
     * rows, stacked codebook entries, m, errTrace) — train once on the
     * bounded sample, reuse across every query batch and session; the

@@ -101,6 +101,15 @@ class OpqSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         math.round(r.getDouble(3) * 1e6))).toSet
     assert(again === full)
+    // rerank degeneracy: a shortlist covering the WHOLE corpus makes the
+    // two-stage composition exactly exact kNN (expand·k ≥ n)
+    val exact = Similarity.bruteForceTopK(vdf, qdf, 10, "l2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6))).toSet
+    val reranked = Similarity.opqRerankTopK(vdf, qdf, 10, model, expand = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e6))).toSet
+    assert(reranked === exact)
   }
 
   test("the learned rotation is an isometry; OPQ reconstruction beats raw-space PQ at equal budget on subspace-imbalanced data") {
