@@ -1142,15 +1142,21 @@ object SparkEntry {
     // actually descended; n_eval pins the split arithmetic exactly
     "q_quality_model" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val labels = filterVerdicts(docs)
-        .select(col("doc_id"),
-          when(col("verdict") === "kept", 1.0).otherwise(0.0).as("label"))
-      val labeled = Curation.qualityFeatures(docs).join(labels, "doc_id")
+      // ONE feature pass: the rule-based labels (the filterVerdicts
+      // thresholds verbatim) derive from the SAME frame's raw columns,
+      // so the expensive span profile runs once, not twice; checkpointed
+      // because train-collect, scoring, and the accuracy join all read it
+      val labeled = Curation.qualityFeatures(docs)
+        .withColumn("label",
+          when(col("und") === 0.0 &&
+            col("n_tokens") >= 16 && col("n_tokens") <= 94 &&
+            col("ttr") >= 0.31 && col("dup_frac") <= 0.5, 1.0).otherwise(0.0))
+        .localCheckpoint(true)
       val model = Curation.trainQualityFilter(
         labeled.filter(col("doc_id") % 2 === 0))
       val eval_ = labeled.filter(col("doc_id") % 2 === 1)
       val agg = Curation.scoreQualityModel(eval_.select(col("doc_id"), col("f")), model)
-        .join(labels, "doc_id")
+        .join(eval_.select(col("doc_id"), col("label")), "doc_id")
         .agg(count(lit(1)).as("n"),
           sum(when((col("score") >= 0.5) === (col("label") >= 0.5), 1L)
             .otherwise(0L)).as("ok")).head
