@@ -2685,6 +2685,20 @@ object SparkEntry {
         .orderBy("media_id")
     },
 
+    // perceptual-hash (dHash) image dedup: decode real PNGs, NN-sample to
+    // a 9×7 grid, one bit per horizontal gradient → 56-bit hash, then ONE
+    // combiner groupBy on the hash — the image-side exact-dedup pass of
+    // corpus curation. The fixture corpus carries closed-form duplicates
+    // (pattern = media_id % 97), and NN sampling + integer compares are
+    // exact, so the oracle recomputes every hash from the formula WITHOUT
+    // a codec: equality proves the whole encode→PNG→decode→hash chain
+    "multimodal_phash_dedup" -> { (s, dir) =>
+      val ids = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0).select(col("doc_id").as("media_id"))
+      Multimodal.phashDedup(Multimodal.dupImageMedia(ids, patMod = 97))
+        .orderBy("media_id")
+    },
+
     // Lossy-codec roundtrip: encode the closed-form pattern as a REAL JPEG
     // (javax.imageio, quality 0.95), decode it back, and emit tolerance
     // VERDICTS — dims are exact even under DCT compression; pixel values
@@ -3567,6 +3581,20 @@ object SparkEntry {
         |  CAST(sg AS DOUBLE) / (w * h) AS mean_gray,
         |  CAST(st AS DOUBLE) / ((w // 2) * (h // 2)) AS mean_tl
         |FROM agg ORDER BY media_id""".stripMargin,
+
+    // dHash recomputed from the closed-form pattern — no codec in the
+    // oracle; equality proves encode→PNG→decode→NN-sample→hash
+    "multimodal_phash_dedup" -> {
+      val ph = Multimodal.phashSqlExpr("(media_id % 97)")
+      s"""WITH m AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 10 = 0),
+         |h AS (SELECT media_id, ($ph) AS phash FROM m),
+         |g AS (SELECT phash, CAST(COUNT(*) AS BIGINT) AS group_n,
+         |        MIN(media_id) AS keeper
+         |      FROM h GROUP BY phash)
+         |SELECT h.media_id, h.phash, g.group_n, h.media_id = g.keeper AS keep
+         |FROM h JOIN g ON h.phash = g.phash
+         |ORDER BY h.media_id""".stripMargin
+    },
 
     // NN resize: out(x,y) = pattern(x*w//8, y*h//6), integer-exact
     "multimodal_image_resize" ->

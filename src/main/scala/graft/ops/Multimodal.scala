@@ -415,6 +415,92 @@ object Multimodal {
   def audioMedia(ids: DataFrame): DataFrame = encodeMedia(ids, makeWav)
   def videoMedia(ids: DataFrame): DataFrame = encodeMedia(ids, makeVideo)
 
+  /** Image corpus WITH DUPLICATES: the pattern id is `media_id % patMod`,
+    * so every residue class shares one byte-identical image — the fixture
+    * for perceptual-hash dedup (a real image corpus has re-uploads and
+    * re-encodes; here duplication is closed-form so the oracle knows the
+    * ground truth). */
+  def dupImageMedia(ids: DataFrame, patMod: Long): DataFrame =
+    encodeMedia(ids, id => makePng(id % patMod))
+
+  /** Difference-hash (dHash, the standard cheap perceptual image hash):
+    * NN-downsample the decoded gray raster to a (gw × gh) grid — integer
+    * sampling, no interpolation — then one bit per horizontal neighbor
+    * pair: bit(gy·(gw−1)+gx) = 1 iff grid(gx+1, gy) > grid(gx, gy).
+    * gw=9, gh=7 → 56 bits, inside a signed long (the 63-bit-safety
+    * convention of SignBits/SimHash). NN sampling + integer compares are
+    * EXACT, so the SQL oracle recomputes the hash from the closed-form
+    * pattern with no codec — see [[phashSqlExpr]].
+    */
+  def phash(png: Array[Byte], gw: Int = 9, gh: Int = 7): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val r = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    var bits = 0L
+    var gy = 0
+    while (gy < gh) {
+      val sy = gy * h / gh
+      var gx = 0
+      while (gx < gw - 1) {
+        val a = r.getSample(gx * w / gw, sy, 0)
+        val b = r.getSample((gx + 1) * w / gw, sy, 0)
+        if (b > a) bits |= 1L << (gy * (gw - 1) + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    bits
+  }
+
+  /** The identical dHash as engine-portable SQL over a pattern-id
+    * expression (the generator formula [[pixel]]/[[imgW]]/[[imgH]]
+    * inlined): for the oracle ONLY — the engine side decodes REAL PNGs;
+    * the oracle knows the closed form, so equality proves the whole
+    * encode → PNG → decode → NN-sample → hash chain. `//` is DuckDB
+    * integer division.
+    */
+  def phashSqlExpr(p: String, gw: Int = 9, gh: Int = 7): String = {
+    def px(gx: Int, gy: Int): String = {
+      val sx = s"(($gx * (16 + (($p) % 3) * 4)) // $gw)"
+      val sy = s"(($gy * (12 + (($p) % 2) * 4)) // $gh)"
+      s"((($p) * 31 + $sx * 7 + $sy * 13) % 256)"
+    }
+    (for (gy <- 0 until gh; gx <- 0 until gw - 1) yield {
+      val bit = 1L << (gy * (gw - 1) + gx)
+      s"(CASE WHEN ${px(gx + 1, gy)} > ${px(gx, gy)} THEN ${bit}::BIGINT ELSE 0::BIGINT END)"
+    }).mkString(" + ")
+  }
+
+  private val phashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  /** Perceptual-hash image dedup: decode + dHash in one batched narrow
+    * pass (the codec seam), then ONE combiner-friendly groupBy on the
+    * 8-byte hash — the image-side analog of exact text dedup, and the
+    * standard first pass of image-corpus curation (re-uploads and
+    * lossless re-encodes collapse; near-dup variants would add a
+    * hamming-band LSH exactly like [[Dedup.simhashPairs]]). Emits every
+    * image with its hash, its duplicate-group size, and the keep flag
+    * (smallest media_id per group).
+    */
+  def phashDedup(media: DataFrame, batchSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    val hashed = spark.createDataFrame(
+      media.select(col("media_id"), col("payload")).rdd.mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { row =>
+            Row(row.getLong(0), phash(row.getAs[Array[Byte]](1)))
+          }
+        }
+      }, phashSchema)
+    val groups = hashed.groupBy(col("phash"))
+      .agg(count(lit(1)).as("group_n"), min(col("media_id")).as("keeper"))
+    hashed.join(broadcast(groups), "phash")
+      .select(col("media_id"), col("phash"), col("group_n"),
+        (col("media_id") === col("keeper")).as("keep"))
+  }
+
   /** Decode stage over a (media_id, payload) frame: batched mapPartitions
     * on the consumer side of the codec seam (same shape as
     * [[extractFeatures]]). A narrow, shuffle-free pass — at 100 TB this is

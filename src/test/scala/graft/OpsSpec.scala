@@ -1443,6 +1443,40 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: dHash matches the closed-form scalar reference; phashDedup groups duplicates, keep = min id") {
+    val spark2 = spark
+    import spark2.implicits._
+    // scalar reference computed straight from the generator formula —
+    // the same arithmetic the SQL oracle runs (no codec)
+    def refPhash(p: Long, gw: Int = 9, gh: Int = 7): Long = {
+      val (w, h) = (Multimodal.imgW(p), Multimodal.imgH(p))
+      var bits = 0L
+      for (gy <- 0 until gh; gx <- 0 until gw - 1) {
+        val sy = gy * h / gh
+        val a = Multimodal.pixel(p, gx * w / gw, sy)
+        val b = Multimodal.pixel(p, (gx + 1) * w / gw, sy)
+        if (b > a) bits |= 1L << (gy * (gw - 1) + gx)
+      }
+      bits
+    }
+    for (p <- Seq(0L, 1L, 7L, 42L, 96L, 123456789L)) {
+      assert(Multimodal.phash(Multimodal.makePng(p)) === refPhash(p), s"pattern $p")
+    }
+    // dedup over a corpus with pattern = id % 3: three duplicate groups
+    val ids = (0L until 12L).toDF("media_id")
+    val out = Multimodal.phashDedup(Multimodal.dupImageMedia(ids, patMod = 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length === 12)
+    // identical patterns → identical hash, group size 4, keeper = min id
+    val byHash = out.groupBy(_._2)
+    assert(byHash.size === 3)
+    byHash.values.foreach { g =>
+      assert(g.length === 4 && g.forall(_._3 == 4L))
+      val keepers = g.filter(_._4).map(_._1)
+      assert(keepers.toSeq === Seq(g.map(_._1).min))
+    }
+  }
+
   test("multimodal: JPEG lossy roundtrip — exact dims, calibrated error envelope with headroom") {
     // measure the ACTUAL error envelope of the quality-0.95 writer over
     // the adversarial mod-wrap pattern, so the verdict bounds in
