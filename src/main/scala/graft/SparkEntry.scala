@@ -1280,6 +1280,19 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // one rung further: IVF over nibble-packed SQ4 storage (8× fewer
+    // scanned bytes than fp32) — same raw-vector inverted lists, same
+    // exact decode arithmetic, so this composite hash-oracles too
+    "ann_ivf_sq4" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfSq4TopK(vectors, queries, k = 10, centroidModulo = 40, nProbe = 2)
+        .select(col("qid"), col("rank"), col("label"), round(col("score"), 4).as("dist"))
+        .orderBy("qid", "rank")
+    },
+
     // product-quantization ANN: m=8 sub-codebooks of every-25th vector,
     // codes + ADC scan (the 32×-compression scale path). Deterministic
     // codebook → the whole operator, tie-breaks included, reproduces in
@@ -4203,6 +4216,45 @@ object SparkEntry {
         |  FROM vc) WHERE rn = 1),
         |sc AS (SELECT vec_id,
         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |deq AS (SELECT e.vec_id, list_transform(e.embedding, x ->
+        |    CAST(CAST(CASE WHEN s.scale > 0
+        |      THEN floor(CAST(x AS DOUBLE) / s.scale + 0.5) * s.scale
+        |      ELSE 0.0 END AS REAL) AS DOUBLE)) AS dv
+        |  FROM embeddings e JOIN sc s ON e.vec_id = s.vec_id),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |qc AS (SELECT qid, cid, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT q.qid, c.cid,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
+        |  FROM q, c) GROUP BY 1, 2),
+        |probes AS (SELECT qid, cid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn
+        |  FROM qc) WHERE rn <= 2),
+        |cand AS (SELECT p.qid, a.vec_id AS label FROM probes p JOIN vassign a ON p.cid = a.cid),
+        |d AS (SELECT qid, label, SUM((x-y)*(x-y)) AS score FROM (
+        |  SELECT cand.qid, cand.label,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, UNNEST(v.dv) AS y
+        |  FROM cand JOIN q ON cand.qid = q.qid
+        |  JOIN deq v ON cand.label = v.vec_id) GROUP BY 1, 2),
+        |ranked AS (SELECT qid, label, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM d)
+        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // ann_ivf_sq8's CTEs with the SQ4 grid: scale = max|x|/7, code =
+    // floor(x/scale + 0.5), decode = float(code·scale)
+    "ann_ivf_sq4" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+        |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
+        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |vassign AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM vc) WHERE rn = 1),
+        |sc AS (SELECT vec_id,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 7.0 AS scale
         |  FROM embeddings),
         |deq AS (SELECT e.vec_id, list_transform(e.embedding, x ->
         |    CAST(CAST(CASE WHEN s.scale > 0

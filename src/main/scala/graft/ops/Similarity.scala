@@ -204,6 +204,36 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
 
+  /** IVF over SQ4 (int4) storage — one rung further down the ladder than
+    * [[ivfSq8TopK]]: probed records carry nibble-packed codes (⌈d/2⌉
+    * bytes + scale, 8× smaller than fp32), decoded in-register by the
+    * codegen'd [[graft.functions.DequantizeVectorInt4]]. Same raw-vector
+    * assignment (inverted lists identical to the fp32 index) and the
+    * same exact decode arithmetic (double steps + one float rounding),
+    * so this composite hash-oracles too.
+    */
+  def ivfSq4TopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                 centroidModulo: Int, nProbe: Int): DataFrame = {
+    val cents = collectSmall(
+        vectors.filter(col("id") % centroidModulo === 0).select(col("id"), col("vec")),
+        "IVF centroid table")
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .sortBy(_._1)
+    val enc = Dedup.spread(vectors)
+      .withColumn("cid", element_at(nearestCentroids(col("vec"), cents, 1), 1))
+      .select(col("cid"), col("id"), quantizeInt4(col("vec")).as("q"))
+    val probes = queries
+      .select(col("qid"), col("qv"),
+        explode(nearestCentroids(col("qv"), cents, nProbe)).as("cid"))
+    explodeHits(
+      probes.join(enc, "cid")
+        .select(col("qid"), col("id").as("label"),
+          squaredL2(dequantizeInt4(col("q.codes"), col("q.scale"), col("q.n")),
+            col("qv")).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
+  }
+
   /** Radius (range) search: ALL neighbors within squared-L2 `radius`, not
     * a fixed k — FAISS CPU's `range_search` surface, which the reference
     * does not implement (its Metal path is top-k only); included so a

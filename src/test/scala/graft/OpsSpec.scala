@@ -264,6 +264,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfSq4TopK: lossless on the int4 grid (≡ ivfTopK bit-exact); decent recall on random vectors") {
+    val spark2 = spark
+    import spark2.implicits._
+    // integer grid with max|x| = 7 → scale = 1.0, codes exact through the
+    // nibble pack → the SQ4 index ≡ the fp32 IVF index to the last bit
+    val grid = (0 until 200).map { i =>
+      val v = Array.tabulate(15)(j => (((i * 13 + j * 5) % 15) - 7).toFloat) // d=15: odd, pad nibble
+      v(0) = if (i % 2 == 0) 7f else -7f
+      (i.toLong, v)
+    }
+    val gdf = grid.toDF("id", "vec")
+    val gq = grid.take(6).toDF("qid", "qv")
+    val sq4 = Similarity.ivfSq4TopK(gdf, gq, k = 5, centroidModulo = 20, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val raw = Similarity.ivfTopK(gdf, gq, k = 5, centroidModulo = 20, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(sq4 == raw)
+    // random fp32: same inverted lists, coarser grid than SQ8 → recall
+    // still well above half against the fp32 IVF ranking
+    val vecs = Oracle.genVectors(300, 32)
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = Oracle.genVectors(5, 32, seed = 7L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    val s4 = Similarity.ivfSq4TopK(vdf, qdf, k = 10, centroidModulo = 30, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val r32 = Similarity.ivfTopK(vdf, qdf, k = 10, centroidModulo = 30, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(s4.intersect(r32).size >= 30, s"recall ${s4.intersect(r32).size}/50")
+  }
+
   test("containmentPairs: quote-inclusion pair found at C=1.0 where Jaccard misses it; contained_id is the smaller set") {
     // doc 1 = doc 0 fully embedded in ~4× unrelated framing text: every
     // informative shingle of doc 0 appears in doc 1 → containment 1.0,
