@@ -2168,6 +2168,52 @@ object SparkEntry {
         .orderBy("qid", "label")
     },
 
+    // embedding-corpus outlier filter: per-vector max|x| (the driver of
+    // every scalar-quantization scale — an outlier here blows up SQ8/SQ4
+    // precision for its whole vector) z-scored against exact corpus
+    // moments (rounded features summed in DECIMAL, so mean/std — and
+    // therefore every flag — are accumulation-order-independent). The
+    // L2 norm is NOT the feature on purpose: these embeddings are
+    // unit-normalized, so norm variance is exactly zero (the corpus
+    // itself proved this — a norm z-score divides by zero); the std=0
+    // guard stays for degenerate corpora on any feature
+    "q_vec_outliers" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val feats = e.select(col("vec_id"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x.cast(DoubleType)))), 6).as("mx"))
+      val stats = feats.agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("mx").cast(DecimalType(25, 6))).cast(DoubleType).as("s1"),
+        sum(round(col("mx") * col("mx"), 6).cast(DecimalType(25, 6)))
+          .cast(DoubleType).as("s2"))
+      feats.crossJoin(broadcast(stats))
+        .withColumn("mean", col("s1") / col("n"))
+        .withColumn("std", sqrt(col("s2") / col("n") - col("mean") * col("mean")))
+        .select(col("vec_id"), col("mx"),
+          when(col("std") > 0,
+            round((col("mx") - col("mean")) / col("std"), 4))
+            .otherwise(0.0).as("z"))
+        .withColumn("is_outlier", abs(col("z")) > 3.0)
+        .orderBy("vec_id")
+    },
+
+    // FAISS range_search on an IVF index: all matches within the radius
+    // AMONG the probed clusters (the scan-fraction trade every IVF op
+    // makes); higher radius than the flat query so pruning effects are
+    // visible in the result set, deterministic modulo codebook → the
+    // composite reproduces in SQL hash-exact
+    "vec_range_search_ivf" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      Similarity.ivfRadiusSearch(vectors, queries, radius = 1.6,
+          centroidModulo = 40, nProbe = 2)
+        .select(col("qid"), col("label"), round(col("score"), 4).as("dist"))
+        .orderBy("qid", "label")
+    },
+
     // bulk self-retrieval: EVERY vector queries the whole table (the
     // corpus-vs-corpus regime — query side too big to broadcast at once),
     // via 4 hash-batched GEMM jobs; k=5 keeps the output bounded
@@ -4954,6 +5000,52 @@ object SparkEntry {
         |  GROUP BY qid, label)
         |SELECT qid, label, ROUND(score, 4) AS dist
         |FROM dists WHERE score <= 1.4
+        |ORDER BY qid, label""".stripMargin,
+
+    // same rounded-feature + DECIMAL-moment arithmetic; the flag reads
+    // the ROUNDED z on both sides so the boolean can't straddle rounding
+    "q_vec_outliers" ->
+      """WITH nr AS (SELECT vec_id,
+        |    ROUND(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS mx
+        |  FROM embeddings),
+        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+        |  CAST(SUM(CAST(mx AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(ROUND(mx * mx, 6) AS DECIMAL(25,6))) AS DOUBLE) AS s2
+        |  FROM nr),
+        |z AS (SELECT vec_id, mx,
+        |  CASE WHEN SQRT(s2/n - (s1/n)*(s1/n)) > 0
+        |    THEN ROUND((mx - s1/n) / SQRT(s2/n - (s1/n)*(s1/n)), 4)
+        |    ELSE 0.0 END AS z
+        |  FROM nr, st)
+        |SELECT vec_id, mx, z, ABS(z) > 3.0 AS is_outlier
+        |FROM z ORDER BY vec_id""".stripMargin,
+
+    // ann_ivf's probe CTEs with a radius filter instead of top-k
+    "vec_range_search_ivf" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+        |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
+        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |vassign AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM vc) WHERE rn = 1),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |qc AS (SELECT qid, cid, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT q.qid, c.cid,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
+        |  FROM q, c) GROUP BY 1, 2),
+        |probes AS (SELECT qid, cid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn
+        |  FROM qc) WHERE rn <= 2),
+        |cand AS (SELECT p.qid, a.vec_id AS label FROM probes p JOIN vassign a ON p.cid = a.cid),
+        |dists AS (SELECT qid, label, SUM((x-y)*(x-y)) AS score FROM (
+        |  SELECT cand.qid, cand.label,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(v.embedding) AS DOUBLE) AS y
+        |  FROM cand JOIN q ON cand.qid = q.qid
+        |  JOIN embeddings v ON cand.label = v.vec_id) GROUP BY 1, 2)
+        |SELECT qid, label, ROUND(score, 4) AS dist
+        |FROM dists WHERE score <= 1.6
         |ORDER BY qid, label""".stripMargin,
 
     "knn_l2_filtered" ->

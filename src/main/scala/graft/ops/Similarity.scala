@@ -248,6 +248,33 @@ object Similarity {
         squaredL2(col("vec"), col("qv")).as("score"))
       .filter(col("score") <= radius)
 
+  /** IVF-pruned radius search — FAISS `range_search` on an IVF index:
+    * ALL neighbors within squared-L2 `radius` among the nProbe probed
+    * clusters (like every IVF operation, matches whose vectors live in
+    * unprobed clusters are traded for the nProbe/nClusters scan
+    * fraction; nProbe = nClusters degrades to the exact
+    * [[radiusSearch]]). The filter runs inside the probed scan's codegen
+    * stage; no top-k state, result size is the match count.
+    */
+  def ivfRadiusSearch(vectors: DataFrame, queries: DataFrame,
+                      radius: Double, centroidModulo: Int,
+                      nProbe: Int): DataFrame = {
+    val cents = collectSmall(
+        vectors.filter(col("id") % centroidModulo === 0).select(col("id"), col("vec")),
+        "IVF centroid table")
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .sortBy(_._1)
+    val assigned = Dedup.spread(vectors)
+      .withColumn("cid", element_at(nearestCentroids(col("vec"), cents, 1), 1))
+    val probes = queries
+      .select(col("qid"), col("qv"),
+        explode(nearestCentroids(col("qv"), cents, nProbe)).as("cid"))
+    probes.join(assigned, "cid")
+      .select(col("qid"), col("id").as("label"),
+        squaredL2(col("vec"), col("qv")).as("score"))
+      .filter(col("score") <= radius)
+  }
+
   /** GEMM-batched exact kNN — the direct Spark analog of the reference's
     * tiled simdgroup GEMM path (`shaders/simdgroup_gemm.metal:26-138`,
     * host gate `src/MetalDistance.mm:121-127`): instead of evaluating the

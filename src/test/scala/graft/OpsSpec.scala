@@ -264,6 +264,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfRadiusSearch probing ALL clusters ≡ exact radiusSearch; fewer probes → subset") {
+    val spark2 = spark
+    import spark2.implicits._
+    val vecs = Oracle.genVectors(300, 16)
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = Oracle.genVectors(4, 16, seed = 9L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    val radius = 3.5
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e6))).toSet
+    val exact = asSet(Similarity.radiusSearch(vdf, qdf, radius))
+    // centroidModulo 30 → 10 clusters; probing all 10 removes pruning
+    val all = asSet(Similarity.ivfRadiusSearch(vdf, qdf, radius,
+      centroidModulo = 30, nProbe = 10))
+    assert(all === exact)
+    assert(exact.nonEmpty)
+    // fewer probes can only DROP matches (never invent or rescore one)
+    val some = asSet(Similarity.ivfRadiusSearch(vdf, qdf, radius,
+      centroidModulo = 30, nProbe = 2))
+    assert(some.subsetOf(exact))
+  }
+
   test("ivfSq4TopK: lossless on the int4 grid (≡ ivfTopK bit-exact); decent recall on random vectors") {
     val spark2 = spark
     import spark2.implicits._
