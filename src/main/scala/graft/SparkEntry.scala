@@ -1132,6 +1132,31 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(Tables(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // the per-source corpus report a curation run emits: docs, chars,
+    // tokens, distinct-content count and the exact-duplicate rate, all
+    // exact integer arithmetic over one scan + one md5 groupBy per source
+    "q_corpus_report" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("source"), col("n_chars"),
+        size(split(col("text"), " ", -1)).cast(LongType).as("n_tokens"),
+        md5(col("text")).as("h"))
+      val perHash = base.groupBy(col("source"), col("h"))
+        .agg(count(lit(1)).as("c"),
+          first(col("n_chars")).as("nc0"), first(col("n_tokens")).as("nt0"))
+      base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .join(perHash.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_distinct"),
+            sum(col("c") - 1).as("n_exact_dups")), "source")
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          col("sum_tokens"), col("n_distinct"), col("n_exact_dups"),
+          round(col("n_exact_dups").cast(DoubleType) /
+            col("n_docs").cast(DoubleType), 6).as("dup_rate"))
+        .orderBy("source")
+    },
+
     // model-based quality filter (the CCNet/LLaMA-pipeline "quality
     // classifier" stage): logistic regression DISTILLING the rule-based
     // pipeline_filter verdicts from cheap per-doc features (length
@@ -2962,6 +2987,25 @@ object SparkEntry {
         |      JOIN lens ON tf.doc_id = lens.doc_id, tot t2 GROUP BY 1)
         |SELECT doc_id, n_tokens, ROUND(mlp, 6) AS mean_lp, ROUND(exp(-mlp), 6) AS ppl
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_report" ->
+      """WITH b AS (SELECT source, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(text) AS h
+        |  FROM documents),
+        |ph AS (SELECT source, h, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+        |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |  FROM b GROUP BY 1),
+        |dd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM(c - 1) AS BIGINT) AS n_exact_dups
+        |  FROM ph GROUP BY 1)
+        |SELECT agg.source, agg.n_docs, agg.sum_chars, agg.sum_tokens,
+        |  dd.n_distinct, dd.n_exact_dups,
+        |  ROUND(CAST(dd.n_exact_dups AS DOUBLE) / CAST(agg.n_docs AS DOUBLE), 6) AS dup_rate
+        |FROM agg JOIN dd ON agg.source = dd.source
+        |ORDER BY agg.source""".stripMargin,
 
     "q_quality_model" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,

@@ -112,6 +112,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(p1.zip(p2).forall { case (a, b) => a == b })
   }
 
+  test("schema evolution: mergeSchema read over mixed-generation parquet; old rows null-fill the added column") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    // generation 1: (id, text); generation 2 adds a quality column — the
+    // standard corpus-evolution shape (a new score backfilled going
+    // forward only)
+    Seq((0L, "alpha"), (1L, "beta")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "gamma", 0.75), (3L, "delta", 0.25)).toDF("doc_id", "text", "quality")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("doc_id", "quality", "text"))
+    val rows = merged.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.toSeq === Seq(
+      (0L, "alpha", None), (1L, "beta", None),
+      (2L, "gamma", Some(0.75)), (3L, "delta", Some(0.25))))
+    // and a filter on the NEW column still prunes correctly over old files
+    assert(merged.filter(col("quality") > 0.5).count() === 1L)
+  }
+
   test("vector tables survive a JSON hop (array<float> fidelity)") {
     val dir = Files.createTempDirectory("graft_vec_json").toString
     val vecSchema = StructType(Seq(
