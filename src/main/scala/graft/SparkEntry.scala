@@ -1289,6 +1289,39 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // retrieval EVALUATION as an operator: recall@10 and MRR of the IVF
+    // ranking against the exact-kNN ground truth — the metric job every
+    // retrieval team runs after an index build. Both rankings are
+    // deterministic engine outputs with SQL-exact formulations, so the
+    // metrics themselves hash-match (no verdict needed): MRR uses the
+    // exact TOP-1 item's reciprocal rank in the approximate list, 0 when
+    // absent; ranks/overlaps are pure integer arithmetic
+    "q_eval_recall_mrr" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
+        .select(col("qid"), col("rank").as("erank"), col("label"))
+      val approx = Similarity.ivfTopK(vectors, queries, k = 10,
+          centroidModulo = 40, nProbe = 2)
+        .select(col("qid"), col("rank").as("arank"), col("label"))
+      val common = exact.join(approx, Seq("qid", "label"))
+      val recall = common.groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_common"))
+      val mrr = common.filter(col("erank") === 1)
+        .select(col("qid"), (lit(1.0) / col("arank").cast(DoubleType)).as("rr"))
+      queries.select(col("qid"))
+        .join(recall, Seq("qid"), "left")
+        .join(mrr, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          round(coalesce(col("n_common"), lit(0L)).cast(DoubleType) / 10.0, 4)
+            .as("recall_at_10"),
+          round(coalesce(col("rr"), lit(0.0)), 4).as("mrr"))
+        .orderBy("qid")
+    },
+
     // IVF over SQ8 storage (FAISS "IVF…,SQ8" factory composite): coarse
     // pruning scans nProbe/nClusters of the corpus AND each scanned record
     // is 4× smaller (int8 codes + scale, decoded in-register). Assignment
@@ -4331,6 +4364,50 @@ object SparkEntry {
         |SELECT qid, rank, label, ROUND(score, 4) AS dist
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
+
+    // exact-kNN + ann_ivf CTEs joined into the metric table
+    "q_eval_recall_mrr" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |ed AS (SELECT qid, label, SUM((x-y)*(x-y)) AS score FROM (
+        |  SELECT q.qid, e.vec_id AS label,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(e.embedding) AS DOUBLE) AS y
+        |  FROM q CROSS JOIN embeddings e) GROUP BY 1, 2),
+        |er AS (SELECT qid, label,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS erank FROM ed),
+        |e10 AS (SELECT * FROM er WHERE erank <= 10),
+        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+        |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
+        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |vassign AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM vc) WHERE rn = 1),
+        |qc AS (SELECT qid, cid, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT q.qid, c.cid,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
+        |  FROM q, c) GROUP BY 1, 2),
+        |probes AS (SELECT qid, cid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn
+        |  FROM qc) WHERE rn <= 2),
+        |cand AS (SELECT p.qid, a.vec_id AS label FROM probes p JOIN vassign a ON p.cid = a.cid),
+        |ad AS (SELECT qid, label, SUM((x-y)*(x-y)) AS score FROM (
+        |  SELECT cand.qid, cand.label,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(v.embedding) AS DOUBLE) AS y
+        |  FROM cand JOIN q ON cand.qid = q.qid
+        |  JOIN embeddings v ON cand.label = v.vec_id) GROUP BY 1, 2),
+        |ar AS (SELECT qid, label,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS arank FROM ad),
+        |a10 AS (SELECT * FROM ar WHERE arank <= 10),
+        |common AS (SELECT e10.qid, e10.label, e10.erank, a10.arank
+        |           FROM e10 JOIN a10 ON e10.qid = a10.qid AND e10.label = a10.label),
+        |rec AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_common FROM common GROUP BY 1),
+        |m AS (SELECT qid, 1.0 / arank AS rr FROM common WHERE erank = 1)
+        |SELECT q.qid, COALESCE(rec.n_common, 0) AS n_common,
+        |  ROUND(CAST(COALESCE(rec.n_common, 0) AS DOUBLE) / 10.0, 4) AS recall_at_10,
+        |  ROUND(COALESCE(m.rr, 0.0), 4) AS mrr
+        |FROM q LEFT JOIN rec ON q.qid = rec.qid LEFT JOIN m ON q.qid = m.qid
+        |ORDER BY q.qid""".stripMargin,
 
     // ann_ivf_sq8's CTEs with the SQ4 grid: scale = max|x|/7, code =
     // floor(x/scale + 0.5), decode = float(code·scale)
