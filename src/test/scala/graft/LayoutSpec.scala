@@ -37,6 +37,32 @@ class LayoutSpec extends AnyFunSuite {
     assert(got.forall(z => z >= 0L && z < (1L << 32)))
   }
 
+  test("physical files: a z-range-partitioned parquet write prunes files for BOTH dims; y-sorted reads everything for x") {
+    val spark2 = spark
+    import spark2.implicits._
+    val grid = (for (x <- 0 until 256; y <- 0 until 256)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+      .withColumn("z", Layout.zorder2(col("x"), col("y"), 8))
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    // 16 files range-partitioned by the clustering value — the physical
+    // layout OPTIMIZE ZORDER BY produces
+    grid.repartitionByRange(16, col("z")).sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(s"$base/zsorted")
+    grid.repartitionByRange(16, col("y")).sortWithinPartitions("y")
+      .write.mode("overwrite").parquet(s"$base/ysorted")
+    def filesTouched(path: String, pred: org.apache.spark.sql.Column): Long =
+      spark.read.parquet(path).filter(pred)
+        .select(input_file_name().as("f")).distinct().count()
+    val xPred = col("x") >= 64 && col("x") < 72
+    // y-sorted: every file holds all x values → all 16 files read
+    assert(filesTouched(s"$base/ysorted", xPred) === 16L)
+    // z-sorted: the x-slab lives in a few files — and so does a y-slab
+    val zx = filesTouched(s"$base/zsorted", xPred)
+    val zy = filesTouched(s"$base/zsorted", col("y") >= 192 && col("y") < 200)
+    assert(zx <= 4L, s"x-slab touched $zx of 16 z-sorted files")
+    assert(zy <= 4L, s"y-slab touched $zy of 16 z-sorted files")
+  }
+
   test("z-sorted buckets prune range predicates on BOTH dimensions; a y-sorted layout serves only y") {
     val spark2 = spark
     import spark2.implicits._
