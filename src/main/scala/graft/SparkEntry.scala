@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions._
-import graft.ops.{AsofJoin, BloomJoin, Curation, Dedup, Layout, Lexical, Multimodal, Scan, Similarity, TextAnalysis}
+import graft.ops.{AsofJoin, BloomJoin, Curation, Dedup, Graph, Layout, Lexical, Multimodal, Scan, Similarity, Skyline, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -2828,6 +2828,62 @@ object SparkEntry {
         .filter(col("doc_id") % 10 === 0).select(col("doc_id").as("media_id"))
       Multimodal.jpegDecodeStats(Multimodal.jpegMedia(ids))
         .orderBy("media_id")
+    },
+
+    // ---- graph analytics: corpus-quality priors ----
+
+    // Damped PageRank (5 iterations) over the part co-occurrence graph
+    // (parts sharing an order, both directions) — the page-quality prior
+    // of web-corpus curation (Page et al. 1999), here as "product
+    // centrality". Ranks broadcast into each iteration's edge join; ONE
+    // combiner-friendly shuffle (the contribution sum on dst) per
+    // iteration. Per-edge contributions quantize to DECIMAL(28,14) so the
+    // reduction is exact decimal arithmetic — reduction-order-independent
+    // in both engines, hence hash-oracled (Graph.pageRankSql generates
+    // the unrolled oracle from the same constants).
+    "q_pagerank" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val parts = Tables(s, dir, "part").select(col("p_partkey").as("id"))
+      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      Graph.pageRank(parts, edges, iters = 5)
+        .select(col("id").as("p_partkey"), col("r").as("rank"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- entity resolution: fuzzy (edit-distance) self-join ----
+
+    // Levenshtein-≤1 pairs over customer names via deletion-neighborhood
+    // blocking (FastSS, Bocek et al. 2007) — candidates come from an
+    // equi-join on single-deletion variants (output-proportional, NEVER
+    // all-pairs), then the exact levenshtein filter confirms. The oracle
+    // replicates the same blocking in SQL because the definitional
+    // formulation (all-pairs levenshtein) is quadratic; blocking
+    // completeness for distance ≤ 1 is proved in the Scaladoc and
+    // spec-pinned against a brute-force small fixture.
+    "q_fuzzy_join" -> { (s, dir) =>
+      Dedup.fuzzyPairsEdit1(Tables(s, dir, "customer"), "c_custkey", "c_name")
+        .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
+          col("dist"))
+        .orderBy("custkey_a", "custkey_b")
+    },
+
+    // ---- skyline (Pareto frontier): multi-criteria best tradeoffs ----
+
+    // 2-D skyline of orders by (total price ↓, order recency ↑) — the
+    // cheap-and-recent Pareto frontier (Börzsönyi et al. 2001), computed
+    // with the O(n log n) sort-scan (one window over the distinct point
+    // set) instead of the textbook quadratic NOT-EXISTS anti-join;
+    // maximization enters as negation, and the identical scan is the
+    // oracle (Skyline.skyline2dSql).
+    "q_skyline" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val pts = o.select(col("o_orderkey"), col("o_totalprice").as("x"),
+        (-expr("unix_micros(cast(o_orderdate as timestamp))")).as("y"))
+      val sky = Skyline.skyline2d(pts, "x", "y")
+      pts.join(sky, Seq("x", "y"))
+        .select(col("o_orderkey"), col("x").as("total_price"),
+          (-col("y")).as("order_ts_us"))
+        .orderBy("o_orderkey")
     }
   )
 
@@ -5333,7 +5389,49 @@ object SparkEntry {
         |SELECT s AS shingle, COUNT(*) AS df FROM ex
         |GROUP BY s
         |ORDER BY df DESC, shingle
-        |LIMIT 30""".stripMargin
+        |LIMIT 30""".stripMargin,
+
+    // unrolled from the SAME constants and decimal quantization as the
+    // Spark iteration (Graph.pageRankSql) — exact decimal contribution
+    // sums make the fixpoint reduction-order-independent in both engines
+    "q_pagerank" -> {
+      val body = Graph.pageRankSql(
+        "SELECT p_partkey AS id FROM part",
+        """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey""".stripMargin,
+        iters = 5)
+      s"SELECT id AS p_partkey, r AS rank FROM ($body) ORDER BY p_partkey"
+    },
+
+    // same deletion-neighborhood blocking (completeness for distance ≤ 1
+    // proved at Dedup.fuzzyPairsEdit1) — the definitional all-pairs
+    // formulation is quadratic and would not survive sf1
+    "q_fuzzy_join" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS k FROM customer),
+        |p AS (SELECT unnest(range(-1, (SELECT MAX(length(k)) FROM c))) AS pos),
+        |v AS (SELECT id, k, CASE WHEN pos < 0 THEN k
+        |        ELSE substr(k, 1, pos) || substr(k, pos + 2) END AS variant
+        |      FROM c JOIN p ON pos < length(k)),
+        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |            a.k AS k_a, b.k AS k_b
+        |          FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id)
+        |SELECT id_a AS custkey_a, id_b AS custkey_b,
+        |  CAST(levenshtein(k_a, k_b) AS BIGINT) AS dist
+        |FROM pairs WHERE levenshtein(k_a, k_b) <= 1
+        |ORDER BY custkey_a, custkey_b""".stripMargin,
+
+    // identical sort-scan formulation (Skyline.skyline2dSql)
+    "q_skyline" -> {
+      val sky = Skyline.skyline2dSql("SELECT x, y FROM pts")
+      s"""WITH pts AS (SELECT o_orderkey, o_totalprice AS x,
+         |               -epoch_us(o_orderdate) AS y
+         |             FROM orders),
+         |sky AS ($sky)
+         |SELECT p.o_orderkey, p.x AS total_price, -p.y AS order_ts_us
+         |FROM pts p JOIN sky USING (x, y)
+         |ORDER BY p.o_orderkey""".stripMargin
+    }
   )
 
   /** Shared DuckDB CTE text: shingles → MinHash signatures (`mh` with

@@ -892,4 +892,50 @@ object Dedup {
       .agg(min(col("doc_id")).as("cluster_id"))
     docComp.join(compMin, "comp").select(col("doc_id"), col("cluster_id"))
   }
+
+  /** Fuzzy (edit-distance ≤ 1) self-join via deletion-neighborhood
+    * blocking — the entity-resolution primitive behind record linkage
+    * and near-identical-key dedup, scale-safe because it never forms
+    * all-pairs.
+    *
+    * Blocking rule (the SymSpell / FastSS observation, Bocek et al.
+    * 2007, "Fast Similarity Search in Large Dictionaries"): two strings
+    * within Levenshtein distance 1 share a common member of their
+    * deletion neighborhoods — the string itself plus every
+    * single-character deletion. A substitution at position i matches on
+    * both sides' delete-at-i; an insertion/deletion matches the longer
+    * side's delete against the shorter side's identity. So joining on
+    * the (L+1)-key neighborhood finds EVERY distance-≤1 pair; the exact
+    * `levenshtein` filter then discards the false candidates (two
+    * different deletions can collide, e.g. "ab"/"ba" share "a").
+    *
+    * Block sizes are governed by how many corpus keys collapse onto one
+    * deletion variant — near-identical keys only — so candidate volume
+    * is output-proportional, not quadratic: the same df-cap philosophy
+    * as the shingle joins, without needing a cap because a deletion
+    * variant of a UNIQUE key collides only with genuine near-matches.
+    *
+    * Returns (id_a, id_b, dist) with id_a < id_b, dist ∈ {0, 1}.
+    */
+  def fuzzyPairsEdit1(rows: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    // deletion neighborhood: the key itself (pos = -1) plus delete-at-i
+    val keyed = rows.select(col(idCol).as("id"), col(keyCol).as("k"))
+      .withColumn("pos", explode(sequence(lit(-1), length(col("k")) - 1)))
+      .select(col("id"), col("k"),
+        when(col("pos") < 0, col("k"))
+          .otherwise(concat(
+            col("k").substr(lit(1), col("pos")),
+            col("k").substr(col("pos") + 2, length(col("k")))))
+          .as("variant"))
+      .localCheckpoint(true)
+    val a = keyed.select(col("variant"), col("id").as("id_a"), col("k").as("k_a"))
+    val b = keyed.select(col("variant"), col("id").as("id_b"), col("k").as("k_b"))
+    a.join(b, Seq("variant"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("k_a"), col("k_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("k_a"), col("k_b")))
+      .filter(col("dist") <= 1)
+      .select(col("id_a"), col("id_b"), col("dist").cast(LongType).as("dist"))
+  }
 }

@@ -1,0 +1,173 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{Dedup, Graph, Skyline}
+
+/** Graph analytics (PageRank), fuzzy edit-distance join, and the 2-D
+  * skyline — each checked against an in-process scalar oracle (the
+  * brute-force definitional computation the distributed plan replaces).
+  */
+class GraphSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def df(schema: StructType, rows: Seq[Row]) =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  private val edgeSchema = StructType(Seq(
+    StructField("src", LongType, nullable = false),
+    StructField("dst", LongType, nullable = false)))
+  private val nodeSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false)))
+
+  /** Scalar PageRank with the SAME decimal quantization contract. */
+  private def scalarPageRank(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                             iters: Int, damping: Double): Map[Long, Double] = {
+    val odeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      val sums = scala.collection.mutable.Map.empty[Long, BigDecimal]
+      for ((u, v) <- edges) {
+        val c = BigDecimal(r(u) / odeg(u))
+          .setScale(14, BigDecimal.RoundingMode.HALF_UP)
+        sums(v) = sums.getOrElse(v, BigDecimal(0)) + c
+      }
+      r = nodes.map { v =>
+        v -> ((1.0 - damping) + damping * sums.getOrElse(v, BigDecimal(0)).toDouble)
+      }.toMap
+    }
+    r
+  }
+
+  test("pageRank matches the scalar decimal-quantized oracle on a hand graph") {
+    // 1 -> 2 -> 3 -> 1 cycle, 4 -> 1 feeder, 5 isolated
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
+    val got = Graph.pageRank(
+        df(nodeSchema, nodes.map(Row(_))),
+        df(edgeSchema, edges.map { case (a, b) => Row(a, b) }),
+        iters = 7)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = scalarPageRank(nodes, edges, iters = 7, damping = 0.85)
+    assert(got.keySet === nodes.toSet)
+    for (v <- nodes)
+      assert(math.abs(got(v) - want(v)) < 1e-12, s"node $v: ${got(v)} vs ${want(v)}")
+    // isolated node settles at 1 - d
+    assert(math.abs(got(5L) - 0.15) < 1e-12)
+  }
+
+  test("pageRank conserves total mass on a graph with no dangling nodes") {
+    val nodes = (1L to 50L).toSeq
+    val rnd = new scala.util.Random(7)
+    // every node gets at least one out-edge → no dangling mass leak
+    val edges = nodes.flatMap { u =>
+      (0 until 1 + rnd.nextInt(4)).map { _ =>
+        var v = 1L + rnd.nextInt(50); if (v == u) v = 1L + (u % 50); (u, v)
+      }
+    }.distinct.filter { case (a, b) => a != b }
+    val got = Graph.pageRank(
+        df(nodeSchema, nodes.map(Row(_))),
+        df(edgeSchema, edges.map { case (a, b) => Row(a, b) }),
+        iters = 5)
+      .agg(sum(col("r"))).head.getDouble(0)
+    assert(math.abs(got - 50.0) < 1e-6, s"mass $got")
+  }
+
+  test("pageRank broadcast and shuffle rank joins agree bit-for-bit") {
+    val nodes = (1L to 30L).toSeq
+    val edges = nodes.flatMap(u => Seq((u, u % 30 + 1), (u, (u + 7) % 30 + 1)))
+      .filter { case (a, b) => a != b }
+    val n = df(nodeSchema, nodes.map(Row(_)))
+    val e = df(edgeSchema, edges.map { case (a, b) => Row(a, b) })
+    val a = Graph.pageRank(n, e, iters = 6, broadcastRanks = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graph.pageRank(n, e, iters = 6, broadcastRanks = false)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+  }
+
+  // ---- fuzzy edit-distance join ----
+
+  private val custSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType, nullable = false)))
+
+  private def scalarLev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("fuzzyPairsEdit1 == brute-force levenshtein ≤ 1 (sub, ins, del, exact, miss)") {
+    val names = Seq(
+      1L -> "alpha", 2L -> "alpha",   // exact dup (dist 0)
+      3L -> "alphb",                  // substitution of 1
+      4L -> "alpha7",                 // insertion vs 1
+      5L -> "alph",                   // deletion vs 1
+      6L -> "alXYa",                  // dist 2 from 1 — must NOT appear
+      7L -> "omega", 8L -> "omeg4")   // separate block, dist 1
+    val got = Dedup.fuzzyPairsEdit1(
+        df(custSchema, names.map { case (i, n) => Row(i, n) }), "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (ia, na) <- names; (ib, nb) <- names if ia < ib
+      d = scalarLev(na, nb) if d <= 1
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got === want)
+    assert(got.contains((1L, 4L, 1L)) && got.contains((1L, 5L, 1L)),
+      "insertion and deletion neighbors must be found, not just substitutions")
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L))
+  }
+
+  test("fuzzyPairsEdit1 candidate volume is blocked, not all-pairs") {
+    // 200 distinct far-apart keys: zero candidate pairs survive blocking
+    val names = (1L to 200L).map(i => i -> f"k${i}%03d-${"x" * (i % 5).toInt}${i * 7919}")
+    val got = Dedup.fuzzyPairsEdit1(
+      df(custSchema, names.map { case (i, n) => Row(i, n) }), "id", "name")
+    // correctness side: equals brute force (which finds a few true pairs or none)
+    val want = (for {
+      (ia, na) <- names; (ib, nb) <- names if ia < ib
+      d = scalarLev(na, nb) if d <= 1
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === want)
+  }
+
+  // ---- skyline ----
+
+  private val ptSchema = StructType(Seq(
+    StructField("x", DoubleType, nullable = false),
+    StructField("y", DoubleType, nullable = false)))
+
+  test("skyline2d == brute-force dominance filter, incl. ties and duplicates") {
+    val rnd = new scala.util.Random(11)
+    // small coordinate grid → many ties on each axis + exact duplicates
+    val pts = Seq.fill(300)((rnd.nextInt(12).toDouble, rnd.nextInt(12).toDouble))
+    val got = Skyline.skyline2d(
+        df(ptSchema, pts.map { case (x, y) => Row(x, y) }), "x", "y")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    val distinct = pts.distinct
+    val want = distinct.filter { case (x, y) =>
+      !distinct.exists { case (a, b) =>
+        a <= x && b <= y && (a < x || b < y)
+      }
+    }.toSet
+    assert(got === want)
+  }
+
+  test("skyline2d on a strictly decreasing staircase keeps every point") {
+    val pts = (0 until 20).map(i => (i.toDouble, (19 - i).toDouble))
+    val got = Skyline.skyline2d(
+        df(ptSchema, pts.map { case (x, y) => Row(x, y) }), "x", "y")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(got === pts.toSet)
+  }
+}
