@@ -2850,6 +2850,41 @@ object SparkEntry {
         .orderBy("p_partkey")
     },
 
+    // HITS hubs & authorities (Kleinberg 1999) on the customer→supplier
+    // bipartite purchase graph (supplier ids offset into a disjoint id
+    // space) — the hub/authority quality pair for bipartite corpora.
+    // Decimal-quantized contribution sums + MAX normalization keep every
+    // iteration reduction-order-independent → hash-oracled via the
+    // unrolled Graph.hitsSql.
+    "q_hits" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(10000000L)).as("dst"))
+      val nodes = Tables(s, dir, "customer").select(col("c_custkey").as("id"))
+        .unionByName(Tables(s, dir, "supplier")
+          .select((col("s_suppkey") + lit(10000000L)).as("id")))
+      Graph.hits(nodes, edges, iters = 4)
+        .select(col("id"), col("h").as("hub"), col("a").as("auth"))
+        .orderBy("id")
+    },
+
+    // Personalized PageRank (Haveliwala 2002): teleport mass restricted
+    // to a seed set (every 97th part) — relevance-to-the-seeds instead of
+    // global centrality, the "expand from a trusted core" curation
+    // primitive. Same decimal-exact iteration and broadcast-rank shape
+    // as q_pagerank.
+    "q_ppr_seeded" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val parts = Tables(s, dir, "part").select(col("p_partkey").as("id"))
+      val seeds = parts.filter(col("id") % 97 === 0)
+      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      Graph.pageRankSeeded(parts, edges, seeds, iters = 4)
+        .select(col("id").as("p_partkey"), col("r").as("rank"))
+        .orderBy("p_partkey")
+    },
+
     // ---- entity resolution: fuzzy (edit-distance) self-join ----
 
     // Levenshtein-≤1 pairs over customer names via deletion-neighborhood
@@ -5401,6 +5436,30 @@ object SparkEntry {
           |FROM lineitem a JOIN lineitem b
           |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey""".stripMargin,
         iters = 5)
+      s"SELECT id AS p_partkey, r AS rank FROM ($body) ORDER BY p_partkey"
+    },
+
+    // unrolled from the same constants as Graph.hits (decimal sums,
+    // MAX normalization)
+    "q_hits" -> {
+      val body = Graph.hitsSql(
+        """SELECT c_custkey AS id FROM customer
+          |UNION SELECT s_suppkey + 10000000 AS id FROM supplier""".stripMargin,
+        """SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+        iters = 4)
+      s"SELECT id, hub, auth FROM ($body) ORDER BY id"
+    },
+
+    // unrolled from the same constants as Graph.pageRankSeeded
+    "q_ppr_seeded" -> {
+      val body = Graph.pageRankSeededSql(
+        "SELECT p_partkey AS id FROM part",
+        """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey""".stripMargin,
+        "SELECT p_partkey AS id FROM part WHERE p_partkey % 97 = 0",
+        iters = 4)
       s"SELECT id AS p_partkey, r AS rank FROM ($body) ORDER BY p_partkey"
     },
 

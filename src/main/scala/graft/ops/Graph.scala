@@ -91,6 +91,166 @@ object Graph {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999, "Authoritative Sources in
+    * a Hyperlinked Environment") on a directed graph — the natural
+    * quality pair for BIPARTITE corpora (here: customers ↔ suppliers;
+    * on the web: pages ↔ hosts): a good hub points at good authorities
+    * and vice versa.
+    *
+    *   a'(v) = Σ_{u→v} q(h(u));  h'(u) = Σ_{u→v} q(a'(v));
+    *   then both sides normalize by their max.
+    *
+    * Same exactness contract as [[pageRank]]: contributions quantize to
+    * DECIMAL(28,14) (exact associative sums), and the normalizer is MAX
+    * — order-independent by construction — so the fixpoint is
+    * reproducible across engines and [[hitsSql]] can unroll the oracle.
+    * Max-normalization (not L2) keeps the arithmetic exact-comparable;
+    * the ranking it induces is identical.
+    *
+    * Scale shape: per half-iteration ONE combiner aggregation over the
+    * edge list with the small score vector broadcast in, plus a
+    * broadcast scalar max — the [[pageRank]] cost class exactly.
+    * Returns (id, hub, auth) over all nodes (either side's absentees
+    * score 0).
+    */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int,
+           broadcastRanks: Boolean = true): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val n = nodes.select(col("id")).distinct().localCheckpoint(true)
+    val dec = DecimalType(28, 14)
+
+    def bc(df: DataFrame): DataFrame = if (broadcastRanks) broadcast(df) else df
+
+    def normalized(scores: DataFrame, c: String): DataFrame = {
+      val mx = scores.agg(max(col(c))).head.getDouble(0)
+      val d = if (mx > 0.0) mx else 1.0
+      scores.select(col("id"), (col(c) / lit(d)).as(c))
+    }
+
+    var hub = n.withColumn("h", lit(1.0))
+    var auth = n.withColumn("a", lit(0.0))
+    for (_ <- 1 to iters) {
+      val hSide = bc(hub)
+      val aSums = e.join(hSide, e("src") === hSide("id"))
+        .select(col("dst").as("id"), col("h").cast(dec).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      auth = normalized(
+        n.join(aSums, Seq("id"), "left")
+          .select(col("id"), coalesce(col("s").cast(DoubleType), lit(0.0)).as("a")),
+        "a").localCheckpoint(true)
+      val aSide = bc(auth)
+      val hSums = e.join(aSide, e("dst") === aSide("id"))
+        .select(col("src").as("id"), col("a").cast(dec).as("c"))
+        .groupBy("id").agg(sum(col("c")).as("s"))
+      hub = normalized(
+        n.join(hSums, Seq("id"), "left")
+          .select(col("id"), coalesce(col("s").cast(DoubleType), lit(0.0)).as("h")),
+        "h").localCheckpoint(true)
+    }
+    hub.join(auth, Seq("id"))
+  }
+
+  /** [[hits]] unrolled as engine-portable SQL from the same constants. */
+  def hitsSql(nodesSql: String, edgesSql: String, iters: Int): String = {
+    require(iters >= 1 && iters <= 50)
+    val sb = new StringBuilder
+    sb.append(s"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesSql)),\n")
+    sb.append(s"n AS ($nodesSql),\n")
+    sb.append("h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM n)")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+as$i AS MATERIALIZED (SELECT e.dst AS id, SUM(CAST(h.h AS DECIMAL(28,14))) AS s
+         FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst),
+ar$i AS MATERIALIZED (SELECT n.id,
+           COALESCE(CAST(as$i.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS a
+         FROM n LEFT JOIN as$i ON n.id = as$i.id),
+a$i AS MATERIALIZED (SELECT id, a / (CASE WHEN (SELECT MAX(a) FROM ar$i) > 0
+          THEN (SELECT MAX(a) FROM ar$i) ELSE 1.0 END) AS a FROM ar$i),
+hs$i AS MATERIALIZED (SELECT e.src AS id, SUM(CAST(a.a AS DECIMAL(28,14))) AS s
+         FROM e JOIN a$i a ON e.dst = a.id GROUP BY e.src),
+hr$i AS MATERIALIZED (SELECT n.id,
+           COALESCE(CAST(hs$i.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS h
+         FROM n LEFT JOIN hs$i ON n.id = hs$i.id),
+h$i AS MATERIALIZED (SELECT id, h / (CASE WHEN (SELECT MAX(h) FROM hr$i) > 0
+          THEN (SELECT MAX(h) FROM hr$i) ELSE 1.0 END) AS h FROM hr$i)""")
+    }
+    sb.append(s"\nSELECT h.id, h.h AS hub, a.a AS auth FROM h$iters h JOIN a$iters a ON h.id = a.id")
+    sb.toString
+  }
+
+  /** Personalized (seeded) PageRank — teleport mass lands only on the
+    * seed set instead of uniformly (Haveliwala 2002, "Topic-Sensitive
+    * PageRank"): relevance-to-the-seeds rather than global centrality,
+    * the "expand from a trusted core" primitive of curation (seed
+    * domains → related quality documents).
+    *
+    *   r'(v) = (1 - d)·[v ∈ S] + d · Σ_{u→v} q(r(u) / odeg(u)),
+    *   init r = [v ∈ S]
+    *
+    * Same decimal-quantization exactness contract and per-iteration cost
+    * as [[pageRank]]; the seed indicator rides as a 0/1 column on the
+    * broadcast node vector.
+    */
+  def pageRankSeeded(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+                     iters: Int, damping: Double = 0.85,
+                     broadcastRanks: Boolean = true): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("odeg")).localCheckpoint(true)
+    val n = nodes.select(col("id")).distinct()
+      .join(seeds.select(col("id")).distinct().withColumn("__s", lit(1.0)),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__s"), lit(0.0)).as("seed"))
+      .localCheckpoint(true)
+
+    var ranks = n.select(col("id"), col("seed").as("r"))
+    for (_ <- 1 to iters) {
+      val rSide = if (broadcastRanks) broadcast(ranks) else ranks
+      val contrib = e.join(rSide, e("src") === rSide("id"))
+        .join(broadcast(deg), Seq("src"))
+        .select(col("dst").as("id"),
+          (col("r") / col("odeg")).cast(DecimalType(28, 14)).as("c"))
+      val sums = contrib.groupBy("id").agg(sum(col("c")).as("s"))
+      ranks = n.join(sums, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) * col("seed") +
+            lit(damping) * coalesce(col("s"), lit(0).cast(DecimalType(28, 14)))
+              .cast(DoubleType)).as("r"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** [[pageRankSeeded]] unrolled as engine-portable SQL. `seedsSql`
+    * yields a column (id) ⊆ nodes.
+    */
+  def pageRankSeededSql(nodesSql: String, edgesSql: String, seedsSql: String,
+                        iters: Int, damping: Double = 0.85): String = {
+    require(iters >= 1 && iters <= 50)
+    val base = 1.0 - damping
+    val sb = new StringBuilder
+    sb.append(s"WITH e AS MATERIALIZED ($edgesSql),\n")
+    sb.append(s"n0 AS ($nodesSql),\n")
+    sb.append(s"sd AS (SELECT DISTINCT id FROM ($seedsSql)),\n")
+    sb.append("n AS (SELECT n0.id, CASE WHEN sd.id IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS seed\n")
+    sb.append("     FROM n0 LEFT JOIN sd ON n0.id = sd.id),\n")
+    sb.append("deg AS MATERIALIZED (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),\n")
+    sb.append("r0 AS (SELECT id, seed AS r FROM n)")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+s$i AS MATERIALIZED (SELECT e.dst AS id, SUM(CAST(r.r / deg.odeg AS DECIMAL(28,14))) AS s
+        FROM e JOIN r${i - 1} r ON e.src = r.id JOIN deg ON deg.src = e.src
+        GROUP BY e.dst),
+r$i AS MATERIALIZED (SELECT n.id,
+          CAST($base AS DOUBLE) * n.seed + CAST($damping AS DOUBLE) *
+            CAST(COALESCE(s$i.s, CAST(0 AS DECIMAL(28,14))) AS DOUBLE) AS r
+        FROM n LEFT JOIN s$i ON n.id = s$i.id)""")
+    }
+    sb.append(s"\nSELECT id, r FROM r$iters")
+    sb.toString
+  }
+
   /** The identical computation as engine-portable SQL — unrolled CTE per
     * iteration, generated from the same constants so the oracle cannot
     * drift from the operator. `edgesSql` must yield columns (src, dst),
@@ -101,16 +261,16 @@ object Graph {
     require(iters >= 1 && iters <= 50)
     val base = 1.0 - damping
     val sb = new StringBuilder
-    sb.append(s"WITH e AS ($edgesSql),\n")
+    sb.append(s"WITH e AS MATERIALIZED ($edgesSql),\n")
     sb.append(s"n AS ($nodesSql),\n")
-    sb.append("deg AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),\n")
+    sb.append("deg AS MATERIALIZED (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),\n")
     sb.append("r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS r FROM n)")
     for (i <- 1 to iters) {
       sb.append(s""",
-s$i AS (SELECT e.dst AS id, SUM(CAST(r.r / deg.odeg AS DECIMAL(28,14))) AS s
+s$i AS MATERIALIZED (SELECT e.dst AS id, SUM(CAST(r.r / deg.odeg AS DECIMAL(28,14))) AS s
         FROM e JOIN r${i - 1} r ON e.src = r.id JOIN deg ON deg.src = e.src
         GROUP BY e.dst),
-r$i AS (SELECT n.id,
+r$i AS MATERIALIZED (SELECT n.id,
           CAST($base AS DOUBLE) + CAST($damping AS DOUBLE) *
             CAST(COALESCE(s$i.s, CAST(0 AS DECIMAL(28,14))) AS DOUBLE) AS r
         FROM n LEFT JOIN s$i ON n.id = s$i.id)""")

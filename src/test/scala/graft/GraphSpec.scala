@@ -91,6 +91,61 @@ class GraphSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  /** Scalar HITS with the same decimal quantization + max normalization. */
+  private def scalarHits(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                         iters: Int): Map[Long, (Double, Double)] = {
+    def q(d: Double) = BigDecimal(d).setScale(14, BigDecimal.RoundingMode.HALF_UP)
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = nodes.map(_ -> 0.0).toMap
+    for (_ <- 1 to iters) {
+      val aRaw = nodes.map { v =>
+        v -> edges.filter(_._2 == v).map(e => q(hub(e._1))).sum.toDouble
+      }.toMap
+      val aMax = aRaw.values.max
+      auth = aRaw.view.mapValues(_ / (if (aMax > 0) aMax else 1.0)).toMap
+      val hRaw = nodes.map { u =>
+        u -> edges.filter(_._1 == u).map(e => q(auth(e._2))).sum.toDouble
+      }.toMap
+      val hMax = hRaw.values.max
+      hub = hRaw.view.mapValues(_ / (if (hMax > 0) hMax else 1.0)).toMap
+    }
+    nodes.map(v => v -> (hub(v), auth(v))).toMap
+  }
+
+  test("hits matches the scalar oracle on a hand bipartite graph") {
+    // customers 1..3 → suppliers 11..12; 3 also → 13 (exclusive)
+    val nodes = Seq(1L, 2L, 3L, 11L, 12L, 13L)
+    val edges = Seq((1L, 11L), (1L, 12L), (2L, 11L), (3L, 12L), (3L, 13L))
+    val got = Graph.hits(
+        df(nodeSchema, nodes.map(Row(_))),
+        df(edgeSchema, edges.map { case (a, b) => Row(a, b) }),
+        iters = 4)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val want = scalarHits(nodes, edges, iters = 4)
+    for (v <- nodes) {
+      assert(math.abs(got(v)._1 - want(v)._1) < 1e-12, s"hub $v")
+      assert(math.abs(got(v)._2 - want(v)._2) < 1e-12, s"auth $v")
+    }
+    // structure: sources have auth 0, sinks have hub 0, max-norm hits 1.0
+    assert(got(1L)._2 === 0.0 && got(11L)._1 === 0.0)
+    assert(got.values.map(_._1).max === 1.0 && got.values.map(_._2).max === 1.0)
+  }
+
+  test("pageRankSeeded confines mass to the seeds' reachable set") {
+    // two disjoint cycles; seeds only in the first
+    val nodes = (1L to 6L).toSeq
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L))
+    val got = Graph.pageRankSeeded(
+        df(nodeSchema, nodes.map(Row(_))),
+        df(edgeSchema, edges.map { case (a, b) => Row(a, b) }),
+        df(nodeSchema, Seq(Row(1L))), iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(4L) === 0.0 && got(5L) === 0.0 && got(6L) === 0.0,
+      "unreachable component must hold zero mass")
+    assert(got(1L) == got.values.max, "seed holds the most mass")
+    assert(Seq(1L, 2L, 3L).forall(got(_) > 0.0))
+  }
+
   // ---- fuzzy edit-distance join ----
 
   private val custSchema = StructType(Seq(
