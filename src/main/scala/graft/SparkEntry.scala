@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions._
-import graft.ops.{AsofJoin, BloomJoin, Curation, Dedup, Graph, Layout, Lexical, Multimodal, Scan, Similarity, Skyline, TextAnalysis}
+import graft.ops.{AsofJoin, BloomJoin, Curation, Dedup, Graph, Layout, Lexical, Multimodal, Nsw, Scan, Similarity, Skyline, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -2151,6 +2151,32 @@ object SparkEntry {
         .orderBy("qid")
     },
 
+    // NSW graph ANN (single-layer HNSW, Malkov & Yashunin 2018 — the
+    // graph family of the FAISS index taxonomy; IndexHNSWFlat's sharded
+    // Spark analog, ops/Nsw.scala). 4 hash shards, per-shard
+    // deterministic graph build in mapPartitions, beam search every
+    // shard, global top-k merge. Recall verdict vs exact kNN: the beam
+    // is generous relative to shard sizes at every gate scale, so the
+    // pinned threshold is ≥ 7 of top-10 (probed: 10/10 at sf0.01 and
+    // sf0.1, ≥ 9/10 at sf1) — far above the ~1/10 a broken (random)
+    // graph would score, unlike the seeded-ANN ≥ 1 convention.
+    "ann_hnsw" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
+        .select(col("qid"), col("label"))
+      val overlap = annOverlap(exact,
+        Nsw.nswTopK(vectors, queries, k = 10, numShards = 4, m = 12,
+          efConstruction = 48, efSearch = 64))
+      queries.select(col("qid"))
+        .join(overlap, Seq("qid"), "left")
+        .select(col("qid"),
+          (coalesce(col("n_common"), lit(0L)) >= 7L).as("recall_ok"))
+        .orderBy("qid")
+    },
+
     // PCA-coarse two-stage retrieval (FAISS PCAMatrix / "PCAR16,..."
     // pre-transform): corpus + queries projected onto the trained
     // 16-of-64-dim max-variance basis (narrow no-shuffle pass, coarse
@@ -3355,6 +3381,10 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "ann_opq_ivfpq" ->
+      """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "ann_hnsw" ->
       """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
