@@ -2911,6 +2911,25 @@ object SparkEntry {
         .orderBy("p_partkey")
     },
 
+    // Exact triangle count + local clustering coefficient (Watts &
+    // Strogatz 1998) on the part co-purchase graph, support ≥ 2 (pairs
+    // must co-occur in ≥ 2 basket instances — the market-basket
+    // sparsifier that keeps |E| roughly scale-constant while instance
+    // pairs grow linearly: 3.6k edges at sf0.01, 3.9k at sf0.1).
+    // Degree-ordered orientation bounds the wedge join (Suri &
+    // Vassilvitskii 2011); the oracle runs the identical formulation.
+    "q_triangles" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
+      val und = a.join(b, Seq("ok")).filter(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2).select("u", "v")
+      Graph.triangleStats(und)
+        .select(col("node").as("p_partkey"), col("deg"), col("tri"), col("cc"))
+        .orderBy("p_partkey")
+    },
+
     // ---- entity resolution: fuzzy (edit-distance) self-join ----
 
     // Levenshtein-≤1 pairs over customer names via deletion-neighborhood
@@ -5492,6 +5511,34 @@ object SparkEntry {
         iters = 4)
       s"SELECT id AS p_partkey, r AS rank FROM ($body) ORDER BY p_partkey"
     },
+
+    "q_triangles" ->
+      """WITH und AS MATERIALIZED (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+        |  SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+        |  GROUP BY node),
+        |ori AS MATERIALIZED (
+        |  SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+        |              THEN u ELSE v END AS x,
+        |         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+        |              THEN v ELSE u END AS y
+        |  FROM und JOIN deg du ON du.node = und.u
+        |           JOIN deg dv ON dv.node = und.v),
+        |tri AS MATERIALIZED (
+        |  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        |  FROM ori e1 JOIN ori e2 ON e2.x = e1.y
+        |  JOIN ori e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |tpn AS (SELECT node, COUNT(*) AS tri FROM (
+        |  SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+        |  UNION ALL SELECT c AS node FROM tri) GROUP BY node)
+        |SELECT tpn.node AS p_partkey, deg.deg, tpn.tri,
+        |  (2.0 * tpn.tri) / (deg.deg * (deg.deg - 1)) AS cc
+        |FROM tpn JOIN deg ON deg.node = tpn.node
+        |ORDER BY p_partkey""".stripMargin,
 
     // same deletion-neighborhood blocking (completeness for distance ≤ 1
     // proved at Dedup.fuzzyPairsEdit1) — the definitional all-pairs

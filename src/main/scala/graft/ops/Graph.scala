@@ -278,4 +278,56 @@ r$i AS MATERIALIZED (SELECT n.id,
     sb.append(s"\nSELECT id, r FROM r$iters")
     sb.toString
   }
+
+  /** Exact triangle count + local clustering coefficient per node
+    * (Watts & Strogatz 1998) via the degree-ordered edge orientation
+    * (Chiba & Nishizeki 1985; the standard MapReduce/Spark formulation,
+    * Suri & Vassilvitskii 2011 "Counting Triangles and the Curse of the
+    * Last Reducer").
+    *
+    * `und`: canonical undirected edges (u, v) with u < v, distinct.
+    * Orienting every edge from its lower-(degree, id) endpoint to the
+    * higher one makes the wedge join's fan-out per node O(√|E|) instead
+    * of O(max-degree) — the hub that would explode a naive wedge join
+    * contributes only edges TOWARD it, not a quadratic wedge set. Each
+    * triangle is counted exactly once (the orientation is acyclic: it
+    * follows a total order).
+    *
+    * Scale shape: `ori` is computed once and localCheckpointed (three
+    * consumers — both wedge sides and the closing-edge probe; the
+    * PPJoin double-recompute lesson, Dedup.scala:203). Two shuffle
+    * joins sized by the wedge count Σ outdeg², which the orientation
+    * bounds, then one combiner-friendly per-node aggregation.
+    *
+    * Returns (node, deg, tri, cc) for nodes on ≥ 1 triangle, where
+    * cc = 2·tri / (deg·(deg−1)) — both engines evaluate the identical
+    * two IEEE ops (long multiply, double divide), so the column is
+    * hash-comparable.
+    */
+  def triangleStats(und: DataFrame): DataFrame = {
+    val e = und.select(col("u"), col("v")).distinct().localCheckpoint(true)
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    val lower = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val ori = e.join(du, "u").join(dv, "v")
+      .select(when(lower, col("u")).otherwise(col("v")).as("x"),
+        when(lower, col("v")).otherwise(col("u")).as("y"))
+      .localCheckpoint(true)
+    val wedge = ori.select(col("x").as("a"), col("y").as("b"))
+      .join(ori.select(col("x").as("b"), col("y").as("c")), "b")
+    val tri = wedge.join(ori.select(col("x").as("a"), col("y").as("c")),
+      Seq("a", "c"))
+    val triPerNode = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    triPerNode.join(deg, "node")
+      .select(col("node"), col("deg"), col("tri"),
+        ((lit(2.0) * col("tri")) / (col("deg") * (col("deg") - lit(1L))))
+          .as("cc"))
+  }
 }

@@ -225,4 +225,49 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
     assert(got === pts.toSet)
   }
+
+  // ---- triangle counting / clustering coefficient ----
+
+  private val undSchema = StructType(Seq(
+    StructField("u", LongType, nullable = false),
+    StructField("v", LongType, nullable = false)))
+
+  private def triStats(edges: Seq[(Long, Long)]) =
+    Graph.triangleStats(df(undSchema, edges.map { case (a, b) => Row(a, b) }))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+  test("triangleStats on K4: every node deg 3, tri 3, cc 1.0") {
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val got = triStats(k4)
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    got.values.foreach { case (deg, tri, cc) =>
+      assert(deg === 3L && tri === 3L && cc === 1.0)
+    }
+  }
+
+  test("triangleStats on a path graph emits no rows") {
+    assert(triStats(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+  }
+
+  test("triangleStats == brute-force per-node triangle count on a random graph") {
+    val rnd = new scala.util.Random(71L)
+    val n = 24
+    val edges = (for {
+      a <- 0L until n; b <- (a + 1) until n if rnd.nextDouble() < 0.25
+    } yield (a, b)).toSeq
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = (0L until n).flatMap { v =>
+      val nb = adj.getOrElse(v, Set.empty).toSeq.sorted
+      val t = (for {
+        i <- nb.indices; j <- (i + 1) until nb.length
+        if adj(nb(i)).contains(nb(j))
+      } yield 1).size
+      if (t > 0) Some(v -> ((nb.size.toLong, t.toLong,
+        2.0 * t / (nb.size.toLong * (nb.size - 1L))))) else None
+    }.toMap
+    assert(triStats(edges) === want)
+  }
 }
