@@ -2911,6 +2911,21 @@ object SparkEntry {
         .orderBy("p_partkey")
     },
 
+    // Multi-source BFS: hop distance ≤ 3 from the seed part set along
+    // the co-purchase graph (k-hop neighborhoods around trusted seeds —
+    // the graph-locality filter of web-corpus curation). Same edge set
+    // and seed rule as q_ppr_seeded; integer-exact, oracle generated
+    // from the same constants by Graph.bfsHopsSql.
+    "q_bfs_hops" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val edges = Graph.coOccurrenceEdges(li, "l_orderkey", "l_partkey")
+      val seeds = Tables(s, dir, "part")
+        .select(col("p_partkey").as("id")).filter(col("id") % 97 === 0)
+      Graph.bfsHops(edges, seeds, maxHops = 3)
+        .select(col("id").as("p_partkey"), col("d").as("hops"))
+        .orderBy("p_partkey")
+    },
+
     // Exact triangle count + local clustering coefficient (Watts &
     // Strogatz 1998) on the part co-purchase graph, support ≥ 2 (pairs
     // must co-occur in ≥ 2 basket instances — the market-basket
@@ -5510,6 +5525,16 @@ object SparkEntry {
         "SELECT p_partkey AS id FROM part WHERE p_partkey % 97 = 0",
         iters = 4)
       s"SELECT id AS p_partkey, r AS rank FROM ($body) ORDER BY p_partkey"
+    },
+
+    "q_bfs_hops" -> {
+      val body = Graph.bfsHopsSql(
+        """SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey""".stripMargin,
+        "SELECT p_partkey AS id FROM part WHERE p_partkey % 97 = 0",
+        maxHops = 3)
+      s"SELECT id AS p_partkey, d AS hops FROM ($body) ORDER BY p_partkey"
     },
 
     "q_triangles" ->

@@ -279,6 +279,64 @@ r$i AS MATERIALIZED (SELECT n.id,
     sb.toString
   }
 
+  /** Multi-source BFS: minimum hop distance from the `seeds` set along
+    * directed `edges`, bounded at `maxHops` (frontier-expansion BFS —
+    * the Pregel iteration pattern expressed as unrolled DataFrame ops;
+    * the bounded-hop form is the practical one at corpus scale: k-hop
+    * neighborhoods around trusted seed domains, influence radii).
+    *
+    * Integer arithmetic only, so the fixpoint is trivially exact and
+    * [[bfsHopsSql]] unrolls the identical oracle. Scale shape per hop:
+    * one join of the CURRENT FRONTIER (newly discovered nodes only —
+    * not the full visited set) against the edge list, a distinct, and
+    * an anti-join against the visited set; the frontier is usually far
+    * smaller than |V| and broadcastable, the edge list never moves.
+    * Visited/frontier are localCheckpointed per hop to cut the
+    * re-execution chain (the iterative-plan lesson from [[pageRank]]).
+    *
+    * Returns (id, d) for every node within `maxHops` of a seed.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 20,
+      s"maxHops must be in [1, 20], got $maxHops")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    var dist = seeds.select(col("id")).distinct()
+      .withColumn("d", lit(0L)).localCheckpoint(true)
+    var frontier = dist.select(col("id"))
+    for (h <- 1 to maxHops) {
+      val next = e.join(frontier, e("src") === frontier("id"))
+        .select(col("dst").as("id")).distinct()
+        .join(dist.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("d", lit(h.toLong))
+        .localCheckpoint(true)
+      dist = dist.unionAll(next).localCheckpoint(true)
+      frontier = next.select(col("id"))
+    }
+    dist
+  }
+
+  /** [[bfsHops]] unrolled as engine-portable SQL from the same
+    * constants. `edgesSql` must yield (src, dst), `seedsSql` (id).
+    */
+  def bfsHopsSql(edgesSql: String, seedsSql: String, maxHops: Int): String = {
+    require(maxHops >= 1 && maxHops <= 20)
+    val sb = new StringBuilder
+    sb.append(s"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesSql)),\n")
+    sb.append(s"d0 AS (SELECT DISTINCT id, CAST(0 AS BIGINT) AS d FROM ($seedsSql)),\n")
+    sb.append("f0 AS (SELECT id FROM d0)")
+    for (h <- 1 to maxHops) {
+      sb.append(s""",
+x$h AS MATERIALIZED (SELECT DISTINCT e.dst AS id
+        FROM e JOIN f${h - 1} f ON e.src = f.id
+        WHERE e.dst NOT IN (SELECT id FROM d${h - 1})),
+d$h AS MATERIALIZED (SELECT id, d FROM d${h - 1}
+        UNION ALL SELECT id, CAST($h AS BIGINT) AS d FROM x$h),
+f$h AS (SELECT id FROM x$h)""")
+    }
+    sb.append(s"\nSELECT id, d FROM d$maxHops")
+    sb.toString
+  }
+
   /** Exact triangle count + local clustering coefficient per node
     * (Watts & Strogatz 1998) via the degree-ordered edge orientation
     * (Chiba & Nishizeki 1985; the standard MapReduce/Spark formulation,

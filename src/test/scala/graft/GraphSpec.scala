@@ -226,6 +226,46 @@ class GraphSpec extends AnyFunSuite {
     assert(got === pts.toSet)
   }
 
+  // ---- multi-source BFS ----
+
+  private def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int) =
+    Graph.bfsHops(
+        df(edgeSchema, edges.map { case (a, b) => Row(a, b) }),
+        df(nodeSchema, seeds.map(Row(_))), maxHops)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bfsHops on a line graph: exact hop distances, horizon respected") {
+    val got = bfs(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), Seq(1L), 2)
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsHops takes the MINIMUM distance over multiple paths and seeds") {
+    // 1→2→3→4 and a shortcut 1→4; seeds {1, 10} with 10→3
+    val got = bfs(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (10L, 3L)),
+      Seq(1L, 10L), 3)
+    assert(got === Map(1L -> 0L, 10L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 1L))
+  }
+
+  test("bfsHops == scalar BFS on a random directed graph") {
+    val rnd = new scala.util.Random(29L)
+    val n = 30
+    val edges = (for {
+      a <- 0L until n; b <- 0L until n
+      if a != b && rnd.nextDouble() < 0.08
+    } yield (a, b)).toSeq
+    val seeds = Seq(0L, 7L)
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // scalar reference BFS
+    val want = scala.collection.mutable.Map(seeds.map(_ -> 0L): _*)
+    var frontier = seeds.toSet
+    for (h <- 1L to 4L) {
+      frontier = frontier.flatMap(v => adj.getOrElse(v, Seq.empty))
+        .filterNot(want.contains)
+      frontier.foreach(v => want(v) = h)
+    }
+    assert(bfs(edges, seeds, 4) === want.toMap)
+  }
+
   // ---- triangle counting / clustering coefficient ----
 
   private val undSchema = StructType(Seq(
