@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions._
-import graft.ops.{AsofJoin, BloomJoin, Curation, Dedup, Graph, Layout, Lexical, Multimodal, Nsw, Scan, Similarity, Skyline, TextAnalysis}
+import graft.ops.{AsofJoin, BloomJoin, Curation, Dedup, Graph, Layout, Lexical, Multimodal, Nsw, Profile, Scan, Similarity, Skyline, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -2945,6 +2945,36 @@ object SparkEntry {
         .orderBy("p_partkey")
     },
 
+    // ---- data-quality gate (the Deequ / Great Expectations role) ----
+
+    // One-pass column profile of orders: non-null count, exact distinct
+    // count, min/max (numeric as DOUBLE, strings as-is) per column —
+    // ALL statistics from one scan + one single-row exchange.
+    "q_profile" -> { (s, dir) =>
+      Profile.profile(Tables(s, dir, "orders"),
+          numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+          stringCols = Seq("o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name")
+    },
+
+    // Constraint suite: PK uniqueness, completeness, value range, value
+    // domain (one aggregation pass over orders) + referential integrity
+    // lineitem→orders (one anti-join). Verdict rows carry the violation
+    // COUNT, not just a boolean, so a regression's size is visible.
+    "q_quality_checks" -> { (s, dir) =>
+      val orders = Tables(s, dir, "orders")
+      Profile.runChecks(orders, Seq(
+          Profile.Unique("orders_pk_unique", Seq("o_orderkey")),
+          Profile.Complete("orders_custkey_complete", "o_custkey"),
+          Profile.InRange("orders_totalprice_range", "o_totalprice",
+            0.0, 1000000.0),
+          Profile.InSet("orders_status_domain", "o_orderstatus",
+            Seq("F", "O", "P"))))
+        .unionAll(Profile.riCheck("lineitem_orders_ri",
+          Tables(s, dir, "lineitem"), "l_orderkey", orders, "o_orderkey"))
+        .orderBy("check_name")
+    },
+
     // ---- entity resolution: fuzzy (edit-distance) self-join ----
 
     // Levenshtein-≤1 pairs over customer names via deletion-neighborhood
@@ -5526,6 +5556,63 @@ object SparkEntry {
         iters = 4)
       s"SELECT id AS p_partkey, r AS rank FROM ($body) ORDER BY p_partkey"
     },
+
+    "q_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col_name, COUNT(o_orderkey) AS n_nonnull,
+        |    COUNT(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+        |    CAST(MAX(o_orderkey) AS DOUBLE) AS max_num,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+        |    CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_totalprice', COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+        |    CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE),
+        |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+        |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+        |    CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+        |  FROM orders)
+        |ORDER BY col_name""".stripMargin,
+
+    "q_quality_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'orders_pk_unique' AS check_name,
+        |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS violations,
+        |    (COUNT(*) - COUNT(DISTINCT o_orderkey)) = 0 AS passed FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_custkey_complete',
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_totalprice_range',
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0
+        |      OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0.0
+        |      OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END) = 0 FROM orders
+        |  UNION ALL
+        |  SELECT 'orders_status_domain',
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL
+        |      OR o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT),
+        |    SUM(CASE WHEN o_orderstatus IS NULL
+        |      OR o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) = 0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem_orders_ri', CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+        |  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey IS NULL)
+        |ORDER BY check_name""".stripMargin,
 
     "q_bfs_hops" -> {
       val body = Graph.bfsHopsSql(

@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-quality profiling and constraint validation — the ingest-side
+  * gate of a training-data pipeline (the role AWS Deequ / Great
+  * Expectations play): profile what arrived, assert what must hold,
+  * BEFORE the corpus flows into dedup/filter/pack stages.
+  *
+  * Both operators are single-aggregation-pass shapes: every statistic /
+  * check compiles to one aggregate expression over one scan (map-side
+  * partial aggregation, one exchange of ONE row), then the one-row
+  * result explodes into the per-column / per-check report. At 100 TB
+  * that is the minimum possible cost for exact answers; the known
+  * caveat is exact `COUNT(DISTINCT)` on multiple columns (Spark plans
+  * an Expand — one duplicated scan row per distinct-aggregate), which
+  * a production profile would swap for `approx_count_distinct` at the
+  * cost of oracle exactness.
+  */
+object Profile {
+
+  /** Per-column profile: (col_name, n_nonnull, n_distinct, min_num,
+    * max_num, min_str, max_str) — numeric columns report min/max as
+    * DOUBLE (min_str/max_str null), string columns as STRING
+    * (min_num/max_num null). One aggregation pass for ALL columns.
+    */
+  def profile(df: DataFrame, numericCols: Seq[String],
+              stringCols: Seq[String]): DataFrame = {
+    require(numericCols.nonEmpty || stringCols.nonEmpty, "no columns to profile")
+    val all = numericCols ++ stringCols
+    val aggs: Seq[Column] = all.flatMap { c =>
+      Seq(count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries =
+      numericCols.map { c =>
+        struct(lit(c).as("col_name"), col(s"nn_$c").as("n_nonnull"),
+          col(s"nd_$c").as("n_distinct"),
+          col(s"mn_$c").cast(DoubleType).as("min_num"),
+          col(s"mx_$c").cast(DoubleType).as("max_num"),
+          lit(null).cast(StringType).as("min_str"),
+          lit(null).cast(StringType).as("max_str"))
+      } ++ stringCols.map { c =>
+        struct(lit(c).as("col_name"), col(s"nn_$c").as("n_nonnull"),
+          col(s"nd_$c").as("n_distinct"),
+          lit(null).cast(DoubleType).as("min_num"),
+          lit(null).cast(DoubleType).as("max_num"),
+          col(s"mn_$c").cast(StringType).as("min_str"),
+          col(s"mx_$c").cast(StringType).as("max_str"))
+      }
+    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
+  /** A constraint over one table, reporting its violation count. */
+  sealed trait Check { def name: String }
+  /** `cols` combinations must be unique (violations = rows − distinct). */
+  final case class Unique(name: String, cols: Seq[String]) extends Check
+  /** `col` must be non-null. */
+  final case class Complete(name: String, col: String) extends Check
+  /** `col` must lie in [lo, hi]; nulls violate. */
+  final case class InRange(name: String, col: String, lo: Double, hi: Double)
+      extends Check
+  /** `col` must be one of `values`; nulls violate. */
+  final case class InSet(name: String, col: String, values: Seq[String])
+      extends Check
+
+  /** Run `checks` against `df` in ONE aggregation pass; returns
+    * (check, violations, passed) ordered by check name.
+    */
+  def runChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "no checks to run")
+    require(checks.map(_.name).distinct.length == checks.length,
+      "check names must be unique")
+    val aggs: Seq[Column] = checks.map {
+      case Unique(n, cols) =>
+        (count(lit(1)) - countDistinct(col(cols.head), cols.tail.map(col): _*))
+          .as(s"v_$n")
+      case Complete(n, c) =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"v_$n")
+      case InRange(n, c, lo, hi) =>
+        sum(when(col(c).isNull || col(c) < lo || col(c) > hi, 1L)
+          .otherwise(0L)).as(s"v_$n")
+      case InSet(n, c, vs) =>
+        sum(when(col(c).isNull || !col(c).isin(vs: _*), 1L)
+          .otherwise(0L)).as(s"v_$n")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = checks.map { c =>
+      struct(lit(c.name).as("check_name"),
+        coalesce(col(s"v_${c.name}"), lit(0L)).cast(LongType).as("violations"),
+        (coalesce(col(s"v_${c.name}"), lit(0L)) === 0L).as("passed"))
+    }
+    one.select(explode(array(entries: _*)).as("c")).select("c.*")
+      .orderBy("check_name")
+  }
+
+  /** Referential integrity: rows of `child` whose `childCol` has no
+    * match in `parent.parentCol` (null child keys violate). Returns the
+    * same (check, violations, passed) single-row shape so it unions
+    * with [[runChecks]]. The anti-join is the scalable form — at 100 TB
+    * the parent key set shuffles once; no driver-side collection.
+    */
+  def riCheck(name: String, child: DataFrame, childCol: String,
+              parent: DataFrame, parentCol: String): DataFrame = {
+    val orphans = child.select(col(childCol).as("__k"))
+      .join(parent.select(col(parentCol).as("__k")).distinct(),
+        Seq("__k"), "left_anti")
+    orphans.agg(count(lit(1)).as("violations"))
+      .select(lit(name).as("check_name"), col("violations").cast(LongType),
+        (col("violations") === 0L).as("passed"))
+  }
+}

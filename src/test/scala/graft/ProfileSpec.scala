@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.ops.Profile
+
+/** Data-quality operators: profile statistics (incl. nulls) and each
+  * constraint type's violation counting, against hand-computed truth.
+  */
+class ProfileSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType, nullable = true),
+    StructField("x", DoubleType, nullable = true),
+    StructField("s", StringType, nullable = true)))
+
+  private def df(rows: Row*) =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+
+  private def fixture = df(
+    Row(1L, 10.0, "a"),
+    Row(2L, -5.0, "b"),
+    Row(2L, 7.5, null), // dup key, null string
+    Row(null, null, "zz"), // null key + numeric
+    Row(4L, 100.0, "q"))
+
+  test("profile: non-null/distinct counts, typed min/max, null slots") {
+    val got = Profile.profile(fixture, numericCols = Seq("k", "x"),
+        stringCols = Seq("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("k", "x", "s"))
+    val k = got("k")
+    assert(k.getLong(1) === 4L && k.getLong(2) === 3L) // nonnull, distinct
+    assert(k.getDouble(3) === 1.0 && k.getDouble(4) === 4.0)
+    assert(k.isNullAt(5) && k.isNullAt(6))
+    val x = got("x")
+    assert(x.getLong(1) === 4L && x.getLong(2) === 4L)
+    assert(x.getDouble(3) === -5.0 && x.getDouble(4) === 100.0)
+    val s = got("s")
+    assert(s.getLong(1) === 4L && s.getLong(2) === 4L)
+    assert(s.isNullAt(3) && s.isNullAt(4))
+    assert(s.getString(5) === "a" && s.getString(6) === "zz")
+  }
+
+  test("runChecks counts violations per constraint type") {
+    val got = Profile.runChecks(fixture, Seq(
+        Profile.Unique("u", Seq("k")),
+        Profile.Complete("c", "x"),
+        Profile.InRange("r", "x", 0.0, 50.0),
+        Profile.InSet("d", "s", Seq("a", "b"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    // Unique: 5 rows − 3 non-null distinct k = 2 (COUNT(DISTINCT)
+    // ignores nulls in BOTH engines, so every null-key row violates —
+    // the right reading for a PK check: a key must be non-null unique)
+    // Complete: one null x → 1
+    // InRange [0,50]: -5.0, null, 100.0 → 3
+    // InSet {a,b}: null, zz, q → 3
+    assert(got.toSeq === Seq(("c", 1L, false), ("d", 3L, false),
+      ("r", 3L, false), ("u", 2L, false)))
+  }
+
+  test("runChecks passes on clean data and on an empty table") {
+    val clean = Profile.runChecks(fixture.filter("k = 1"), Seq(
+        Profile.Unique("u", Seq("k")), Profile.Complete("c", "x")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(clean.toSeq === Seq(("c", 0L, true), ("u", 0L, true)))
+    val empty = Profile.runChecks(fixture.filter("k = -999"), Seq(
+        Profile.Complete("c", "x")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(empty.toSeq === Seq(("c", 0L, true)))
+  }
+
+  test("riCheck counts orphans and null child keys") {
+    val child = fixture.select("k")
+    val parent = df(Row(1L, 0.0, "p"), Row(2L, 0.0, "p"))
+    val got = Profile.riCheck("ri", child, "k", parent, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    // orphans: 4L and the null key row → 2
+    assert(got.toSeq === Seq(("ri", 2L, false)))
+  }
+}
