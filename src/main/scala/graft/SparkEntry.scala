@@ -994,6 +994,17 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // Exact phrase search via positional postings (the inverted-index
+    // primitive bag-of-words scorers can't express): per-term filtered
+    // postings, positions aligned to the occurrence start, equi-joined
+    // on (doc_id, pos). Overlapping occurrences count separately.
+    "text_phrase_search" -> { (s, dir) =>
+      Lexical.phraseSearch(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+          phrase = Seq("stream", "table", "hash"))
+        .orderBy("doc_id")
+    },
+
     // TF-IDF cosine more-like-this (vector space model, Salton 1988) —
     // the second lexical scorer, sharing the BM25 posting stats; cosine
     // length normalization where BM25 uses b·len/avg_len
@@ -3073,6 +3084,21 @@ object SparkEntry {
       s"""WITH $oracleBm25Ctes
          |SELECT qid, rank, label, score FROM bm25 WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin,
+
+    "text_phrase_search" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |p AS (SELECT doc_id, UNNEST(w) AS tok,
+        |        generate_subscripts(w, 1) AS pos FROM t),
+        |m AS (SELECT p1.doc_id, CAST(p1.pos AS BIGINT) AS pos
+        |      FROM p p1
+        |      JOIN p p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+        |        AND p2.tok = 'table'
+        |      JOIN p p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+        |        AND p3.tok = 'hash'
+        |      WHERE p1.tok = 'stream')
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+        |  MIN(pos) AS first_pos
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // reuses the shared posting CTEs (toksb/tfb/dfb/statsb); query-side
     // weights from the query doc's term FREQUENCIES (classic VSM), norms

@@ -173,4 +173,40 @@ object Lexical {
         .groupBy(col("qid"))
         .agg(topK(col("score"), col("label"), k, ascending = false).as("hits")))
   }
+
+  /** Exact phrase search via positional postings — the inverted-index
+    * primitive BM25's bag-of-words scoring cannot express ("stream
+    * table hash" as a SEQUENCE, not three independent terms).
+    *
+    * Postings join formulation: tokenize once per term into
+    * (doc_id, pos[1-based]) postings FILTERED to that term before any
+    * join (the posting-list pruning a real inverted index gives you —
+    * candidate volume is the phrase terms' posting sizes, never the
+    * corpus), align term i's positions back by i so every term of one
+    * occurrence carries the occurrence's START position, then
+    * equi-join on (doc_id, pos). Overlapping occurrences count
+    * separately ("a a a" contains "a a" twice).
+    *
+    * Scale shape: n_terms narrow scan+filter passes (the text column
+    * only) and n_terms−1 equi-joins sized by posting lists; at 100 TB
+    * the postings would be written once, bucketed by term, and each
+    * query reads only its terms' buckets.
+    *
+    * Returns (doc_id, n_occurrences, first_pos[1-based]).
+    */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ", -1)).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast(LongType).as("pos"),
+        col("tok"))
+    def postings(term: String, offset: Int): DataFrame =
+      toks.filter(col("tok") === term)
+        .select(col("doc_id"), (col("pos") - offset.toLong).as("pos"))
+    val matched = phrase.zipWithIndex.tail.foldLeft(postings(phrase.head, 0)) {
+      case (acc, (term, i)) => acc.join(postings(term, i), Seq("doc_id", "pos"))
+    }
+    matched.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"), min(col("pos")).as("first_pos"))
+  }
 }

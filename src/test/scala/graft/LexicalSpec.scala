@@ -186,4 +186,41 @@ class LexicalSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(
       (1L, 10L, rr(1, 2)), (2L, 20L, rr(2, 1)), (3L, 30L, rr(3)), (4L, 40L, rr(3))))
   }
+
+  // ---- phrase search ----
+
+  private def phrase(docs: Seq[(Long, String)], terms: String*) = {
+    val spark2 = spark
+    import spark2.implicits._
+    Lexical.phraseSearch(docs.toDF("doc_id", "text"), terms)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("phraseSearch: sequence matters, counts and 1-based first position") {
+    val docs = Seq(
+      1L -> "x stream table hash y stream table hash", // 2 occurrences
+      2L -> "hash table stream",                        // reversed — no match
+      3L -> "stream table",                             // incomplete — no match
+      4L -> "stream table hash")                        // at start
+    assert(phrase(docs, "stream", "table", "hash") ===
+      Set((1L, 2L, 2L), (4L, 1L, 1L)))
+  }
+
+  test("phraseSearch counts overlapping occurrences separately") {
+    assert(phrase(Seq(1L -> "a a a a"), "a", "a") === Set((1L, 3L, 1L)))
+  }
+
+  test("phraseSearch single term == token containment") {
+    assert(phrase(Seq(1L -> "p q r", 2L -> "z z", 3L -> "q"), "q") ===
+      Set((1L, 1L, 2L), (3L, 1L, 1L)))
+  }
+
+  test("phraseSearch with no matching documents is empty; empty phrase throws") {
+    assert(phrase(Seq(1L -> "a b c"), "zz", "qq").isEmpty)
+    val spark2 = spark
+    import spark2.implicits._
+    intercept[IllegalArgumentException] {
+      Lexical.phraseSearch(Seq(1L -> "a").toDF("doc_id", "text"), Seq.empty)
+    }
+  }
 }
