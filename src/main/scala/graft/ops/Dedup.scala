@@ -238,6 +238,62 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
   }
 
+  /** Sorted-neighborhood dedup (Hernández & Stolfo 1995, the classic
+    * record-linkage blocking method): sort the corpus by a cheap
+    * blocking key (here the text's first `keyLen` chars), compare each
+    * document only against its `w−1` successors in the sort order, and
+    * verify candidates with exact shingle Jaccard. Complements
+    * MinHash-LSH and the prefix filter: O(n·w) candidates by
+    * CONSTRUCTION (not by distribution), with the complementary recall
+    * profile — it catches near-dups whose shared content starts at the
+    * front (exact replicas, truncations) regardless of their global
+    * Jaccard, and misses pairs whose edits fall inside the key.
+    *
+    * Scale shape: the global rank comes from [[Scan.prefixSum]]'s
+    * range-partitioned two-pass scan — NO single-partition window, the
+    * skew-proof form — and the neighborhood join is a bucket join
+    * (rank/w buckets, right side replicated to its own and previous
+    * bucket), so every pair with 0 < Δrank < w meets in exactly one
+    * bucket and bucket sizes are uniform by construction (ranks are a
+    * permutation). Verification is the compact-array
+    * `array_intersect` shape shared with [[prefixFilterPairs]].
+    *
+    * Output: (doc_a < doc_b, n_inter, jaccard ≥ tau).
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, w: Int, tau: Double,
+                              keyLen: Int = 24): DataFrame = {
+    require(w >= 2, s"window must be >= 2, got $w")
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    require(keyLen >= 1, s"keyLen must be >= 1, got $keyLen")
+    val compact = spread(docs)
+      .select(col("doc_id"), substring(col("text"), 1, keyLen).as("snm_key"),
+        graft.functions.wordShingles(tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("one", lit(1L))
+    val ranked = Scan.prefixSum(compact, Seq.empty, Seq("snm_key", "doc_id"),
+        "one", "rank")
+      .select(col("doc_id"), col("sh"), col("rank"),
+        floor((col("rank") - 1) / w).as("bkt"))
+      .localCheckpoint(true)
+    val left = ranked.select(col("doc_id").as("da"), col("sh").as("sha"),
+      col("rank").as("ra"), col("bkt"))
+    val right = ranked.select(col("doc_id").as("db"), col("sh").as("shb"),
+      col("rank").as("rb"),
+      explode(array(col("bkt"), col("bkt") - 1)).as("bkt"))
+    left.join(right, Seq("bkt"))
+      .filter(col("rb") > col("ra") && col("rb") < col("ra") + w)
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast(LongType).as("n_inter"),
+        size(col("sha")).cast(LongType).as("na"),
+        size(col("shb")).cast(LongType).as("nb"))
+      .withColumn("jaccard",
+        col("n_inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("n_inter")).cast(DoubleType))
+      .filter(col("jaccard") >= tau)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
+  }
+
   /** The persisted fingerprint state of an already-ingested corpus, for
     * incremental dedup of later batches: the LSH band table (doc_id,
     * band, key — the join index) and the per-doc distinct-shingle arrays

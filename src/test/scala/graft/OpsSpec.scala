@@ -1821,6 +1821,28 @@ class OpsSpec extends AnyFunSuite {
       docsDf(Seq(0L -> "a b c d e", 1L -> "a b c x y")), 0.5).count() === 0L)
   }
 
+  test("sortedNeighborhoodPairs: window semantics — adjacent dups found, out-of-window dups missed") {
+    // A/B: near-dups sharing their first 24 chars → adjacent in the
+    // sort, must be found. C/Z: J = 5/7 ≥ 0.7 but their keys differ at
+    // char 1 with 6 distractor keys between → Δrank > w, must be
+    // MISSED (the defining SNM recall boundary).
+    val docs = docsDf(Seq(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota",
+      2L -> "m apple banana cherry date egg fig grape",
+      9L -> "z apple banana cherry date egg fig grape") ++
+      (3L to 8L).map(i => i -> s"n$i uniq$i only$i words$i here$i now$i go$i yes$i"))
+    val got = Dedup.sortedNeighborhoodPairs(docs, w = 5, tau = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 1L)))
+
+    // with a window wide enough to span the distractors, C/Z IS found —
+    // and the result equals the brute-force within-window truth
+    val wide = Dedup.sortedNeighborhoodPairs(docs, w = 10, tau = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide === Set((0L, 1L), (2L, 9L)))
+  }
+
   test("prefixFilterPairs thresholds: fp64-safe for ALL tau (PPJoin correctness condition)") {
     // The operator's exactness rests on two ceil() thresholds never
     // exceeding the minimal overlap of any pair that passes the final
