@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions._
-import graft.ops.{AsofJoin, BloomJoin, Curation, Dedup, Graph, Layout, Lexical, Multimodal, Nsw, Profile, Scan, Similarity, Skyline, TextAnalysis}
+import graft.ops.{Assoc, AsofJoin, BloomJoin, Curation, Dedup, Graph, Layout, Lexical, Multimodal, Nsw, Profile, Scan, Similarity, Skyline, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -2934,6 +2934,18 @@ object SparkEntry {
         .orderBy("p_partkey")
     },
 
+    // Association rules at the pair level (Agrawal & Srikant 1994):
+    // top-20 co-purchased part pairs by pair count with directional
+    // confidence and lift — support floor 3 prunes before the stats
+    // join (the Apriori downward-closure step). Fully deterministic
+    // order: (c_pair desc, u, v).
+    "q_assoc_rules" -> { (s, dir) =>
+      Assoc.pairRules(Tables(s, dir, "lineitem"), "l_orderkey", "l_partkey",
+          minPairCount = 3L)
+        .orderBy(desc("c_pair"), col("u"), col("v"))
+        .limit(20)
+    },
+
     // Multi-source BFS: hop distance ≤ 3 from the seed part set along
     // the co-purchase graph (k-hop neighborhoods around trusted seeds —
     // the graph-locality filter of web-corpus curation). Same edge set
@@ -5670,6 +5682,21 @@ object SparkEntry {
         |    ON l.l_orderkey = o.o_orderkey
         |  WHERE o.o_orderkey IS NULL)
         |ORDER BY check_name""".stripMargin,
+
+    "q_assoc_rules" ->
+      """WITH inc AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS it FROM lineitem),
+        |nb AS (SELECT COUNT(DISTINCT ok) AS n FROM inc),
+        |ci AS MATERIALIZED (SELECT it, COUNT(*) AS c FROM inc GROUP BY it),
+        |p AS (SELECT a.it AS u, b.it AS v, COUNT(*) AS c_pair
+        |      FROM inc a JOIN inc b ON a.ok = b.ok AND a.it < b.it
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT p.u, p.v, p.c_pair, cu.c AS c_u, cv.c AS c_v,
+        |  CAST(p.c_pair AS DOUBLE) / CAST(cu.c AS DOUBLE) AS conf_uv,
+        |  CAST(p.c_pair AS DOUBLE) / CAST(cv.c AS DOUBLE) AS conf_vu,
+        |  CAST(p.c_pair * nb.n AS DOUBLE) / CAST(cu.c * cv.c AS DOUBLE) AS lift
+        |FROM p JOIN ci cu ON cu.it = p.u JOIN ci cv ON cv.it = p.v, nb
+        |ORDER BY p.c_pair DESC, p.u, p.v LIMIT 20""".stripMargin,
 
     "q_bfs_hops" -> {
       val body = Graph.bfsHopsSql(
