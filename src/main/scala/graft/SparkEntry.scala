@@ -3010,6 +3010,25 @@ object SparkEntry {
         .orderBy("check_name")
     },
 
+    // Label-propagation communities (Raghavan et al. 2007) on the
+    // support-≥2 co-purchase graph (the q_triangles sparsifier), 4
+    // synchronous rounds — integer-exact argmax updates, so the unrolled
+    // oracle matches hash-exactly (no decimal quantization needed).
+    "q_communities" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
+      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
+      val und = a.join(b, Seq("ok")).filter(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2).select("u", "v")
+      val edges = und.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      val nodes = edges.select(col("src").as("id"))
+      Graph.labelPropagation(nodes, edges, iters = 4)
+        .select(col("id").as("p_partkey"), col("lbl").as("community"))
+        .orderBy("p_partkey")
+    },
+
     // ---- entity resolution: fuzzy (edit-distance) self-join ----
 
     // Levenshtein-≤1 pairs over customer names via deletion-neighborhood
@@ -5706,6 +5725,20 @@ object SparkEntry {
         "SELECT p_partkey AS id FROM part WHERE p_partkey % 97 = 0",
         maxHops = 3)
       s"SELECT id AS p_partkey, d AS hops FROM ($body) ORDER BY p_partkey"
+    },
+
+    "q_communities" -> {
+      val pairSql =
+        """SELECT a.l_partkey AS u, b.l_partkey AS v
+          |FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |GROUP BY 1, 2 HAVING COUNT(*) >= 2""".stripMargin
+      val body = Graph.labelPropagationSql(
+        s"SELECT u AS id FROM ($pairSql) UNION SELECT v AS id FROM ($pairSql)",
+        s"SELECT u AS src, v AS dst FROM ($pairSql) " +
+          s"UNION ALL SELECT v AS src, u AS dst FROM ($pairSql)",
+        iters = 4)
+      s"SELECT id AS p_partkey, lbl AS community FROM ($body) ORDER BY p_partkey"
     },
 
     "q_triangles" ->

@@ -279,6 +279,72 @@ r$i AS MATERIALIZED (SELECT n.id,
     sb.toString
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007, "Near linear time algorithm to detect community structures
+    * in large-scale networks"): every node adopts the most frequent
+    * label among its in-neighbors each iteration (ties → smallest
+    * label; isolated nodes keep their label), labels initialized to the
+    * node id, run a FIXED `iters` rounds. Pure integer arithmetic —
+    * the argmax over (count desc, label asc) is a total order — so the
+    * fixpoint is exactly reproducible and [[labelPropagationSql]]
+    * unrolls an identical oracle; no decimal quantization needed.
+    *
+    * Scale shape per iteration: label vector broadcast into the edge
+    * join (the [[pageRank]] play), ONE combiner aggregation on
+    * (dst, label), then a per-node argmax as `max(struct(c, −label))`
+    * — an aggregation, NOT a window, so a hub with 10⁸ neighbors is a
+    * combiner-friendly group, never a single-task sort partition.
+    *
+    * Pass edges in BOTH directions for undirected community semantics.
+    * Returns (id, lbl).
+    */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int,
+                       broadcastLabels: Boolean = true): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    var lbl = nodes.select(col("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val lSide = if (broadcastLabels) broadcast(lbl) else lbl
+      val counts = e.join(lSide, e("src") === lSide("id"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      // argmax by (c desc, lbl asc) — negating the label makes one
+      // max(struct) carry both orders (node ids are non-negative, so
+      // the negation cannot overflow)
+      val upd = counts
+        .select(col("dst"), struct(col("c"), (lit(0L) - col("lbl")).as("nl")).as("m"))
+        .groupBy(col("dst")).agg(max(col("m")).as("m"))
+        .select(col("dst").as("id"), (lit(0L) - col("m.nl")).as("new_lbl"))
+      lbl = lbl.join(upd, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    lbl
+  }
+
+  /** [[labelPropagation]] unrolled as engine-portable SQL from the same
+    * constants. `edgesSql` must yield (src, dst), `nodesSql` (id).
+    */
+  def labelPropagationSql(nodesSql: String, edgesSql: String,
+                          iters: Int): String = {
+    require(iters >= 1 && iters <= 50)
+    val sb = new StringBuilder
+    sb.append(s"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ($edgesSql)),\n")
+    sb.append(s"l0 AS (SELECT DISTINCT id, id AS lbl FROM ($nodesSql))")
+    for (i <- 1 to iters) {
+      sb.append(s""",
+c$i AS MATERIALIZED (SELECT e.dst AS id, l.lbl AS lbl, COUNT(*) AS c
+        FROM e JOIN l${i - 1} l ON e.src = l.id GROUP BY e.dst, l.lbl),
+u$i AS MATERIALIZED (SELECT id, lbl FROM (
+        SELECT id, lbl, row_number() OVER (PARTITION BY id
+          ORDER BY c DESC, lbl) AS rn FROM c$i) WHERE rn = 1),
+l$i AS MATERIALIZED (SELECT l.id, COALESCE(u.lbl, l.lbl) AS lbl
+        FROM l${i - 1} l LEFT JOIN u$i u ON u.id = l.id)""")
+    }
+    sb.append(s"\nSELECT id, lbl FROM l$iters")
+    sb.toString
+  }
+
   /** Multi-source BFS: minimum hop distance from the `seeds` set along
     * directed `edges`, bounded at `maxHops` (frontier-expansion BFS —
     * the Pregel iteration pattern expressed as unrolled DataFrame ops;

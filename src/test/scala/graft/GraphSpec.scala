@@ -226,6 +226,57 @@ class GraphSpec extends AnyFunSuite {
     assert(got === pts.toSet)
   }
 
+  // ---- label-propagation communities ----
+
+  private def lpa(edges: Seq[(Long, Long)], iters: Int) = {
+    val both = edges ++ edges.map(_.swap)
+    Graph.labelPropagation(
+        df(nodeSchema, both.map(_._1).distinct.map(Row(_))),
+        df(edgeSchema, both.map { case (a, b) => Row(a, b) }), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** The exact update rule scalar-side: most frequent in-neighbor label,
+    * ties to the smallest, keep own when isolated. */
+  private def scalarLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val both = (edges ++ edges.map(_.swap)).distinct
+    val inN = both.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var lbl = both.map(_._1).distinct.map(v => v -> v).toMap
+    for (_ <- 1 to iters) {
+      lbl = lbl.map { case (v, old) =>
+        inN.get(v) match {
+          case None | Some(Nil) => v -> old
+          case Some(ns) =>
+            val freq = ns.map(lbl).groupBy(identity).view.mapValues(_.size)
+            v -> freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+    }
+    lbl
+  }
+
+  test("labelPropagation: two disjoint triangles converge to min-id communities") {
+    val tris = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+    val got = lpa(tris, 4)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation ties resolve to the smallest label") {
+    // node 5's neighbors are 2 and 3 (one vote each) → takes label 2
+    val got = lpa(Seq((2L, 5L), (3L, 5L)), 1)
+    assert(got(5L) === 2L)
+  }
+
+  test("labelPropagation == scalar rule on a random graph at every iteration count") {
+    val rnd = new scala.util.Random(83L)
+    val edges = (for {
+      a <- 0L until 20L; b <- (a + 1) until 20L if rnd.nextDouble() < 0.12
+    } yield (a, b)).toSeq
+    for (iters <- Seq(1, 3, 5))
+      assert(lpa(edges, iters) === scalarLpa(edges, iters), s"iters=$iters")
+  }
+
   // ---- multi-source BFS ----
 
   private def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long], maxHops: Int) =
