@@ -3029,6 +3029,15 @@ object SparkEntry {
         .orderBy("p_partkey")
     },
 
+    // Two-sample KS drift between order-value distributions of final
+    // vs open orders — the distribution-drift alarm between two ingest
+    // slices. Sup over exact integer cross products; ONE double
+    // division at the end.
+    "q_ks_drift" -> { (s, dir) =>
+      Profile.ksDrift(Tables(s, dir, "orders"), "o_totalprice",
+        "o_orderstatus", "F", "O")
+    },
+
     // ---- entity resolution: fuzzy (edit-distance) self-join ----
 
     // Levenshtein-≤1 pairs over customer names via deletion-neighborhood
@@ -5701,6 +5710,20 @@ object SparkEntry {
         |    ON l.l_orderkey = o.o_orderkey
         |  WHERE o.o_orderkey IS NULL)
         |ORDER BY check_name""".stripMargin,
+
+    "q_ks_drift" ->
+      """WITH s AS (SELECT o_totalprice AS v,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS ca,
+        |    CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS cb
+        |  FROM orders WHERE o_orderstatus IN ('F', 'O')),
+        |n AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM s),
+        |g AS (SELECT v, SUM(ca) AS fa, SUM(cb) AS fb FROM s GROUP BY v),
+        |c AS (SELECT v, SUM(fa) OVER (ORDER BY v) AS cuma,
+        |        SUM(fb) OVER (ORDER BY v) AS cumb FROM g)
+        |SELECT CAST(n.na AS BIGINT) AS n_a, CAST(n.nb AS BIGINT) AS n_b,
+        |  CAST(MAX(ABS(c.cuma * n.nb - c.cumb * n.na)) AS DOUBLE) /
+        |    CAST(n.na * n.nb AS DOUBLE) AS d_stat
+        |FROM c, n GROUP BY n.na, n.nb""".stripMargin,
 
     "q_assoc_rules" ->
       """WITH inc AS MATERIALIZED (

@@ -974,7 +974,17 @@ object Dedup {
     * Returns (id_a, id_b, dist) with id_a < id_b, dist ∈ {0, 1}.
     */
   def fuzzyPairsEdit1(rows: DataFrame, idCol: String, keyCol: String): DataFrame = {
-    // deletion neighborhood: the key itself (pos = -1) plus delete-at-i
+    // deletion neighborhood: the key itself (pos = -1) plus delete-at-i.
+    // distinct: deleting different equal chars (e.g. any of the zeros in
+    // "Customer#000000012") yields the SAME variant string — duplicate
+    // (variant, id) rows would inflate every block QUADRATICALLY in the
+    // candidate join (measured 348M → 116M join rows on the sf1 corpus).
+    // The explicit fixed-count repartition on `variant` pins the join's
+    // parallelism: AQE sizes post-shuffle partitions by the join's INPUT
+    // bytes, and this join's output is the part that explodes — on a
+    // replica-heavy corpus AQE coalesced the exchange to a handful of
+    // partitions and one task carried the entire explosion (>11 min
+    // straggler at sf1; user-specified numPartitions is never coalesced).
     val keyed = rows.select(col(idCol).as("id"), col(keyCol).as("k"))
       .withColumn("pos", explode(sequence(lit(-1), length(col("k")) - 1)))
       .select(col("id"), col("k"),
@@ -983,6 +993,9 @@ object Dedup {
             col("k").substr(lit(1), col("pos")),
             col("k").substr(col("pos") + 2, length(col("k")))))
           .as("variant"))
+      .distinct()
+      .repartition(rows.sparkSession.sparkContext.defaultParallelism,
+        col("variant"))
       .localCheckpoint(true)
     val a = keyed.select(col("variant"), col("id").as("id_a"), col("k").as("k_a"))
     val b = keyed.select(col("variant"), col("id").as("id_b"), col("k").as("k_b"))

@@ -97,6 +97,43 @@ object Profile {
       .orderBy("check_name")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the
+    * `valueCol` distributions of groups `a` and `b` of `groupCol`:
+    * D = sup_x |F_a(x) − F_b(x)| — the standard distribution-drift
+    * alarm between two ingest batches / sources / time windows.
+    *
+    * Exactness: the supremum is maximized over INTEGER cross products
+    * |cum_a·n_b − cum_b·n_a| (exact in long for n_a·n_b < 2⁶³; at
+    * larger counts this would move to DECIMAL), and only the final
+    * division is floating point — one IEEE op, identical in both
+    * engines. CDFs come from [[Scan.prefixSum]]'s range-partitioned
+    * scan over the per-distinct-value counts, NOT a single-partition
+    * window — the same skew-proof shape as the running-sum operators.
+    *
+    * Returns one row (n_a, n_b, d_stat).
+    */
+  def ksDrift(df: DataFrame, valueCol: String, groupCol: String,
+              a: String, b: String): DataFrame = {
+    val s = df.filter(col(groupCol).isin(a, b))
+      .select(col(valueCol).as("v"),
+        when(col(groupCol) === a, 1L).otherwise(0L).as("ca"),
+        when(col(groupCol) === b, 1L).otherwise(0L).as("cb"))
+    val totals = s.agg(sum(col("ca")), sum(col("cb"))).head
+    require(!totals.isNullAt(0) && totals.getLong(0) > 0 &&
+      totals.getLong(1) > 0,
+      s"ksDrift needs non-empty samples for both '$a' and '$b'")
+    val (na, nb) = (totals.getLong(0), totals.getLong(1))
+    val g = s.groupBy(col("v"))
+      .agg(sum(col("ca")).as("fa"), sum(col("cb")).as("fb"))
+    val cum = Scan.prefixSum(
+      Scan.prefixSum(g, Seq.empty, Seq("v"), "fa", "cuma"),
+      Seq.empty, Seq("v"), "fb", "cumb")
+    cum.agg(max(abs(col("cuma") * lit(nb) - col("cumb") * lit(na))).as("md"))
+      .select(lit(na).as("n_a"), lit(nb).as("n_b"),
+        (col("md").cast(DoubleType) /
+          lit(na * nb).cast(DoubleType)).as("d_stat"))
+  }
+
   /** Referential integrity: rows of `child` whose `childCol` has no
     * match in `parent.parentCol` (null child keys violate). Returns the
     * same (check, violations, passed) single-row shape so it unions

@@ -75,6 +75,30 @@ class ProfileSpec extends AnyFunSuite {
     assert(empty.toSeq === Seq(("c", 0L, true)))
   }
 
+  test("ksDrift == hand-computed two-sample KS statistic") {
+    // A = {1,2,3}, B = {2,3,4,5} → D at v=3: |1 − 2/4| = 0.5
+    val rows = Seq(1.0 -> "A", 2.0 -> "A", 3.0 -> "A",
+      2.0 -> "B", 3.0 -> "B", 4.0 -> "B", 5.0 -> "B")
+      .zipWithIndex.map { case ((x, g), i) => Row(i.toLong, x, g) }
+    val r = Profile.ksDrift(df(rows: _*), "x", "s", "A", "B").head
+    assert((r.getLong(0), r.getLong(1)) === ((3L, 4L)))
+    assert(r.getDouble(2) === 0.5)
+  }
+
+  test("ksDrift: identical samples → 0, disjoint samples → 1, empty side throws") {
+    val same = Seq(1.0, 2.0, 3.0).flatMap(x => Seq(x -> "A", x -> "B"))
+      .zipWithIndex.map { case ((x, g), i) => Row(i.toLong, x, g) }
+    assert(Profile.ksDrift(df(same: _*), "x", "s", "A", "B")
+      .head.getDouble(2) === 0.0)
+    val disj = (Seq(1.0 -> "A", 2.0 -> "A") ++ Seq(9.0 -> "B", 8.0 -> "B"))
+      .zipWithIndex.map { case ((x, g), i) => Row(i.toLong, x, g) }
+    assert(Profile.ksDrift(df(disj: _*), "x", "s", "A", "B")
+      .head.getDouble(2) === 1.0)
+    intercept[IllegalArgumentException] {
+      Profile.ksDrift(df(Row(1L, 1.0, "A")), "x", "s", "A", "B")
+    }
+  }
+
   test("riCheck counts orphans and null child keys") {
     val child = fixture.select("k")
     val parent = df(Row(1L, 0.0, "p"), Row(2L, 0.0, "p"))
