@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions._
-import graft.ops.{Assoc, AsofJoin, BloomJoin, Curation, Dedup, Graph, Layout, Lexical, Multimodal, Nsw, Profile, Scan, Similarity, Skyline, TextAnalysis}
+import graft.ops.{Assoc, AsofJoin, BloomJoin, Curation, Dedup, Graph, Layout, Lexical, Multimodal, Nsw, Profile, Reconcile, Scan, Similarity, Skyline, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -2980,6 +2980,25 @@ object SparkEntry {
         .orderBy("p_partkey")
     },
 
+    // Snapshot reconciliation: exact diff of two table versions (CDC /
+    // backfill audit) — full outer join on the pk, null-safe column
+    // compares, diffs only. The "after" version is derived
+    // deterministically (drop keys %997, bump price on keys %500, add
+    // shifted copies of keys %1000==1) so both engines diff the same
+    // snapshots.
+    "q_table_diff" -> { (s, dir) =>
+      val orders = Tables(s, dir, "orders")
+      val after = orders.filter(col("o_orderkey") % 997 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 500 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(orders.filter(col("o_orderkey") % 1000 === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + 100000000L))
+      Reconcile.tableDiff(orders, after, Seq("o_orderkey"),
+          Seq("o_custkey", "o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- data-quality gate (the Deequ / Great Expectations role) ----
 
     // One-pass column profile of orders: non-null count, exact distinct
@@ -5710,6 +5729,40 @@ object SparkEntry {
         |    ON l.l_orderkey = o.o_orderkey
         |  WHERE o.o_orderkey IS NULL)
         |ORDER BY check_name""".stripMargin,
+
+    "q_table_diff" ->
+      """WITH b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |           FROM orders),
+        |a AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 500 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 997 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_custkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 1000 = 1),
+        |j AS (SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'added'
+        |       WHEN a.o_orderkey IS NULL THEN 'removed'
+        |       WHEN (b.o_custkey IS DISTINCT FROM a.o_custkey)
+        |         OR (b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)
+        |         OR (b.o_totalprice IS DISTINCT FROM a.o_totalprice)
+        |         THEN 'changed' END AS status,
+        |  CASE WHEN b.o_orderkey IS NOT NULL AND a.o_orderkey IS NOT NULL
+        |         AND ((b.o_custkey IS DISTINCT FROM a.o_custkey)
+        |           OR (b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)
+        |           OR (b.o_totalprice IS DISTINCT FROM a.o_totalprice))
+        |       THEN concat_ws(',',
+        |         CASE WHEN b.o_custkey IS DISTINCT FROM a.o_custkey
+        |              THEN 'o_custkey' END,
+        |         CASE WHEN b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+        |              THEN 'o_orderstatus' END,
+        |         CASE WHEN b.o_totalprice IS DISTINCT FROM a.o_totalprice
+        |              THEN 'o_totalprice' END)
+        |       ELSE '' END AS changed_cols
+        |  FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+        |SELECT o_orderkey, status, changed_cols FROM j
+        |WHERE status IS NOT NULL ORDER BY o_orderkey""".stripMargin,
 
     "q_ks_drift" ->
       """WITH s AS (SELECT o_totalprice AS v,
