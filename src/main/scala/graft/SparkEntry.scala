@@ -962,6 +962,30 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // FP8 E4M3 roundtrip error profile — the rung between int8's
+    // uniform grid and f16 on the storage ladder (4× fewer bytes than
+    // fp32, per-ELEMENT exponent so no per-vector scale state). Runs
+    // the REAL QuantizeVectorFp8/DequantizeVectorFp8 expressions end to
+    // end; the oracle reproduces the saturating-finite RNE grid in
+    // closed form (the f16_roundtrip pattern with bias 7 and ±448
+    // clamping). The corpus exercises normals, subnormals (|x| < 2⁻⁶)
+    // AND RNE underflow to zero (|x| < 2⁻¹⁰) — min |x| ≈ 8e-6.
+    "q_vec_fp8" -> { (s, dir) =>
+      import graft.functions.{quantizeFp8, dequantizeFp8}
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          quantizeFp8(col("embedding")).as("codes"))
+        .select(col("vec_id"),
+          size(col("codes")).cast(LongType).as("n_bytes"),
+          explode(arrays_zip(col("embedding").as("x"),
+            dequantizeFp8(col("codes")).as("y"))).as("z"))
+        .groupBy(col("vec_id"))
+        .agg(first(col("n_bytes")).as("n_bytes"),
+          round(max(abs(col("z.x").cast(DoubleType) -
+            col("z.y").cast(DoubleType))), 6).as("max_abs_err"))
+        .orderBy("vec_id")
+    },
+
     // dedup endgame, quality-aware: per duplicate cluster keep the
     // highest-quality member (longest doc, ties to the smaller id) — the
     // composition of clustering × quality scoring a real pipeline ships
@@ -3911,6 +3935,28 @@ object SparkEntry {
     // arithmetic), and an RNE result beyond the format's max finite value
     // (65504 for f16) mirrors the Spark side's overflow-to-±Inf: the
     // round-trip error is +Infinity on both engines.
+    "q_vec_fp8" ->
+      """WITH el AS (
+        |  SELECT vec_id, len(embedding) AS nd, UNNEST(embedding) AS x FROM embeddings),
+        |e1 AS (
+        |  SELECT vec_id, nd, CAST(x AS DOUBLE) AS xd, abs(CAST(x AS DOUBLE)) AS ax,
+        |    CASE WHEN x = 0 THEN 0
+        |         ELSE CAST(floor(log2(abs(CAST(x AS DOUBLE)))) AS BIGINT) END AS e0
+        |  FROM el),
+        |e2 AS (
+        |  SELECT vec_id, nd, xd, power(CAST(2 AS DOUBLE),
+        |    greatest(CASE WHEN ax >= power(CAST(2 AS DOUBLE), e0+1) THEN e0+1
+        |                  WHEN ax <  power(CAST(2 AS DOUBLE), e0)   THEN e0-1
+        |                  ELSE e0 END, -6) - 3) AS s FROM e1),
+        |r AS (
+        |  SELECT vec_id, nd,
+        |    CASE WHEN abs(round_even(xd / s, 0) * s) > 448
+        |         THEN abs(xd - CASE WHEN xd < 0 THEN -448.0 ELSE 448.0 END)
+        |         ELSE abs(xd - round_even(xd / s, 0) * s) END AS err FROM e2)
+        |SELECT vec_id, CAST(MAX(nd) AS BIGINT) AS n_bytes,
+        |  ROUND(MAX(err), 6) AS max_abs_err
+        |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "f16_roundtrip" ->
       """WITH el AS (
         |  SELECT vec_id, len(embedding) AS nd, UNNEST(embedding) AS x FROM embeddings),

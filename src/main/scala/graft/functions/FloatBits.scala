@@ -103,4 +103,61 @@ object FloatBits {
     */
   def decodeTable(bfloat: Boolean): Array[Float] =
     if (bfloat) bf16Table else halfTable
+
+  /** fp32 → FP8 E4M3 bits (the OCP 8-bit format used for training-data
+    * and activation storage: 1 sign, 4 exponent [bias 7], 3 mantissa;
+    * NO infinities — S.1111.111 is NaN, max finite ±448). This is the
+    * SATURATING-FINITE cast (the ML convention): round-to-nearest-even
+    * onto the e4m3 grid, then anything beyond ±448 — including ±Inf —
+    * clamps to ±448; NaN stays NaN (0x7F). Subnormal step is 2⁻⁹.
+    */
+  def floatToFp8E4m3Bits(f: Float): Byte = {
+    val bits = java.lang.Float.floatToRawIntBits(f)
+    val sign = (bits >>> 24) & 0x80
+    val exp = (bits >>> 23) & 0xFF
+    var mant = bits & 0x7FFFFF
+    if (exp == 0xFF) {
+      if (mant != 0) return (sign | 0x7F).toByte // NaN
+      return (sign | 0x7E).toByte // ±Inf saturates to ±448
+    }
+    val e = exp - 127 + 7 // re-bias
+    if (e >= 16) return (sign | 0x7E).toByte // overflow → ±448
+    if (e <= 0) {
+      // subnormal fp8 (step 2⁻⁹) or underflow to (signed) zero
+      if (e < -3) return sign.toByte // |x| < 2⁻¹⁰ → 0 under RNE
+      mant |= 0x800000 // explicit leading 1: 24-bit significand
+      val shift = 21 - e // value = mant24 · 2^(e-21) units of 2⁻⁹
+      var h = mant >>> shift
+      val rem = mant & ((1 << shift) - 1)
+      val halfway = 1 << (shift - 1)
+      if (rem > halfway || (rem == halfway && (h & 1) == 1)) h += 1
+      return (sign | h).toByte // h = 8 carries into exp 1 naturally
+    }
+    // normal: 23-bit mantissa → 3 bits, RNE; carry may bump the exponent
+    var h = (e << 3) | (mant >>> 20)
+    val rem = mant & 0xFFFFF
+    if (rem > 0x80000 || (rem == 0x80000 && (h & 1) == 1)) h += 1
+    if (h >= 0x7F) return (sign | 0x7E).toByte // rounded past max → ±448
+    (sign | h).toByte
+  }
+
+  private[functions] def fp8E4m3ToFloatCompute(b: Byte): Float = {
+    val v = b & 0xFF
+    val sign = if ((v & 0x80) != 0) -1f else 1f
+    val exp = (v >>> 3) & 0xF
+    val mant = v & 7
+    if (exp == 0xF && mant == 7) Float.NaN
+    else if (exp == 0) sign * mant * 1.953125e-3f // mant · 2⁻⁹, exact
+    else sign * ((mant + 8) * Math.scalb(1f, exp - 10)) // (1+m/8)·2^(exp-7)
+  }
+
+  private val fp8Table: Array[Float] = {
+    val t = new Array[Float](256)
+    var i = 0
+    while (i < 256) { t(i) = fp8E4m3ToFloatCompute(i.toByte); i += 1 }
+    t
+  }
+
+  /** FP8 E4M3 bits → fp32 (exact, table lookup). */
+  def fp8E4m3ToFloat(b: Byte): Float = fp8Table(b & 0xFF)
 }

@@ -384,6 +384,73 @@ case class DequantizeVectorInt4(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** fp32 vector → FP8 E4M3 codes, one byte per element (the OCP 8-bit
+  * float: 4 exponent bits / 3 mantissa, bias 7, saturating-finite —
+  * see `FloatBits.floatToFp8E4m3Bits`). The rung between int8's
+  * uniform grid and f16: 4× fewer stored bytes than fp32 WITH a
+  * per-element exponent, so no per-vector scale state and no outlier
+  * sensitivity. Ingest-side (CodegenFallback, the QuantizeVectorInt4
+  * precedent); the decode below is codegen'd for scan loops.
+  */
+case class QuantizeVectorFp8(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes
+    with codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      out(i) = FloatBits.floatToFp8E4m3Bits(x.getFloat(i))
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** FP8 E4M3 codes → fp32 vector — exact decode (every e4m3 value is
+  * fp32-representable), codegen'd table lookup so it stays inside the
+  * scan stage of a declarative search plan.
+  */
+case class DequantizeVectorFp8(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(ByteType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val n = codes.numElements()
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      out(i) = FloatBits.fp8E4m3ToFloat(codes.getByte(i))
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $c.numElements();
+         |float[] $out = new float[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = graft.functions.FloatBits.fp8E4m3ToFloat($c.getByte($i));
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** fp32 vector → packed sign bits (binary/1-bit quantization, the
   * sign-LSH family): bit t of word j is set iff element 63·j + t > 0.
   * 63 bits per word — not 64 — so every per-bit power of two stays inside

@@ -72,6 +72,15 @@ package object functions {
   def dequantizeInt4(codes: Column, scale: Column, n: Column): Column =
     GraftBridge.column(DequantizeVectorInt4(e(codes), e(scale), e(n)))
 
+  /** FP8 E4M3 quantize: vector → one code byte per element
+    * (saturating-finite, RNE — see FloatBits.floatToFp8E4m3Bits). */
+  def quantizeFp8(v: Column): Column =
+    GraftBridge.column(QuantizeVectorFp8(e(v)))
+
+  /** FP8 E4M3 dequantize: codes → fp32 vector (exact). */
+  def dequantizeFp8(codes: Column): Column =
+    GraftBridge.column(DequantizeVectorFp8(e(codes)))
+
   /** Binary (1-bit) quantization: vector → packed sign bits, 63/word. */
   def signBits(v: Column): Column = GraftBridge.column(SignBits(e(v)))
 

@@ -88,4 +88,63 @@ class FloatBitsSpec extends AnyFunSuite {
     assert(floatToBf16Bits(java.lang.Float.intBitsToFloat(0x3F818000)) === 0x3F82.toShort)
     assert(floatToBf16Bits(Float.NaN) !== 0x7F80.toShort) // stays NaN, not Inf
   }
+
+  // ---- FP8 E4M3 ----
+
+  test("fp8 e4m3: every code round-trips bit-exactly (decode is exact)") {
+
+    for (c <- 0 until 256) {
+      val b = c.toByte
+      val f = fp8E4m3ToFloat(b)
+      if (!f.isNaN) {
+        assert(floatToFp8E4m3Bits(f) === b, f"code 0x$c%02x value $f")
+      } else {
+        assert(fp8E4m3ToFloat(floatToFp8E4m3Bits(f)).isNaN)
+      }
+    }
+  }
+
+  test("fp8 e4m3 RNE: ties to even mantissa, exact grid values unchanged") {
+
+    def rt(f: Float) = fp8E4m3ToFloat(floatToFp8E4m3Bits(f))
+    assert(rt(1.0f) === 1.0f && rt(1.125f) === 1.125f)
+    assert(rt(1.0625f) === 1.0f)   // halfway 1.0 / 1.125 → even mantissa 0
+    assert(rt(1.1875f) === 1.25f)  // halfway 1.125 / 1.25 → even mantissa 2
+    assert(rt(1.06f) === 1.0f && rt(1.07f) === 1.125f) // either side of the tie
+  }
+
+  test("fp8 e4m3 saturating-finite: beyond ±448 (incl. Inf) clamps; NaN stays NaN") {
+
+    def rt(f: Float) = fp8E4m3ToFloat(floatToFp8E4m3Bits(f))
+    assert(rt(448f) === 448f && rt(-448f) === -448f)
+    assert(rt(449f) === 448f && rt(464f) === 448f) // 464 is the half-step edge
+    assert(rt(480f) === 448f && rt(1e30f) === 448f)
+    assert(rt(Float.PositiveInfinity) === 448f)
+    assert(rt(Float.NegativeInfinity) === -448f)
+    assert(rt(Float.NaN).isNaN)
+  }
+
+  test("fp8 e4m3 subnormals and underflow: step 2^-9, RNE to zero below 2^-10") {
+
+    def rt(f: Float) = fp8E4m3ToFloat(floatToFp8E4m3Bits(f))
+    val ulp = math.pow(2, -9).toFloat
+    assert(rt(ulp) === ulp)              // smallest subnormal exact
+    assert(rt(7 * ulp) === 7 * ulp)      // largest subnormal exact
+    assert(rt(ulp / 2) === 0f)           // exactly 2^-10: tie → even → 0
+    assert(rt(ulp * 0.75f) === ulp)      // above the tie → rounds up
+    assert(rt(ulp / 4) === 0f)           // deep underflow
+    assert(rt(0f) === 0f)
+    // signed zero survives
+    assert(java.lang.Float.floatToRawIntBits(rt(-0f)) ===
+      java.lang.Float.floatToRawIntBits(-0f))
+    assert(rt(-3 * ulp) === -3 * ulp)
+  }
+
+  test("fp8 e4m3 carry across binades: rounding 15.5→16 lands on the next exponent") {
+
+    def rt(f: Float) = fp8E4m3ToFloat(floatToFp8E4m3Bits(f))
+    assert(rt(15.5f) === 16f)   // mantissa carry bumps the exponent field
+    assert(rt(0.99f) === 1.0f)  // subnormal→... normal boundary below 1 binade
+    assert(rt(0.0625f) === 0.0625f) // 2^-4 exact normal
+  }
 }
