@@ -42,6 +42,7 @@ object StorageType {
   case object BFloat16 extends StorageType
   case object Int8 extends StorageType
   case object Int4 extends StorageType
+  case object Fp8 extends StorageType
 }
 
 /** Async search handle — the Spark analog of `MetalSearchToken`
@@ -164,6 +165,11 @@ final class VectorIndexFlat private (
           vectorNormSq(col("vec")).as("norm"))
         .select(col("id"), col("q.codes").as("vecb"),
           col("q.scale").as("scale"), col("norm"))
+    case StorageType.Fp8 =>
+      // e4m3: one code byte per element, per-ELEMENT exponent — no
+      // per-vector scale state to persist (unlike SQ8/SQ4)
+      raw.select(col("id"), quantizeFp8(col("vec")).as("vecb"),
+        vectorNormSq(col("vec")).as("norm"))
   }
 
   /** fp32 view of the stored vectors (dequantized when 16-bit). */
@@ -179,6 +185,8 @@ final class VectorIndexFlat private (
     case StorageType.Int4 =>
       data.select(col("id"),
         dequantizeInt4(col("vecb"), col("scale"), lit(d)).as("vec"), col("norm"))
+    case StorageType.Fp8 =>
+      data.select(col("id"), dequantizeFp8(col("vecb")).as("vec"), col("norm"))
   }
 
   /** Drop everything (ref `reset`, `mm:492-506`). */
@@ -285,7 +293,7 @@ final class VectorIndexFlat private (
       // SQ8/SQ4 ride the fused loop through the codegen'd dequantize
       // projection (the scale is per-row, so the in-register decode the
       // 16-bit formats use doesn't apply without widening KnnPartialExec)
-      case StorageType.Int8 | StorageType.Int4 =>
+      case StorageType.Int8 | StorageType.Int4 | StorageType.Fp8 =>
         (decoded.select(col("id"), col("vec")), 0)
     }
     graft.plans.Knn.partials(src, qData, k,
@@ -353,7 +361,8 @@ final class VectorIndexFlat private (
     val dim = d
     val build: () => org.apache.spark.rdd.RDD[(Array[Long], Array[Float], Array[Short])] =
       storage match {
-        case StorageType.Float32 | StorageType.Int8 | StorageType.Int4 => () =>
+        case StorageType.Float32 | StorageType.Int8 | StorageType.Int4 |
+             StorageType.Fp8 => () =>
           // SQ8/SQ4 pack the decoded fp32 (per-row scales rule out a
           // shared in-loop decode table; the snapshot is still 1× fp32,
           // and the stored column stays 4×/8× smaller)
@@ -575,6 +584,10 @@ object VectorIndexFlat {
         StructField("id", LongType, nullable = false),
         StructField("vecb", ArrayType(ByteType, containsNull = false), nullable = false),
         StructField("scale", DoubleType, nullable = false),
+        StructField("norm", DoubleType, nullable = false)))
+      case StorageType.Fp8 => StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("vecb", ArrayType(ByteType, containsNull = false), nullable = false),
         StructField("norm", DoubleType, nullable = false)))
       case _ => StructType(Seq(
         StructField("id", LongType, nullable = false),

@@ -166,6 +166,43 @@ class VectorIndexFlatSpec extends AnyFunSuite {
     idx.reset()
   }
 
+  test("fp8 (e4m3) storage: labels match oracle on roundtripped vectors; 1 byte/elem; error bounded; serving parity") {
+    val d = 48
+    val vecs = Oracle.genVectors(400, d)
+    val qs = Oracle.genVectors(5, d, seed = 777)
+    // driver-side reference: the REAL scalar codec defines the grid
+    val deq = vecs.map(_.map(x => graft.functions.FloatBits.fp8E4m3ToFloat(
+      graft.functions.FloatBits.floatToFp8E4m3Bits(x))))
+    val idx = VectorIndexFlat(spark, d, Metric.L2, StorageType.Fp8)
+    idx.add(vecs.toSeq)
+    // stored payload is one code byte per element — no per-row scale
+    val cols = idx.vectors.columns.toSeq
+    assert(cols === Seq("id", "vecb", "norm"))
+    assert(idx.vectors.select(size(col("vecb"))).head.getInt(0) === d)
+    val got = runSearch(idx, qs, 5)
+    val want = Oracle.bruteForceKnn(deq, qs, 5, innerProduct = false)
+    for (qid <- 0 until 5) {
+      assert(got(qid.toLong).map(_._1) === want(qid).map(_._1).toSeq, s"qid=$qid")
+    }
+    // e4m3 relative error ≤ 2⁻⁴ for normals (3 mantissa bits); the
+    // fixture range [-1, 1] stays far from the subnormal floor
+    val r7 = idx.reconstruct(7L)
+    r7.zip(vecs(7)).foreach { case (r, o) =>
+      assert(math.abs(r - o) <= math.abs(o) / 16.0 + 1e-3,
+        s"err ${math.abs(r - o)} at $o")
+    }
+    val q = qs.head
+    val viaPoint = idx.searchPoint(q, 5)
+    val searcher = idx.pointSearcher(5)
+    val prepared = searcher.search(q)
+    assert(prepared.map(_._1).toSeq === viaPoint.map(_._1).toSeq)
+    prepared.zip(viaPoint).foreach { case ((_, pd), (_, sd)) =>
+      assert(math.abs(pd - sd) <= 1e-12 * math.max(1.0, math.abs(sd)))
+    }
+    searcher.close()
+    idx.reset()
+  }
+
   test("edge-empty-index: all sentinels") {
     for (metric <- Seq(Metric.L2, Metric.InnerProduct)) {
       val idx = VectorIndexFlat(spark, 32, metric)
