@@ -962,6 +962,21 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // Farthest-point sampling (greedy k-center, Gonzalez 1985): the 8
+    // maximally-spread embedding vectors — diverse-coreset selection
+    // for data curation. k cheap rounds (narrow min-dist update + a
+    // TakeOrdered(1)); corpus never shuffles. min_dist is the pick's
+    // distance-to-selected-set (+inf for the seed), rounded 6dp on
+    // both engines (summation-order slack).
+    "q_fps_coreset" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      Curation.farthestPointSample(
+          e.select(col("vec_id").as("id"), col("embedding").as("vec")), k = 8)
+        .select(col("rank"), col("id").as("vec_id"),
+          round(col("min_dist"), 6).as("min_dist"))
+        .orderBy("rank")
+    },
+
     // FP8 E4M3 roundtrip error profile — the rung between int8's
     // uniform grid and f16 on the storage ladder (4× fewer bytes than
     // fp32, per-ELEMENT exponent so no per-vector scale state). Runs
@@ -3935,6 +3950,13 @@ object SparkEntry {
     // arithmetic), and an RNE result beyond the format's max finite value
     // (65504 for f16) mirrors the Spark side's overflow-to-±Inf: the
     // round-trip error is +Infinity on both engines.
+    "q_fps_coreset" -> {
+      val body = Curation.farthestPointSampleSql(
+        "SELECT vec_id AS id, embedding AS v FROM embeddings", k = 8)
+      s"""SELECT rank, id AS vec_id, ROUND(min_dist, 6) AS min_dist
+         |FROM ($body) ORDER BY rank""".stripMargin
+    },
+
     "q_vec_fp8" ->
       """WITH el AS (
         |  SELECT vec_id, len(embedding) AS nd, UNNEST(embedding) AS x FROM embeddings),

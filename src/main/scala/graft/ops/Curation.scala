@@ -315,4 +315,80 @@ object Curation {
     features.select(col("doc_id"),
       (lit(1.0) / (lit(1.0) + exp(-z))).as("score"))
   }
+
+  /** Farthest-point sampling (greedy k-center, Gonzalez 1985): pick k
+    * maximally-spread vectors — the diverse-coreset selection used to
+    * curate instruction/embedding datasets (each pick is the point
+    * farthest from everything already chosen; the greedy set is a
+    * 2-approximation of the optimal k-center cover).
+    *
+    * Exact-greedy is inherently k sequential rounds; the Spark shape
+    * makes each round CHEAP and corpus-scalable: one narrow projection
+    * updating a running min-distance column (`least(md, dist-to-new-
+    * center)`, the new center riding as a plan literal) and one
+    * TakeOrdered(1) — no shuffle of the corpus, ever. k drives total
+    * cost, not n. Determinism: the argmax order is (md desc, id asc)
+    * and the seed round starts from md = +∞, so round 1 picks the
+    * smallest id; [[farthestPointSampleSql]] unrolls the identical
+    * oracle.
+    *
+    * Returns (rank 1..k, id, min_dist) where min_dist is the point's
+    * distance-to-selected-set at pick time (+∞ for the seed).
+    */
+  def farthestPointSample(vectors: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64], got $k")
+    val spark = vectors.sparkSession
+    var pts = vectors.select(col("id"), col("vec"))
+      .withColumn("md", lit(Double.PositiveInfinity))
+      .localCheckpoint(true)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    for (r <- 1 to k) {
+      val best = pts.orderBy(desc("md"), asc("id")).limit(1).collect()
+      require(best.nonEmpty, s"farthestPointSample: corpus exhausted at pick $r")
+      val row = best.head
+      val (id, vec, md) =
+        (row.getLong(0), row.getSeq[Float](1).toArray, row.getDouble(2))
+      picked += ((r, id, md))
+      if (r < k) {
+        // drop the pick from the pool (an exact-duplicate vector would
+        // otherwise sit at md = 0 and k > n would re-pick forever)
+        pts = pts.filter(col("id") =!= id)
+          .withColumn("md",
+            least(col("md"), graft.functions.squaredL2(col("vec"),
+              typedLit(vec.toSeq))))
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("rank", "id", "min_dist")
+  }
+
+  /** [[farthestPointSample]] unrolled as engine-portable SQL from the
+    * same constants. `ptsSql` must yield (id, v). */
+  def farthestPointSampleSql(ptsSql: String, k: Int): String = {
+    require(k >= 1 && k <= 64)
+    val sb = new StringBuilder
+    sb.append("WITH d0 AS MATERIALIZED (SELECT id, v, " +
+      s"CAST('infinity' AS DOUBLE) AS md FROM ($ptsSql))")
+    for (i <- 1 to k) {
+      sb.append(s""",
+c$i AS MATERIALIZED (SELECT id, v, md FROM d${i - 1}
+        ORDER BY md DESC, id LIMIT 1)""")
+      if (i < k) sb.append(s""",
+dd$i AS MATERIALIZED (
+  SELECT t.id, SUM((CAST(t.pe AS DOUBLE) - CAST(t.ce AS DOUBLE)) *
+                   (CAST(t.pe AS DOUBLE) - CAST(t.ce AS DOUBLE))) AS nd
+  FROM (SELECT d.id, UNNEST(d.v) AS pe, UNNEST(c.v) AS ce
+        FROM d${i - 1} d CROSS JOIN c$i c
+        WHERE d.id <> (SELECT id FROM c$i)) t
+  GROUP BY t.id),
+d$i AS MATERIALIZED (
+  SELECT d.id, d.v, LEAST(d.md, dd.nd) AS md
+  FROM d${i - 1} d JOIN dd$i dd ON dd.id = d.id)""")
+    }
+    val rows = (1 to k).map(i =>
+      s"SELECT $i AS rank, id, md AS min_dist FROM c$i")
+    sb.append("\n" + rows.mkString("\nUNION ALL\n"))
+    sb.toString
+  }
 }

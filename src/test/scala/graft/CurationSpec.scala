@@ -176,4 +176,52 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
     assert(a === b)
   }
+
+  // ---- farthest-point sampling ----
+
+  private def fpsDf(vs: Seq[(Long, Array[Float])]) =
+    vs.map { case (i, v) => (i, v.toSeq) }.toDF("id", "vec")
+
+  test("farthestPointSample on a line: seed = min id, then greedy argmax with id ties") {
+    val pts = Seq(0L -> Array(0f), 1L -> Array(1f), 2L -> Array(9f),
+      3L -> Array(10f), 4L -> Array(5f))
+    val got = Curation.farthestPointSample(fpsDf(pts), k = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    // picks: 0 (seed, +inf), 10 (d²=100), 5 (d²=25), then 1 vs 9 both
+    // d²=1 → smaller id (1) wins
+    assert(got === Seq((1, 0L, Double.PositiveInfinity), (2, 3L, 100.0),
+      (3, 4L, 25.0), (4, 1L, 1.0)))
+  }
+
+  test("farthestPointSample == scalar greedy k-center on random vectors") {
+    val vecs = Oracle.genVectors(40, 6, seed = 99L)
+    val pts = vecs.zipWithIndex.map { case (v, i) => i.toLong -> v }.toSeq
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    val md = scala.collection.mutable.Map(pts.map(_._1 -> Double.PositiveInfinity): _*)
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double)]
+    for (r <- 1 to 6) {
+      val (id, best) = md.toSeq.maxBy { case (i, m) => (m, -i) }
+      want += ((r, id, best))
+      md.remove(id)
+      val c = vecs(id.toInt)
+      md.keys.foreach { i => md(i) = math.min(md(i), d2(vecs(i.toInt), c)) }
+    }
+    val got = Curation.farthestPointSample(fpsDf(pts), k = 6)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === want.toSeq)
+  }
+
+  test("farthestPointSample rejects k beyond the corpus or bounds") {
+    intercept[IllegalArgumentException] {
+      Curation.farthestPointSample(fpsDf(Seq(1L -> Array(1f))), k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      // corpus of 1 cannot yield 3 picks
+      Curation.farthestPointSample(fpsDf(Seq(1L -> Array(1f))), k = 3).collect()
+    }
+  }
 }
