@@ -918,6 +918,46 @@ object SparkEntry {
         .orderBy("o_orderkey")
     },
 
+    // clamped running inventory per part — y = max(0, min(500, y + Δ)):
+    // returns restock (+qty), ships deplete (−qty), floored at empty and
+    // capped at warehouse capacity. NOT expressible as a window (each
+    // step depends on the CLAMPED previous value, not a prefix
+    // aggregate); the naive form is a per-key sequential pass. Runs as
+    // the exact two-pass clamp-affine scan — integer arithmetic, so the
+    // distributed result is bit-identical to the sequential recurrence.
+    "q_clamped_inventory" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"),
+          when(col("l_returnflag") === "R", col("l_quantity"))
+            .otherwise(-col("l_quantity")).cast(LongType).as("delta"))
+      Scan.clampedScan(li, Seq("l_partkey"),
+          Seq("l_shipdate", "l_orderkey", "l_linenumber"),
+          "delta", lo = 0L, hi = 500L)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          col("delta"), col("level"))
+        .orderBy("l_partkey", "l_orderkey", "l_linenumber")
+    },
+
+    // per-nation EWMA of daily order counts (pandas ewm(alpha=0.25,
+    // adjust=True) semantics) — exponential weights are impossible in a
+    // window frame; runs as ONE affine-recurrence scan carrying the
+    // numerator and normalizer recurrences together. Day count is
+    // calendar-bounded, so the oracle's closed-form pair join is
+    // scale-independent.
+    "q_ewma_daily" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val daily = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).cast(DoubleType).as("cnt"))
+      Scan.ewma(daily, Seq("n_name"), Seq("d"), "cnt", alpha = 0.25)
+        .select(col("n_name"), col("d"), round(col("ewma"), 6).as("ewma"))
+        .orderBy("n_name", "d")
+    },
+
     // int8 symmetric per-vector quantization error profile (the next step
     // down from f16 storage; all arithmetic double + floor → engine-exact)
     "q_vec_int8" -> { (s, dir) =>
@@ -1898,6 +1938,19 @@ object SparkEntry {
           count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
         .select(col("doc_id"), col("cluster_id"),
           col("n_cluster"), (col("doc_id") === col("cluster_id")).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // k-core of the near-dup pair graph: documents in DENSE duplicate
+    // communities (every member ≥ 3 in-core neighbors) vs incidental
+    // chains of borderline matches, which peel away — a sharper "how
+    // duplicated is this doc really" signal than component membership,
+    // since the giant component fuses cliques and chains alike
+    "q_kcore" -> { (s, dir) =>
+      val und = Dedup.simhashPairs(Tables(s, dir, "documents"), hammingMax = 2)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      Graph.kCore(und, k = 3)
+        .select(col("node").as("doc_id"), col("core_deg"))
         .orderBy("doc_id")
     },
 
@@ -4569,6 +4622,49 @@ object SparkEntry {
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
 
+    "q_clamped_inventory" ->
+      // sequential recurrence per part via recursive CTE — integer
+      // arithmetic, so it must equal the scan bit for bit; depth = max
+      // rows per part, which Replicate keeps scale-independent
+      """WITH RECURSIVE base AS MATERIALIZED (
+        |  SELECT l_partkey, l_orderkey, l_linenumber,
+        |    CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+        |         ELSE -CAST(l_quantity AS BIGINT) END AS delta,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem),
+        |rec AS (
+        |  SELECT l_partkey, l_orderkey, l_linenumber, rn, delta,
+        |    GREATEST(0, LEAST(500, delta)) AS level FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.l_partkey, b.l_orderkey, b.l_linenumber, b.rn, b.delta,
+        |    GREATEST(0, LEAST(500, r.level + b.delta))
+        |  FROM base b JOIN rec r ON b.l_partkey = r.l_partkey AND b.rn = r.rn + 1)
+        |SELECT l_partkey, l_orderkey, l_linenumber, delta, level
+        |FROM rec ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_ewma_daily" ->
+      // closed-form normalized exponential weights (the recurrences the
+      // scan runs are exactly these sums); both engines round to 6 dp on
+      // values O(25), leaving ~1e-14 arithmetic spread far below the
+      // rounding grain
+      """WITH daily AS MATERIALIZED (
+        |  SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS d,
+        |    CAST(COUNT(*) AS DOUBLE) AS cnt
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |    JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |idx AS MATERIALIZED (
+        |  SELECT n_name, d, cnt,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY d) AS rn
+        |  FROM daily)
+        |SELECT a.n_name, a.d,
+        |  ROUND(SUM(power(0.75, a.rn - b.rn) * b.cnt)
+        |        / SUM(power(0.75, a.rn - b.rn)), 6) AS ewma
+        |FROM idx a JOIN idx b ON a.n_name = b.n_name AND b.rn <= a.rn
+        |GROUP BY a.n_name, a.d
+        |ORDER BY a.n_name, a.d""".stripMargin,
+
     "q_vec_int8" ->
       """WITH s AS (
         |  SELECT vec_id, embedding,
@@ -5356,6 +5452,13 @@ object SparkEntry {
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_cluster,
          |  doc_id = cluster_id AS keep
          |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "q_kcore" ->
+      // unrolled synchronous peeling over the same banded pair set, with
+      // the same convergence-or-error guard discipline as dedup_clusters
+      s"""WITH $simhashBandedPairCtes,
+         |${graft.ops.Graph.kCoreSql("SELECT doc_a AS u, doc_b AS v FROM p", k = 3, rounds = 12)}
+         |SELECT node AS doc_id, core_deg FROM core ORDER BY doc_id""".stripMargin,
 
     "q_split_cluster_safe" ->
       s"""WITH $simhashClusterLabCtes,

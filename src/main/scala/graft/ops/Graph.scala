@@ -454,4 +454,92 @@ f$h AS (SELECT id FROM x$h)""")
         ((lit(2.0) * col("tri")) / (col("deg") * (col("deg") - lit(1L))))
           .as("cc"))
   }
+
+  /** k-core: the maximal subgraph in which every node has degree ≥ k
+    * (Seidman 1983, "Network structure and minimum degree"). On a
+    * near-duplicate pair graph this separates DENSE duplicate communities
+    * (clique-like replica groups, which survive peeling) from incidental
+    * chains of borderline matches (which unravel) — a sharper curation
+    * signal than connected components, whose giant component fuses both.
+    *
+    * Algorithm: synchronous iterative peeling — drop all nodes of
+    * current in-core degree < k each round until fixpoint. The active
+    * set shrinks monotonically, so equal consecutive sizes IS the
+    * fixpoint; converges in at most |V| rounds, and in practice a
+    * handful (core-collapse cascades are shallow on clique-heavy
+    * graphs).
+    *
+    * Scale shape: each round is two semi-joins of the (checkpointed)
+    * edge list against the active node set plus one combiner-friendly
+    * `groupBy(src).count()` — the same one-shuffle-per-iteration
+    * discipline as [[pageRank]]; no per-node adjacency is ever
+    * materialized on one task. The active set is |V| rows, distributed.
+    *
+    * `und`: undirected edges (u, v). Returns (node, core_deg) for the
+    * k-core members, core_deg = degree within the core.
+    */
+  def kCore(und: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
+    val adj = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var active = adj.select(col("src").as("node")).distinct().localCheckpoint(true)
+    var nActive = active.count()
+    var rounds = 0
+    var deg: DataFrame = null
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      deg = adj
+        .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(active.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+        .localCheckpoint(true)
+      val next = deg.filter(col("core_deg") >= k).select("node").localCheckpoint(true)
+      val n = next.count()
+      converged = n == nActive // monotone shrink: equal size = equal set
+      active = next
+      nActive = n
+    }
+    require(converged, s"kCore did not converge in $maxRounds rounds")
+    // at fixpoint the last `deg` was computed over exactly the core set
+    deg.filter(col("core_deg") >= k).select(col("node"), col("core_deg"))
+  }
+
+  /** Unrolled DuckDB oracle for [[kCore]] — `undSql` must be a CTE body
+    * yielding (u, v). Mirrors the synchronous peeling exactly; the
+    * convergence guard errors if `rounds` unrolled iterations did not
+    * reach the fixpoint (same pattern as the min-label-propagation
+    * oracle), so a passing run PROVES the unroll depth sufficed.
+    */
+  def kCoreSql(undSql: String, k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""und AS MATERIALIZED ($undSql),
+         |adj AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM und
+         |  UNION SELECT v, u FROM und),
+         |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM adj)""".stripMargin)
+    var prev = "a0"
+    for (r <- 1 to rounds) {
+      sb.append(
+        s""",
+           |d$r AS MATERIALIZED (SELECT e.src AS node, COUNT(*) AS core_deg
+           |  FROM adj e JOIN $prev s ON s.node = e.src
+           |             JOIN $prev t ON t.node = e.dst
+           |  GROUP BY e.src),
+           |a$r AS MATERIALIZED (SELECT node FROM d$r WHERE core_deg >= $k)""".stripMargin)
+      prev = s"a$r"
+    }
+    sb.append(
+      s""",
+         |conv AS (SELECT CASE WHEN
+         |    (SELECT COUNT(*) FROM a$rounds) <> (SELECT COUNT(*) FROM a${rounds - 1})
+         |  THEN error('k-core peeling not converged') ELSE 1 END AS ok),
+         |core AS (SELECT d.node, d.core_deg FROM d$rounds d
+         |  JOIN a$rounds a ON a.node = d.node
+         |  WHERE (SELECT ok FROM conv) = 1)""".stripMargin)
+    sb.toString
+  }
 }

@@ -120,4 +120,219 @@ object Scan {
         expr(s"(cum - n_tokens) div $seqLen").as("pack_id") :+
         ((col("cum") - col("n_tokens")) % seqLen).as("pack_offset"): _*)
   }
+
+  // saturating add keeps the clamp-map bounds representable without long
+  // overflow when a bound is already at a sentinel extreme
+  private def satAdd(a: Long, b: Long): Long = {
+    val s = a + b
+    if (((a ^ s) & (b ^ s)) < 0) { if (a > 0) Long.MaxValue else Long.MinValue } else s
+  }
+  private def clampL(x: Long, lo: Long, hi: Long): Long = math.max(lo, math.min(hi, x))
+
+  /** Clamped running accumulator — the skew-safe, EXACT form of
+    *
+    *   y_i = max(lo, min(hi, y_{i-1} + delta_i)),  y_0 = seed
+    *
+    * (token-bucket / quota accounting, inventory with a floor of zero and
+    * a warehouse-capacity ceiling, bounded credit balances). A window
+    * formulation cannot express this at all — the clamp makes each step
+    * depend on the clamped PREVIOUS value, not on any prefix aggregate —
+    * so the naive implementation is a per-group sequential pass, which at
+    * 100 TB stalls on the hottest key.
+    *
+    * Scale shape: the recurrence lives in the "clamp-affine" monoid —
+    * maps f(y) = clamp(y + b, l, h) are closed under composition:
+    *
+    *   (g ∘ f)(y) = clamp(y + bf + bg, clamp(lf + bg, lg, hg),
+    *                                   clamp(hf + bg, lg, hg))
+    *
+    * (clamp(clamp(x,a,b),c,d) = clamp(x, clamp(a,c,d), clamp(b,c,d)) for
+    * a ≤ b, c ≤ d — clamp is monotone). So the same two-pass Blelloch
+    * decomposition as [[prefixSum]] applies: pass 1 folds each
+    * (partition, group) slice into ONE composed map, the driver threads
+    * the seed through the per-partition maps in order (O(P·G) exact long
+    * arithmetic — bit-identical to the sequential recurrence), pass 2
+    * replays each partition sequentially from its exact entry value.
+    * Unlike the float scans there is NO cross-partition rounding: integer
+    * clamp-affine composition is exact, so the distributed result equals
+    * the single-threaded one bit for bit.
+    *
+    * `deltaCol` must be LongType; appends `outCol` = y_i.
+    */
+  def clampedScan(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+                  deltaCol: String, lo: Long, hi: Long, seed: Long = 0L,
+                  outCol: String = "level",
+                  numParts: Int = 0, maxDriverEntries: Int = 1 << 20): DataFrame = {
+    require(orderCols.nonEmpty, "clampedScan needs at least one order column")
+    require(lo <= hi, s"clampedScan needs lo <= hi, got [$lo, $hi]")
+    val spark = df.sparkSession
+    val p = if (numParts > 0) numParts else spark.sparkContext.defaultParallelism
+    val keyCols = (groupCols ++ orderCols).map(col)
+    val sorted = df.repartitionByRange(p, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .localCheckpoint(true)
+    val schema = sorted.schema
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val dIdx = schema.fieldIndex(deltaCol)
+    require(schema(dIdx).dataType == LongType,
+      s"clampedScan accumulates LongType, got ${schema(dIdx).dataType} for $deltaCol")
+    def key(r: Row): Seq[Any] = gIdx.toSeq.map(r.get)
+
+    // pass 1: fold each (partition, group) slice into one composed clamp map
+    val partMaps: Array[(Int, Seq[(Seq[Any], (Long, Long, Long))])] =
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val maps = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], (Long, Long, Long)]
+        it.foreach { r =>
+          val k = key(r); val d = r.getLong(dIdx)
+          val (b0, l0, h0) = maps.getOrElse(k, (0L, Long.MinValue, Long.MaxValue))
+          // compose the row's map g(y)=clamp(y+d, lo, hi) after (b0,l0,h0)
+          maps.update(k, (satAdd(b0, d),
+            clampL(satAdd(l0, d), lo, hi), clampL(satAdd(h0, d), lo, hi)))
+        }
+        Iterator.single((pid, maps.toSeq))
+      }.collect()
+    val nEntries = partMaps.iterator.map(_._2.size).sum
+    require(nEntries <= maxDriverEntries,
+      s"clampedScan driver state $nEntries > $maxDriverEntries slices — with this many " +
+        "small groups a per-group sequential mapGroups pass is already skew-safe")
+
+    // driver: thread the seed through per-partition maps in pid order;
+    // entry(pid, g) = exact value of y entering that partition's slice
+    val runningVal = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
+    val entries: Map[(Int, Seq[Any]), Long] =
+      partMaps.sortBy(_._1).iterator.flatMap { case (pid, maps) =>
+        maps.map { case (k, (b, l, h)) =>
+          val in = runningVal.getOrElse(k, seed)
+          runningVal.update(k, clampL(satAdd(in, b), l, h))
+          ((pid, k), in)
+        }
+      }.toMap
+    val bcast = spark.sparkContext.broadcast(entries)
+
+    // pass 2: replay each partition sequentially from its exact entry value
+    val outSchema = StructType(schema.fields :+ StructField(outCol, LongType, nullable = false))
+    val out = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
+      it.map { r =>
+        val k = key(r)
+        val prev = local.getOrElse(k, bcast.value.getOrElse((pid, k), seed))
+        val y = clampL(satAdd(prev, r.getLong(dIdx)), lo, hi)
+        local.update(k, y)
+        Row.fromSeq(r.toSeq :+ y)
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
+  /** Distributed affine-recurrence scan — y_i = m_i·y_{i-1} + b_i over
+    * DoubleType coefficient columns, the general linear-recurrence form
+    * of [[prefixSum]] (Blelloch 1990 §1.4: first-order recurrences are
+    * scans over the affine-map monoid (m, b), composed as
+    * (g ∘ f) = (mg·mf, mg·bf + bg)).
+    *
+    * Same two-pass shape: one range shuffle, per-partition map folding,
+    * O(P·G) driver threading, sequential replay. Float caveat, stated
+    * honestly: affine composition over doubles is associative only up to
+    * rounding, so cross-partition seeds can differ from the pure
+    * sequential recurrence in the last ~2 ulps per partition boundary —
+    * the spec pins ≤ 1e-9 relative. Each (m, b, out) triple in `terms`
+    * scans its own recurrence in the same passes (EWMA needs two:
+    * numerator and normalizer).
+    */
+  def affineScan(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+                 terms: Seq[(String, String, String)],
+                 numParts: Int = 0, maxDriverEntries: Int = 1 << 20): DataFrame = {
+    require(orderCols.nonEmpty, "affineScan needs at least one order column")
+    require(terms.nonEmpty, "affineScan needs at least one (m, b, out) term")
+    val spark = df.sparkSession
+    val p = if (numParts > 0) numParts else spark.sparkContext.defaultParallelism
+    val keyCols = (groupCols ++ orderCols).map(col)
+    val sorted = df.repartitionByRange(p, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .localCheckpoint(true)
+    val schema = sorted.schema
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val mIdx = terms.map { case (m, _, _) => schema.fieldIndex(m) }.toArray
+    val bIdx = terms.map { case (_, b, _) => schema.fieldIndex(b) }.toArray
+    (mIdx ++ bIdx).foreach { i =>
+      require(schema(i).dataType == DoubleType,
+        s"affineScan coefficients must be DoubleType, got ${schema(i).dataType} for ${schema(i).name}")
+    }
+    val nT = terms.size
+    def key(r: Row): Seq[Any] = gIdx.toSeq.map(r.get)
+
+    // pass 1: fold each (partition, group) slice into composed (M, B) per term
+    val partMaps: Array[(Int, Seq[(Seq[Any], Array[Double])])] =
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val maps = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Double]]
+        it.foreach { r =>
+          val k = key(r)
+          val acc = maps.getOrElseUpdate(k, Array.tabulate(2 * nT)(i => if (i % 2 == 0) 1.0 else 0.0))
+          var t = 0
+          while (t < nT) {
+            val mg = r.getDouble(mIdx(t)); val bg = r.getDouble(bIdx(t))
+            val mf = acc(2 * t); val bf = acc(2 * t + 1)
+            acc(2 * t) = mg * mf; acc(2 * t + 1) = mg * bf + bg
+            t += 1
+          }
+        }
+        Iterator.single((pid, maps.toSeq))
+      }.collect()
+    val nEntries = partMaps.iterator.map(_._2.size).sum
+    require(nEntries <= maxDriverEntries,
+      s"affineScan driver state $nEntries > $maxDriverEntries slices — with this many " +
+        "small groups a per-group sequential mapGroups pass is already skew-safe")
+
+    val runningVal = scala.collection.mutable.HashMap.empty[Seq[Any], Array[Double]]
+    val entries: Map[(Int, Seq[Any]), Array[Double]] =
+      partMaps.sortBy(_._1).iterator.flatMap { case (pid, maps) =>
+        maps.map { case (k, mb) =>
+          val in = runningVal.getOrElse(k, Array.fill(nT)(0.0))
+          val nxt = Array.tabulate(nT)(t => mb(2 * t) * in(t) + mb(2 * t + 1))
+          runningVal.update(k, nxt)
+          ((pid, k), in)
+        }
+      }.toMap
+    val bcast = spark.sparkContext.broadcast(entries)
+
+    val outSchema = StructType(schema.fields ++
+      terms.map { case (_, _, o) => StructField(o, DoubleType, nullable = false) })
+    val out = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.HashMap.empty[Seq[Any], Array[Double]]
+      it.map { r =>
+        val k = key(r)
+        val prev = local.getOrElse(k,
+          bcast.value.get((pid, k)).map(_.clone()).getOrElse(Array.fill(nT)(0.0)))
+        val y = Array.tabulate(nT)(t => r.getDouble(mIdx(t)) * prev(t) + r.getDouble(bIdx(t)))
+        local.update(k, y)
+        Row.fromSeq(r.toSeq ++ y)
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
+  /** Exponentially-weighted moving average with normalized weights
+    * (pandas `ewm(alpha).mean()` with `adjust=True`):
+    *
+    *   y_i = Σ_{j≤i} (1−α)^{i−j} x_j  /  Σ_{j≤i} (1−α)^{i−j}
+    *
+    * computed as the ratio of two zero-initialized affine recurrences
+    * (numerator n_i = x_i + (1−α)·n_{i−1}, normalizer d_i = 1 + (1−α)·
+    * d_{i−1}) scanned together in one [[affineScan]] pass — skew-safe
+    * where `avg().over(window)` with exponential weights is impossible
+    * and a per-key sequential pass stalls on the hottest key.
+    */
+  def ewma(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+           valueCol: String, alpha: Double, outCol: String = "ewma",
+           numParts: Int = 0): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val m = lit(1.0 - alpha)
+    val withCoef = df
+      .withColumn("__m", m).withColumn("__bn", col(valueCol).cast(DoubleType))
+      .withColumn("__bd", lit(1.0))
+    affineScan(withCoef, groupCols, orderCols,
+      Seq(("__m", "__bn", "__num"), ("__m", "__bd", "__den")), numParts)
+      .withColumn(outCol, col("__num") / col("__den"))
+      .drop("__m", "__bn", "__bd", "__num", "__den")
+  }
 }

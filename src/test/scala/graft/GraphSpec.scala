@@ -361,4 +361,60 @@ class GraphSpec extends AnyFunSuite {
     }.toMap
     assert(triStats(edges) === want)
   }
+
+  // ---- kCore: iterative peeling ----
+
+  private def kCoreMap(edges: Seq[(Long, Long)], k: Int, maxRounds: Int = 50) =
+    Graph.kCore(df(undSchema, edges.map { case (a, b) => Row(a, b) }), k, maxRounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Scalar synchronous peeling — the definitional fixpoint. */
+  private def scalarKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var active = adj.keySet
+    var changed = true
+    while (changed) {
+      val next = active.filter(v => adj(v).count(active) >= k)
+      changed = next != active
+      active = next
+    }
+    active.map(v => v -> adj(v).count(active).toLong).toMap
+  }
+
+  test("kCore: clique survives peeling, attached chain unravels") {
+    // K4 on 1..4 plus a tail 4-5-6-7
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toSeq
+    val edges = k4 ++ Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val got2 = kCoreMap(edges, k = 2)
+    assert(got2.keySet === Set(1L, 2L, 3L, 4L)) // chain peels at k=2
+    assert(got2.values.toSet === Set(3L))       // in-core degree = clique degree
+    assert(kCoreMap(edges, k = 3).keySet === Set(1L, 2L, 3L, 4L))
+    assert(kCoreMap(edges, k = 4) === Map.empty) // K4 has max degree 3
+  }
+
+  test("kCore: cascade — removing one node's support unravels a whole chain") {
+    // cycle 1-2-3-4-1 (2-core) plus a pendant path hanging off it
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L))
+    val got = kCoreMap(edges, k = 2)
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("kCore == scalar peeling on a random graph, several k") {
+    val rnd = new scala.util.Random(137L)
+    val edges = (for {
+      a <- 0L until 40L; b <- (a + 1) until 40L if rnd.nextDouble() < 0.12
+    } yield (a, b)).toSeq
+    for (k <- Seq(2, 3, 4, 5))
+      assert(kCoreMap(edges, k) === scalarKCore(edges, k), s"k=$k")
+  }
+
+  test("kCore: maxRounds too small fails loudly instead of returning a non-fixpoint") {
+    // long path: k=2 peels one node from each end per round
+    val path = (1L until 20L).map(i => (i, i + 1))
+    val e = intercept[IllegalArgumentException] { kCoreMap(path, k = 2, maxRounds = 2) }
+    assert(e.getMessage.contains("converge"))
+    assert(kCoreMap(path, k = 2) === Map.empty) // a path has no 2-core
+  }
 }

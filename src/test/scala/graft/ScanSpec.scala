@@ -107,4 +107,107 @@ class ScanSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
     assert(viaScan === viaWindow)
   }
+
+  // ---- clampedScan: the clamp-affine monoid scan ----
+
+  private def seqClamped(rows: Seq[(String, Long, Long)], lo: Long, hi: Long,
+                         seed: Long): Map[(String, Long), Long] = {
+    rows.groupBy(_._1).flatMap { case (g, rs) =>
+      var y = seed
+      rs.sortBy(_._2).map { case (_, id, d) =>
+        y = math.max(lo, math.min(hi, y + d)); ((g, id), y)
+      }
+    }
+  }
+
+  private def collectLevel(df: org.apache.spark.sql.DataFrame) =
+    df.select("g", "id", "level").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+
+  test("clampedScan ≡ the sequential recurrence, bit-exact, any partitioning") {
+    // deltas swing hard enough that BOTH clamps engage repeatedly
+    val rows = for (g <- Seq("a", "b", "c"); i <- 0 until 800)
+      yield (g, i.toLong, (((i * 31 + g.hashCode) % 25) - 12).toLong)
+    val df = fixture(rows)
+    val want = seqClamped(rows, lo = 0L, hi = 20L, seed = 0L)
+    assert(collectLevel(Scan.clampedScan(df, Seq("g"), Seq("id"), "v", 0L, 20L)) === want)
+    assert(collectLevel(Scan.clampedScan(df.repartition(13), Seq("g"), Seq("id"), "v", 0L, 20L)) === want)
+    assert(collectLevel(Scan.clampedScan(df, Seq("g"), Seq("id"), "v", 0L, 20L, numParts = 7)) === want)
+  }
+
+  test("clampedScan: hot group spans many partitions and still matches the sequential pass") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = spark.range(200000)
+      .select(lit("hot").as("g"), col("id"), ((col("id") % 9L) - 4L).as("v"))
+    val got = Scan.clampedScan(df, Seq("g"), Seq("id"), "v", 0L, 50L, numParts = 16)
+    val partSizes = got.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(partSizes.count(_ > 0) >= 8, s"hot group collapsed: ${partSizes.toSeq}")
+    var y = 0L
+    val want = (0L until 200000L).map { i =>
+      y = math.max(0L, math.min(50L, y + (i % 9L) - 4L)); (i, y)
+    }.toMap
+    val gotMap = got.select("id", "level").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotMap === want)
+  }
+
+  test("clampedScan: out-of-range seed clamps at the first step; lo > hi rejected") {
+    val rows = Seq(("g", 0L, 0L), ("g", 1L, -3L))
+    val got = collectLevel(
+      Scan.clampedScan(fixture(rows), Seq("g"), Seq("id"), "v", 0L, 500L, seed = 1000L))
+    assert(got === Map(("g", 0L) -> 500L, ("g", 1L) -> 497L))
+    intercept[IllegalArgumentException] {
+      Scan.clampedScan(fixture(rows), Seq("g"), Seq("id"), "v", 5L, 4L)
+    }
+  }
+
+  // ---- affineScan / ewma: the float linear-recurrence scan ----
+
+  test("ewma ≡ the sequential pandas-adjust recurrence within 1e-9 relative, incl. hot key") {
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 50000
+    val df = spark.range(n).select(
+      (col("id") % 3).cast(StringType).as("g"), col("id"),
+      ((col("id") * 17 % 101)).cast(DoubleType).as("x"))
+    val got = Scan.ewma(df, Seq("g"), Seq("id"), "x", alpha = 0.25, numParts = 16)
+      .select("g", "id", "ewma").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    // sequential reference
+    val byG = (0L until n.toLong).map(i => ((i % 3).toString, i, (i * 17 % 101).toDouble))
+      .groupBy(_._1)
+    byG.foreach { case (_, rs) =>
+      var num = 0.0; var den = 0.0
+      rs.sortBy(_._2).foreach { case (g, id, x) =>
+        num = x + 0.75 * num; den = 1.0 + 0.75 * den
+        val want = num / den
+        val d = math.abs(got((g, id)) - want) / math.max(1.0, math.abs(want))
+        assert(d <= 1e-9, s"id=$id got=${got((g, id))} want=$want")
+      }
+    }
+  }
+
+  test("affineScan: varying m per row (regime-switching decay) matches the sequential fold") {
+    val schema = StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("m", DoubleType, nullable = false),
+      StructField("b", DoubleType, nullable = false)))
+    val rows = (0 until 4000).map { i =>
+      (if (i % 2 == 0) "p" else "q", i.toLong, 0.5 + 0.4 * ((i % 7) / 10.0), (i % 13).toDouble)
+    }
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (g, i, m, b) => Row(g, i, m, b) }: _*), schema)
+    val got = Scan.affineScan(df, Seq("g"), Seq("id"), Seq(("m", "b", "y")), numParts = 8)
+      .select("g", "id", "y").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      var y = 0.0
+      rs.sortBy(_._2).foreach { case (g, id, m, b) =>
+        y = m * y + b
+        assert(math.abs(got((g, id)) - y) / math.max(1.0, math.abs(y)) <= 1e-9, s"id=$id")
+      }
+    }
+  }
 }
