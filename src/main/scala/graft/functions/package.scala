@@ -184,6 +184,13 @@ package object functions {
   def charEntropy(text: Column): Column =
     GraftBridge.column(CharEntropy(e(text)))
 
+  /** Jaro-Winkler similarity of two strings (DuckDB-pinned semantics:
+    * empty input → 0.0, strict 0.7 boost threshold, prefix ≤ 4) — the
+    * record-linkage scorer; see [[JaroWinkler]].
+    */
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftBridge.column(JaroWinkler(e(a), e(b)))
+
   /** SpaceSaving heavy-hitter sketch (capacity-bounded, mergeable):
     * `array<struct<item, est, err>>`, est desc. See
     * [[graft.operators.SpaceSavingAgg]] for the invariants.

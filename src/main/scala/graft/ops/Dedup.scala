@@ -973,7 +973,15 @@ object Dedup {
     *
     * Returns (id_a, id_b, dist) with id_a < id_b, dist ∈ {0, 1}.
     */
-  def fuzzyPairsEdit1(rows: DataFrame, idCol: String, keyCol: String): DataFrame = {
+  def fuzzyPairsEdit1(rows: DataFrame, idCol: String, keyCol: String): DataFrame =
+    edit1Pairs(rows, idCol, keyCol)
+      .select(col("id_a"), col("id_b"), col("dist"))
+
+  /** Deletion-neighborhood blocked pairs at edit distance ≤ 1, with the
+    * key strings — the shared candidate stage of [[fuzzyPairsEdit1]] and
+    * [[linkPairsJaroWinkler]].
+    */
+  private def edit1Pairs(rows: DataFrame, idCol: String, keyCol: String): DataFrame = {
     // deletion neighborhood: the key itself (pos = -1) plus delete-at-i.
     // distinct: deleting different equal chars (e.g. any of the zeros in
     // "Customer#000000012") yields the SAME variant string — duplicate
@@ -1003,8 +1011,23 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("k_a"), col("k_b"))
       .distinct()
-      .withColumn("dist", levenshtein(col("k_a"), col("k_b")))
+      .withColumn("dist", levenshtein(col("k_a"), col("k_b")).cast(LongType))
       .filter(col("dist") <= 1)
-      .select(col("id_a"), col("id_b"), col("dist").cast(LongType).as("dist"))
   }
+
+  /** Record linkage with Jaro-Winkler scoring: the same recall-complete
+    * deletion-neighborhood blocking as [[fuzzyPairsEdit1]] (every pair
+    * within edit distance 1 is a candidate), scored with the
+    * record-linkage-standard Jaro-Winkler comparator instead of raw edit
+    * distance — JW weights WHERE the discrepancy sits (early-prefix
+    * differences score lower than tail differences, Winkler 1990), which
+    * is the decision rule linkage pipelines actually rank by. Returns
+    * (id_a, id_b, dist, jw) for pairs at edit distance ≤ 1, jw rounded
+    * to 6 dp (both engines compute the identical IEEE sequence; see
+    * [[graft.functions.JaroWinkler]] for the DuckDB-pinned semantics).
+    */
+  def linkPairsJaroWinkler(rows: DataFrame, idCol: String, keyCol: String): DataFrame =
+    edit1Pairs(rows, idCol, keyCol)
+      .select(col("id_a"), col("id_b"), col("dist"),
+        round(graft.functions.jaroWinkler(col("k_a"), col("k_b")), 6).as("jw"))
 }

@@ -362,6 +362,44 @@ class GraphSpec extends AnyFunSuite {
     assert(triStats(edges) === want)
   }
 
+  // ---- JaroWinkler expression + scored linkage ----
+
+  private def jwScalar(a: String, b: String): Double = {
+    val df1 = spark.createDataFrame(
+      java.util.Arrays.asList(Row(a, b)),
+      StructType(Seq(StructField("a", StringType), StructField("b", StringType))))
+    df1.select(graft.functions.jaroWinkler(col("a"), col("b"))).head().getDouble(0)
+  }
+
+  test("jaroWinkler: textbook values, the empty edge, and symmetry") {
+    // Winkler's canonical examples
+    assert(math.abs(jwScalar("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jwScalar("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(math.abs(jwScalar("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(jwScalar("abc", "abc") === 1.0)
+    // DuckDB-pinned: empty input (even both) scores 0.0, not 1.0
+    assert(jwScalar("", "") === 0.0)
+    assert(jwScalar("abc", "") === 0.0)
+    assert(jwScalar("abc", "xyz") === 0.0) // no matches
+    assert(jwScalar("MARHTA", "MARTHA") === jwScalar("MARTHA", "MARHTA"))
+  }
+
+  test("linkPairsJaroWinkler: prefix-weighted — early typo scores below tail typo") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType, nullable = false)))
+    val rows = Seq(
+      Row(1L, "Customer#001234"), Row(2L, "Xustomer#001234"), // first-char typo
+      Row(3L, "Customer#001235"),                             // last-char typo
+      Row(4L, "totally-different"))
+    val got = graft.ops.Dedup.linkPairsJaroWinkler(df(schema, rows), "id", "name")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === Set((1L, 2L), (1L, 3L))) // (2,3) is edit distance 2
+    got.values.foreach { case (dist, _) => assert(dist <= 1L) }
+    // (1,3) differs at the tail → higher JW than (1,2), which differs at char 0
+    assert(got((1L, 3L))._2 > got((1L, 2L))._2)
+  }
+
   // ---- kCore: iterative peeling ----
 
   private def kCoreMap(edges: Seq[(Long, Long)], k: Int, maxRounds: Int = 50) =
