@@ -461,6 +461,31 @@ object StreamingOps {
     grouped.agg(graft.functions.spaceSavingHH(col(itemCol), capacity).as("hh"))
   }
 
+  /** Streaming windowed distinct cardinality: HLL++
+    * (`approx_count_distinct`) per event-time window — "distinct users
+    * per hour" monitoring that runs indefinitely. The HLL register
+    * array is the state-store entry per window: O(1/rsd²) bytes
+    * regardless of how many events the window saw, and register-max
+    * merge is commutative + idempotent, so the result is EXACTLY the
+    * batch aggregation's no matter how events split across
+    * micro-batches (unlike a naive `distinct().count()`, whose
+    * streaming state would grow with true cardinality). Watermark
+    * bounds which windows remain open; `rsd` is the standard relative
+    * error (default 5 %).
+    */
+  def streamingWindowedDistinct(events: DataFrame, distinctCol: String,
+                                window_ : String = "1 hour",
+                                slide: String = "1 hour",
+                                watermark: String = "2 hours",
+                                rsd: Double = 0.05): DataFrame =
+    ensureEventTime(events, "ts")
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide))
+      .agg(approx_count_distinct(col(distinctCol), rsd).as("n_distinct"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("n_distinct"), col("n_events"))
+
   /** Streaming approximate quantiles: Spark's GK-style
     * `percentile_approx` as a streaming aggregation. Like
     * [[streamingHeavyHitters]], the sketch's mergeable partial state is

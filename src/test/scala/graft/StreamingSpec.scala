@@ -300,6 +300,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming windowed HLL distinct == batch approx_count_distinct per window") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-hll").toString
+    events.write.mode("overwrite").parquet(dir)
+
+    val streamIn = spark.readStream.schema(events.schema).parquet(dir)
+    val agg = StreamingOps.streamingWindowedDistinct(streamIn, "user_id")
+    val q = StreamingOps.runToMemory(agg, "hll_out")
+    q.awaitTermination(60000)
+
+    val got = spark.table("hll_out")
+      .orderBy("window_start").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    val want = events
+      .groupBy(window(col("ts"), "1 hour", "1 hour"))
+      .agg(approx_count_distinct(col("user_id"), 0.05).as("n_distinct"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("n_distinct"), col("n_events"))
+      .orderBy("window_start").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2)))
+    assert(got === want)
+    // the sketch answers are within the 5% rsd envelope of exact truth
+    val exact = events
+      .groupBy(window(col("ts"), "1 hour", "1 hour"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+      .select(col("window.start").as("window_start"), col("exact"))
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toMap
+    got.foreach { case (w, nd, _) =>
+      val ex = exact(w).toDouble
+      assert(math.abs(nd - ex) / math.max(1.0, ex) < 0.25, s"window $w: $nd vs $ex")
+    }
+  }
+
   test("streaming semantic dedup == batch semanticDedup across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
