@@ -958,6 +958,31 @@ object SparkEntry {
         .orderBy("n_name", "d")
     },
 
+    // Johnson-Lindenstrauss sparse sign projection (Achlioptas 2003,
+    // "Database-friendly random projections"): 64-d → 16-d with entries
+    // {+1, 0, −1}·√(3/16) at p = (43/256, 170/256, 43/256), derived from
+    // md5("jl:i:j") so BOTH engines build the identical matrix — a
+    // training-free embedding compressor (PCA without the training pass).
+    // Output: per-vector norm ratio ‖y‖/‖x‖, the JL distortion the lemma
+    // bounds around 1.
+    "q_jl_project" -> { (s, dir) =>
+      val dIn = 64; val dOut = 16
+      val scale = math.sqrt(3.0 / dOut)
+      def sign(i: Int, j: Int): Double = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = md.digest(s"jl:$i:$j".getBytes("UTF-8"))
+          .take(1).map(b => f"${b & 0xff}%02x").mkString
+        if (h < "2b") 1.0 else if (h >= "d5") -1.0 else 0.0
+      }
+      val mat = Array.tabulate(dOut)(j => Array.tabulate(dIn)(i => sign(i, j) * scale))
+      val y = graft.functions.pcaProject(col("embedding"), Array.fill(dIn)(0.0), mat)
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(sqrt(graft.functions.vectorNormSq(y) /
+            graft.functions.vectorNormSq(col("embedding"))), 4).as("norm_ratio"))
+        .orderBy("vec_id")
+    },
+
     // int8 symmetric per-vector quantization error profile (the next step
     // down from f16 storage; all arithmetic double + floor → engine-exact)
     "q_vec_int8" -> { (s, dir) =>
@@ -4675,6 +4700,32 @@ object SparkEntry {
         |FROM idx a JOIN idx b ON a.n_name = b.n_name AND b.rn <= a.rn
         |GROUP BY a.n_name, a.d
         |ORDER BY a.n_name, a.d""".stripMargin,
+
+    "q_jl_project" ->
+      // identical md5-derived sign matrix; per-element fp32 cast after
+      // the fp64 dot product mirrors PcaProject's storage convention
+      """WITH pos AS MATERIALIZED (
+        |  SELECT vec_id, UNNEST(embedding) AS x, UNNEST(range(len(embedding))) AS i
+        |  FROM embeddings),
+        |mat AS MATERIALIZED (
+        |  SELECT i, j,
+        |    CASE WHEN h < '2b' THEN 1.0 WHEN h >= 'd5' THEN -1.0
+        |         ELSE 0.0 END * sqrt(3.0 / 16.0) AS r
+        |  FROM (SELECT a.i, b.j,
+        |          substr(md5('jl:' || CAST(a.i AS VARCHAR) || ':'
+        |                  || CAST(b.j AS VARCHAR)), 1, 2) AS h
+        |        FROM (SELECT UNNEST(range(64)) AS i) a,
+        |             (SELECT UNNEST(range(16)) AS j) b)),
+        |y AS (SELECT p.vec_id, m.j,
+        |        CAST(SUM(m.r * CAST(p.x AS DOUBLE)) AS REAL) AS yv
+        |      FROM pos p JOIN mat m ON m.i = p.i GROUP BY p.vec_id, m.j),
+        |ny AS (SELECT vec_id, SUM(CAST(yv AS DOUBLE) * CAST(yv AS DOUBLE)) AS ny2
+        |       FROM y GROUP BY vec_id),
+        |nx AS (SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx2
+        |       FROM pos GROUP BY vec_id)
+        |SELECT ny.vec_id, ROUND(sqrt(ny.ny2 / nx.nx2), 4) AS norm_ratio
+        |FROM ny JOIN nx USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
 
     "q_vec_int8" ->
       """WITH s AS (

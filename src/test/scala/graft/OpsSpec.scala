@@ -1953,4 +1953,32 @@ class OpsSpec extends AnyFunSuite {
       reduced.count(p => p._1 == q && exactPairs((p._1, p._2))))
     assert(overlap.forall(_ >= 1), s"per-query overlap: $overlap")
   }
+
+  test("JL sparse sign projection: norm ratios concentrate near 1 (the lemma's distortion)") {
+    // the q_jl_project construction: md5-derived {±1, 0} entries at
+    // p = 43/256 each sign, scaled √(3/dOut) — E[‖y‖²] = ~‖x‖²·(3·86/256)
+    // ≈ 1.008·‖x‖², so ratios should sit tightly around 1 for 64→16
+    val dIn = 64; val dOut = 16
+    val scale = math.sqrt(3.0 / dOut)
+    def sign(i: Int, j: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"jl:$i:$j".getBytes("UTF-8"))
+        .take(1).map(b => f"${b & 0xff}%02x").mkString
+      if (h < "2b") 1.0 else if (h >= "d5") -1.0 else 0.0
+    }
+    val mat = Array.tabulate(dOut)(j => Array.tabulate(dIn)(i => sign(i, j) * scale))
+    // deterministic matrix sanity: roughly 1/6 of entries each sign
+    val nz = mat.flatten.count(_ != 0.0)
+    assert(nz > dIn * dOut / 6 && nz < dIn * dOut / 2, s"nonzeros: $nz")
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val y = graft.functions.pcaProject(col("embedding"), Array.fill(dIn)(0.0), mat)
+    val ratios = emb.select(
+      sqrt(graft.functions.vectorNormSq(y) /
+        graft.functions.vectorNormSq(col("embedding"))).as("r"))
+      .collect().map(_.getDouble(0))
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.15, s"mean ratio $mean")
+    // JL for d_out=16: distortion mostly within ±60%; no collapse/blowup
+    assert(ratios.forall(r => r > 0.2 && r < 2.5), s"extremes: ${ratios.min} ${ratios.max}")
+  }
 }
