@@ -1979,6 +1979,18 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // k-truss of the same pair graph — the EDGE-level sharpening of
+    // q_kcore: an edge survives only with ≥ 3 common neighbors, so
+    // high-degree bridge nodes can't hold unrelated replica families
+    // together (a k-core can be hub-glued; a truss cannot)
+    "q_ktruss" -> { (s, dir) =>
+      val und = Dedup.simhashPairs(Tables(s, dir, "documents"), hammingMax = 2)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      Graph.kTruss(und, k = 5)
+        .select(col("u").as("doc_a"), col("v").as("doc_b"), col("support"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // leakage-safe train/val/test split: the q_hash_split recipe applied
     // to the near-dup CLUSTER id instead of the doc id, so every member
     // of a duplicate cluster lands in the SAME split — the hygiene rule
@@ -5521,6 +5533,12 @@ object SparkEntry {
       s"""WITH $simhashBandedPairCtes,
          |${graft.ops.Graph.kCoreSql("SELECT doc_a AS u, doc_b AS v FROM p", k = 3, rounds = 12)}
          |SELECT node AS doc_id, core_deg FROM core ORDER BY doc_id""".stripMargin,
+
+    "q_ktruss" ->
+      s"""WITH $simhashBandedPairCtes,
+         |${graft.ops.Graph.kTrussSql("SELECT doc_a AS u, doc_b AS v FROM p", k = 5, rounds = 8)}
+         |SELECT u AS doc_a, v AS doc_b, support FROM truss
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_split_cluster_safe" ->
       s"""WITH $simhashClusterLabCtes,

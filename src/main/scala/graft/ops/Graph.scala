@@ -507,6 +507,120 @@ f$h AS (SELECT id FROM x$h)""")
     deg.filter(col("core_deg") >= k).select(col("node"), col("core_deg"))
   }
 
+  /** k-truss: the maximal subgraph in which every EDGE sits on ≥ k−2
+    * triangles (Cohen 2008, "Trusses: cohesive subgraphs for social
+    * network analysis") — the edge-level sharpening of [[kCore]]: a
+    * k-core can be held together by hub nodes bridging otherwise
+    * unrelated groups, but a truss edge needs k−2 common neighbors, so
+    * bridges (zero triangles) are cut no matter how high-degree their
+    * endpoints. On a near-dup pair graph the truss keeps clique-like
+    * replica families and drops chance banding collisions.
+    *
+    * Algorithm: iterative support peeling — per round, each surviving
+    * edge's support = its triangle count within the surviving set
+    * (counted once per triangle via the same degree-orientation as
+    * [[triangleStats]], so per-round cost is the oriented wedge join,
+    * never degree²); edges below k−2 drop; fixpoint when none do
+    * (monotone shrink, so equal edge counts = fixpoint).
+    *
+    * `und`: undirected edges (u, v). Returns (u, v, support) canonical
+    * (u < v) for the surviving truss edges.
+    */
+  def kTruss(und: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 3, s"kTruss needs k >= 3, got $k")
+    var e = und
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var nEdges = e.count()
+    var rounds = 0
+    var converged = false
+    var withSup: DataFrame = null
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val du = deg.select(col("node").as("u"), col("deg").as("du"))
+      val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+      val lower = (col("du") < col("dv")) ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val ori = e.join(du, "u").join(dv, "v")
+        .select(when(lower, col("u")).otherwise(col("v")).as("x"),
+          when(lower, col("v")).otherwise(col("u")).as("y"))
+        .localCheckpoint(true)
+      val tri = ori.select(col("x").as("a"), col("y").as("b"))
+        .join(ori.select(col("x").as("b"), col("y").as("c")), "b")
+        .join(ori.select(col("x").as("a"), col("y").as("c")), Seq("a", "c"))
+      val sup = tri.select(explode(array(
+          struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
+          struct(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v")),
+          struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v"))))
+          .as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("support"))
+      withSup = e.join(sup, Seq("u", "v"), "left")
+        .select(col("u"), col("v"), coalesce(col("support"), lit(0L)).as("support"))
+        .localCheckpoint(true)
+      val next = withSup.filter(col("support") >= k - 2).select("u", "v").localCheckpoint(true)
+      val m = next.count()
+      converged = m == nEdges // monotone shrink: equal count = fixpoint
+      e = next
+      nEdges = m
+    }
+    require(converged, s"kTruss did not converge in $maxRounds rounds")
+    // at fixpoint the last support pass ran over exactly the truss set
+    withSup.filter(col("support") >= k - 2)
+  }
+
+  /** Unrolled DuckDB oracle for [[kTruss]] — `undSql` yields (u, v).
+    * Mirrors the support peeling round for round with the same
+    * convergence-or-error guard as [[kCoreSql]].
+    */
+  def kTrussSql(undSql: String, k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""tund AS MATERIALIZED ($undSql),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
+         |  FROM tund WHERE u <> v)""".stripMargin)
+    var prev = "e0"
+    for (r <- 1 to rounds) {
+      sb.append(
+        s""",
+           |deg$r AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+           |  SELECT u AS node FROM $prev UNION ALL SELECT v FROM $prev) GROUP BY node),
+           |ori$r AS MATERIALIZED (
+           |  SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+           |              THEN u ELSE v END AS x,
+           |         CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+           |              THEN v ELSE u END AS y
+           |  FROM $prev JOIN deg$r du ON du.node = $prev.u
+           |             JOIN deg$r dv ON dv.node = $prev.v),
+           |tri$r AS MATERIALIZED (
+           |  SELECT e1.x AS a, e1.y AS b, e2.y AS c
+           |  FROM ori$r e1 JOIN ori$r e2 ON e2.x = e1.y
+           |  JOIN ori$r e3 ON e3.x = e1.x AND e3.y = e2.y),
+           |sup$r AS MATERIALIZED (SELECT u, v, COUNT(*) AS support FROM (
+           |  SELECT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM tri$r
+           |  UNION ALL SELECT LEAST(b, c), GREATEST(b, c) FROM tri$r
+           |  UNION ALL SELECT LEAST(a, c), GREATEST(a, c) FROM tri$r) GROUP BY u, v),
+           |es$r AS MATERIALIZED (
+           |  SELECT e.u, e.v, COALESCE(s.support, 0) AS support
+           |  FROM $prev e LEFT JOIN sup$r s ON s.u = e.u AND s.v = e.v),
+           |e$r AS MATERIALIZED (
+           |  SELECT u, v FROM es$r WHERE support >= ${k - 2})""".stripMargin)
+      prev = s"e$r"
+    }
+    sb.append(
+      s""",
+         |tconv AS (SELECT CASE WHEN
+         |    (SELECT COUNT(*) FROM e$rounds) <> (SELECT COUNT(*) FROM e${rounds - 1})
+         |  THEN error('k-truss peeling not converged') ELSE 1 END AS ok),
+         |truss AS (SELECT es.u, es.v, CAST(es.support AS BIGINT) AS support
+         |  FROM es$rounds es WHERE es.support >= ${k - 2}
+         |    AND (SELECT ok FROM tconv) = 1)""".stripMargin)
+    sb.toString
+  }
+
   /** Unrolled DuckDB oracle for [[kCore]] — `undSql` must be a CTE body
     * yielding (u, v). Mirrors the synchronous peeling exactly; the
     * convergence guard errors if `rounds` unrolled iterations did not

@@ -448,6 +448,48 @@ class GraphSpec extends AnyFunSuite {
       assert(kCoreMap(edges, k) === scalarKCore(edges, k), s"k=$k")
   }
 
+  // ---- kTruss: edge-support peeling ----
+
+  private def kTrussMap(edges: Seq[(Long, Long)], k: Int, maxRounds: Int = 50) =
+    Graph.kTruss(df(undSchema, edges.map { case (a, b) => Row(a, b) }), k, maxRounds)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  private def scalarKTruss(edges: Seq[(Long, Long)], k: Int): Map[(Long, Long), Long] = {
+    var es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    var sup = Map.empty[(Long, Long), Long]
+    var changed = true
+    while (changed) {
+      val adj = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      sup = es.map { case (u, v) => (u, v) -> (adj(u) & adj(v)).size.toLong }.toMap
+      val next = es.filter(e => sup(e) >= k - 2)
+      changed = next != es
+      es = next
+    }
+    es.map(e => e -> sup(e)).toMap
+  }
+
+  test("kTruss: K5 with a pendant triangle — truss keeps the clique, cuts the bridge") {
+    val k5 = (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)).toSeq
+    // pendant triangle 5-6-7 hanging off node 5: each of its edges has
+    // 1 common neighbor → dies at k=4 even though node 5 is high-degree
+    val edges = k5 ++ Seq((5L, 6L), (5L, 7L), (6L, 7L))
+    val got = kTrussMap(edges, k = 4)
+    assert(got.keySet === k5.toSet)
+    got.values.foreach(s => assert(s === 3L)) // every K5 edge: 3 common neighbors
+    // at k=3 the pendant triangle survives too (support 1 ≥ 1)
+    assert(kTrussMap(edges, k = 3).keySet === edges.toSet)
+  }
+
+  test("kTruss == scalar support peeling on a random graph, several k") {
+    val rnd = new scala.util.Random(29L)
+    val edges = (for {
+      a <- 0L until 30L; b <- (a + 1) until 30L if rnd.nextDouble() < 0.25
+    } yield (a, b)).toSeq
+    for (k <- Seq(3, 4, 5))
+      assert(kTrussMap(edges, k) === scalarKTruss(edges, k), s"k=$k")
+  }
+
   test("kCore: maxRounds too small fails loudly instead of returning a non-fixpoint") {
     // long path: k=2 peels one node from each end per round
     val path = (1L until 20L).map(i => (i, i + 1))
