@@ -19,6 +19,9 @@ case class Scd2Event(user_id: Long, event_id: Long, ts_us: Long, state: String)
 case class Scd2State(state: String, validFromUs: Long, lastTs: Long)
 case class Scd2Out(user_id: Long, state: String, valid_from_us: Long,
                    valid_to_us: Long)
+case class BucketEvent(key: Long, event_id: Long, ts_us: Long, delta: Long)
+case class BucketState(level: Long, lastTs: Long)
+case class BucketOut(key: Long, event_id: Long, ts_us: Long, level: Long)
 case class AsofStateRow(key: Long, ts_us: Long, value: Double)
 case class AsofEvent(key: Long, event_id: Long, ts_us: Long)
 case class AsofIn(key: Long, tag: Int, ts_us: Long, event_id: Long, value: Double)
@@ -459,6 +462,43 @@ object StreamingOps {
       if (groupCols.isEmpty) stream.groupBy()
       else stream.groupBy(groupCols.map(col): _*)
     grouped.agg(graft.functions.spaceSavingHH(col(itemCol), capacity).as("hh"))
+  }
+
+  /** Streaming clamped accumulator — the streaming form of
+    * [[graft.ops.Scan.clampedScan]]: per key,
+    * y = max(lo, min(hi, y + Δ)) folded over events in (ts, event_id)
+    * order, the level riding in group state across micro-batches
+    * (token-bucket rate accounting / bounded credit balances, evaluated
+    * continuously). State per key is ONE long — O(keys) however long
+    * the stream runs. Events inside a micro-batch sort by
+    * (ts_us, event_id); cross-batch late events are dropped (the
+    * watermark-style choice shared by every stateful op here — folding
+    * one in would rewrite levels already emitted). For in-order
+    * streams the emitted levels are bit-identical to the batch scan's.
+    */
+  def streamingClampedAccumulator(events: org.apache.spark.sql.Dataset[BucketEvent],
+                                  lo: Long, hi: Long, seed: Long = 0L):
+      org.apache.spark.sql.Dataset[BucketOut] = {
+    require(lo <= hi, s"needs lo <= hi, got [$lo, $hi]")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fn(key: Long, it: Iterator[BucketEvent],
+           state: GroupState[BucketState]): Iterator[BucketOut] = {
+      val evts = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption.getOrElse(BucketState(seed, Long.MinValue))
+      val out = scala.collection.mutable.ArrayBuffer.empty[BucketOut]
+      evts.foreach { e =>
+        if (e.ts_us >= st.lastTs) {
+          val y = math.max(lo, math.min(hi, st.level + e.delta))
+          st = BucketState(y, e.ts_us)
+          out += BucketOut(key, e.event_id, e.ts_us, y)
+        } // else: cross-batch late event, dropped
+      }
+      state.update(st)
+      out.iterator
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Streaming windowed distinct cardinality: HLL++

@@ -257,6 +257,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming clamped accumulator == batch clampedScan across micro-batches, bit-exact") {
+    import spark.implicits._
+    import graft.streaming.{BucketEvent, BucketOut}
+    val dir = "/root/testdata/sf0.001"
+    // deltas from the events stream: views refill +1, clicks/purchases
+    // drain -2 — both clamps engage
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .select($"user_id".as("key"), $"event_id", $"ts_us",
+        when($"event_type" === "view", 1L).otherwise(-2L).as("delta"))
+      .as[BucketEvent].collect().sortBy(e => (e.ts_us, e.event_id))
+    val batchIn = spark.createDataset(ev.toIndexedSeq)
+    val want = graft.ops.Scan.clampedScan(
+        batchIn.toDF(), Seq("key"), Seq("ts_us", "event_id"), "delta", 0L, 5L)
+      .select("key", "event_id", "level").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[BucketEvent]
+    val out = graft.streaming.StreamingOps.streamingClampedAccumulator(stream.toDS(), 0L, 5L)
+    val q = out.writeStream.format("memory").queryName("bucket_out")
+      .outputMode("append").start()
+    val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
+    chunks.foreach { c => stream.addData(c.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("bucket_out").as[BucketOut].collect()
+      .map(b => (b.key, b.event_id) -> b.level).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming sessionize drops cross-batch late events instead of corrupting sessions") {
     import spark.implicits._
     import graft.streaming.{SessionEvent, SessionOut}
