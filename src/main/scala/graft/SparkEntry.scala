@@ -1979,6 +1979,18 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // full core decomposition of the pair graph: every doc's coreness
+    // number in ONE fixpoint (H-index iteration), not a per-k rerun —
+    // the graded "how deep in a duplicate community" signal q_kcore
+    // thresholds at a single k
+    "q_coreness" -> { (s, dir) =>
+      val und = Dedup.simhashPairs(Tables(s, dir, "documents"), hammingMax = 2)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      Graph.coreness(und)
+        .select(col("node").as("doc_id"), col("coreness"))
+        .orderBy("doc_id")
+    },
+
     // k-truss of the same pair graph — the EDGE-level sharpening of
     // q_kcore: an edge survives only with ≥ 3 common neighbors, so
     // high-degree bridge nodes can't hold unrelated replica families
@@ -5533,6 +5545,11 @@ object SparkEntry {
       s"""WITH $simhashBandedPairCtes,
          |${graft.ops.Graph.kCoreSql("SELECT doc_a AS u, doc_b AS v FROM p", k = 3, rounds = 12)}
          |SELECT node AS doc_id, core_deg FROM core ORDER BY doc_id""".stripMargin,
+
+    "q_coreness" ->
+      s"""WITH $simhashBandedPairCtes,
+         |${graft.ops.Graph.corenessSql("SELECT doc_a AS u, doc_b AS v FROM p", rounds = 10)}
+         |SELECT node AS doc_id, coreness FROM core_out ORDER BY doc_id""".stripMargin,
 
     "q_ktruss" ->
       s"""WITH $simhashBandedPairCtes,

@@ -571,6 +571,90 @@ f$h AS (SELECT id FROM x$h)""")
     withSup.filter(col("support") >= k - 2)
   }
 
+  /** Full core decomposition — coreness number for EVERY node in one
+    * fixpoint, not one k at a time: iterate c₀(v) = deg(v),
+    * c_{t+1}(v) = H-index of {c_t(u) : u ∈ N(v)}, which converges to
+    * the peeling coreness (Lü, Zhou, Zhang & Stanley 2016, "The
+    * H-index of a network node and its relation to degree and
+    * coreness", Nat. Commun. 7:10168). Values are monotone
+    * non-increasing, so ΣC strictly decreases until the fixpoint —
+    * the same cheap convergence probe as the min-label CC loop.
+    *
+    * The per-round H-index runs as ONE window over the adjacency
+    * (rank neighbors by value desc, H = max(min(rank, value))) plus a
+    * combiner aggregation — per-task work bounded by max degree, the
+    * H-index's own input size. Converges in a handful of rounds in
+    * practice (the theory bound is O(graph diameter)-ish; 4 on the
+    * near-dup pair graph).
+    *
+    * `und`: undirected edges (u, v). Returns (node, coreness) for every
+    * node with ≥ 1 edge.
+    */
+  def coreness(und: DataFrame, maxRounds: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var c = adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    def total(df: DataFrame): Long = df.agg(sum(col("c"))).head().getLong(0)
+    var prev = total(c)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      rounds += 1
+      val w = Window.partitionBy(col("src")).orderBy(col("c").desc)
+      val next = adj.join(c.select(col("node").as("dst"), col("c")), "dst")
+        .select(col("src"), col("c"))
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .groupBy(col("src").as("node"))
+        .agg(max(least(col("rn"), col("c"))).as("c"))
+        .localCheckpoint(true)
+      val s = total(next)
+      converged = s == prev // monotone non-increasing: equal sum = fixpoint
+      prev = s
+      c = next
+    }
+    require(converged, s"coreness did not converge in $maxRounds rounds")
+    c.select(col("node"), col("c").as("coreness"))
+  }
+
+  /** Unrolled DuckDB oracle for [[coreness]] — same H-index rounds, with
+    * the convergence-or-error guard (a node whose value still shrinks
+    * after `rounds` iterations poisons the result instead of passing).
+    */
+  def corenessSql(undSql: String, rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""cund AS MATERIALIZED ($undSql),
+         |cadj AS MATERIALIZED (
+         |  SELECT u AS src, v AS dst FROM cund
+         |  UNION SELECT v, u FROM cund),
+         |c0 AS MATERIALIZED (SELECT src AS node, COUNT(*) AS c FROM cadj GROUP BY src)""".stripMargin)
+    var prev = "c0"
+    for (r <- 1 to rounds) {
+      sb.append(
+        s""",
+           |c$r AS MATERIALIZED (
+           |  SELECT node, MAX(LEAST(rn, c)) AS c FROM (
+           |    SELECT e.src AS node, l.c,
+           |      row_number() OVER (PARTITION BY e.src ORDER BY l.c DESC) AS rn
+           |    FROM cadj e JOIN $prev l ON l.node = e.dst)
+           |  GROUP BY node)""".stripMargin)
+      prev = s"c$r"
+    }
+    sb.append(
+      s""",
+         |cconv AS (SELECT CASE WHEN EXISTS (
+         |    SELECT 1 FROM c$rounds a JOIN c${rounds - 1} b ON a.node = b.node
+         |    WHERE a.c <> b.c)
+         |  THEN error('coreness H-iteration not converged') ELSE 1 END AS ok),
+         |core_out AS (SELECT node, c AS coreness FROM c$rounds
+         |  WHERE (SELECT ok FROM cconv) = 1)""".stripMargin)
+    sb.toString
+  }
+
   /** Unrolled DuckDB oracle for [[kTruss]] — `undSql` yields (u, v).
     * Mirrors the support peeling round for round with the same
     * convergence-or-error guard as [[kCoreSql]].

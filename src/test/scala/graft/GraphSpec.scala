@@ -448,6 +448,52 @@ class GraphSpec extends AnyFunSuite {
       assert(kCoreMap(edges, k) === scalarKCore(edges, k), s"k=$k")
   }
 
+  // ---- coreness: H-index fixpoint ----
+
+  /** Scalar peeling coreness — the definitional value the H-iteration
+    * must converge to.
+    */
+  private def scalarCoreness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = collection.mutable.Map.empty[Long, collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, collection.mutable.Set.empty) += a
+    }
+    val deg = collection.mutable.Map(adj.view.mapValues(_.size.toLong).toSeq: _*)
+    val core = collection.mutable.Map.empty[Long, Long]
+    var cur = 0L
+    while (deg.nonEmpty) {
+      val (v, d) = deg.minBy { case (n, dd) => (dd, n) }
+      cur = math.max(cur, d)
+      core(v) = cur
+      deg.remove(v)
+      adj(v).foreach { u => if (deg.contains(u)) deg(u) -= 1 }
+      adj.values.foreach(_.remove(v))
+    }
+    core.toMap
+  }
+
+  test("coreness == peeling coreness on hand and random graphs; consistent with kCore") {
+    // K4 + tail: clique coreness 3, tail coreness 1
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toSeq
+    val edges = k4 ++ Seq((4L, 5L), (5L, 6L))
+    val got = Graph.coreness(df(undSchema, edges.map { case (a, b) => Row(a, b) }))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 1L, 6L -> 1L))
+
+    val rnd = new scala.util.Random(83L)
+    val rndEdges = (for {
+      a <- 0L until 36L; b <- (a + 1) until 36L if rnd.nextDouble() < 0.15
+    } yield (a, b)).toSeq
+    val gotR = Graph.coreness(df(undSchema, rndEdges.map { case (a, b) => Row(a, b) }))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotR === scalarCoreness(rndEdges))
+    // cross-op consistency: the k-core member set == {v : coreness ≥ k}
+    for (k <- Seq(2, 3)) {
+      assert(kCoreMap(rndEdges, k).keySet === gotR.filter(_._2 >= k).keySet, s"k=$k")
+    }
+  }
+
   // ---- kTruss: edge-support peeling ----
 
   private def kTrussMap(edges: Seq[(Long, Long)], k: Int, maxRounds: Int = 50) =
