@@ -939,6 +939,21 @@ object SparkEntry {
         .orderBy("l_partkey", "l_orderkey", "l_linenumber")
     },
 
+    // time-decayed per-user activity counter (half-life 1 h) — the CTR
+    // feature: each event adds 1, everything before decays by the REAL
+    // time gap. A window cannot express gap-dependent decay; the naive
+    // form is a per-user sequential pass. Runs as lagScan (previous ts,
+    // no key-partitioned window) + affineScan (per-row decay m_i).
+    "q_time_decay" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+        .select(col("user_id"), col("event_id"), col("ts_us"), lit(1.0).as("one"))
+      Scan.timeDecayedSum(ev, Seq("user_id"), Seq("ts_us", "event_id"),
+          "ts_us", "one", halfLifeUs = 3600L * 1000000L)
+        .select(col("user_id"), col("event_id"), round(col("decayed"), 6).as("decayed"))
+        .orderBy("user_id", "event_id")
+    },
+
     // per-nation EWMA of daily order counts (pandas ewm(alpha=0.25,
     // adjust=True) semantics) — exponential weights are impossible in a
     // window frame; runs as ONE affine-recurrence scan carrying the
@@ -4702,6 +4717,27 @@ object SparkEntry {
         |  FROM base b JOIN rec r ON b.l_partkey = r.l_partkey AND b.rn = r.rn + 1)
         |SELECT l_partkey, l_orderkey, l_linenumber, delta, level
         |FROM rec ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_time_decay" ->
+      // sequential recurrence per user (recursive CTE by rn); depth =
+      // max events per user, which Replicate keeps scale-independent.
+      // Both engines run the identical two IEEE ops per step (pow,
+      // fused add-multiply sequence) on values O(1-10); ROUND(,6)
+      // absorbs the ≤1-ulp libm pow spread
+      """WITH RECURSIVE base AS MATERIALIZED (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |rec AS (
+        |  SELECT user_id, event_id, ts_us, rn, CAST(1.0 AS DOUBLE) AS y
+        |  FROM base WHERE rn = 1
+        |  UNION ALL
+        |  SELECT b.user_id, b.event_id, b.ts_us, b.rn,
+        |    1.0 + POWER(0.5, CAST(b.ts_us - r.ts_us AS DOUBLE) / 3600000000.0) * r.y
+        |  FROM base b JOIN rec r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
+        |SELECT user_id, event_id, ROUND(y, 6) AS decayed
+        |FROM rec ORDER BY user_id, event_id""".stripMargin,
 
     "q_ewma_daily" ->
       // closed-form normalized exponential weights (the recurrences the

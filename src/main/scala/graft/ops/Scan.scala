@@ -311,6 +311,89 @@ object Scan {
     spark.createDataFrame(out, outSchema)
   }
 
+  /** Distributed lag-1 carry — `lag(col).over(window)` without putting
+    * any group's full history on one task: pass 1 records each
+    * (partition, group) slice's LAST value, the driver threads them in
+    * partition order into per-slice entry values, pass 2 replays the
+    * shift locally. First row of each group gets null, exactly like the
+    * window lag. `lagCol` must be LongType; appends nullable `outCol`.
+    */
+  def lagScan(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+              lagCol: String, outCol: String,
+              numParts: Int = 0, maxDriverEntries: Int = 1 << 20): DataFrame = {
+    require(orderCols.nonEmpty, "lagScan needs at least one order column")
+    val spark = df.sparkSession
+    val p = if (numParts > 0) numParts else spark.sparkContext.defaultParallelism
+    val keyCols = (groupCols ++ orderCols).map(col)
+    val sorted = df.repartitionByRange(p, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .localCheckpoint(true)
+    val schema = sorted.schema
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val lIdx = schema.fieldIndex(lagCol)
+    require(schema(lIdx).dataType == LongType,
+      s"lagScan carries LongType, got ${schema(lIdx).dataType} for $lagCol")
+    def key(r: Row): Seq[Any] = gIdx.toSeq.map(r.get)
+
+    val partLast: Array[(Int, Seq[(Seq[Any], Long)])] =
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val last = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
+        it.foreach { r => last.update(key(r), r.getLong(lIdx)) }
+        Iterator.single((pid, last.toSeq))
+      }.collect()
+    val nEntries = partLast.iterator.map(_._2.size).sum
+    require(nEntries <= maxDriverEntries,
+      s"lagScan driver state $nEntries > $maxDriverEntries slices — with this many small " +
+        "groups the plain window lag is already skew-safe")
+    val running = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
+    val entries: Map[(Int, Seq[Any]), Long] =
+      partLast.sortBy(_._1).iterator.flatMap { case (pid, lasts) =>
+        lasts.map { case (k, v) =>
+          val e = running.get(k)
+          running.update(k, v)
+          e.map(x => ((pid, k), x))
+        }.collect { case Some(kv) => kv }
+      }.toMap
+    val bcast = spark.sparkContext.broadcast(entries)
+
+    val outSchema = StructType(schema.fields :+ StructField(outCol, LongType, nullable = true))
+    val out = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
+      it.map { r =>
+        val k = key(r)
+        val prev: Any = local.get(k).orElse(bcast.value.get((pid, k))).orNull
+        local.update(k, r.getLong(lIdx))
+        Row.fromSeq(r.toSeq :+ prev)
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
+  /** Time-decayed activity counter — the CTR-feature staple:
+    *
+    *   y_i = x_i + 0.5^((t_i − t_{i−1}) / halfLife) · y_{i−1}
+    *
+    * (each event adds its value; everything accumulated so far decays
+    * by the REAL time gap, not a row count). Composed from the two
+    * scans: [[lagScan]] carries the previous timestamp without a
+    * key-partitioned window, then [[affineScan]] runs the recurrence
+    * with per-row decay m_i — skew-safe end to end, no task ever holds
+    * a full key history. First event of a key starts at y = x.
+    */
+  def timeDecayedSum(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+                     tsCol: String, valueCol: String, halfLifeUs: Long,
+                     outCol: String = "decayed", numParts: Int = 0): DataFrame = {
+    require(halfLifeUs > 0, s"halfLifeUs must be positive, got $halfLifeUs")
+    val lagged = lagScan(df, groupCols, orderCols, tsCol, "__prev_ts", numParts)
+    val withCoef = lagged
+      .withColumn("__m", when(col("__prev_ts").isNull, lit(0.0))
+        .otherwise(pow(lit(0.5),
+          (col(tsCol) - col("__prev_ts")).cast(DoubleType) / lit(halfLifeUs.toDouble))))
+      .withColumn("__b", col(valueCol).cast(DoubleType))
+    affineScan(withCoef, groupCols, orderCols, Seq(("__m", "__b", outCol)), numParts)
+      .drop("__prev_ts", "__m", "__b")
+  }
+
   /** Exponentially-weighted moving average with normalized weights
     * (pandas `ewm(alpha).mean()` with `adjust=True`):
     *

@@ -162,6 +162,60 @@ class ScanSpec extends AnyFunSuite {
     }
   }
 
+  // ---- lagScan: distributed previous-value carry ----
+
+  test("lagScan ≡ window lag, incl. nulls on group firsts and a hot key") {
+    val rows = for (g <- Seq("a", "b"); i <- 0 until 600)
+      yield (g, i.toLong, (i * 13 + g.hashCode).toLong)
+    val df = fixture(rows)
+    val w = Window.partitionBy(col("g")).orderBy(col("id"))
+    val want = df.withColumn("prev", lag(col("v"), 1).over(w))
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    val got = Scan.lagScan(df.repartition(11), Seq("g"), Seq("id"), "v", "prev", numParts = 7)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got === want)
+    // hot single group stays spread over partitions
+    val spark2 = spark
+    import spark2.implicits._
+    val hot = spark.range(100000).select(lit("h").as("g"), col("id"), (col("id") * 3).as("v"))
+    val res = Scan.lagScan(hot, Seq("g"), Seq("id"), "v", "prev", numParts = 16)
+    val sizes = res.rdd.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(sizes.count(_ > 0) >= 8)
+    val m = res.select("id", "prev").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(m(0L) === -1L)
+    (1L until 100000L by 9999L).foreach(i => assert(m(i) === (i - 1) * 3))
+  }
+
+  test("timeDecayedSum ≡ the sequential gap-decay recurrence within 1e-9 relative") {
+    val schema = StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("ts", LongType, nullable = false),
+      StructField("x", DoubleType, nullable = false)))
+    val rnd = new scala.util.Random(7L)
+    val rows = (for (g <- Seq("u1", "u2"); i <- 0 until 3000) yield {
+      (g, i.toLong * 60000000L + rnd.nextInt(50000000), 1.0 + (i % 5))
+    }).sortBy(t => (t._1, t._2))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map { case (g, t, x) => Row(g, t, x) }: _*), schema)
+    val hl = 3600L * 1000000L
+    val got = Scan.timeDecayedSum(df, Seq("g"), Seq("ts"), "ts", "x", hl, numParts = 8)
+      .select("g", "ts", "decayed").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getDouble(2))).toMap
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      var y = 0.0; var prevTs = Long.MinValue
+      rs.sortBy(_._2).foreach { case (g, t, x) =>
+        y = if (prevTs == Long.MinValue) x
+            else math.pow(0.5, (t - prevTs).toDouble / hl) * y + x
+        prevTs = t
+        val d = math.abs(got((g, t)) - y) / math.max(1.0, math.abs(y))
+        assert(d <= 1e-9, s"ts=$t got=${got((g, t))} want=$y")
+      }
+    }
+  }
+
   // ---- affineScan / ewma: the float linear-recurrence scan ----
 
   test("ewma ≡ the sequential pandas-adjust recurrence within 1e-9 relative, incl. hot key") {
