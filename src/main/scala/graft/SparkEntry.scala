@@ -939,6 +939,21 @@ object SparkEntry {
         .orderBy("l_partkey", "l_orderkey", "l_linenumber")
     },
 
+    // EXACT global order statistics by iterative histogram refinement —
+    // exact `percentile` puts every value in one aggregation buffer
+    // (the 100 TB straggler), percentile_approx is bounded but fuzzy;
+    // this is exact AND bounded: log_1024(range) combiner aggregations,
+    // driver state = 1024 counts per pass
+    "q_exact_quantile_scan" -> { (s, dir) =>
+      val cents = Tables(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100, 0).cast(LongType).as("v"))
+      val n = cents.count()
+      val Seq(p50, p90, p99) =
+        Scan.exactQuantiles(cents, "v", Seq(0.5, 0.9, 0.99))
+      s.range(1).select(lit(n).as("n"), lit(p50).as("p50_cents"),
+        lit(p90).as("p90_cents"), lit(p99).as("p99_cents"))
+    },
+
     // time-decayed per-user activity counter (half-life 1 h) — the CTR
     // feature: each event adds 1, everything before decays by the REAL
     // time gap. A window cannot express gap-dependent decay; the naive
@@ -4718,6 +4733,15 @@ object SparkEntry {
         |SELECT l_partkey, l_orderkey, l_linenumber, delta, level
         |FROM rec ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin,
 
+    "q_exact_quantile_scan" ->
+      // quantile_disc's rank convention (ceil(q·n)-th smallest) is the
+      // refinement loop's contract — exact integer equality, no rounding
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.5) AS p50_cents,
+        |  quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS p90_cents,
+        |  quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.99) AS p99_cents
+        |FROM orders""".stripMargin,
+
     "q_time_decay" ->
       // sequential recurrence per user (recursive CTE by rn); depth =
       // max events per user, which Replicate keeps scale-independent.
@@ -5584,7 +5608,7 @@ object SparkEntry {
 
     "q_coreness" ->
       s"""WITH $simhashBandedPairCtes,
-         |${graft.ops.Graph.corenessSql("SELECT doc_a AS u, doc_b AS v FROM p", rounds = 10)}
+         |${graft.ops.Graph.corenessSql("SELECT doc_a AS u, doc_b AS v FROM p", rounds = 20)}
          |SELECT node AS doc_id, coreness FROM core_out ORDER BY doc_id""".stripMargin,
 
     "q_ktruss" ->

@@ -311,6 +311,67 @@ object Scan {
     spark.createDataFrame(out, outSchema)
   }
 
+  /** EXACT order statistics at any scale without a sort and without
+    * per-task value collection: iterative histogram refinement. Spark's
+    * exact `percentile` collects every group's values into one
+    * aggregation buffer (OOM-or-straggler at 100 TB); `percentile_approx`
+    * is bounded but approximate. This takes the third corner — exact AND
+    * bounded: each pass histograms the surviving value range into
+    * `buckets` equi-width bins (one combiner-friendly aggregation,
+    * driver state = `buckets` counts), descends into the bin holding the
+    * target rank, and repeats — log_buckets(range) passes total (3 for a
+    * 32-bit domain at 1024 bins), the classic selection-by-refinement
+    * algorithm (Munro & Paterson 1980's multipass selection idea).
+    *
+    * Rank convention: quantile q → the ceil(q·n)-th smallest value
+    * (1-based) — identical to DuckDB's `quantile_disc`, so results are
+    * oracle-comparable. `valueCol` must be LongType.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
+                     buckets: Int = 1024): Seq[Long] = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val schema = df.schema
+    require(schema(schema.fieldIndex(valueCol)).dataType == LongType,
+      s"exactQuantiles needs LongType, got ${schema(schema.fieldIndex(valueCol)).dataType}")
+    val vals = df.select(col(valueCol).as("v")).localCheckpoint(true)
+    val n = vals.count()
+    require(n > 0, "exactQuantiles on empty input")
+    val bounds = vals.agg(min(col("v")), max(col("v"))).head()
+    qs.map { q =>
+      var k = math.max(1L, math.ceil(q * n).toLong) // rank within [lo, hi]
+      var lo = bounds.getLong(0)
+      var hi = bounds.getLong(1)
+      while (lo < hi) {
+        // width so that `buckets` bins always cover [lo, hi]
+        val width = math.max(1L, (hi - lo) / buckets + 1)
+        // `div`, not `/`: Spark's `/` on longs is double division, which
+        // both mistypes the bucket id and goes inexact past 2^53
+        val hist = vals.filter(col("v") >= lo && col("v") <= hi)
+          .groupBy(expr(s"(v - (${lo}L)) div ${width}L").as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        var cum = 0L
+        var chosen = -1L
+        var below = 0L
+        hist.foreach { case (b, c) =>
+          if (chosen < 0) {
+            if (cum + c >= k) { chosen = b; below = cum }
+            cum += c
+          }
+        }
+        assert(chosen >= 0, s"rank $k not found in [$lo, $hi]") // n>0 guarantees it
+        k -= below
+        val newLo = lo + chosen * width
+        hi = math.min(hi, newLo + width - 1)
+        lo = newLo
+        if (width == 1) hi = lo // singleton bins: bin index IS the value
+      }
+      lo
+    }
+  }
+
   /** Distributed lag-1 carry — `lag(col).over(window)` without putting
     * any group's full history on one task: pass 1 records each
     * (partition, group) slice's LAST value, the driver threads them in

@@ -162,6 +162,31 @@ class ScanSpec extends AnyFunSuite {
     }
   }
 
+  // ---- exactQuantiles: selection by histogram refinement ----
+
+  test("exactQuantiles == sorted order statistic (ceil(q·n) rank), incl. duplicates & negatives") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11L)
+    val data = Array.fill(20000)((rnd.nextGaussian() * 1e6).toLong) ++
+      Array.fill(500)(42L) // a heavy tie block
+    val df = spark.createDataset(data.toIndexedSeq).toDF("v")
+    val sorted = data.sorted
+    val qs = Seq(0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = graft.ops.Scan.exactQuantiles(df, "v", qs)
+    qs.zip(got).foreach { case (q, g) =>
+      val want = sorted(math.max(1, math.ceil(q * data.length).toInt) - 1)
+      assert(g === want, s"q=$q")
+    }
+    // tiny bucket count forces many refinement passes — same answers
+    val got4 = graft.ops.Scan.exactQuantiles(df, "v", qs, buckets = 4)
+    assert(got4 === got)
+    // single element, and q so small the rank clamps to 1
+    val one = spark.createDataset(Seq(7L)).toDF("v")
+    assert(graft.ops.Scan.exactQuantiles(one, "v", Seq(0.5, 1.0)) === Seq(7L, 7L))
+    assert(graft.ops.Scan.exactQuantiles(df, "v", Seq(1e-9)) === Seq(sorted.head))
+  }
+
   // ---- lagScan: distributed previous-value carry ----
 
   test("lagScan ≡ window lag, incl. nulls on group firsts and a hot key") {
