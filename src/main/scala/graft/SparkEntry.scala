@@ -660,6 +660,33 @@ object SparkEntry {
         .orderBy("o_orderkey")
     },
 
+    // linear multi-touch attribution — every click in the 7 days before
+    // a purchase shares its revenue equally (the marketing-analytics
+    // complement of the as-of family's last-touch): same-user range
+    // join (never a cross product), per-purchase touch count, then
+    // per-click aggregation of the value/k shares
+    "q_attribution_linear" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("unix_micros(ts)"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_eid"), col("user_id"),
+          col("ts_us").as("p_ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_eid"), col("user_id"),
+          col("ts_us").as("c_ts"))
+      val winUs = 7L * 86400L * 1000000L
+      // touch pairs feed both the per-purchase count and the share agg —
+      // checkpoint so the range join runs once
+      val touches = clicks.join(purchases, Seq("user_id"))
+        .filter(col("c_ts") <= col("p_ts") && col("c_ts") > col("p_ts") - winUs)
+        .localCheckpoint(true)
+      val k = touches.groupBy("p_eid").agg(count(lit(1)).as("k"))
+      touches.join(k, "p_eid")
+        .groupBy(col("c_eid").as("event_id"), col("user_id"))
+        .agg(round(sum(col("value") / col("k")), 6).as("attr_revenue"),
+          count(lit(1)).as("n_purchases"))
+        .orderBy("event_id")
+    },
+
     // ---- as-of join: latest prior click per purchase (union + window,
     //      one key shuffle, no range cross-product) ----
 
@@ -6189,6 +6216,25 @@ object SparkEntry {
         |  CAST(levenshtein(k_a, k_b) AS BIGINT) AS dist
         |FROM pairs WHERE levenshtein(k_a, k_b) <= 1
         |ORDER BY custkey_a, custkey_b""".stripMargin,
+
+    "q_attribution_linear" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, value,
+        |             epoch_us(ts) AS ts_us FROM events),
+        |p AS (SELECT event_id AS p_eid, user_id, ts_us AS p_ts, value
+        |      FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_eid, user_id, ts_us AS c_ts
+        |      FROM e WHERE event_type = 'click'),
+        |touches AS MATERIALIZED (
+        |  SELECT c.c_eid, c.user_id, p.p_eid, p.value
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |   AND c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - 604800000000),
+        |k AS (SELECT p_eid, COUNT(*) AS k FROM touches GROUP BY p_eid)
+        |SELECT t.c_eid AS event_id, t.user_id,
+        |  ROUND(SUM(t.value / k.k), 6) AS attr_revenue,
+        |  COUNT(*) AS n_purchases
+        |FROM touches t JOIN k ON k.p_eid = t.p_eid
+        |GROUP BY t.c_eid, t.user_id
+        |ORDER BY event_id""".stripMargin,
 
     "q_jw_link" ->
       // DuckDB's jaro_winkler_similarity is the pinned reference for the
