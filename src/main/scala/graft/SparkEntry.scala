@@ -981,6 +981,19 @@ object SparkEntry {
         lit(p90).as("p90_cents"), lit(p99).as("p99_cents"))
     },
 
+    // per-group exact order statistics — same refinement loop, every
+    // open (group, q) range histogrammed in one batched pass; exact
+    // where percentile() would buffer a whole group's values on one task
+    "q_exact_quantile_group" -> { (s, dir) =>
+      val cents = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100, 0).cast(LongType).as("v"))
+      Scan.exactQuantilesByGroup(cents, "l_returnflag", "v", Seq(0.5, 0.9))
+        .select(col("g").as("l_returnflag"), col("q"),
+          col("value").as("price_cents"))
+        .orderBy("l_returnflag", "q")
+    },
+
     // time-decayed per-user activity counter (half-life 1 h) — the CTR
     // feature: each event adds 1, everything before decays by the REAL
     // time gap. A window cannot express gap-dependent decay; the naive
@@ -4768,6 +4781,16 @@ object SparkEntry {
         |  quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.9) AS p90_cents,
         |  quantile_disc(CAST(round(o_totalprice * 100) AS BIGINT), 0.99) AS p99_cents
         |FROM orders""".stripMargin,
+
+    "q_exact_quantile_group" ->
+      """WITH c AS (SELECT l_returnflag,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem)
+        |SELECT l_returnflag, 0.5 AS q, quantile_disc(v, 0.5) AS price_cents
+        |FROM c GROUP BY l_returnflag
+        |UNION ALL
+        |SELECT l_returnflag, 0.9 AS q, quantile_disc(v, 0.9) AS price_cents
+        |FROM c GROUP BY l_returnflag
+        |ORDER BY l_returnflag, q""".stripMargin,
 
     "q_time_decay" ->
       // sequential recurrence per user (recursive CTE by rn); depth =

@@ -372,6 +372,103 @@ object Scan {
     }
   }
 
+  /** Per-group [[exactQuantiles]] — one histogram refinement loop PER
+    * GROUP but with every pass batched into a single aggregation over
+    * all still-unresolved groups (driver state = `buckets` counts ×
+    * groups). Exact per-group order statistics where
+    * `percentile(...)` would buffer each group's full value list on
+    * one task; right for few-or-moderate group counts with huge
+    * groups, the same contract as [[prefixSum]]. Returns
+    * (group, quantile, value) rows.
+    */
+  def exactQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                            qs: Seq[Double], buckets: Int = 1024,
+                            maxGroups: Int = 4096): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must be in (0, 1], got $qs")
+    val schema = df.schema
+    require(schema(schema.fieldIndex(valueCol)).dataType == LongType,
+      s"exactQuantilesByGroup needs LongType, got ${schema(schema.fieldIndex(valueCol)).dataType}")
+    val spark = df.sparkSession
+    val vals = df.select(col(groupCol).as("g"), col(valueCol).as("v")).localCheckpoint(true)
+    val stats = vals.groupBy("g")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect()
+    require(stats.length <= maxGroups,
+      s"exactQuantilesByGroup driver state ${stats.length} groups > $maxGroups — with this " +
+        "many groups the per-group value lists are small and plain percentile is already safe")
+    // state per (group, q): [k within current range, lo, hi]
+    val state = scala.collection.mutable.LinkedHashMap.empty[(Any, Double), Array[Long]]
+    stats.foreach { r =>
+      val g = r.get(0); val n = r.getLong(1)
+      qs.foreach { q =>
+        state.update((g, q), Array(math.max(1L, math.ceil(q * n).toLong), r.getLong(2), r.getLong(3)))
+      }
+    }
+    while (state.values.exists(s => s(1) < s(2))) {
+      // ONE pass: histogram every open (group, q) range together — each
+      // range gets its OWN bucket grid (after the first pass the qs of
+      // one group diverge, so a shared group grid would straddle a q's
+      // range edge and mis-count its rank offset)
+      val open = state.filter { case (_, s) => s(1) < s(2) }.toSeq
+      val ranges: Map[Any, Seq[(Double, Long, Long, Long)]] =
+        open.groupBy(_._1._1).map { case (g, entries) =>
+          (g, entries.map { case ((_, q), s) =>
+            (q, s(1), s(2), math.max(1L, (s(2) - s(1)) / buckets + 1))
+          })
+        }
+      val bcast = spark.sparkContext.broadcast(ranges)
+      import org.apache.spark.sql.Row
+      val histRows = vals.rdd.mapPartitions { it =>
+        val counts = scala.collection.mutable.HashMap.empty[(Any, Double, Long), Long]
+        it.foreach { r =>
+          val g = r.get(0)
+          bcast.value.get(g).foreach { entries =>
+            val v = r.getLong(1)
+            entries.foreach { case (q, lo, hi, w) =>
+              if (v >= lo && v <= hi) {
+                val k = (g, q, (v - lo) / w)
+                counts.update(k, counts.getOrElse(k, 0L) + 1L)
+              }
+            }
+          }
+        }
+        counts.iterator.map { case ((g, q, b), c) => Row(g, q, b, c) }
+      }
+      // merge partials on the driver: ≤ buckets × open entries
+      val merged = scala.collection.mutable.HashMap.empty[(Any, Double, Long), Long]
+      histRows.collect().foreach { r =>
+        val k = (r.get(0), r.getDouble(1), r.getLong(2))
+        merged.update(k, merged.getOrElse(k, 0L) + r.getLong(3))
+      }
+      open.foreach { case ((g, q), s) =>
+        val lo = s(1)
+        val w = math.max(1L, (s(2) - lo) / buckets + 1)
+        var k = s(0); var cum = 0L; var chosen = -1L; var below = 0L
+        var b = 0L
+        val bMax = (s(2) - lo) / w
+        while (b <= bMax && chosen < 0) {
+          val c = merged.getOrElse((g, q, b), 0L)
+          if (cum + c >= k) { chosen = b; below = cum }
+          cum += c
+          b += 1
+        }
+        assert(chosen >= 0, s"rank $k not found for group $g in [${s(1)}, ${s(2)}]")
+        s(0) = k - below
+        s(2) = math.min(s(2), lo + (chosen + 1) * w - 1)
+        s(1) = lo + chosen * w
+        if (w == 1) s(2) = s(1)
+      }
+    }
+    val out = state.toSeq.map { case ((g, q), s) => Row(g, q, s(1)) }
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      StructType(Seq(
+        schema(schema.fieldIndex(groupCol)).copy(name = "g"),
+        StructField("q", DoubleType, nullable = false),
+        StructField("value", LongType, nullable = false))))
+  }
+
   /** Distributed lag-1 carry — `lag(col).over(window)` without putting
     * any group's full history on one task: pass 1 records each
     * (partition, group) slice's LAST value, the driver threads them in

@@ -187,6 +187,34 @@ class ScanSpec extends AnyFunSuite {
     assert(graft.ops.Scan.exactQuantiles(df, "v", Seq(1e-9)) === Seq(sorted.head))
   }
 
+  test("exactQuantilesByGroup == per-group sorted order stats, divergent q ranges") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(23L)
+    val data = Seq("a", "b", "c").flatMap { g =>
+      // different distributions per group so the q ranges split unevenly
+      val base = g.hashCode.toLong % 1000
+      Array.fill(8000)((g, base + (rnd.nextGaussian() * (100 + base.abs)).toLong))
+    }
+    val df = spark.createDataset(data.toIndexedSeq).toDF("g", "v")
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val got = graft.ops.Scan.exactQuantilesByGroup(df, "g", "v", qs, buckets = 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val sorted = rows.map(_._2).sorted
+      qs.foreach { q =>
+        val want = sorted(math.max(1, math.ceil(q * sorted.length).toInt) - 1)
+        assert(got((g, q)) === want, s"g=$g q=$q")
+      }
+    }
+    // guard fires on pathological group counts
+    val wide = spark.range(5000).select(col("id").cast(StringType).as("g"), col("id").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Scan.exactQuantilesByGroup(wide, "g", "v", Seq(0.5), maxGroups = 100)
+    }
+    assert(e.getMessage.contains("driver state"))
+  }
+
   // ---- lagScan: distributed previous-value carry ----
 
   test("lagScan ≡ window lag, incl. nulls on group firsts and a hot key") {
