@@ -22,6 +22,9 @@ case class Scd2Out(user_id: Long, state: String, valid_from_us: Long,
 case class BucketEvent(key: Long, event_id: Long, ts_us: Long, delta: Long)
 case class BucketState(level: Long, lastTs: Long)
 case class BucketOut(key: Long, event_id: Long, ts_us: Long, level: Long)
+case class DecayEvent(key: Long, event_id: Long, ts_us: Long, x: Double)
+case class DecayState(y: Double, lastTs: Long)
+case class DecayOut(key: Long, event_id: Long, ts_us: Long, decayed: Double)
 case class AsofStateRow(key: Long, ts_us: Long, value: Double)
 case class AsofEvent(key: Long, event_id: Long, ts_us: Long)
 case class AsofIn(key: Long, tag: Int, ts_us: Long, event_id: Long, value: Double)
@@ -492,6 +495,44 @@ object StreamingOps {
           val y = math.max(lo, math.min(hi, st.level + e.delta))
           st = BucketState(y, e.ts_us)
           out += BucketOut(key, e.event_id, e.ts_us, y)
+        } // else: cross-batch late event, dropped
+      }
+      state.update(st)
+      out.iterator
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming gap-decayed activity counter — the streaming form of
+    * [[graft.ops.Scan.timeDecayedSum]]: per key,
+    * y = x + 0.5^(Δt/halfLife)·y_prev with the decay taken from the
+    * REAL gap to the previous event, (y, lastTs) riding in group
+    * state. This is the feature-store serving shape of the CTR
+    * counter: the batch scan backfills history, this keeps the same
+    * number fresh per event, and because the streaming fold IS the
+    * sequential recurrence, its values match the batch scan to the
+    * scan's own cross-partition tolerance (≤ 1e-9 relative). Same
+    * late-event rule as every stateful op here.
+    */
+  def streamingTimeDecayedSum(events: org.apache.spark.sql.Dataset[DecayEvent],
+                              halfLifeUs: Long):
+      org.apache.spark.sql.Dataset[DecayOut] = {
+    require(halfLifeUs > 0, s"halfLifeUs must be positive, got $halfLifeUs")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fn(key: Long, it: Iterator[DecayEvent],
+           state: GroupState[DecayState]): Iterator[DecayOut] = {
+      val evts = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption.getOrElse(DecayState(0.0, Long.MinValue))
+      val out = scala.collection.mutable.ArrayBuffer.empty[DecayOut]
+      evts.foreach { e =>
+        if (e.ts_us >= st.lastTs) {
+          val y =
+            if (st.lastTs == Long.MinValue) e.x
+            else math.pow(0.5, (e.ts_us - st.lastTs).toDouble / halfLifeUs) * st.y + e.x
+          st = DecayState(y, e.ts_us)
+          out += DecayOut(key, e.event_id, e.ts_us, y)
         } // else: cross-batch late event, dropped
       }
       state.update(st)

@@ -287,6 +287,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming gap-decayed counter == batch timeDecayedSum across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.{DecayEvent, DecayOut}
+    val dir = "/root/testdata/sf0.001"
+    val hl = 3600L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .select($"user_id".as("key"), $"event_id", $"ts_us", lit(1.0).as("x"))
+      .as[DecayEvent].collect().sortBy(e => (e.ts_us, e.event_id))
+    val batchIn = spark.createDataset(ev.toIndexedSeq)
+    val want = graft.ops.Scan.timeDecayedSum(
+        batchIn.toDF(), Seq("key"), Seq("ts_us", "event_id"), "ts_us", "x", hl)
+      .select("key", "event_id", "decayed").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[DecayEvent]
+    val out = graft.streaming.StreamingOps.streamingTimeDecayedSum(stream.toDS(), hl)
+    val q = out.writeStream.format("memory").queryName("decay_out")
+      .outputMode("append").start()
+    val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
+    chunks.foreach { c => stream.addData(c.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("decay_out").as[DecayOut].collect()
+      .map(d => (d.key, d.event_id) -> d.decayed).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (k, v) =>
+      val w = want(k)
+      assert(math.abs(v - w) / math.max(1.0, math.abs(w)) <= 1e-9, s"$k: $v vs $w")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("streaming sessionize drops cross-batch late events instead of corrupting sessions") {
     import spark.implicits._
     import graft.streaming.{SessionEvent, SessionOut}
