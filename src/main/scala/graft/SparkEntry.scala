@@ -1037,14 +1037,7 @@ object SparkEntry {
     // bounds around 1.
     "q_jl_project" -> { (s, dir) =>
       val dIn = 64; val dOut = 16
-      val scale = math.sqrt(3.0 / dOut)
-      def sign(i: Int, j: Int): Double = {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val h = md.digest(s"jl:$i:$j".getBytes("UTF-8"))
-          .take(1).map(b => f"${b & 0xff}%02x").mkString
-        if (h < "2b") 1.0 else if (h >= "d5") -1.0 else 0.0
-      }
-      val mat = Array.tabulate(dOut)(j => Array.tabulate(dIn)(i => sign(i, j) * scale))
+      val mat = Similarity.jlMatrix(dIn, dOut)
       val y = graft.functions.pcaProject(col("embedding"), Array.fill(dIn)(0.0), mat)
       Tables(s, dir, "embeddings")
         .select(col("vec_id"),
@@ -2445,6 +2438,27 @@ object SparkEntry {
         .orderBy("qid")
     },
 
+    // training-free two-stage retrieval: JL-projected 16-d shortlist
+    // (k·8) + exact 64-d rerank — the cold-start counterpart of
+    // ann_pca_rerank (no training pass; distortion bound is
+    // distribution-free). Verdict bar matches the pca query's.
+    "ann_jl_rerank" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
+        .select(col("qid"), col("label"))
+      val overlap = annOverlap(exact,
+        Similarity.jlRerankTopK(vectors, queries, k = 10, dIn = 64, dOut = 16,
+          expand = 8))
+      queries.select(col("qid"))
+        .join(overlap, Seq("qid"), "left")
+        .select(col("qid"),
+          (coalesce(col("n_common"), lit(0L)) >= 1L).as("recall_ok"))
+        .orderBy("qid")
+    },
+
     // two-stage retrieval: f16-quantized coarse shortlist (k·4) + exact
     // fp32 rerank — equals exact brute force, so it shares the knn_l2
     // oracle (the correctness gate re-proves shortlist sufficiency)
@@ -3768,6 +3782,12 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "ann_hnsw" ->
+      """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "ann_jl_rerank" ->
+      // verdict oracle (probed: min overlap 1/10 at sf0.1 expand=8,
+      // 4/10 at sf0.01, 10/10 at sf1 — tools/JlProbe)
       """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 

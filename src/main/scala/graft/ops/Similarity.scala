@@ -885,6 +885,50 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
 
+  /** Deterministic Johnson-Lindenstrauss sparse sign matrix (Achlioptas
+    * 2003): entries {+1, 0, −1}·√(3/dOut) at p = (43/256, 170/256,
+    * 43/256), the sign drawn from the first md5 byte of "jl:i:j" — so
+    * any engine (the DuckDB oracle included) rebuilds the IDENTICAL
+    * matrix from the formula alone. Rows are output components over
+    * input dims, the [[graft.functions.PcaProject]] orientation.
+    */
+  def jlMatrix(dIn: Int, dOut: Int): Array[Array[Double]] = {
+    val scale = math.sqrt(3.0 / dOut)
+    def sign(i: Int, j: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"jl:$i:$j".getBytes("UTF-8"))
+        .take(1).map(b => f"${b & 0xff}%02x").mkString
+      if (h < "2b") 1.0 else if (h >= "d5") -1.0 else 0.0
+    }
+    Array.tabulate(dOut)(j => Array.tabulate(dIn)(i => sign(i, j) * scale))
+  }
+
+  /** Training-free two-stage retrieval: JL-projected shortlist (k·expand
+    * in dOut dims — reads dOut/d of the scan bytes, no training pass at
+    * all) + exact fp32 rerank. The zero-training counterpart of
+    * [[pcaRerankTopK]]: PCA needs a pass over the corpus and wins when
+    * variance concentrates; JL needs NOTHING and its distortion bound is
+    * distribution-free (the lemma), which is exactly the cold-start /
+    * streaming-corpus niche.
+    */
+  def jlRerankTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                   dIn: Int, dOut: Int, expand: Int = 4): DataFrame = {
+    val mat = jlMatrix(dIn, dOut)
+    val zero = Array.fill(dIn)(0.0)
+    val vP = Dedup.spread(vectors)
+      .select(col("id"), pcaProject(col("vec"), zero, mat).as("vec"))
+    val qP = queries.select(col("qid"),
+      pcaProject(col("qv"), zero, mat).as("qv"))
+    val shortlist = gemmTopK(vP, qP, k * expand)
+      .select(col("qid"), col("label"))
+    explodeHits(
+      broadcast(shortlist).join(vectors, shortlist("label") === vectors("id"))
+        .join(broadcast(queries), "qid")
+        .select(col("qid"), col("label"), squaredL2(col("vec"), col("qv")).as("score"))
+        .groupBy(col("qid"))
+        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
+  }
+
   /** Product-quantization ANN (PQ codes + ADC scan) — the memory-
     * compression scale path: vectors are encoded ONCE into `m` sub-
     * centroid indices (for d=64/m=8, a 32× reduction of the bytes a scan

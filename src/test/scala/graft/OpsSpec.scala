@@ -1959,14 +1959,7 @@ class OpsSpec extends AnyFunSuite {
     // p = 43/256 each sign, scaled √(3/dOut) — E[‖y‖²] = ~‖x‖²·(3·86/256)
     // ≈ 1.008·‖x‖², so ratios should sit tightly around 1 for 64→16
     val dIn = 64; val dOut = 16
-    val scale = math.sqrt(3.0 / dOut)
-    def sign(i: Int, j: Int): Double = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val h = md.digest(s"jl:$i:$j".getBytes("UTF-8"))
-        .take(1).map(b => f"${b & 0xff}%02x").mkString
-      if (h < "2b") 1.0 else if (h >= "d5") -1.0 else 0.0
-    }
-    val mat = Array.tabulate(dOut)(j => Array.tabulate(dIn)(i => sign(i, j) * scale))
+    val mat = Similarity.jlMatrix(dIn, dOut)
     // deterministic matrix sanity: roughly 1/6 of entries each sign
     val nz = mat.flatten.count(_ != 0.0)
     assert(nz > dIn * dOut / 6 && nz < dIn * dOut / 2, s"nonzeros: $nz")
@@ -1980,5 +1973,23 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(mean - 1.0) < 0.15, s"mean ratio $mean")
     // JL for d_out=16: distortion mostly within ±60%; no collapse/blowup
     assert(ratios.forall(r => r > 0.2 && r < 2.5), s"extremes: ${ratios.min} ${ratios.max}")
+  }
+
+  test("jlRerankTopK with a corpus-covering shortlist == exact brute force") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val n = vectors.count().toInt
+    // expand so k·expand ≥ corpus: the shortlist is everything, so the
+    // exact rerank must reproduce brute force bit for bit
+    val got = Similarity.jlRerankTopK(vectors, queries, k = 10,
+        dIn = 64, dOut = 16, expand = n / 10 + 1)
+      .select("qid", "rank", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
+      .select("qid", "rank", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want)
   }
 }
