@@ -329,47 +329,13 @@ object Scan {
     */
   def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
                      buckets: Int = 1024): Seq[Long] = {
-    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
-      s"quantiles must be in (0, 1], got $qs")
-    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
-    val schema = df.schema
-    require(schema(schema.fieldIndex(valueCol)).dataType == LongType,
-      s"exactQuantiles needs LongType, got ${schema(schema.fieldIndex(valueCol)).dataType}")
-    val vals = df.select(col(valueCol).as("v")).localCheckpoint(true)
-    val n = vals.count()
-    require(n > 0, "exactQuantiles on empty input")
-    val bounds = vals.agg(min(col("v")), max(col("v"))).head()
-    qs.map { q =>
-      var k = math.max(1L, math.ceil(q * n).toLong) // rank within [lo, hi]
-      var lo = bounds.getLong(0)
-      var hi = bounds.getLong(1)
-      while (lo < hi) {
-        // width so that `buckets` bins always cover [lo, hi]
-        val width = math.max(1L, (hi - lo) / buckets + 1)
-        // `div`, not `/`: Spark's `/` on longs is double division, which
-        // both mistypes the bucket id and goes inexact past 2^53
-        val hist = vals.filter(col("v") >= lo && col("v") <= hi)
-          .groupBy(expr(s"(v - (${lo}L)) div ${width}L").as("b"))
-          .agg(count(lit(1)).as("c"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-        var cum = 0L
-        var chosen = -1L
-        var below = 0L
-        hist.foreach { case (b, c) =>
-          if (chosen < 0) {
-            if (cum + c >= k) { chosen = b; below = cum }
-            cum += c
-          }
-        }
-        assert(chosen >= 0, s"rank $k not found in [$lo, $hi]") // n>0 guarantees it
-        k -= below
-        val newLo = lo + chosen * width
-        hi = math.min(hi, newLo + width - 1)
-        lo = newLo
-        if (width == 1) hi = lo // singleton bins: bin index IS the value
-      }
-      lo
-    }
+    // one constant group: all qs batch into a single histogram pass per
+    // refinement level instead of an independent loop per quantile
+    val g = df.select(lit(0L).as("__g"), col(valueCol))
+    val res = exactQuantilesByGroup(g, "__g", valueCol, qs, buckets)
+      .collect().map(r => r.getDouble(1) -> r.getLong(2)).toMap
+    require(res.nonEmpty, "exactQuantiles on empty input")
+    qs.map(res)
   }
 
   /** Per-group [[exactQuantiles]] — one histogram refinement loop PER
@@ -386,6 +352,7 @@ object Scan {
                             maxGroups: Int = 4096): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must be in (0, 1], got $qs")
+    require(buckets >= 2, s"need >= 2 buckets for refinement progress, got $buckets")
     val schema = df.schema
     require(schema(schema.fieldIndex(valueCol)).dataType == LongType,
       s"exactQuantilesByGroup needs LongType, got ${schema(schema.fieldIndex(valueCol)).dataType}")
@@ -397,6 +364,15 @@ object Scan {
     require(stats.length <= maxGroups,
       s"exactQuantilesByGroup driver state ${stats.length} groups > $maxGroups — with this " +
         "many groups the per-group value lists are small and plain percentile is already safe")
+    stats.foreach { r =>
+      // (hi − lo) must fit in a long: every bucket-id subtraction below
+      // assumes a non-wrapping range (full-domain hash keys would wrap)
+      val lo = r.getLong(2); val hi = r.getLong(3)
+      val ok = try { math.subtractExact(hi, lo); true }
+               catch { case _: ArithmeticException => false }
+      require(ok, s"group ${r.get(0)}: value range [$lo, $hi] exceeds Long.MaxValue — " +
+        "shift or scale inputs first")
+    }
     // state per (group, q): [k within current range, lo, hi]
     val state = scala.collection.mutable.LinkedHashMap.empty[(Any, Double), Array[Long]]
     stats.foreach { r =>
@@ -540,16 +516,90 @@ object Scan {
     */
   def timeDecayedSum(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
                      tsCol: String, valueCol: String, halfLifeUs: Long,
-                     outCol: String = "decayed", numParts: Int = 0): DataFrame = {
+                     outCol: String = "decayed", numParts: Int = 0,
+                     maxDriverEntries: Int = 1 << 20): DataFrame = {
     require(halfLifeUs > 0, s"halfLifeUs must be positive, got $halfLifeUs")
-    val lagged = lagScan(df, groupCols, orderCols, tsCol, "__prev_ts", numParts)
-    val withCoef = lagged
-      .withColumn("__m", when(col("__prev_ts").isNull, lit(0.0))
-        .otherwise(pow(lit(0.5),
-          (col(tsCol) - col("__prev_ts")).cast(DoubleType) / lit(halfLifeUs.toDouble))))
-      .withColumn("__b", col(valueCol).cast(DoubleType))
-    affineScan(withCoef, groupCols, orderCols, Seq(("__m", "__b", outCol)), numParts)
-      .drop("__prev_ts", "__m", "__b")
+    require(orderCols.nonEmpty, "timeDecayedSum needs at least one order column")
+    val spark = df.sparkSession
+    val p = if (numParts > 0) numParts else spark.sparkContext.defaultParallelism
+    val keyCols = (groupCols ++ orderCols).map(col)
+    // ONE range shuffle + sort for the whole operator (the lag carry and
+    // the recurrence share it, instead of lagScan + affineScan each
+    // paying their own): a slice's composed affine map factors as
+    // y_out = M'·m₁·y_in + B where m₁ — the only term needing the
+    // PREVIOUS slice's last timestamp — multiplies the y_in path alone
+    // (no b_j is ever scaled by m₁), so pass 1 computes
+    // (M' = Π_{i≥2} m_i, B = fold of x through the in-slice decays,
+    // t_first, t_last) locally and the driver supplies m₁ when
+    // threading entry values in partition order.
+    val sorted = df.repartitionByRange(p, keyCols: _*)
+      .sortWithinPartitions(keyCols: _*)
+      .localCheckpoint(true)
+    val schema = sorted.schema
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val tIdx = schema.fieldIndex(tsCol)
+    require(schema(tIdx).dataType == LongType,
+      s"timeDecayedSum needs a LongType timestamp, got ${schema(tIdx).dataType} for $tsCol")
+    val vIdx = schema.fieldIndex(valueCol)
+    require(schema(vIdx).dataType == DoubleType,
+      s"timeDecayedSum needs a DoubleType value, got ${schema(vIdx).dataType} for $valueCol")
+    val hl = halfLifeUs.toDouble
+    def key(r: Row): Seq[Any] = gIdx.toSeq.map(r.get)
+
+    // pass 1: per (partition, group) — (M', B, tFirst, tLast)
+    val partMaps: Array[(Int, Seq[(Seq[Any], (Double, Double, Long, Long))])] =
+      sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val maps = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], (Double, Double, Long, Long)]
+        it.foreach { r =>
+          val k = key(r); val t = r.getLong(tIdx); val x = r.getDouble(vIdx)
+          maps.get(k) match {
+            case None => maps.update(k, (1.0, x, t, t))
+            case Some((mAcc, bAcc, tF, tL)) =>
+              val m = math.pow(0.5, (t - tL).toDouble / hl)
+              maps.update(k, (mAcc * m, m * bAcc + x, tF, t))
+          }
+        }
+        Iterator.single((pid, maps.toSeq))
+      }.collect()
+    val nEntries = partMaps.iterator.map(_._2.size).sum
+    require(nEntries <= maxDriverEntries,
+      s"timeDecayedSum driver state $nEntries > $maxDriverEntries slices — with this many " +
+        "small groups a per-group sequential mapGroups pass is already skew-safe")
+
+    // driver: thread (y, lastTs) through the per-slice maps in pid order
+    val running = scala.collection.mutable.HashMap.empty[Seq[Any], (Double, Long)]
+    val entries: Map[(Int, Seq[Any]), (Double, Long)] =
+      partMaps.sortBy(_._1).iterator.flatMap { case (pid, maps) =>
+        maps.map { case (k, (mPrime, b, tFirst, tLast)) =>
+          val in = running.get(k)
+          val yOut = in match {
+            case None => b // group starts here: first event's y = x
+            case Some((y, lastTs)) =>
+              val m1 = math.pow(0.5, (tFirst - lastTs).toDouble / hl)
+              mPrime * (m1 * y) + b
+          }
+          running.update(k, (yOut, tLast))
+          in.map(e => ((pid, k), e))
+        }.collect { case Some(kv) => kv }
+      }.toMap
+    val bcast = spark.sparkContext.broadcast(entries)
+
+    // pass 2: replay each slice from its entry (y, lastTs)
+    val outSchema = StructType(schema.fields :+ StructField(outCol, DoubleType, nullable = false))
+    val out = sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.HashMap.empty[Seq[Any], (Double, Long)]
+      it.map { r =>
+        val k = key(r); val t = r.getLong(tIdx); val x = r.getDouble(vIdx)
+        val y = local.get(k).orElse(bcast.value.get((pid, k))) match {
+          case None => x
+          case Some((yPrev, lastTs)) =>
+            math.pow(0.5, (t - lastTs).toDouble / hl) * yPrev + x
+        }
+        local.update(k, (y, t))
+        Row.fromSeq(r.toSeq :+ y)
+      }
+    }
+    spark.createDataFrame(out, outSchema)
   }
 
   /** Exponentially-weighted moving average with normalized weights

@@ -912,22 +912,13 @@ object Similarity {
     * streaming-corpus niche.
     */
   def jlRerankTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-                   dIn: Int, dOut: Int, expand: Int = 4): DataFrame = {
-    val mat = jlMatrix(dIn, dOut)
-    val zero = Array.fill(dIn)(0.0)
-    val vP = Dedup.spread(vectors)
-      .select(col("id"), pcaProject(col("vec"), zero, mat).as("vec"))
-    val qP = queries.select(col("qid"),
-      pcaProject(col("qv"), zero, mat).as("qv"))
-    val shortlist = gemmTopK(vP, qP, k * expand)
-      .select(col("qid"), col("label"))
-    explodeHits(
-      broadcast(shortlist).join(vectors, shortlist("label") === vectors("id"))
-        .join(broadcast(queries), "qid")
-        .select(col("qid"), col("label"), squaredL2(col("vec"), col("qv")).as("score"))
-        .groupBy(col("qid"))
-        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
-  }
+                   dIn: Int, dOut: Int, expand: Int = 4): DataFrame =
+    // the JL matrix is just an untrained "model" to the shortlist+rerank
+    // machinery — reuse pcaRerankTopK's path verbatim (zero mean, no
+    // spectrum) so the two compositions can never drift apart
+    pcaRerankTopK(vectors, queries, k,
+      PcaModel(Array.fill(dIn)(0.0), jlMatrix(dIn, dOut),
+        explained = Array.empty, totalVar = 0.0), expand)
 
   /** Product-quantization ANN (PQ codes + ADC scan) — the memory-
     * compression scale path: vectors are encoded ONCE into `m` sub-

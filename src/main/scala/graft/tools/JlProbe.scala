@@ -26,7 +26,12 @@ object JlProbe {
       for (expand <- Seq(2, 4, 8)) {
         val jl = Similarity.jlRerankTopK(vectors, queries, 10, dIn = 64, dOut = 16, expand = expand)
           .select(col("qid"), col("label"))
-        val common = jl.join(exact, Seq("qid", "label")).groupBy("qid").count()
+        // left join from the query list so zero-overlap queries print as
+        // 0 instead of silently vanishing
+        val common = queries.select(col("qid")).distinct()
+          .join(jl.join(exact, Seq("qid", "label")).groupBy("qid").count(),
+            Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("count"), lit(0L)).as("count"))
           .orderBy("qid").collect().map(r => (r.getLong(0), r.getLong(1)))
         println(s"$dir expand=$expand per-query common: ${common.mkString(",")}")
       }
