@@ -79,7 +79,13 @@ object GraftExtensions {
       exprs => StructPairs(exprs(0))),
     ("graft_top_ngram",
       "graft_top_ngram(tokens, n) - most frequent word n-gram: struct<gram, cnt>, ties lex-min",
-      exprs => TopNgram(exprs(0), intLit(exprs(1), "n"))))
+      exprs => TopNgram(exprs(0), intLit(exprs(1), "n"))),
+    ("graft_jaro_winkler",
+      "graft_jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-pinned semantics)",
+      exprs => JaroWinkler(exprs(0), exprs(1))),
+    ("graft_char_entropy",
+      "graft_char_entropy(text) - Shannon entropy (nats) of the code-point distribution",
+      exprs => CharEntropy(exprs(0))))
 
   /** Register on a LIVE session (the extensions hook only applies at
     * session build; driver-owned sessions need runtime registration).

@@ -89,6 +89,16 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .head().isNullAt(0))
   }
 
+  test("graft_jaro_winkler / graft_char_entropy from SQL") {
+    val jw = spark.sql("SELECT graft_jaro_winkler('MARTHA', 'MARHTA') AS jw")
+      .head().getDouble(0)
+    assert(math.abs(jw - 0.9611111111111111) < 1e-12)
+    // DuckDB-pinned empty edge
+    assert(spark.sql("SELECT graft_jaro_winkler('', '') AS jw").head().getDouble(0) === 0.0)
+    val h = spark.sql("SELECT graft_char_entropy('aabb') AS h").head().getDouble(0)
+    assert(math.abs(h - math.log(2.0)) < 1e-12)
+  }
+
   test("runtime registration works on a derived session") {
     val s2 = spark.newSession()
     GraftExtensions.register(s2)
