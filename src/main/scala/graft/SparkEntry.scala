@@ -1009,6 +1009,31 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     },
 
+    // CUSUM change-point detection (Page 1954) per nation — the drift
+    // alarm is literally the clamp-affine scan with no upper bound:
+    // S = max(0, S + (count − ref)); sustained above-reference volume
+    // accumulates until the alarm threshold. Integer-exact end to end
+    // (ref = floor of the global mean daily count).
+    "q_cusum_drift" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val daily = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // feeds the ref scalar AND the scan
+      val stats = daily.agg(sum(col("cnt")), count(lit(1))).head()
+      val ref = stats.getLong(0) / stats.getLong(1) // exact floor division
+      val deltas = daily.select(col("n_name"), col("d"),
+        (col("cnt") - lit(ref)).as("delta"))
+      Scan.clampedScan(deltas, Seq("n_name"), Seq("d"), "delta",
+          lo = 0L, hi = Long.MaxValue, outCol = "cusum")
+        .select(col("n_name"), col("d"), col("cusum"),
+          (col("cusum") > lit(3L * ref)).as("alarm"))
+        .orderBy("n_name", "d")
+    },
+
     // per-nation EWMA of daily order counts (pandas ewm(alpha=0.25,
     // adjust=True) semantics) — exponential weights are impossible in a
     // window frame; runs as ONE affine-recurrence scan carrying the
@@ -4832,6 +4857,33 @@ object SparkEntry {
         |  FROM base b JOIN rec r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
         |SELECT user_id, event_id, ROUND(y, 6) AS decayed
         |FROM rec ORDER BY user_id, event_id""".stripMargin,
+
+    "q_cusum_drift" ->
+      // same sequential CUSUM per nation (recursive CTE by rn); ref is
+      // exact integer floor division in both engines
+      """WITH RECURSIVE daily AS MATERIALIZED (
+        |  SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |    JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |r AS MATERIALIZED (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS rf
+        |  FROM daily),
+        |idx AS MATERIALIZED (
+        |  SELECT n_name, d, cnt,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY d) AS rn
+        |  FROM daily),
+        |rec AS (
+        |  SELECT n_name, d, rn,
+        |    GREATEST(0, cnt - (SELECT rf FROM r)) AS cusum
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.n_name, i.d, i.rn,
+        |    GREATEST(0, rec.cusum + i.cnt - (SELECT rf FROM r))
+        |  FROM idx i JOIN rec ON i.n_name = rec.n_name AND i.rn = rec.rn + 1)
+        |SELECT n_name, d, cusum, cusum > 3 * (SELECT rf FROM r) AS alarm
+        |FROM rec ORDER BY n_name, d""".stripMargin,
 
     "q_ewma_daily" ->
       // closed-form normalized exponential weights (the recurrences the
