@@ -2133,6 +2133,43 @@ object SparkEntry {
         .orderBy("user_id")
     },
 
+    // conversion-window funnel — the product-analytics form: a click
+    // only converts within 30 min of the first view, a purchase within
+    // 24 h of the converting click. Same bounded-join shape as
+    // q_events_funnel with the windows as join predicates (never a
+    // per-user event sort on one task).
+    "q_events_funnel_windowed" -> { (s, dir) =>
+      val clickWinUs = 1800L * 1000000L
+      val buyWinUs = 86400L * 1000000L
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+        .localCheckpoint(true)
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_view_us"))
+      val fc = ev.join(fv, "user_id")
+        .filter(col("event_type") === "click" &&
+          col("ts_us") > col("first_view_us") &&
+          col("ts_us") <= col("first_view_us") + clickWinUs)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_click_us"))
+      val fp = ev.join(fc, "user_id")
+        .filter(col("event_type") === "purchase" &&
+          col("ts_us") > col("first_click_us") &&
+          col("ts_us") <= col("first_click_us") + buyWinUs)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_purchase_us"))
+      ev.select(col("user_id")).distinct()
+        .join(fv, Seq("user_id"), "left")
+        .join(fc, Seq("user_id"), "left")
+        .join(fp, Seq("user_id"), "left")
+        .select(col("user_id"), col("first_view_us"), col("first_click_us"),
+          col("first_purchase_us"),
+          (when(col("first_purchase_us").isNotNull, 3)
+            .when(col("first_click_us").isNotNull, 2)
+            .when(col("first_view_us").isNotNull, 1)
+            .otherwise(0)).cast(LongType).as("stage"))
+        .orderBy("user_id")
+    },
+
     // deterministic hash sampling — reproducible ~10% subset selection for
     // training-data splits (hex-prefix comparison on a seeded md5; no RNG,
     // identical on every engine and every run)
@@ -5769,6 +5806,27 @@ object SparkEntry {
         |fp AS (SELECT e.user_id, MIN(e.ts_us) AS first_purchase_us
         |  FROM e JOIN fc ON e.user_id = fc.user_id
         |  WHERE e.event_type = 'purchase' AND e.ts_us > fc.first_click_us GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id, fv.first_view_us, fc.first_click_us, fp.first_purchase_us,
+        |  CAST(CASE WHEN fp.first_purchase_us IS NOT NULL THEN 3
+        |       WHEN fc.first_click_us IS NOT NULL THEN 2
+        |       WHEN fv.first_view_us IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM u LEFT JOIN fv USING (user_id) LEFT JOIN fc USING (user_id)
+        |  LEFT JOIN fp USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q_events_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |fv AS (SELECT user_id, MIN(ts_us) AS first_view_us FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |fc AS (SELECT e.user_id, MIN(e.ts_us) AS first_click_us
+        |  FROM e JOIN fv ON e.user_id = fv.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us > fv.first_view_us
+        |    AND e.ts_us <= fv.first_view_us + 1800000000 GROUP BY e.user_id),
+        |fp AS (SELECT e.user_id, MIN(e.ts_us) AS first_purchase_us
+        |  FROM e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > fc.first_click_us
+        |    AND e.ts_us <= fc.first_click_us + 86400000000 GROUP BY e.user_id),
         |u AS (SELECT DISTINCT user_id FROM e)
         |SELECT u.user_id, fv.first_view_us, fc.first_click_us, fp.first_purchase_us,
         |  CAST(CASE WHEN fp.first_purchase_us IS NOT NULL THEN 3
