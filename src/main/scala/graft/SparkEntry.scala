@@ -798,6 +798,29 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     },
 
+    // corpus-pair similarity matrix: one 16-element MinHash signature PER
+    // LANGUAGE SLICE (elementwise min over the per-doc signatures — the
+    // minhash of a union IS the min of the minhashes), pairwise match
+    // fraction estimates cross-slice shingle Jaccard. The curation
+    // diagnostic for "which sources overlap": corpus-size-independent
+    // state (one signature per slice), one combiner-min shuffle.
+    "q_lang_similarity" -> { (s, dir) =>
+      val sig = Tables(s, dir, "documents")
+        .select(col("lang"),
+          posexplode(graft.functions.minhashSignature(
+            graft.functions.wordShingles(Dedup.tokens(col("text")), 3), 16)))
+        .groupBy(col("lang"), col("pos")).agg(min(col("col")).as("h"))
+      val a = sig.select(col("lang").as("lang_a"), col("pos"), col("h").as("ha"))
+      val b = sig.select(col("lang").as("lang_b"), col("pos"), col("h").as("hb"))
+      a.join(b, Seq("pos")).filter(col("lang_a") < col("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(sum(when(col("ha") === col("hb"), 1L).otherwise(0L)).as("n_match"),
+          count(lit(1)).as("k"))
+        .select(col("lang_a"), col("lang_b"), col("n_match"), col("k"),
+          (col("n_match").cast(DoubleType) / col("k")).as("est_jaccard"))
+        .orderBy("lang_a", "lang_b")
+    },
+
     // the band-config chooser as a first-class query: the (τ=0.6,
     // recall≥0.98) requirement resolves — deterministically, on both the
     // Spark and oracle sides — to (8 hashes, 1 row/band) via the banding
@@ -4625,6 +4648,24 @@ object SparkEntry {
         |SELECT event_id, user_id, ts_us AS purchase_ts_us, last_click_us
         |FROM w WHERE tag = 1
         |ORDER BY event_id""".stripMargin,
+
+    "q_lang_similarity" -> {
+      val mins = (0 until 16).map(Dedup.minhashElemSql).mkString(", ")
+      val matches = (0 until 16)
+        .map(j => s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH t AS (SELECT lang, string_split(text,' ') AS w FROM documents),
+         |shl AS (SELECT lang, list_distinct(list_transform(range(1, len(w)-1),
+         |  i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM t),
+         |ex AS (SELECT DISTINCT lang, UNNEST(shingles) AS s FROM shl),
+         |mh AS (SELECT lang, $mins FROM ex GROUP BY lang)
+         |SELECT a.lang AS lang_a, b.lang AS lang_b,
+         |  CAST($matches AS BIGINT) AS n_match,
+         |  CAST(16 AS BIGINT) AS k,
+         |  CAST($matches AS DOUBLE) / 16 AS est_jaccard
+         |FROM mh a JOIN mh b ON a.lang < b.lang
+         |ORDER BY lang_a, lang_b""".stripMargin
+    },
 
     "dedup_minhash" -> {
       s"""WITH ${minhashBandCtes(8, 2)},
