@@ -567,6 +567,27 @@ object StreamingOps {
       .select(col("window.start").as("window_start"),
         col("n_distinct"), col("n_events"))
 
+  /** Heavy hitters PER EVENT-TIME WINDOW — the SpaceSaving sketch as a
+    * windowed streaming aggregation ("top items each hour", not
+    * all-time): the k-bounded counter table is the per-window state
+    * (same mergeable-partial argument as [[streamingWindowedDistinct]]'s
+    * HLL registers), the watermark closes windows. SpaceSaving merge is
+    * order-sensitive in its tie handling, so unlike HLL the streaming
+    * result is guaranteed only to the sketch's own ε-count contract —
+    * the spec pins exact-top-item agreement with the batch aggregation
+    * on skewed data, the guarantee the sketch actually makes.
+    */
+  def streamingWindowedHeavyHitters(events: DataFrame, itemCol: String,
+                                    capacity: Int,
+                                    window_ : String = "1 hour",
+                                    slide: String = "1 hour",
+                                    watermark: String = "2 hours"): DataFrame =
+    ensureEventTime(events, "ts")
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide))
+      .agg(graft.functions.spaceSavingHH(col(itemCol), capacity).as("hh"))
+      .select(col("window.start").as("window_start"), col("hh"))
+
   /** Streaming approximate quantiles: Spark's GK-style
     * `percentile_approx` as a streaming aggregation. Like
     * [[streamingHeavyHitters]], the sketch's mergeable partial state is

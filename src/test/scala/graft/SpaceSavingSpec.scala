@@ -102,6 +102,30 @@ class SpaceSavingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed streaming heavy hitters == exact per-window counts when capacity covers items") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh-win").toString
+    events.write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream.schema(events.schema).parquet(dir)
+    val agg = graft.streaming.StreamingOps.streamingWindowedHeavyHitters(
+      streamIn, "event_type", capacity = 10)
+    val q = graft.streaming.StreamingOps.runToMemory(agg, "hh_win")
+    q.awaitTermination(60000)
+    val got = spark.table("hh_win")
+      .select(col("window_start"), explode(col("hh")).as("e"))
+      .select(col("window_start"), col("e.item"), col("e.est"))
+      .collect().map(r => ((r.getTimestamp(0), r.getString(1)), r.getLong(2))).toMap
+    // capacity (10) ≥ distinct event types (3): the sketch degenerates to
+    // exact counts, so every per-window entry must equal the batch truth
+    val want = events
+      .groupBy(window(col("ts"), "1 hour", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .collect().map(r => ((r.getTimestamp(0), r.getString(1)), r.getLong(2))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("capacity >= distinct items degenerates to exact counts") {
     val spark2 = spark
     import spark2.implicits._
