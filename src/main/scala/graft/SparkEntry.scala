@@ -2077,6 +2077,34 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // degree assortativity (Newman 2002) of the near-dup pair graph: do
+    // high-degree docs (heavily replicated) pair with each other (r > 0,
+    // clique-heavy replica families) or with rare docs (r < 0,
+    // hub-and-spoke contamination)? One number summarizing the graph's
+    // mixing. Exact integer moment sums (every term fits a long), the
+    // final Pearson ratio in identical IEEE ops both engines.
+    "q_assortativity" -> { (s, dir) =>
+      val und = Dedup.simhashPairs(Tables(s, dir, "documents"), hammingMax = 2)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      val adj = und.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+        .localCheckpoint(true)
+      val deg = adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val pairs = adj
+        .join(deg.select(col("node").as("src"), col("deg").as("du")), "src")
+        .join(deg.select(col("node").as("dst"), col("deg").as("dv")), "dst")
+      pairs.agg(count(lit(1)).as("n"),
+          sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+          sum(col("du") * col("dv")).as("sxy"),
+          sum(col("du") * col("du")).as("sxx"),
+          sum(col("dv") * col("dv")).as("syy"))
+        .select(col("n"),
+          round((col("n").cast(DoubleType) * col("sxy") - col("sx").cast(DoubleType) * col("sy")) /
+            (sqrt(col("n").cast(DoubleType) * col("sxx") - col("sx").cast(DoubleType) * col("sx")) *
+             sqrt(col("n").cast(DoubleType) * col("syy") - col("sy").cast(DoubleType) * col("sy"))), 6)
+            .as("assortativity"))
+    },
+
     // k-core of the near-dup pair graph: documents in DENSE duplicate
     // communities (every member ≥ 3 in-core neighbors) vs incidental
     // chains of borderline matches, which peel away — a sharper "how
@@ -5798,6 +5826,26 @@ object SparkEntry {
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_cluster,
          |  doc_id = cluster_id AS keep
          |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "q_assortativity" ->
+      s"""WITH $simhashBandedPairCtes,
+         |adj AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM p
+         |  UNION ALL SELECT doc_b, doc_a FROM p),
+         |dg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM adj GROUP BY src),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(a.deg) AS BIGINT) AS sx, CAST(SUM(b.deg) AS BIGINT) AS sy,
+         |  CAST(SUM(a.deg * b.deg) AS BIGINT) AS sxy,
+         |  CAST(SUM(a.deg * a.deg) AS BIGINT) AS sxx,
+         |  CAST(SUM(b.deg * b.deg) AS BIGINT) AS syy
+         |  FROM adj e JOIN dg a ON a.node = e.src JOIN dg b ON b.node = e.dst)
+         |SELECT n, ROUND(
+         |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+         |  (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+         |   sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+         |  AS assortativity
+         |FROM m""".stripMargin,
 
     "q_kcore" ->
       // unrolled synchronous peeling over the same banded pair set, with
