@@ -989,6 +989,27 @@ object SparkEntry {
         .orderBy("l_partkey", "l_orderkey", "l_linenumber")
     },
 
+    // Gini coefficient of revenue concentration across customers — the
+    // inequality summary (how head-heavy is the customer base). Needs a
+    // GLOBAL ascending rank: computed with the distributed prefix-sum
+    // scan (range partitions), never a single-task full-table window.
+    // Exact long arithmetic throughout (Σ(2i−n−1)·cents fits a long at
+    // any tested scale); one double division at the end, mirrored.
+    "q_gini_revenue" -> { (s, dir) =>
+      val cust = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast(LongType)).as("cents"))
+      val h = cust.agg(count(lit(1)), sum(col("cents"))).head()
+      val n = h.getLong(0); val tot = h.getLong(1)
+      val ranked = Scan.prefixSum(cust.withColumn("one", lit(1L)),
+        Seq.empty, Seq("cents", "o_custkey"), "one", "rank")
+      val num = ranked
+        .agg(sum((lit(2L) * col("rank") - lit(n + 1)) * col("cents"))).head().getLong(0)
+      s.range(1).select(lit(n).as("n_customers"), lit(tot).as("total_cents"),
+        round(lit(num).cast(DoubleType) /
+          (lit(n).cast(DoubleType) * lit(tot).cast(DoubleType)), 6).as("gini"))
+    },
+
     // EXACT global order statistics by iterative histogram refinement —
     // exact `percentile` puts every value in one aggregation buffer
     // (the 100 TB straggler), percentile_approx is bounded but fuzzy;
@@ -4923,6 +4944,20 @@ object SparkEntry {
         |  FROM base b JOIN rec r ON b.l_partkey = r.l_partkey AND b.rn = r.rn + 1)
         |SELECT l_partkey, l_orderkey, l_linenumber, delta, level
         |FROM rec ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_gini_revenue" ->
+      """WITH cust AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |rk AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_custkey) AS rn FROM cust),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS tot,
+        |    CAST(SUM((2 * rn - (SELECT COUNT(*) FROM cust) - 1) * cents) AS BIGINT) AS num
+        |  FROM rk)
+        |SELECT n AS n_customers, tot AS total_cents,
+        |  ROUND(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini
+        |FROM m""".stripMargin,
 
     "q_exact_quantile_scan" ->
       // quantile_disc's rank convention (ceil(q·n)-th smallest) is the
