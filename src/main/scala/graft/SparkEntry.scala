@@ -1010,6 +1010,26 @@ object SparkEntry {
           (lit(n).cast(DoubleType) * lit(tot).cast(DoubleType)), 6).as("gini"))
     },
 
+    // Lorenz-curve decile shares — the distribution behind the Gini
+    // number: customers ranked ascending by revenue (the same
+    // distributed prefix-sum rank, no single-task window), deciles by
+    // exact integer rank arithmetic, per-decile revenue share
+    "q_lorenz_deciles" -> { (s, dir) =>
+      val cust = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100, 0).cast(LongType)).as("cents"))
+      val h = cust.agg(count(lit(1)), sum(col("cents"))).head()
+      val n = h.getLong(0); val tot = h.getLong(1)
+      Scan.prefixSum(cust.withColumn("one", lit(1L)),
+          Seq.empty, Seq("cents", "o_custkey"), "one", "rank")
+        .withColumn("decile", expr(s"((rank - 1) * 10) div ${n}L"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"))
+        .select(col("decile"), col("n_customers"), col("cents"),
+          round(col("cents").cast(DoubleType) / lit(tot.toDouble), 6).as("share"))
+        .orderBy("decile")
+    },
+
     // EXACT global order statistics by iterative histogram refinement —
     // exact `percentile` puts every value in one aggregation buffer
     // (the 100 TB straggler), percentile_approx is bounded but fuzzy;
@@ -4958,6 +4978,21 @@ object SparkEntry {
         |SELECT n AS n_customers, tot AS total_cents,
         |  ROUND(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini
         |FROM m""".stripMargin,
+
+    "q_lorenz_deciles" ->
+      """WITH cust AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS tot FROM cust),
+        |rk AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_custkey) AS rn FROM cust)
+        |SELECT ((rn - 1) * 10) // (SELECT n FROM nn) AS decile,
+        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(cents) AS BIGINT) AS cents,
+        |  ROUND(CAST(SUM(cents) AS DOUBLE) /
+        |    CAST((SELECT tot FROM nn) AS DOUBLE), 6) AS share
+        |FROM rk GROUP BY 1 ORDER BY decile""".stripMargin,
 
     "q_exact_quantile_scan" ->
       // quantile_disc's rank convention (ceil(q·n)-th smallest) is the
