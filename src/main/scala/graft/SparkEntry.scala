@@ -1119,9 +1119,11 @@ object SparkEntry {
 
     // Johnson-Lindenstrauss sparse sign projection (Achlioptas 2003,
     // "Database-friendly random projections"): 64-d → 16-d with entries
-    // {+1, 0, −1}·√(3/16) at p = (43/256, 170/256, 43/256), derived from
-    // md5("jl:i:j") so BOTH engines build the identical matrix — a
-    // training-free embedding compressor (PCA without the training pass).
+    // {+1, 0, −1}·√(3/16 · 256/258) at p = (43/256, 170/256, 43/256),
+    // derived from md5("jl:i:j") so BOTH engines build the identical
+    // matrix — a training-free embedding compressor (PCA without the
+    // training pass). The 256/258 factor makes E[‖y‖²] exactly unbiased
+    // under the byte-friendly 43/256 sign probability.
     // Output: per-vector norm ratio ‖y‖/‖x‖, the JL distortion the lemma
     // bounds around 1.
     "q_jl_project" -> { (s, dir) =>
@@ -2026,13 +2028,16 @@ object SparkEntry {
 
     // uncorrelated scalar subquery in a filter (SQL surface); the average
     // rides through an exact decimal sum so both engines build the same
-    // double threshold
+    // double threshold. 1.005× keeps the result non-empty at every scale
+    // (this generator's retail prices span only 900–919.9 at sf0.001,
+    // max/mean ≈ 1.011 — the old 1.5× selected zero rows everywhere, so
+    // the subquery VALUE was never exercised, only an empty hash).
     "q_scalar_subquery" -> { (s, dir) =>
       Tables(s, dir, "part").createOrReplaceTempView("graft_part_sq")
       s.sql(
         """SELECT p_partkey, p_retailprice
           |FROM graft_part_sq
-          |WHERE p_retailprice > 1.5 * (
+          |WHERE p_retailprice > 1.005 * (
           |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
           |  FROM graft_part_sq)
           |ORDER BY p_partkey""".stripMargin)
@@ -5092,7 +5097,7 @@ object SparkEntry {
         |mat AS MATERIALIZED (
         |  SELECT i, j,
         |    CASE WHEN h < '2b' THEN 1.0 WHEN h >= 'd5' THEN -1.0
-        |         ELSE 0.0 END * sqrt(3.0 / 16.0) AS r
+        |         ELSE 0.0 END * sqrt(3.0 / 16.0 * (256.0 / 258.0)) AS r
         |  FROM (SELECT a.i, b.j,
         |          substr(md5('jl:' || CAST(a.i AS VARCHAR) || ':'
         |                  || CAST(b.j AS VARCHAR)), 1, 2) AS h
@@ -5813,7 +5818,7 @@ object SparkEntry {
     "q_scalar_subquery" ->
       """SELECT p_partkey, p_retailprice
         |FROM part
-        |WHERE p_retailprice > 1.5 * (
+        |WHERE p_retailprice > 1.005 * (
         |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |  FROM part)
         |ORDER BY p_partkey""".stripMargin,

@@ -375,7 +375,10 @@ l$i AS MATERIALIZED (SELECT l.id, COALESCE(u.lbl, l.lbl) AS lbl
         .join(dist.select(col("id")), Seq("id"), "left_anti")
         .withColumn("d", lit(h.toLong))
         .localCheckpoint(true)
-      dist = dist.unionAll(next).localCheckpoint(true)
+      // lazy: the next hop's frontier-expansion checkpoint (or the
+      // caller's first action, on the last hop) materializes the union —
+      // halves the per-hop job count
+      dist = dist.unionAll(next).localCheckpoint(false)
       frontier = next.select(col("id"))
     }
     dist
@@ -491,12 +494,16 @@ f$h AS (SELECT id FROM x$h)""")
     var converged = false
     while (!converged && rounds < maxRounds) {
       rounds += 1
+      // LAZY checkpoint + count-as-materializer: the convergence probe
+      // is the one action of the round, computing + caching `deg` and
+      // counting the survivors in a single job (eager checkpoints paid
+      // a second job per round — pure fixed overhead on short rounds)
       deg = adj
         .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(active.select(col("node").as("dst")), Seq("dst"), "left_semi")
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
-        .localCheckpoint(true)
-      val next = deg.filter(col("core_deg") >= k).select("node").localCheckpoint(true)
+        .localCheckpoint(false)
+      val next = deg.filter(col("core_deg") >= k).select("node")
       val n = next.count()
       converged = n == nActive // monotone shrink: equal size = equal set
       active = next
@@ -516,59 +523,128 @@ f$h AS (SELECT id FROM x$h)""")
     * endpoints. On a near-dup pair graph the truss keeps clique-like
     * replica families and drops chance banding collisions.
     *
-    * Algorithm: iterative support peeling — per round, each surviving
-    * edge's support = its triangle count within the surviving set
-    * (counted once per triangle via the same degree-orientation as
-    * [[triangleStats]], so per-round cost is the oriented wedge join,
-    * never degree²); edges below k−2 drop; fixpoint when none do
-    * (monotone shrink, so equal edge counts = fixpoint).
+    * Algorithm: DECREMENTAL support peeling with FRONTIER wedge
+    * expansion. Triangles are enumerated ONCE (degree-oriented wedge
+    * join, each triangle exactly once) only to seed the initial
+    * supports — no triangle list is kept. Each round drops every edge
+    * below k−2, then finds exactly the newly-dead triangles by
+    * expanding wedges FROM THE DROPPED EDGES: for dropped (u,v), a
+    * common neighbor w (probed from the LOWER-degree endpoint, so hub
+    * fanout never exceeds min(deg u, deg v)) witnesses a triangle that
+    * was alive at round start; the support of its still-surviving
+    * edges decrements by one. Per-round cost is proportional to the
+    * peeled FRONTIER's wedge count — not the graph, and not the alive
+    * triangle count (profiled at sf0.1: 9.7M alive triangles but only
+    * 838/53/2/2 dropped edges per round, so any round shape that scans
+    * triangle state loses). The synchronous drop-all-below-threshold
+    * schedule makes the round sequence — and hence the fixpoint and
+    * the final supports — identical to naive per-round re-enumeration,
+    * so [[kTrussSql]] is unchanged.
+    *
+    * Double-subtraction guard: a triangle with SEVERAL edges dropped
+    * the same round is witnessed once per dropped edge; only the
+    * candidate whose dropped edge is the lexicographic MINIMUM of the
+    * triangle's dropped edges emits decrements, and only to the
+    * non-dropped edges — each dead triangle subtracts exactly one from
+    * each surviving edge. Invariant after every round (proved by the
+    * `GraphSpec` peel-schedule-equivalence test): support(e) = e's
+    * triangle count within the surviving edge set.
     *
     * `und`: undirected edges (u, v). Returns (u, v, support) canonical
     * (u < v) for the surviving truss edges.
     */
   def kTruss(und: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
     require(k >= 3, s"kTruss needs k >= 3, got $k")
-    var e = und
+    val e0 = und
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
-    var nEdges = e.count()
+    // ---- one-time triangle enumeration (degree-oriented: each triangle
+    // once, wedge fanout bounded by the LOWER-degree endpoint) ----
+    val deg0 = e0.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val du = deg0.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg0.select(col("node").as("v"), col("deg").as("dv"))
+    val lower = (col("du") < col("dv")) ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val ori = e0.join(du, "u").join(dv, "v")
+      .select(when(lower, col("u")).otherwise(col("v")).as("x"),
+        when(lower, col("v")).otherwise(col("u")).as("y"))
+      .localCheckpoint(true)
+    val tri = ori.select(col("x").as("a"), col("y").as("b"))
+      .join(ori.select(col("x").as("b"), col("y").as("c")), "b")
+      .join(ori.select(col("x").as("a"), col("y").as("c")), Seq("a", "c"))
+    val sup0 = tri.select(explode(array(
+        struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
+        struct(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v")),
+        struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v"))))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("support"))
+    // LAZY checkpoints throughout the loop: each round's convergence
+    // probe (`dropped.count()`) is the single action that materializes
+    // the previous round's `cur` — one job per round, not two
+    var cur = e0.join(sup0, Seq("u", "v"), "left")
+      .select(col("u"), col("v"), coalesce(col("support"), lit(0L)).as("support"))
+      .localCheckpoint(false)
     var rounds = 0
     var converged = false
-    var withSup: DataFrame = null
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      val deg = e.select(explode(array(col("u"), col("v"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      val du = deg.select(col("node").as("u"), col("deg").as("du"))
-      val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
-      val lower = (col("du") < col("dv")) ||
-        (col("du") === col("dv") && col("u") < col("v"))
-      val ori = e.join(du, "u").join(dv, "v")
-        .select(when(lower, col("u")).otherwise(col("v")).as("x"),
-          when(lower, col("v")).otherwise(col("u")).as("y"))
-        .localCheckpoint(true)
-      val tri = ori.select(col("x").as("a"), col("y").as("b"))
-        .join(ori.select(col("x").as("b"), col("y").as("c")), "b")
-        .join(ori.select(col("x").as("a"), col("y").as("c")), Seq("a", "c"))
-      val sup = tri.select(explode(array(
-          struct(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v")),
-          struct(least(col("b"), col("c")).as("u"), greatest(col("b"), col("c")).as("v")),
-          struct(least(col("a"), col("c")).as("u"), greatest(col("a"), col("c")).as("v"))))
-          .as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("support"))
-      withSup = e.join(sup, Seq("u", "v"), "left")
-        .select(col("u"), col("v"), coalesce(col("support"), lit(0L)).as("support"))
-        .localCheckpoint(true)
-      val next = withSup.filter(col("support") >= k - 2).select("u", "v").localCheckpoint(true)
-      val m = next.count()
-      converged = m == nEdges // monotone shrink: equal count = fixpoint
-      e = next
-      nEdges = m
+      // the probe IS the materializer for the lazily-checkpointed `cur`
+      val dropped = cur.filter(col("support") < k - 2).select("u", "v")
+      if (dropped.count() == 0L) converged = true
+      else {
+        // round-START adjacency and degrees (survivors ∪ dropped): the
+        // triangles dying this round existed in the round-start set
+        val adjSym = cur.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(cur.select(col("v").as("src"), col("u").as("dst")))
+        val degs = adjSym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        // probe common neighbors from each dropped edge's lower-degree
+        // endpoint — hub-safe wedge fanout
+        val dOri = dropped
+          .join(degs.select(col("node").as("u"), col("deg").as("du")), "u")
+          .join(degs.select(col("node").as("v"), col("deg").as("dv")), "v")
+          .select(col("u"), col("v"),
+            when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("lo"),
+            when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("hi"))
+        val cand = dOri
+          .join(adjSym.select(col("src").as("lo"), col("dst").as("w")), "lo")
+          .filter(col("w") =!= col("hi"))
+          .join(adjSym.select(col("src").as("hi"), col("dst").as("w")),
+            Seq("hi", "w"), "left_semi")
+          .select(col("u"), col("v"), col("w"))
+        // one emission per dead triangle: keep only the candidate whose
+        // dropped edge is the triangle's minimum dropped edge
+        val me = struct(col("u"), col("v"))
+        val e2 = struct(least(col("u"), col("w")).as("u"),
+          greatest(col("u"), col("w")).as("v"))
+        val e3 = struct(least(col("v"), col("w")).as("u"),
+          greatest(col("v"), col("w")).as("v"))
+        val dset = dropped.select(struct(col("u"), col("v")).as("de"))
+        val flagged = cand
+          .join(dset.select(col("de").as("de2")), e2 === col("de2"), "left")
+          .join(dset.select(col("de").as("de3")), e3 === col("de3"), "left")
+        val dec = flagged
+          .filter((col("de2").isNull || !(col("de2") < me)) &&
+            (col("de3").isNull || !(col("de3") < me)))
+          .select(explode(array(
+            when(col("de2").isNull, e2),
+            when(col("de3").isNull, e3))).as("e"))
+          .filter(col("e").isNotNull)
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+          .groupBy("u", "v").agg(count(lit(1)).as("dec"))
+        cur = cur.filter(col("support") >= k - 2)
+          .join(dec, Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
+            (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
+          .localCheckpoint(false)
+      }
     }
     require(converged, s"kTruss did not converge in $maxRounds rounds")
-    // at fixpoint the last support pass ran over exactly the truss set
-    withSup.filter(col("support") >= k - 2)
+    // by the invariant, `cur`'s support at fixpoint = each edge's
+    // triangle count within the final truss — exactly what one more
+    // full enumeration over the fixpoint set would produce
+    cur
   }
 
   /** Full core decomposition — coreness number for EVERY node in one
@@ -580,37 +656,45 @@ f$h AS (SELECT id FROM x$h)""")
     * non-increasing, so ΣC strictly decreases until the fixpoint —
     * the same cheap convergence probe as the min-label CC loop.
     *
-    * The per-round H-index runs as ONE window over the adjacency
-    * (rank neighbors by value desc, H = max(min(rank, value))) plus a
-    * combiner aggregation — per-task work bounded by max degree, the
-    * H-index's own input size. Converges in a handful of rounds in
-    * practice (the theory bound is O(graph diameter)-ish; 4 on the
-    * near-dup pair graph).
+    * HUB-SAFE per-round H-index: H(v) is "the largest h with ≥ h
+    * neighbor values ≥ h", which never needs the neighbor values
+    * SORTED — only their histogram. Each round therefore (1) caps each
+    * neighbor value at the receiving node's CURRENT value (safe: the
+    * iteration is monotone non-increasing, so H(v) ≤ c_t(v), and
+    * capping at any bound ≥ H leaves every count that defines H
+    * untouched), (2) aggregates (node, cappedValue) → count — a
+    * combiner-friendly groupBy whose map-side partial collapses a
+    * 10⁸-degree hub's rows BEFORE any shuffle, and (3) takes
+    * H = max(min(value, suffixCount(value))) with a window over the
+    * HISTOGRAM, whose per-node partition holds at most
+    * min(degree, c_t(v)+1) distinct values — not the degree itself. A
+    * star-graph hub's per-round footprint is one histogram row
+    * (`GraphSpec` asserts the plan: the window's input is the
+    * aggregate, never the raw adjacency).
+    *
+    * Converges in a handful of rounds in practice (the theory bound is
+    * O(graph diameter)-ish; 4 on the near-dup pair graph).
     *
     * `und`: undirected edges (u, v). Returns (node, coreness) for every
     * node with ≥ 1 edge.
     */
   def coreness(und: DataFrame, maxRounds: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val adj = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // LAZY checkpoints: the ΣC convergence probe is the round's single
+    // action, materializing the round's values and summing them in one
+    // job (eager checkpointing doubled the per-round job count)
     var c = adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def total(df: DataFrame): Long = df.agg(sum(col("c"))).head().getLong(0)
     var prev = total(c)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      val w = Window.partitionBy(col("src")).orderBy(col("c").desc)
-      val next = adj.join(c.select(col("node").as("dst"), col("c")), "dst")
-        .select(col("src"), col("c"))
-        .withColumn("rn", row_number().over(w).cast(LongType))
-        .groupBy(col("src").as("node"))
-        .agg(max(least(col("rn"), col("c"))).as("c"))
-        .localCheckpoint(true)
+      val next = hIndexRound(adj, c).localCheckpoint(false)
       val s = total(next)
       converged = s == prev // monotone non-increasing: equal sum = fixpoint
       prev = s
@@ -618,6 +702,28 @@ f$h AS (SELECT id FROM x$h)""")
     }
     require(converged, s"coreness did not converge in $maxRounds rounds")
     c.select(col("node"), col("c").as("coreness"))
+  }
+
+  /** One H-index round for [[coreness]]: `adj` (src, dst) symmetric
+    * adjacency, `c` (node, c) current values → (node, c) next values.
+    * Exposed so `GraphSpec` can assert the plan shape (the window runs
+    * over the aggregated HISTOGRAM, never the raw adjacency — the
+    * hub-safety property).
+    */
+  private[graft] def hIndexRound(adj: DataFrame, c: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = adj
+      .join(c.select(col("node").as("dst"), col("c").as("cv")), "dst")
+      .join(c.select(col("node").as("src"), col("c").as("cap")), "src")
+      .groupBy(col("src"), least(col("cv"), col("cap")).as("val"))
+      .agg(count(lit(1)).as("cnt"))
+    // suffix counts over the (small) per-node histogram, descending
+    val w = Window.partitionBy(col("src")).orderBy(col("val").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("ge", sum(col("cnt")).over(w))
+      .groupBy(col("src").as("node"))
+      .agg(max(least(col("val"), col("ge"))).as("c"))
   }
 
   /** Unrolled DuckDB oracle for [[coreness]] — same H-index rounds, with

@@ -411,12 +411,16 @@ object Scan {
         }
         counts.iterator.map { case ((g, q, b), c) => Row(g, q, b, c) }
       }
-      // merge partials on the driver: ≤ buckets × open entries
+      // combine partials IN the cluster (reduceByKey) so what lands on
+      // the driver is exactly ≤ buckets × open entries — without this
+      // the transient collect is O(partitions × open × buckets), which
+      // breaks the documented driver-state bound at high partition
+      // counts even though the merged map stays small
       val merged = scala.collection.mutable.HashMap.empty[(Any, Double, Long), Long]
-      histRows.collect().foreach { r =>
-        val k = (r.get(0), r.getDouble(1), r.getLong(2))
-        merged.update(k, merged.getOrElse(k, 0L) + r.getLong(3))
-      }
+      histRows
+        .map(r => ((r.get(0), r.getDouble(1), r.getLong(2)), r.getLong(3)))
+        .reduceByKey(_ + _)
+        .collect().foreach { case (k, c) => merged.update(k, c) }
       open.foreach { case ((g, q), s) =>
         val lo = s(1)
         val w = math.max(1L, (s(2) - lo) / buckets + 1)

@@ -886,14 +886,21 @@ object Similarity {
   }
 
   /** Deterministic Johnson-Lindenstrauss sparse sign matrix (Achlioptas
-    * 2003): entries {+1, 0, −1}·√(3/dOut) at p = (43/256, 170/256,
-    * 43/256), the sign drawn from the first md5 byte of "jl:i:j" — so
-    * any engine (the DuckDB oracle included) rebuilds the IDENTICAL
-    * matrix from the formula alone. Rows are output components over
-    * input dims, the [[graft.functions.PcaProject]] orientation.
+    * 2003): entries {+1, 0, −1} at p = (43/256, 170/256, 43/256), the
+    * sign drawn from the first md5 byte of "jl:i:j" — so any engine
+    * (the DuckDB oracle included) rebuilds the IDENTICAL matrix from
+    * the formula alone. The byte-friendly 43/256 is slightly above the
+    * cited construction's exact 1/6, so the scale carries the exact
+    * compensation √(3/dOut · 256/258): per entry E[r²] =
+    * 2·(43/256)·(3/dOut)·(256/258) = 1/dOut, making E[‖y‖²] = ‖x‖²
+    * EXACTLY unbiased (the pure √(3/dOut) scale was ~0.78% high).
+    * Compensating the scale rather than widening the hash keeps the
+    * sign pattern — and every projected ordering built on it —
+    * byte-identical to before. Rows are output components over input
+    * dims, the [[graft.functions.PcaProject]] orientation.
     */
   def jlMatrix(dIn: Int, dOut: Int): Array[Array[Double]] = {
-    val scale = math.sqrt(3.0 / dOut)
+    val scale = math.sqrt(3.0 / dOut * (256.0 / 258.0))
     def sign(i: Int, j: Int): Double = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val h = md.digest(s"jl:$i:$j".getBytes("UTF-8"))

@@ -536,6 +536,83 @@ class GraphSpec extends AnyFunSuite {
       assert(kTrussMap(edges, k) === scalarKTruss(edges, k), s"k=$k")
   }
 
+  /** Scalar synchronous peel, counting DROP rounds (the distributed
+    * loop runs dropRounds + 1: the final round observes zero drops).
+    */
+  private def scalarKTrussRounds(edges: Seq[(Long, Long)], k: Int): Int = {
+    var es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    var rounds = 0
+    var changed = true
+    while (changed) {
+      val adj = es.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val next = es.filter { case (u, v) => (adj(u) & adj(v)).size >= k - 2 }
+      changed = next != es
+      if (changed) rounds += 1
+      es = next
+    }
+    rounds
+  }
+
+  test("kTruss: decremental peel ≡ synchronous peel on a deep-peeling lattice (≥3 rounds)") {
+    // triangular lattice of side m: every edge borders ≤ 2 triangles, so
+    // at k=4 (threshold 2) only interior edges survive a round and the
+    // lattice peels one boundary layer per round — a genuinely deep
+    // cascade, unlike a clique (1 round) or a strip (2)
+    val m = 8
+    def id(i: Long, j: Long) = i * (m + 1) + j
+    val edges = (for {
+      i <- 0L to m; j <- 0L to m - i
+      e <- Seq(
+        if (i + 1 + j <= m) Some((id(i, j), id(i + 1, j))) else None,
+        if (i + j + 1 <= m) Some((id(i, j), id(i, j + 1))) else None,
+        if (i + 1 + j <= m) Some((id(i + 1, j), id(i, j + 1))) else None).flatten
+    } yield e).distinct
+    val dropRounds = scalarKTrussRounds(edges, k = 4)
+    assert(dropRounds >= 3, s"lattice too shallow: $dropRounds drop rounds")
+    // value equivalence at the fixpoint
+    assert(kTrussMap(edges, k = 4) === scalarKTruss(edges, k = 4))
+    // SCHEDULE equivalence: the decremental loop converges in exactly
+    // dropRounds + 1 rounds (one more than the scalar drop count, to
+    // observe the empty drop set) and fails loudly one round short —
+    // proof the incremental supports reproduce the synchronous peel
+    // round for round, not just at the fixpoint
+    assert(kTrussMap(edges, k = 4, maxRounds = dropRounds + 1) === scalarKTruss(edges, k = 4))
+    val e = intercept[IllegalArgumentException] {
+      kTrussMap(edges, k = 4, maxRounds = dropRounds)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
+  test("coreness: hub-safe — 10⁶-degree star hub, window runs over the histogram not the adjacency") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // plan shape: the H-index window's input must be the (node, value)
+    // histogram AGGREGATE — per-node partitions bounded by distinct
+    // values, never raw degree — so a hub cannot become one sorting task
+    val und = df(undSchema, Seq(Row(0L, 1L), Row(0L, 2L)))
+      .select(col("u"), col("v"))
+    val adj = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+    val c = adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("c"))
+    val round = graft.ops.Graph.hIndexRound(adj, c)
+    val win = round.queryExecution.optimizedPlan.collectFirst { case w: LWindow => w }
+    assert(win.nonEmpty, "H-index round lost its window")
+    assert(win.get.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+      "window input must be the histogram aggregate, not raw adjacency")
+    // end-to-end: a 10⁶-leaf star — the hub's per-round histogram is ONE
+    // row (all capped neighbor values equal), so this completes in
+    // seconds; the old per-node rank window would sort 10⁶ rows in one
+    // task. Coreness of a star is 1 everywhere.
+    val spark2 = spark
+    val star = spark2.range(1L, 1000001L)
+      .select(lit(0L).as("u"), col("id").as("v"))
+    val res = graft.ops.Graph.coreness(star)
+    import org.apache.spark.sql.functions.{min => smin, max => smax}
+    val Row(lo: Long, hi: Long, n: Long) =
+      res.agg(smin(col("coreness")), smax(col("coreness")), count(lit(1))).head()
+    assert(lo === 1L && hi === 1L && n === 1000001L)
+  }
+
   test("kCore: maxRounds too small fails loudly instead of returning a non-fixpoint") {
     // long path: k=2 peels one node from each end per round
     val path = (1L until 20L).map(i => (i, i + 1))

@@ -1956,8 +1956,8 @@ class OpsSpec extends AnyFunSuite {
 
   test("JL sparse sign projection: norm ratios concentrate near 1 (the lemma's distortion)") {
     // the q_jl_project construction: md5-derived {±1, 0} entries at
-    // p = 43/256 each sign, scaled √(3/dOut) — E[‖y‖²] = ~‖x‖²·(3·86/256)
-    // ≈ 1.008·‖x‖², so ratios should sit tightly around 1 for 64→16
+    // p = 43/256 each sign, scaled √(3/dOut · 256/258) so E[‖y‖²] =
+    // ‖x‖² exactly; ratios should sit tightly around 1 for 64→16
     val dIn = 64; val dOut = 16
     val mat = Similarity.jlMatrix(dIn, dOut)
     // deterministic matrix sanity: roughly 1/6 of entries each sign
