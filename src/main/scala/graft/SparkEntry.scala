@@ -274,6 +274,32 @@ object SparkEntry {
         .orderBy("l_returnflag")
     },
 
+    // winsorized robust stats (Tukey; Dixon 1960): clip o_totalprice at
+    // the exact per-group p05/p95, report clip counts + raw vs
+    // winsorized means. The quantile table is groups-sized and
+    // broadcast back — the corpus scan never shuffles on value; sums
+    // are decimal-quantized so the means are reduction-order-exact
+    "q_winsorize" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val q = o.groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
+          expr("percentile(o_totalprice, 0.95)").as("p95"))
+      o.join(broadcast(q), "o_orderpriority")
+        .select(col("o_orderpriority"), col("o_totalprice"), col("p05"), col("p95"),
+          greatest(least(col("o_totalprice"), col("p95")), col("p05")).as("wp"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("p05")), 4).as("p05"),
+          round(min(col("p95")), 4).as("p95"),
+          sum(when(col("o_totalprice") < col("p05"), lit(1L)).otherwise(lit(0L))).as("n_low"),
+          sum(when(col("o_totalprice") > col("p95"), lit(1L)).otherwise(lit(0L))).as("n_high"),
+          round(sum(col("o_totalprice").cast(DecimalType(25, 6))).cast(DoubleType) /
+            count(lit(1)), 4).as("mean_raw"),
+          round(sum(col("wp").cast(DecimalType(25, 6))).cast(DoubleType) /
+            count(lit(1)), 4).as("mean_wins"))
+        .orderBy("o_orderpriority")
+    },
+
     "q_scalar_funcs" -> { (s, dir) =>
       Tables(s, dir, "orders")
         .filter(col("o_orderkey") <= 500)
@@ -1526,6 +1552,38 @@ object SparkEntry {
     // counts; docs with < 2 tokens have no positions and are omitted
     "text_bigram_lp" -> { (s, dir) =>
       TextAnalysis.bigramLogProb(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // Kneser-Ney interpolated bigram LM (Chen & Goodman 1998 eq. 18) —
+    // the continuation-count upgrade of text_bigram_lp; same four
+    // combiner aggregations, all keyed on gram/token
+    "text_kn_bigram" -> { (s, dir) =>
+      TextAnalysis.knBigramLogProb(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // per-doc corpus-duplication fraction (RefinedWeb-style duplicated
+    // n-gram share): shingle df join, no pair expansion
+    "text_dup_fraction" -> { (s, dir) =>
+      TextAnalysis.dupShingleFraction(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // DSIR hashed-unigram importance weights (Xie et al. 2023): broadcast
+    // bucket models onto the token stream, decimal-exact per-doc sums
+    "q_dsir_weights" -> { (s, dir) =>
+      Curation.dsirWeights(Tables(s, dir, "documents"), targetLang = "en",
+          buckets = 512)
+        .orderBy("doc_id")
+    },
+
+    // link prediction on the simhash near-dup graph: common neighbors +
+    // Adamic-Adar over degree-capped wedge centers — the recall-repair
+    // pass for pairs whose band keys disagreed
+    "q_link_prediction" -> { (s, dir) =>
+      val und = Dedup.simhashPairs(Tables(s, dir, "documents"), hammingMax = 2)
+        .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      Graph.adamicAdar(und, degCap = 64, minCn = 2)
+        .select(col("u").as("doc_a"), col("v").as("doc_b"), col("cn"), col("aa"))
+        .orderBy("doc_a", "doc_b")
     },
 
     // ---- contrastive hard-negative mining (similar embedding, different
@@ -3775,6 +3833,92 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams, ROUND(mlp, 6) AS mean_lp,
         |  ROUND(exp(-mlp), 6) AS ppl
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // same positional-bigram CTEs as text_bigram_lp; KN continuation
+    // counts are COUNT(*) over the bigram-TYPE table per side
+    "text_kn_bigram" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |       FROM t, LATERAL (SELECT UNNEST(range(1, len(w))) AS i)),
+        |docbg AS (SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS m
+        |          FROM bg GROUP BY 1, 2, 3),
+        |bgc AS (SELECT w1, w2, SUM(m) AS c2 FROM docbg GROUP BY 1, 2),
+        |cv AS (SELECT w1, SUM(c2) AS cv, CAST(COUNT(*) AS BIGINT) AS n1f
+        |       FROM bgc GROUP BY 1),
+        |n1p AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p FROM bgc GROUP BY 1),
+        |n1all AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n1all FROM bgc),
+        |sc AS (SELECT d.doc_id, d.m,
+        |       ln((GREATEST(CAST(bgc.c2 AS DOUBLE) - 0.75, 0.0)
+        |           + 0.75 * cv.n1f * (CAST(n1p.n1p AS DOUBLE) / a.n1all))
+        |          / CAST(cv.cv AS DOUBLE)) AS lp
+        |       FROM docbg d
+        |       JOIN bgc ON d.w1 = bgc.w1 AND d.w2 = bgc.w2
+        |       JOIN cv ON d.w1 = cv.w1
+        |       JOIN n1p ON d.w2 = n1p.w2, n1all a),
+        |m AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+        |      SUM(m * lp) / SUM(m) AS mlp FROM sc GROUP BY 1)
+        |SELECT doc_id, n_bigrams, ROUND(mlp, 6) AS mean_lp,
+        |  ROUND(exp(-mlp), 6) AS ppl
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_dup_fraction" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(w)-1),
+        |  i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS s FROM t),
+        |df AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY 1),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM sh JOIN df ON sh.s = df.s GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_dup,
+        |  ROUND(CAST(n_dup AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS dup_frac
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),
+        |tk AS (SELECT doc_id, lang,
+        |  ('0x' || substr(md5(tok), 1, 6))::BIGINT % 512 AS b
+        |  FROM (SELECT doc_id, lang, UNNEST(w) AS tok FROM t)),
+        |db AS (SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS m
+        |       FROM tk GROUP BY 1, 2, 3),
+        |raw AS (SELECT b, SUM(m) AS cs FROM db GROUP BY 1),
+        |tgt AS (SELECT b, SUM(m) AS ct FROM db WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT (SELECT SUM(cs) FROM raw) AS ns,
+        |               (SELECT SUM(ct) FROM tgt) AS nt),
+        |model AS (SELECT raw.b,
+        |  CAST(ROUND(ln((CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE) / (tot.nt + 512))
+        |              / (CAST(raw.cs + 1 AS DOUBLE) / (tot.ns + 512))), 12)
+        |    AS DECIMAL(20,12)) AS lr
+        |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot),
+        |sc AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
+        |       SUM(CAST(m AS DECIMAL(9,0)) * lr) AS slr
+        |       FROM db JOIN model ON db.b = model.b GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(CAST(slr AS DOUBLE) / n_tokens, 6) AS mean_lr,
+        |  ROUND(exp(CAST(slr AS DOUBLE) / n_tokens), 6) AS weight
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_link_prediction" ->
+      s"""WITH $simhashBandedPairCtes,
+         |${graft.ops.Graph.adamicAdarSql(
+           "SELECT doc_a AS u, doc_b AS v FROM p", degCap = 64, minCn = 2)}
+         |SELECT u AS doc_a, v AS doc_b, cn, aa FROM aa_pred
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH q AS (SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.05) AS p05,
+        |  quantile_cont(o_totalprice, 0.95) AS p95
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT o.o_orderpriority, o.o_totalprice, q.p05, q.p95,
+        |  GREATEST(LEAST(o.o_totalprice, q.p95), q.p05) AS wp
+        |  FROM orders o JOIN q ON o.o_orderpriority = q.o_orderpriority)
+        |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(MIN(p05), 4) AS p05, ROUND(MIN(p95), 4) AS p95,
+        |  CAST(SUM(CASE WHEN o_totalprice < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(SUM(CASE WHEN o_totalprice > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4) AS mean_raw,
+        |  ROUND(CAST(SUM(CAST(wp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4) AS mean_wins
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "mining_hard_negatives" ->
       """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),

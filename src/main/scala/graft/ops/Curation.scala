@@ -40,6 +40,70 @@ object Curation {
     * 1/65536 and silently drops sources with rate < 1/65536 — the exact
     * small-source upweighting this operator exists for).
     */
+  /** DSIR hashed-n-gram importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how target-like its hashed unigram features
+    * are. Bucket each token into one of `buckets` cells via a
+    * deterministic md5 slice, fit Laplace-smoothed bag-of-buckets
+    * models on the TARGET slice (`langCol = targetLang`) and on the RAW
+    * corpus, and weight doc x by the per-token mean log importance
+    * ratio
+    *
+    *   mean_lr(x) = (1/|x|) Σ_{t ∈ x} log( p̂_tgt(b(t)) / p̂_raw(b(t)) )
+    *
+    * (the paper's log w(x), length-normalized so weights compare across
+    * doc lengths). Docs ranking high are the ones importance resampling
+    * keeps; the weight column feeds [[weightedSample]] directly.
+    *
+    * Scale shape: the bucket models are `buckets`-row tables built by
+    * one combiner-friendly aggregation each over the token stream, then
+    * BROADCAST back onto it — the corpus is never shuffled; the only
+    * wide op is the per-doc rollup. Per-bucket log ratios are quantized
+    * to 12 dp DECIMAL before the per-doc sum (exact integer-weighted
+    * decimal arithmetic → reduction-order-independent, hash-oracle-able).
+    *
+    * Output: (doc_id, n_tokens, mean_lr[6 dp], weight[6 dp]) with
+    * weight = exp(mean_lr) — the per-token geometric-mean ratio.
+    */
+  def dsirWeights(docs: DataFrame, targetLang: String, buckets: Int = 512,
+                  langCol: String = "lang"): DataFrame = {
+    val tok = Dedup.spread(docs)
+      .select(col("doc_id"), col(langCol).as("__lang"),
+        explode(Dedup.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("__lang"),
+        (conv(substring(md5(col("tok")), 1, 6), 16, 10).cast(LongType)
+          % buckets).as("b"))
+    // per-(doc,bucket) multiplicity first: the raw/target models and the
+    // per-doc scoring all roll up from this one combiner-friendly frame
+    val docB = tok.groupBy(col("doc_id"), col("__lang"), col("b"))
+      .agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    val raw = docB.groupBy(col("b")).agg(sum(col("m")).as("cs"))
+    val tgt = docB.filter(col("__lang") === targetLang)
+      .groupBy(col("b")).agg(sum(col("m")).as("ct"))
+    val totals = raw.agg(sum(col("cs")).as("ns"))
+      .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
+    // Laplace(+1) over all `buckets` cells; ratio quantized per bucket
+    val model = raw.join(tgt, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        round(log(((col("ct") + lit(1)).cast(DoubleType) /
+            (col("nt") + lit(buckets))) /
+          ((col("cs") + lit(1)).cast(DoubleType) /
+            (col("ns") + lit(buckets)))), 12)
+          .cast(DecimalType(20, 12)).as("lr"))
+    // (9,0)×(20,12) stays inside DECIMAL(38,_) in BOTH engines — the
+    // product and sum are exact, so the reduction is order-independent
+    docB.join(broadcast(model), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_tokens"),
+        sum(col("m").cast(DecimalType(9, 0)) * col("lr")).as("slr"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("slr").cast(DoubleType) / col("n_tokens"), 6).as("mean_lr"),
+        round(exp(col("slr").cast(DoubleType) / col("n_tokens")), 6).as("weight"))
+  }
+
   def mixtureSample(docs: DataFrame, alpha: Double, targetTotal: Long,
                     sourceCol: String = "source", idCol: String = "doc_id",
                     salt: String = "mix"): DataFrame = {

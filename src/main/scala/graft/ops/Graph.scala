@@ -846,4 +846,81 @@ f$h AS (SELECT id FROM x$h)""")
          |  WHERE (SELECT ok FROM conv) = 1)""".stripMargin)
     sb.toString
   }
+
+  /** Link prediction over an undirected graph: common-neighbor count and
+    * Adamic–Adar score (Adamic & Adar 2003, "Friends and neighbors on
+    * the Web") for every NON-adjacent pair at distance 2 whose evidence
+    * clears `minCn` common neighbors. On a near-duplicate pair graph
+    * this surfaces the pairs LSH banding missed but the cluster
+    * structure implies — the recall-repair pass of a dedup pipeline
+    * (two docs sharing ≥2 near-dup partners are almost surely near-dups
+    * whose band keys happened to disagree).
+    *
+    *   AA(a,b) = Σ_{v ∈ N(a) ∩ N(b)} 1 / ln(deg(v))
+    *
+    * Scale shape: candidate pairs are generated per WEDGE CENTER — each
+    * center v emits its C(deg v, 2) neighbor pairs — so the work is
+    * Σ deg(v)², which a hub makes quadratic. The `degCap` bound is the
+    * same df-cap discipline as [[graft.ops.Dedup.ngramJaccardPairs]]: a
+    * center with deg > degCap is excluded from wedge generation (its
+    * common-neighbor evidence is weak anyway — 1/ln(deg) vanishes, and
+    * a 10⁸-degree hub connecting two docs says nothing about their
+    * similarity), capping per-center fanout at C(degCap, 2) and total
+    * work at degCap·|E|. Everything else is combiner-friendly: one
+    * degree aggregation, one self-join keyed on the center, one pair
+    * aggregation, one anti-join against the edge set.
+    *
+    * Per-pair AA sums quantize each 1/ln(deg) term to 12 dp DECIMAL
+    * before summing ([[pageRank]]'s discipline), so the reduction is
+    * order-independent and the result hash-oracle-able.
+    *
+    * Returns (u, v, cn, aa) with u < v, cn ≥ minCn, aa rounded to 6 dp.
+    */
+  def adamicAdar(und: DataFrame, degCap: Int = 64, minCn: Long = 2): DataFrame = {
+    val e = und.select(col("u"), col("v")).distinct().localCheckpoint(true)
+    val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+    val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val centers = deg.filter(col("deg") <= degCap)
+      .select(col("node").as("c"), col("deg"))
+    val adjC = adj.select(col("u").as("c"), col("v").as("n"))
+      .join(centers, "c")
+      .localCheckpoint(true) // fans into both sides of the wedge self-join
+    val wedges = adjC.select(col("c"), col("n").as("a"), col("deg"))
+      .join(adjC.select(col("c"), col("n").as("b")), "c")
+      .filter(col("a") < col("b"))
+    val scored = wedges.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(round(lit(1.0) / log(col("deg").cast(DoubleType)), 12)
+          .cast(DecimalType(28, 14))).as("aad"))
+    val eNorm = e.select(least(col("u"), col("v")).as("a"),
+      greatest(col("u"), col("v")).as("b"))
+    scored.join(eNorm, Seq("a", "b"), "left_anti")
+      .filter(col("cn") >= minCn)
+      .select(col("a").as("u"), col("b").as("v"), col("cn"),
+        round(col("aad").cast(DoubleType), 6).as("aa"))
+  }
+
+  /** DuckDB mirror of [[adamicAdar]] — emits CTEs ending in `aa_pred`.
+    * `undSql` must yield columns (u, v).
+    */
+  def adamicAdarSql(undSql: String, degCap: Int = 64, minCn: Long = 2): String =
+    s"""aa_und AS MATERIALIZED ($undSql),
+       |aa_e AS MATERIALIZED (SELECT DISTINCT u, v FROM aa_und),
+       |aa_adj AS MATERIALIZED (
+       |  SELECT u, v FROM aa_e UNION ALL SELECT v, u FROM aa_e),
+       |aa_deg AS (SELECT u AS node, COUNT(*) AS deg FROM aa_adj GROUP BY 1),
+       |aa_ac AS MATERIALIZED (
+       |  SELECT a.u AS c, a.v AS n, d.deg FROM aa_adj a
+       |  JOIN aa_deg d ON a.u = d.node WHERE d.deg <= $degCap),
+       |aa_sc AS (SELECT x.n AS a, y.n AS b, CAST(COUNT(*) AS BIGINT) AS cn,
+       |    SUM(CAST(ROUND(1.0 / ln(CAST(x.deg AS DOUBLE)), 12) AS DECIMAL(28,14))) AS aad
+       |  FROM aa_ac x JOIN aa_ac y ON x.c = y.c AND x.n < y.n
+       |  GROUP BY 1, 2),
+       |aa_en AS (SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM aa_e),
+       |aa_pred AS (
+       |  SELECT sc.a AS u, sc.b AS v, sc.cn,
+       |    ROUND(CAST(sc.aad AS DOUBLE), 6) AS aa
+       |  FROM aa_sc sc
+       |  LEFT JOIN aa_en en ON sc.a = en.a AND sc.b = en.b
+       |  WHERE en.a IS NULL AND sc.cn >= $minCn)""".stripMargin
 }

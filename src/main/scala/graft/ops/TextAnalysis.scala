@@ -171,6 +171,98 @@ object TextAnalysis {
         round(exp(-sum(col("m") * col("lp")) / sum(col("m"))), 6).as("ppl"))
   }
 
+  /** Interpolated Kneser–Ney bigram log-probability (Kneser & Ney 1995;
+    * Chen & Goodman 1998 eq. 18 — the modified-backoff workhorse behind
+    * KenLM-style corpus LMs). Each in-document bigram (v,w) scores
+    *
+    *   P(w|v) = (max(c(vw) − D, 0) + D · N₁₊(v·) · P_cont(w)) / c(v·)
+    *   P_cont(w) = N₁₊(·w) / N₁₊(··)
+    *
+    * with absolute discount `D` and continuation counts N₁₊ = number of
+    * distinct bigram TYPES (left-extensions of w / right-extensions of v
+    * / total). Unlike the MLE+interpolation of [[bigramLogProb]], the
+    * continuation distribution ranks a word by how many contexts it
+    * follows — the property that makes KN the default corpus-quality LM.
+    * Every observed bigram's probability is strictly positive (the
+    * D·N₁₊(v·)·P_cont(w) mass is > 0 whenever c(v·) > 0), so the log is
+    * total; docs with < 2 tokens have no bigram positions and are
+    * omitted.
+    *
+    * Scale shape: identical to [[bigramLogProb]] — one compiled
+    * [[graft.functions.wordShingles]] pass for positional bigrams, then
+    * four combiner-friendly aggregations (doc-bigram tf, bigram types,
+    * left/right continuation counts), all keyed on gram/token; the
+    * N₁₊(··) scalar broadcasts. No per-doc state beyond the final
+    * groupBy.
+    *
+    * Output: (doc_id, n_bigrams, mean_lp[6 dp], ppl[6 dp]).
+    */
+  def knBigramLogProb(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    val toks = Dedup.spread(docs)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .localCheckpoint(true)
+    val docBg = toks.select(col("doc_id"),
+        explode(graft.functions.wordShingles(col("w"), 2, distinct = false)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
+      .localCheckpoint(true) // fans into the global count AND per-doc scoring
+    val bgCnt = docBg.groupBy(col("bg")).agg(sum(col("m")).as("c2"))
+      .select(col("bg"), col("c2"),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+      .localCheckpoint(true) // fans into cv/n1f/n1p/n1all
+    val cv = bgCnt.groupBy(col("w1")).agg(sum(col("c2")).as("cv"),
+      count(lit(1)).as("n1f")) // c(v·) and N1+(v·) in one pass
+    val n1p = bgCnt.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+    val n1all = bgCnt.agg(count(lit(1)).cast(DoubleType).as("n1all"))
+    val scored = docBg
+      .select(col("doc_id"), col("m"), col("bg"))
+      .join(bgCnt.select(col("bg"), col("c2"), col("w1"), col("w2")), "bg")
+      .join(cv, "w1").join(n1p, "w2")
+      .crossJoin(broadcast(n1all))
+      .select(col("doc_id"), col("m"),
+        log((greatest(col("c2").cast(DoubleType) - lit(discount), lit(0.0)) +
+          lit(discount) * col("n1f") * (col("n1p") / col("n1all"))) /
+          col("cv").cast(DoubleType)).as("lp"))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        round(sum(col("m") * col("lp")) / sum(col("m")), 6).as("mean_lp"),
+        round(exp(-sum(col("m") * col("lp")) / sum(col("m"))), 6).as("ppl"))
+  }
+
+  /** Per-document corpus-duplication fraction — the RefinedWeb/Gopher
+    * "duplicated n-gram share" signal: of a doc's DISTINCT word
+    * 3-shingles, what fraction also occurs in at least one OTHER doc?
+    * High values mark boilerplate-heavy or near-duplicate content that
+    * per-PAIR dedup only catches when both endpoints survive banding —
+    * this is the per-DOC marginal of the same evidence, used as a
+    * filter feature rather than a join.
+    *
+    * Scale shape: one shingle pass (compiled kernel, distinct per doc),
+    * one combiner-friendly df aggregation, one join back keyed on the
+    * shingle (df side is unique per key — no pair expansion, the
+    * [[graft.ops.Curation.lineDfFilter]] bound), one per-doc rollup.
+    * A boilerplate shingle in 10⁹ docs contributes one row per
+    * occurrence, never a pair.
+    *
+    * Output: (doc_id, n_shingles, n_dup, dup_frac[6 dp]); docs with
+    * < 3 tokens have no shingles and are omitted.
+    */
+  def dupShingleFraction(docs: DataFrame): DataFrame = {
+    val sh = Dedup.spread(docs)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(graft.functions.wordShingles(col("w"), 3, distinct = true)).as("s"))
+      .localCheckpoint(true) // fans into df AND the join back
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    sh.join(df, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        round(col("n_dup").cast(DoubleType) /
+          col("n_shingles").cast(DoubleType), 6).as("dup_frac"))
+  }
+
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks(text)))))
 

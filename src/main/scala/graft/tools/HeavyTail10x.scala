@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Wall-clock probe of the suite's heaviest queries ONE decade beyond the
+  * sf1 correctness gate (r10 verdict item 5): run the named
+  * `SparkEntry.queries` entries against a `Replicate`-generated directory
+  * (10× = /tmp/sf1x, 100× = /tmp/sf10x) and print per-query seconds as a
+  * single JSON line. The sf1→sf10 wall ratio per query is the strongest
+  * in-sandbox evidence for the 100 TB design claims: a ratio ≲ 10× means
+  * no hidden super-linear term (quadratic candidate set, driver state,
+  * single-task hotspot) survived the decade.
+  *
+  * `count()` is the action — orderBy sorts are optimized away identically
+  * at both scales, so ratios compare the real work (scan, shuffle, join,
+  * iterate), not the final presentation sort.
+  */
+object HeavyTail10x {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sf1x")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_ktruss", "dedup_prefix_filter", "q_pagerank",
+        "text_tfidf", "q_attribution_linear")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val results = names.map { n =>
+      val t0 = System.nanoTime()
+      val rows = graft.SparkEntry.queries(n)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$n%-28s $sec%9.2f s  ($rows rows)")
+      (n, sec, rows)
+    }
+    val qjson = results.map { case (n, s, r) =>
+      s""""$n":{"sec":${f"$s%.2f"},"rows":$r}""" }.mkString(",")
+    println(s"""{"dir":"$dir","queries":{$qjson}}""")
+    spark.stop()
+  }
+}

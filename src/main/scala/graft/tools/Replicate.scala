@@ -14,7 +14,13 @@ import org.apache.spark.sql.functions._
   *    comparable in shape to the original);
   *  - `documents.text` letter-rotates per replica (decorrelates shingles:
   *    each replica brings its own duplicate structure, the honest model
-  *    of a bigger corpus — naive copies would square the duplicate work);
+  *    of a bigger corpus — naive copies would square the duplicate work).
+  *    Two DISJOINT alphabets compose (9-letter × 12-letter → 108 distinct
+  *    rotations), so even a 100× replica set has no same-text replica
+  *    pair — a single 9-letter rotation repeats every 9 replicas, and the
+  *    ~11 same-rotation copies would hand every pair-generating query
+  *    (prefix filter, simhash) a quadratic cross-replica workload no real
+  *    corpus has;
   *  - `embeddings` scale per replica (cosine structure preserved, vectors
   *    distinct); only replica 0 keeps `vec_id < 8`, so ANN queries stay
   *    8 queries over an N× corpus;
@@ -86,12 +92,11 @@ object Replicate {
       col("event_type"), col("value"), col("props"))), "events")
 
     val letters = "etaoinshr"
-    def rot(i: Int): String = {
-      val k = i % letters.length
-      letters.substring(k) + letters.substring(0, k)
-    }
+    val letters2 = "dlcumwfgypbv" // disjoint from letters; all occur in the corpus
+    def rot(s: String, k: Int): String = s.substring(k) + s.substring(0, k)
     writeOne(reps(i => t("documents").select(off("doc_id", i),
-      translate(col("text"), letters, rot(i)).as("text"),
+      translate(translate(col("text"), letters, rot(letters, i % letters.length)),
+        letters2, rot(letters2, (i / letters.length) % letters2.length)).as("text"),
       col("lang"), col("source"), col("n_chars"))), "documents")
 
     writeOne(reps(i => t("embeddings").select(off("vec_id", i),
