@@ -3499,6 +3499,53 @@ object SparkEntry {
         "o_orderstatus", "F", "O")
     },
 
+    // Population Stability Index per event type between the first and
+    // second half of the time range — the bucket-decomposable drift
+    // gauge complementing q_ks_drift's exact sup-gap; Laplace-smoothed,
+    // decimal-exact per-bucket terms
+    "q_psi_drift" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("unix_micros(ts)"))
+      Profile.psiDrift(ev, "value", "ts_us", "event_type")
+        .select(col("g").as("event_type"), col("n_a"), col("n_b"), col("psi"))
+        .orderBy("event_type")
+    },
+
+    // blocking-scheme evaluation (Christen 2012 §7.2): pair completeness
+    // and reduction ratio of sorted-neighborhood CANDIDATES against the
+    // exact prefix-filter ground truth — the metric pair that justifies
+    // a blocking choice before anyone trusts its recall
+    "q_blocking_quality" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val truth = Dedup.prefixFilterPairs(docs, 0.7)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      val cand = Dedup.sortedNeighborhoodCandidates(docs, w = 5)
+        .localCheckpoint(true)
+      val nd = docs.select(Dedup.tokens(col("text")).as("w"))
+        .select(graft.functions.wordShingles(col("w"), 3).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .agg(count(lit(1)).as("n_docs"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(cand.join(truth, Seq("doc_a", "doc_b"))
+          .agg(count(lit(1)).as("n_hit")))
+        .crossJoin(nd)
+        .select(col("n_docs"), col("n_candidates"), col("n_truth"), col("n_hit"),
+          round(col("n_hit").cast(DoubleType) / col("n_truth"), 6)
+            .as("pair_completeness"),
+          round(lit(1.0) - col("n_candidates").cast(DoubleType) /
+            (col("n_docs").cast(DoubleType) * (col("n_docs") - 1) / lit(2.0)), 6)
+            .as("reduction_ratio"))
+    },
+
+    // top-k PMI collocations (Church & Hanks 1990) with a support floor
+    // — the multi-word units a vocab builder should keep whole
+    "text_pmi_collocations" -> { (s, dir) =>
+      TextAnalysis.pmiCollocations(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+        minCount = 5, k = 20)
+        .orderBy("rank")
+    },
+
     // ---- entity resolution: fuzzy (edit-distance) self-join ----
 
     // Levenshtein-≤1 pairs over customer names via deletion-neighborhood
@@ -6593,6 +6640,90 @@ object SparkEntry {
         |  CAST(MAX(ABS(c.cuma * n.nb - c.cumb * n.na)) AS DOUBLE) /
         |    CAST(n.na * n.nb AS DOUBLE) AS d_stat
         |FROM c, n GROUP BY n.na, n.nb""".stripMargin,
+
+    "q_psi_drift" ->
+      """WITH e AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+        |           epoch_us(ts) AS tu FROM events),
+        |piv AS (SELECT (MIN(tu) + MAX(tu)) // 2 AS pivot FROM e),
+        |rng AS (SELECT g, MIN(v) AS vmin, MAX(v) AS vmax FROM e GROUP BY 1),
+        |b AS (SELECT e.g,
+        |  CASE WHEN e.tu <= piv.pivot THEN 1 ELSE 0 END AS ca,
+        |  CASE WHEN e.tu > piv.pivot THEN 1 ELSE 0 END AS cb,
+        |  CASE WHEN rng.vmax = rng.vmin THEN 0
+        |       ELSE LEAST(CAST(FLOOR((e.v - rng.vmin) /
+        |         ((rng.vmax - rng.vmin) / 10)) AS BIGINT), 9) END AS bk
+        |  FROM e JOIN rng ON e.g = rng.g, piv),
+        |cnt AS (SELECT g, bk, SUM(ca) AS fa, SUM(cb) AS fb FROM b GROUP BY 1, 2),
+        |tot AS (SELECT g, SUM(fa) AS na, SUM(fb) AS nb FROM cnt GROUP BY 1),
+        |terms AS (SELECT cnt.g, tot.na, tot.nb,
+        |  CAST(ROUND((CAST(cnt.fa + 1 AS DOUBLE) / (tot.na + 10)
+        |              - CAST(cnt.fb + 1 AS DOUBLE) / (tot.nb + 10))
+        |    * ln((CAST(cnt.fa + 1 AS DOUBLE) / (tot.na + 10))
+        |         / (CAST(cnt.fb + 1 AS DOUBLE) / (tot.nb + 10))), 12)
+        |    AS DECIMAL(20,12)) AS term
+        |  FROM cnt JOIN tot ON cnt.g = tot.g)
+        |SELECT g AS event_type, CAST(MIN(na) AS BIGINT) AS n_a,
+        |  CAST(MIN(nb) AS BIGINT) AS n_b,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // prefix-filter ground truth + sorted-neighborhood CANDIDATES, both
+    // verbatim from their own oracles; metrics over the composed sets
+    "q_blocking_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+        |  i -> w[i]||' '||w[i+1]||' '||w[i+2])) AS shingles FROM t),
+        |ex AS (SELECT doc_id, UNNEST(shingles) AS s FROM sh),
+        |ns AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |truth AS MATERIALIZED (SELECT i.doc_a, i.doc_b FROM inter i
+        |  JOIN ns na ON na.doc_id = i.doc_a
+        |  JOIN ns nb ON nb.doc_id = i.doc_b
+        |  WHERE CAST(i.n_inter AS DOUBLE)
+        |    / CAST(na.n_sh + nb.n_sh - i.n_inter AS DOUBLE) >= 0.7),
+        |kk AS (SELECT doc_id, substr(text, 1, 24) AS k FROM documents),
+        |r AS (SELECT sh.doc_id,
+        |    row_number() OVER (ORDER BY kk.k, sh.doc_id) AS rank
+        |  FROM sh JOIN kk ON sh.doc_id = kk.doc_id
+        |  WHERE len(sh.shingles) > 0),
+        |cand AS MATERIALIZED (SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+        |    GREATEST(a.doc_id, b.doc_id) AS doc_b
+        |  FROM r a JOIN r b ON b.rank > a.rank AND b.rank < a.rank + 5),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM r),
+        |m AS (SELECT nd.n_docs,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM cand c
+        |     JOIN truth tr ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b) AS n_hit
+        |  FROM nd)
+        |SELECT n_docs, n_candidates, n_truth, n_hit,
+        |  ROUND(CAST(n_hit AS DOUBLE) / n_truth, 6) AS pair_completeness,
+        |  ROUND(1.0 - CAST(n_candidates AS DOUBLE)
+        |    / (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2.0), 6) AS reduction_ratio
+        |FROM m""".stripMargin,
+
+    "text_pmi_collocations" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+        |        FROM (SELECT UNNEST(w) AS tok FROM t) GROUP BY 1),
+        |n1 AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n1 FROM uni),
+        |n2 AS (SELECT CAST(SUM(GREATEST(len(w) - 1, 0)) AS DOUBLE) AS n2 FROM t),
+        |bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+        |       FROM t, LATERAL (SELECT UNNEST(range(1, len(w))) AS i)),
+        |bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bg
+        |        GROUP BY 1, 2 HAVING count(*) >= 5),
+        |sc AS (SELECT bgc.w1, bgc.w2, bgc.c2,
+        |  ROUND(ln((bgc.c2 / n2.n2)
+        |    / ((u1.c1 / n1.n1) * (u2.c1 / n1.n1))), 6) AS pmi
+        |  FROM bgc JOIN uni u1 ON bgc.w1 = u1.tok
+        |  JOIN uni u2 ON bgc.w2 = u2.tok, n1, n2),
+        |r AS (SELECT row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rank,
+        |      w1, w2, c2, pmi FROM sc)
+        |SELECT CAST(rank AS BIGINT) AS rank, w1, w2, c2, pmi
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
 
     "q_assoc_rules" ->
       """WITH inc AS MATERIALIZED (

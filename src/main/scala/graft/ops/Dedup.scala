@@ -294,6 +294,39 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
   }
 
+  /** The CANDIDATE pairs of sorted-neighborhood blocking — the w-window
+    * neighbor pairs BEFORE any similarity verification. This is the
+    * frame a blocking-quality evaluation needs (pair completeness /
+    * reduction ratio measure the blocking scheme itself, not the
+    * verifier); [[sortedNeighborhoodPairs]] is these candidates plus
+    * the exact-Jaccard filter. Same rank construction (distributed
+    * prefix-sum, no single-task window) and the same per-pair
+    * normalization (doc_a < doc_b); O(n·w) pairs by construction.
+    */
+  def sortedNeighborhoodCandidates(docs: DataFrame, w: Int,
+                                   keyLen: Int = 24): DataFrame = {
+    require(w >= 2, s"window must be >= 2, got $w")
+    require(keyLen >= 1, s"keyLen must be >= 1, got $keyLen")
+    val compact = spread(docs)
+      .select(col("doc_id"), substring(col("text"), 1, keyLen).as("snm_key"),
+        graft.functions.wordShingles(tokens(col("text")), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("one", lit(1L))
+    val ranked = Scan.prefixSum(compact, Seq.empty, Seq("snm_key", "doc_id"),
+        "one", "rank")
+      .select(col("doc_id"), col("rank"),
+        floor((col("rank") - 1) / w).as("bkt"))
+      .localCheckpoint(true)
+    val left = ranked.select(col("doc_id").as("da"), col("rank").as("ra"),
+      col("bkt"))
+    val right = ranked.select(col("doc_id").as("db"), col("rank").as("rb"),
+      explode(array(col("bkt"), col("bkt") - 1)).as("bkt"))
+    left.join(right, Seq("bkt"))
+      .filter(col("rb") > col("ra") && col("rb") < col("ra") + w)
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
+  }
+
   /** The persisted fingerprint state of an already-ingested corpus, for
     * incremental dedup of later batches: the LSH band table (doc_id,
     * band, key — the join index) and the per-doc distinct-shingle arrays

@@ -134,6 +134,65 @@ object Profile {
           lit(na * nb).cast(DoubleType)).as("d_stat"))
   }
 
+  /** Population Stability Index between the first and second time half
+    * of each group's value distribution — the model-monitoring drift
+    * score (banking scorecard tradition; cf. Siddiqi 2006):
+    *
+    *   PSI = Σ_buckets (p_A(b) − p_B(b)) · ln(p_A(b) / p_B(b))
+    *
+    * over `buckets` equal-width value bins (per group, min–max range),
+    * sides split at the midpoint of the GLOBAL time range, and Laplace
+    * (+1) smoothing so empty cells stay finite — the standard "<0.1
+    * stable / 0.1–0.25 shifting / >0.25 drifted" gauge, complementing
+    * [[ksDrift]] (exact sup-gap, two fixed cohorts) with a
+    * bucket-decomposable score whose per-bucket terms localize WHERE
+    * the distribution moved.
+    *
+    * Scale shape: one checkpointed narrow pass fans into three
+    * combiner-friendly aggregations (global time range, per-group value
+    * range, per-(group,bucket,side) counts); the tiny range tables
+    * broadcast back. Per-bucket terms quantize to 12 dp DECIMAL before
+    * the per-group sum (order-independent, hash-oracle-able). No
+    * windows, no driver state beyond two scalars.
+    *
+    * Returns (group, n_a, n_b, psi[6 dp]).
+    */
+  def psiDrift(df: DataFrame, valueCol: String, tsUsCol: String,
+               groupCol: String, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val base = df.select(col(groupCol).as("g"),
+        col(valueCol).cast(DoubleType).as("v"), col(tsUsCol).as("tu"))
+      .localCheckpoint(true)
+    // integral div (NOT `/` + cast): Spark's Divide is double division
+    // and DuckDB's BIGINT cast rounds where Spark truncates — `div`
+    // vs `//` agree exactly on the positive epoch range
+    val piv = base.agg(min(col("tu")).as("mn"), max(col("tu")).as("mx"))
+      .select(expr("(mn + mx) div 2").as("pivot"))
+    val rng = base.groupBy(col("g"))
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val binned = base.crossJoin(broadcast(piv)).join(broadcast(rng), "g")
+      .select(col("g"),
+        when(col("tu") <= col("pivot"), lit(1L)).otherwise(lit(0L)).as("ca"),
+        when(col("tu") > col("pivot"), lit(1L)).otherwise(lit(0L)).as("cb"),
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(floor((col("v") - col("vmin")) /
+              ((col("vmax") - col("vmin")) / buckets)).cast(LongType),
+            lit(buckets - 1L))).as("bk"))
+    val cnt = binned.groupBy(col("g"), col("bk"))
+      .agg(sum(col("ca")).as("fa"), sum(col("cb")).as("fb"))
+    val tot = cnt.groupBy(col("g"))
+      .agg(sum(col("fa")).as("na"), sum(col("fb")).as("nb"))
+    val pa = (col("fa") + lit(1)).cast(DoubleType) / (col("na") + lit(buckets))
+    val pb = (col("fb") + lit(1)).cast(DoubleType) / (col("nb") + lit(buckets))
+    cnt.join(broadcast(tot), "g")
+      .select(col("g"), col("na"), col("nb"),
+        round((pa - pb) * log(pa / pb), 12)
+          .cast(DecimalType(20, 12)).as("term"))
+      .groupBy(col("g"))
+      .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+        round(sum(col("term")).cast(DoubleType), 6).as("psi"))
+  }
+
   /** Referential integrity: rows of `child` whose `childCol` has no
     * match in `parent.parentCol` (null child keys violate). Returns the
     * same (check, violations, passed) single-row shape so it unions

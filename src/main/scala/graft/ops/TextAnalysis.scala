@@ -229,6 +229,59 @@ object TextAnalysis {
         round(exp(-sum(col("m") * col("lp")) / sum(col("m"))), 6).as("ppl"))
   }
 
+  /** Top-k collocations by pointwise mutual information (Church & Hanks
+    * 1990): adjacent token pairs whose joint probability beats the
+    * independence prediction,
+    *
+    *   PMI(w₁,w₂) = ln( (c₂(w₁w₂)/N₂) / ((c₁(w₁)/N₁)·(c₁(w₂)/N₁)) ),
+    *
+    * with a `minCount` support floor (PMI's classic failure mode is
+    * hapax pairs — two tokens that co-occur once score arbitrarily
+    * high). The curation use: collocations are the multi-word units a
+    * tokenizer/vocab builder should keep whole.
+    *
+    * Scale shape: one compiled bigram pass, two combiner-friendly count
+    * aggregations, two scalar totals broadcast; the support floor
+    * prunes BEFORE the unigram joins. Top-k is a global
+    * TakeOrdered(k) on (pmi desc, w1, w2) over 6-dp-rounded PMI —
+    * deterministic cutoff, no full sort.
+    *
+    * Output: (rank, w1, w2, c2, pmi[6 dp]).
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5,
+                      k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksF = Dedup.spread(docs)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .localCheckpoint(true) // fans into unigram, bigram AND N2 passes
+    val uni = toksF.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val n1 = uni.agg(sum(col("c1")).cast(DoubleType).as("n1"))
+    val n2 = toksF
+      .select(greatest(size(col("w")) - 1, lit(0)).cast(LongType).as("nb"))
+      .agg(sum(col("nb")).cast(DoubleType).as("n2"))
+    val bg = toksF
+      .select(explode(graft.functions.wordShingles(col("w"), 2,
+        distinct = false)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+      .select(col("bg"), col("c2"),
+        substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+    val scored = bg
+      .join(uni.select(col("tok").as("w1"), col("c1").as("c1a")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c1").as("c1b")), "w2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c2"),
+        round(log((col("c2") / col("n2")) /
+          ((col("c1a") / col("n1")) * (col("c1b") / col("n1")))), 6).as("pmi"))
+    scored.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("w1"), col("w2"))))
+      .select(col("rank").cast(LongType), col("w1"), col("w2"),
+        col("c2"), col("pmi"))
+  }
+
   /** Per-document corpus-duplication fraction — the RefinedWeb/Gopher
     * "duplicated n-gram share" signal: of a doc's DISTINCT word
     * 3-shingles, what fraction also occurs in at least one OTHER doc?
