@@ -16,7 +16,12 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the driver captures the stdout TAIL and parses the
+    // JSON line out of it — a WARN emitted near shutdown (r11: the
+    // localCheckpoint lineage-truncation notice from the per-rep unpersist
+    // sweep) lands inside the capture window and dirties the artifact.
+    // Bench's own failure reporting prints via System.err regardless.
+    spark.sparkContext.setLogLevel("ERROR")
     // absorb one-time session/codegen warmup so no query pays it.
     // (Tried: pre-caching all base tables — NET LOSS: InMemoryRelation's
     // inflated size stats defeat the automatic broadcast-join choices and

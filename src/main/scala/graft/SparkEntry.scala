@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions._
-import graft.ops.{Assoc, AsofJoin, BloomJoin, Curation, Dedup, Graph, Layout, Lexical, Multimodal, Nsw, Profile, Reconcile, Scan, Similarity, Skyline, TextAnalysis}
+import graft.ops.{AnnAdvisor, Assoc, AsofJoin, BloomJoin, Curation, Dedup, Graph, Layout, Lexical, Multimodal, Nsw, Profile, Reconcile, Scan, Similarity, Skyline, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -264,14 +264,27 @@ object SparkEntry {
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     },
 
+    // exact per-group order statistics WITHOUT Spark's exact
+    // `percentile` aggregate: that one buffers every distinct value of
+    // a group on one task — l_extendedprice is near-unique, so at
+    // 100 TB the final merge holds the whole group (the hazard
+    // documented on Scan.exactQuantilesByGroup). Routed through the
+    // bounded-memory histogram refinement instead; semantics are
+    // DISCRETE quantiles (ceil(q·n)-th smallest = DuckDB quantile_disc)
     "q_percentiles" -> { (s, dir) =>
-      Tables(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
-          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"))
-        .orderBy("l_returnflag")
+      val li = Tables(s, dir, "lineitem")
+      val qty = Scan.exactQuantilesByGroupDouble(
+        li.select(col("l_returnflag"), col("l_quantity").cast(DoubleType).as("v")),
+        "l_returnflag", "v", Seq(0.5, 0.9))
+      val price = Scan.exactQuantilesByGroupDouble(
+        li.select(col("l_returnflag"), col("l_extendedprice").cast(DoubleType).as("v")),
+        "l_returnflag", "v", Seq(0.5))
+      val qpiv = qty.groupBy(col("g").as("l_returnflag"))
+        .agg(min(when(col("q") === 0.5, col("value"))).as("p50_qty"),
+          min(when(col("q") === 0.9, col("value"))).as("p90_qty"))
+      val ppiv = price.select(col("g").as("l_returnflag"),
+        round(col("value"), 4).as("p50_price"))
+      qpiv.join(ppiv, "l_returnflag").orderBy("l_returnflag")
     },
 
     // winsorized robust stats (Tukey; Dixon 1960): clip o_totalprice at
@@ -279,11 +292,18 @@ object SparkEntry {
     // winsorized means. The quantile table is groups-sized and
     // broadcast back — the corpus scan never shuffles on value; sums
     // are decimal-quantized so the means are reduction-order-exact
+    // the per-group p05/p95 come from the bounded-memory exact
+    // refinement (DISCRETE quantiles — actual data values), not
+    // Spark's exact `percentile`, whose per-group buffer over the
+    // near-unique o_totalprice domain is the 100 TB cliff
     "q_winsorize" -> { (s, dir) =>
       val o = Tables(s, dir, "orders")
-      val q = o.groupBy(col("o_orderpriority"))
-        .agg(expr("percentile(o_totalprice, 0.05)").as("p05"),
-          expr("percentile(o_totalprice, 0.95)").as("p95"))
+      val qd = Scan.exactQuantilesByGroupDouble(
+        o.select(col("o_orderpriority"), col("o_totalprice").cast(DoubleType).as("v")),
+        "o_orderpriority", "v", Seq(0.05, 0.95))
+      val q = qd.groupBy(col("g").as("o_orderpriority"))
+        .agg(min(when(col("q") === 0.05, col("value"))).as("p05"),
+          min(when(col("q") === 0.95, col("value"))).as("p95"))
       o.join(broadcast(q), "o_orderpriority")
         .select(col("o_orderpriority"), col("o_totalprice"), col("p05"), col("p95"),
           greatest(least(col("o_totalprice"), col("p95")), col("p05")).as("wp"))
@@ -1534,12 +1554,20 @@ object SparkEntry {
       // here while the oracle's UNNEST produces no rows for them — the
       // two formulations only agree by construction with the filter
       val docs = Tables(s, dir, "documents").filter(length(col("text")) > 0)
+      // checkpoint: `ent` feeds both the median refinement passes and
+      // the final projection — one entropy computation, not two
       val ent = docs.select(col("doc_id"),
         graft.functions.charEntropy(col("text")).as("ent"))
-      // exact interpolated median (matches DuckDB's median/quantile_cont
-      // bit-for-bit over the same fp64 values) — an approx median could
-      // flip band verdicts at the boundary
-      val med = ent.agg(expr("percentile(ent, 0.5)").as("med"))
+        .localCheckpoint(true)
+      // exact DISCRETE median via the bounded-memory refinement
+      // (an actual corpus entropy value = DuckDB quantile_disc) —
+      // per-doc entropies are near-unique doubles, exactly the domain
+      // where Spark's exact `percentile` buffers the whole corpus'
+      // values on one task; an approx median could flip band verdicts
+      // at the boundary, so approximate is not an option either
+      val med = Scan.exactQuantilesByGroupDouble(
+        ent.select(lit(0L).as("gg"), col("ent")), "gg", "ent", Seq(0.5))
+        .select(col("value").as("med"))
       ent.crossJoin(broadcast(med))
         .select(col("doc_id"), round(col("ent"), 6).as("entropy"),
           (col("ent") >= col("med") * 0.7 && col("ent") <= col("med") * 1.3)
@@ -2844,6 +2872,44 @@ object SparkEntry {
         .orderBy("qid")
     },
 
+    // advisor-routed retrieval: AnnAdvisor.choose picks the index tier
+    // from the MEASURED Pareto table (recall target 0.99 under a
+    // 64 B/vec coarse-scan budget → pca16-rerank on the current table)
+    // and the chosen tier executes — ≅ the reference's capability-
+    // driven kernel routing (src/MetalDistance.mm:121-127, 255-284).
+    // The oracle pins the tier NAME, so an advisor-table drift fails
+    // the gate visibly rather than silently rerouting production scans.
+    "ann_auto" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val n = vectors.count()
+      val d = e.select(size(col("embedding"))).first().getInt(0)
+      val choice = AnnAdvisor.choose(n, d, recallTarget = 0.99,
+        scanBudgetBytesPerVec = 64.0)
+      val k = 10
+      val ann = choice.tier match {
+        case "pca16-rerank" => Similarity.pcaRerankTopK(vectors, queries, k,
+          dOut = choice.params("dOut").toInt, expand = choice.params("expand").toInt)
+        case "f16-rerank" => Similarity.rerankedTopK(vectors, queries, k,
+          expand = choice.params("expand").toInt)
+        case "ivf-p2" | "ivf-p4" => Similarity.ivfTopK(vectors, queries, k,
+          choice.params("centroidModulo").toInt, choice.params("nProbe").toInt)
+        case "flat" => Similarity.gemmTopK(vectors, queries, k)
+        case other =>
+          throw new IllegalStateException(s"ann_auto: no dispatch for tier $other")
+      }
+      val exact = Similarity.bruteForceTopK(vectors, queries, k, "l2")
+        .select(col("qid"), col("label"))
+      queries.select(col("qid"))
+        .join(annOverlap(exact, ann), Seq("qid"), "left")
+        .select(col("qid"), lit(choice.tier).as("tier"),
+          (coalesce(col("n_common"), lit(0L)) >= 3L).as("recall_ok"),
+          lit(choice.meetsTarget).as("meets_target"))
+        .orderBy("qid")
+    },
+
     // Residual-encoded IVFPQ (FAISS IVFPQ proper: PQ codes v − coarse
     // centroid, k-means-trained residual sub-codebooks). Training isn't
     // SQL-reproducible → driver-checkable verdicts: per-query recall ≥ 1
@@ -3853,7 +3919,7 @@ object SparkEntry {
         |n AS (SELECT doc_id, SUM(cnt) AS n FROM f GROUP BY 1),
         |e AS (SELECT f.doc_id, -SUM((f.cnt / n.n) * ln(f.cnt / n.n)) AS ent
         |      FROM f JOIN n ON f.doc_id = n.doc_id GROUP BY 1),
-        |m AS (SELECT median(ent) AS med FROM e)
+        |m AS (SELECT quantile_disc(ent, 0.5) AS med FROM e)
         |SELECT e.doc_id, ROUND(e.ent, 6) AS entropy,
         |  (e.ent >= m.med * 0.7 AND e.ent <= m.med * 1.3) AS in_band
         |FROM e, m ORDER BY e.doc_id""".stripMargin,
@@ -3953,8 +4019,8 @@ object SparkEntry {
 
     "q_winsorize" ->
       """WITH q AS (SELECT o_orderpriority,
-        |  quantile_cont(o_totalprice, 0.05) AS p05,
-        |  quantile_cont(o_totalprice, 0.95) AS p95
+        |  quantile_disc(CAST(o_totalprice AS DOUBLE), 0.05) AS p05,
+        |  quantile_disc(CAST(o_totalprice AS DOUBLE), 0.95) AS p95
         |  FROM orders GROUP BY 1),
         |j AS (SELECT o.o_orderpriority, o.o_totalprice, q.p05, q.p95,
         |  GREATEST(LEAST(o.o_totalprice, q.p95), q.p05) AS wp
@@ -4095,6 +4161,12 @@ object SparkEntry {
     // boolean and fails the hash compare.
     "ann_ivf_kmeans" ->
       """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok
+        |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
+
+    "ann_auto" ->
+      """SELECT vec_id AS qid, 'pca16-rerank' AS tier,
+        |  CAST(TRUE AS BOOLEAN) AS recall_ok,
+        |  CAST(TRUE AS BOOLEAN) AS meets_target
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "ann_lsh_mllib" ->
@@ -4357,9 +4429,9 @@ object SparkEntry {
 
     "q_percentiles" ->
       """SELECT l_returnflag,
-        |  quantile_cont(l_quantity, 0.5) AS p50_qty,
-        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
-        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price
+        |  quantile_disc(CAST(l_quantity AS DOUBLE), 0.5) AS p50_qty,
+        |  quantile_disc(CAST(l_quantity AS DOUBLE), 0.9) AS p90_qty,
+        |  ROUND(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50_price
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
@@ -6653,7 +6725,11 @@ object SparkEntry {
         |       ELSE LEAST(CAST(FLOOR((e.v - rng.vmin) /
         |         ((rng.vmax - rng.vmin) / 10)) AS BIGINT), 9) END AS bk
         |  FROM e JOIN rng ON e.g = rng.g, piv),
-        |cnt AS (SELECT g, bk, SUM(ca) AS fa, SUM(cb) AS fb FROM b GROUP BY 1, 2),
+        |grid AS (SELECT g, UNNEST(range(0, 10)) AS bk FROM rng),
+        |cnt0 AS (SELECT g, bk, SUM(ca) AS fa, SUM(cb) AS fb FROM b GROUP BY 1, 2),
+        |cnt AS (SELECT grid.g, grid.bk, COALESCE(cnt0.fa, 0) AS fa,
+        |        COALESCE(cnt0.fb, 0) AS fb
+        |        FROM grid LEFT JOIN cnt0 ON grid.g = cnt0.g AND grid.bk = cnt0.bk),
         |tot AS (SELECT g, SUM(fa) AS na, SUM(fb) AS nb FROM cnt GROUP BY 1),
         |terms AS (SELECT cnt.g, tot.na, tot.nb,
         |  CAST(ROUND((CAST(cnt.fa + 1 AS DOUBLE) / (tot.na + 10)

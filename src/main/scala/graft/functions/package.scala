@@ -184,6 +184,13 @@ package object functions {
   def charEntropy(text: Column): Column =
     GraftBridge.column(CharEntropy(e(text)))
 
+  /** Order-preserving `double → long` bit bijection (sortable-bits
+    * trick) — feeds [[graft.ops.Scan.exactQuantilesByGroupDouble]];
+    * invert with [[DoubleBits.fromSortable]].
+    */
+  def doubleSortableBits(v: Column): Column =
+    GraftBridge.column(DoubleSortableBits(e(v)))
+
   /** Jaro-Winkler similarity of two strings (DuckDB-pinned semantics:
     * empty input → 0.0, strict 0.7 boost threshold, prefix ≤ 4) — the
     * record-linkage scorer; see [[JaroWinkler]].

@@ -1,0 +1,100 @@
+package graft.ops
+
+/** ANN tier advisor — MEASURED-Pareto-driven index selection, the index
+  * side's analog of [[Dedup.chooseBandConfig]] (which picks LSH band
+  * geometry from a similarity threshold) and of the reference's
+  * capability-driven kernel routing: faiss-metal gates GEMM paths on
+  * what the device measures/supports (`src/MetalDistance.mm:121-127` —
+  * simdgroup vs MPS; `:255-284` — tile/pipeline variant off device
+  * family, storage dtype, and problem shape). Here the "device table"
+  * is `tools/AnnPareto`'s measured (recall@10, scan-bytes/vector,
+  * ms/query) rows on the 20k×64-d rank-24 anisotropic fixture
+  * (BASELINE.md round-11/12), and the routing inputs are corpus size,
+  * dimension, a recall target, and a coarse-scan byte budget — the
+  * quantity that governs 100 TB scan cost.
+  *
+  * Selection contract (deterministic, spec-pinned):
+  *   1. eligible = tiers with measured recall ≥ target AND
+  *      scan-bytes/vec ≤ budget;
+  *   2. pick the eligible tier with the SMALLEST scan-bytes/vec
+  *      (the 100 TB lever), tie-broken by measured ms/query, then name;
+  *   3. if nothing is eligible, drop the recall constraint and return
+  *      the HIGHEST-recall tier within budget (caller sees
+  *      `meetsTarget = false`);
+  *   4. if even the smallest tier exceeds the budget, return the
+  *      globally smallest-scan tier (budget is advisory at that point).
+  *
+  * Expected recall is what the fixture measured — a distribution-shift
+  * caveat applies exactly as it does to the reference's device table
+  * (numbers transfer as rankings, not guarantees). Tier identity never
+  * depends on n (n only scales IVF parameters and the per-vector scan
+  * fraction of IVF tiers — which shrinks with n, so an IVF tier
+  * eligible at the fixture's n stays eligible at 100×).
+  */
+object AnnAdvisor {
+
+  /** One measured Pareto row. `scanB(n, d)` is coarse-scan bytes per
+    * corpus vector: projections pin to their output width, quantized
+    * tiers to their code width, IVF tiers fold in the probed fraction
+    * (nProbe / nClusters with nClusters = n/40, the AnnPareto build).
+    */
+  final case class Tier(name: String, recall10: Double, msPerQuery: Double,
+                        scanB: (Long, Int) => Double,
+                        params: Map[String, Long])
+
+  final case class Choice(tier: String, expectedRecall: Double,
+                          scanBytesPerVec: Double, msPerQuery: Double,
+                          meetsTarget: Boolean, params: Map[String, Long])
+
+  private def nClusters(n: Long): Double = math.max(1L, n / 40L).toDouble
+
+  /** Measured rows (tools/AnnPareto on the anisotropic fixture; keep in
+    * sync with BASELINE.md's round-12 table when the tool reruns).
+    */
+  def tiers: Seq[Tier] = Seq(
+    Tier("flat", 1.000, 10.0, (_, d) => 4.0 * d, Map.empty),
+    Tier("f16-rerank", 1.000, 16.6, (_, d) => 2.0 * d,
+      Map("expand" -> 4L)),
+    Tier("pca16-rerank", 1.000, 14.8, (_, _) => 64.0,
+      Map("dOut" -> 16L, "expand" -> 4L)),
+    Tier("prefix16-rerank", 0.800, 14.9, (_, _) => 64.0,
+      Map("dOut" -> 16L, "expand" -> 4L)),
+    Tier("jl16-rerank", 0.750, 12.8, (_, _) => 64.0,
+      Map("dOut" -> 16L, "expand" -> 4L)),
+    Tier("ivf-p2", 0.844, 29.7, (n, d) => 4.0 * d * 2.0 / nClusters(n),
+      Map("centroidModulo" -> 40L, "nProbe" -> 2L)),
+    Tier("ivf-p4", 0.947, 29.0, (n, d) => 4.0 * d * 4.0 / nClusters(n),
+      Map("centroidModulo" -> 40L, "nProbe" -> 4L)),
+    Tier("ivf-sq8-p2", 0.831, 29.0, (n, d) => 1.0 * d * 2.0 / nClusters(n),
+      Map("centroidModulo" -> 40L, "nProbe" -> 2L)),
+    Tier("ivf-sq4-p2", 0.631, 28.8, (n, d) => 0.5 * d * 2.0 / nClusters(n),
+      Map("centroidModulo" -> 40L, "nProbe" -> 2L)),
+    Tier("opq8-rerank", 0.825, 11.8, (_, _) => 8.0,
+      Map("m" -> 8L, "ncent" -> 64L, "expand" -> 4L)),
+    Tier("ivfpq-resid-p2-rerank", 0.684, 92.2, (n, _) => 8.0 * 2.0 / nClusters(n),
+      Map("nProbe" -> 2L, "m" -> 8L, "expand" -> 5L)),
+    Tier("hamming-rerank", 0.325, 7.6, (_, d) => d / 8.0,
+      Map("expand" -> 4L)))
+
+  def choose(n: Long, d: Int, recallTarget: Double,
+             scanBudgetBytesPerVec: Double): Choice = {
+    require(n > 0 && d > 0, s"need positive corpus/dim, got n=$n d=$d")
+    require(recallTarget > 0.0 && recallTarget <= 1.0,
+      s"recall target in (0, 1], got $recallTarget")
+    val scored = tiers.map(t => (t, t.scanB(n, d)))
+    val inBudget = scored.filter(_._2 <= scanBudgetBytesPerVec)
+    val eligible = inBudget.filter(_._1.recall10 >= recallTarget)
+    val (t, b, meets) =
+      if (eligible.nonEmpty) {
+        val (t, b) = eligible.minBy { case (t, b) => (b, t.msPerQuery, t.name) }
+        (t, b, true)
+      } else if (inBudget.nonEmpty) {
+        val (t, b) = inBudget.minBy { case (t, b) => (-t.recall10, b, t.msPerQuery, t.name) }
+        (t, b, false)
+      } else {
+        val (t, b) = scored.minBy { case (t, b) => (b, t.msPerQuery, t.name) }
+        (t, b, false)
+      }
+    Choice(t.name, t.recall10, b, t.msPerQuery, meets, t.params)
+  }
+}

@@ -586,6 +586,18 @@ f$h AS (SELECT id FROM x$h)""")
     var cur = e0.join(sup0, Seq("u", "v"), "left")
       .select(col("u"), col("v"), coalesce(col("support"), lit(0L)).as("support"))
       .localCheckpoint(false)
+    // DECREMENTAL round-start frames: the symmetric adjacency and the
+    // degree table are built ONCE from e0, then maintained by
+    // subtracting each round's dropped edges (broadcast anti-join /
+    // broadcast decrement join) — no per-round O(|E|) degree SHUFFLE,
+    // even though Spark's scan of the adjacency per probe join remains
+    // O(|E|) (no index structure exists to avoid it). After round r's
+    // update both frames equal round r+1's round-start set exactly.
+    var adjSym = e0.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e0.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    var degs = adjSym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -594,11 +606,6 @@ f$h AS (SELECT id FROM x$h)""")
       val dropped = cur.filter(col("support") < k - 2).select("u", "v")
       if (dropped.count() == 0L) converged = true
       else {
-        // round-START adjacency and degrees (survivors ∪ dropped): the
-        // triangles dying this round existed in the round-start set
-        val adjSym = cur.select(col("u").as("src"), col("v").as("dst"))
-          .unionAll(cur.select(col("v").as("src"), col("u").as("dst")))
-        val degs = adjSym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
         // probe common neighbors from each dropped edge's lower-degree
         // endpoint — hub-safe wedge fanout
         val dOri = dropped
@@ -637,6 +644,20 @@ f$h AS (SELECT id FROM x$h)""")
           .join(dec, Seq("u", "v"), "left")
           .select(col("u"), col("v"),
             (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
+          .localCheckpoint(false)
+        // maintain the round-start frames for the NEXT round: remove
+        // this round's dropped edges (tiny frontier → broadcast) and
+        // decrement endpoint degrees — the only shuffle left per round
+        // is the dec aggregation over the frontier's wedges
+        val dropSym = dropped.select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(dropped.select(col("v").as("src"), col("u").as("dst")))
+        adjSym = adjSym
+          .join(broadcast(dropSym), Seq("src", "dst"), "left_anti")
+          .localCheckpoint(false)
+        val dropCnt = dropSym.groupBy(col("src").as("node")).agg(count(lit(1)).as("dc"))
+        degs = degs.join(broadcast(dropCnt), Seq("node"), "left")
+          .select(col("node"), (col("deg") - coalesce(col("dc"), lit(0L))).as("deg"))
+          .filter(col("deg") > 0L)
           .localCheckpoint(false)
       }
     }
@@ -877,7 +898,13 @@ f$h AS (SELECT id FROM x$h)""")
     * Returns (u, v, cn, aa) with u < v, cn ≥ minCn, aa rounded to 6 dp.
     */
   def adamicAdar(und: DataFrame, degCap: Int = 64, minCn: Long = 2): DataFrame = {
-    val e = und.select(col("u"), col("v")).distinct().localCheckpoint(true)
+    // canonicalize BEFORE dedup: an input carrying both orientations of
+    // an undirected edge (or self-loops) would otherwise silently double
+    // degrees, cn and aa — least/greatest makes the single-orientation
+    // contract a property of this function, not of its callers
+    val e = und
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
     val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
     val deg = adj.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
     val centers = deg.filter(col("deg") <= degCap)
@@ -905,7 +932,8 @@ f$h AS (SELECT id FROM x$h)""")
     */
   def adamicAdarSql(undSql: String, degCap: Int = 64, minCn: Long = 2): String =
     s"""aa_und AS MATERIALIZED ($undSql),
-       |aa_e AS MATERIALIZED (SELECT DISTINCT u, v FROM aa_und),
+       |aa_e AS MATERIALIZED (SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
+       |  FROM aa_und WHERE u <> v),
        |aa_adj AS MATERIALIZED (
        |  SELECT u, v FROM aa_e UNION ALL SELECT v, u FROM aa_e),
        |aa_deg AS (SELECT u AS node, COUNT(*) AS deg FROM aa_adj GROUP BY 1),

@@ -178,8 +178,19 @@ object Profile {
           .otherwise(least(floor((col("v") - col("vmin")) /
               ((col("vmax") - col("vmin")) / buckets)).cast(LongType),
             lit(buckets - 1L))).as("bk"))
-    val cnt = binned.groupBy(col("g"), col("bk"))
-      .agg(sum(col("ca")).as("fa"), sum(col("cb")).as("fb"))
+    // dense (group × bucket) grid: a bucket empty on BOTH sides still
+    // contributes its Laplace-smoothed term (1/(na+B) vs 1/(nb+B)),
+    // which is nonzero whenever n_a != n_b — dropping it would
+    // underestimate PSI relative to the smoothed definition above
+    val grid = rng.select(col("g"))
+      .withColumn("bk", explode(sequence(lit(0L), lit((buckets - 1).toLong))))
+    val cnt = grid.join(
+        binned.groupBy(col("g"), col("bk"))
+          .agg(sum(col("ca")).as("fa0"), sum(col("cb")).as("fb0")),
+        Seq("g", "bk"), "left")
+      .select(col("g"), col("bk"),
+        coalesce(col("fa0"), lit(0L)).as("fa"),
+        coalesce(col("fb0"), lit(0L)).as("fb"))
     val tot = cnt.groupBy(col("g"))
       .agg(sum(col("fa")).as("na"), sum(col("fb")).as("nb"))
     val pa = (col("fa") + lit(1)).cast(DoubleType) / (col("na") + lit(buckets))

@@ -364,15 +364,14 @@ object Scan {
     require(stats.length <= maxGroups,
       s"exactQuantilesByGroup driver state ${stats.length} groups > $maxGroups — with this " +
         "many groups the per-group value lists are small and plain percentile is already safe")
-    stats.foreach { r =>
-      // (hi − lo) must fit in a long: every bucket-id subtraction below
-      // assumes a non-wrapping range (full-domain hash keys would wrap)
-      val lo = r.getLong(2); val hi = r.getLong(3)
-      val ok = try { math.subtractExact(hi, lo); true }
-               catch { case _: ArithmeticException => false }
-      require(ok, s"group ${r.get(0)}: value range [$lo, $hi] exceeds Long.MaxValue — " +
-        "shift or scale inputs first")
-    }
+    // ALL range arithmetic below is UNSIGNED (divideUnsigned /
+    // compareUnsigned on wrapped differences): for signed-ordered
+    // values hi − lo is the true span mod 2⁶⁴, so even a full-domain
+    // range (e.g. the sortable-bits image of mixed-sign doubles, or
+    // hash keys spanning the whole Long line) refines correctly —
+    // no non-wrapping precondition on the inputs
+    def widthU(lo: Long, hi: Long): Long =
+      java.lang.Long.divideUnsigned(hi - lo, buckets.toLong) + 1L
     // state per (group, q): [k within current range, lo, hi]
     val state = scala.collection.mutable.LinkedHashMap.empty[(Any, Double), Array[Long]]
     stats.foreach { r =>
@@ -390,7 +389,7 @@ object Scan {
       val ranges: Map[Any, Seq[(Double, Long, Long, Long)]] =
         open.groupBy(_._1._1).map { case (g, entries) =>
           (g, entries.map { case ((_, q), s) =>
-            (q, s(1), s(2), math.max(1L, (s(2) - s(1)) / buckets + 1))
+            (q, s(1), s(2), widthU(s(1), s(2)))
           })
         }
       val bcast = spark.sparkContext.broadcast(ranges)
@@ -403,7 +402,7 @@ object Scan {
             val v = r.getLong(1)
             entries.foreach { case (q, lo, hi, w) =>
               if (v >= lo && v <= hi) {
-                val k = (g, q, (v - lo) / w)
+                val k = (g, q, java.lang.Long.divideUnsigned(v - lo, w))
                 counts.update(k, counts.getOrElse(k, 0L) + 1L)
               }
             }
@@ -423,10 +422,11 @@ object Scan {
         .collect().foreach { case (k, c) => merged.update(k, c) }
       open.foreach { case ((g, q), s) =>
         val lo = s(1)
-        val w = math.max(1L, (s(2) - lo) / buckets + 1)
+        val w = widthU(lo, s(2))
         var k = s(0); var cum = 0L; var chosen = -1L; var below = 0L
         var b = 0L
-        val bMax = (s(2) - lo) / w
+        val hiOff = s(2) - lo // unsigned span
+        val bMax = java.lang.Long.divideUnsigned(hiOff, w)
         while (b <= bMax && chosen < 0) {
           val c = merged.getOrElse((g, q, b), 0L)
           if (cum + c >= k) { chosen = b; below = cum }
@@ -435,9 +435,17 @@ object Scan {
         }
         assert(chosen >= 0, s"rank $k not found for group $g in [${s(1)}, ${s(2)}]")
         s(0) = k - below
-        s(2) = math.min(s(2), lo + (chosen + 1) * w - 1)
-        s(1) = lo + chosen * w
-        if (w == 1) s(2) = s(1)
+        // descend into the chosen bucket — offsets from lo stay unsigned;
+        // the bucket's top edge clamps to the range's hi (the +w−1 edge
+        // can pass hi, and for the last bucket of a full-span range can
+        // even wrap 2⁶⁴ — both cases clamp)
+        val base = chosen * w // ≤ hiOff (chosen ≤ hiOff/w), so no wrap
+        var newOff = base + (w - 1L)
+        if (java.lang.Long.compareUnsigned(newOff, base) < 0 ||
+            java.lang.Long.compareUnsigned(newOff, hiOff) > 0) newOff = hiOff
+        s(1) = lo + base
+        s(2) = lo + newOff
+        if (w == 1L) s(2) = s(1)
       }
     }
     val out = state.toSeq.map { case ((g, q), s) => Row(g, q, s(1)) }
@@ -447,6 +455,45 @@ object Scan {
         schema(schema.fieldIndex(groupCol)).copy(name = "g"),
         StructField("q", DoubleType, nullable = false),
         StructField("value", LongType, nullable = false))))
+  }
+
+  /** [[exactQuantilesByGroup]] over a DOUBLE column: values pass
+    * through the order-preserving sortable-bits bijection
+    * ([[graft.functions.DoubleBits]]) into Long space, the bounded
+    * histogram refinement selects exactly there, and the groups×qs
+    * result maps back — the returned quantile is an ACTUAL data value,
+    * bit-identical to DuckDB `quantile_disc` over the same doubles
+    * (same ceil(q·n) rank convention). This is the scale-safe
+    * replacement for Spark's exact `percentile` on near-unique double
+    * domains (prices, entropies, scores), whose per-group value buffer
+    * is the OOM-or-straggler documented on [[exactQuantilesByGroup]].
+    *
+    * Constraint: no NaNs (deterministic here — NaN sorts above +Inf —
+    * but engines disagree on NaN rank, so oracle comparisons would
+    * drift). The refinement's range math is unsigned, so the full
+    * sortable image (mixed signs, ±Inf) refines correctly. Returns
+    * (g, q, value: double).
+    */
+  def exactQuantilesByGroupDouble(df: DataFrame, groupCol: String, valueCol: String,
+                                  qs: Seq[Double], buckets: Int = 1024,
+                                  maxGroups: Int = 4096): DataFrame = {
+    val schema = df.schema
+    require(schema(schema.fieldIndex(valueCol)).dataType == DoubleType,
+      s"exactQuantilesByGroupDouble needs DoubleType, got ${schema(schema.fieldIndex(valueCol)).dataType}")
+    val mapped = df.select(col(groupCol),
+      graft.functions.doubleSortableBits(col(valueCol)).as("__sb"))
+    val res = exactQuantilesByGroup(mapped, groupCol, "__sb", qs, buckets, maxGroups)
+    // groups×qs rows — driver-side inverse map keeps the group's type
+    val out = res.collect().toSeq.map { r =>
+      Row(r.get(0), r.getDouble(1),
+        graft.functions.DoubleBits.fromSortable(r.getLong(2)))
+    }
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      StructType(Seq(
+        schema(schema.fieldIndex(groupCol)).copy(name = "g"),
+        StructField("q", DoubleType, nullable = false),
+        StructField("value", DoubleType, nullable = false))))
   }
 
   /** Distributed lag-1 carry — `lag(col).over(window)` without putting

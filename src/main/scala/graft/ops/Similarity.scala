@@ -2009,18 +2009,23 @@ object Similarity {
     * oracle-hashed.
     */
   def ivfKmeansTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-                    nClusters: Int, nProbe: Int, seed: Long = 42L): DataFrame = {
+                    nClusters: Int, nProbe: Int, seed: Long = 42L,
+                    maxIter: Int = 20, initMode: String = "k-means||"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // materialize the features once — KMeans.fit iterates its input
     // maxIter times and would re-run the scan+conversion per iteration
     val feats = vectors.select(col("id"), array_to_vector(col("vec")).as("features"))
       .localCheckpoint(true)
-    // random seeded init, few iterations: k-means|| init alone costs ~2×
-    // the clustering's job count, and IVF recall is governed by nProbe,
-    // not by the last percent of centroid convergence
-    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(5)
-      .setInitMode("random")
+    // k-means|| init + enough Lloyd iterations to converge: the r11
+    // AnnPareto table showed the cheap config (random init, 5 iters)
+    // UNDER modulo-sampled centers at equal nProbe (0.594 vs 0.844
+    // recall@10 at nProbe=2, 500 centers / 20k vecs) — random init at
+    // high k leaves empty/collapsed cells whose queries then probe the
+    // wrong partitions. Training runs once per index build; its job
+    // count is not the scan path's problem.
+    val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode(initMode)
       .setFeaturesCol("features").fit(feats)
     val cents = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }.toSeq

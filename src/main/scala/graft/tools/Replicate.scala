@@ -40,6 +40,13 @@ object Replicate {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/sf1x"
     val mult = if (args.length > 2) args(2).toInt else 10
+    // the composed rotation (i % 9, (i/9) % 12) is injective only for
+    // i < 108 — beyond that replica texts REPEAT and every pair query
+    // regains the quadratic cross-replica workload this tool exists to
+    // avoid. Fail loudly instead of silently faking the work profile.
+    require(mult >= 1 && mult <= 108,
+      s"mult=$mult outside [1, 108]: document rotations repeat past 108 replicas, " +
+        "reintroducing same-text replica pairs (add a third disjoint alphabet first)")
     val OFF = 1000000000L
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)

@@ -99,6 +99,33 @@ class ProfileSpec extends AnyFunSuite {
     }
   }
 
+  test("psiDrift == scalar PSI incl. the both-empty buckets' smoothed terms") {
+    // two halves by time (pivot = 50): A = {0,0,0,9}, B = {0,9,9};
+    // range [0,9], 10 buckets → only buckets 0 and 9 are populated,
+    // buckets 1..8 are empty on BOTH sides yet still contribute their
+    // Laplace term (1/(4+10) vs 1/(3+10) differs since n_a != n_b)
+    val schema = StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("v", DoubleType, nullable = false),
+      StructField("tu", LongType, nullable = false)))
+    val rows = Seq(0.0, 0.0, 0.0, 9.0).map(v => Row("g", v, 0L)) ++
+      Seq(0.0, 9.0, 9.0).map(v => Row("g", v, 100L))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val r = Profile.psiDrift(df, "v", "tu", "g", buckets = 10).head
+    assert((r.getLong(1), r.getLong(2)) === ((4L, 3L)))
+    def term(fa: Long, fb: Long): BigDecimal = {
+      val pa = (fa + 1).toDouble / 14; val pb = (fb + 1).toDouble / 13
+      BigDecimal((pa - pb) * math.log(pa / pb))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val populated = term(3, 1) + term(1, 2)
+    val full = populated + term(0, 0) * 8
+    assert(r.getDouble(3) ===
+      full.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the empty-bucket terms are real contributions, not noise
+    assert(full > populated)
+  }
+
   test("riCheck counts orphans and null child keys") {
     val child = fixture.select("k")
     val parent = df(Row(1L, 0.0, "p"), Row(2L, 0.0, "p"))

@@ -215,6 +215,81 @@ class ScanSpec extends AnyFunSuite {
     assert(e.getMessage.contains("driver state"))
   }
 
+  test("DoubleBits: order-preserving bijection incl. -0.0, denormals, ±extremes") {
+    import graft.functions.DoubleBits
+    val vals = Seq(Double.MinValue, -1e300, -123.456, -1e-310, -0.0, 0.0,
+      Double.MinPositiveValue, 1e-310, 42.0, 1e300, Double.MaxValue,
+      Double.NegativeInfinity, Double.PositiveInfinity)
+    // self-inverse, bit-exact
+    vals.foreach { v =>
+      val rt = DoubleBits.fromSortable(DoubleBits.toSortable(v))
+      assert(java.lang.Double.doubleToLongBits(rt) ===
+        java.lang.Double.doubleToLongBits(v), s"round trip $v")
+    }
+    // Long ordering of the image == numeric ordering of the doubles
+    val sorted = vals.sortBy(identity)
+    assert(vals.map(DoubleBits.toSortable).sorted.map(DoubleBits.fromSortable)
+      === sorted, "sortable-long order must equal double order")
+    // and -0.0 maps strictly below +0.0 (total order, like Double.compare)
+    assert(DoubleBits.toSortable(-0.0) < DoubleBits.toSortable(0.0))
+  }
+
+  test("exactQuantilesByGroupDouble == per-group sorted order stats over doubles") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(31L)
+    val data = Seq("x", "y").flatMap { g =>
+      Array.fill(6000)((g, rnd.nextGaussian() * (if (g == "x") 1e4 else 1e-3)))
+    } ++ Seq(("x", 0.0), ("x", -0.0)) // the signed-zero boundary
+    val df = spark.createDataset(data.toIndexedSeq).toDF("g", "v")
+    val qs = Seq(0.05, 0.5, 0.95)
+    val got = graft.ops.Scan.exactQuantilesByGroupDouble(df, "g", "v", qs, buckets = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val sorted = rows.map(_._2).sortBy(graft.functions.DoubleBits.toSortable)
+      qs.foreach { q =>
+        val want = sorted(math.max(1, math.ceil(q * sorted.length).toInt) - 1)
+        assert(java.lang.Double.doubleToLongBits(got((g, q))) ===
+          java.lang.Double.doubleToLongBits(want), s"g=$g q=$q")
+      }
+    }
+  }
+
+  test("quantile queries carry NO exact Percentile aggregate in any executed plan") {
+    // Spark's exact `percentile` buffers each group's full value list in
+    // one aggregation buffer — the 100 TB cliff exactQuantilesByGroup
+    // exists to avoid. Contract for query authors: `percentile` only on
+    // provably-small value domains; near-unique domains go through
+    // Scan.exactQuantilesByGroup[Double]. This watches EVERY plan the
+    // three rewritten queries execute (the refinement runs internal
+    // jobs), not just the returned DataFrame's.
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        if (qe.analyzed.expressions.exists(_.collectFirst { case p: Percentile => p }.isDefined) ||
+            qe.analyzed.collectFirst {
+              case pl if pl.expressions.exists(_.collectFirst { case p: Percentile => p }.isDefined) => pl
+            }.isDefined)
+          seen.add(funcName + ": " + qe.analyzed.toString.take(200))
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Seq("q_percentiles", "q_winsorize", "text_entropy").foreach { name =>
+        val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        assert(df.collect().nonEmpty, s"$name returned no rows")
+        assert(df.queryExecution.analyzed.collectFirst {
+          case pl if pl.expressions.exists(_.collectFirst { case p: Percentile => p }.isDefined) => pl
+        }.isEmpty, s"$name: returned plan contains exact Percentile")
+      }
+      org.apache.spark.GraftTestBridge.waitForListeners(spark.sparkContext)
+      assert(seen.isEmpty, s"exact Percentile executed: ${seen.toArray.mkString("; ")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   // ---- lagScan: distributed previous-value carry ----
 
   test("lagScan ≡ window lag, incl. nulls on group firsts and a hot key") {
