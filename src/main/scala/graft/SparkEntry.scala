@@ -273,18 +273,28 @@ object SparkEntry {
     // DISCRETE quantiles (ceil(q·n)-th smallest = DuckDB quantile_disc)
     "q_percentiles" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
-      val qty = Scan.exactQuantilesByGroupDouble(
-        li.select(col("l_returnflag"), col("l_quantity").cast(DoubleType).as("v")),
-        "l_returnflag", "v", Seq(0.5, 0.9))
-      val price = Scan.exactQuantilesByGroupDouble(
-        li.select(col("l_returnflag"), col("l_extendedprice").cast(DoubleType).as("v")),
-        "l_returnflag", "v", Seq(0.5))
-      val qpiv = qty.groupBy(col("g").as("l_returnflag"))
-        .agg(min(when(col("q") === 0.5, col("value"))).as("p50_qty"),
-          min(when(col("q") === 0.9, col("value"))).as("p90_qty"))
-      val ppiv = price.select(col("g").as("l_returnflag"),
-        round(col("value"), 4).as("p50_price"))
-      qpiv.join(ppiv, "l_returnflag").orderBy("l_returnflag")
+      // BOTH measures melt into one refinement call on a composite
+      // (returnflag, measure) key — one checkpoint and one set of
+      // histogram rounds instead of two (every open (group, q) range
+      // batches into the same pass), halving the loop's job count.
+      // The price side's p90 rides along unused: extra driver state,
+      // zero extra passes.
+      val melted = li.select(
+          concat(col("l_returnflag"), lit("|qty")).as("gk"),
+          col("l_quantity").cast(DoubleType).as("v"))
+        .unionAll(li.select(
+          concat(col("l_returnflag"), lit("|price")).as("gk"),
+          col("l_extendedprice").cast(DoubleType).as("v")))
+      val qd = Scan.exactQuantilesByGroupDouble(melted, "gk", "v", Seq(0.5, 0.9))
+        .select(substring(col("g"), 1, 1).as("l_returnflag"),
+          substring(col("g"), 3, 5).as("measure"), col("q"), col("value"))
+      qd.groupBy(col("l_returnflag"))
+        .agg(
+          min(when(col("measure") === "qty" && col("q") === 0.5, col("value"))).as("p50_qty"),
+          min(when(col("measure") === "qty" && col("q") === 0.9, col("value"))).as("p90_qty"),
+          round(min(when(col("measure") === "price" && col("q") === 0.5, col("value"))), 4)
+            .as("p50_price"))
+        .orderBy("l_returnflag")
     },
 
     // winsorized robust stats (Tukey; Dixon 1960): clip o_totalprice at
@@ -2874,11 +2884,16 @@ object SparkEntry {
 
     // advisor-routed retrieval: AnnAdvisor.choose picks the index tier
     // from the MEASURED Pareto table (recall target 0.99 under a
-    // 64 B/vec coarse-scan budget → pca16-rerank on the current table)
-    // and the chosen tier executes — ≅ the reference's capability-
-    // driven kernel routing (src/MetalDistance.mm:121-127, 255-284).
-    // The oracle pins the tier NAME, so an advisor-table drift fails
-    // the gate visibly rather than silently rerouting production scans.
+    // 128 B/vec coarse-scan budget → f16-rerank) and the chosen tier
+    // executes — ≅ the reference's capability-driven kernel routing
+    // (src/MetalDistance.mm:121-127, 255-284). A strict 0.99 target
+    // routes only to recall-BY-CONSTRUCTION tiers (round-13 fix): the
+    // fixture-measured tiers' recall doesn't transfer to this corpus
+    // (testdata embeddings are near-isotropic; PCA-16 ≈ a random
+    // 16-dim slice there), which is exactly the fragility the r12 spec
+    // caught at sf0.001. The oracle pins the tier NAME, so an
+    // advisor-table drift fails the gate visibly rather than silently
+    // rerouting production scans.
     "ann_auto" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -2887,7 +2902,7 @@ object SparkEntry {
       val n = vectors.count()
       val d = e.select(size(col("embedding"))).first().getInt(0)
       val choice = AnnAdvisor.choose(n, d, recallTarget = 0.99,
-        scanBudgetBytesPerVec = 64.0)
+        scanBudgetBytesPerVec = 128.0)
       val k = 10
       val ann = choice.tier match {
         case "pca16-rerank" => Similarity.pcaRerankTopK(vectors, queries, k,
@@ -2896,6 +2911,9 @@ object SparkEntry {
           expand = choice.params("expand").toInt)
         case "ivf-p2" | "ivf-p4" => Similarity.ivfTopK(vectors, queries, k,
           choice.params("centroidModulo").toInt, choice.params("nProbe").toInt)
+        case "ivf-kmeans-p2" => Similarity.ivfKmeansTopK(vectors, queries, k,
+          nClusters = math.max(1L, n / choice.params("clustersPer")).toInt,
+          nProbe = choice.params("nProbe").toInt)
         case "flat" => Similarity.gemmTopK(vectors, queries, k)
         case other =>
           throw new IllegalStateException(s"ann_auto: no dispatch for tier $other")
@@ -4164,7 +4182,7 @@ object SparkEntry {
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "ann_auto" ->
-      """SELECT vec_id AS qid, 'pca16-rerank' AS tier,
+      """SELECT vec_id AS qid, 'f16-rerank' AS tier,
         |  CAST(TRUE AS BOOLEAN) AS recall_ok,
         |  CAST(TRUE AS BOOLEAN) AS meets_target
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,

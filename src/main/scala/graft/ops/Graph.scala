@@ -553,7 +553,18 @@ f$h AS (SELECT id FROM x$h)""")
     * `und`: undirected edges (u, v). Returns (u, v, support) canonical
     * (u < v) for the surviving truss edges.
     */
-  def kTruss(und: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+  def kTruss(und: DataFrame, k: Int, maxRounds: Int = 50): DataFrame =
+    kTruss(und, k, maxRounds, decremental = true)
+
+  /** A/B-able variant: `decremental = false` rebuilds the round-start
+    * adjacency and degree frames from `cur` every round (the r11
+    * shape — a per-round O(|E|) degree shuffle) instead of maintaining
+    * them. Exists so `tools/TrussProfile` can measure the maintenance
+    * win (jobs / shuffle bytes per peel round) against the same
+    * fixpoint; production callers take the public overload.
+    */
+  private[graft] def kTruss(und: DataFrame, k: Int, maxRounds: Int,
+                            decremental: Boolean): DataFrame = {
     require(k >= 3, s"kTruss needs k >= 3, got $k")
     val e0 = und
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
@@ -604,20 +615,38 @@ f$h AS (SELECT id FROM x$h)""")
       rounds += 1
       // the probe IS the materializer for the lazily-checkpointed `cur`
       val dropped = cur.filter(col("support") < k - 2).select("u", "v")
-      if (dropped.count() == 0L) converged = true
+      val nDropped = dropped.count()
+      if (nDropped == 0L) converged = true
       else {
+        // the frontier is usually tiny after round 1, but round 1 can
+        // drop a large fraction of |E| — gate the maintenance joins'
+        // broadcast on the measured count (already paid for by the
+        // convergence probe) so an unbounded frontier falls back to a
+        // shuffle join instead of blowing the broadcast cap / driver
+        // heap at scale
+        def maybeBcast(df: DataFrame): DataFrame =
+          if (nDropped <= 4000000L) broadcast(df) else df
+        // round-start frames: maintained (decremental) or rebuilt from
+        // cur as the r11 shape did (A/B measurement path only)
+        val (adjRound, degRound) =
+          if (decremental) (adjSym, degs)
+          else {
+            val a = cur.select(col("u").as("src"), col("v").as("dst"))
+              .unionAll(cur.select(col("v").as("src"), col("u").as("dst")))
+            (a, a.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
+          }
         // probe common neighbors from each dropped edge's lower-degree
         // endpoint — hub-safe wedge fanout
         val dOri = dropped
-          .join(degs.select(col("node").as("u"), col("deg").as("du")), "u")
-          .join(degs.select(col("node").as("v"), col("deg").as("dv")), "v")
+          .join(degRound.select(col("node").as("u"), col("deg").as("du")), "u")
+          .join(degRound.select(col("node").as("v"), col("deg").as("dv")), "v")
           .select(col("u"), col("v"),
             when(col("du") <= col("dv"), col("u")).otherwise(col("v")).as("lo"),
             when(col("du") <= col("dv"), col("v")).otherwise(col("u")).as("hi"))
         val cand = dOri
-          .join(adjSym.select(col("src").as("lo"), col("dst").as("w")), "lo")
+          .join(adjRound.select(col("src").as("lo"), col("dst").as("w")), "lo")
           .filter(col("w") =!= col("hi"))
-          .join(adjSym.select(col("src").as("hi"), col("dst").as("w")),
+          .join(adjRound.select(col("src").as("hi"), col("dst").as("w")),
             Seq("hi", "w"), "left_semi")
           .select(col("u"), col("v"), col("w"))
         // one emission per dead triangle: keep only the candidate whose
@@ -646,19 +675,22 @@ f$h AS (SELECT id FROM x$h)""")
             (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
           .localCheckpoint(false)
         // maintain the round-start frames for the NEXT round: remove
-        // this round's dropped edges (tiny frontier → broadcast) and
-        // decrement endpoint degrees — the only shuffle left per round
-        // is the dec aggregation over the frontier's wedges
-        val dropSym = dropped.select(col("u").as("src"), col("v").as("dst"))
-          .unionAll(dropped.select(col("v").as("src"), col("u").as("dst")))
-        adjSym = adjSym
-          .join(broadcast(dropSym), Seq("src", "dst"), "left_anti")
-          .localCheckpoint(false)
-        val dropCnt = dropSym.groupBy(col("src").as("node")).agg(count(lit(1)).as("dc"))
-        degs = degs.join(broadcast(dropCnt), Seq("node"), "left")
-          .select(col("node"), (col("deg") - coalesce(col("dc"), lit(0L))).as("deg"))
-          .filter(col("deg") > 0L)
-          .localCheckpoint(false)
+        // this round's dropped edges (frontier broadcast when measured
+        // small — see maybeBcast) and decrement endpoint degrees — the
+        // only shuffle left per round is the dec aggregation over the
+        // frontier's wedges
+        if (decremental) {
+          val dropSym = dropped.select(col("u").as("src"), col("v").as("dst"))
+            .unionAll(dropped.select(col("v").as("src"), col("u").as("dst")))
+          adjSym = adjSym
+            .join(maybeBcast(dropSym), Seq("src", "dst"), "left_anti")
+            .localCheckpoint(false)
+          val dropCnt = dropSym.groupBy(col("src").as("node")).agg(count(lit(1)).as("dc"))
+          degs = degs.join(maybeBcast(dropCnt), Seq("node"), "left")
+            .select(col("node"), (col("deg") - coalesce(col("dc"), lit(0L))).as("deg"))
+            .filter(col("deg") > 0L)
+            .localCheckpoint(false)
+        }
       }
     }
     require(converged, s"kTruss did not converge in $maxRounds rounds")

@@ -357,12 +357,21 @@ object Scan {
     require(schema(schema.fieldIndex(valueCol)).dataType == LongType,
       s"exactQuantilesByGroup needs LongType, got ${schema(schema.fieldIndex(valueCol)).dataType}")
     val spark = df.sparkSession
-    val vals = df.select(col(groupCol).as("g"), col(valueCol).as("v")).localCheckpoint(true)
+    // nulls are EXCLUDED, matching SQL quantile semantics — without
+    // this filter a null would inflate count(1)-derived ranks while
+    // min/max ignore it and the histogram pass would read it as 0L,
+    // silently shifting every quantile of the group
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).as("v")).localCheckpoint(true)
+    // limit the collect itself, not just the post-hoc check: on a
+    // high-cardinality group column the driver must fail with guidance
+    // BEFORE holding a groups-sized array
     val stats = vals.groupBy("g")
       .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .limit(maxGroups + 1)
       .collect()
     require(stats.length <= maxGroups,
-      s"exactQuantilesByGroup driver state ${stats.length} groups > $maxGroups — with this " +
+      s"exactQuantilesByGroup driver state > $maxGroups groups — with this " +
         "many groups the per-group value lists are small and plain percentile is already safe")
     // ALL range arithmetic below is UNSIGNED (divideUnsigned /
     // compareUnsigned on wrapped differences): for signed-ordered
@@ -470,9 +479,10 @@ object Scan {
     *
     * Constraint: no NaNs (deterministic here — NaN sorts above +Inf —
     * but engines disagree on NaN rank, so oracle comparisons would
-    * drift). The refinement's range math is unsigned, so the full
-    * sortable image (mixed signs, ±Inf) refines correctly. Returns
-    * (g, q, value: double).
+    * drift). NULLs are excluded by the underlying refinement (SQL
+    * quantile semantics). The refinement's range math is unsigned, so
+    * the full sortable image (mixed signs, ±Inf) refines correctly.
+    * Returns (g, q, value: double).
     */
   def exactQuantilesByGroupDouble(df: DataFrame, groupCol: String, valueCol: String,
                                   qs: Seq[Double], buckets: Int = 1024,

@@ -2010,7 +2010,18 @@ object Similarity {
     */
   def ivfKmeansTopK(vectors: DataFrame, queries: DataFrame, k: Int,
                     nClusters: Int, nProbe: Int, seed: Long = 42L,
-                    maxIter: Int = 20, initMode: String = "k-means||"): DataFrame = {
+                    maxIter: Int = 20, initMode: String = "k-means||"): DataFrame =
+    ivfKmeansTopK(vectors, queries, k,
+      trainIvfKmeans(vectors, nClusters, seed, maxIter, initMode), nProbe)
+
+  /** The k-means training half of [[ivfKmeansTopK]], split out (r13) so
+    * index BUILD and query SERVE are separate costs — the production
+    * shape (train once, serve many), and what lets `tools/AnnPareto`
+    * time the scan path without re-training per timed rep.
+    */
+  def trainIvfKmeans(vectors: DataFrame, nClusters: Int, seed: Long = 42L,
+                     maxIter: Int = 20,
+                     initMode: String = "k-means||"): Seq[(Long, Array[Float])] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // materialize the features once — KMeans.fit iterates its input
@@ -2027,8 +2038,13 @@ object Similarity {
     val model = new KMeans().setK(nClusters).setSeed(seed).setMaxIter(maxIter)
       .setInitMode(initMode)
       .setFeaturesCol("features").fit(feats)
-    val cents = model.clusterCenters.zipWithIndex
+    model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }.toSeq
+  }
+
+  /** [[ivfKmeansTopK]] over PRE-TRAINED centroids — the serve path. */
+  def ivfKmeansTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                    cents: Seq[(Long, Array[Float])], nProbe: Int): DataFrame = {
     val assigned = Dedup.spread(vectors)
       .withColumn("cid", element_at(nearestCentroids(col("vec"), cents, 1), 1))
     val probes = queries.select(col("qid"), col("qv"),

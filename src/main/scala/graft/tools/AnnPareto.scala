@@ -48,6 +48,7 @@ object AnnPareto {
     // trained models, built once outside any timed region
     val pca16 = Similarity.trainPca(vectors, 16)
     val opq = Similarity.trainOpq(vectors, m = 8, ncent = 64)
+    val kmCents = Similarity.trainIvfKmeans(vectors, n / 40)
 
     val nClusters = (n / 40 + 1).toDouble
     def frac(nProbe: Int): Double = nProbe / nClusters
@@ -61,7 +62,7 @@ object AnnPareto {
       Tier("jl16 + rerank x4", 64, () => Similarity.jlRerankTopK(vectors, queries, k, 64, 16, 4)),
       Tier("ivf fp32 p2", 256 * frac(2), () => Similarity.ivfTopK(vectors, queries, k, 40, 2)),
       Tier("ivf fp32 p4", 256 * frac(4), () => Similarity.ivfTopK(vectors, queries, k, 40, 4)),
-      Tier("ivf-kmeans p2", 256 * frac(2), () => Similarity.ivfKmeansTopK(vectors, queries, k, n / 40, 2)),
+      Tier("ivf-kmeans p2", 256 * frac(2), () => Similarity.ivfKmeansTopK(vectors, queries, k, kmCents, 2)),
       Tier("ivf-sq8 p2", 64 * frac(2), () => Similarity.ivfSq8TopK(vectors, queries, k, 40, 2)),
       Tier("ivf-sq4 p2", 32 * frac(2), () => Similarity.ivfSq4TopK(vectors, queries, k, 40, 2)),
       Tier("pq8 (trained)", 8, () => Similarity.pqKmeansTopK(vectors, queries, k, 64, 8)),

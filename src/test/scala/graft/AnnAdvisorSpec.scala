@@ -5,19 +5,33 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.AnnAdvisor
 
 /** The measured-Pareto tier advisor: routing decisions are pinned (the
-  * selection contract is deterministic data, not heuristics), scale
-  * invariance of tier identity in n, and the advisor-routed query
+  * selection contract is deterministic data, not heuristics), the
+  * recall-provenance gate (strict targets route only to by-construction
+  * tiers), the claims that ARE monotone in n — the r12 spec pinned full
+  * n-invariance of tier identity, which the chooser's own arithmetic
+  * refutes at budget boundaries — and the advisor-routed query
   * end-to-end on real testdata.
   */
 class AnnAdvisorSpec extends AnyFunSuite {
 
   private val n20k = 20000L
+  private val nBig = 200L * n20k
   private val d64 = 64
 
   test("pinned routing: the documented (target, budget) → tier decisions") {
-    // quality under a 64 B/vec budget → the PCA sweet spot
-    val c1 = AnnAdvisor.choose(n20k, d64, 0.99, 64.0)
-    assert(c1.tier === "pca16-rerank" && c1.meetsTarget)
+    // strict 0.99 under a 128 B/vec budget → the by-construction
+    // f16-rerank (fixture-measured recalls are NOT trusted at ≥0.99)
+    val c1 = AnnAdvisor.choose(n20k, d64, 0.99, 128.0)
+    assert(c1.tier === "f16-rerank" && c1.meetsTarget)
+    // strict 0.99 under 64 B/vec: no by-construction tier fits →
+    // fallback to the highest-recall in-budget tier, flagged — the
+    // caller learns the ask needs either budget or fixture trust
+    val c1b = AnnAdvisor.choose(n20k, d64, 0.99, 64.0)
+    assert(c1b.tier === "pca16-rerank" && !c1b.meetsTarget)
+    // same ask WITH fixture trust (own-corpus recall measured) →
+    // pca16's fixture 1.000 counts and the ask is met
+    val c1c = AnnAdvisor.choose(n20k, d64, 0.99, 64.0, trustFixtureRecall = true)
+    assert(c1c.tier === "pca16-rerank" && c1c.meetsTarget)
     // relax recall to 0.90 → ivf-p4 wins on scan bytes (~2 B/vec)
     val c2 = AnnAdvisor.choose(n20k, d64, 0.90, 64.0)
     assert(c2.tier === "ivf-p4" && c2.meetsTarget)
@@ -35,13 +49,54 @@ class AnnAdvisorSpec extends AnyFunSuite {
     assert(c5.tier === "ivfpq-resid-p2-rerank" && !c5.meetsTarget)
   }
 
-  test("tier identity is n-invariant (IVF fractions shrink with n, never grow)") {
-    for (target <- Seq(0.99, 0.90, 0.80); budget <- Seq(64.0, 8.0, 2.0)) {
-      val small = AnnAdvisor.choose(n20k, d64, target, budget)
-      val big = AnnAdvisor.choose(200L * n20k, d64, target, budget)
-      assert(small.tier === big.tier, s"target=$target budget=$budget")
-      assert(big.scanBytesPerVec <= small.scanBytesPerVec + 1e-12)
+  test("ivf-kmeans-p2 is in the table but measured-dominated: never chosen") {
+    // 0.653 recall at ivf-p2's exact scan bytes (tools/AnnPareto r13;
+    // BASELINE.md round-13 table) — strictly dominated, so no
+    // (target, budget) cell on a full grid selects it
+    for (target <- Seq(0.99, 0.95, 0.90, 0.80, 0.70, 0.60, 0.50, 0.30);
+         budget <- Seq(256.0, 128.0, 64.0, 8.0, 2.0, 1.0, 0.5, 0.05, 0.01);
+         trust <- Seq(false, true)) {
+      val c = AnnAdvisor.choose(n20k, d64, target, budget, trust)
+      assert(c.tier !== "ivf-kmeans-p2", s"target=$target budget=$budget")
     }
+    assert(AnnAdvisor.tiers.exists(_.name == "ivf-kmeans-p2"))
+  }
+
+  test("what IS monotone in n (the r12 full-invariance claim was false)") {
+    // Growing n shrinks IVF scan fractions, so the in-budget set only
+    // GROWS — which can flip tier identity. The monotone consequences:
+    // meetsTarget never degrades; on the eligible path scan bytes never
+    // increase; on the fallback path expected recall never decreases.
+    for (target <- Seq(0.99, 0.90, 0.80); budget <- Seq(64.0, 8.0, 2.0);
+         trust <- Seq(false, true)) {
+      val small = AnnAdvisor.choose(n20k, d64, target, budget, trust)
+      val big = AnnAdvisor.choose(nBig, d64, target, budget, trust)
+      val ctx = s"target=$target budget=$budget trust=$trust"
+      assert(!(small.meetsTarget && !big.meetsTarget), ctx)
+      if (small.meetsTarget && big.meetsTarget)
+        assert(big.scanBytesPerVec <= small.scanBytesPerVec + 1e-12, ctx)
+      if (!small.meetsTarget && !big.meetsTarget)
+        assert(big.expectedRecall >= small.expectedRecall - 1e-12, ctx)
+    }
+  }
+
+  test("pinned n-flips at budget boundaries (documented behavior)") {
+    // (0.99 strict, 2 B/vec): fallback path both sides — ivf-p4's
+    // 2.048 B/vec at n=20k is JUST over budget, in budget at 200×n →
+    // the fallback's max-recall pick flips ivf-p2 → ivf-p4, recall up
+    val fSmall = AnnAdvisor.choose(n20k, d64, 0.99, 2.0)
+    val fBig = AnnAdvisor.choose(nBig, d64, 0.99, 2.0)
+    assert(fSmall.tier === "ivf-p2" && !fSmall.meetsTarget)
+    assert(fBig.tier === "ivf-p4" && !fBig.meetsTarget)
+    assert(fBig.expectedRecall > fSmall.expectedRecall)
+    // (0.90, 0.011 B/vec): at n=20k NOTHING fits the budget (advisory
+    // fallback, ivfpq); at 200×n ivf-p4 enters at 0.0102 B/vec and
+    // MEETS the target — the meets flag improving with n, never the
+    // reverse
+    val mSmall = AnnAdvisor.choose(n20k, d64, 0.90, 0.011)
+    val mBig = AnnAdvisor.choose(nBig, d64, 0.90, 0.011)
+    assert(mSmall.tier === "ivfpq-resid-p2-rerank" && !mSmall.meetsTarget)
+    assert(mBig.tier === "ivf-p4" && mBig.meetsTarget)
   }
 
   test("invalid inputs fail loudly") {
@@ -50,11 +105,15 @@ class AnnAdvisorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](AnnAdvisor.choose(n20k, d64, 1.5, 64.0))
   }
 
-  test("ann_auto end-to-end: advisor routes to pca16-rerank and recall holds") {
+  test("ann_auto end-to-end: advisor routes to f16-rerank and recall holds") {
+    // f16-rerank's recall is by construction (RNE f16 shortlist +
+    // exact fp32 rerank), so unlike r12's pca16 routing it holds on
+    // the near-isotropic testdata embeddings at BOTH sf0.001 and the
+    // driver's sf0.01/sf0.1 — the distribution-transfer fix
     val rows = SparkEntry.queries("ann_auto")(TestSpark.spark, "/root/testdata/sf0.001")
       .collect()
     assert(rows.length === 8)
-    assert(rows.forall(_.getString(1) == "pca16-rerank"))
+    assert(rows.forall(_.getString(1) == "f16-rerank"))
     assert(rows.forall(_.getBoolean(2)), "recall_ok must hold on every query")
     assert(rows.forall(_.getBoolean(3)), "advisor must report meets_target")
   }
