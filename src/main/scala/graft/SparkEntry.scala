@@ -1605,6 +1605,25 @@ object SparkEntry {
       TextAnalysis.dupShingleFraction(Tables(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // lexical-diversity quality signals: type-token ratio + hapax share
+    // per doc — per-doc keyed aggregations only, scan-bound
+    "text_lexical_diversity" -> { (s, dir) =>
+      TextAnalysis.lexicalDiversity(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // Zipf-law OLS fit over the top-200 unigrams (rank by (count DESC,
+    // term) — a total order): the corpus-shape QA scalar. Vocabulary
+    // agg is the only corpus-sized stage; the fit runs on ≤200 rows
+    "text_zipf_fit" -> { (s, dir) =>
+      TextAnalysis.zipfFit(Tables(s, dir, "documents"), topN = 200)
+    },
+
+    // per-doc shingle novelty vs all EARLIER docs (min-owner df join —
+    // the "what does this shard add?" streaming-curation signal)
+    "text_novelty" -> { (s, dir) =>
+      TextAnalysis.shingleNovelty(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
     // DSIR hashed-unigram importance weights (Xie et al. 2023): broadcast
     // bucket models onto the token stream, decimal-exact per-doc sums
     "q_dsir_weights" -> { (s, dir) =>
@@ -3594,6 +3613,14 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // per-dimension embedding moments (the projection-tier diagnostic:
+    // near-zero-variance dims → PCA truncation is free; uniform
+    // variance → it costs recall). Decimal-quantized moment sums —
+    // reduction order cannot move the hash
+    "q_dim_variance" -> { (s, dir) =>
+      Profile.dimStats(Tables(s, dir, "embeddings"), "embedding").orderBy("dim")
+    },
+
     // blocking-scheme evaluation (Christen 2012 §7.2): pair completeness
     // and reduction ratio of sorted-neighborhood CANDIDATES against the
     // exact prefix-filter ground truth — the metric pair that justifies
@@ -4003,6 +4030,50 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, n_dup,
         |  ROUND(CAST(n_dup AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS dup_frac
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "text_lexical_diversity" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(tf) AS DOUBLE), 6) AS ttr,
+        |  ROUND(CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(tf) AS DOUBLE), 6) AS hapax_ratio
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_zipf_fit" ->
+      """WITH c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |    GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 200),
+        |r AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS DOUBLE)) AS x,
+        |    ln(CAST(cnt AS DOUBLE)) AS y FROM c),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x*y) AS sxy, SUM(x*x) AS sxx FROM r)
+        |SELECT n AS n_terms,
+        |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+        |  ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept
+        |FROM a""".stripMargin,
+
+    "text_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, UNNEST(list_distinct(list_transform(range(1, len(w)-1),
+        |  i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS s FROM t),
+        |own AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN own.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  ROUND(CAST(SUM(CASE WHEN own.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        |FROM sh JOIN own ON sh.s = own.s GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dim_variance" ->
+      """WITH x AS (SELECT CAST(unnest(range(1, len(embedding)+1)) AS BIGINT) AS dim,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+        |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 6) AS mean,
+        |  ROUND(CAST(SUM(CAST(x*x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
+        |    - (CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*))
+        |      * (CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)), 6) AS variance
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
 
     "q_dsir_weights" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS w FROM documents),

@@ -210,6 +210,37 @@ object Profile {
     * with [[runChecks]]. The anti-join is the scalable form — at 100 TB
     * the parent key set shuffles once; no driver-side collection.
     */
+  /** Per-dimension moment profile of an embedding column — the
+    * diagnostic that motivates (or rules out) dimension-reduction
+    * tiers: near-zero-variance dimensions are free to project away
+    * (the PCA-16 story), uniform variance says prefix/PCA truncation
+    * will cost recall (the isotropic-testdata story, BASELINE.md r7).
+    * One posexplode + one groupBy(dim) — the aggregate is
+    * dims-bounded, the scan is one pass, no driver collection.
+    *
+    * Output: (dim 1-based, n, mean[6 dp], variance[6 dp] population).
+    */
+  def dimStats(vectors: DataFrame, vecCol: String): DataFrame = {
+    // per-ELEMENT decimal quantization (the q_corr_stats pattern) makes
+    // the moment sums exact and associative — reduction order cannot
+    // move the hash. Each SUMMAND (x and x²) is quantized from the same
+    // double in both engines; a cross-engine tie-direction disagreement
+    // moves a sum by ≤ n·1e-14, invisible at the 6 dp output rounding.
+    val d = DecimalType(28, 14)
+    val x = vectors
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select((col("pos") + 1).cast(LongType).as("dim"),
+        col("v").cast(DoubleType).as("x"))
+    x.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x").cast(d)).as("sx"),
+        sum((col("x") * col("x")).cast(d)).as("sxx"))
+      .select(col("dim"), col("n"),
+        round(col("sx").cast(DoubleType) / col("n"), 6).as("mean"),
+        round(col("sxx").cast(DoubleType) / col("n") -
+          (col("sx").cast(DoubleType) / col("n")) *
+          (col("sx").cast(DoubleType) / col("n")), 6).as("variance"))
+  }
+
   def riCheck(name: String, child: DataFrame, childCol: String,
               parent: DataFrame, parentCol: String): DataFrame = {
     val orphans = child.select(col(childCol).as("__k"))

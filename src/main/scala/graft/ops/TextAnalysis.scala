@@ -316,6 +316,94 @@ object TextAnalysis {
           col("n_shingles").cast(DoubleType), 6).as("dup_frac"))
   }
 
+  /** Lexical-diversity profile per document — the quality signals a
+    * curation pipeline thresholds on BEFORE any model sees the text:
+    * type-token ratio (low TTR = TEMPLATED/repetitive text) and the
+    * hapax-legomenon share (high hapax on long docs = noisy OCR / ID
+    * dumps; near-zero = boilerplate). Two aggregations over the
+    * per-doc term-frequency frame — per-doc keyed, never corpus-wide
+    * state, so the shape is scan-bound at any corpus size.
+    *
+    * Output: (doc_id, n_tokens, n_types, ttr[6 dp], hapax_ratio[6 dp]).
+    */
+  def lexicalDiversity(docs: DataFrame): DataFrame = {
+    val tf = Dedup.spread(docs)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("tf") === 1L, lit(1L)).otherwise(lit(0L))).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 6).as("ttr"),
+        round(col("n_hapax").cast(DoubleType) /
+          col("n_tokens").cast(DoubleType), 6).as("hapax_ratio"))
+  }
+
+  /** Zipf-law fit over the corpus unigram distribution: OLS slope of
+    * ln(count) against ln(rank) on the TOP-`topN` terms (rank by
+    * (count DESC, term) — a total order, so both engines rank
+    * identically). Natural text sits near slope −1; a corpus drifting
+    * toward −0.5 (flat: ID/number floods) or −2 (head-heavy:
+    * boilerplate) fails ingest QA. Scale shape: the vocabulary
+    * aggregation is the only corpus-sized stage; the fit itself runs
+    * on `topN` rows (TakeOrdered — map-side partial top-k, no global
+    * sort materialization).
+    *
+    * Output: one row (n_terms, slope[6 dp], intercept[6 dp]).
+    */
+  def zipfFit(docs: DataFrame, topN: Int = 200): DataFrame = {
+    require(topN >= 2, s"zipfFit needs >= 2 ranks, got $topN")
+    val counts = Dedup.spread(docs)
+      .select(explode(toks(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(topN)
+    val ranked = counts
+      .select(col("cnt"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("tok"))).cast(LongType).as("rank"))
+      .select(log(col("rank").cast(DoubleType)).as("x"),
+        log(col("cnt").cast(DoubleType)).as("y"))
+    ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+          col("n"), 6).as("intercept"))
+  }
+
+  /** Per-document shingle NOVELTY against everything that arrived
+    * earlier (by doc_id — the ingest order): a 3-gram is novel for doc
+    * d iff d is the corpus-minimum doc_id carrying it. The streaming-
+    * curation signal ("how much NEW content does this shard add?") and
+    * the dual of [[dupShingleFraction]]'s corpus-df view. Same df-join
+    * shape: min-owner table per shingle joins back to per-doc shingles
+    * — output-proportional, never pairwise.
+    *
+    * Output: (doc_id, n_shingles, n_novel, novelty[6 dp]); docs with
+    * < 3 tokens have no shingles and are omitted.
+    */
+  def shingleNovelty(docs: DataFrame): DataFrame = {
+    val sh = Dedup.spread(docs)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(graft.functions.wordShingles(col("w"), 3, distinct = true)).as("s"))
+      .localCheckpoint(true) // fans into the min-owner table AND the join back
+    val owner = sh.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(owner, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), lit(1L))
+          .otherwise(lit(0L))).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast(DoubleType) /
+          col("n_shingles").cast(DoubleType), 6).as("novelty"))
+  }
+
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks(text)))))
 
