@@ -4095,7 +4095,7 @@ object SparkEntry {
         |       SUM(CAST(m AS DECIMAL(9,0)) * lr) AS slr
         |       FROM db JOIN model ON db.b = model.b GROUP BY 1)
         |SELECT doc_id, n_tokens,
-        |  ROUND(CAST(slr AS DOUBLE) / n_tokens, 6) AS mean_lr,
+        |  ROUND(CAST(slr AS DOUBLE) / n_tokens, 6) + 0.0 AS mean_lr,
         |  ROUND(exp(CAST(slr AS DOUBLE) / n_tokens), 6) AS weight
         |FROM sc ORDER BY doc_id""".stripMargin,
 

@@ -95,12 +95,19 @@ object Curation {
           .cast(DecimalType(20, 12)).as("lr"))
     // (9,0)×(20,12) stays inside DECIMAL(38,_) in BOTH engines — the
     // product and sum are exact, so the reduction is order-independent
+    // the trailing `+ 0.0` normalizes IEEE signed zero: the per-bucket
+    // lr quantization (round(ln, 12)) can differ across engines by one
+    // final-digit ulp (Java vs C libm ln), so a doc whose true sum is
+    // exactly zero lands at ±1e-12-scale — both round to zero at 6 dp,
+    // but −0.0 and +0.0 hash differently in the gate's canon (r13 sf1
+    // finding: 5 of 50k docs)
     docB.join(broadcast(model), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).as("n_tokens"),
         sum(col("m").cast(DecimalType(9, 0)) * col("lr")).as("slr"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("slr").cast(DoubleType) / col("n_tokens"), 6).as("mean_lr"),
+        (round(col("slr").cast(DoubleType) / col("n_tokens"), 6) + lit(0.0))
+          .as("mean_lr"),
         round(exp(col("slr").cast(DoubleType) / col("n_tokens")), 6).as("weight"))
   }
 
