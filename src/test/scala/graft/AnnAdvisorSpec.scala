@@ -105,6 +105,21 @@ class AnnAdvisorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](AnnAdvisor.choose(n20k, d64, 1.5, 64.0))
   }
 
+  test("ann_auto_scan end-to-end: deployment-point routing picks ivf-p4") {
+    // the relaxed-target branch: advisor consulted at the 10M-vector
+    // deployment point (scale-invariant decision), tier executed on
+    // the gate corpus with the ≥1-of-10 floor (fixture recall does
+    // not transfer to the near-isotropic testdata — the documented
+    // provenance caveat; the strict branch below carries the strong
+    // bound)
+    val rows = SparkEntry.queries("ann_auto_scan")(TestSpark.spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 8)
+    assert(rows.forall(_.getString(1) == "ivf-p4"))
+    assert(rows.forall(_.getBoolean(2)), "recall floor must hold on every query")
+    assert(rows.forall(_.getBoolean(3)), "advisor must report meets_target")
+  }
+
   test("ann_auto end-to-end: advisor routes to f16-rerank and recall holds") {
     // f16-rerank's recall is by construction (RNE f16 shortlist +
     // exact fp32 rerank), so unlike r12's pca16 routing it holds on
