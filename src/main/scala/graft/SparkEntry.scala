@@ -297,6 +297,27 @@ object SparkEntry {
         .orderBy("l_returnflag")
     },
 
+    // WEIGHTED exact quantiles (quantity-weighted price quartiles): the
+    // curation-mix statistic ("median price per UNIT sold", not per
+    // line item) — the weighted generalization of q_percentiles'
+    // bounded-memory refinement: every histogram pass accumulates
+    // weight sums, rank targets are ceil(q·W). Dyadic qs keep q·W
+    // float-exact in both engines. Same no-Percentile, no-single-task
+    // scale contract as the unweighted family.
+    "q_weighted_median" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val qd = Scan.exactQuantilesByGroupDouble(
+        li.select(col("l_returnflag"),
+          col("l_extendedprice").cast(DoubleType).as("v"),
+          col("l_quantity").cast(LongType).as("wt")),
+        "l_returnflag", "v", Seq(0.25, 0.5, 0.75), weightCol = Some("wt"))
+      qd.groupBy(col("g").as("l_returnflag"))
+        .agg(round(min(when(col("q") === 0.25, col("value"))), 4).as("w_p25"),
+          round(min(when(col("q") === 0.5, col("value"))), 4).as("w_p50"),
+          round(min(when(col("q") === 0.75, col("value"))), 4).as("w_p75"))
+        .orderBy("l_returnflag")
+    },
+
     // winsorized robust stats (Tukey; Dixon 1960): clip o_totalprice at
     // the exact per-group p05/p95, report clip counts + raw vs
     // winsorized means. The quantile table is groups-sized and
@@ -4574,6 +4595,21 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // weighted discrete quantile: smallest v whose cumulative weight
+    // reaches ceil(q·W) — the definitional window formulation here,
+    // the bounded-memory weighted refinement on the Spark side
+    "q_weighted_median" ->
+      """WITH w AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+        |    CAST(l_quantity AS BIGINT) AS wt FROM lineitem),
+        |c AS (SELECT g, v, SUM(wt) AS cw FROM w GROUP BY 1, 2),
+        |cum AS (SELECT g, v, SUM(cw) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    SUM(cw) OVER (PARTITION BY g) AS tw FROM c)
+        |SELECT g AS l_returnflag,
+        |  ROUND(MIN(CASE WHEN cum >= CEIL(0.25 * tw) THEN v END), 4) AS w_p25,
+        |  ROUND(MIN(CASE WHEN cum >= CEIL(0.5 * tw) THEN v END), 4) AS w_p50,
+        |  ROUND(MIN(CASE WHEN cum >= CEIL(0.75 * tw) THEN v END), 4) AS w_p75
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_scalar_funcs" ->
       """SELECT o_orderkey,

@@ -346,33 +346,54 @@ object Scan {
     * one task; right for few-or-moderate group counts with huge
     * groups, the same contract as [[prefixSum]]. Returns
     * (group, quantile, value) rows.
+    *
+    * `weightCol` (optional, LongType, strictly positive — enforced):
+    * WEIGHTED exact quantiles — the returned value is the smallest v
+    * whose cumulative weight reaches ceil(q·W) (W = the group's total
+    * weight), i.e. the weighted generalization of the ceil(q·n)-th
+    * smallest. Every histogram pass accumulates weight sums instead of
+    * row counts; cost and driver state are identical to the unweighted
+    * form. Integer weights keep every rank exact (the curation uses —
+    * token counts, repeat multiplicities — are integral by nature).
     */
   def exactQuantilesByGroup(df: DataFrame, groupCol: String, valueCol: String,
                             qs: Seq[Double], buckets: Int = 1024,
-                            maxGroups: Int = 4096): DataFrame = {
+                            maxGroups: Int = 4096,
+                            weightCol: Option[String] = None): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must be in (0, 1], got $qs")
     require(buckets >= 2, s"need >= 2 buckets for refinement progress, got $buckets")
     val schema = df.schema
     require(schema(schema.fieldIndex(valueCol)).dataType == LongType,
       s"exactQuantilesByGroup needs LongType, got ${schema(schema.fieldIndex(valueCol)).dataType}")
+    weightCol.foreach { w =>
+      require(schema(schema.fieldIndex(w)).dataType == LongType,
+        s"weightCol must be LongType, got ${schema(schema.fieldIndex(w)).dataType}")
+    }
     val spark = df.sparkSession
     // nulls are EXCLUDED, matching SQL quantile semantics — without
     // this filter a null would inflate count(1)-derived ranks while
     // min/max ignore it and the histogram pass would read it as 0L,
     // silently shifting every quantile of the group
-    val vals = df.filter(col(valueCol).isNotNull)
-      .select(col(groupCol).as("g"), col(valueCol).as("v")).localCheckpoint(true)
+    val wExpr = weightCol.map(col).getOrElse(lit(1L))
+    val vals = df.filter(col(valueCol).isNotNull &&
+        weightCol.map(w => col(w).isNotNull).getOrElse(lit(true)))
+      .select(col(groupCol).as("g"), col(valueCol).as("v"), wExpr.as("w"))
+      .localCheckpoint(true)
     // limit the collect itself, not just the post-hoc check: on a
     // high-cardinality group column the driver must fail with guidance
     // BEFORE holding a groups-sized array
     val stats = vals.groupBy("g")
-      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .agg(sum(col("w")).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"),
+        min(col("w")).as("wmin"))
       .limit(maxGroups + 1)
       .collect()
     require(stats.length <= maxGroups,
       s"exactQuantilesByGroup driver state > $maxGroups groups — with this " +
         "many groups the per-group value lists are small and plain percentile is already safe")
+    require(stats.forall(r => r.getLong(4) > 0L),
+      "exactQuantilesByGroup weights must be strictly positive (zero-weight " +
+        "rows are semantically absent — filter them; negative weights have no rank meaning)")
     // ALL range arithmetic below is UNSIGNED (divideUnsigned /
     // compareUnsigned on wrapped differences): for signed-ordered
     // values hi − lo is the true span mod 2⁶⁴, so even a full-domain
@@ -409,10 +430,11 @@ object Scan {
           val g = r.get(0)
           bcast.value.get(g).foreach { entries =>
             val v = r.getLong(1)
+            val wt = r.getLong(2) // 1L when unweighted
             entries.foreach { case (q, lo, hi, w) =>
               if (v >= lo && v <= hi) {
                 val k = (g, q, java.lang.Long.divideUnsigned(v - lo, w))
-                counts.update(k, counts.getOrElse(k, 0L) + 1L)
+                counts.update(k, counts.getOrElse(k, 0L) + wt)
               }
             }
           }
@@ -486,13 +508,16 @@ object Scan {
     */
   def exactQuantilesByGroupDouble(df: DataFrame, groupCol: String, valueCol: String,
                                   qs: Seq[Double], buckets: Int = 1024,
-                                  maxGroups: Int = 4096): DataFrame = {
+                                  maxGroups: Int = 4096,
+                                  weightCol: Option[String] = None): DataFrame = {
     val schema = df.schema
     require(schema(schema.fieldIndex(valueCol)).dataType == DoubleType,
       s"exactQuantilesByGroupDouble needs DoubleType, got ${schema(schema.fieldIndex(valueCol)).dataType}")
-    val mapped = df.select(col(groupCol),
-      graft.functions.doubleSortableBits(col(valueCol)).as("__sb"))
-    val res = exactQuantilesByGroup(mapped, groupCol, "__sb", qs, buckets, maxGroups)
+    val mapped = df.select(col(groupCol) +:
+      graft.functions.doubleSortableBits(col(valueCol)).as("__sb") +:
+      weightCol.map(col).toSeq: _*)
+    val res = exactQuantilesByGroup(mapped, groupCol, "__sb", qs, buckets,
+      maxGroups, weightCol)
     // groups×qs rows — driver-side inverse map keeps the group's type
     val out = res.collect().toSeq.map { r =>
       Row(r.get(0), r.getDouble(1),

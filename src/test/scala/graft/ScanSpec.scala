@@ -255,6 +255,47 @@ class ScanSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted exactQuantilesByGroup == brute-force weighted order stats") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(47L)
+    val data = Seq("a", "b").flatMap { g =>
+      Array.fill(3000)((g, rnd.nextInt(2000).toLong - 1000L, rnd.nextInt(9).toLong + 1L))
+    }
+    val df = spark.createDataset(data.toIndexedSeq).toDF("g", "v", "wt")
+    val qs = Seq(0.25, 0.5, 0.75, 1.0)
+    val got = graft.ops.Scan.exactQuantilesByGroup(df, "g", "v", qs, buckets = 16,
+        weightCol = Some("wt"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      // brute force: expand each row to `wt` copies, take ceil(q·W)-th
+      val expanded = rows.flatMap { case (_, v, wt) => Seq.fill(wt.toInt)(v) }.sorted
+      qs.foreach { q =>
+        val want = expanded(math.max(1, math.ceil(q * expanded.length).toInt) - 1)
+        assert(got((g, q)) === want, s"g=$g q=$q")
+      }
+    }
+    // unit weights ≡ the unweighted form, bit-for-bit
+    val unit = df.withColumn("one", lit(1L))
+    val a = graft.ops.Scan.exactQuantilesByGroup(unit, "g", "v", qs, buckets = 16,
+      weightCol = Some("one")).collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    val b = graft.ops.Scan.exactQuantilesByGroup(df, "g", "v", qs, buckets = 16)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(a === b)
+  }
+
+  test("weighted quantiles reject zero/negative weights loudly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = spark.createDataset(Seq(("a", 1L, 1L), ("a", 2L, 0L)))
+      .toDF("g", "v", "wt")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Scan.exactQuantilesByGroup(df, "g", "v", Seq(0.5),
+        weightCol = Some("wt")).collect()
+    }
+    assert(e.getMessage.contains("strictly positive"))
+  }
+
   test("quantile queries carry NO exact Percentile aggregate in any executed plan") {
     // Spark's exact `percentile` buffers each group's full value list in
     // one aggregation buffer — the 100 TB cliff exactQuantilesByGroup
