@@ -2182,6 +2182,43 @@ object SparkEntry {
     // exact second-moment statistics: corr and regression slope from
     // decimal Σx, Σy, Σxy, Σx², Σy² (order-independent sums; the only
     // doubles appear after aggregation, in an identical formula both sides)
+    // exact standardized moments (skewness, excess kurtosis) from
+    // EXACT integer power sums — the distribution-shape QA row.
+    // l_quantity is integral (1..50), so x..x⁴ are exact Longs per row
+    // and the DECIMAL(38,0) accumulators never round OR overflow (a
+    // Long accumulator would overflow Σx⁴ past ~10¹² rows). Central
+    // moments expand from the raw sums in DOUBLE with the identical
+    // expression in both engines (exact inputs + same IEEE op order →
+    // identical bits); sqrt(m2³) instead of pow (sqrt is correctly
+    // rounded, pow is not)
+    "q_moment_stats" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val x = col("l_quantity").cast(LongType)
+      val agg = Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(x.cast(d38)).as("s1"),
+          sum((x * x).cast(d38)).as("s2"),
+          sum((x * x * x).cast(d38)).as("s3"),
+          sum((x * x * x * x).cast(d38)).as("s4"))
+      val n = col("n_rows").cast(DoubleType)
+      val s1 = col("s1").cast(DoubleType)
+      val s2 = col("s2").cast(DoubleType)
+      val s3 = col("s3").cast(DoubleType)
+      val s4 = col("s4").cast(DoubleType)
+      val mean = s1 / n
+      val m2 = s2 / n - mean * mean
+      val m3 = s3 / n - lit(3.0) * mean * (s2 / n) + lit(2.0) * mean * mean * mean
+      val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
+        lit(6.0) * mean * mean * (s2 / n) - lit(3.0) * mean * mean * mean * mean
+      agg.select(col("l_returnflag"), col("n_rows"),
+          round(mean, 6).as("mean"),
+          round(m2, 6).as("m2"),
+          round(m3 / sqrt(m2 * m2 * m2), 6).as("skewness"),
+          round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis_excess"))
+        .orderBy("l_returnflag")
+    },
+
     "q_corr_stats" -> { (s, dir) =>
       val x = dec(col("l_quantity"))
       val y = dec(col("l_extendedprice"))
@@ -6260,6 +6297,36 @@ object SparkEntry {
         |  SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |  FROM part)
         |ORDER BY p_partkey""".stripMargin,
+
+    // central-moment expansion from the exact integer power sums —
+    // IDENTICAL double expression order as the Spark side so the bits
+    // match before the 6 dp rounding
+    "q_moment_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n_rows,
+        |    SUM(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS s1,
+        |    SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS s2,
+        |    SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS s3,
+        |    SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        |e AS (
+        |  SELECT l_returnflag, n_rows,
+        |    CAST(n_rows AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+        |    CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3,
+        |    CAST(s4 AS DOUBLE) AS s4
+        |  FROM m),
+        |c AS (
+        |  SELECT l_returnflag, n_rows, s1 / n AS mean,
+        |    s2 / n - (s1 / n) * (s1 / n) AS m2,
+        |    s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+        |    s4 / n - 4.0 * (s1 / n) * (s3 / n)
+        |      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+        |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        |  FROM e)
+        |SELECT l_returnflag, n_rows, ROUND(mean, 6) AS mean, ROUND(m2, 6) AS m2,
+        |  ROUND(m3 / SQRT(m2 * m2 * m2), 6) AS skewness,
+        |  ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+        |FROM c ORDER BY l_returnflag""".stripMargin,
 
     "q_corr_stats" ->
       """WITH m AS (
