@@ -297,6 +297,38 @@ object SparkEntry {
         .orderBy("l_returnflag")
     },
 
+    // robust outlier detection via MAD (median absolute deviation,
+    // Hampel 1974): per-group exact discrete median, then the exact
+    // discrete median of |x − med|, then the 3σ-equivalent cut
+    // (1.4826·MAD ≈ σ under normality). TWO bounded-memory refinement
+    // rounds + one counting scan — no sort, no Percentile buffer, the
+    // group-median tables broadcast back. The robust alternative to
+    // q_events_anomaly's mean/stddev z-score: MAD survives the exact
+    // heavy tails that inflate a stddev cut.
+    "q_mad_outliers" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val base = o.select(col("o_orderpriority"),
+        col("o_totalprice").cast(DoubleType).as("v"))
+      val med = Scan.exactQuantilesByGroupDouble(base,
+          "o_orderpriority", "v", Seq(0.5))
+        .select(col("g").as("o_orderpriority"), col("value").as("med"))
+      val dev = base.join(broadcast(med), "o_orderpriority")
+        .select(col("o_orderpriority"), col("v"), col("med"),
+          abs(col("v") - col("med")).as("ad"))
+      val mad = Scan.exactQuantilesByGroupDouble(
+          dev.select(col("o_orderpriority"), col("ad").as("v")),
+          "o_orderpriority", "v", Seq(0.5))
+        .select(col("g").as("o_orderpriority"), col("value").as("mad"))
+      dev.join(broadcast(mad), "o_orderpriority")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("med")), 4).as("med"),
+          round(min(col("mad")), 4).as("mad"),
+          sum(when(col("ad") > lit(3.0) * lit(1.4826) * col("mad"), lit(1L))
+            .otherwise(lit(0L))).as("n_outliers"))
+        .orderBy("o_orderpriority")
+    },
+
     // WEIGHTED exact quantiles (quantity-weighted price quartiles): the
     // curation-mix statistic ("median price per UNIT sold", not per
     // line item) — the weighted generalization of q_percentiles'
@@ -4632,6 +4664,17 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH b AS (SELECT o_orderpriority AS g, CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+        |med AS (SELECT g, quantile_disc(v, 0.5) AS med FROM b GROUP BY 1),
+        |d AS (SELECT b.g, v, med, abs(v - med) AS ad FROM b JOIN med USING (g)),
+        |mad AS (SELECT g, quantile_disc(ad, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.g AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(MIN(d.med), 4) AS med, ROUND(MIN(mad.mad), 4) AS mad,
+        |  CAST(SUM(CASE WHEN d.ad > 3.0 * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM d JOIN mad USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // weighted discrete quantile: smallest v whose cumulative weight
     // reaches ceil(q·W) — the definitional window formulation here,
