@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 import graft.index.VectorIndexFlat
 
@@ -81,6 +82,34 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Watermarked per-window moment profile (n, mean, population
+    * variance) per event type — the streaming face of the batch
+    * moment-QA family (`q_moment_stats`/`Profile.dimStats`). Moment
+    * sums are DECIMAL-quantized per element, so the cross-micro-batch
+    * state merge is exact and the result is bit-identical to the batch
+    * aggregation REGARDLESS of how the stream was split — double sums
+    * would drift with batch boundaries and break the ≡-batch contract.
+    */
+  def eventsWindowedMoments(events: DataFrame,
+                            window_ : String = "1 hour",
+                            slide: String = "1 hour",
+                            watermark: String = "2 hours"): DataFrame = {
+    val d = DecimalType(28, 10)
+    val n = col("n").cast(DoubleType)
+    val s1 = col("s1").cast(DoubleType)
+    val s2 = col("s2").cast(DoubleType)
+    ensureEventTime(events, "ts")
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(d)).as("s1"),
+        sum((col("value") * col("value")).cast(d)).as("s2"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"),
+        round(s1 / n, 6).as("mean"),
+        round(s2 / n - (s1 / n) * (s1 / n), 6).as("variance"))
+  }
 
   /** Streaming gap-based sessionization — custom state via
     * `flatMapGroupsWithState`: per user, a session closes when the gap to

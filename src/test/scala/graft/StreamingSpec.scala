@@ -362,6 +362,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming windowed moment profile == batch, bit-exact (decimal state merge)") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    // many small files → many micro-batch boundaries crossing windows:
+    // the decimal moment state must merge exactly across all of them
+    events.repartition(8).write.mode("overwrite").parquet(dir)
+
+    val streamIn = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 2).parquet(dir)
+    val agg = StreamingOps.eventsWindowedMoments(streamIn)
+    val q = StreamingOps.runToMemory(agg, "mom_out")
+    q.awaitTermination(60000)
+
+    val got = spark.table("mom_out")
+      .orderBy("window_start", "event_type").collect()
+    val want = StreamingOps.eventsWindowedMoments(events)
+      .orderBy("window_start", "event_type").collect()
+    assert(got.length > 0)
+    assert(got === want)
+  }
+
   test("streaming windowed HLL distinct == batch approx_count_distinct per window") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-hll").toString
