@@ -1677,6 +1677,13 @@ object SparkEntry {
       TextAnalysis.shingleNovelty(Tables(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // Heaps'-law vocabulary-growth exponent along the ingest order —
+    // first-owner df join + DISTRIBUTED prefix sums (no single-task
+    // window over the doc spine) + one-row closed-form OLS
+    "text_heaps_fit" -> { (s, dir) =>
+      TextAnalysis.heapsFit(Tables(s, dir, "documents"))
+    },
+
     // DSIR hashed-unigram importance weights (Xie et al. 2023): broadcast
     // bucket models onto the token stream, decimal-exact per-doc sums
     "q_dsir_weights" -> { (s, dir) =>
@@ -3747,6 +3754,25 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // behavioral diversity per user: Shannon entropy of the event-type
+    // distribution (bot heuristic: near-zero entropy = single-action
+    // loops; log(n_types) = uniform randomness). Two keyed
+    // aggregations; the per-user entropy sum runs over ≤ |event types|
+    // terms
+    "q_session_entropy" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val c = ev.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val totals = c.groupBy(col("user_id"))
+        .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"))
+      val p = col("c").cast(DoubleType) / col("n").cast(DoubleType)
+      c.join(totals, "user_id")
+        .groupBy(col("user_id"))
+        .agg(min(col("n")).as("n_events"), min(col("n_types")).as("n_types"),
+          (round(sum(-p * log(p)), 6) + lit(0.0)).as("entropy"))
+        .orderBy("user_id")
+    },
+
     // per-dimension embedding moments (the projection-tier diagnostic:
     // near-zero-variance dims → PCA truncation is free; uniform
     // variance → it costs recall). Decimal-quantized moment sums —
@@ -4198,6 +4224,46 @@ object SparkEntry {
         |  ROUND(CAST(SUM(CASE WHEN own.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
         |FROM sh JOIN own ON sh.s = own.s GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // the trailing + 0.0 normalizes IEEE signed zero: a single-type
+    // user's entropy is -(1)·ln(1) = -0.0 (the q_dsir_weights lesson)
+    "q_session_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        |    FROM events GROUP BY 1, 2),
+        |t AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types FROM c GROUP BY 1)
+        |SELECT c.user_id, MIN(t.n) AS n_events, MIN(t.n_types) AS n_types,
+        |  ROUND(SUM(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |    * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))), 6) + 0.0 AS entropy
+        |FROM c JOIN t USING (user_id) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_heaps_fit" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |pt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+        |dt AS (SELECT doc_id, tok FROM t GROUP BY 1, 2),
+        |own AS (SELECT tok, MIN(doc_id) AS first_doc FROM dt GROUP BY 1),
+        |pn AS (SELECT dt.doc_id,
+        |    CAST(SUM(CASE WHEN own.first_doc = dt.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |  FROM dt JOIN own ON dt.tok = own.tok GROUP BY 1),
+        |cumf AS (SELECT pt.doc_id,
+        |    SUM(pt.n_tokens) OVER (ORDER BY pt.doc_id) AS cum_tokens,
+        |    SUM(pn.n_new) OVER (ORDER BY pt.doc_id) AS cum_types
+        |  FROM pt JOIN pn ON pt.doc_id = pn.doc_id),
+        |r AS (SELECT
+        |    CAST(ln(CAST(cum_tokens AS DOUBLE)) AS DECIMAL(28,14)) AS x,
+        |    CAST(ln(CAST(cum_types AS DOUBLE)) AS DECIMAL(28,14)) AS y,
+        |    CAST(ln(CAST(cum_tokens AS DOUBLE)) * ln(CAST(cum_types AS DOUBLE)) AS DECIMAL(28,14)) AS xy,
+        |    CAST(ln(CAST(cum_tokens AS DOUBLE)) * ln(CAST(cum_tokens AS DOUBLE)) AS DECIMAL(28,14)) AS xx
+        |  FROM cumf),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(xy) AS DOUBLE) AS sxy,
+        |    CAST(SUM(xx) AS DOUBLE) AS sxx FROM r)
+        |SELECT nd AS n_docs,
+        |  ROUND((CAST(nd AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(nd AS DOUBLE) * sxx - sx * sx), 6) AS beta,
+        |  ROUND((sy - (CAST(nd AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(nd AS DOUBLE) * sxx - sx * sx) * sx) / CAST(nd AS DOUBLE), 6) AS ln_k
+        |FROM a""".stripMargin,
 
     "q_dim_variance" ->
       """WITH x AS (SELECT CAST(unnest(range(1, len(embedding)+1)) AS BIGINT) AS dim,

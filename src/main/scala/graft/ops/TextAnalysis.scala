@@ -404,6 +404,58 @@ object TextAnalysis {
           col("n_shingles").cast(DoubleType), 6).as("novelty"))
   }
 
+  /** Heaps'-law vocabulary-growth fit: cumulative distinct TYPES vs
+    * cumulative TOKENS along the doc_id ingest order, OLS on the
+    * log-log curve → the Heaps exponent β (natural corpora ≈ 0.4–0.6;
+    * β → 0 means the vocabulary saturated — duplicated/boilerplate
+    * feed; β → 1 means near-random strings). A pure composition of
+    * audited machinery: per-token first-owner (the [[shingleNovelty]]
+    * df-join shape at word granularity), per-doc rollup, the
+    * DISTRIBUTED prefix-sum ([[Scan.prefixSum]] — no single-task
+    * window over the doc spine), and a one-row closed-form fit.
+    *
+    * Output: one row (n_docs, beta[6 dp], ln_k[6 dp]).
+    */
+  def heapsFit(docs: DataFrame): DataFrame = {
+    val toksDf = Dedup.spread(docs)
+      .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    // tokens per doc (multiset size)
+    val perDocTokens = toksDf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    // NEW types per doc: distinct (doc, tok) → first-owner filter
+    val docTypes = toksDf.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("__tf"))
+    val owner = docTypes.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+    val perDocNew = docTypes.join(owner, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("first_doc") === col("doc_id"), lit(1L))
+        .otherwise(lit(0L))).as("n_new_types"))
+    val perDoc = perDocTokens.join(perDocNew, "doc_id")
+    val cumTok = Scan.prefixSum(perDoc, Seq.empty, Seq("doc_id"), "n_tokens", "cum_tokens")
+    val cum = Scan.prefixSum(cumTok, Seq.empty, Seq("doc_id"), "n_new_types", "cum_types")
+      .select(log(col("cum_tokens").cast(DoubleType)).as("x"),
+        log(col("cum_types").cast(DoubleType)).as("y"))
+    // per-ELEMENT decimal quantization of every summand (the dimStats
+    // pattern): the corpus-sized ln sums become exact and associative,
+    // and a one-ulp libm ln divergence per element moves a sum by at
+    // most n·1e-14 — invisible at the 6 dp output rounding. Raw double
+    // sums over ~n docs would make the fit reduction-order-sensitive.
+    val d = DecimalType(28, 14)
+    val n = col("n").cast(DoubleType)
+    val sx = col("sx").cast(DoubleType)
+    val sy = col("sy").cast(DoubleType)
+    val sxy = col("sxy").cast(DoubleType)
+    val sxx = col("sxx").cast(DoubleType)
+    cum.agg(count(lit(1)).as("n"), sum(col("x").cast(d)).as("sx"),
+        sum(col("y").cast(d)).as("sy"),
+        sum((col("x") * col("y")).cast(d)).as("sxy"),
+        sum((col("x") * col("x")).cast(d)).as("sxx"))
+      .select(col("n").as("n_docs"),
+        round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).as("beta"),
+        round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+          .as("ln_k"))
+  }
+
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks(text)))))
 
