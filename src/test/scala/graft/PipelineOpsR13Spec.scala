@@ -99,6 +99,30 @@ class PipelineOpsR13Spec extends AnyFunSuite {
     assert(got.map(_.getLong(0)).toSet === Set(1L))
   }
 
+  // ---- Heaps'-law fit ----
+
+  test("heapsFit == closed-form OLS over the scalar cumulative curve") {
+    val docs = docsDf(
+      0L -> "a b a",       // tokens 3, new types {a,b}=2  → cum (3, 2)
+      1L -> "a c c d",     // tokens 4, new {c,d}=2        → cum (7, 4)
+      2L -> "a b e")       // tokens 3, new {e}=1          → cum (10, 5)
+    val got = TextAnalysis.heapsFit(docs).collect()(0)
+    val cums = Seq((3.0, 2.0), (7.0, 4.0), (10.0, 5.0))
+    val xs = cums.map(c => math.log(c._1))
+    val ys = cums.map(c => math.log(c._2))
+    val n = cums.size.toDouble
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    assert(got.getLong(0) === 3L)
+    assert(math.abs(got.getDouble(1) - slope) < 2e-6)
+    assert(math.abs(got.getDouble(2) - icept) < 2e-6)
+    // sub-linear vocabulary growth on this fixture
+    assert(got.getDouble(1) > 0.0 && got.getDouble(1) < 1.0)
+  }
+
   // ---- per-dimension embedding moments ----
 
   test("dimStats == per-dimension population mean/variance") {
