@@ -319,7 +319,8 @@ class ScanSpec extends AnyFunSuite {
     }
     spark.listenerManager.register(listener)
     try {
-      Seq("q_percentiles", "q_winsorize", "text_entropy").foreach { name =>
+      Seq("q_percentiles", "q_winsorize", "text_entropy",
+          "q_weighted_median", "q_mad_outliers").foreach { name =>
         val df = SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
         assert(df.collect().nonEmpty, s"$name returned no rows")
         assert(df.queryExecution.analyzed.collectFirst {
