@@ -1684,6 +1684,13 @@ object SparkEntry {
       TextAnalysis.heapsFit(Tables(s, dir, "documents"))
     },
 
+    // corpus information rate: bigram entropy, first-word marginal,
+    // and the conditional H(w2|w1) — templated/looping feeds read low
+    // independent of vocabulary size
+    "text_entropy_rate" -> { (s, dir) =>
+      TextAnalysis.entropyRate(Tables(s, dir, "documents"))
+    },
+
     // DSIR hashed-unigram importance weights (Xie et al. 2023): broadcast
     // bucket models onto the token stream, decimal-exact per-doc sums
     "q_dsir_weights" -> { (s, dir) =>
@@ -4236,6 +4243,28 @@ object SparkEntry {
         |  ROUND(SUM(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
         |    * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))), 6) + 0.0 AS entropy
         |FROM c JOIN t USING (user_id) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // entropy terms decimal-quantized per element (the heaps pattern);
+    // trailing + 0.0 normalizes signed zeros on degenerate
+    // single-type distributions
+    "text_entropy_rate" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+        |    FROM t, LATERAL (SELECT UNNEST(range(1, len(w))) AS i)),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+        |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c2),
+        |h2 AS (SELECT CAST(SUM(CAST(-(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |    * ln(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS h
+        |  FROM c2, n),
+        |c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c FROM c2 GROUP BY 1),
+        |h1 AS (SELECT CAST(SUM(CAST(-(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |    * ln(CAST(c AS DOUBLE) / CAST(n.n AS DOUBLE)) AS DECIMAL(28,14))) AS DOUBLE) AS h
+        |  FROM c1, n)
+        |SELECT n.n AS n_bigrams,
+        |  ROUND(h2.h, 6) + 0.0 AS h_bigram,
+        |  ROUND(h1.h, 6) + 0.0 AS h_marginal,
+        |  ROUND(h2.h - h1.h, 6) + 0.0 AS h_cond
+        |FROM n, h2, h1""".stripMargin,
 
     "text_heaps_fit" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -456,6 +456,45 @@ object TextAnalysis {
           .as("ln_k"))
   }
 
+  /** Corpus information rate: Shannon entropy of the bigram
+    * distribution, its first-word marginal, and their difference —
+    * the conditional entropy H(w₂|w₁), the bits-per-token signal that
+    * separates natural text (high) from templated/looping corpora
+    * (low) independent of vocabulary size. One bigram count table
+    * (combiner shuffle), both entropies roll up from it; every
+    * entropy term is decimal-quantized so the type-set-sized sums are
+    * reduction-order-exact, and signed zeros are normalized (a
+    * single-type distribution yields −1·ln 1 = −0.0).
+    *
+    * Output: one row (n_bigrams, h_bigram, h_marginal, h_cond), nats.
+    */
+  def entropyRate(docs: DataFrame): DataFrame = {
+    val d = DecimalType(28, 14)
+    val bgc = Dedup.spread(docs)
+      .select(Dedup.tokens(col("text")).as("w"))
+      .select(explode(graft.functions.wordShingles(col("w"), 2, distinct = false))
+        .as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // fans into total, H2, and the marginal
+    val total = bgc.agg(sum(col("c")).as("n"))
+    def entropyOf(counts: DataFrame): DataFrame = {
+      val p = col("c").cast(DoubleType) / col("n").cast(DoubleType)
+      counts.crossJoin(broadcast(total))
+        .agg(sum((-p * log(p)).cast(d)).as("h"))
+        .select(col("h").cast(DoubleType).as("h"))
+    }
+    val h2 = entropyOf(bgc).select(col("h").as("h2"))
+    val h1 = entropyOf(
+      bgc.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+        .agg(sum(col("c")).as("c")))
+      .select(col("h").as("h1"))
+    total.crossJoin(h2).crossJoin(h1)
+      .select(col("n").as("n_bigrams"),
+        (round(col("h2"), 6) + lit(0.0)).as("h_bigram"),
+        (round(col("h1"), 6) + lit(0.0)).as("h_marginal"),
+        (round(col("h2") - col("h1"), 6) + lit(0.0)).as("h_cond"))
+  }
+
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks(text)))))
 

@@ -123,6 +123,27 @@ class PipelineOpsR13Spec extends AnyFunSuite {
     assert(got.getDouble(1) > 0.0 && got.getDouble(1) < 1.0)
   }
 
+  // ---- information rate ----
+
+  test("entropyRate == closed-form H(bigram), H(marginal), H(w2|w1)") {
+    // "a b a b a" → bigrams: (a b)×2, (b a)×2 → H2 = ln 2;
+    // marginal: a×2, b×2 → H1 = ln 2 → h_cond = 0 (and must print
+    // +0.0, not −0.0 — the signed-zero normalization)
+    val got = TextAnalysis.entropyRate(docsDf(0L -> "a b a b a")).collect()(0)
+    assert(got.getLong(0) === 4L)
+    val ln2r = math.rint(math.log(2.0) * 1e6) / 1e6
+    assert(got.getDouble(1) === ln2r)
+    assert(got.getDouble(2) === ln2r)
+    assert(got.getDouble(3) === 0.0)
+    assert(java.lang.Double.doubleToLongBits(got.getDouble(3)) ===
+      java.lang.Double.doubleToLongBits(0.0), "h_cond must be +0.0")
+    // a deterministic-next-word corpus: h_cond exactly 0, h_bigram > 0
+    val det = TextAnalysis.entropyRate(docsDf(0L -> "x y z x y z x y z x"))
+      .collect()(0)
+    assert(det.getDouble(3) === 0.0)
+    assert(det.getDouble(1) > 0.0)
+  }
+
   // ---- per-dimension embedding moments ----
 
   test("dimStats == per-dimension population mean/variance") {
