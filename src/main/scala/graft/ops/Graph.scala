@@ -31,6 +31,18 @@ import org.apache.spark.sql.types._
   */
 object Graph {
 
+  /** Row-count cap for broadcasting an O(|V|)-row frame (rank/score
+    * vectors, degree tables, k-truss frontiers) into a per-iteration
+    * join. Measured-count gate: below the cap the broadcast join saves
+    * the |E|-side shuffle; above it the frame would blow the broadcast
+    * cap / driver heap (|V| ~ 10⁹ at the 100 TB design point is a
+    * multi-GB broadcast PER ITERATION), so the join falls back to a
+    * shuffle — identical semantics, hashes unchanged. 4M rows ≈ tens of
+    * MB serialized for (id, double) rows, comfortably under Spark's 8 GB
+    * broadcast-table hard limit and typical driver heaps.
+    */
+  val BroadcastNodeCap = 4000000L
+
   /** Co-occurrence edge list: directed edges `(src, dst)` between items
     * sharing a basket, both directions, deduplicated. Self-join on the
     * basket key — bounded fanout per basket (a TPC-H order holds ≤ 7
@@ -61,23 +73,32 @@ object Graph {
     * broadcast into the edge join (map-side, no shuffle on |E|), leaving
     * ONE shuffle per iteration — the `groupBy(dst)` partial-aggregated
     * contribution sum. At 100 TB of edges the per-iteration cost is a
-    * single combiner-friendly aggregation; the rank vector for even a
-    * billion-node graph stays a few GB and can fall back to a shuffle
-    * join (`broadcastRanks = false`) without changing results.
+    * single combiner-friendly aggregation. BOTH O(|V|)-row frames (the
+    * rank vector and the out-degree table) are broadcast only when the
+    * measured node count is under [[BroadcastNodeCap]] — the count is
+    * free (it materializes the node checkpoint anyway) — so a
+    * billion-node graph falls back to shuffle joins automatically
+    * without changing results; `broadcastRanks = false` forces the
+    * shuffle path regardless.
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
                damping: Double = 0.85,
-               broadcastRanks: Boolean = true): DataFrame = {
+               broadcastRanks: Boolean = true,
+               broadcastNodeCap: Long = BroadcastNodeCap): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("odeg")).localCheckpoint(true)
     val n = nodes.select(col("id")).distinct().localCheckpoint(true)
+    val nV = n.count()
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (broadcastRanks && nV <= broadcastNodeCap) broadcast(df) else df
+    val degSide = maybeBcast(deg)
 
     var ranks = n.withColumn("r", lit(1.0))
     for (_ <- 1 to iters) {
-      val rSide = if (broadcastRanks) broadcast(ranks) else ranks
+      val rSide = maybeBcast(ranks)
       val contrib = e.join(rSide, e("src") === rSide("id"))
-        .join(broadcast(deg), Seq("src"))
+        .join(degSide, Seq("src"))
         .select(col("dst").as("id"),
           (col("r") / col("odeg")).cast(DecimalType(28, 14)).as("c"))
       val sums = contrib.groupBy("id").agg(sum(col("c")).as("s"))
@@ -109,18 +130,23 @@ object Graph {
     *
     * Scale shape: per half-iteration ONE combiner aggregation over the
     * edge list with the small score vector broadcast in, plus a
-    * broadcast scalar max — the [[pageRank]] cost class exactly.
+    * broadcast scalar max — the [[pageRank]] cost class exactly,
+    * including the measured-|V| broadcast gate ([[BroadcastNodeCap]]):
+    * score vectors above the cap join by shuffle instead.
     * Returns (id, hub, auth) over all nodes (either side's absentees
     * score 0).
     */
   def hits(nodes: DataFrame, edges: DataFrame, iters: Int,
-           broadcastRanks: Boolean = true): DataFrame = {
+           broadcastRanks: Boolean = true,
+           broadcastNodeCap: Long = BroadcastNodeCap): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
     val n = nodes.select(col("id")).distinct().localCheckpoint(true)
+    val nV = n.count()
     val dec = DecimalType(28, 14)
 
-    def bc(df: DataFrame): DataFrame = if (broadcastRanks) broadcast(df) else df
+    def bc(df: DataFrame): DataFrame =
+      if (broadcastRanks && nV <= broadcastNodeCap) broadcast(df) else df
 
     def normalized(scores: DataFrame, c: String): DataFrame = {
       val mx = scores.agg(max(col(c))).head.getDouble(0)
@@ -194,7 +220,8 @@ h$i AS MATERIALIZED (SELECT id, h / (CASE WHEN (SELECT MAX(h) FROM hr$i) > 0
     */
   def pageRankSeeded(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
                      iters: Int, damping: Double = 0.85,
-                     broadcastRanks: Boolean = true): DataFrame = {
+                     broadcastRanks: Boolean = true,
+                     broadcastNodeCap: Long = BroadcastNodeCap): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("odeg")).localCheckpoint(true)
@@ -203,12 +230,16 @@ h$i AS MATERIALIZED (SELECT id, h / (CASE WHEN (SELECT MAX(h) FROM hr$i) > 0
         Seq("id"), "left")
       .select(col("id"), coalesce(col("__s"), lit(0.0)).as("seed"))
       .localCheckpoint(true)
+    val nV = n.count()
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (broadcastRanks && nV <= broadcastNodeCap) broadcast(df) else df
+    val degSide = maybeBcast(deg)
 
     var ranks = n.select(col("id"), col("seed").as("r"))
     for (_ <- 1 to iters) {
-      val rSide = if (broadcastRanks) broadcast(ranks) else ranks
+      val rSide = maybeBcast(ranks)
       val contrib = e.join(rSide, e("src") === rSide("id"))
-        .join(broadcast(deg), Seq("src"))
+        .join(degSide, Seq("src"))
         .select(col("dst").as("id"),
           (col("r") / col("odeg")).cast(DecimalType(28, 14)).as("c"))
       val sums = contrib.groupBy("id").agg(sum(col("c")).as("s"))
@@ -625,7 +656,7 @@ f$h AS (SELECT id FROM x$h)""")
         // shuffle join instead of blowing the broadcast cap / driver
         // heap at scale
         def maybeBcast(df: DataFrame): DataFrame =
-          if (nDropped <= 4000000L) broadcast(df) else df
+          if (nDropped <= BroadcastNodeCap) broadcast(df) else df
         // round-start frames: maintained (decremental) or rebuilt from
         // cur as the r11 shape did (A/B measurement path only)
         val (adjRound, degRound) =

@@ -91,6 +91,66 @@ class GraphSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("pagerank family above BroadcastNodeCap plans NO broadcast hint, same results") {
+    // The 100 TB contract: the rank vector and degree table are |V| rows;
+    // above the measured-count cap neither may be HINTED broadcast (a
+    // billion-node vector is a multi-GB broadcast per iteration). This
+    // watches EVERY plan the iterations execute (each round's eager
+    // localCheckpoint passes through the listener), not just the returned
+    // DataFrame's, and pins bit-identity with the broadcast path.
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val nodes = (1L to 40L).toSeq
+    val edges = nodes.flatMap(u => Seq((u, u % 40 + 1), (u, (u + 11) % 40 + 1)))
+      .filter { case (a, b) => a != b }
+    val n = df(nodeSchema, nodes.map(Row(_)))
+    val e = df(edgeSchema, edges.map { case (a, b) => Row(a, b) })
+    val seeds = df(nodeSchema, Seq(Row(1L), Row(2L)))
+
+    def hinted(qe: QueryExecution): Boolean = qe.analyzed.collectFirst {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+    }.isDefined
+
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        if (hinted(qe)) seen.add(funcName)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+
+    // default path (tiny |V| → broadcast hints): reference results
+    val prWant = Graph.pageRank(n, e, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pprWant = Graph.pageRankSeeded(n, e, seeds, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val hitsWant = Graph.hits(n, e, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+    spark.listenerManager.register(listener)
+    try {
+      val prGot = Graph.pageRank(n, e, iters = 4, broadcastNodeCap = 0L)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val pprGot = Graph.pageRankSeeded(n, e, seeds, iters = 4, broadcastNodeCap = 0L)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val hitsGot = Graph.hits(n, e, iters = 3, broadcastNodeCap = 0L)
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      org.apache.spark.GraftTestBridge.waitForListeners(spark.sparkContext)
+      assert(seen.isEmpty,
+        s"broadcast hint planned above the cap in: ${seen.toArray.mkString(", ")}")
+      assert(prGot === prWant)
+      assert(pprGot === pprWant)
+      assert(hitsGot === hitsWant)
+
+      // positive control: the same listener DOES see the hint on the
+      // default small-graph path, so an all-green run can't be a
+      // listener that never fired
+      Graph.pageRank(n, e, iters = 1).collect()
+      org.apache.spark.GraftTestBridge.waitForListeners(spark.sparkContext)
+      assert(!seen.isEmpty, "listener never observed the broadcast hint on the default path")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   /** Scalar HITS with the same decimal quantization + max normalization. */
   private def scalarHits(nodes: Seq[Long], edges: Seq[(Long, Long)],
                          iters: Int): Map[Long, (Double, Double)] = {
