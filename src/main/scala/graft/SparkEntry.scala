@@ -4298,10 +4298,10 @@ object SparkEntry {
       """WITH x AS (SELECT CAST(unnest(range(1, len(embedding)+1)) AS BIGINT) AS dim,
         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
         |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
-        |  ROUND(CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 6) AS mean,
+        |  ROUND(CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean,
         |  ROUND(CAST(SUM(CAST(x*x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
         |    - (CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*))
-        |      * (CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)), 6) AS variance
+        |      * (CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)), 6) + 0.0 AS variance
         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
 
     "q_dsir_weights" ->

@@ -204,12 +204,6 @@ object Profile {
         round(sum(col("term")).cast(DoubleType), 6).as("psi"))
   }
 
-  /** Referential integrity: rows of `child` whose `childCol` has no
-    * match in `parent.parentCol` (null child keys violate). Returns the
-    * same (check, violations, passed) single-row shape so it unions
-    * with [[runChecks]]. The anti-join is the scalable form — at 100 TB
-    * the parent key set shuffles once; no driver-side collection.
-    */
   /** Per-dimension moment profile of an embedding column — the
     * diagnostic that motivates (or rules out) dimension-reduction
     * tiers: near-zero-variance dimensions are free to project away
@@ -235,12 +229,21 @@ object Profile {
       .agg(count(lit(1)).as("n"), sum(col("x").cast(d)).as("sx"),
         sum((col("x") * col("x")).cast(d)).as("sxx"))
       .select(col("dim"), col("n"),
-        round(col("sx").cast(DoubleType) / col("n"), 6).as("mean"),
-        round(col("sxx").cast(DoubleType) / col("n") -
+        // + 0.0 normalizes -0.0 → 0.0: embedding dims are near-zero-
+        // centered, so a mean that rounds to zero keeps the summand's
+        // sign bit and would hash-diverge across engines otherwise
+        (round(col("sx").cast(DoubleType) / col("n"), 6) + lit(0.0)).as("mean"),
+        (round(col("sxx").cast(DoubleType) / col("n") -
           (col("sx").cast(DoubleType) / col("n")) *
-          (col("sx").cast(DoubleType) / col("n")), 6).as("variance"))
+          (col("sx").cast(DoubleType) / col("n")), 6) + lit(0.0)).as("variance"))
   }
 
+  /** Referential integrity: rows of `child` whose `childCol` has no
+    * match in `parent.parentCol` (null child keys violate). Returns the
+    * same (check, violations, passed) single-row shape so it unions
+    * with [[runChecks]]. The anti-join is the scalable form — at 100 TB
+    * the parent key set shuffles once; no driver-side collection.
+    */
   def riCheck(name: String, child: DataFrame, childCol: String,
               parent: DataFrame, parentCol: String): DataFrame = {
     val orphans = child.select(col(childCol).as("__k"))

@@ -60,9 +60,10 @@ object TrussProfile {
       val t0 = System.nanoTime()
       val n = Graph.kTruss(und, k = 5, maxRounds = 50, decremental).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener events are async (the bus drainer is private[spark]) —
-      // give the queue a beat before reading the counters
-      Thread.sleep(1500)
+      // listener events are async — drain the bus (blocks until every
+      // already-posted event is processed) instead of a fixed sleep,
+      // which under load could lag and silently undercount an arm
+      org.apache.spark.GraftCoreBridge.waitForListeners(spark.sparkContext)
       val arm = if (decremental) "decremental" else "rebuild    "
       println(f"[truss] $arm rep $rep: $sec%6.2f s  jobs=${meter.jobs.get}%3d " +
         f"stages=${meter.stages.get}%4d shufRd=${meter.shuffleRead.get / 1048576.0}%8.1f MiB " +
