@@ -1443,6 +1443,17 @@ object SparkEntry {
       Dedup.duplicatedSpans(Tables(s, dir, "documents"), n = 8).orderBy("doc_id")
     },
 
+    // ---- dedup: exact duplicated SUBSTRINGS (Lee et al. 2022's
+    // ExactSubstr class — character-level, stride-1, maximal spans),
+    // the contamination class token-shingle methods only catch
+    // probabilistically. Sorted-hashed-grams plan, linear in corpus
+    // bytes; see Dedup.substringSpans.
+
+    "dedup_substring" -> { (s, dir) =>
+      Dedup.substringSpans(Tables(s, dir, "documents"), minLen = 30)
+        .orderBy("doc_id")
+    },
+
     // ---- end-to-end corpus filter: the stage composition a
     // pretraining-data run actually ships — language ID, length band,
     // lexical quality, span-level dedup — each doc tagged with its FIRST
@@ -4471,6 +4482,32 @@ object SparkEntry {
          |FROM lens l LEFT JOIN dup d ON l.doc_id = d.doc_id
          |ORDER BY l.doc_id""".stripMargin
     },
+
+    "dedup_substring" ->
+      """WITH p AS (SELECT doc_id, text,
+        |  unnest(range(0, GREATEST(len(text) - 30 + 1, 0))) AS pos FROM documents),
+        |w AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+        |  md5(substr(text, CAST(pos AS INTEGER) + 1, 30)) AS h FROM p),
+        |dup AS (SELECT h FROM w GROUP BY h HAVING COUNT(*) >= 2),
+        |dp AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (h)),
+        |fl AS (SELECT doc_id, pos,
+        |  CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 30
+        |       THEN 1 ELSE 0 END AS f FROM dp),
+        |si AS (SELECT doc_id, pos,
+        |  SUM(f) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id FROM fl),
+        |sp AS (SELECT doc_id, span_id, CAST(COUNT(*) AS BIGINT) AS nwin,
+        |  MAX(pos) - MIN(pos) + 30 AS span_len FROM si GROUP BY doc_id, span_id),
+        |pd AS (SELECT doc_id, SUM(nwin) AS dup_windows,
+        |  CAST(COUNT(*) AS BIGINT) AS dup_spans, SUM(span_len) AS dup_chars,
+        |  MAX(span_len) AS max_span FROM sp GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(pd.dup_windows, 0) AS BIGINT) AS dup_windows,
+        |  CAST(COALESCE(pd.dup_spans, 0) AS BIGINT) AS dup_spans,
+        |  CAST(COALESCE(pd.dup_chars, 0) AS BIGINT) AS dup_chars,
+        |  CAST(COALESCE(pd.max_span, 0) AS BIGINT) AS max_span
+        |FROM documents d LEFT JOIN pd USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The ANN/sketch queries emit engine-independent VERDICT columns
     // (recall/error bounds vs the exact side, which other oracles verify

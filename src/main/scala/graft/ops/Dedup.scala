@@ -849,6 +849,69 @@ object Dedup {
           .otherwise(0.0), 6).as("dup_frac"))
   }
 
+  /** Exact duplicated-SUBSTRING profile (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the ExactSubstr
+    * method): any character substring of length ≥ `minLen` that occurs
+    * at two or more positions anywhere in the corpus is duplicated
+    * text — the strongest contamination class (verbatim boilerplate,
+    * licenses, copied chunks), which token-shingle near-dup methods
+    * ([[duplicatedSpans]], minhash) only catch probabilistically.
+    *
+    * The paper's single-node tool builds a suffix array over the
+    * concatenated corpus; the distributed equivalent is SORTED HASHED
+    * GRAMS: every stride-1 length-`minLen` character window keys by its
+    * md5 (the cross-engine hash), one combiner-friendly count
+    * aggregation finds keys occurring ≥ 2 times (the groupBy IS the
+    * distributed suffix sort — two windows are equal iff their keys are,
+    * up to md5 collision), and each document's duplicated positions
+    * merge into MAXIMAL spans: a gap > `minLen` between consecutive
+    * duplicated positions starts a new span; gaps ≤ `minLen` mean the
+    * windows overlap or touch, so the union `[min, max + minLen)` is
+    * contiguous duplicated text.
+    *
+    * Scale shape: the window frame is Σ|text| rows — LINEAR in corpus
+    * bytes, the same asymptotic as the suffix array, with no in-memory
+    * automaton; both shuffles key on the hash; the only window function
+    * runs inside a `doc_id` partition (bounded by document length, the
+    * safe window class). Docs shorter than `minLen` emit no windows and
+    * surface with zero counts via the final left join.
+    *
+    * Output: (doc_id, dup_windows, dup_spans, dup_chars, max_span).
+    */
+  def substringSpans(docs: DataFrame, minLen: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = spread(docs)
+      .filter(length(col("text")) >= minLen)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          (length(col("text")) - minLen).cast(LongType))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(col("text").substr(col("pos").cast(IntegerType) + 1, lit(minLen))).as("h"))
+    val dup = win.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val dupPos = win.join(dup, "h").select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dupPos
+      .withColumn("f",
+        when(lag(col("pos"), 1).over(byDoc).isNull ||
+          col("pos") - lag(col("pos"), 1).over(byDoc) > minLen, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("f")).over(byDoc))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(count(lit(1)).as("nwin"),
+        (max(col("pos")) - min(col("pos")) + minLen).as("span_len"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(sum(col("nwin")).as("dup_windows"),
+        count(lit(1)).as("dup_spans"),
+        sum(col("span_len")).as("dup_chars"),
+        max(col("span_len")).as("max_span"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("max_span"), lit(0L)).as("max_span"))
+  }
+
   /** Winnowing fingerprint profile (Schleimer, Wilkerson & Aiken 2003 —
     * the MOSS algorithm): hash every positional n-gram, slide a window of
     * `window` consecutive gram hashes, and select each window's minimum

@@ -1639,6 +1639,60 @@ class OpsSpec extends AnyFunSuite {
       (3L, 5L, 2L, 0.4)))
   }
 
+  /** Scalar ExactSubstr oracle: all stride-1 L-char windows, corpus-wide
+    * occurrence counts, duplicated positions merged into maximal spans
+    * at gaps > L — the definitional computation substringSpans
+    * distributes.
+    */
+  private def scalarSubstringSpans(ds: Seq[(Long, String)], L: Int)
+      : Map[Long, (Long, Long, Long, Long)] = {
+    val wins = for ((id, t) <- ds; p <- 0 to t.length - L)
+      yield (id, p.toLong, t.substring(p, p + L))
+    val counts = wins.groupBy(_._3).view.mapValues(_.size).toMap
+    val byDoc = wins.filter(w => counts(w._3) >= 2).groupBy(_._1)
+    ds.map { case (id, _) =>
+      val ps = byDoc.getOrElse(id, Seq.empty).map(_._2).sorted
+      if (ps.isEmpty) id -> ((0L, 0L, 0L, 0L))
+      else {
+        val spans = ps.tail.foldLeft(List(List(ps.head))) { (acc, p) =>
+          if (p - acc.head.head > L) List(p) :: acc else (p :: acc.head) :: acc.tail
+        }.map(_.reverse).reverse
+        val lens = spans.map(s => s.last - s.head + L)
+        id -> ((ps.size.toLong, spans.size.toLong, lens.sum, lens.max))
+      }
+    }.toMap
+  }
+
+  test("substringSpans == scalar ExactSubstr oracle: spans merge, gaps split, short docs zero") {
+    val L = 5
+    val hand = Seq(
+      0L -> "abcdefghij",              // shared run with doc 1
+      1L -> "XXabcdefghijYYYYYYYYYYqqabcde", // same run embedded + a 2nd dup span
+      2L -> "abc",                     // shorter than L → zero counts
+      3L -> "qqqqqqqqqq",              // self-repetition within ONE doc counts
+      4L -> "zzzzz123456789zzzzz")     // two dup positions, gap > L → 2 spans... within-doc
+    val got = Dedup.substringSpans(docsDf(hand), minLen = L)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val want = scalarSubstringSpans(hand, L)
+    assert(got === want)
+    assert(got(2L) === ((0L, 0L, 0L, 0L)), "short doc must surface with zeros")
+    assert(got(3L)._2 === 1L, "self-repeat run merges into ONE maximal span")
+    assert(got(4L)._2 === 2L, "gap > L splits into two spans")
+
+    // randomized corpus over a tiny alphabet — dense cross-doc collisions
+    val rnd = new scala.util.Random(41)
+    val docs = (0L until 10L).map { id =>
+      id -> (0 until 15 + rnd.nextInt(16)).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString
+    }
+    val got2 = Dedup.substringSpans(docsDf(docs), minLen = L)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got2 === scalarSubstringSpans(docs, L))
+  }
+
   test("hardNegatives: top cosine OUTSIDE the query's cluster, matches driver reference") {
     val spark2 = spark
     import spark2.implicits._
