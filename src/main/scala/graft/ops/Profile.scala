@@ -204,6 +204,35 @@ object Profile {
         round(sum(col("term")).cast(DoubleType), 6).as("psi"))
   }
 
+  /** Frozen reference histogram for PSI monitoring: fixed bucket edges
+    * (equal-width over the reference cohort's [vmin, vmax]) plus the
+    * reference bucket counts. Tiny by construction (`buckets` longs), so
+    * it ships to consumers as plan literals — the degenerate "broadcast"
+    * that costs nothing per batch.
+    */
+  final case class PsiReference(vmin: Double, vmax: Double, counts: Array[Long])
+
+  /** Build a [[PsiReference]] from a reference cohort — two
+    * combiner-friendly aggregations (range, then per-bucket counts);
+    * the only collect is `buckets` rows, bounded by construction.
+    * Bucketing matches [[psiDrift]]: equal-width bins over [vmin, vmax]
+    * with the top edge folded into the last bucket.
+    */
+  def psiReference(df: DataFrame, valueCol: String, buckets: Int = 10): PsiReference = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val v = df.select(col(valueCol).cast(DoubleType).as("v"))
+    val r = v.agg(min(col("v")), max(col("v"))).head
+    require(!r.isNullAt(0), "psiReference needs a non-empty reference cohort")
+    val (vmin, vmax) = (r.getDouble(0), r.getDouble(1))
+    val bk = if (vmax == vmin) lit(0L)
+      else least(floor((col("v") - lit(vmin)) / lit((vmax - vmin) / buckets))
+        .cast(LongType), lit((buckets - 1).toLong))
+    val got = v.select(bk.as("bk")).groupBy(col("bk"))
+      .agg(count(lit(1)).as("f")).collect()
+      .map(row => row.getLong(0).toInt -> row.getLong(1)).toMap
+    PsiReference(vmin, vmax, Array.tabulate(buckets)(i => got.getOrElse(i, 0L)))
+  }
+
   /** Per-dimension moment profile of an embedding column — the
     * diagnostic that motivates (or rules out) dimension-reduction
     * tiers: near-zero-variance dimensions are free to project away

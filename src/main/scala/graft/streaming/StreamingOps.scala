@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 import graft.index.VectorIndexFlat
 
@@ -109,6 +109,61 @@ object StreamingOps {
         col("n"),
         round(s1 / n, 6).as("mean"),
         round(s2 / n - (s1 / n) * (s1 / n), 6).as("variance"))
+  }
+
+  /** Watermarked per-window PSI drift monitor against a FROZEN reference
+    * histogram ([[graft.ops.Profile.PsiReference]]) — the streaming face
+    * of the batch drift family (`Profile.psiDrift` / `q_psi_drift`):
+    * each event-time window's value distribution scores against the
+    * reference with the same Laplace-smoothed PSI definition, so a
+    * production stream raises the same "<0.1 / 0.1–0.25 / >0.25" gauge
+    * the batch monitor does.
+    *
+    * ≡-batch contract (the windowed-moments pattern): the ONLY streaming
+    * state is one exact long count per (window, bucket) — held as
+    * `buckets` conditional sums inside a single stateful aggregation, so
+    * chained-aggregation limits don't apply and the cross-micro-batch
+    * merge is integer addition, bit-exact regardless of how the stream
+    * was split. The PSI expansion runs AFTER aggregation from those
+    * counts, per-bucket terms quantized to 12 dp DECIMAL (exact,
+    * order-independent sum) — the identical arithmetic the same function
+    * performs on a batch frame. The reference histogram enters as plan
+    * literals (it is `buckets` longs — the degenerate broadcast).
+    *
+    * Values outside the reference range clamp into the edge buckets (a
+    * drifted stream must still land somewhere — that mass inflates the
+    * edge terms, which is the signal wanted). Output:
+    * (window_start, n, psi[6 dp]).
+    */
+  def eventsWindowedPsi(events: DataFrame,
+                        ref: graft.ops.Profile.PsiReference,
+                        valueCol: String = "value",
+                        window_ : String = "1 hour",
+                        slide: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    val b = ref.counts.length
+    require(b >= 2, s"reference must have >= 2 buckets, got $b")
+    val bk = if (ref.vmax == ref.vmin) lit(0L)
+      else least(greatest(
+          floor((col(valueCol).cast(DoubleType) - lit(ref.vmin)) /
+            lit((ref.vmax - ref.vmin) / b)).cast(LongType), lit(0L)),
+        lit((b - 1).toLong))
+    val bucketSums = (0 until b).map(i =>
+      sum(when(col("__bk") === i.toLong, 1L).otherwise(0L)).as(s"f$i"))
+    val counted = ensureEventTime(events, "ts")
+      .withWatermark("ts", watermark)
+      .withColumn("__bk", bk)
+      .groupBy(window(col("ts"), window_, slide))
+      .agg(count(lit(1)).as("n"), bucketSums: _*)
+    val rTot = ref.counts.sum
+    val nD = col("n").cast(DoubleType)
+    val terms = (0 until b).map { i =>
+      val p = (col(s"f$i") + lit(1)).cast(DoubleType) / (nD + lit(b))
+      val q = lit((ref.counts(i) + 1.0) / (rTot + b))
+      round((p - q) * log(p / q), 12).cast(DecimalType(20, 12))
+    }
+    counted.select(col("window.start").as("window_start"), col("n"),
+      round(terms.reduce(_ + _).cast(DoubleType), 6).as("psi"))
   }
 
   /** Streaming gap-based sessionization — custom state via

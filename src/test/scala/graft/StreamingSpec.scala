@@ -383,6 +383,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming windowed PSI vs frozen reference == batch, bit-exact; drift raises it") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    // reference cohort = first time half (the psiDrift convention)
+    val piv = events.agg(min(col("ts")), max(col("ts"))).head
+    val mid = new java.sql.Timestamp(
+      (piv.getTimestamp(0).getTime + piv.getTimestamp(1).getTime) / 2)
+    val ref = graft.ops.Profile.psiReference(
+      events.filter(col("ts") <= lit(mid)), "value", buckets = 10)
+    assert(ref.counts.sum > 0)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-psi").toString
+    // many small files → micro-batch boundaries crossing windows: the
+    // per-(window,bucket) long counts must merge exactly across them
+    events.repartition(8).write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 2).parquet(dir)
+    val agg = StreamingOps.eventsWindowedPsi(streamIn, ref)
+    val q = StreamingOps.runToMemory(agg, "psi_out")
+    q.awaitTermination(60000)
+
+    val got = spark.table("psi_out").orderBy("window_start").collect()
+    val want = StreamingOps.eventsWindowedPsi(events, ref)
+      .orderBy("window_start").collect()
+    assert(got.length > 0)
+    assert(got === want)
+
+    // drift sanity: shifting every value far outside the reference range
+    // piles the whole window into an edge bucket — PSI must exceed the
+    // unshifted score in every window (clamped, never NaN/infinite)
+    val shifted = StreamingOps.eventsWindowedPsi(
+        events.withColumn("value", col("value") + lit(1e7)), ref)
+      .orderBy("window_start").collect()
+    val byWin = want.map(r => r.getTimestamp(0) -> r.getDouble(2)).toMap
+    shifted.foreach { r =>
+      val psi = r.getDouble(2)
+      assert(!psi.isNaN && !psi.isInfinite)
+      assert(psi > byWin(r.getTimestamp(0)),
+        s"shifted PSI $psi not above baseline ${byWin(r.getTimestamp(0))}")
+    }
+  }
+
   test("streaming windowed HLL distinct == batch approx_count_distinct per window") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-hll").toString
