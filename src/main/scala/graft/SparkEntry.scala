@@ -300,26 +300,22 @@ object SparkEntry {
     // robust outlier detection via MAD (median absolute deviation,
     // Hampel 1974): per-group exact discrete median, then the exact
     // discrete median of |x − med|, then the 3σ-equivalent cut
-    // (1.4826·MAD ≈ σ under normality). TWO bounded-memory refinement
-    // rounds + one counting scan — no sort, no Percentile buffer, the
-    // group-median tables broadcast back. The robust alternative to
-    // q_events_anomaly's mean/stddev z-score: MAD survives the exact
-    // heavy tails that inflate a stddev cut.
+    // (1.4826·MAD ≈ σ under normality). Routed through the FUSED
+    // Scan.madByGroup — one stats-collect feeds both refinement rounds
+    // (the second round's bounds derive from the first; r13 verdict's
+    // refinement-wall unification) — then one counting scan against the
+    // broadcast (med, mad) table. No sort, no Percentile buffer. The
+    // robust alternative to q_events_anomaly's mean/stddev z-score:
+    // MAD survives the exact heavy tails that inflate a stddev cut.
     "q_mad_outliers" -> { (s, dir) =>
       val o = Tables(s, dir, "orders")
       val base = o.select(col("o_orderpriority"),
         col("o_totalprice").cast(DoubleType).as("v"))
-      val med = Scan.exactQuantilesByGroupDouble(base,
-          "o_orderpriority", "v", Seq(0.5))
-        .select(col("g").as("o_orderpriority"), col("value").as("med"))
-      val dev = base.join(broadcast(med), "o_orderpriority")
-        .select(col("o_orderpriority"), col("v"), col("med"),
+      val mm = Scan.madByGroup(base, "o_orderpriority", "v")
+        .select(col("g").as("o_orderpriority"), col("med"), col("mad"))
+      base.join(broadcast(mm), "o_orderpriority")
+        .select(col("o_orderpriority"), col("med"), col("mad"),
           abs(col("v") - col("med")).as("ad"))
-      val mad = Scan.exactQuantilesByGroupDouble(
-          dev.select(col("o_orderpriority"), col("ad").as("v")),
-          "o_orderpriority", "v", Seq(0.5))
-        .select(col("g").as("o_orderpriority"), col("value").as("mad"))
-      dev.join(broadcast(mad), "o_orderpriority")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           round(min(col("med")), 4).as("med"),

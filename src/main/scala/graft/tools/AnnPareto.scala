@@ -23,6 +23,12 @@ import graft.ops.{Nsw, Similarity}
   * nq=32 queries; divide by 32 for ms/query. Local wall numbers rank
   * the tiers against each other on this box — absolute values carry
   * the usual single-node caveats (BASELINE.md).
+  *
+  * args: [n] [tierPrefixes] — args(1), comma-separated name prefixes,
+  * restricts the run (the r13 verdict's second measured point at
+  * n=200k covers the routed tiers without paying a 5000-centroid
+  * k-means or an NSW build over 200k nodes). Trained models are lazy
+  * so a filtered run never trains what it doesn't time.
   */
 object AnnPareto {
   def main(args: Array[String]): Unit = {
@@ -34,6 +40,8 @@ object AnnPareto {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val n = if (args.nonEmpty) args(0).toInt else 20000
+    val only: Option[Seq[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSeq) else None
     val nq = 32
     val k = 10
     val all = AnisotropicEmbed.corpus(spark, n).localCheckpoint(true)
@@ -45,10 +53,11 @@ object AnnPareto {
     val exactHits = exact.count().toDouble
     val keep = spark.sparkContext.getPersistentRDDs.keySet
 
-    // trained models, built once outside any timed region
-    val pca16 = Similarity.trainPca(vectors, 16)
-    val opq = Similarity.trainOpq(vectors, m = 8, ncent = 64)
-    val kmCents = Similarity.trainIvfKmeans(vectors, n / 40)
+    // trained models, built once outside any timed region (lazy: a
+    // tier-filtered run never trains a model its tiers don't touch)
+    lazy val pca16 = Similarity.trainPca(vectors, 16)
+    lazy val opq = Similarity.trainOpq(vectors, m = 8, ncent = 64)
+    lazy val kmCents = Similarity.trainIvfKmeans(vectors, n / 40)
 
     val nClusters = (n / 40 + 1).toDouble
     def frac(nProbe: Int): Double = nProbe / nClusters
@@ -75,10 +84,12 @@ object AnnPareto {
       Tier("hamming + rerank x4", 8, () => Similarity.hammingRerankTopK(vectors, queries, k, 4)),
       Tier("nsw graph (4 shards)", 256, () => Nsw.nswTopK(vectors, queries, k)))
 
-    println(f"[pareto] n=$n d=64 nq=$nq k=$k (anisotropic rank-24 fixture)")
+    val selected = tiers.filter(t => only.forall(_.exists(t.name.startsWith)))
+    println(f"[pareto] n=$n d=64 nq=$nq k=$k (anisotropic rank-24 fixture)" +
+      only.map(p => s" tiers=${p.mkString(",")}").getOrElse(""))
     println("| tier | scanB/vec | recall@10 | ms/query |")
     println("|---|---|---|---|")
-    tiers.foreach { t =>
+    selected.foreach { t =>
       val recall = t.mk().select(col("qid"), col("label"))
         .join(exact, Seq("qid", "label")).count() / exactHits
       val times = (1 to 3).map { _ =>

@@ -284,6 +284,78 @@ class ScanSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("madByGroup ≡ the two-call quantile composition, bit-exact, one fewer Spark job") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(53L)
+    val data = Seq("p", "q").flatMap { g =>
+      // gaussian bulk + a heavy tail + negatives + signed zeros — the
+      // shapes MAD exists for and the sortable-bits boundary cases
+      Array.fill(4001)((g, rnd.nextGaussian() * 100.0 + (if (g == "p") -50.0 else 0.0))) ++
+        Array.fill(40)((g, rnd.nextGaussian() * 1e5))
+    } ++ Seq(("p", 0.0), ("p", -0.0)) ++
+      Seq.fill(7)(("const", 42.0)) ++ Seq(("solo", -3.25))
+    val df = spark.createDataset(data.toIndexedSeq).toDF("g", "v")
+
+    def composed(): Map[String, (Double, Double)] = {
+      val med = Scan.exactQuantilesByGroupDouble(df, "g", "v", Seq(0.5))
+        .select(col("g"), col("value").as("med"))
+      val dev = df.join(broadcast(med), "g")
+        .select(col("g"), abs(col("v") - col("med")).as("ad"))
+      val mad = Scan.exactQuantilesByGroupDouble(dev, "g", "ad", Seq(0.5))
+        .select(col("g"), col("value").as("mad"))
+      med.join(mad, "g").collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    }
+    def fused(): Map[String, (Double, Double)] =
+      Scan.madByGroup(df, "g", "v").collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def countJobs(run: () => Map[String, (Double, Double)]): (Map[String, (Double, Double)], Int) = {
+      spark.sparkContext.addSparkListener(listener)
+      jobs.set(0)
+      try {
+        val r = run()
+        org.apache.spark.GraftTestBridge.waitForListeners(spark.sparkContext)
+        (r, jobs.get())
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (want, jComposed) = countJobs(composed _)
+    val (got, jFused) = countJobs(fused _)
+    assert(got.keySet === want.keySet)
+    want.foreach { case (g, (m, d)) =>
+      assert(java.lang.Double.doubleToLongBits(got(g)._1) ===
+        java.lang.Double.doubleToLongBits(m), s"med g=$g")
+      assert(java.lang.Double.doubleToLongBits(got(g)._2) ===
+        java.lang.Double.doubleToLongBits(d), s"mad g=$g")
+    }
+    // sanity against scala brute force (odd-sized groups: median is a
+    // data point, so the fused round-2 range [0, max dev] is EXACTLY the
+    // composed round's [min dev, max dev] and pass counts match)
+    data.groupBy(_._1).foreach { case (g, rows) =>
+      val vs = rows.map(_._2).sortBy(graft.functions.DoubleBits.toSortable)
+      val m = vs(math.max(1, math.ceil(0.5 * vs.length).toInt) - 1)
+      val ads = vs.map(x => math.abs(x - m)).sortBy(graft.functions.DoubleBits.toSortable)
+      val d = ads(math.max(1, math.ceil(0.5 * ads.length).toInt) - 1)
+      assert(got(g) === ((m, d)), s"brute force g=$g")
+    }
+    // the fusion's point: the second stats-collect (an aggregate + its
+    // shuffle) is derived, not executed — strictly fewer jobs
+    assert(jFused < jComposed, s"fused=$jFused composed=$jComposed")
+    // guard fires before collecting a groups-sized array, same as the family
+    val wide = spark.range(6000).select(col("id").cast("string").as("g"),
+      col("id").cast("double").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Scan.madByGroup(wide, "g", "v")
+    }
+    assert(e.getMessage.contains("4096"))
+  }
+
   test("weighted quantiles reject zero/negative weights loudly") {
     val spark2 = spark
     import spark2.implicits._
