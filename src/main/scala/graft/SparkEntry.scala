@@ -2296,6 +2296,69 @@ object SparkEntry {
         .orderBy("l_returnflag")
     },
 
+    // Spearman rank correlation (exact, tie-aware midranks) — the
+    // robust monotone-association companion to q_corr_stats' Pearson:
+    // quality-score vs length style checks survive heavy tails only on
+    // ranks. Ranks come from Scan.avgRank2 (frequency table +
+    // distributed prefix-sum — NO global-order window, the single-task
+    // cliff rank().over(orderBy) would hit at corpus scale), doubled to
+    // stay integral so every moment sums exactly in DECIMAL(38,0) /
+    // HUGEINT; the ρ expansion is the identical IEEE tree on both
+    // engines (the q_corr_stats / q_moment_stats convention; exactness
+    // bound 4n³ ≤ 10³⁸ ⇒ n ≤ ~2.9e12 rows per group).
+    "q_spearman" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val base = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").as("x"),
+          col("l_extendedprice").as("y"))
+      val ranked = Scan.avgRank2(
+        Scan.avgRank2(base, "x", Seq("l_returnflag"), "r2x"),
+        "y", Seq("l_returnflag"), "r2y")
+      val agg = ranked.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("r2x").cast(d38)).as("sx"),
+          sum(col("r2y").cast(d38)).as("sy"),
+          sum((col("r2x").cast(d38) * col("r2y").cast(d38)).cast(d38)).as("sxy"),
+          sum((col("r2x").cast(d38) * col("r2x").cast(d38)).cast(d38)).as("sxx"),
+          sum((col("r2y").cast(d38) * col("r2y").cast(d38)).cast(d38)).as("syy"))
+      val n = col("n_rows").cast(DoubleType)
+      val sx = col("sx").cast(DoubleType)
+      val sy = col("sy").cast(DoubleType)
+      val sxy = col("sxy").cast(DoubleType)
+      val sxx = col("sxx").cast(DoubleType)
+      val syy = col("syy").cast(DoubleType)
+      agg.select(col("l_returnflag"), col("n_rows"),
+          round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+            .as("spearman"))
+        .orderBy("l_returnflag")
+    },
+
+    // ROC AUC per event type, one-vs-rest (Mann-Whitney U estimator,
+    // tie-aware midranks): the ranking-quality statistic every
+    // quality-classifier pipeline reports. ONE global rank pass over
+    // the score column (Scan.avgRank2 — freq table + distributed
+    // prefix-sum, no single-task window) serves all five labels:
+    // AUC_t = (Σ_{i∈t} r_i − n_t(n_t+1)/2) / (n_t·(n−n_t)), computed
+    // from the integral 2·midranks so the only roundings are the final
+    // identical-IEEE expansion on both engines.
+    "q_auc" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val ranked = Scan.avgRank2(
+        Tables.events(s, dir).select(col("event_type"), col("value")),
+        "value", Seq.empty, "r2")
+      val byType = ranked.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pos"), sum(col("r2").cast(d38)).as("s2"))
+      val tot = byType.agg(sum(col("n_pos")).as("n_all"))
+      val nPos = col("n_pos").cast(DoubleType)
+      val nAll = col("n_all").cast(DoubleType)
+      val s2 = col("s2").cast(DoubleType)
+      byType.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_pos"),
+          round((s2 - nPos * (nPos + lit(1.0))) /
+            ((lit(2.0) * nPos) * (nAll - nPos)), 6).as("auc"))
+        .orderBy("event_type")
+    },
+
     // JSON extraction from the events props column
     "q_json_extract" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -6518,6 +6581,55 @@ object SparkEntry {
         |    AS slope
         |FROM m
         |ORDER BY l_returnflag""".stripMargin,
+
+    // midrank r = (#less) + (ties+1)/2 from the value-frequency table;
+    // 2r = 2·cum − cnt + 1 stays integral, summed exactly in HUGEINT
+    // (≡ the Spark side's DECIMAL(38,0)); the ρ expansion mirrors the
+    // Spark expression tree operation-for-operation
+    "q_spearman" ->
+      """WITH fx AS (SELECT l_returnflag AS g, l_quantity AS v, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |rx AS (SELECT g, v,
+        |    2 * SUM(c) OVER (PARTITION BY g ORDER BY v) - c + 1 AS r2 FROM fx),
+        |fy AS (SELECT l_returnflag AS g, l_extendedprice AS v, COUNT(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |ry AS (SELECT g, v,
+        |    2 * SUM(c) OVER (PARTITION BY g ORDER BY v) - c + 1 AS r2 FROM fy),
+        |j AS (SELECT l.l_returnflag, rx.r2 AS r2x, ry.r2 AS r2y
+        |  FROM lineitem l
+        |  JOIN rx ON rx.g = l.l_returnflag AND rx.v = l.l_quantity
+        |  JOIN ry ON ry.g = l.l_returnflag AND ry.v = l.l_extendedprice),
+        |m AS (SELECT l_returnflag, COUNT(*) AS n_rows,
+        |    SUM(CAST(r2x AS HUGEINT)) AS sx,
+        |    SUM(CAST(r2y AS HUGEINT)) AS sy,
+        |    SUM(CAST(r2x AS HUGEINT) * CAST(r2y AS HUGEINT)) AS sxy,
+        |    SUM(CAST(r2x AS HUGEINT) * CAST(r2x AS HUGEINT)) AS sxx,
+        |    SUM(CAST(r2y AS HUGEINT) * CAST(r2y AS HUGEINT)) AS syy
+        |  FROM j GROUP BY l_returnflag)
+        |SELECT l_returnflag, n_rows,
+        |  ROUND((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / SQRT((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |    AS spearman
+        |FROM m
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // one global midrank pass serves all one-vs-rest labels;
+    // AUC_t = (Σ2r − n_t(n_t+1)) / (2·n_t·(n−n_t)) in the identical
+    // IEEE order as the Spark side
+    "q_auc" ->
+      """WITH f AS (SELECT value AS v, COUNT(*) AS c FROM events GROUP BY 1),
+        |r AS (SELECT v, 2 * SUM(c) OVER (ORDER BY v) - c + 1 AS r2 FROM f),
+        |a AS (SELECT e.event_type, COUNT(*) AS n_pos,
+        |    SUM(CAST(r.r2 AS HUGEINT)) AS s2
+        |  FROM events e JOIN r ON r.v = e.value GROUP BY 1),
+        |t AS (SELECT SUM(n_pos) AS n_all FROM a)
+        |SELECT event_type, n_pos,
+        |  ROUND((CAST(s2 AS DOUBLE) - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))
+        |    / ((2.0 * CAST(n_pos AS DOUBLE)) * (CAST(n_all AS DOUBLE) - CAST(n_pos AS DOUBLE))), 6)
+        |    AS auc
+        |FROM a, t
+        |ORDER BY event_type""".stripMargin,
 
     "q_range_frame" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,

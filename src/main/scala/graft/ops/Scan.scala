@@ -614,6 +614,36 @@ object Scan {
         StructField("mad", DoubleType, nullable = false))))
   }
 
+  /** Appends `outCol` = 2× the AVERAGE RANK (midrank) of `valueCol`
+    * within its group — the tie convention of Spearman's ρ and the
+    * Mann-Whitney U / AUC estimator. Doubled so it stays INTEGRAL
+    * (midranks are half-integers): downstream moments sum exactly in
+    * DECIMAL(38,0) / HUGEINT on both engines, and ρ / AUC are scale
+    * invariant, so the 2× cancels.
+    *
+    * Shape: rank r(v) = (#strictly smaller) + (ties + 1)/2 needs only
+    * the value-frequency table — `groupBy(value)` (one linear shuffle)
+    * then the distributed [[prefixSum]] over it (cum inclusive ⇒
+    * 2r = 2·cum − cnt + 1), joined back on the value (second linear
+    * shuffle). NO global-order window: `rank().over(orderBy(v))` puts
+    * the whole corpus on one task, the exact cliff this exists to
+    * avoid; prefixSum's driver state is O(partitions + groups).
+    *
+    * NULL values are EXCLUDED (rows dropped, SQL rank semantics — an
+    * equality join on a null key would drop them silently anyway; done
+    * here explicitly).
+    */
+  def avgRank2(df: DataFrame, valueCol: String, groupCols: Seq[String] = Seq.empty,
+               outCol: String = "r2"): DataFrame = {
+    val keep = df.filter(col(valueCol).isNotNull)
+    val keyCols = groupCols :+ valueCol
+    val freq = keep.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__cnt"))
+    val ranked = prefixSum(freq, groupCols, Seq(valueCol), "__cnt", "__cum")
+    val r2 = ranked.select(keyCols.map(col) :+
+      (lit(2L) * col("__cum") - col("__cnt") + lit(1L)).as(outCol): _*)
+    keep.join(r2, keyCols)
+  }
+
   /** Distributed lag-1 carry — `lag(col).over(window)` without putting
     * any group's full history on one task: pass 1 records each
     * (partition, group) slice's LAST value, the driver threads them in

@@ -107,26 +107,70 @@ object Similarity {
     // "train": the centroid table is small by definition — collect it once
     // and embed it in a narrow projection (no cross-join, no shuffle for
     // assignment or probe lists)
-    val cents = collectSmall(
+    val cents = ivfModuloCents(vectors, centroidModulo)
+    // one-shot composition: assignment (build) + probe scan (serve) in a
+    // single lazy plan — right for a query that runs once. A serve-many
+    // deployment materializes [[ivfAssign]] once instead: re-running
+    // assignment per search re-pays n·nClusters·d FLOPs every action,
+    // invisible at 20k vectors but ~50× the serve cost at 200k
+    // (BASELINE.md round-14 Pareto note).
+    ivfServeTopK(cents,
+      ivfAssign(vectors, cents, materialize = false), queries, k, nProbe)
+  }
+
+  /** The modulo-sampled centroid table of the [[ivfTopK]] family. */
+  def ivfModuloCents(vectors: DataFrame,
+                     centroidModulo: Int): Seq[(Long, Array[Float])] =
+    collectSmall(
         vectors.filter(col("id") % centroidModulo === 0).select(col("id"), col("vec")),
         "IVF centroid table")
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
       .sortBy(_._1)
 
-    // 2. assignment: nearest centroid per vector — one compiled pass
+  /** Index BUILD of the IVF family, split from serve (the r13
+    * train/serve accounting, extended to ASSIGNMENT): every vector keys
+    * by its nearest centroid — one compiled narrow pass, n·nClusters·d
+    * FLOPs — and the result is the object a 100 TB deployment persists
+    * partitioned/bucketed by `cid` (`payload` picks the stored record:
+    * fp32 vectors, or SQ8/SQ4 codes for the compression rungs).
+    * `materialize = true` (the serve-many shape) localCheckpoints it so
+    * probes scan the stored index instead of re-paying the build —
+    * at n=200k/d=64 the per-action assignment is ~6·10¹⁰ FLOPs vs a
+    * ~2/5000 probed-fraction scan.
+    */
+  def ivfAssign(vectors: DataFrame, cents: Seq[(Long, Array[Float])],
+                payload: String = "fp32",
+                materialize: Boolean = true): DataFrame = {
     val assigned = Dedup.spread(vectors)
       .withColumn("cid", element_at(nearestCentroids(col("vec"), cents, 1), 1))
+    val enc = payload match {
+      case "fp32" => assigned.select(col("cid"), col("id"), col("vec"))
+      case "sq8"  => assigned.select(col("cid"), col("id"), quantizeInt8(col("vec")).as("q"))
+      case "sq4"  => assigned.select(col("cid"), col("id"), quantizeInt4(col("vec")).as("q"))
+      case other  => throw new IllegalArgumentException(s"unknown IVF payload $other")
+    }
+    if (materialize) enc.localCheckpoint(true) else enc
+  }
 
-    // 3a. probe list per query — same expression, nProbe ids
+  /** Query SERVE over a built IVF index ([[ivfAssign]]): probe nProbe
+    * nearest centroids, scan only those clusters' records, k-bounded
+    * top-k — the per-query cost a deployment actually pays.
+    */
+  def ivfServeTopK(cents: Seq[(Long, Array[Float])], index: DataFrame,
+                   queries: DataFrame, k: Int, nProbe: Int,
+                   payload: String = "fp32"): DataFrame = {
     val probes = queries
       .select(col("qid"), col("qv"),
         explode(nearestCentroids(col("qv"), cents, nProbe)).as("cid"))
-
-    // 3b. scan only the probed clusters
+    val score = payload match {
+      case "fp32" => squaredL2(col("vec"), col("qv"))
+      case "sq8"  => squaredL2(dequantizeInt8(col("q.codes"), col("q.scale")), col("qv"))
+      case "sq4"  => squaredL2(dequantizeInt4(col("q.codes"), col("q.scale"), col("q.n")), col("qv"))
+      case other  => throw new IllegalArgumentException(s"unknown IVF payload $other")
+    }
     explodeHits(
-      probes.join(assigned, "cid")
-        .select(col("qid"), col("id").as("label"),
-          squaredL2(col("vec"), col("qv")).as("score"))
+      probes.join(index, "cid")
+        .select(col("qid"), col("id").as("label"), score.as("score"))
         .groupBy(col("qid"))
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
@@ -182,26 +226,13 @@ object Similarity {
     */
   def ivfSq8TopK(vectors: DataFrame, queries: DataFrame, k: Int,
                  centroidModulo: Int, nProbe: Int): DataFrame = {
-    val cents = collectSmall(
-        vectors.filter(col("id") % centroidModulo === 0).select(col("id"), col("vec")),
-        "IVF centroid table")
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-      .sortBy(_._1)
     // ingest: assign raw, store int8 — the index a 100 TB deployment
     // would persist partitioned by cid with the (codes, scale) payload
-    val enc = Dedup.spread(vectors)
-      .withColumn("cid", element_at(nearestCentroids(col("vec"), cents, 1), 1))
-      .select(col("cid"), col("id"), quantizeInt8(col("vec")).as("q"))
-    val probes = queries
-      .select(col("qid"), col("qv"),
-        explode(nearestCentroids(col("qv"), cents, nProbe)).as("cid"))
-    explodeHits(
-      probes.join(enc, "cid")
-        .select(col("qid"), col("id").as("label"),
-          squaredL2(dequantizeInt8(col("q.codes"), col("q.scale")),
-            col("qv")).as("score"))
-        .groupBy(col("qid"))
-        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
+    // (one-shot lazy composition; serve-many deployments materialize
+    // [[ivfAssign]] — see [[ivfTopK]])
+    val cents = ivfModuloCents(vectors, centroidModulo)
+    ivfServeTopK(cents, ivfAssign(vectors, cents, "sq8", materialize = false),
+      queries, k, nProbe, "sq8")
   }
 
   /** IVF over SQ4 (int4) storage — one rung further down the ladder than
@@ -214,24 +245,9 @@ object Similarity {
     */
   def ivfSq4TopK(vectors: DataFrame, queries: DataFrame, k: Int,
                  centroidModulo: Int, nProbe: Int): DataFrame = {
-    val cents = collectSmall(
-        vectors.filter(col("id") % centroidModulo === 0).select(col("id"), col("vec")),
-        "IVF centroid table")
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-      .sortBy(_._1)
-    val enc = Dedup.spread(vectors)
-      .withColumn("cid", element_at(nearestCentroids(col("vec"), cents, 1), 1))
-      .select(col("cid"), col("id"), quantizeInt4(col("vec")).as("q"))
-    val probes = queries
-      .select(col("qid"), col("qv"),
-        explode(nearestCentroids(col("qv"), cents, nProbe)).as("cid"))
-    explodeHits(
-      probes.join(enc, "cid")
-        .select(col("qid"), col("id").as("label"),
-          squaredL2(dequantizeInt4(col("q.codes"), col("q.scale"), col("q.n")),
-            col("qv")).as("score"))
-        .groupBy(col("qid"))
-        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
+    val cents = ivfModuloCents(vectors, centroidModulo)
+    ivfServeTopK(cents, ivfAssign(vectors, cents, "sq4", materialize = false),
+      queries, k, nProbe, "sq4")
   }
 
   /** Radius (range) search: ALL neighbors within squared-L2 `radius`, not
@@ -2042,20 +2058,15 @@ object Similarity {
       .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat)) }.toSeq
   }
 
-  /** [[ivfKmeansTopK]] over PRE-TRAINED centroids — the serve path. */
+  /** [[ivfKmeansTopK]] over PRE-TRAINED centroids — training split out;
+    * assignment still composes lazily (one-shot shape). A serve-many
+    * deployment materializes [[ivfAssign]] with these centroids and
+    * calls [[ivfServeTopK]] directly.
+    */
   def ivfKmeansTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-                    cents: Seq[(Long, Array[Float])], nProbe: Int): DataFrame = {
-    val assigned = Dedup.spread(vectors)
-      .withColumn("cid", element_at(nearestCentroids(col("vec"), cents, 1), 1))
-    val probes = queries.select(col("qid"), col("qv"),
-      explode(nearestCentroids(col("qv"), cents, nProbe)).as("cid"))
-    explodeHits(
-      probes.join(assigned, "cid")
-        .select(col("qid"), col("id").as("label"),
-          squaredL2(col("vec"), col("qv")).as("score"))
-        .groupBy(col("qid"))
-        .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
-  }
+                    cents: Seq[(Long, Array[Float])], nProbe: Int): DataFrame =
+    ivfServeTopK(cents, ivfAssign(vectors, cents, materialize = false),
+      queries, k, nProbe)
 
   /** Top-N most-similar pairs by cosine — the embedding-space
     * near-duplicate detector — via an EXACT reduction to self-kNN, not an

@@ -40,8 +40,10 @@ object AnnPareto {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val n = if (args.nonEmpty) args(0).toInt else 20000
+    // '_' stands for ' ' in prefixes (sbt runMain args split on spaces)
     val only: Option[Seq[String]] =
-      if (args.length > 1) Some(args(1).split(",").toSeq) else None
+      if (args.length > 1) Some(args(1).split(",").toSeq.map(_.replace('_', ' ')))
+      else None
     val nq = 32
     val k = 10
     val all = AnisotropicEmbed.corpus(spark, n).localCheckpoint(true)
@@ -53,27 +55,46 @@ object AnnPareto {
     val exactHits = exact.count().toDouble
     val keep = spark.sparkContext.getPersistentRDDs.keySet
 
-    // trained models, built once outside any timed region (lazy: a
-    // tier-filtered run never trains a model its tiers don't touch)
+    // trained models and IVF indexes, built once outside any timed
+    // region (lazy: a tier-filtered run never builds what its tiers
+    // don't touch). IVF assignment is index BUILD (r14): timing it
+    // inside the serve path re-pays n·nClusters·d FLOPs per rep —
+    // invisible at 20k, ~50× the probed-fraction scan at 200k.
     lazy val pca16 = Similarity.trainPca(vectors, 16)
     lazy val opq = Similarity.trainOpq(vectors, m = 8, ncent = 64)
     lazy val kmCents = Similarity.trainIvfKmeans(vectors, n / 40)
+    lazy val ivfCents = Similarity.ivfModuloCents(vectors, 40)
+    lazy val ivfFp = Similarity.ivfAssign(vectors, ivfCents)
+    lazy val ivfS8 = Similarity.ivfAssign(vectors, ivfCents, "sq8")
+    lazy val ivfS4 = Similarity.ivfAssign(vectors, ivfCents, "sq4")
+    lazy val ivfKm = Similarity.ivfAssign(vectors, kmCents)
 
     val nClusters = (n / 40 + 1).toDouble
     def frac(nProbe: Int): Double = nProbe / nClusters
 
-    case class Tier(name: String, scanB: Double, mk: () => DataFrame)
+    case class Tier(name: String, scanB: Double, mk: () => DataFrame,
+                    build: () => Unit = () => ())
     val tiers = Seq(
       Tier("flat fp32 (exact)", 256, () => Similarity.gemmTopK(vectors, queries, k)),
       Tier("f16 + rerank x4", 128, () => Similarity.rerankedTopK(vectors, queries, k, 4)),
       Tier("prefix16 + rerank x4", 64, () => Similarity.prefixRerankTopK(vectors, queries, k, 16, 4)),
       Tier("pca16 + rerank x4", 64, () => Similarity.pcaRerankTopK(vectors, queries, k, pca16, 4)),
       Tier("jl16 + rerank x4", 64, () => Similarity.jlRerankTopK(vectors, queries, k, 64, 16, 4)),
-      Tier("ivf fp32 p2", 256 * frac(2), () => Similarity.ivfTopK(vectors, queries, k, 40, 2)),
-      Tier("ivf fp32 p4", 256 * frac(4), () => Similarity.ivfTopK(vectors, queries, k, 40, 4)),
-      Tier("ivf-kmeans p2", 256 * frac(2), () => Similarity.ivfKmeansTopK(vectors, queries, k, kmCents, 2)),
-      Tier("ivf-sq8 p2", 64 * frac(2), () => Similarity.ivfSq8TopK(vectors, queries, k, 40, 2)),
-      Tier("ivf-sq4 p2", 32 * frac(2), () => Similarity.ivfSq4TopK(vectors, queries, k, 40, 2)),
+      Tier("ivf fp32 p2", 256 * frac(2),
+        () => Similarity.ivfServeTopK(ivfCents, ivfFp, queries, k, 2),
+        () => { ivfFp; () }),
+      Tier("ivf fp32 p4", 256 * frac(4),
+        () => Similarity.ivfServeTopK(ivfCents, ivfFp, queries, k, 4),
+        () => { ivfFp; () }),
+      Tier("ivf-kmeans p2", 256 * frac(2),
+        () => Similarity.ivfServeTopK(kmCents, ivfKm, queries, k, 2),
+        () => { ivfKm; () }),
+      Tier("ivf-sq8 p2", 64 * frac(2),
+        () => Similarity.ivfServeTopK(ivfCents, ivfS8, queries, k, 2, "sq8"),
+        () => { ivfS8; () }),
+      Tier("ivf-sq4 p2", 32 * frac(2),
+        () => Similarity.ivfServeTopK(ivfCents, ivfS4, queries, k, 2, "sq4"),
+        () => { ivfS4; () }),
       Tier("pq8 (trained)", 8, () => Similarity.pqKmeansTopK(vectors, queries, k, 64, 8)),
       Tier("ivfpq-resid p2 + rerank x5", 8 * frac(2), () => Similarity.ivfPqResidualRerankTopK(
         vectors, queries, k, 40, 2, 25, 8, trainedNcent = 64, expand = 5)),
@@ -90,6 +111,11 @@ object AnnPareto {
     println("| tier | scanB/vec | recall@10 | ms/query |")
     println("|---|---|---|---|")
     selected.foreach { t =>
+      // force the tier's index build OUTSIDE the timed region, then
+      // snapshot: built indexes survive the sweep (p2/p4 share one),
+      // while checkpoint leaks from the timed runs are still reclaimed
+      t.build()
+      val keepNow = keep ++ spark.sparkContext.getPersistentRDDs.keySet
       val recall = t.mk().select(col("qid"), col("label"))
         .join(exact, Seq("qid", "label")).count() / exactHits
       val times = (1 to 3).map { _ =>
@@ -100,7 +126,7 @@ object AnnPareto {
       val med = times.sorted.apply(1)
       println(f"| ${t.name} | ${t.scanB}%.1f | $recall%.3f | ${med * 1000 / nq}%.1f |")
       spark.sparkContext.getPersistentRDDs.foreach {
-        case (id, r) => if (!keep(id)) r.unpersist(false)
+        case (id, r) => if (!keepNow(id)) r.unpersist(false)
       }
     }
     spark.stop()

@@ -264,6 +264,38 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfAssign (materialized index) + ivfServeTopK ≡ the one-shot family, every payload") {
+    val spark2 = spark
+    import spark2.implicits._
+    // build/serve accounting split (r14): persisting the cid-assigned
+    // corpus and probing it must change NOTHING about results — same
+    // candidates, scores, tie-breaks — for fp32, SQ8, SQ4, and the
+    // k-means-trained centroid table
+    val vecs = Oracle.genVectors(300, 32)
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = Oracle.genVectors(5, 32, seed = 7L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val cents = Similarity.ivfModuloCents(vdf, 30)
+    val idxFp = Similarity.ivfAssign(vdf, cents)
+    assert(rows(Similarity.ivfServeTopK(cents, idxFp, qdf, 10, 3)) ===
+      rows(Similarity.ivfTopK(vdf, qdf, 10, 30, 3)))
+    val idx8 = Similarity.ivfAssign(vdf, cents, "sq8")
+    assert(rows(Similarity.ivfServeTopK(cents, idx8, qdf, 10, 3, "sq8")) ===
+      rows(Similarity.ivfSq8TopK(vdf, qdf, 10, 30, 3)))
+    val idx4 = Similarity.ivfAssign(vdf, cents, "sq4")
+    assert(rows(Similarity.ivfServeTopK(cents, idx4, qdf, 10, 3, "sq4")) ===
+      rows(Similarity.ivfSq4TopK(vdf, qdf, 10, 30, 3)))
+    val km = Similarity.trainIvfKmeans(vdf, 10)
+    val idxKm = Similarity.ivfAssign(vdf, km)
+    assert(rows(Similarity.ivfServeTopK(km, idxKm, qdf, 10, 3)) ===
+      rows(Similarity.ivfKmeansTopK(vdf, qdf, 10, km, 3)))
+    intercept[IllegalArgumentException](Similarity.ivfAssign(vdf, cents, "pq"))
+    intercept[IllegalArgumentException](
+      Similarity.ivfServeTopK(cents, idxFp, qdf, 10, 3, "pq"))
+  }
+
   test("ivfRadiusSearch probing ALL clusters ≡ exact radiusSearch; fewer probes → subset") {
     val spark2 = spark
     import spark2.implicits._

@@ -284,6 +284,41 @@ class ScanSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("avgRank2 ≡ 2× the window midrank (tie-aware), grouped and global, nulls excluded") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(61L)
+    // heavy ties (values drawn from 40 levels) + a null sprinkle
+    val data = (0 until 5000).map { i =>
+      val g = if (i % 3 == 0) "a" else "b"
+      val v: java.lang.Double =
+        if (i % 97 == 0) null else rnd.nextInt(40).toDouble / 7.0
+      (i.toLong, g, v)
+    }
+    val df = spark.createDataset(data.toIndexedSeq).toDF("id", "g", "v")
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    val wt = Window.partitionBy(col("g"), col("v"))
+    // midrank = rank + (ties−1)/2 ⇒ 2·midrank = 2·rank + ties − 1
+    val want = df.filter(col("v").isNotNull)
+      .withColumn("r2", lit(2L) * rank().over(w) + count(lit(1)).over(wt) - lit(1L))
+      .select("id", "r2").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Scan.avgRank2(df, "v", Seq("g")).select("id", "r2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want) // null rows dropped on both sides
+    // global form (no group): same contract
+    val wg = Window.partitionBy().orderBy(col("v"))
+    val wgt = Window.partitionBy(col("v"))
+    val wantG = df.filter(col("v").isNotNull)
+      .withColumn("r2", lit(2L) * rank().over(wg) + count(lit(1)).over(wgt) - lit(1L))
+      .select("id", "r2").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotG = Scan.avgRank2(df, "v").select("id", "r2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotG === wantG)
+    // midrank invariant: per group, Σ2r = n(n+1)
+    val n = want.size
+    assert(wantG.values.sum === n.toLong * (n + 1))
+  }
+
   test("madByGroup ≡ the two-call quantile composition, bit-exact, one fewer Spark job") {
     val spark2 = spark
     import spark2.implicits._
