@@ -1943,6 +1943,37 @@ object SparkEntry {
       TextAnalysis.quality(Tables(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // calibration / reliability diagram + ECE decomposition (Naeini 2015
+    // / Guo 2017's metric over a deterministic scorer): buckets the
+    // type-token-ratio "score" into deciles and compares mean score vs
+    // the realized rate of the event it implicitly predicts (short
+    // docs — TTR is length-confounded, which is exactly what a
+    // reliability plot exposes in a quality-filter pipeline before
+    // anyone trusts the score as a probability). One groupBy(bucket)
+    // pass; per-element 6-dp decimal quantization makes the bucket
+    // sums reduction-order-exact, and every post-aggregate double op
+    // is the identical IEEE tree on both engines.
+    "q_calibration" -> { (s, dir) =>
+      val d186 = DecimalType(18, 6)
+      val q = TextAnalysis.quality(Tables(s, dir, "documents"))
+      val agg = q.select(
+          least(floor(col("type_token_ratio") * 10.0), lit(9L)).as("bucket"),
+          round(col("type_token_ratio"), 6).cast(d186).as("s6"),
+          when(col("n_tokens") <= 48, 1L).otherwise(0L).as("y"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("s6")).as("ss"), sum(col("y")).as("sy"))
+      val tot = agg.agg(sum(col("n")).as("n_all"))
+      val avgS = round(col("ss").cast(DoubleType) / col("n").cast(DoubleType), 6)
+      val posR = round(col("sy").cast(DoubleType) / col("n").cast(DoubleType), 6)
+      agg.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n"),
+          avgS.as("avg_score"), posR.as("pos_rate"),
+          round(abs(avgS - posR), 6).as("abs_gap"),
+          round((col("n").cast(DoubleType) / col("n_all").cast(DoubleType)) *
+            abs(avgS - posR), 6).as("ece_contrib"))
+        .orderBy("bucket")
+    },
+
     "text_langid" -> { (s, dir) =>
       Tables(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
@@ -6311,6 +6342,31 @@ object SparkEntry {
         |  CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE) /
         |    CAST(len(string_split(text,' ')) AS DOUBLE) AS avg_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // decile buckets of the same ttr; 6-dp element quantization into
+    // DECIMAL sums, then the identical IEEE post-aggregate tree
+    "q_calibration" ->
+      """WITH q AS (SELECT
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) /
+        |      CAST(len(string_split(text,' ')) AS DOUBLE) AS ttr
+        |  FROM documents),
+        |g AS (SELECT LEAST(CAST(FLOOR(ttr * 10.0) AS BIGINT), 9) AS bucket,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(ROUND(ttr, 6) AS DECIMAL(18,6))) AS ss,
+        |    SUM(CASE WHEN n_tokens <= 48 THEN 1 ELSE 0 END) AS sy
+        |  FROM q GROUP BY 1),
+        |t AS (SELECT SUM(n) AS n_all FROM g)
+        |SELECT bucket, n,
+        |  ROUND(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_score,
+        |  ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
+        |  ROUND(ABS(ROUND(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    - ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6)), 6) AS abs_gap,
+        |  ROUND((CAST(n AS DOUBLE) / CAST(n_all AS DOUBLE)) *
+        |    ABS(ROUND(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |      - ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6)), 6) AS ece_contrib
+        |FROM g, t
+        |ORDER BY bucket""".stripMargin,
 
     "text_langid" -> {
       val dicts = TextAnalysis.stopwords.map { case (code, words) =>

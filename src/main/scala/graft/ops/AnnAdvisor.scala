@@ -77,14 +77,27 @@ object AnnAdvisor {
   private def nClusters(n: Long): Double = math.max(1L, n / 40L).toDouble
 
   /** Measured rows (tools/AnnPareto on the anisotropic fixture;
-    * synced with BASELINE.md's round-13 table — now including the
-    * retrained k-means‖ IVF tier with its honest measured figures:
-    * 0.653 recall@10 at nProbe=2, still UNDER modulo-sampled centers'
-    * 0.844 at equal probes and equal scan bytes (k=500 on 20k points
-    * is the ~40-points-per-cell regime where Lloyd fragments the
-    * anisotropic bulk into uneven cells). It is therefore DOMINATED —
+    * synced with BASELINE.md's round-13 table, msPerQuery refreshed to
+    * the round-14 SERVE-path measurements — the IVF family's old
+    * figures carried the per-search index-build assignment, the
+    * accounting bug the n=200k run exposed). The retrained k-means‖
+    * IVF tier keeps its honest measured figures: 0.653 recall@10 at
+    * nProbe=2 — now the FASTEST ivf tier (6.5 ms serve) but still
+    * UNDER modulo-sampled centers' 0.844 at equal probes and equal
+    * scan bytes (k=500 on 20k points is the ~40-points-per-cell
+    * regime where Lloyd fragments the anisotropic bulk into uneven
+    * cells). It is therefore recall-DOMINATED at its scan width —
     * present so the table is the full measured Pareto set and the
     * dominance is spec-pinned, but no (target, budget) selects it.
+    *
+    * Second measured point, n=200k (BASELINE.md round-14): IVF recall
+    * TRANSFERS (p2 0.850, p4 0.900, sq8 0.841) and serve ms/query
+    * drops as the probed fraction shrinks — the scanB(n) folding is
+    * measured at two n, and the n=10M deployment choice agrees with
+    * the 200k-measured ranking (spec-pinned). prefix16/jl16 recall
+    * DEGRADES with corpus density (0.569/0.556 at 200k) while pca16
+    * holds 1.000 — scale alone demonstrates the fixture-measured
+    * provenance caveat these recall figures carry.
     */
   def tiers: Seq[Tier] = Seq(
     Tier("flat", 1.000, 10.0, (_, d) => 4.0 * d, Map.empty,
@@ -97,15 +110,15 @@ object AnnAdvisor {
       Map("dOut" -> 16L, "expand" -> 4L)),
     Tier("jl16-rerank", 0.750, 12.8, (_, _) => 64.0,
       Map("dOut" -> 16L, "expand" -> 4L)),
-    Tier("ivf-p2", 0.844, 29.7, (n, d) => 4.0 * d * 2.0 / nClusters(n),
+    Tier("ivf-p2", 0.844, 10.2, (n, d) => 4.0 * d * 2.0 / nClusters(n),
       Map("centroidModulo" -> 40L, "nProbe" -> 2L)),
-    Tier("ivf-p4", 0.947, 29.0, (n, d) => 4.0 * d * 4.0 / nClusters(n),
+    Tier("ivf-p4", 0.947, 8.6, (n, d) => 4.0 * d * 4.0 / nClusters(n),
       Map("centroidModulo" -> 40L, "nProbe" -> 4L)),
-    Tier("ivf-kmeans-p2", 0.653, 22.2, (n, d) => 4.0 * d * 2.0 / nClusters(n),
+    Tier("ivf-kmeans-p2", 0.653, 6.5, (n, d) => 4.0 * d * 2.0 / nClusters(n),
       Map("clustersPer" -> 40L, "nProbe" -> 2L)),
-    Tier("ivf-sq8-p2", 0.831, 29.0, (n, d) => 1.0 * d * 2.0 / nClusters(n),
+    Tier("ivf-sq8-p2", 0.831, 5.8, (n, d) => 1.0 * d * 2.0 / nClusters(n),
       Map("centroidModulo" -> 40L, "nProbe" -> 2L)),
-    Tier("ivf-sq4-p2", 0.631, 28.8, (n, d) => 0.5 * d * 2.0 / nClusters(n),
+    Tier("ivf-sq4-p2", 0.631, 5.2, (n, d) => 0.5 * d * 2.0 / nClusters(n),
       Map("centroidModulo" -> 40L, "nProbe" -> 2L)),
     Tier("opq8-rerank", 0.825, 11.8, (_, _) => 8.0,
       Map("m" -> 8L, "ncent" -> 64L, "expand" -> 4L)),

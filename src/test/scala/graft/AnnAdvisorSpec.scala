@@ -99,25 +99,64 @@ class AnnAdvisorSpec extends AnyFunSuite {
     assert(mBig.tier === "ivf-p4" && mBig.meetsTarget)
   }
 
+  test("the n=10M deployment choice agrees with the n=200k MEASURED ranking") {
+    // tools/AnnPareto 200000 (BASELINE.md round-14): the second measured
+    // Pareto point, where the scanB(n) folding and ann_auto_scan's
+    // deployment routing actually extrapolate. Serve-path measurements:
+    val measured200k = Map( // tier -> (recall@10, scanB/vec at n=200k)
+      "flat" -> (1.000, 256.0), "f16-rerank" -> (1.000, 128.0),
+      "prefix16-rerank" -> (0.569, 64.0), "pca16-rerank" -> (1.000, 64.0),
+      "jl16-rerank" -> (0.556, 64.0),
+      "ivf-p2" -> (0.850, 256.0 * 2 / 5000), "ivf-p4" -> (0.900, 256.0 * 4 / 5000),
+      "ivf-sq8-p2" -> (0.841, 64.0 * 2 / 5000), "ivf-sq4-p2" -> (0.553, 32.0 * 2 / 5000))
+    // the ann_auto_scan ask: 0.90 recall under 2 B/vec at n=10M
+    val c = AnnAdvisor.choose(10000000L, 64, 0.90, 2.0)
+    assert(c.tier === "ivf-p4" && c.meetsTarget)
+    // agreement: at the deployment point, the chosen tier (a) meets the
+    // target per the 200k MEASURED recall, not just the 20k-fixture
+    // figure, and (b) has the highest measured recall among measured
+    // tiers inside the budget — the advisor's argmin-scan choice and
+    // the measured-recall argmax coincide here
+    val (chosenRecall, _) = measured200k(c.tier)
+    assert(chosenRecall >= 0.90)
+    val inBudget = measured200k.filter { case (_, (_, b)) => b <= 2.0 }
+    assert(inBudget.keySet === Set("ivf-p2", "ivf-p4", "ivf-sq8-p2", "ivf-sq4-p2"))
+    assert(inBudget.values.map(_._1).max === chosenRecall)
+    // the n-degradation the 200k point measured: prefix/jl recall FELL
+    // with corpus density (0.800→0.569, 0.750→0.556) while pca16 held —
+    // fixture recalls in the advisor table are upper bounds for the
+    // untrained projections, which is why only by-construction tiers
+    // serve strict targets (the provenance gate)
+    assert(measured200k("prefix16-rerank")._1 < 0.800 - 0.2)
+    assert(measured200k("jl16-rerank")._1 < 0.750 - 0.15)
+    assert(measured200k("pca16-rerank")._1 === 1.000)
+  }
+
   test("invalid inputs fail loudly") {
     intercept[IllegalArgumentException](AnnAdvisor.choose(0L, d64, 0.9, 64.0))
     intercept[IllegalArgumentException](AnnAdvisor.choose(n20k, d64, 0.0, 64.0))
     intercept[IllegalArgumentException](AnnAdvisor.choose(n20k, d64, 1.5, 64.0))
   }
 
-  test("ann_auto_scan end-to-end: deployment-point routing picks ivf-p4") {
+  test("ann_auto_scan end-to-end: deployment routing + measured floor, EVERY gate dir") {
     // the relaxed-target branch: advisor consulted at the 10M-vector
     // deployment point (scale-invariant decision), tier executed on
-    // the gate corpus with the ≥1-of-10 floor (fixture recall does
-    // not transfer to the near-isotropic testdata — the documented
+    // the gate corpus with the ≥1-of-10 floor. tools/AutoScanFloor
+    // measured the floor across the gate dirs (BASELINE.md round-14):
+    // min n_common = 1 (sf0.1, qid 5) — ≥1 is the MEASURED own-corpus
+    // bound with zero headroom, not a placeholder; fixture recall does
+    // not transfer to the near-isotropic testdata (the documented
     // provenance caveat; the strict branch below carries the strong
-    // bound)
-    val rows = SparkEntry.queries("ann_auto_scan")(TestSpark.spark, "/root/testdata/sf0.001")
-      .collect()
-    assert(rows.length === 8)
-    assert(rows.forall(_.getString(1) == "ivf-p4"))
-    assert(rows.forall(_.getBoolean(2)), "recall floor must hold on every query")
-    assert(rows.forall(_.getBoolean(3)), "advisor must report meets_target")
+    // bound). Asserting on all three dirs pins the gate surface a
+    // data regeneration would move (ADVICE r13 #2).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                    "/root/testdata/sf0.1")) {
+      val rows = SparkEntry.queries("ann_auto_scan")(TestSpark.spark, dir).collect()
+      assert(rows.length === 8, dir)
+      assert(rows.forall(_.getString(1) == "ivf-p4"), dir)
+      assert(rows.forall(_.getBoolean(2)), s"$dir: recall floor must hold on every query")
+      assert(rows.forall(_.getBoolean(3)), s"$dir: advisor must report meets_target")
+    }
   }
 
   test("ann_auto end-to-end: advisor routes to f16-rerank and recall holds") {
