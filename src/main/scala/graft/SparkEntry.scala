@@ -3862,6 +3862,50 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // Jensen–Shannon drift (Lin 1991): the bounded (≤ ln 2), symmetric
+    // companion to PSI over the same time-split bucket grid — the score
+    // whose thresholds transfer across metrics because it cannot blow
+    // up on near-empty cells. Same dense-grid/Laplace/decimal-term
+    // machinery (Profile.timeSplitGrid is shared with psiDrift).
+    "q_js_drift" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("unix_micros(ts)"))
+      Profile.jsDrift(ev, "value", "ts_us", "event_type")
+        .select(col("g").as("event_type"), col("n_a"), col("n_b"), col("js"))
+        .orderBy("event_type")
+    },
+
+    // mergeable-sketch cardinality (Datasketches HLL, the engine's
+    // 100 TB count-distinct surface): per-type sketches aggregate
+    // map-side and MERGE losslessly — hll_union_agg over the per-type
+    // sketches estimates the global cardinality without rescanning,
+    // the property that lets a deployment keep per-partition sketches
+    // and answer union queries from metadata. The exact distincts ride
+    // along as the verification arm; the driver checks the ±5%
+    // envelope (estimates are deterministic but engine-specific, so
+    // the oracle pins the exact counts + the envelope verdicts — the
+    // ann_ivfpq_residual precedent for non-SQL-reproducible internals).
+    "q_hll_sketch" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val perType = ev.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          countDistinct(col("user_id")).as("n_exact"))
+        .localCheckpoint(true)
+      val union = perType.agg(hll_union_agg(col("sk")).as("usk"))
+        .select(hll_sketch_estimate(col("usk")).as("est_u"))
+      val exactAll = ev.agg(countDistinct(col("user_id")).as("n_all"))
+      perType
+        .select(col("event_type"), col("n_exact"),
+          hll_sketch_estimate(col("sk")).as("est"))
+        .crossJoin(broadcast(union)).crossJoin(broadcast(exactAll))
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("est") - col("n_exact")).cast(DoubleType) <=
+            lit(0.05) * col("n_exact").cast(DoubleType)).as("type_ok"),
+          col("n_all"),
+          (abs(col("est_u") - col("n_all")).cast(DoubleType) <=
+            lit(0.05) * col("n_all").cast(DoubleType)).as("union_ok"))
+        .orderBy("event_type")
+    },
+
     // behavioral diversity per user: Shannon entropy of the event-type
     // distribution (bot heuristic: near-zero entropy = single-action
     // loops; log(n_types) = uniform randomness). Two keyed
@@ -7323,6 +7367,52 @@ object SparkEntry {
         |  CAST(MIN(nb) AS BIGINT) AS n_b,
         |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same grid CTEs as q_psi_drift; JS term with m = (pa+pb)/2
+    "q_js_drift" ->
+      """WITH e AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v,
+        |           epoch_us(ts) AS tu FROM events),
+        |piv AS (SELECT (MIN(tu) + MAX(tu)) // 2 AS pivot FROM e),
+        |rng AS (SELECT g, MIN(v) AS vmin, MAX(v) AS vmax FROM e GROUP BY 1),
+        |b AS (SELECT e.g,
+        |  CASE WHEN e.tu <= piv.pivot THEN 1 ELSE 0 END AS ca,
+        |  CASE WHEN e.tu > piv.pivot THEN 1 ELSE 0 END AS cb,
+        |  CASE WHEN rng.vmax = rng.vmin THEN 0
+        |       ELSE LEAST(CAST(FLOOR((e.v - rng.vmin) /
+        |         ((rng.vmax - rng.vmin) / 10)) AS BIGINT), 9) END AS bk
+        |  FROM e JOIN rng ON e.g = rng.g, piv),
+        |grid AS (SELECT g, UNNEST(range(0, 10)) AS bk FROM rng),
+        |cnt0 AS (SELECT g, bk, SUM(ca) AS fa, SUM(cb) AS fb FROM b GROUP BY 1, 2),
+        |cnt AS (SELECT grid.g, grid.bk, COALESCE(cnt0.fa, 0) AS fa,
+        |        COALESCE(cnt0.fb, 0) AS fb
+        |        FROM grid LEFT JOIN cnt0 ON grid.g = cnt0.g AND grid.bk = cnt0.bk),
+        |tot AS (SELECT g, SUM(fa) AS na, SUM(fb) AS nb FROM cnt GROUP BY 1),
+        |terms AS (SELECT cnt.g, tot.na, tot.nb,
+        |  CAST(ROUND((
+        |      (CAST(cnt.fa + 1 AS DOUBLE) / (tot.na + 10))
+        |        * ln((CAST(cnt.fa + 1 AS DOUBLE) / (tot.na + 10))
+        |             / ((CAST(cnt.fa + 1 AS DOUBLE) / (tot.na + 10)
+        |                 + CAST(cnt.fb + 1 AS DOUBLE) / (tot.nb + 10)) / 2.0))
+        |    + (CAST(cnt.fb + 1 AS DOUBLE) / (tot.nb + 10))
+        |        * ln((CAST(cnt.fb + 1 AS DOUBLE) / (tot.nb + 10))
+        |             / ((CAST(cnt.fa + 1 AS DOUBLE) / (tot.na + 10)
+        |                 + CAST(cnt.fb + 1 AS DOUBLE) / (tot.nb + 10)) / 2.0))
+        |    ) * 0.5, 12) AS DECIMAL(20,12)) AS term
+        |  FROM cnt JOIN tot ON cnt.g = tot.g)
+        |SELECT g AS event_type, CAST(MIN(na) AS BIGINT) AS n_a,
+        |  CAST(MIN(nb) AS BIGINT) AS n_b,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS js
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // exact distincts + TRUE envelope verdicts (sketch internals are
+    // engine-specific; the ±5% check runs on the Spark side)
+    "q_hll_sketch" ->
+      """WITH a AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_all FROM events)
+        |SELECT event_type, n_exact, CAST(TRUE AS BOOLEAN) AS type_ok,
+        |  n_all, CAST(TRUE AS BOOLEAN) AS union_ok
+        |FROM a, t ORDER BY event_type""".stripMargin,
 
     // prefix-filter ground truth + sorted-neighborhood CANDIDATES, both
     // verbatim from their own oracles; metrics over the composed sets

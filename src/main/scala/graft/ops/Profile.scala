@@ -159,6 +159,57 @@ object Profile {
     */
   def psiDrift(df: DataFrame, valueCol: String, tsUsCol: String,
                groupCol: String, buckets: Int = 10): DataFrame = {
+    val cnt = timeSplitGrid(df, valueCol, tsUsCol, groupCol, buckets)
+    val pa = (col("fa") + lit(1)).cast(DoubleType) / (col("na") + lit(buckets))
+    val pb = (col("fb") + lit(1)).cast(DoubleType) / (col("nb") + lit(buckets))
+    cnt
+      .select(col("g"), col("na"), col("nb"),
+        round((pa - pb) * log(pa / pb), 12)
+          .cast(DecimalType(20, 12)).as("term"))
+      .groupBy(col("g"))
+      .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+        round(sum(col("term")).cast(DoubleType), 6).as("psi"))
+  }
+
+  /** Jensen–Shannon divergence between the two time halves — the
+    * bounded, symmetric companion to [[psiDrift]] (Lin 1991): with
+    * m = (p+q)/2,
+    *
+    *   JS = ½ Σ_b p(b)·ln(p(b)/m(b)) + ½ Σ_b q(b)·ln(q(b)/m(b))
+    *
+    * JS ∈ [0, ln 2] always (PSI is unbounded and blows up on
+    * near-empty cells even smoothed), so thresholds transfer across
+    * metrics and corpora — the drift score to alert on when feeds have
+    * wildly different volumes. Same machinery as PSI end to end
+    * ([[timeSplitGrid]]): equal-width per-group bins, global-time-
+    * midpoint split, Laplace smoothing, 12-dp DECIMAL term
+    * quantization so the per-group sum is reduction-order-exact.
+    * Returns (group, n_a, n_b, js[6 dp]).
+    */
+  def jsDrift(df: DataFrame, valueCol: String, tsUsCol: String,
+              groupCol: String, buckets: Int = 10): DataFrame = {
+    val cnt = timeSplitGrid(df, valueCol, tsUsCol, groupCol, buckets)
+    val pa = (col("fa") + lit(1)).cast(DoubleType) / (col("na") + lit(buckets))
+    val pb = (col("fb") + lit(1)).cast(DoubleType) / (col("nb") + lit(buckets))
+    val m = (pa + pb) / lit(2.0)
+    cnt
+      .select(col("g"), col("na"), col("nb"),
+        round((pa * log(pa / m) + pb * log(pb / m)) * lit(0.5), 12)
+          .cast(DecimalType(20, 12)).as("term"))
+      .groupBy(col("g"))
+      .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
+        round(sum(col("term")).cast(DoubleType), 6).as("js"))
+  }
+
+  /** The shared count-grid half of [[psiDrift]]/[[jsDrift]]: per
+    * (group, bucket), the first-half/second-half counts (fa, fb) over a
+    * DENSE (group × bucket) grid — a bucket empty on BOTH sides still
+    * carries its Laplace term — plus the per-group totals (na, nb)
+    * joined back. One checkpointed narrow pass fans into three
+    * combiner-friendly aggregations; the tiny range tables broadcast.
+    */
+  private def timeSplitGrid(df: DataFrame, valueCol: String, tsUsCol: String,
+                            groupCol: String, buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val base = df.select(col(groupCol).as("g"),
         col(valueCol).cast(DoubleType).as("v"), col(tsUsCol).as("tu"))
@@ -193,15 +244,7 @@ object Profile {
         coalesce(col("fb0"), lit(0L)).as("fb"))
     val tot = cnt.groupBy(col("g"))
       .agg(sum(col("fa")).as("na"), sum(col("fb")).as("nb"))
-    val pa = (col("fa") + lit(1)).cast(DoubleType) / (col("na") + lit(buckets))
-    val pb = (col("fb") + lit(1)).cast(DoubleType) / (col("nb") + lit(buckets))
     cnt.join(broadcast(tot), "g")
-      .select(col("g"), col("na"), col("nb"),
-        round((pa - pb) * log(pa / pb), 12)
-          .cast(DecimalType(20, 12)).as("term"))
-      .groupBy(col("g"))
-      .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
-        round(sum(col("term")).cast(DoubleType), 6).as("psi"))
   }
 
   /** Frozen reference histogram for PSI monitoring: fixed bucket edges

@@ -264,6 +264,29 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL sketches: union of partials ≡ direct sketch; partition-invariant; ±5%") {
+    // the property that makes sketch cardinality 100 TB-native: per-
+    // partition/per-group sketches merge losslessly (registers are
+    // max-combined), so the union estimate equals sketching everything
+    // at once, independent of partitioning and order
+    val df = spark.range(100000)
+      .select((col("id") % 37777).as("u"), (col("id") % 5).cast("string").as("g"))
+    val direct = df.agg(hll_sketch_estimate(hll_sketch_agg(col("u"))))
+      .head.getLong(0)
+    val merged = df.groupBy("g").agg(hll_sketch_agg(col("u")).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))).head.getLong(0)
+    assert(merged === direct)
+    val repart = df.repartition(17)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("u")))).head.getLong(0)
+    assert(repart === direct)
+    assert(math.abs(direct - 37777L).toDouble <= 0.05 * 37777, s"est $direct")
+    // the gate query end-to-end: every envelope verdict true
+    val rows = SparkEntry.queries("q_hll_sketch")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length === 5)
+    assert(rows.forall(r => r.getBoolean(2) && r.getBoolean(4)))
+  }
+
   test("ivfAssign (materialized index) + ivfServeTopK ≡ the one-shot family, every payload") {
     val spark2 = spark
     import spark2.implicits._

@@ -126,6 +126,46 @@ class ProfileSpec extends AnyFunSuite {
     assert(full > populated)
   }
 
+  test("jsDrift == scalar JS; bounded by ln 2; zero on identical halves; symmetric") {
+    val schema = StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("v", DoubleType, nullable = false),
+      StructField("tu", LongType, nullable = false)))
+    // same fixture as the PSI spec: A = {0,0,0,9}, B = {0,9,9}
+    val rows = Seq(0.0, 0.0, 0.0, 9.0).map(v => Row("g", v, 0L)) ++
+      Seq(0.0, 9.0, 9.0).map(v => Row("g", v, 100L))
+    val df1 = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    val r = Profile.jsDrift(df1, "v", "tu", "g", buckets = 10).head
+    assert((r.getLong(1), r.getLong(2)) === ((4L, 3L)))
+    def term(fa: Long, fb: Long): BigDecimal = {
+      val pa = (fa + 1).toDouble / 14; val pb = (fb + 1).toDouble / 13
+      val m = (pa + pb) / 2.0
+      BigDecimal((pa * math.log(pa / m) + pb * math.log(pb / m)) * 0.5)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val full = term(3, 1) + term(1, 2) + term(0, 0) * 8
+    assert(r.getDouble(3) ===
+      full.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= math.log(2.0))
+    // identical halves → js = 0 exactly (pa == pb ⇒ m == pa, ln 1 = +0)
+    val same = Seq(0L, 100L).flatMap(t =>
+      Seq(1.0, 2.0, 5.0, 9.0).map(v => Row("g", v, t)))
+    val r0 = Profile.jsDrift(
+      spark.createDataFrame(java.util.Arrays.asList(same: _*), schema),
+      "v", "tu", "g", buckets = 10).head
+    assert(r0.getDouble(3) === 0.0)
+    // symmetric in the halves: flipping which side is "first" flips
+    // (n_a, n_b) but not js — PSI's asymmetric log-ratio weighting is
+    // exactly what JS removes
+    val flipped = rows.map(row =>
+      Row(row.getString(0), row.getDouble(1), 100L - row.getLong(2)))
+    val rf = Profile.jsDrift(
+      spark.createDataFrame(java.util.Arrays.asList(flipped: _*), schema),
+      "v", "tu", "g", buckets = 10).head
+    assert((rf.getLong(1), rf.getLong(2)) === ((3L, 4L)))
+    assert(rf.getDouble(3) === r.getDouble(3))
+  }
+
   test("riCheck counts orphans and null child keys") {
     val child = fixture.select("k")
     val parent = df(Row(1L, 0.0, "p"), Row(2L, 0.0, "p"))
