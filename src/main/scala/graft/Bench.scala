@@ -28,6 +28,19 @@ object Bench {
     // the inventory total rose ~40%. Cold parquet scans + AQE win here.)
     try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => }
+    // Timed action = a noop-sink WRITE, not count() (r14 protocol fix):
+    // count(1) lets the optimizer PRUNE work that doesn't change
+    // cardinality — Window nodes drop entirely under column pruning, and
+    // a final left join to an aggregate-unique key is eliminated via
+    // distinct-key propagation — so ~48 of the 234 queries (the window
+    // family, the ann_* right-join tails, dedup_substring/spans, the
+    // funnel pair) were timing a fraction of their plan, some of them
+    // just the input scan. The noop sink consumes EVERY output row with
+    // all columns materialized — the cost a user who reads the result
+    // actually pays. BASELINE.md round-14 records the protocol change;
+    // totals are NOT comparable to r13-and-earlier artifacts without it.
+    def consume(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // ALSO run one representative join+agg query untimed: the parquet
@@ -40,7 +53,7 @@ object Bench {
     // a rename would otherwise silently disable the JIT-warmup fix.
     if (only.isEmpty) {
       val warm = SparkEntry.queries("q5_nation_revenue")
-      try { warm(spark, sfDir).count() } catch { case _: Throwable => }
+      try { consume(warm(spark, sfDir)) } catch { case _: Throwable => }
     }
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
@@ -62,7 +75,7 @@ object Bench {
         SparkEntry.queries.get(n).map { fn =>
           val ts = (1 to 3).map { _ =>
             val t0 = System.nanoTime()
-            try { fn(spark, fpDir).count(); (System.nanoTime() - t0) / 1e9 }
+            try { consume(fn(spark, fpDir)); (System.nanoTime() - t0) / 1e9 }
             catch { case _: Throwable => -1.0 }
             finally spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
           }
@@ -92,7 +105,7 @@ object Bench {
         val t0 = System.nanoTime()
         val t =
           try {
-            fn(spark, sfDir).count()
+            consume(fn(spark, sfDir))
             (System.nanoTime() - t0) / 1e9
           } catch {
             case e: Throwable =>

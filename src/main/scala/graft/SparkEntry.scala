@@ -2390,6 +2390,46 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // Kendall's τ-b (Kendall 1945 tie adjustment) for BOUNDED-domain
+    // pairs: when both variables have few distinct values (quantity×
+    // discount: 50×11), the n² pair space collapses onto the joint
+    // contingency table — ONE combiner groupBy to ≤550 cells, then
+    // concordant/discordant counts are a broadcast cell self-join
+    // (cells² ≈ 300k products, each pair of rows counted exactly once).
+    // Integer C, D, and tie terms sum in DECIMAL(38,0); τ-b's final
+    // expression is one identical IEEE tree. Near-unique domains have
+    // no bounded table — use q_spearman's rank path there (the paired
+    // design: τ for categorical-ish, ρ for continuous).
+    "q_kendall_tau" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val cells = Tables(s, dir, "lineitem")
+        .groupBy(col("l_quantity").as("x"), col("l_discount").as("y"))
+        .agg(count(lit(1)).as("nc"))
+        .localCheckpoint(true)
+      def pairSum(cond: Column): Column =
+        sum(when(cond, col("a.nc").cast(d38) * col("b.nc").cast(d38))
+          .otherwise(lit(0).cast(d38)))
+      val joined = cells.as("a").crossJoin(broadcast(cells.as("b")))
+      val agg = joined.agg(
+        pairSum(col("b.x") > col("a.x") && col("b.y") > col("a.y")).as("cc"),
+        pairSum(col("b.x") > col("a.x") && col("b.y") < col("a.y")).as("dd"))
+      // tie terms from the marginals; n0 = n(n−1)/2 pairs total
+      val tx = cells.groupBy(col("x")).agg(sum(col("nc")).as("m"))
+        .agg(sum((col("m").cast(d38) * (col("m") - 1).cast(d38)) / 2).as("tx"))
+      val ty = cells.groupBy(col("y")).agg(sum(col("nc")).as("m"))
+        .agg(sum((col("m").cast(d38) * (col("m") - 1).cast(d38)) / 2).as("ty"))
+      val n = cells.agg(sum(col("nc")).as("n"))
+      val n0 = (col("n").cast(d38) * (col("n") - 1).cast(d38)) / 2
+      agg.crossJoin(broadcast(tx)).crossJoin(broadcast(ty)).crossJoin(broadcast(n))
+        .select(col("n").as("n_rows"),
+          col("cc").cast(DecimalType(38, 0)).as("concordant"),
+          col("dd").cast(DecimalType(38, 0)).as("discordant"),
+          round((col("cc").cast(DoubleType) - col("dd").cast(DoubleType)) /
+            sqrt((n0.cast(DoubleType) - col("tx").cast(DoubleType)) *
+                 (n0.cast(DoubleType) - col("ty").cast(DoubleType))), 6)
+            .as("tau_b"))
+    },
+
     // JSON extraction from the events props column
     "q_json_extract" -> { (s, dir) =>
       Tables.events(s, dir)
@@ -6681,6 +6721,32 @@ object SparkEntry {
         |    AS slope
         |FROM m
         |ORDER BY l_returnflag""".stripMargin,
+
+    // contingency-cell pair counting (≤550 cells); HUGEINT ≡ the Spark
+    // side's DECIMAL(38,0); τ-b final expression in the identical IEEE
+    // order; integer division // for the always-even tie/pair terms
+    "q_kendall_tau" ->
+      """WITH cells AS (SELECT l_quantity AS x, l_discount AS y, COUNT(*) AS nc
+        |  FROM lineitem GROUP BY 1, 2),
+        |cd AS (SELECT
+        |    SUM(CASE WHEN b.x > a.x AND b.y > a.y
+        |        THEN CAST(a.nc AS HUGEINT) * b.nc ELSE 0 END) AS cc,
+        |    SUM(CASE WHEN b.x > a.x AND b.y < a.y
+        |        THEN CAST(a.nc AS HUGEINT) * b.nc ELSE 0 END) AS dd
+        |  FROM cells a, cells b),
+        |tx AS (SELECT SUM(CAST(m AS HUGEINT) * (m - 1) // 2) AS tx
+        |  FROM (SELECT SUM(nc) AS m FROM cells GROUP BY x)),
+        |ty AS (SELECT SUM(CAST(m AS HUGEINT) * (m - 1) // 2) AS ty
+        |  FROM (SELECT SUM(nc) AS m FROM cells GROUP BY y)),
+        |nn AS (SELECT SUM(nc) AS n, CAST(SUM(nc) AS HUGEINT) * (SUM(nc) - 1) // 2 AS n0
+        |  FROM cells)
+        |SELECT CAST(nn.n AS BIGINT) AS n_rows,
+        |  CAST(cd.cc AS DECIMAL(38,0)) AS concordant,
+        |  CAST(cd.dd AS DECIMAL(38,0)) AS discordant,
+        |  ROUND((CAST(cd.cc AS DOUBLE) - CAST(cd.dd AS DOUBLE)) /
+        |    SQRT((CAST(nn.n0 AS DOUBLE) - CAST(tx.tx AS DOUBLE)) *
+        |         (CAST(nn.n0 AS DOUBLE) - CAST(ty.ty AS DOUBLE))), 6) AS tau_b
+        |FROM cd, tx, ty, nn""".stripMargin,
 
     // midrank r = (#less) + (ties+1)/2 from the value-frequency table;
     // 2r = 2·cum − cnt + 1 stays integral, summed exactly in HUGEINT

@@ -141,20 +141,8 @@ object StreamingOps {
                         window_ : String = "1 hour",
                         slide: String = "1 hour",
                         watermark: String = "2 hours"): DataFrame = {
+    val counted = windowedRefCounts(events, ref, valueCol, window_, slide, watermark)
     val b = ref.counts.length
-    require(b >= 2, s"reference must have >= 2 buckets, got $b")
-    val bk = if (ref.vmax == ref.vmin) lit(0L)
-      else least(greatest(
-          floor((col(valueCol).cast(DoubleType) - lit(ref.vmin)) /
-            lit((ref.vmax - ref.vmin) / b)).cast(LongType), lit(0L)),
-        lit((b - 1).toLong))
-    val bucketSums = (0 until b).map(i =>
-      sum(when(col("__bk") === i.toLong, 1L).otherwise(0L)).as(s"f$i"))
-    val counted = ensureEventTime(events, "ts")
-      .withWatermark("ts", watermark)
-      .withColumn("__bk", bk)
-      .groupBy(window(col("ts"), window_, slide))
-      .agg(count(lit(1)).as("n"), bucketSums: _*)
     val rTot = ref.counts.sum
     val nD = col("n").cast(DoubleType)
     val terms = (0 until b).map { i =>
@@ -164,6 +152,65 @@ object StreamingOps {
     }
     counted.select(col("window.start").as("window_start"), col("n"),
       round(terms.reduce(_ + _).cast(DoubleType), 6).as("psi"))
+  }
+
+  /** Watermarked per-window Jensen–Shannon drift against the same frozen
+    * reference — the bounded (≤ ln 2), symmetric face of
+    * [[eventsWindowedPsi]], matching the batch `Profile.jsDrift`
+    * definition (m = (p+q)/2, Laplace-smoothed, 12-dp DECIMAL terms).
+    * Identical streaming-state story: the only state is the exact
+    * per-(window, bucket) counts inside one stateful aggregation; the
+    * JS expansion is post-aggregate arithmetic, so streaming ≡ batch
+    * bit-exact under any micro-batch split. Alert on JS when window
+    * volumes vary wildly — PSI's unbounded log-ratio inflates on
+    * near-empty windows, JS cannot leave [0, ln 2].
+    * Output: (window_start, n, js[6 dp]).
+    */
+  def eventsWindowedJs(events: DataFrame,
+                       ref: graft.ops.Profile.PsiReference,
+                       valueCol: String = "value",
+                       window_ : String = "1 hour",
+                       slide: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame = {
+    val counted = windowedRefCounts(events, ref, valueCol, window_, slide, watermark)
+    val b = ref.counts.length
+    val rTot = ref.counts.sum
+    val nD = col("n").cast(DoubleType)
+    val terms = (0 until b).map { i =>
+      val p = (col(s"f$i") + lit(1)).cast(DoubleType) / (nD + lit(b))
+      val q = lit((ref.counts(i) + 1.0) / (rTot + b))
+      val m = (p + q) / lit(2.0)
+      round((p * log(p / m) + q * log(q / m)) * lit(0.5), 12)
+        .cast(DecimalType(20, 12))
+    }
+    counted.select(col("window.start").as("window_start"), col("n"),
+      round(terms.reduce(_ + _).cast(DoubleType), 6).as("js"))
+  }
+
+  /** Shared stateful half of [[eventsWindowedPsi]]/[[eventsWindowedJs]]:
+    * per event-time window, the exact long count per reference bucket
+    * (values outside the reference range clamp into the edge buckets) —
+    * `buckets` conditional sums inside ONE stateful aggregation, so the
+    * cross-micro-batch merge is integer addition.
+    */
+  private def windowedRefCounts(events: DataFrame,
+                                ref: graft.ops.Profile.PsiReference,
+                                valueCol: String, window_ : String,
+                                slide: String, watermark: String): DataFrame = {
+    val b = ref.counts.length
+    require(b >= 2, s"reference must have >= 2 buckets, got $b")
+    val bk = if (ref.vmax == ref.vmin) lit(0L)
+      else least(greatest(
+          floor((col(valueCol).cast(DoubleType) - lit(ref.vmin)) /
+            lit((ref.vmax - ref.vmin) / b)).cast(LongType), lit(0L)),
+        lit((b - 1).toLong))
+    val bucketSums = (0 until b).map(i =>
+      sum(when(col("__bk") === i.toLong, 1L).otherwise(0L)).as(s"f$i"))
+    ensureEventTime(events, "ts")
+      .withWatermark("ts", watermark)
+      .withColumn("__bk", bk)
+      .groupBy(window(col("ts"), window_, slide))
+      .agg(count(lit(1)).as("n"), bucketSums: _*)
   }
 
   /** Streaming gap-based sessionization — custom state via

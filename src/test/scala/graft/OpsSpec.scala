@@ -264,6 +264,39 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_kendall_tau == O(n²) brute force over every pair on the sf0.001 corpus") {
+    val r = SparkEntry.queries("q_kendall_tau")(spark, "/root/testdata/sf0.001").head
+    val data = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_quantity", "l_discount").collect()
+      .map(x => (x.getDouble(0), x.getDouble(1)))
+    val n = data.length
+    var c = 0L; var d = 0L
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val dx = java.lang.Double.compare(data(i)._1, data(j)._1)
+        val dy = java.lang.Double.compare(data(i)._2, data(j)._2)
+        if (dx != 0 && dy != 0) { if (dx == dy) c += 1 else d += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    val tx = data.groupBy(_._1).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val ty = data.groupBy(_._2).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val n0 = n.toLong * (n - 1) / 2
+    assert(r.getLong(0) === n.toLong)
+    assert(r.getDecimal(1).longValueExact === c)
+    assert(r.getDecimal(2).longValueExact === d)
+    // the exact same IEEE expression the query (and oracle) evaluate
+    val tau = (c.toDouble - d.toDouble) /
+      math.sqrt((n0.toDouble - tx.toDouble) * (n0.toDouble - ty.toDouble))
+    assert(r.getDouble(3) ===
+      BigDecimal(tau).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // sanity: quantity and discount are independent in TPC-H generators
+    assert(math.abs(r.getDouble(3)) < 0.05)
+  }
+
   test("HLL sketches: union of partials ≡ direct sketch; partition-invariant; ±5%") {
     // the property that makes sketch cardinality 100 TB-native: per-
     // partition/per-group sketches merge losslessly (registers are

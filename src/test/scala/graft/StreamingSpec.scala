@@ -424,6 +424,43 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming windowed JS vs frozen reference == batch, bit-exact; bounded by ln 2") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val piv = events.agg(min(col("ts")), max(col("ts"))).head
+    val mid = new java.sql.Timestamp(
+      (piv.getTimestamp(0).getTime + piv.getTimestamp(1).getTime) / 2)
+    val ref = graft.ops.Profile.psiReference(
+      events.filter(col("ts") <= lit(mid)), "value", buckets = 10)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-js").toString
+    events.repartition(8).write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 2).parquet(dir)
+    val agg = StreamingOps.eventsWindowedJs(streamIn, ref)
+    val q = StreamingOps.runToMemory(agg, "js_out")
+    q.awaitTermination(60000)
+
+    val got = spark.table("js_out").orderBy("window_start").collect()
+    val want = StreamingOps.eventsWindowedJs(events, ref)
+      .orderBy("window_start").collect()
+    assert(got.length > 0)
+    assert(got === want)
+
+    // JS stays inside [0, ln 2] even under total drift — the bounded
+    // gauge PSI isn't: the same +1e7 shift that blows PSI's log-ratio
+    // up keeps JS clamped at its ceiling
+    val shifted = StreamingOps.eventsWindowedJs(
+        events.withColumn("value", col("value") + lit(1e7)), ref)
+      .orderBy("window_start").collect()
+    val byWin = want.map(r => r.getTimestamp(0) -> r.getDouble(2)).toMap
+    shifted.foreach { r =>
+      val js = r.getDouble(2)
+      assert(!js.isNaN && !js.isInfinite)
+      assert(js > byWin(r.getTimestamp(0)) && js <= math.log(2.0),
+        s"shifted JS $js outside (baseline, ln 2]")
+    }
+  }
+
   test("streaming windowed HLL distinct == batch approx_count_distinct per window") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-hll").toString
