@@ -887,9 +887,23 @@ object Dedup {
           (length(col("text")) - minLen).cast(LongType))).as("pos"))
       .select(col("doc_id"), col("pos"),
         md5(col("text").substr(col("pos").cast(IntegerType) + 1, lit(minLen))).as("h"))
+    // dup is the (small) set of repeated window hashes — materialize it
+    // once: the bloom build and the position join both read it, and its
+    // lineage re-derives the full window frame otherwise
     val dup = win.groupBy(col("h")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select(col("h"))
-    val dupPos = win.join(dup, "h").select(col("doc_id"), col("pos"))
+      .localCheckpoint(true)
+    // bloom-prune the POSITION side before its join shuffle (the
+    // BloomJoin pattern): the window frame is Σ|text| rows of
+    // (doc_id, pos, h) and typically ~90%+ of windows are unique, so
+    // shipping them to the join reducers just to discard them is the
+    // dominant shuffle at scale — the membership test drops them in the
+    // map stage. False positives (1%) ride into the exact join and die
+    // there: output provably identical (the q_bloom_join contract).
+    val bloom = BloomJoin.buildFilter(dup, "h", fpp = 0.01)
+    val dupPos = win
+      .filter(graft.functions.bloomMightContain(col("h"), bloom))
+      .join(dup, "h").select(col("doc_id"), col("pos"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val spans = dupPos
       .withColumn("f",
