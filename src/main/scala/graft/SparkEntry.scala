@@ -2390,6 +2390,38 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // join-key skew diagnostics — the MEASUREMENT that feeds the salting
+    // decision (q_salted_join/q_salted_agg apply the cure; this query
+    // quantifies the disease): per candidate key, the key-frequency
+    // distribution's exact order statistics. One combiner groupBy to the
+    // frequency table per key, then the bounded-memory exact-quantile
+    // refinement over the COUNTS (range [1, max] → 1-2 histogram
+    // passes; the scale-safe exact p99 of key frequencies — a global
+    // sort would be corpus-sized). top_share = hottest key's row
+    // fraction: the number that predicts the straggler.
+    "q_skew_profile" -> { (s, dir) =>
+      def profile(df: DataFrame, keyCol: String, name: String): DataFrame = {
+        val freq = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("cnt"))
+          .localCheckpoint(true)
+        val qs = Scan.exactQuantilesByGroup(
+            freq.select(lit(name).as("g"), col("cnt").as("v")),
+            "g", "v", Seq(0.5, 0.99))
+          .groupBy(col("g").as("key_name"))
+          .agg(min(when(col("q") === 0.5, col("value"))).as("p50_freq"),
+            min(when(col("q") === 0.99, col("value"))).as("p99_freq"))
+        freq.agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+            max(col("cnt")).as("max_freq"))
+          .crossJoin(broadcast(qs))
+          .select(col("key_name"), col("n_rows"), col("n_keys"),
+            col("max_freq"), col("p50_freq"), col("p99_freq"),
+            round(col("max_freq").cast(DoubleType) / col("n_rows").cast(DoubleType), 6)
+              .as("top_share"))
+      }
+      profile(Tables(s, dir, "lineitem"), "l_orderkey", "lineitem.l_orderkey")
+        .unionByName(profile(Tables.events(s, dir), "user_id", "events.user_id"))
+        .orderBy("key_name")
+    },
+
     // Kendall's τ-b (Kendall 1945 tie adjustment) for BOUNDED-domain
     // pairs: when both variables have few distinct values (quantity×
     // discount: 50×11), the n² pair space collapses onto the joint
@@ -6721,6 +6753,26 @@ object SparkEntry {
         |    AS slope
         |FROM m
         |ORDER BY l_returnflag""".stripMargin,
+
+    // per-key frequency tables; quantile_disc = the engine's ceil(q·n)
+    // discrete convention (the documented equivalence)
+    "q_skew_profile" ->
+      """WITH f1 AS (SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1),
+        |p1 AS (SELECT 'lineitem.l_orderkey' AS key_name,
+        |    CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    MAX(c) AS max_freq,
+        |    quantile_disc(c, 0.5) AS p50_freq, quantile_disc(c, 0.99) AS p99_freq
+        |  FROM f1),
+        |f2 AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1),
+        |p2 AS (SELECT 'events.user_id' AS key_name,
+        |    CAST(SUM(c) AS BIGINT) AS n_rows, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    MAX(c) AS max_freq,
+        |    quantile_disc(c, 0.5) AS p50_freq, quantile_disc(c, 0.99) AS p99_freq
+        |  FROM f2),
+        |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+        |SELECT key_name, n_rows, n_keys, max_freq, p50_freq, p99_freq,
+        |  ROUND(CAST(max_freq AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS top_share
+        |FROM u ORDER BY key_name""".stripMargin,
 
     // contingency-cell pair counting (≤550 cells); HUGEINT ≡ the Spark
     // side's DECIMAL(38,0); τ-b final expression in the identical IEEE

@@ -187,6 +187,32 @@ object StreamingOps {
       round(terms.reduce(_ + _).cast(DoubleType), 6).as("js"))
   }
 
+  /** Watermarked per-window SpaceSaving heavy hitters — the streaming
+    * face of `q_heavy_hitters` (Metwally 2005; Agarwal 2013 mergeable
+    * summaries): one capacity-bounded sketch per event-time window,
+    * merged across micro-batches by the aggregate's own merge. The
+    * cross-split contract is the BOUNDS, not bit-identity — (est, err)
+    * depend on merge order, but est ≥ true ≥ est − err and
+    * every item with true share > 1/capacity is tracked hold under ANY
+    * micro-batch split (the mergeable-summaries theorem; spec-pinned
+    * against per-window exact counts). Output: one row per
+    * (window_start, tracked item) with the window's total n.
+    */
+  def eventsWindowedHeavyHitters(events: DataFrame, itemCol: String,
+                                 capacity: Int = 6,
+                                 window_ : String = "1 hour",
+                                 slide: String = "1 hour",
+                                 watermark: String = "2 hours"): DataFrame =
+    ensureEventTime(events, "ts")
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.spaceSavingHH(col(itemCol), capacity).as("hh"))
+      .select(col("window.start").as("window_start"), col("n"),
+        explode(col("hh")).as("e"))
+      .select(col("window_start"), col("n"), col("e.item").as("item"),
+        col("e.est").as("est"), col("e.err").as("err"))
+
   /** Shared stateful half of [[eventsWindowedPsi]]/[[eventsWindowedJs]]:
     * per event-time window, the exact long count per reference bucket
     * (values outside the reference range clamp into the edge buckets) —

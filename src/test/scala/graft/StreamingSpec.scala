@@ -461,6 +461,58 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming windowed heavy hitters: mergeable-summaries bounds hold under forced splits") {
+    val spark2 = spark
+    import spark2.implicits._
+    // geometric item distribution (the q_heavy_hitters shape): h0 holds
+    // half the mass, each next class halves — real heavy hitters exist
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("v", pmod(col("user_id"), lit(1024)))
+      .withColumn("item",
+        when(col("v") < 512, "h0").when(col("v") < 768, "h1")
+          .when(col("v") < 896, "h2").when(col("v") < 960, "h3")
+          .when(col("v") < 992, "h4").otherwise("h5"))
+      .drop("v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-hh").toString
+    events.repartition(8).write.mode("overwrite").parquet(dir)
+    val streamIn = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 2).parquet(dir)
+    val cap = 4
+    val agg = StreamingOps.eventsWindowedHeavyHitters(streamIn, "item", capacity = cap)
+    val q = StreamingOps.runToMemory(agg, "hh_out")
+    q.awaitTermination(60000)
+
+    val got = spark.table("hh_out").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty)
+    // exact per-(window, item) truth from the batch side
+    val exact = events
+      .groupBy(window(col("ts"), "1 hour", "1 hour"), col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("w"), col("item"), col("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (1) every tracked row's sandwich: est ≥ true ≥ est − err — under
+    // the FORCED 2-file micro-batch merges, the mergeable guarantee
+    got.foreach { case (w, _, item, est, err) =>
+      val t = exact.getOrElse((w, item), 0L)
+      assert(est >= t, s"$w/$item: est $est < true $t")
+      assert(est - err <= t, s"$w/$item: est-err ${est - err} > true $t")
+    }
+    // (2) completeness: any item with true share > n/capacity is tracked
+    val trackedBy = got.groupBy(_._1).map { case (w, rows) => w -> rows.map(_._3).toSet }
+    val nByWin = got.groupBy(_._1).map { case (w, rows) => w -> rows.head._2 }
+    exact.foreach { case ((w, item), cnt) =>
+      if (nByWin.contains(w) && cnt * cap > nByWin(w))
+        assert(trackedBy(w).contains(item), s"$w: heavy $item ($cnt) not tracked")
+    }
+    // (3) the window totals are exact longs (count state merges exactly)
+    val wantN = events.groupBy(window(col("ts"), "1 hour", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w"), col("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    nByWin.foreach { case (w, n) => assert(n === wantN(w), s"window $w total") }
+  }
+
   test("streaming windowed HLL distinct == batch approx_count_distinct per window") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-hll").toString
