@@ -137,6 +137,14 @@ object Similarity {
     * probes scan the stored index instead of re-paying the build —
     * at n=200k/d=64 the per-action assignment is ~6·10¹⁰ FLOPs vs a
     * ~2/5000 probed-fraction scan.
+    *
+    * APPEND-ONLY INCREMENTAL ADD (FAISS `add` on an IVF index,
+    * `include/faiss-metal/MetalIndexFlat.h` S1 semantics generalized):
+    * new vector batches assign against the FROZEN centroid table and
+    * union into the stored index — `ivfAssign(batch, cents)` unioned
+    * with the existing frame serves identically to a from-scratch
+    * build over the combined corpus (spec-pinned), because assignment
+    * is per-row against fixed centroids.
     */
   def ivfAssign(vectors: DataFrame, cents: Seq[(Long, Array[Float])],
                 payload: String = "fp32",

@@ -352,6 +352,31 @@ class OpsSpec extends AnyFunSuite {
       Similarity.ivfServeTopK(cents, idxFp, qdf, 10, 3, "pq"))
   }
 
+  test("ivfAssign incremental add: unioned batches ≡ from-scratch build, every payload") {
+    val spark2 = spark
+    import spark2.implicits._
+    // FAISS add() on IVF: batches assign against the FROZEN centroid
+    // table and union into the index — per-row assignment against fixed
+    // centroids makes arrival order irrelevant
+    val vecs = Oracle.genVectors(300, 32)
+    val all = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+    val vdf = all.toDF("id", "vec")
+    val qdf = Oracle.genVectors(5, 32, seed = 7L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    val cents = Similarity.ivfModuloCents(vdf, 30)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    for (payload <- Seq("fp32", "sq8", "sq4")) {
+      val batchA = all.filter(_._1 % 3 != 2).toDF("id", "vec")
+      val batchB = all.filter(_._1 % 3 === 2).toDF("id", "vec")
+      val incremental = Similarity.ivfAssign(batchA, cents, payload)
+        .unionByName(Similarity.ivfAssign(batchB, cents, payload))
+      val scratch = Similarity.ivfAssign(vdf, cents, payload)
+      assert(rows(Similarity.ivfServeTopK(cents, incremental, qdf, 10, 3, payload)) ===
+        rows(Similarity.ivfServeTopK(cents, scratch, qdf, 10, 3, payload)), payload)
+    }
+  }
+
   test("ivfRadiusSearch probing ALL clusters ≡ exact radiusSearch; fewer probes → subset") {
     val spark2 = spark
     import spark2.implicits._
