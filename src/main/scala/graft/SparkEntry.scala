@@ -2515,6 +2515,21 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // the SAME clustering through the large-star/small-star component
+    // plan (Kiveris 2014 — O(log²) rounds vs min-label's O(diameter);
+    // the algorithm for high-diameter graphs): a third independent CC
+    // algorithm checked against dedup_clusters' exact oracle
+    "dedup_clusters_star" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Dedup.simhashClusters(Tables(s, dir, "documents"), hammingMax = 2,
+          useStar = true)
+        .withColumn("n_cluster",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .select(col("doc_id"), col("cluster_id"),
+          col("n_cluster"), (col("doc_id") === col("cluster_id")).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // degree assortativity (Newman 2002) of the near-dup pair graph: do
     // high-degree docs (heavily replicated) pair with each other (r > 0,
     // clique-heavy replica families) or with rare docs (r < 0,
@@ -6902,6 +6917,15 @@ object SparkEntry {
       // connected components over the banded pair set; cluster id = min
       // reachable doc id via unrolled min-label propagation (see
       // simhashClusterLabCtes for the convergence guard)
+      s"""WITH $simhashClusterLabCtes
+         |SELECT doc_id, cluster_id,
+         |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_cluster,
+         |  doc_id = cluster_id AS keep
+         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // identical truth to dedup_clusters — different engine-side
+    // algorithm, one oracle
+    "dedup_clusters_star" ->
       s"""WITH $simhashClusterLabCtes
          |SELECT doc_id, cluster_id,
          |  COUNT(*) OVER (PARTITION BY cluster_id) AS n_cluster,

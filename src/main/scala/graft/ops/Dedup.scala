@@ -673,9 +673,9 @@ object Dedup {
     * O(component diameter) rounds, and duplicate clusters are
     * near-cliques (diameter ≤ ~2-3), so 2-4 rounds in practice. Each round
     * is one shuffle-by-node-id; labels are localCheckpointed so lineage
-    * stays flat. (For adversarially long path-graphs the large-star/
-    * small-star variant halves diameters per round; not needed for dedup
-    * workloads.)
+    * stays flat. For HIGH-DIAMETER graphs (paths, lattices, road
+    * networks) use [[connectedComponentsStar]] — O(log²) rounds instead
+    * of O(diameter), same output contract.
     *
     * nodes: one `doc_id` column; edges: (doc_a, doc_b).
     * Returns (doc_id, cluster_id) for every node, singletons included.
@@ -753,6 +753,98 @@ object Dedup {
       prevSum = s
       labels = next
     }
+    nodes.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Connected components via ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii 2014,
+    * "Connected Components in MapReduce and Beyond", Algorithms 2–3) —
+    * the O(log²)-round form for HIGH-DIAMETER graphs, closing the
+    * documented caveat on [[connectedComponents]]: the min-label loop
+    * pays one shuffle round per HOP, so a length-d path needs d rounds
+    * (fatal at d ~ 10⁵), while star operations halve star heights —
+    * the spec pins a 50k-node chain converging within 25 rounds.
+    *
+    *  - large-star: every node links its LARGER neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node links its smaller neighbors (and
+    *    itself) to the minimum of its smaller neighborhood.
+    *
+    * Each operation is one groupBy-min + one edge-wise join back —
+    * neighborhoods are NEVER collected onto a task (a hot node's edges
+    * stay spread across the join), the skew-safety the paper's
+    * reduce-over-neighborhood formulation lacks. At the fixpoint the
+    * edge set is a star (child → component min); convergence is
+    * detected by an order-insensitive (count, Σ xxhash64) checksum in
+    * DECIMAL — one aggregate per round, no set-compare shuffle (a
+    * false match needs a 64-bit collision summed across the set).
+    *
+    * Same contract as [[connectedComponents]]: (doc_id, cluster_id =
+    * component minimum) for every node, singletons included —
+    * cross-verified against the min-label loop and the driver
+    * union-find in specs, and gate-checked as `dedup_clusters_star`
+    * against dedup_clusters' own oracle.
+    */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+                              maxRounds: Int = 50): DataFrame = {
+    var e = edges.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def bidir(d: DataFrame): DataFrame =
+      d.union(d.select(col("v").as("u"), col("u").as("v")))
+
+    def largeStar(d: DataFrame): DataFrame = {
+      val nb = bidir(d)
+      val m = nb.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      nb.join(m, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(d: DataFrame): DataFrame = {
+      // direct every edge from its larger endpoint; m = min of the
+      // strictly-smaller neighborhood (nonempty by construction)
+      val nb = d.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val m = nb.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val linked = nb.join(m, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      linked.union(m.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def checksum(d: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = d.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0)))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    var prev = checksum(e)
+    var converged = prev._1 == 0L // no edges → all singletons
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"connectedComponentsStar did not converge in $maxRounds rounds " +
+          "(paper bound is O(log² n) — raise maxRounds for truly enormous graphs)")
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val cs = checksum(next)
+      converged = cs._1 == prev._1 &&
+        (if (cs._2 == null) prev._2 == null else cs._2.compareTo(prev._2) == 0)
+      prev = cs
+      e = next
+    }
+    val labels = e.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
     nodes.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
@@ -1043,13 +1135,20 @@ object Dedup {
     * doc-pair edges depend only on fingerprint pairs).
     */
   def simhashClusters(docs: DataFrame, hammingMax: Int = 2,
-                      smallEdgeLimit: Long = 2000000L): DataFrame = {
+                      smallEdgeLimit: Long = 2000000L,
+                      useStar: Boolean = false): DataFrame = {
     val sims = simhash(docs, 63).localCheckpoint(true)
     // quotient nodes: each distinct fingerprint, node id = the fingerprint
     val distinctH = sims.select(col("simhash").as("doc_id"), col("simhash"))
       .distinct().localCheckpoint(true)
     val hPairs = fingerprintPairs(distinctH, hammingMax)
-    val hComp = connectedComponents(distinctH.select(col("doc_id")), hPairs, smallEdgeLimit)
+    // useStar routes the component step through the O(log²)-round
+    // large-star/small-star plan (same contract, third independent
+    // algorithm — the gate runs both against ONE oracle)
+    val hCompRaw =
+      if (useStar) connectedComponentsStar(distinctH.select(col("doc_id")), hPairs)
+      else connectedComponents(distinctH.select(col("doc_id")), hPairs, smallEdgeLimit)
+    val hComp = hCompRaw
       .select(col("doc_id").as("simhash"), col("cluster_id").as("comp"))
     // back to docs: component id = min doc_id over the component's docs
     val docComp = sims.join(hComp, "simhash")

@@ -94,6 +94,60 @@ class OpsSpec extends AnyFunSuite {
     assert(dist == expected)
   }
 
+  test("connectedComponentsStar ≡ union-find on chain/triangle/singleton + random graph") {
+    val spark2 = spark
+    import spark2.implicits._
+    val nodes = Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 20L).toDF("doc_id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("doc_a", "doc_b")
+    val expected = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L)
+    val star = Dedup.connectedComponentsStar(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == expected)
+    // empty edge set → every node a singleton
+    val none = Dedup.connectedComponentsStar(nodes,
+        Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(none == expected.keys.map(k => k -> k).toMap)
+    // random graph (63-bit-style ids, duplicate + reversed edges): star
+    // labels must equal the driver union-find's exactly
+    val rnd = new scala.util.Random(29)
+    val ids = (0 until 1500).map(i => (i.toLong << 32) | (rnd.nextInt(1 << 30)).toLong)
+    val edgeSeq = (0 until 900).map { _ =>
+      (ids(rnd.nextInt(ids.length)), ids(rnd.nextInt(ids.length)))
+    }.filter { case (a, b) => a != b }
+    val nf = ids.toDF("doc_id")
+    val ef = (edgeSeq ++ edgeSeq.take(50).map(_.swap)).toDF("doc_a", "doc_b")
+    // truth arm: the public API's small-graph path (driver union-find)
+    val want = Dedup.connectedComponents(nf, ef).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.connectedComponentsStar(nf, ef).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("connectedComponentsStar: a 50k-node PATH converges in O(log) rounds (min-label's cliff)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // diameter 50k: the min-label loop needs ~50k shuffle rounds here —
+    // the documented high-diameter cliff this algorithm exists for.
+    // maxRounds = 25 makes the convergence claim falsifiable: the
+    // require inside the loop fails the test if star operations ever
+    // stop halving heights. (Kiveris 2014 bound: O(log² n); measured
+    // here well under 25 alternating rounds.)
+    val n = 50000
+    val nodes = (0 until n).map(_.toLong).toDF("doc_id")
+    val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponentsStar(nodes, edges, maxRounds = 25)
+    // one component rooted at 0, all n nodes
+    val agg = labels.agg(count(lit(1)), countDistinct(col("cluster_id")),
+      min(col("cluster_id")), max(col("cluster_id"))).head()
+    assert(agg.getLong(0) === n.toLong)
+    assert(agg.getLong(1) === 1L)
+    assert(agg.getLong(2) === 0L && agg.getLong(3) === 0L)
+  }
+
   test("connectedComponents: distributed min-label loop ≡ union-find on a random graph") {
     val spark2 = spark
     import spark2.implicits._
