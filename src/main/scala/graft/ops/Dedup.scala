@@ -992,9 +992,17 @@ object Dedup {
     // dominant shuffle at scale — the membership test drops them in the
     // map stage. False positives (1%) ride into the exact join and die
     // there: output provably identical (the q_bloom_join contract).
-    val bloom = BloomJoin.buildFilter(dup, "h", fpp = 0.01)
-    val dupPos = win
-      .filter(graft.functions.bloomMightContain(col("h"), bloom))
+    // GATED on the measured dup count (the maybeBcast principle): the
+    // filter is ~1.2 MB per million keys, so a pathologically
+    // duplicate-heavy corpus (dup hashes beyond ~10⁸) would pay a
+    // multi-GB broadcast to prune a join that is mostly matches anyway
+    // — above the cap the plain shuffle join IS the right plan.
+    val nDup = dup.count() // dup is materialized; this is a cheap scan
+    val maxBloomKeys = 100000000L
+    val dupPos = (if (nDup <= maxBloomKeys && nDup > 0) {
+        val bloom = BloomJoin.buildFilter(dup, "h", expectedItems = nDup, fpp = 0.01)
+        win.filter(graft.functions.bloomMightContain(col("h"), bloom))
+      } else win)
       .join(dup, "h").select(col("doc_id"), col("pos"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val spans = dupPos
