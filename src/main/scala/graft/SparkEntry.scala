@@ -1516,6 +1516,46 @@ object SparkEntry {
         .orderBy("item")
     },
 
+    // q_heavy_hitters PER EVENT-TIME WINDOW — the batch face of
+    // StreamingOps.eventsWindowedHeavyHitters (r14 verdict ask #8):
+    // one SpaceSaving sketch per day window over the events stream
+    // ("top items each day"), verdict columns per (window, heavy item).
+    // The emitted booleans are the mergeable-summaries THEOREMS
+    // (Metwally 2005; Agarwal 2013) — est ≥ true ≥ est − err, every
+    // item with share STRICTLY above 1/capacity tracked — so they are
+    // partition- and merge-order-invariant even though (est, err)
+    // internals are not; StreamingSpec pins this exact frame
+    // bit-identical across two different forced micro-batch splits.
+    // Strict > in the heavy filter (not ≥): the tracking theorem is
+    // strict, and a boundary day with cnt·cap == n exactly must not
+    // flip in_sketch on sketch internals.
+    "q_heavy_hitters_windowed" -> { (s, dir) =>
+      val items = Tables.events(s, dir)
+        .select(window(col("ts"), "1 day").getField("start").as("w"),
+          pmod(col("user_id"), lit(1024)).as("v"))
+        .select(col("w"), when(col("v") < 512, "h0").when(col("v") < 768, "h1")
+          .when(col("v") < 896, "h2").when(col("v") < 960, "h3")
+          .when(col("v") < 992, "h4").when(col("v") < 1008, "h5")
+          .when(col("v") < 1016, "h6").when(col("v") < 1020, "h7")
+          .otherwise("h8").as("item"))
+      val sketch = items.groupBy(col("w"))
+        .agg(spaceSavingHH(col("item"), 6).as("hh"))
+        .select(col("w"), explode(col("hh")).as("e"))
+        .select(col("w"), col("e.item").as("item"), col("e.est").as("est"),
+          col("e.err").as("err"))
+      val exact = items.groupBy(col("w"), col("item")).agg(count(lit(1)).as("cnt"))
+      val tot = exact.groupBy(col("w")).agg(sum(col("cnt")).as("n"))
+      exact.join(broadcast(tot), "w")
+        .filter(col("cnt") * 6 > col("n"))
+        .join(sketch, Seq("w", "item"), "left")
+        .select(date_format(col("w"), "yyyy-MM-dd").as("day"), col("item"),
+          col("cnt"),
+          col("est").isNotNull.as("in_sketch"),
+          (col("est") >= col("cnt")).as("overest_ok"),
+          (col("est") - col("err") <= col("cnt")).as("lower_ok"))
+        .orderBy("day", "item")
+    },
+
     // ---- dedup: winnowing fingerprint profile (MOSS selection) ----
 
     "text_winnowing" -> { (s, dir) =>
@@ -2330,21 +2370,25 @@ object SparkEntry {
     // Spearman rank correlation (exact, tie-aware midranks) — the
     // robust monotone-association companion to q_corr_stats' Pearson:
     // quality-score vs length style checks survive heavy tails only on
-    // ranks. Ranks come from Scan.avgRank2 (frequency table +
-    // distributed prefix-sum — NO global-order window, the single-task
-    // cliff rank().over(orderBy) would hit at corpus scale), doubled to
-    // stay integral so every moment sums exactly in DECIMAL(38,0) /
-    // HUGEINT; the ρ expansion is the identical IEEE tree on both
-    // engines (the q_corr_stats / q_moment_stats convention; exactness
-    // bound 4n³ ≤ 10³⁸ ⇒ n ≤ ~2.9e12 rows per group).
+    // ranks. Ranks come from Scan.avgRank2Pair (ONE tall frequency
+    // table + ONE distributed prefix-sum round covers both variables —
+    // NO global-order window, the single-task cliff
+    // rank().over(orderBy) would hit at corpus scale; r15 fused the
+    // former two avgRank2 rounds), doubled to stay integral so every
+    // moment sums exactly in DECIMAL(38,0) / HUGEINT; the ρ expansion
+    // is the identical IEEE tree on both engines (the q_corr_stats /
+    // q_moment_stats convention; exactness bound 4n³ ≤ 10³⁸ ⇒
+    // n ≤ ~2.9e12 rows per group). Each variable ranks over its own
+    // non-null rows, exactly like the oracle's independent fx/fy CTEs
+    // (both columns are NOT NULL in TPC-H, but the semantics now agree
+    // even if they weren't — the r14 ADVICE divergence note).
     "q_spearman" -> { (s, dir) =>
       val d38 = DecimalType(38, 0)
       val base = Tables(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_quantity").as("x"),
           col("l_extendedprice").as("y"))
-      val ranked = Scan.avgRank2(
-        Scan.avgRank2(base, "x", Seq("l_returnflag"), "r2x"),
-        "y", Seq("l_returnflag"), "r2y")
+      val ranked = Scan.avgRank2Pair(base, "x", "y", Seq("l_returnflag"),
+        "r2x", "r2y")
       val agg = ranked.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("r2x").cast(d38)).as("sx"),
@@ -2452,14 +2496,26 @@ object SparkEntry {
         .agg(sum((col("m").cast(d38) * (col("m") - 1).cast(d38)) / 2).as("ty"))
       val n = cells.agg(sum(col("nc")).as("n"))
       val n0 = (col("n").cast(d38) * (col("n") - 1).cast(d38)) / 2
+      // Boundary-proof 6-dp emission (the q_dsir_weights playbook, r13):
+      // ROUND(double, 6) is engine-defined at digit boundaries (Spark
+      // rounds the double's exact binary expansion via BigDecimal
+      // HALF_UP; other engines scale-and-rint), so the gate hash can
+      // diverge on a single ulp. Instead quantize once through pure
+      // correctly-rounded IEEE single ops — multiply, add, floor —
+      // which are bit-identical on any IEEE-754 engine evaluating the
+      // same expression tree: tau_e6 = floor(tau*1e6 + 0.5) is an exact
+      // integer witness, and tau_b = tau_e6/1e6 is one correctly-rounded
+      // division of the same two values on both engines.
+      val tau = (col("cc").cast(DoubleType) - col("dd").cast(DoubleType)) /
+        sqrt((n0.cast(DoubleType) - col("tx").cast(DoubleType)) *
+             (n0.cast(DoubleType) - col("ty").cast(DoubleType)))
+      val tauE6 = floor(tau * lit(1e6) + lit(0.5))
       agg.crossJoin(broadcast(tx)).crossJoin(broadcast(ty)).crossJoin(broadcast(n))
         .select(col("n").as("n_rows"),
           col("cc").cast(DecimalType(38, 0)).as("concordant"),
           col("dd").cast(DecimalType(38, 0)).as("discordant"),
-          round((col("cc").cast(DoubleType) - col("dd").cast(DoubleType)) /
-            sqrt((n0.cast(DoubleType) - col("tx").cast(DoubleType)) *
-                 (n0.cast(DoubleType) - col("ty").cast(DoubleType))), 6)
-            .as("tau_b"))
+          tauE6.cast(LongType).as("tau_b_e6"),
+          (tauE6.cast(DoubleType) / lit(1e6) + lit(0.0)).as("tau_b"))
     },
 
     // JSON extraction from the events props column
@@ -4271,6 +4327,22 @@ object SparkEntry {
         |t AS (SELECT SUM(cnt) AS n FROM e)
         |SELECT item, cnt, TRUE AS in_sketch, TRUE AS overest_ok, TRUE AS lower_ok
         |FROM e, t WHERE cnt * 6 >= n ORDER BY item""".stripMargin,
+
+    // the heavy set + exact counts are pure SQL; the verdict booleans
+    // are the sketch theorems, TRUE by construction for every heavy
+    // item (strict-share tracking guarantee — hence the strict > in
+    // the filter on BOTH engines)
+    "q_heavy_hitters_windowed" ->
+      """WITH it AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  CASE WHEN v < 512 THEN 'h0' WHEN v < 768 THEN 'h1'
+        |  WHEN v < 896 THEN 'h2' WHEN v < 960 THEN 'h3' WHEN v < 992 THEN 'h4'
+        |  WHEN v < 1008 THEN 'h5' WHEN v < 1016 THEN 'h6' WHEN v < 1020 THEN 'h7'
+        |  ELSE 'h8' END AS item
+        |  FROM (SELECT ts, user_id % 1024 AS v FROM events)),
+        |e AS (SELECT day, item, CAST(count(*) AS BIGINT) AS cnt FROM it GROUP BY 1, 2),
+        |t AS (SELECT day, SUM(cnt) AS n FROM e GROUP BY 1)
+        |SELECT e.day, item, cnt, TRUE AS in_sketch, TRUE AS overest_ok, TRUE AS lower_ok
+        |FROM e JOIN t ON e.day = t.day WHERE cnt * 6 > n ORDER BY e.day, item""".stripMargin,
 
     "text_winnowing" -> {
       val gram5 = "i -> " + (0 until 5).map(o => s"w[i+$o]").mkString("||' '||")
@@ -6810,9 +6882,14 @@ object SparkEntry {
         |SELECT CAST(nn.n AS BIGINT) AS n_rows,
         |  CAST(cd.cc AS DECIMAL(38,0)) AS concordant,
         |  CAST(cd.dd AS DECIMAL(38,0)) AS discordant,
-        |  ROUND((CAST(cd.cc AS DOUBLE) - CAST(cd.dd AS DOUBLE)) /
+        |  CAST(FLOOR(((CAST(cd.cc AS DOUBLE) - CAST(cd.dd AS DOUBLE)) /
         |    SQRT((CAST(nn.n0 AS DOUBLE) - CAST(tx.tx AS DOUBLE)) *
-        |         (CAST(nn.n0 AS DOUBLE) - CAST(ty.ty AS DOUBLE))), 6) AS tau_b
+        |         (CAST(nn.n0 AS DOUBLE) - CAST(ty.ty AS DOUBLE)))) * 1000000.0
+        |    + 0.5) AS BIGINT) AS tau_b_e6,
+        |  CAST(FLOOR(((CAST(cd.cc AS DOUBLE) - CAST(cd.dd AS DOUBLE)) /
+        |    SQRT((CAST(nn.n0 AS DOUBLE) - CAST(tx.tx AS DOUBLE)) *
+        |         (CAST(nn.n0 AS DOUBLE) - CAST(ty.ty AS DOUBLE)))) * 1000000.0
+        |    + 0.5) AS BIGINT) / 1000000.0 + 0.0 AS tau_b
         |FROM cd, tx, ty, nn""".stripMargin,
 
     // midrank r = (#less) + (ties+1)/2 from the value-frequency table;

@@ -7,18 +7,24 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.sketch.BloomFilter
 
 /** `bloom.mightContain(key)` as a scalar predicate, with the serialized
-  * filter riding INSIDE the expression (broadcast with the plan, like
-  * PqEncode's codebook / BpeEncode's merge table). Backs
-  * [[graft.ops.BloomJoin]]: the point is to evaluate the membership test
-  * in the PROBE side's scan stage — before any shuffle — so the filter,
-  * not the join, discards the non-matching bulk of a 100 TB fact table.
+  * filter riding a TORRENT BROADCAST — the expression carries only the
+  * broadcast handle, so the task binary stays small and each executor
+  * fetches the filter bytes once (r15: the bytes previously rode inside
+  * the expression like PqEncode's codebook, which bloats EVERY task
+  * binary by the filter size — a 23 MB filter for 2e7 keys shipped per
+  * task approaches RPC limits long before the key-count cap fires).
+  * Backs [[graft.ops.BloomJoin]]: the point is to evaluate the
+  * membership test in the PROBE side's scan stage — before any shuffle
+  * — so the filter, not the join, discards the non-matching bulk of a
+  * 100 TB fact table.
   *
   * Accepts long or string keys (the two join-key shapes in the corpus;
   * `BloomFilter.put` hashes both natively). False positives only —
   * rows that slip through are dropped by the exact join that follows,
   * so composition with a join is row-identical to the unpruned join.
   */
-case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+case class BloomMightContain(child: Expression,
+                             filterBcast: org.apache.spark.broadcast.Broadcast[Array[Byte]])
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = BooleanType
@@ -33,9 +39,9 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
           s"bloom key must be long/int/string, got $other")
     }
 
-  // deserialized once per executor instance, shared across rows
+  // broadcast fetched + deserialized once per executor, shared across rows
   @transient private lazy val filter: BloomFilter =
-    BloomFilter.readFrom(new java.io.ByteArrayInputStream(filterBytes))
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(filterBcast.value))
 
   override def nullSafeEval(input: Any): Any = input match {
     case l: java.lang.Long    => filter.mightContainLong(l)

@@ -147,12 +147,17 @@ package object functions {
     GraftBridge.column(
       TopKAgg(e(score), e(label), k, ascending, padToK).toAggregateExpression())
 
-  /** Bloom-filter membership test with the serialized filter riding in
-    * the plan — the scan-stage predicate behind
-    * [[graft.ops.BloomJoin.bloomPrunedJoin]].
+  /** Bloom-filter membership test — the scan-stage predicate behind
+    * [[graft.ops.BloomJoin.bloomPrunedJoin]]. The serialized filter is
+    * shipped as a torrent broadcast (fetched once per executor), NOT
+    * embedded in the task binary: a 1.2 MB-per-million-key filter in
+    * the expression would bloat every task (r14 ADVICE).
     */
-  def bloomMightContain(key: Column, filterBytes: Array[Byte]): Column =
-    GraftBridge.column(BloomMightContain(e(key), filterBytes))
+  def bloomMightContain(key: Column, filterBytes: Array[Byte]): Column = {
+    val bcast = org.apache.spark.sql.SparkSession.active
+      .sparkContext.broadcast(filterBytes)
+    GraftBridge.column(BloomMightContain(e(key), bcast))
+  }
 
   /** Most-frequent word n-gram of a token-array column:
     * `struct<gram, cnt>`, ties to the lexicographically smallest gram,

@@ -822,11 +822,18 @@ object Dedup {
         .distinct()
     }
 
-    def checksum(d: DataFrame): (Long, java.math.BigDecimal) = {
+    // two independent order-insensitive checksums (seeded xxhash64
+    // pair): declaring convergence on a stale set now needs the SAME
+    // 64-bit collision to survive two unrelated hash sums — the
+    // r14-ADVICE collision caveat closed without a set-compare shuffle
+    def checksum(d: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
       val r = d.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0)))).head()
-      (r.getLong(0), r.getDecimal(1))
+        sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))),
+        sum(xxhash64(lit(0x9e3779b9L), col("u"), col("v")).cast(DecimalType(38, 0)))).head()
+      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
     }
+    def eqDec(a: java.math.BigDecimal, b: java.math.BigDecimal): Boolean =
+      if (a == null) b == null else b != null && a.compareTo(b) == 0
 
     var prev = checksum(e)
     var converged = prev._1 == 0L // no edges → all singletons
@@ -838,9 +845,12 @@ object Dedup {
           "(paper bound is O(log² n) — raise maxRounds for truly enormous graphs)")
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       val cs = checksum(next)
-      converged = cs._1 == prev._1 &&
-        (if (cs._2 == null) prev._2 == null else cs._2.compareTo(prev._2) == 0)
+      converged = cs._1 == prev._1 && eqDec(cs._2, prev._2) && eqDec(cs._3, prev._3)
       prev = cs
+      // the prior round's checkpointed blocks are dead once `next` is
+      // materialized — without this a high-diameter run pins
+      // O(rounds × |E|) cached blocks until session end (r14 ADVICE)
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(e)
       e = next
     }
     val labels = e.select(col("u").as("doc_id"), col("v").as("cluster_id"))

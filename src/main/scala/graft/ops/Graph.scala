@@ -325,18 +325,24 @@ r$i AS MATERIALIZED (SELECT n.id,
     * (dst, label), then a per-node argmax as `max(struct(c, −label))`
     * — an aggregation, NOT a window, so a hub with 10⁸ neighbors is a
     * combiner-friendly group, never a single-task sort partition.
+    * The O(|V|)-row label frame is broadcast only when the measured
+    * node count is under `broadcastNodeCap` (the [[pageRank]] gate,
+    * counted once off the checkpointed frame) — a billion-node graph
+    * falls back to shuffle joins automatically with identical results.
     *
     * Pass edges in BOTH directions for undirected community semantics.
     * Returns (id, lbl).
     */
   def labelPropagation(nodes: DataFrame, edges: DataFrame, iters: Int,
-                       broadcastLabels: Boolean = true): DataFrame = {
+                       broadcastLabels: Boolean = true,
+                       broadcastNodeCap: Long = BroadcastNodeCap): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
     var lbl = nodes.select(col("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint(true)
+    val nV = lbl.count()
     for (_ <- 1 to iters) {
-      val lSide = if (broadcastLabels) broadcast(lbl) else lbl
+      val lSide = if (broadcastLabels && nV <= broadcastNodeCap) broadcast(lbl) else lbl
       val counts = e.join(lSide, e("src") === lSide("id"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
       // argmax by (c desc, lbl asc) — negating the label makes one

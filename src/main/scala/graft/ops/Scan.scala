@@ -644,6 +644,45 @@ object Scan {
     keep.join(r2, keyCols)
   }
 
+  /** [[avgRank2]] for TWO value columns in ONE shuffle + prefix-sum
+    * round (the madByGroup-style pass fusion, r15): both columns'
+    * value-frequency tables ride a single tall (g, which, v) frame —
+    * one linear shuffle to frequencies, one [[prefixSum]] keyed on
+    * (groupCols, which) — instead of two full rounds, halving the rank
+    * machinery's shuffle count for the paired-statistic consumers
+    * (Spearman's ρ needs midranks of BOTH variables).
+    *
+    * Each column is ranked over its OWN non-null rows of the
+    * UNFILTERED input — x-nulls do not perturb y's midranks (two
+    * chained [[avgRank2]] calls would rank y on the x-filtered frame;
+    * the standard engines rank each variable independently). The
+    * output keeps only rows where BOTH are non-null — the pairs a
+    * paired statistic can use. Both columns must share a
+    * union-compatible type (numeric widening is fine: ranks depend
+    * only on per-column order/equality, which widening preserves).
+    */
+  def avgRank2Pair(df: DataFrame, xCol: String, yCol: String,
+                   groupCols: Seq[String] = Seq.empty,
+                   outX: String = "r2x", outY: String = "r2y"): DataFrame = {
+    val gs = groupCols.map(col)
+    val tall = df.filter(col(xCol).isNotNull)
+      .select(gs :+ lit(0).as("__which") :+ col(xCol).as("__v"): _*)
+      .unionByName(df.filter(col(yCol).isNotNull)
+        .select(gs :+ lit(1).as("__which") :+ col(yCol).as("__v"): _*))
+    val keyCols = groupCols :+ "__which" :+ "__v"
+    val freq = tall.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("__cnt"))
+    val ranked = prefixSum(freq, groupCols :+ "__which", Seq("__v"), "__cnt", "__cum")
+    val r2 = ranked.select(keyCols.map(col) :+
+      (lit(2L) * col("__cum") - col("__cnt") + lit(1L)).as("__r2"): _*)
+    val rx = r2.filter(col("__which") === 0)
+      .select(gs :+ col("__v").as(xCol) :+ col("__r2").as(outX): _*)
+    val ry = r2.filter(col("__which") === 1)
+      .select(gs :+ col("__v").as(yCol) :+ col("__r2").as(outY): _*)
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .join(rx, groupCols :+ xCol)
+      .join(ry, groupCols :+ yCol)
+  }
+
   /** Distributed lag-1 carry — `lag(col).over(window)` without putting
     * any group's full history on one task: pass 1 records each
     * (partition, group) slice's LAST value, the driver threads them in

@@ -636,14 +636,35 @@ object Similarity {
     * re-proves it every round).
     */
   def rerankedTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-                   expand: Int = 4): DataFrame = {
-    // the coarse scan rides the GEMM physical path over the 16-bit column
-    // DIRECTLY (storage = "f16") — the J4/J5 reduced-precision-input
-    // analog; scores are identical to the expression formulation
-    // (squaredL2 over dequantizeF16), so the shortlist is unchanged
-    val quantized = Dedup.spread(vectors)
-      .select(col("id"), quantizeF16(col("vec")).as("vec"))
-    val shortlist = gemmTopK(quantized, queries, k * expand, storage = "f16")
+                   expand: Int = 4): DataFrame =
+    // one-shot lazy composition — serve-many deployments materialize
+    // [[f16Assign]] once (FAISS quantizes at `add`, not at search:
+    // `src/MetalIndexFlat.mm:244-256`) and call [[f16ServeTopK]]
+    f16ServeTopK(f16Assign(vectors, materialize = false),
+      vectors, queries, k, expand)
+
+  /** Index BUILD of the f16-rerank tier: quantize the corpus ONCE (the
+    * reference does this inside `add`, `src/MetalIndexFlat.mm:244-256`)
+    * — the stored 16-bit column is what the coarse pass scans at half
+    * the fp32 bytes; quantizing per search re-reads the full fp32 bytes
+    * and defeats the bandwidth play.
+    */
+  def f16Assign(vectors: DataFrame, materialize: Boolean = true): DataFrame = {
+    val enc = Dedup.spread(vectors)
+      .select(col("id"), quantizeF16(col("vec")).as("cvec"))
+    if (materialize) enc.localCheckpoint(true) else enc
+  }
+
+  /** Query SERVE over a built f16 index ([[f16Assign]]): the coarse scan
+    * rides the GEMM physical path over the 16-bit column DIRECTLY
+    * (storage = "f16" — the J4/J5 reduced-precision-input analog; scores
+    * identical to the squaredL2-over-dequantizeF16 formulation, so the
+    * shortlist is unchanged), then exact fp32 rerank.
+    */
+  def f16ServeTopK(index: DataFrame, vectors: DataFrame,
+                   queries: DataFrame, k: Int, expand: Int): DataFrame = {
+    val shortlist = gemmTopK(index.select(col("id"), col("cvec").as("vec")),
+        queries, k * expand, storage = "f16")
       .select(col("qid"), col("label"))
     explodeHits(
       broadcast(shortlist).join(vectors, shortlist("label") === vectors("id"))
@@ -663,11 +684,37 @@ object Similarity {
     * shortlist at nq·k·expand cost, corpus-independent.
     */
   def prefixRerankTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-                       prefixDims: Int, expand: Int = 4): DataFrame = {
-    val vPre = Dedup.spread(vectors)
-      .select(col("id"), slice(col("vec"), 1, prefixDims).as("vec"))
+                       prefixDims: Int, expand: Int = 4): DataFrame =
+    // one-shot lazy composition (build + serve in one plan) — a
+    // serve-many deployment materializes [[prefixAssign]] once and
+    // calls [[prefixServeTopK]] per query batch (see [[ivfTopK]])
+    prefixServeTopK(prefixAssign(vectors, prefixDims, materialize = false),
+      vectors, queries, k, prefixDims, expand)
+
+  /** Index BUILD of the prefix-rerank tier, split from serve (the
+    * [[ivfAssign]] accounting applied to the projection family, r15):
+    * the stored payload is the `prefixDims`-wide slice — the column a
+    * 100 TB deployment persists next to the fp32 vectors so the coarse
+    * pass scans prefixDims/d of the bytes WITHOUT re-slicing the wide
+    * column per search.
+    */
+  def prefixAssign(vectors: DataFrame, prefixDims: Int,
+                   materialize: Boolean = true): DataFrame = {
+    val enc = Dedup.spread(vectors)
+      .select(col("id"), slice(col("vec"), 1, prefixDims).as("cvec"))
+    if (materialize) enc.localCheckpoint(true) else enc
+  }
+
+  /** Query SERVE over a built prefix index ([[prefixAssign]]): slice the
+    * nq queries (cheap), GEMM top-(k·expand) over the STORED coarse
+    * column, exact full-dimension rerank of the shortlist.
+    */
+  def prefixServeTopK(index: DataFrame, vectors: DataFrame,
+                      queries: DataFrame, k: Int, prefixDims: Int,
+                      expand: Int): DataFrame = {
     val qPre = queries.select(col("qid"), slice(col("qv"), 1, prefixDims).as("qv"))
-    val shortlist = gemmTopK(vPre, qPre, k * expand)
+    val shortlist = gemmTopK(index.select(col("id"), col("cvec").as("vec")),
+        qPre, k * expand)
       .select(col("qid"), col("label"))
     explodeHits(
       broadcast(shortlist).join(vectors, shortlist("label") === vectors("id"))
@@ -894,12 +941,42 @@ object Similarity {
     * across the retrieval and any model-level verdict columns.
     */
   def pcaRerankTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-                    model: PcaModel, expand: Int): DataFrame = {
-    val vP = Dedup.spread(vectors)
-      .select(col("id"), pcaProject(col("vec"), model.mean, model.components).as("vec"))
+                    model: PcaModel, expand: Int): DataFrame =
+    // one-shot lazy composition — serve-many deployments materialize
+    // [[pcaAssign]] once and call [[pcaServeTopK]] per query batch:
+    // re-running the corpus-side d→dOut rotation per search is index
+    // build riding the serve path (n·d·dOut FLOPs per action — the
+    // r14 IVF accounting bug, same fix)
+    pcaServeTopK(model, pcaAssign(vectors, model, materialize = false),
+      vectors, queries, k, expand)
+
+  /** Index BUILD of the PCA/JL-rerank tiers, split from serve (the
+    * [[ivfAssign]] accounting applied to the projection family, r15):
+    * every vector is rotated ONCE onto the trained `dOut`-dim basis and
+    * the result is the column a 100 TB deployment persists — the coarse
+    * pass then scans dOut/d of the bytes with zero per-search FLOPs on
+    * the corpus side. `materialize = true` (the serve-many shape)
+    * localCheckpoints it.
+    */
+  def pcaAssign(vectors: DataFrame, model: PcaModel,
+                materialize: Boolean = true): DataFrame = {
+    val enc = Dedup.spread(vectors)
+      .select(col("id"),
+        pcaProject(col("vec"), model.mean, model.components).as("cvec"))
+    if (materialize) enc.localCheckpoint(true) else enc
+  }
+
+  /** Query SERVE over a built projection index ([[pcaAssign]]): rotate
+    * the nq queries (nq·d·dOut FLOPs — corpus-independent), GEMM
+    * top-(k·expand) over the STORED coarse column, exact full-dimension
+    * rerank of the shortlist against the fp32 `vectors`.
+    */
+  def pcaServeTopK(model: PcaModel, index: DataFrame, vectors: DataFrame,
+                   queries: DataFrame, k: Int, expand: Int): DataFrame = {
     val qP = queries.select(col("qid"),
       pcaProject(col("qv"), model.mean, model.components).as("qv"))
-    val shortlist = gemmTopK(vP, qP, k * expand)
+    val shortlist = gemmTopK(index.select(col("id"), col("cvec").as("vec")),
+        qP, k * expand)
       .select(col("qid"), col("label"))
     explodeHits(
       broadcast(shortlist).join(vectors, shortlist("label") === vectors("id"))

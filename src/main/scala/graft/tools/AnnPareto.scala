@@ -61,6 +61,8 @@ object AnnPareto {
     // inside the serve path re-pays n·nClusters·d FLOPs per rep —
     // invisible at 20k, ~50× the probed-fraction scan at 200k.
     lazy val pca16 = Similarity.trainPca(vectors, 16)
+    lazy val jl16 = Similarity.PcaModel(Array.fill(64)(0.0),
+      Similarity.jlMatrix(64, 16), explained = Array.empty, totalVar = 0.0)
     lazy val opq = Similarity.trainOpq(vectors, m = 8, ncent = 64)
     lazy val kmCents = Similarity.trainIvfKmeans(vectors, n / 40)
     lazy val ivfCents = Similarity.ivfModuloCents(vectors, 40)
@@ -68,6 +70,12 @@ object AnnPareto {
     lazy val ivfS8 = Similarity.ivfAssign(vectors, ivfCents, "sq8")
     lazy val ivfS4 = Similarity.ivfAssign(vectors, ivfCents, "sq4")
     lazy val ivfKm = Similarity.ivfAssign(vectors, kmCents)
+    // projection/f16 index payloads (r15: the coarse column is stored at
+    // build, not recomputed per search — the same accounting as ivfAssign)
+    lazy val f16Idx = Similarity.f16Assign(vectors)
+    lazy val preIdx = Similarity.prefixAssign(vectors, 16)
+    lazy val pcaIdx = Similarity.pcaAssign(vectors, pca16)
+    lazy val jlIdx = Similarity.pcaAssign(vectors, jl16)
 
     val nClusters = (n / 40 + 1).toDouble
     def frac(nProbe: Int): Double = nProbe / nClusters
@@ -76,10 +84,18 @@ object AnnPareto {
                     build: () => Unit = () => ())
     val tiers = Seq(
       Tier("flat fp32 (exact)", 256, () => Similarity.gemmTopK(vectors, queries, k)),
-      Tier("f16 + rerank x4", 128, () => Similarity.rerankedTopK(vectors, queries, k, 4)),
-      Tier("prefix16 + rerank x4", 64, () => Similarity.prefixRerankTopK(vectors, queries, k, 16, 4)),
-      Tier("pca16 + rerank x4", 64, () => Similarity.pcaRerankTopK(vectors, queries, k, pca16, 4)),
-      Tier("jl16 + rerank x4", 64, () => Similarity.jlRerankTopK(vectors, queries, k, 64, 16, 4)),
+      Tier("f16 + rerank x4", 128,
+        () => Similarity.f16ServeTopK(f16Idx, vectors, queries, k, 4),
+        () => { f16Idx; () }),
+      Tier("prefix16 + rerank x4", 64,
+        () => Similarity.prefixServeTopK(preIdx, vectors, queries, k, 16, 4),
+        () => { preIdx; () }),
+      Tier("pca16 + rerank x4", 64,
+        () => Similarity.pcaServeTopK(pca16, pcaIdx, vectors, queries, k, 4),
+        () => { pcaIdx; () }),
+      Tier("jl16 + rerank x4", 64,
+        () => Similarity.pcaServeTopK(jl16, jlIdx, vectors, queries, k, 4),
+        () => { jlIdx; () }),
       Tier("ivf fp32 p2", 256 * frac(2),
         () => Similarity.ivfServeTopK(ivfCents, ivfFp, queries, k, 2),
         () => { ivfFp; () }),

@@ -33,12 +33,17 @@ object HeavyTail10x {
       // timed action = noop-sink write (the r14 Bench protocol fix):
       // count() lets the optimizer prune cardinality-preserving work —
       // whole Window nodes, aggregate-unique left joins — so some
-      // queries timed only their input scan
+      // queries timed only their input scan. The row count rides the
+      // SAME write via an observation (r14 ADVICE: a second count()
+      // action re-executed every query, doubling the tool's runtime).
+      val obs = org.apache.spark.sql.Observation(s"rows_$n")
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(spark, dir)
+        .observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
         .write.mode("overwrite").format("noop").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      val rows = graft.SparkEntry.queries(n)(spark, dir).count()
+      val rows = obs.get("n").asInstanceOf[Long]
       println(f"$n%-28s $sec%9.2f s  ($rows rows)")
       (n, sec, rows)
     }

@@ -30,4 +30,18 @@ object GraftBridge {
                            builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Unpersist the cached blocks behind an eagerly localCheckpoint'ed
+    * DataFrame. `Dataset.unpersist` only clears cache-manager entries;
+    * a checkpoint's blocks belong to the `LogicalRDD`-wrapped RDD the
+    * checkpointed frame reads from, which iterative loops must release
+    * explicitly or pin O(rounds × |data|) storage until session end.
+    * No-op on frames that are not checkpoint-backed.
+    */
+  def unpersistCheckpoint(df: DataFrame, blocking: Boolean = false): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking)
+      case _ => ()
+    }
 }

@@ -126,6 +126,8 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val hitsWant = Graph.hits(n, e, iters = 3)
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val lpWant = Graph.labelPropagation(n, e, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     spark.listenerManager.register(listener)
     try {
@@ -135,12 +137,15 @@ class GraphSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       val hitsGot = Graph.hits(n, e, iters = 3, broadcastNodeCap = 0L)
         .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      val lpGot = Graph.labelPropagation(n, e, iters = 3, broadcastNodeCap = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       org.apache.spark.GraftTestBridge.waitForListeners(spark.sparkContext)
       assert(seen.isEmpty,
         s"broadcast hint planned above the cap in: ${seen.toArray.mkString(", ")}")
       assert(prGot === prWant)
       assert(pprGot === pprWant)
       assert(hitsGot === hitsWant)
+      assert(lpGot === lpWant)
 
       // positive control: the same listener DOES see the hint on the
       // default small-graph path, so an all-green run can't be a

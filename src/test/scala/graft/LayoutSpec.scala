@@ -59,8 +59,12 @@ class LayoutSpec extends AnyFunSuite {
     // z-sorted: the x-slab lives in a few files — and so does a y-slab
     val zx = filesTouched(s"$base/zsorted", xPred)
     val zy = filesTouched(s"$base/zsorted", col("y") >= 192 && col("y") < 200)
-    assert(zx <= 4L, s"x-slab touched $zx of 16 z-sorted files")
-    assert(zy <= 4L, s"y-slab touched $zy of 16 z-sorted files")
+    // ≤ 5 of 16, not a tighter bound: repartitionByRange picks file
+    // boundaries by SAMPLING, so the slab occasionally straddles one
+    // extra file under suite-parallel load (flaked at 5 once in r15);
+    // the contract is few-vs-ALL (the y-sorted control reads 16/16)
+    assert(zx <= 5L, s"x-slab touched $zx of 16 z-sorted files")
+    assert(zy <= 5L, s"y-slab touched $zy of 16 z-sorted files")
   }
 
   test("z-sorted buckets prune range predicates on BOTH dimensions; a y-sorted layout serves only y") {

@@ -236,6 +236,42 @@ class OpsSpec extends AnyFunSuite {
     assert(reranked == exact)
   }
 
+  test("projection/f16 index BUILD+SERVE split ≡ one-shot composition (pca, jl, prefix, f16)") {
+    // r15: the coarse column is a stored index payload (the ivfAssign
+    // accounting applied to the projection tiers) — serving from the
+    // materialized index must be bit-identical to the lazy one-shot
+    // composition, or the split changed semantics, not just accounting
+    val spark2 = spark
+    import spark2.implicits._
+    import graft.ops.Similarity
+    val vdf = Oracle.genVectors(300, 32).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("id", "vec")
+    val qdf = Oracle.genVectors(5, 32, seed = 7L).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq.toDF("qid", "qv")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))).toSet
+
+    val model = Similarity.trainPca(vdf, 8)
+    val pcaIdx = Similarity.pcaAssign(vdf, model)
+    assert(rows(Similarity.pcaServeTopK(model, pcaIdx, vdf, qdf, 10, 4)) ===
+      rows(Similarity.pcaRerankTopK(vdf, qdf, 10, model, 4)))
+
+    val jl = Similarity.PcaModel(Array.fill(32)(0.0),
+      Similarity.jlMatrix(32, 8), explained = Array.empty, totalVar = 0.0)
+    val jlIdx = Similarity.pcaAssign(vdf, jl)
+    assert(rows(Similarity.pcaServeTopK(jl, jlIdx, vdf, qdf, 10, 4)) ===
+      rows(Similarity.jlRerankTopK(vdf, qdf, 10, 32, 8, 4)))
+
+    val preIdx = Similarity.prefixAssign(vdf, 8)
+    assert(rows(Similarity.prefixServeTopK(preIdx, vdf, qdf, 10, 8, 4)) ===
+      rows(Similarity.prefixRerankTopK(vdf, qdf, 10, 8, 4)))
+
+    val f16Idx = Similarity.f16Assign(vdf)
+    assert(rows(Similarity.f16ServeTopK(f16Idx, vdf, qdf, 10, 4)) ===
+      rows(Similarity.rerankedTopK(vdf, qdf, 10, 4)))
+  }
+
   test("SQ4 nibble packing: grid round-trip exact; odd dims; zero vector; error ≤ scale/2; ⌈d/2⌉ bytes") {
     val spark2 = spark
     import spark2.implicits._
@@ -342,13 +378,18 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(0) === n.toLong)
     assert(r.getDecimal(1).longValueExact === c)
     assert(r.getDecimal(2).longValueExact === d)
-    // the exact same IEEE expression the query (and oracle) evaluate
+    // the exact same IEEE expression the query (and oracle) evaluate,
+    // quantized the boundary-proof way (r15): tau_e6 = floor(τ·1e6+0.5)
+    // is an exact integer witness; tau_b = tau_e6/1e6 — pure correctly-
+    // rounded IEEE single ops, bit-identical on any conforming engine
     val tau = (c.toDouble - d.toDouble) /
       math.sqrt((n0.toDouble - tx.toDouble) * (n0.toDouble - ty.toDouble))
-    assert(r.getDouble(3) ===
-      BigDecimal(tau).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val tauE6 = math.floor(tau * 1e6 + 0.5).toLong
+    assert(r.getLong(3) === tauE6)
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ===
+      java.lang.Double.doubleToLongBits(tauE6.toDouble / 1e6 + 0.0))
     // sanity: quantity and discount are independent in TPC-H generators
-    assert(math.abs(r.getDouble(3)) < 0.05)
+    assert(math.abs(r.getDouble(4)) < 0.05)
   }
 
   test("HLL sketches: union of partials ≡ direct sketch; partition-invariant; ±5%") {

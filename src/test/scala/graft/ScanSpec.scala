@@ -319,6 +319,74 @@ class ScanSpec extends AnyFunSuite {
     assert(wantG.values.sum === n.toLong * (n + 1))
   }
 
+  test("avgRank2Pair ≡ two avgRank2 calls on no-null data, bit-exact, strictly fewer jobs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(67L)
+    // heavy ties on both columns (the Spearman input shape)
+    val data = (0 until 6000).map { i =>
+      val g = if (i % 3 == 0) "a" else "b"
+      (i.toLong, g, rnd.nextInt(50).toDouble, rnd.nextInt(30).toDouble / 3.0)
+    }
+    val df = spark.createDataset(data.toIndexedSeq).toDF("id", "g", "x", "y")
+
+    def composed(): Map[Long, (Long, Long)] =
+      Scan.avgRank2(Scan.avgRank2(df, "x", Seq("g"), "r2x"), "y", Seq("g"), "r2y")
+        .select("id", "r2x", "r2y").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def fused(): Map[Long, (Long, Long)] =
+      Scan.avgRank2Pair(df, "x", "y", Seq("g"))
+        .select("id", "r2x", "r2y").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def countJobs(run: () => Map[Long, (Long, Long)]): (Map[Long, (Long, Long)], Int) = {
+      spark.sparkContext.addSparkListener(listener)
+      jobs.set(0)
+      try {
+        val r = run()
+        org.apache.spark.GraftTestBridge.waitForListeners(spark.sparkContext)
+        (r, jobs.get())
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (want, jComposed) = countJobs(composed _)
+    val (got, jFused) = countJobs(fused _)
+    assert(got === want)
+    // one prefixSum round instead of two: strictly fewer jobs
+    assert(jFused < jComposed, s"fused=$jFused composed=$jComposed")
+  }
+
+  test("avgRank2Pair ranks each column over its OWN non-null rows (the oracle's fx/fy semantics)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // x-nulls must NOT perturb y's midranks: the chained-avgRank2
+    // composition ranks y on the x-filtered frame (the r14 ADVICE
+    // divergence); the pair form matches the independent-CTE oracle
+    val data: Seq[(Long, java.lang.Double, java.lang.Double)] = Seq(
+      (1L, 10.0, 5.0), (2L, null, 1.0), (3L, 20.0, 5.0),
+      (4L, 10.0, null), (5L, 30.0, 2.0))
+    val df = spark.createDataset(data).toDF("id", "x", "y")
+    val got = Scan.avgRank2Pair(df, "x", "y")
+      .select("id", "r2x", "r2y").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // only both-non-null rows survive: ids 1, 3, 5
+    assert(got.keySet === Set(1L, 3L, 5L))
+    // x ranks over {10, 10, 20, 30} (id 2's null x dropped, id 4's x KEPT):
+    // 2r(10) = 3, 2r(20) = 6, 2r(30) = 8
+    assert(got(1L)._1 === 3L)
+    assert(got(3L)._1 === 6L)
+    assert(got(5L)._1 === 8L)
+    // y ranks over {5, 1, 5, 2} (id 4's null y dropped, id 2's y KEPT):
+    // 2r(1) = 2, 2r(2) = 4, 2r(5) = 7
+    assert(got(1L)._2 === 7L)
+    assert(got(3L)._2 === 7L)
+    assert(got(5L)._2 === 4L)
+  }
+
   test("madByGroup ≡ the two-call quantile composition, bit-exact, one fewer Spark job") {
     val spark2 = spark
     import spark2.implicits._

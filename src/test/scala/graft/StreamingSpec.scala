@@ -513,6 +513,73 @@ class StreamingSpec extends AnyFunSuite {
     nByWin.foreach { case (w, n) => assert(n === wantN(w), s"window $w total") }
   }
 
+  test("windowed heavy-hitter VERDICT frame is bit-identical across micro-batch splits == batch gate query") {
+    // the q_heavy_hitters_windowed contract end-to-end (r14 verdict ask
+    // #8): (est, err) internals are merge-order-sensitive, but the
+    // EMITTED verdict frame — heavy set + the mergeable-summaries
+    // theorem booleans — must be bit-identical under ANY micro-batch
+    // split, and identical to the batch gate query's rows
+    val sfDir = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, sfDir)
+      .withColumn("v", pmod(col("user_id"), lit(1024)))
+      .withColumn("item",
+        when(col("v") < 512, "h0").when(col("v") < 768, "h1")
+          .when(col("v") < 896, "h2").when(col("v") < 960, "h3")
+          .when(col("v") < 992, "h4").when(col("v") < 1008, "h5")
+          .when(col("v") < 1016, "h6").when(col("v") < 1020, "h7")
+          .otherwise("h8"))
+      .drop("v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-hhw").toString
+    events.repartition(8).write.mode("overwrite").parquet(dir)
+
+    def trackedEst(maxFiles: Int, name: String): Map[(java.sql.Timestamp, String), (Long, Long)] = {
+      val streamIn = spark.readStream.schema(spark.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", maxFiles).parquet(dir)
+      val agg = StreamingOps.eventsWindowedHeavyHitters(streamIn, "item",
+        capacity = 6, window_ = "1 day", slide = "1 day", watermark = "2 days")
+      val q = StreamingOps.runToMemory(agg, name)
+      q.awaitTermination(60000)
+      spark.table(name).collect()
+        .map(r => (r.getTimestamp(0), r.getString(2)) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+    }
+    val splitA = trackedEst(2, "hhw_a")
+    val splitB = trackedEst(5, "hhw_b")
+
+    // exact per-(day, item) truth + the strict-share heavy set
+    val exact = events
+      .groupBy(window(col("ts"), "1 day").getField("start").as("w"), col("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val nByDay = exact.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val heavy = exact.filter { case ((w, _), cnt) => cnt * 6 > nByDay(w) }.toSeq
+      .sortBy { case ((w, item), _) => (w.getTime, item) }
+    assert(heavy.nonEmpty)
+
+    val dayFmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    dayFmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC")) // session TZ
+    def verdicts(sk: Map[(java.sql.Timestamp, String), (Long, Long)]) =
+      heavy.map { case ((w, item), cnt) =>
+        val hit = sk.get((w, item))
+        (dayFmt.format(w), item, cnt,
+          hit.isDefined,
+          hit.forall { case (est, _) => est >= cnt },
+          hit.forall { case (est, err) => est - err <= cnt })
+      }
+    val fa = verdicts(splitA)
+    val fb = verdicts(splitB)
+    assert(fa === fb, "verdict frame differs between micro-batch splits")
+    fa.foreach { r =>
+      assert(r._4 && r._5 && r._6, s"theorem verdict false for $r")
+    }
+    // == the batch gate query, row for row
+    val batch = SparkEntry.queries("q_heavy_hitters_windowed")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toSeq
+    assert(batch === fa, "streaming verdict frame != batch gate query")
+  }
+
   test("streaming windowed HLL distinct == batch approx_count_distinct per window") {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-hll").toString
