@@ -1301,6 +1301,25 @@ object SparkEntry {
         .orderBy("rank")
     },
 
+    // SSL-prototypes / D4 embedding data pruning (Sorscher 2022;
+    // Tirumala 2023): keep each cluster's LEAST prototypical half —
+    // pruning the easy/redundant examples nearest the prototype is the
+    // selection rule that beats random at scale. Deterministic modulo
+    // centroids (the ann_ivf convention), prototypicality quantized to
+    // an exact integer witness (floor(cos·1e6 + 0.5), the kendall-tau
+    // playbook) BEFORE ranking so no cross-engine double ordering ever
+    // decides a row, integer keep threshold (rn·2 ≤ sz). Window
+    // partitions are ≈modulo-sized regardless of corpus size.
+    "q_proto_prune" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      Curation.prototypicalityPrune(
+          e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+          centroidModulo = 40, keepNum = 1, keepDen = 2)
+        .select(col("id").as("vec_id"), col("cid"), col("proto_e6"),
+          col("rn"), col("kept"))
+        .orderBy("vec_id")
+    },
+
     // FP8 E4M3 roundtrip error profile — the rung between int8's
     // uniform grid and f16 on the storage ladder (4× fewer bytes than
     // fp32, per-ELEMENT exponent so no per-vector scale state). Runs
@@ -1554,6 +1573,33 @@ object SparkEntry {
           (col("est") >= col("cnt")).as("overest_ok"),
           (col("est") - col("err") <= col("cnt")).as("lower_ok"))
         .orderBy("day", "item")
+    },
+
+    // DISTINCT USERS PER EVENT-TIME WINDOW ("daily active users") —
+    // the batch face of StreamingOps.streamingWindowedDistinct, whose
+    // streaming ≡ batch bit-exactness is spec-pinned (HLL++ register
+    // merge is insertion- and merge-order-invariant). Exact
+    // count_distinct per window needs state ∝ distinct keys; the
+    // sketch is O(2^p) per window at any cardinality. The emitted
+    // verdict is the observed ≤5% relative error against the exact
+    // count at rsd = 0.01 — a 5σ envelope, so the boolean is TRUE on
+    // any corpus that isn't a 1-in-10⁶ outlier (rsd 0.05 + a 5% bound
+    // is only 1σ and flips on ~a third of windows; measured). The
+    // sketch is deterministic for a fixed input set, so the boolean is
+    // stable run-to-run (the q_hll_sketch convention).
+    "q_hll_windowed" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      ev.select(window(col("ts"), "1 day").getField("start").as("w"),
+          col("user_id"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_exact"),
+          approx_count_distinct(col("user_id"), 0.01).as("est"))
+        .select(date_format(col("w"), "yyyy-MM-dd").as("day"),
+          col("n_events"), col("n_exact"),
+          (abs(col("est") - col("n_exact")).cast(DoubleType) <=
+            lit(0.05) * col("n_exact").cast(DoubleType)).as("est_ok"))
+        .orderBy("day")
     },
 
     // ---- dedup: winnowing fingerprint profile (MOSS selection) ----
@@ -4344,6 +4390,16 @@ object SparkEntry {
         |SELECT e.day, item, cnt, TRUE AS in_sketch, TRUE AS overest_ok, TRUE AS lower_ok
         |FROM e JOIN t ON e.day = t.day WHERE cnt * 6 > n ORDER BY e.day, item""".stripMargin,
 
+    // exact per-day counts are pure SQL; the estimate verdict is
+    // observed-deterministic (fixed input set → fixed sketch), TRUE on
+    // this corpus — the q_hll_sketch convention
+    "q_hll_windowed" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS est_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "text_winnowing" -> {
       val gram5 = "i -> " + (0 until 5).map(o => s"w[i+$o]").mkString("||' '||")
       s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
@@ -5255,6 +5311,38 @@ object SparkEntry {
     // arithmetic), and an RNE result beyond the format's max finite value
     // (65504 for f16) mirrors the Spark side's overflow-to-±Inf: the
     // round-trip error is +Infinity on both engines.
+    // assignment CTEs are the ann_ivf/dedup_semantic convention
+    // (modulo-40 centroids, L2-argmin with (d, cid) tie order); the
+    // prototypicality double is quantized to an integer witness before
+    // the rank, so the window order is integer-driven on both engines
+    "q_proto_prune" ->
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+        |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
+        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |va AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM vc) WHERE rn = 1),
+        |ex AS (SELECT vec_id, cid, UNNEST(ev) AS x, UNNEST(cv) AS y FROM (
+        |  SELECT va.vec_id, va.cid, v.embedding AS ev, c2.cv
+        |  FROM va JOIN embeddings v ON va.vec_id = v.vec_id
+        |  JOIN c c2 ON va.cid = c2.cid)),
+        |p AS (SELECT vec_id, cid,
+        |  CASE WHEN SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE)) = 0
+        |         OR SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)) = 0
+        |       THEN CAST(-1000001 AS BIGINT)
+        |       ELSE CAST(FLOOR(SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE)) /
+        |         (SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) *
+        |          SQRT(SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) * 1000000.0
+        |         + 0.5) AS BIGINT) END AS proto_e6
+        |  FROM ex GROUP BY 1, 2),
+        |r AS (SELECT vec_id, cid, proto_e6,
+        |  CAST(row_number() OVER (PARTITION BY cid ORDER BY proto_e6, vec_id) AS BIGINT) AS rn,
+        |  COUNT(*) OVER (PARTITION BY cid) AS sz FROM p)
+        |SELECT vec_id, cid, proto_e6, rn, (rn * 2 <= sz * 1) AS kept
+        |FROM r ORDER BY vec_id""".stripMargin,
+
     "q_fps_coreset" -> {
       val body = Curation.farthestPointSampleSql(
         "SELECT vec_id AS id, embedding AS v FROM embeddings", k = 8)

@@ -462,4 +462,62 @@ d$i AS MATERIALIZED (
     sb.append("\n" + rows.mkString("\nUNION ALL\n"))
     sb.toString
   }
+
+  /** SSL-prototypes / D4-style embedding data pruning (Sorscher et al.
+    * 2022 "Beyond neural scaling laws"; Tirumala et al. 2023 "D4"):
+    * score every example's PROTOTYPICALITY — cosine to its cluster
+    * centroid — and keep the LEAST prototypical `keepNum/keepDen`
+    * fraction of each cluster. The papers' core finding is that at
+    * scale, pruning the easy/redundant examples nearest the prototype
+    * costs the least and helps the most; the keep decision must be
+    * per-cluster (a global score cut would empty tight clusters).
+    *
+    * Centroids are the deterministic modulo-spaced corpus vectors
+    * ([[Similarity.ivfModuloCents]] — the oracle-able stand-in for a
+    * trained k-means, the `ann_ivf`/`dedup_semantic` convention; swap
+    * in [[Similarity.trainIvfKmeans]] centroids for production).
+    *
+    * Determinism across engines: ranking compares DOUBLES from two
+    * engines, so the score is quantized FIRST — `proto_e6 =
+    * floor(cos·1e6 + 0.5)` (the boundary-proof integer-witness
+    * convention of `q_kendall_tau`), ties broken by id — and the keep
+    * threshold is pure integer arithmetic (`rn·keepDen ≤ sz·keepNum` ⟺
+    * rn ≤ floor(sz·keepNum/keepDen)), so no double ever crosses the
+    * gate hash. Zero-norm vectors have no defined cosine and get
+    * sentinel −1000001 (sorts least prototypical, always kept first).
+    *
+    * Scale shape: one compiled narrow assignment pass (n·nCents·d
+    * FLOPs — the [[Similarity.ivfAssign]] build cost), one broadcast
+    * join of the tiny centroid table for the score, then a window
+    * PARTITIONED BY cid whose groups are ≈`centroidModulo` rows
+    * regardless of n (nCents grows ∝ n) — bounded-group windows, never
+    * a global order.
+    */
+  def prototypicalityPrune(vectors: DataFrame, centroidModulo: Int,
+                           keepNum: Int, keepDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keepNum >= 0 && keepDen >= 1 && keepNum <= keepDen,
+      s"keep fraction must be in [0, 1]: got $keepNum/$keepDen")
+    val cents = Similarity.ivfModuloCents(vectors, centroidModulo)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val centDf = cents.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("cid", "cv")
+    val assigned = Dedup.spread(vectors)
+      .withColumn("cid",
+        element_at(graft.functions.nearestCentroids(col("vec"), cents, 1), 1))
+      .join(broadcast(centDf), "cid")
+    val cos = graft.functions.cosineSimilarity(col("vec"), col("cv"))
+    val scored = assigned.select(col("id"), col("cid"),
+      when(isnan(cos), lit(-1000001L))
+        .otherwise(floor(cos * lit(1e6) + lit(0.5)).cast(LongType))
+        .as("proto_e6"))
+    val w = Window.partitionBy(col("cid"))
+    scored
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("proto_e6"), col("id"))).cast(LongType))
+      .withColumn("sz", count(lit(1)).over(w))
+      .select(col("id"), col("cid"), col("proto_e6"), col("rn"),
+        (col("rn") * keepDen <= col("sz") * keepNum).as("kept"))
+  }
 }

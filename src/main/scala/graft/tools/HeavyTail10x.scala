@@ -11,9 +11,10 @@ import org.apache.spark.sql.SparkSession
   * no hidden super-linear term (quadratic candidate set, driver state,
   * single-task hotspot) survived the decade.
   *
-  * `count()` is the action — orderBy sorts are optimized away identically
-  * at both scales, so ratios compare the real work (scan, shuffle, join,
-  * iterate), not the final presentation sort.
+  * The timed action is a noop-sink write (the r14 honest protocol —
+  * count() let the optimizer prune Window subtrees and join tails), so
+  * ratios compare the FULL plan's work at both scales; the row count
+  * rides the same write via an `Observation`.
   */
 object HeavyTail10x {
   def main(args: Array[String]): Unit = {

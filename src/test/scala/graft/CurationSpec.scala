@@ -215,6 +215,64 @@ class CurationSpec extends AnyFunSuite {
     assert(got === want.toSeq)
   }
 
+  test("prototypicalityPrune: brute-force agreement, integer keep rule, invariance") {
+    import graft.ops.Curation
+    // deterministic corpus: 3 modulo-10 centroids (ids 0, 10, 20) with
+    // points scattered around distinct directions; one zero vector
+    val vecs: Seq[(Long, Array[Float])] = (0L until 30L).map { i =>
+      val base = (i / 10).toInt
+      val dir = Array.fill(4)(0f); dir(base) = 1f
+      val jitter = Array.tabulate(4)(j => ((i * 7 + j * 3) % 11).toFloat / 23f)
+      (i, Array.tabulate(4)(j => dir(j) * 5f + jitter(j)))
+    } :+ (31L, Array(0f, 0f, 0f, 0f)) // NOT a multiple of 10: must join a
+                                      // real cluster, not centroid itself
+    val df = vecs.toDF("id", "vec")
+      .select(col("id"), col("vec").cast("array<float>").as("vec"))
+    val got = Curation.prototypicalityPrune(df, centroidModulo = 10,
+        keepNum = 1, keepDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(_._1)
+
+    // brute-force oracle in plain Scala (same quantization convention)
+    val cents = vecs.filter(_._1 % 10 == 0).sortBy(_._1)
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val assigned = vecs.map { case (id, v) =>
+      val cid = cents.minBy { case (c, cv) => (d2(v, cv), c) }._1
+      val cv = cents.find(_._1 == cid).get._2
+      val co = cos(v, cv)
+      val e6 = if (co.isNaN) -1000001L else math.floor(co * 1e6 + 0.5).toLong
+      (id, cid, e6)
+    }
+    val want = assigned.groupBy(_._2).toSeq.flatMap { case (_, members) =>
+      val ranked = members.sortBy(m => (m._3, m._1)).zipWithIndex
+      val sz = members.size
+      ranked.map { case ((id, cid, e6), i) =>
+        (id, cid, e6, (i + 1).toLong, (i + 1) * 2 <= sz) }
+    }.sortBy(_._1)
+    assert(got.toSeq === want)
+
+    // the zero vector gets the sentinel and is kept first in its cluster
+    val zeroRow = got.find(_._1 == 31L).get
+    assert(zeroRow._3 === -1000001L && zeroRow._4 === 1L && zeroRow._5)
+    // keep counts are exactly floor(sz/2) per cluster
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.count(_._5) === rows.size / 2)
+    }
+    // deterministic under repartitioning
+    val again = Curation.prototypicalityPrune(df.repartition(7),
+        centroidModulo = 10, keepNum = 1, keepDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(_._1)
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("farthestPointSample rejects k beyond the corpus or bounds") {
     intercept[IllegalArgumentException] {
       Curation.farthestPointSample(fpsDf(Seq(1L -> Array(1f))), k = 0)

@@ -44,10 +44,16 @@ class LayoutSpec extends AnyFunSuite {
       yield (x.toLong, y.toLong)).toDF("x", "y")
       .withColumn("z", Layout.zorder2(col("x"), col("y"), 8))
     val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
-    // 16 files range-partitioned by the clustering value — the physical
-    // layout OPTIMIZE ZORDER BY produces
-    grid.repartitionByRange(16, col("z")).sortWithinPartitions("z")
-      .write.mode("overwrite").parquet(s"$base/zsorted")
+    // 16 files, ONE per top-4-z-bit tile, via partitionBy on the exact
+    // z-block — DETERMINISTIC file boundaries (repartitionByRange
+    // samples its boundaries, which flaked this assertion twice in r15
+    // under suite-parallel load). Each file is then exactly one 64×64
+    // (x, y) tile of the grid, so an 8-wide x-slab intersects exactly
+    // the 4 tiles of its x-block — and symmetrically for y — while the
+    // y-sorted control still reads ALL 16 files for any x predicate.
+    grid.withColumn("pf", (col("z") / 4096).cast("int"))
+      .repartition(16, col("pf"))
+      .write.mode("overwrite").partitionBy("pf").parquet(s"$base/zsorted")
     grid.repartitionByRange(16, col("y")).sortWithinPartitions("y")
       .write.mode("overwrite").parquet(s"$base/ysorted")
     def filesTouched(path: String, pred: org.apache.spark.sql.Column): Long =
@@ -56,15 +62,12 @@ class LayoutSpec extends AnyFunSuite {
     val xPred = col("x") >= 64 && col("x") < 72
     // y-sorted: every file holds all x values → all 16 files read
     assert(filesTouched(s"$base/ysorted", xPred) === 16L)
-    // z-sorted: the x-slab lives in a few files — and so does a y-slab
+    // z-sorted: the x-slab lives in exactly the 4 files of one x-block
+    // (file-level min/max stats on x exclude the other 12), same for y
     val zx = filesTouched(s"$base/zsorted", xPred)
     val zy = filesTouched(s"$base/zsorted", col("y") >= 192 && col("y") < 200)
-    // ≤ 5 of 16, not a tighter bound: repartitionByRange picks file
-    // boundaries by SAMPLING, so the slab occasionally straddles one
-    // extra file under suite-parallel load (flaked at 5 once in r15);
-    // the contract is few-vs-ALL (the y-sorted control reads 16/16)
-    assert(zx <= 5L, s"x-slab touched $zx of 16 z-sorted files")
-    assert(zy <= 5L, s"y-slab touched $zy of 16 z-sorted files")
+    assert(zx === 4L, s"x-slab touched $zx of 16 z-sorted files")
+    assert(zy === 4L, s"y-slab touched $zy of 16 z-sorted files")
   }
 
   test("z-sorted buckets prune range predicates on BOTH dimensions; a y-sorted layout serves only y") {
