@@ -77,12 +77,14 @@ object AnnAdvisor {
   private def nClusters(n: Long): Double = math.max(1L, n / 40L).toDouble
 
   /** Measured rows (tools/AnnPareto on the anisotropic fixture;
-    * synced with BASELINE.md's round-14 full-table refresh — every ms
-    * from ONE quiet-box session under the serve-path accounting — the IVF family's old
-    * figures carried the per-search index-build assignment, the
-    * accounting bug the n=200k run exposed). The retrained k-means‖
-    * IVF tier keeps its honest measured figures: 0.653 recall@10 at
-    * nProbe=2 — among the fastest ivf tiers (4.1 ms serve) but still
+    * synced with BASELINE.md's round-15 full-table refresh — every ms
+    * from ONE quiet-box session under the serve-path accounting, now
+    * INCLUDING the projection tiers' build/serve split (pca16/jl16/
+    * prefix16/f16 coarse columns are stored index payloads; the IVF
+    * family's old figures had carried per-search index-build
+    * assignment, the accounting bug the n=200k run exposed). The
+    * retrained k-means‖ IVF tier keeps its honest measured figures:
+    * 0.653 recall@10 at nProbe=2 — among the fastest ivf tiers but still
     * UNDER modulo-sampled centers' 0.844 at equal probes and equal
     * scan bytes (k=500 on 20k points is the ~40-points-per-cell
     * regime where Lloyd fragments the anisotropic bulk into uneven
@@ -90,7 +92,7 @@ object AnnAdvisor {
     * present so the table is the full measured Pareto set and the
     * dominance is spec-pinned, but no (target, budget) selects it.
     *
-    * Second measured point, n=200k (BASELINE.md round-14): IVF recall
+    * Second measured point, n=200k (BASELINE.md rounds 14-15): IVF recall
     * TRANSFERS (p2 0.850, p4 0.900, sq8 0.841) and serve ms/query
     * drops as the probed fraction shrinks — the scanB(n) folding is
     * measured at two n, and the n=10M deployment choice agrees with
@@ -100,31 +102,31 @@ object AnnAdvisor {
     * provenance caveat these recall figures carry.
     */
   def tiers: Seq[Tier] = Seq(
-    Tier("flat", 1.000, 12.9, (_, d) => 4.0 * d, Map.empty,
+    Tier("flat", 1.000, 10.4, (_, d) => 4.0 * d, Map.empty,
       recallByConstruction = true),
-    Tier("f16-rerank", 1.000, 15.9, (_, d) => 2.0 * d,
+    Tier("f16-rerank", 1.000, 15.1, (_, d) => 2.0 * d,
       Map("expand" -> 4L), recallByConstruction = true),
-    Tier("pca16-rerank", 1.000, 11.8, (_, _) => 64.0,
+    Tier("pca16-rerank", 1.000, 11.5, (_, _) => 64.0,
       Map("dOut" -> 16L, "expand" -> 4L)),
-    Tier("prefix16-rerank", 0.800, 11.8, (_, _) => 64.0,
+    Tier("prefix16-rerank", 0.800, 12.7, (_, _) => 64.0,
       Map("dOut" -> 16L, "expand" -> 4L)),
-    Tier("jl16-rerank", 0.750, 9.8, (_, _) => 64.0,
+    Tier("jl16-rerank", 0.750, 10.5, (_, _) => 64.0,
       Map("dOut" -> 16L, "expand" -> 4L)),
-    Tier("ivf-p2", 0.844, 5.6, (n, d) => 4.0 * d * 2.0 / nClusters(n),
+    Tier("ivf-p2", 0.844, 6.7, (n, d) => 4.0 * d * 2.0 / nClusters(n),
       Map("centroidModulo" -> 40L, "nProbe" -> 2L)),
-    Tier("ivf-p4", 0.947, 4.0, (n, d) => 4.0 * d * 4.0 / nClusters(n),
+    Tier("ivf-p4", 0.947, 4.4, (n, d) => 4.0 * d * 4.0 / nClusters(n),
       Map("centroidModulo" -> 40L, "nProbe" -> 4L)),
-    Tier("ivf-kmeans-p2", 0.653, 4.1, (n, d) => 4.0 * d * 2.0 / nClusters(n),
+    Tier("ivf-kmeans-p2", 0.653, 4.6, (n, d) => 4.0 * d * 2.0 / nClusters(n),
       Map("clustersPer" -> 40L, "nProbe" -> 2L)),
-    Tier("ivf-sq8-p2", 0.831, 4.9, (n, d) => 1.0 * d * 2.0 / nClusters(n),
+    Tier("ivf-sq8-p2", 0.831, 5.0, (n, d) => 1.0 * d * 2.0 / nClusters(n),
       Map("centroidModulo" -> 40L, "nProbe" -> 2L)),
-    Tier("ivf-sq4-p2", 0.631, 5.6, (n, d) => 0.5 * d * 2.0 / nClusters(n),
+    Tier("ivf-sq4-p2", 0.631, 5.0, (n, d) => 0.5 * d * 2.0 / nClusters(n),
       Map("centroidModulo" -> 40L, "nProbe" -> 2L)),
-    Tier("opq8-rerank", 0.825, 13.3, (_, _) => 8.0,
+    Tier("opq8-rerank", 0.825, 13.5, (_, _) => 8.0,
       Map("m" -> 8L, "ncent" -> 64L, "expand" -> 4L)),
-    Tier("ivfpq-resid-p2-rerank", 0.684, 101.1, (n, _) => 8.0 * 2.0 / nClusters(n),
+    Tier("ivfpq-resid-p2-rerank", 0.684, 97.4, (n, _) => 8.0 * 2.0 / nClusters(n),
       Map("nProbe" -> 2L, "m" -> 8L, "expand" -> 5L)),
-    Tier("hamming-rerank", 0.325, 7.0, (_, d) => d / 8.0,
+    Tier("hamming-rerank", 0.325, 8.4, (_, d) => d / 8.0,
       Map("expand" -> 4L)))
 
   def choose(n: Long, d: Int, recallTarget: Double,

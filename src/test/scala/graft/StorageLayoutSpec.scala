@@ -169,6 +169,38 @@ class StorageLayoutSpec extends AnyFunSuite {
       s"persisted PQ scan must not read raw vectors:\n$scan")
   }
 
+  test("projection index payload persists to parquet and serves identically after reload") {
+    // the r15 build/serve split's deployment claim end-to-end: the
+    // pcaAssign coarse column is what a 100 TB deployment PERSISTS —
+    // write it to parquet, reload, serve — results byte-identical to
+    // serving from the in-memory build, and the reloaded serve scans
+    // only (id, cvec), never the fp32 vec column
+    val dir = Files.createTempDirectory("graft_pcaidx").toString
+    import spark.implicits._
+    import graft.ops.Similarity
+    val vecs = Oracle.genVectors(600, 16)
+    val vdf = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("id", "vec")
+    val qdf = vecs.take(3).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toSeq.toDF("qid", "qv")
+    val model = Similarity.trainPca(vdf, 6)
+    Similarity.pcaAssign(vdf, model, materialize = false)
+      .write.mode("overwrite").parquet(dir)
+    def serve(index: org.apache.spark.sql.DataFrame) =
+      Similarity.pcaServeTopK(model, index, vdf, qdf, k = 10, expand = 4)
+        .orderBy("qid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val mem = serve(Similarity.pcaAssign(vdf, model))
+    val disk = serve(spark.read.parquet(dir))
+    assert(mem.toSeq === disk.toSeq)
+    // the persisted index is the 6-dim coarse column only — dOut/d of
+    // the fp32 bytes, and the reload reads no "vec"
+    val scan = spark.read.parquet(dir).select("id", "cvec")
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema") && !scan.contains("\"vec\""),
+      s"persisted projection index scan must not read raw vectors:\n$scan")
+  }
+
   test("round-6 text/dedup plans: no hot-key windows, no unbounded cross joins") {
     import spark.implicits._
     val docs = (0L until 200L)
