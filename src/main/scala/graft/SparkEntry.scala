@@ -1587,13 +1587,21 @@ object SparkEntry {
     // is only 1σ and flips on ~a third of windows; measured). The
     // sketch is deterministic for a fixed input set, so the boolean is
     // stable run-to-run (the q_hll_sketch convention).
+    // Two-level aggregation, NOT countDistinct-alongside-count: the
+    // single-groupBy form Expands every event ×2 before the shuffle
+    // (measured 13.8× wall at 10× data); grouping to (window, user)
+    // first rides a map-side combine, then the per-window rollup is
+    // exact (n_exact = row count, n_events = Σc) and the HLL estimate
+    // over the DISTINCT pairs has identical registers — HLL is a
+    // set function, so est is bit-identical to the raw-row form.
     "q_hll_windowed" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
       ev.select(window(col("ts"), "1 day").getField("start").as("w"),
           col("user_id"))
+        .groupBy(col("w"), col("user_id")).agg(count(lit(1)).as("c"))
         .groupBy(col("w"))
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_exact"),
+        .agg(sum(col("c")).as("n_events"),
+          count(lit(1)).as("n_exact"),
           approx_count_distinct(col("user_id"), 0.01).as("est"))
         .select(date_format(col("w"), "yyyy-MM-dd").as("day"),
           col("n_events"), col("n_exact"),
@@ -1768,6 +1776,16 @@ object SparkEntry {
     // the "what does this shard add?" streaming-curation signal)
     "text_novelty" -> { (s, dir) =>
       TextAnalysis.shingleNovelty(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // cross-source shingle-overlap matrix — Jaccard + both directed
+    // containments per source pair, the "is this dump already inside
+    // the curated set?" pre-mixing diagnostic. Per-shingle pair
+    // expansion is bounded by the SOURCE count (collect_set over
+    // sources, never documents), ratios as e6 integer witnesses
+    "q_source_overlap" -> { (s, dir) =>
+      Dedup.sourceOverlap(Tables(s, dir, "documents"), n = 3)
+        .orderBy("src_a", "src_b")
     },
 
     // Heaps'-law vocabulary-growth exponent along the ingest order —
@@ -4580,6 +4598,33 @@ object SparkEntry {
         |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
         |  ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS intercept
         |FROM a""".stripMargin,
+
+    // distinct (source, shingle) sets; the matrix joins the tiny
+    // per-source size table to the pair intersections; e6 witnesses
+    // quantize the three ratios identically on both engines
+    "q_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text,' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT source, s FROM (
+        |  SELECT source, UNNEST(list_distinct(list_transform(range(1, len(w)-1),
+        |    i -> w[i]||' '||w[i+1]||' '||w[i+2]))) AS s FROM t)),
+        |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+        |iv AS (SELECT a.source AS src_a, b.source AS src_b,
+        |         CAST(COUNT(*) AS BIGINT) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT sa.source AS src_a, sb.source AS src_b,
+        |  sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |  COALESCE(iv.inter, 0) AS inter,
+        |  CAST(FLOOR(CAST(COALESCE(iv.inter, 0) AS DOUBLE) /
+        |    CAST(sa.n_sh + sb.n_sh - COALESCE(iv.inter, 0) AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS jaccard_e6,
+        |  CAST(FLOOR(CAST(COALESCE(iv.inter, 0) AS DOUBLE) /
+        |    CAST(sa.n_sh AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS contain_a_e6,
+        |  CAST(FLOOR(CAST(COALESCE(iv.inter, 0) AS DOUBLE) /
+        |    CAST(sb.n_sh AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS contain_b_e6
+        |FROM sz sa JOIN sz sb ON sa.source < sb.source
+        |LEFT JOIN iv ON iv.src_a = sa.source AND iv.src_b = sb.source
+        |ORDER BY 1, 2""".stripMargin,
 
     "text_novelty" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),

@@ -559,6 +559,52 @@ object Dedup {
     compact.select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
   }
 
+  /** Cross-source shingle-overlap matrix — the diagnostic a curation
+    * team reads BEFORE mixing sources: Jaccard similarity of the two
+    * sources' distinct-shingle SETS, and both directed containments
+    * (how much of A's shingle set already sits inside B — a CommonCrawl
+    * dump vs a curated set question that doc-level dedup can't answer).
+    *
+    * Scale shape: one distinct (source, shingle) frame (Σ shingle
+    * volume, linear); per shingle the source SET via `collect_set`
+    * (bounded by the number of SOURCES — tens, never documents — so the
+    * pair expansion per shingle is a small constant, and the hottest
+    * boilerplate shingle contributes |S|² rows, not df² like a doc-pair
+    * join); pair intersections in one combiner shuffle; the matrix
+    * frame itself is |S|² rows — broadcast-sized by construction. All
+    * counts exact BIGINTs; ratios emitted as e6 integer witnesses
+    * (`floor(x·1e6 + 0.5)`, the q_kendall_tau convention) so no raw
+    * double crosses an engine boundary.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val ss = spread(docs)
+      .select(col("source"), tokens(col("text")).as("w"))
+      .select(col("source"),
+        explode(graft.functions.wordShingles(col("w"), n)).as("s"))
+      .distinct()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    // per-shingle source set → all ordered pairs via two codegen'd
+    // explodes (no interpreted lambda on the Σ-shingles-sized frame)
+    val pairs = ss.groupBy(col("s"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .select(col("srcs"), explode(col("srcs")).as("src_a"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("inter"))
+    val m = broadcast(sizes.select(col("source").as("src_a"), col("n_sh").as("n_a")))
+      .crossJoin(broadcast(sizes.select(col("source").as("src_b"), col("n_sh").as("n_b"))))
+      .filter(col("src_a") < col("src_b"))
+    def e6(x: Column) = floor(x * lit(1e6) + lit(0.5)).cast(LongType)
+    m.join(pairs, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("inter"),
+        e6(col("inter").cast(DoubleType) /
+          (col("n_a") + col("n_b") - col("inter")).cast(DoubleType)).as("jaccard_e6"),
+        e6(col("inter").cast(DoubleType) / col("n_a").cast(DoubleType)).as("contain_a_e6"),
+        e6(col("inter").cast(DoubleType) / col("n_b").cast(DoubleType)).as("contain_b_e6"))
+  }
+
   /** Drop shingles whose document frequency exceeds `maxDf` and recompute
     * the per-doc distinct-shingle count over the kept (informative)
     * universe. The guard against the hot-shingle pair blowup: a shingle-

@@ -272,6 +272,33 @@ class OpsSpec extends AnyFunSuite {
       rows(Similarity.rerankedTopK(vdf, qdf, 10, 4)))
   }
 
+  test("sourceOverlap: hand-computed Jaccard/containment matrix; zero-overlap pair present; repartition-invariant") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 3-gram sets by construction:
+    //   A: {a b c, b c d} (2)   B: {a b c, b c e} (2, shares 1 with A)
+    //   C: {x y z} (1, disjoint from both)
+    val docs = Seq(
+      (1L, "A", "a b c d"),
+      (2L, "B", "a b c"), (3L, "B", "b c e"),
+      (4L, "C", "x y z")).toDF("doc_id", "source", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      graft.ops.Dedup.sourceOverlap(d, n = 3)
+        .orderBy("src_a", "src_b").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    val got = run(docs)
+    def e6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val want = Seq(
+      // A-B: inter 1, union 3, contain_a 1/2, contain_b 1/2
+      ("A", "B", 2L, 2L, 1L, e6(1.0 / 3), e6(0.5), e6(0.5)),
+      // zero-overlap pairs still emit a row (the full matrix)
+      ("A", "C", 2L, 1L, 0L, 0L, 0L, 0L),
+      ("B", "C", 2L, 1L, 0L, 0L, 0L, 0L))
+    assert(got.toSeq === want)
+    assert(run(docs.repartition(5)).toSeq === want)
+  }
+
   test("SQ4 nibble packing: grid round-trip exact; odd dims; zero vector; error ≤ scale/2; ⌈d/2⌉ bytes") {
     val spark2 = spark
     import spark2.implicits._
