@@ -3836,6 +3836,16 @@ object SparkEntry {
       Multimodal.audioDecodeStats(Multimodal.audioMedia(ids))
         .orderBy("media_id")
     },
+    // audio QUALITY FILTER (the speech-corpus curation pass): silence
+    // fraction, clipping fraction, energy, peak per clip — real WAV
+    // decode, all-integer outputs (ppm fractions by integer division),
+    // oracle from the closed-form generator with zero tolerance
+    "multimodal_audio_quality" -> { (s, dir) =>
+      val ids = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0).select(col("doc_id").as("media_id"))
+      Multimodal.audioQualityStats(Multimodal.audioMedia(ids))
+        .orderBy("media_id")
+    },
     "multimodal_frame_sample" -> { (s, dir) =>
       val ids = Tables(s, dir, "documents")
         .filter(col("doc_id") % 10 === 0).select(col("doc_id").as("media_id"))
@@ -5556,6 +5566,28 @@ object SparkEntry {
         |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
         |  CAST(8000 AS INT) AS sample_rate,
         |  CAST(sa AS DOUBLE) / n AS mean_abs
+        |FROM agg ORDER BY media_id""".stripMargin,
+
+    // closed-form recomputation of the WAV quality counters; `//` is
+    // DuckDB integer division, matching the kernel's long division
+    "multimodal_audio_quality" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    800 + CAST(doc_id % 5 AS INT) * 100 AS n
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |s AS (SELECT media_id, n, UNNEST(range(n)) AS i FROM ids),
+        |v AS (SELECT media_id, n,
+        |    ABS((media_id * 131 + i * 17) % 4096 - 2048) AS a FROM s),
+        |agg AS (SELECT media_id, MIN(n) AS n,
+        |    SUM(CASE WHEN a < 256 THEN 1 ELSE 0 END) AS n_silent,
+        |    SUM(CASE WHEN a >= 2040 THEN 1 ELSE 0 END) AS n_clipped,
+        |    SUM(a * a) AS energy, MAX(a) AS peak
+        |  FROM v GROUP BY media_id)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n_silent AS BIGINT) AS n_silent,
+        |  CAST(n_clipped AS BIGINT) AS n_clipped,
+        |  CAST(energy AS BIGINT) AS energy, CAST(peak AS INT) AS peak,
+        |  CAST((n_silent * 1000000) // n AS BIGINT) AS silence_ppm,
+        |  CAST((n_clipped * 1000000) // n AS BIGINT) AS clip_ppm
         |FROM agg ORDER BY media_id""".stripMargin,
 
     "multimodal_frame_sample" ->

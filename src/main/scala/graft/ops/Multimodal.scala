@@ -540,6 +540,72 @@ object Multimodal {
     spark.createDataFrame(out, audioStatSchema)
   }
 
+  /** Per-sample quality counters off one decode pass: (n, nSilent,
+    * nClipped, energy = Σ s², peak = max |s|). All integers — silence
+    * and clipping counts against |s| thresholds, energy bounded by
+    * n·2¹⁵² well inside a long at any clip length this corpus grows to.
+    */
+  def decodeWavQuality(wav: Array[Byte], silenceThresh: Int,
+                       clipThresh: Int): (Long, Long, Long, Long, Int) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+      s"unexpected WAV format: $fmt")
+    val raw = ais.readAllBytes()
+    val n = raw.length / 2
+    var silent = 0L; var clipped = 0L; var energy = 0L; var peak = 0
+    var i = 0
+    while (i < n) {
+      val s = ((raw(i * 2) & 0xFF) | (raw(i * 2 + 1).toInt << 8)).toShort.toInt
+      val a = math.abs(s)
+      if (a < silenceThresh) silent += 1
+      if (a >= clipThresh) clipped += 1
+      energy += s.toLong * s
+      if (a > peak) peak = a
+      i += 1
+    }
+    (n.toLong, silent, clipped, energy, peak)
+  }
+
+  private val audioQualitySchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("n_silent", LongType, nullable = false),
+    StructField("n_clipped", LongType, nullable = false),
+    StructField("energy", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("silence_ppm", LongType, nullable = false),
+    StructField("clip_ppm", LongType, nullable = false)))
+
+  /** Audio QUALITY FILTER features — the speech-corpus curation pass
+    * (silence-dominated and clipped recordings are the two standard
+    * drop rules): per clip, silence fraction (|s| < `silenceThresh`),
+    * clipping fraction (|s| ≥ `clipThresh`), total energy, peak. Real
+    * WAV decode in batched mapPartitions (the [[audioDecodeStats]]
+    * seam — binary payloads never shuffle, stats are a narrow pass);
+    * every output is an exact integer (fractions as ppm via integer
+    * division), so the oracle recomputes the whole frame from the
+    * closed-form generator with zero float tolerance.
+    */
+  def audioQualityStats(media: DataFrame, silenceThresh: Int = 256,
+                        clipThresh: Int = 2040,
+                        batchSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("media_id"), col("payload"))
+      .rdd.mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { row =>
+            val (n, silent, clipped, energy, peak) =
+              decodeWavQuality(row.getAs[Array[Byte]](1), silenceThresh, clipThresh)
+            Row(row.getLong(0), n, silent, clipped, energy, peak,
+              silent * 1000000L / n, clipped * 1000000L / n)
+          }
+        }
+      }
+    spark.createDataFrame(out, audioQualitySchema)
+  }
+
   private val frameStatSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("frame_idx", IntegerType, nullable = false),

@@ -272,6 +272,25 @@ class OpsSpec extends AnyFunSuite {
       rows(Similarity.rerankedTopK(vdf, qdf, 10, 4)))
   }
 
+  test("audioQualityStats: real-WAV decode counters == closed-form recomputation, all-integer") {
+    import graft.ops.Multimodal
+    for (id <- Seq(0L, 3L, 7L, 97L)) {
+      val wav = Multimodal.makeWav(id)
+      val (n, silent, clipped, energy, peak) =
+        Multimodal.decodeWavQuality(wav, silenceThresh = 256, clipThresh = 2040)
+      val want = (0 until Multimodal.audioN(id)).map(i => Multimodal.sample(id, i))
+      assert(n === want.size.toLong)
+      assert(silent === want.count(s => math.abs(s) < 256).toLong)
+      assert(clipped === want.count(s => math.abs(s) >= 2040).toLong)
+      assert(energy === want.map(s => s.toLong * s).sum)
+      assert(peak === want.map(math.abs).max)
+    }
+    // the fixture actually exercises both rules (non-degenerate fractions)
+    val (n0, s0, c0, _, _) = Multimodal.decodeWavQuality(
+      Multimodal.makeWav(0L), 256, 2040)
+    assert(s0 > 0 && s0 < n0 && c0 > 0 && c0 < n0)
+  }
+
   test("sourceOverlap: hand-computed Jaccard/containment matrix; zero-overlap pair present; repartition-invariant") {
     val spark2 = spark
     import spark2.implicits._
