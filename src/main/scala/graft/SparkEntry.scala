@@ -3836,6 +3836,17 @@ object SparkEntry {
       Multimodal.audioDecodeStats(Multimodal.audioMedia(ids))
         .orderBy("media_id")
     },
+    // image QUALITY FILTER (the LAION-class curation pass): aspect,
+    // exposure extremes, flat-raster verdicts — real PNG decode, exact
+    // integer outputs incl. the variance NUMERATOR n·Σg²−(Σg)² (no
+    // division, no doubles anywhere), zero-tolerance oracle
+    "multimodal_image_quality" -> { (s, dir) =>
+      val ids = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0).select(col("doc_id").as("media_id"))
+      Multimodal.imageQualityStats(Multimodal.imageMedia(ids))
+        .orderBy("media_id")
+    },
+
     // audio QUALITY FILTER (the speech-corpus curation pass): silence
     // fraction, clipping fraction, energy, peak per clip — real WAV
     // decode, all-integer outputs (ppm fractions by integer division),
@@ -5566,6 +5577,32 @@ object SparkEntry {
         |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
         |  CAST(8000 AS INT) AS sample_rate,
         |  CAST(sa AS DOUBLE) / n AS mean_abs
+        |FROM agg ORDER BY media_id""".stripMargin,
+
+    // closed-form recomputation of the PNG quality counters — exact
+    // integer sums/variance numerator, boolean verdicts from the same
+    // integer compares the kernel performs
+    "multimodal_image_quality" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    16 + CAST(doc_id % 3 AS INT) * 4 AS w,
+        |    12 + CAST(doc_id % 2 AS INT) * 4 AS h
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |xs AS (SELECT media_id, w, h, UNNEST(range(w)) AS x FROM ids),
+        |ps AS (SELECT media_id, w, h, x, UNNEST(range(h)) AS y FROM xs),
+        |v AS (SELECT media_id, w, h,
+        |    (media_id * 31 + x * 7 + y * 13) % 256 AS g FROM ps),
+        |agg AS (SELECT media_id, MIN(w) AS w, MIN(h) AS h,
+        |    SUM(g) AS sg, SUM(g * g) AS sg2,
+        |    MIN(g) AS mn, MAX(g) AS mx
+        |  FROM v GROUP BY media_id)
+        |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST((w * 1000000) // h AS BIGINT) AS aspect_ppm,
+        |  CAST(sg AS BIGINT) AS sum_g,
+        |  CAST(w * h * sg2 - sg * sg AS BIGINT) AS var_num,
+        |  CAST(mn AS INT) AS min_g, CAST(mx AS INT) AS max_g,
+        |  (w * h * sg2 - sg * sg = 0) AS is_flat,
+        |  (sg < 32 * w * h) AS is_dark,
+        |  (sg >= 224 * w * h) AS is_bright
         |FROM agg ORDER BY media_id""".stripMargin,
 
     // closed-form recomputation of the WAV quality counters; `//` is

@@ -568,6 +568,71 @@ object Multimodal {
     (n.toLong, silent, clipped, energy, peak)
   }
 
+  /** Per-pixel quality counters off one decode pass: (w, h, Σg, Σg²,
+    * min g, max g) — all exact integers from the gray raster. */
+  def decodePngQuality(png: Array[Byte]): (Int, Int, Long, Long, Int, Int) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val r = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    var sg = 0L; var sg2 = 0L; var mn = 255; var mx = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = r.getSample(x, y, 0)
+        sg += g; sg2 += g.toLong * g
+        if (g < mn) mn = g
+        if (g > mx) mx = g
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, sg, sg2, mn, mx)
+  }
+
+  private val imageQualitySchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("aspect_ppm", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("var_num", LongType, nullable = false),
+    StructField("min_g", IntegerType, nullable = false),
+    StructField("max_g", IntegerType, nullable = false),
+    StructField("is_flat", BooleanType, nullable = false),
+    StructField("is_dark", BooleanType, nullable = false),
+    StructField("is_bright", BooleanType, nullable = false)))
+
+  /** Image QUALITY FILTER features — the image-corpus curation pass
+    * (LAION-class pipelines drop by resolution/aspect, exposure
+    * extremes, and flat/low-information rasters): per image, aspect
+    * ratio (ppm by integer division), exact gray sum, the exact
+    * variance NUMERATOR n·Σg² − (Σg)² (variance = num / n², but the
+    * numerator is the integer that needs no division), min/max, and
+    * the three drop verdicts — flat (zero variance), dark (mean < 32
+    * ⟺ Σg < 32·n, exact), bright (mean ≥ 224). Real PNG decode in the
+    * batched mapPartitions seam; every column is an exact integer or
+    * a boolean derived from integer compares, so the closed-form
+    * oracle matches with zero tolerance.
+    */
+  def imageQualityStats(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("media_id"), col("payload"))
+      .rdd.mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { row =>
+            val (w, h, sg, sg2, mn, mx) =
+              decodePngQuality(row.getAs[Array[Byte]](1))
+            val n = w.toLong * h
+            val varNum = n * sg2 - sg * sg
+            Row(row.getLong(0), w, h, w.toLong * 1000000L / h, sg, varNum,
+              mn, mx, varNum == 0L, sg < 32L * n, sg >= 224L * n)
+          }
+        }
+      }
+    spark.createDataFrame(out, imageQualitySchema)
+  }
+
   private val audioQualitySchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_samples", LongType, nullable = false),

@@ -272,6 +272,29 @@ class OpsSpec extends AnyFunSuite {
       rows(Similarity.rerankedTopK(vdf, qdf, 10, 4)))
   }
 
+  test("imageQualityStats: real-PNG decode counters == closed-form recomputation; flat image flags") {
+    import graft.ops.Multimodal
+    for (id <- Seq(0L, 5L, 11L)) {
+      val (w, h, sg, sg2, mn, mx) = Multimodal.decodePngQuality(Multimodal.makePng(id))
+      assert(w === Multimodal.imgW(id) && h === Multimodal.imgH(id))
+      val px = for (y <- 0 until h; x <- 0 until w) yield Multimodal.pixel(id, x, y)
+      assert(sg === px.map(_.toLong).sum)
+      assert(sg2 === px.map(g => g.toLong * g).sum)
+      assert(mn === px.min && mx === px.max)
+    }
+    // a constant raster is flagged flat (and dark at g = 3): encode one
+    // by hand through the same PNG path
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8) img.getRaster.setSample(x, y, 0, 3)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (w, h, sg, sg2, _, _) = Multimodal.decodePngQuality(bos.toByteArray)
+    val n = w.toLong * h
+    assert(n * sg2 - sg * sg === 0L) // is_flat
+    assert(sg < 32L * n)             // is_dark
+  }
+
   test("audioQualityStats: real-WAV decode counters == closed-form recomputation, all-integer") {
     import graft.ops.Multimodal
     for (id <- Seq(0L, 3L, 7L, 97L)) {
