@@ -3836,6 +3836,17 @@ object SparkEntry {
       Multimodal.audioDecodeStats(Multimodal.audioMedia(ids))
         .orderBy("media_id")
     },
+    // video TEMPORAL quality (static-clip drop + scene-cut density):
+    // mean-gray jumps across frame boundaries compared by EXACT
+    // cross-multiplication (frames change dims in this corpus), all
+    // BIGINT — real container+PNG decode, zero-tolerance oracle
+    "multimodal_video_temporal" -> { (s, dir) =>
+      val ids = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 0).select(col("doc_id").as("media_id"))
+      Multimodal.videoTemporalStats(Multimodal.videoMedia(ids))
+        .orderBy("media_id")
+    },
+
     // image QUALITY FILTER (the LAION-class curation pass): aspect,
     // exposure extremes, flat-raster verdicts — real PNG decode, exact
     // integer outputs incl. the variance NUMERATOR n·Σg²−(Σg)² (no
@@ -5578,6 +5589,34 @@ object SparkEntry {
         |  CAST(8000 AS INT) AS sample_rate,
         |  CAST(sa AS DOUBLE) / n AS mean_abs
         |FROM agg ORDER BY media_id""".stripMargin,
+
+    // per-frame sums from the generator formula, frame-boundary jumps
+    // via LAG over each video's own (tiny) frame spine, the SAME exact
+    // cross-multiplied integer compare the kernel performs
+    "multimodal_video_temporal" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    3 + CAST(doc_id % 3 AS INT) AS nf
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |fr AS (SELECT media_id, UNNEST(range(nf)) AS f FROM ids),
+        |sel AS (SELECT media_id, f, media_id * 1000 + f AS fid FROM fr),
+        |dims AS (SELECT media_id, f, fid,
+        |    16 + CAST(fid % 3 AS INT) * 4 AS w,
+        |    12 + CAST(fid % 2 AS INT) * 4 AS h FROM sel),
+        |xs AS (SELECT media_id, f, fid, w, h, UNNEST(range(w)) AS x FROM dims),
+        |ps AS (SELECT media_id, f, fid, w, h, x, UNNEST(range(h)) AS y FROM xs),
+        |agg AS (SELECT media_id, f, w * h AS n,
+        |    SUM((fid * 31 + x * 7 + y * 13) % 256) AS sg
+        |  FROM ps GROUP BY media_id, f, w, h),
+        |d AS (SELECT media_id, f, n, sg,
+        |    LAG(n) OVER (PARTITION BY media_id ORDER BY f) AS pn,
+        |    LAG(sg) OVER (PARTITION BY media_id ORDER BY f) AS psg
+        |  FROM agg)
+        |SELECT media_id, CAST(COUNT(*) AS INT) AS n_frames,
+        |  CAST(SUM(CASE WHEN pn IS NOT NULL
+        |    AND ABS(sg * pn - psg * n) >= 8 * n * pn THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |  (SUM(CASE WHEN pn IS NOT NULL
+        |    AND sg * pn - psg * n <> 0 THEN 1 ELSE 0 END) = 0) AS is_static
+        |FROM d GROUP BY media_id ORDER BY media_id""".stripMargin,
 
     // closed-form recomputation of the PNG quality counters — exact
     // integer sums/variance numerator, boolean verdicts from the same

@@ -389,6 +389,50 @@ object Multimodal {
     }
   }
 
+  private val videoTemporalSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("n_cuts", LongType, nullable = false),
+    StructField("is_static", BooleanType, nullable = false)))
+
+  /** Video TEMPORAL quality — the video-corpus curation pass (drop
+    * static clips, count scene cuts for sampling density): per video,
+    * the number of frame boundaries whose mean-gray jump is ≥
+    * `cutThresh` levels, and whether every boundary is a zero jump
+    * (static). Frames may change dimensions, so the mean comparison
+    * cross-multiplies EXACTLY — |sg_f·n_{f−1} − sg_{f−1}·n_f| vs
+    * cutThresh·n_f·n_{f−1}, all BIGINT — no float ever forms. Real
+    * container+PNG decode per video inside the batched seam; each
+    * video's frame loop is bounded by its own frame count (the
+    * sampleFrames shape), videos never shuffle.
+    */
+  def videoTemporalStats(media: DataFrame, cutThresh: Int = 8,
+                         batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select(col("media_id"), col("payload"))
+      .rdd.mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { row =>
+            val frames = sampleFrames(row.getAs[Array[Byte]](1), stride = 1)
+            var cuts = 0L
+            var static = true
+            var i = 1
+            while (i < frames.size) {
+              val (_, w0, h0, sg0) = frames(i - 1)
+              val (_, w1, h1, sg1) = frames(i)
+              val (n0, n1) = (w0.toLong * h0, w1.toLong * h1)
+              val diff = math.abs(sg1 * n0 - sg0 * n1)
+              if (diff != 0L) static = false
+              if (diff >= cutThresh.toLong * n0 * n1) cuts += 1
+              i += 1
+            }
+            Row(row.getLong(0), frames.size, cuts, static)
+          }
+        }
+      }
+    spark.createDataFrame(out, videoTemporalSchema)
+  }
+
   private val imageStatSchema = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("width", IntegerType, nullable = false),

@@ -272,6 +272,44 @@ class OpsSpec extends AnyFunSuite {
       rows(Similarity.rerankedTopK(vdf, qdf, 10, 4)))
   }
 
+  test("videoTemporalStats: cut/static verdicts == scalar recomputation; a constant-frame video is static") {
+    import graft.ops.Multimodal
+    // scalar recomputation over the real container for a few ids
+    for (id <- Seq(0L, 4L, 8L)) {
+      val frames = Multimodal.sampleFrames(Multimodal.makeVideo(id), stride = 1)
+      var cuts = 0L; var static = true
+      for (i <- 1 until frames.size) {
+        val (_, w0, h0, sg0) = frames(i - 1)
+        val (_, w1, h1, sg1) = frames(i)
+        val diff = math.abs(sg1 * (w0.toLong * h0) - sg0 * (w1.toLong * h1))
+        if (diff != 0L) static = false
+        if (diff >= 8L * w0 * h0 * w1 * h1) cuts += 1
+      }
+      assert(frames.size === Multimodal.videoFrames(id))
+      // engine path agrees (single-row frame)
+      val spark2 = spark
+      import spark2.implicits._
+      val got = Multimodal.videoTemporalStats(
+          Seq((id, Multimodal.makeVideo(id))).toDF("media_id", "payload"))
+        .head()
+      assert(got.getInt(1) === frames.size)
+      assert(got.getLong(2) === cuts)
+      assert(got.getBoolean(3) === static)
+    }
+    // hand-built container repeating ONE frame → zero cuts, static
+    val png = Multimodal.makePng(7L)
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(0x47465631); out.writeInt(3)
+    for (_ <- 0 until 3) { out.writeInt(png.length); out.write(png) }
+    val spark2 = spark
+    import spark2.implicits._
+    val st = Multimodal.videoTemporalStats(
+        Seq((7L, bos.toByteArray)).toDF("media_id", "payload"))
+      .head()
+    assert(st.getLong(2) === 0L && st.getBoolean(3))
+  }
+
   test("imageQualityStats: real-PNG decode counters == closed-form recomputation; flat image flags") {
     import graft.ops.Multimodal
     for (id <- Seq(0L, 5L, 11L)) {
