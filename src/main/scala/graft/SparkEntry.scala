@@ -1012,6 +1012,30 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // SEMANTIC eval-set decontamination — the embedding-space companion
+    // to the n-gram [[Dedup.contamination]] above: paraphrased or
+    // lightly-edited eval leakage that shares no verbatim 8-gram still
+    // sits next to its source in embedding space. For each held-out eval
+    // vector (the % 97 split), its top-5 nearest TRAIN vectors by cosine
+    // — the rows a curator audits and drops before training. Plan shape:
+    // the eval side is broadcast (a real eval set is a few thousand
+    // rows, fixed as the corpus grows — the gate's % split ties it to n
+    // only for oracle-ability, the ann_ivf nCents convention), the train
+    // corpus is scanned ONCE with the codegen cosine kernel, and the
+    // k-bounded topK aggregate combines map-side — no shuffle wider than
+    // nEval·k rows at any corpus size.
+    "dedup_decontam_semantic" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val evalQ = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val train = e.filter(col("vec_id") % 97 =!= 0)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bruteForceTopK(train, evalQ, k = 5, metric = "cosine")
+        .select(col("qid").as("eval_id"), col("rank"),
+          col("label").as("train_id"), round(col("score"), 6).as("cos"))
+        .orderBy("eval_id", "rank")
+    },
+
     // sequence packing: concat-and-chunk docs into 2048-token training
     // sequences, packed per language stream (parallel by lang; the chunk
     // id is a running-token-count prefix sum — deterministic order)
@@ -2252,6 +2276,34 @@ object SparkEntry {
         .orderBy("nationkey")
     },
 
+    // exact MODE per group with a deterministic tie policy (most frequent
+    // o_orderpriority per order month; ties → lexicographically smallest
+    // mode). Shape: one combiner-friendly groupBy to the (month, priority)
+    // frequency table — the only corpus-wide pass — then a row_number
+    // window whose partitions are bounded by the mode-domain size (≤ 5
+    // rows each), the always-safe window class. The frequency share
+    // quantizes through exact BIGINT arithmetic
+    // (floor(cnt·1e6/total + 1/2) as integer ops), never a ROUND(double)
+    // — the boundary-proof emission convention.
+    "q_mode_by_group" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val freq = Tables(s, dir, "orders")
+        .groupBy(trunc(col("o_orderdate"), "month").as("order_month"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("order_month"))
+        .orderBy(col("cnt").desc, col("o_orderpriority"))
+      val tot = Window.partitionBy(col("order_month"))
+      freq
+        .withColumn("rn", row_number().over(w))
+        .withColumn("total", sum(col("cnt")).over(tot))
+        .filter(col("rn") === 1)
+        .select(col("order_month"), col("o_orderpriority").as("mode_priority"),
+          col("cnt").as("mode_count"),
+          expr("(cnt * 2000000 + total) div (total * 2)").as("share_e6"))
+        .orderBy("order_month")
+    },
+
     // cumulative window (running decimal sum → exact)
     "q_running_sum" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -2277,6 +2329,32 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"),
           (sum(dec(col("o_totalprice"))).over(w).cast(DoubleType) / count(lit(1)).over(w))
             .as("avg3"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // EXACT rolling median over a 7-row sliding frame — the robust
+    // moving-average companion (a single fat-finger order perturbs avg3
+    // above; the median shrugs it off). Only full frames emit, so the
+    // median is always the 4th of 7 sorted DECIMAL values — an actual
+    // data value, no interpolation, no engine-defined even-count
+    // semantics; the decimal→double cast is correctly rounded on both
+    // engines. Shape: the frame is 7 rows by construction, so the
+    // collect+sort per row is O(7 log 7) — the bounded-frame window
+    // class (same safety argument as q_moving_avg), NEVER a
+    // percentile over an unbounded partition.
+    "q_rolling_median" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-6, Window.currentRow)
+      Tables(s, dir, "orders")
+        .filter(col("o_custkey") <= 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sort_array(collect_list(dec(col("o_totalprice"))).over(w)).as("win"),
+          count(lit(1)).over(w).as("nwin"))
+        .filter(col("nwin") === 7)
+        .select(col("o_custkey"), col("o_orderkey"),
+          element_at(col("win"), 4).cast(DoubleType).as("med7"))
         .orderBy("o_custkey", "o_orderkey")
     },
 
@@ -2429,6 +2507,52 @@ object SparkEntry {
             .as("corr_qty_price"),
           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).as("slope"))
         .orderBy("l_returnflag")
+    },
+
+    // Lag-k autocorrelation (k = 1..7) of the daily order-revenue
+    // series — the time-series health check behind ingestion-drift
+    // dashboards (a strong lag-7 says weekly seasonality; a lag-1
+    // collapse says the feed went bursty). The ONLY corpus-wide pass is
+    // the daily groupBy (combiner-friendly, output bounded by the date
+    // domain); the series frame is ≤ a-few-thousand rows at ANY corpus
+    // size, so the lag self-join is broadcast-sized by construction.
+    // Exactness: daily revenue re-quantizes to DECIMAL(18,2) (document
+    // corpora sum < 10^16 per day), lagged products sum in
+    // DECIMAL(38,4), and the Pearson expansion is the q_corr_stats
+    // shared-expression-tree convention; the emission quantizes through
+    // the floor(r·1e6 + 0.5) BIGINT witness, never ROUND(double).
+    "q_autocorr" -> { (s, dir) =>
+      val d38 = DecimalType(38, 4)
+      val daily = Tables(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast(DateType).as("d"))
+        .agg(sum(dec(col("o_totalprice"))).cast(DecimalType(18, 2)).as("rev"))
+      val lags = s.range(1, 8).select(col("id").cast(IntegerType).as("lag"))
+      val x = daily.select(col("d"), col("rev").as("xr"))
+      val y = daily.select(col("d").as("dy"), col("rev").as("yr"))
+      val pairs = x.crossJoin(broadcast(lags))
+        .join(y, date_add(col("d"), col("lag")) === col("dy"))
+      val agg = pairs.groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("xr").cast(d38)).as("sx"),
+          sum(col("yr").cast(d38)).as("sy"),
+          sum((col("xr") * col("yr")).cast(d38)).as("sxy"),
+          sum((col("xr") * col("xr")).cast(d38)).as("sxx"),
+          sum((col("yr") * col("yr")).cast(d38)).as("syy"))
+      val n = col("n_pairs").cast(DoubleType)
+      val sx = col("sx").cast(DoubleType)
+      val sy = col("sy").cast(DoubleType)
+      val sxy = col("sxy").cast(DoubleType)
+      val sxx = col("sxx").cast(DoubleType)
+      val syy = col("syy").cast(DoubleType)
+      val r = (n * sxy - sx * sy) /
+        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      agg
+        .filter(col("n_pairs") >= 2 &&
+          (n * sxx - sx * sx) > 0.0 && (n * syy - sy * sy) > 0.0)
+        .select(col("lag").cast(LongType).as("lag"), col("n_pairs"),
+          floor(r * lit(1e6) + lit(0.5)).cast(LongType).as("ac_e6"))
+        .withColumn("ac", col("ac_e6").cast(DoubleType) / 1e6)
+        .orderBy("lag")
     },
 
     // Spearman rank correlation (exact, tie-aware midranks) — the
@@ -3587,6 +3711,34 @@ object SparkEntry {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")
+    },
+
+    // Benford first-significant-digit audit of the money column — the
+    // classic fabricated-data detector (synthetic/duplicated numeric
+    // feeds flunk it; organic multiplicative data passes). The digit
+    // comes from the DECIMAL's canonical string head (prices ≥ 1, so no
+    // leading zero; NO log10 — libm log rounding differs across engines
+    // at power-of-ten boundaries, and this needs only the digit).
+    // Everything emitted is exact BIGINT arithmetic: observed share and
+    // its deviation from Benford's law quantize as
+    // floor(x·1e6 + 1/2) = (2·n·1e6 + total) div (2·total), and the
+    // expected shares are 6-dp literal constants in BOTH engines.
+    // Shape: one map-side-combined groupBy onto ≤ 9 rows.
+    "q_benford" -> { (s, dir) =>
+      val expected = typedlit(Seq(301030L, 176091L, 124939L, 96910L,
+        79181L, 66947L, 57992L, 51153L, 45757L))
+      Tables(s, dir, "lineitem")
+        .select(substring(dec(col("l_extendedprice")).cast(StringType), 1, 1)
+          .cast(LongType).as("digit"))
+        .groupBy(col("digit"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over())
+        .withColumn("share_e6", expr("(n * 2000000 + total) div (total * 2)"))
+        .withColumn("benford_e6",
+          element_at(expected, col("digit").cast(IntegerType)))
+        .select(col("digit"), col("n"), col("share_e6"), col("benford_e6"),
+          (col("share_e6") - col("benford_e6")).as("dev_e6"))
+        .orderBy("digit")
     },
 
     // stratified sampling: a fixed quota per language, rows chosen by a
@@ -6356,6 +6508,24 @@ object SparkEntry {
          |ORDER BY t.doc_id""".stripMargin
     },
 
+    "dedup_decontam_semantic" ->
+      """WITH q AS (SELECT vec_id AS eval_id, embedding AS qv
+        |  FROM embeddings WHERE vec_id % 97 = 0),
+        |t AS (SELECT vec_id AS train_id, embedding AS v
+        |  FROM embeddings WHERE vec_id % 97 <> 0),
+        |p AS (SELECT q.eval_id, t.train_id,
+        |  list_sum(list_transform(list_zip(q.qv, t.v),
+        |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
+        |  (SQRT(list_sum(list_transform(q.qv, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) *
+        |   SQRT(list_sum(list_transform(t.v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))) AS score
+        |  FROM q CROSS JOIN t),
+        |r AS (SELECT eval_id, train_id, score,
+        |  row_number() OVER (PARTITION BY eval_id ORDER BY score DESC, train_id) AS rank
+        |  FROM p WHERE NOT isnan(score))
+        |SELECT eval_id, rank, train_id, ROUND(score, 6) AS cos
+        |FROM r WHERE rank <= 5
+        |ORDER BY eval_id, rank""".stripMargin,
+
     "text_simhash" -> {
       val sums = (0 until 16)
         .map(b => s"SUM(${Dedup.simhashBitSql(b, "//")}) AS s$b").mkString(", ")
@@ -6955,6 +7125,22 @@ object SparkEntry {
         |GROUP BY c_nationkey
         |ORDER BY nationkey""".stripMargin,
 
+    "q_mode_by_group" ->
+      """WITH f AS (
+        |  SELECT date_trunc('month', o_orderdate)::DATE AS order_month,
+        |    o_orderpriority, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (
+        |  SELECT order_month, o_orderpriority, cnt,
+        |    row_number() OVER (PARTITION BY order_month
+        |      ORDER BY cnt DESC, o_orderpriority) AS rn,
+        |    SUM(cnt) OVER (PARTITION BY order_month) AS total
+        |  FROM f)
+        |SELECT order_month, o_orderpriority AS mode_priority, cnt AS mode_count,
+        |  CAST((cnt * 2000000 + total) // (total * 2) AS BIGINT) AS share_e6
+        |FROM r WHERE rn = 1
+        |ORDER BY order_month""".stripMargin,
+
     "q_running_sum" ->
       """SELECT o_custkey, o_orderkey,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_spend,
@@ -6971,6 +7157,18 @@ object SparkEntry {
         |FROM orders WHERE o_custkey <= 200
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_rolling_median" ->
+      """WITH t AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    list_sort(list(CAST(o_totalprice AS DECIMAL(18,2))) OVER w) AS win,
+        |    COUNT(*) OVER w AS nwin
+        |  FROM orders WHERE o_custkey <= 200
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT o_custkey, o_orderkey, CAST(win[4] AS DOUBLE) AS med7
+        |FROM t WHERE nwin = 7
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_ntile_rank" ->
@@ -7081,6 +7279,44 @@ object SparkEntry {
         |    AS slope
         |FROM m
         |ORDER BY l_returnflag""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT o_orderdate::DATE AS d,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1),
+        |lags AS (SELECT UNNEST(range(1, 8)) AS lag),
+        |p AS (
+        |  SELECT l.lag, x.rev AS xr, y.rev AS yr
+        |  FROM lags l
+        |  CROSS JOIN daily x
+        |  JOIN daily y ON y.d = x.d + CAST(l.lag AS INT)),
+        |m AS (
+        |  SELECT lag, COUNT(*) AS n_pairs,
+        |    SUM(CAST(xr AS DECIMAL(38,4))) AS sx,
+        |    SUM(CAST(yr AS DECIMAL(38,4))) AS sy,
+        |    SUM(CAST(CAST(xr AS DECIMAL(19,2)) * CAST(yr AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS sxy,
+        |    SUM(CAST(CAST(xr AS DECIMAL(19,2)) * CAST(xr AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS sxx,
+        |    SUM(CAST(CAST(yr AS DECIMAL(19,2)) * CAST(yr AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS syy
+        |  FROM p GROUP BY lag),
+        |e AS (
+        |  SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+        |    CAST(n_pairs AS DOUBLE) AS n,
+        |    CAST(sx AS DOUBLE) AS dsx, CAST(sy AS DOUBLE) AS dsy,
+        |    CAST(sxy AS DOUBLE) AS dsxy, CAST(sxx AS DOUBLE) AS dsxx,
+        |    CAST(syy AS DOUBLE) AS dsyy
+        |  FROM m)
+        |SELECT lag, n_pairs,
+        |  CAST(FLOOR((n * dsxy - dsx * dsy)
+        |    / SQRT((n * dsxx - dsx * dsx) * (n * dsyy - dsy * dsy))
+        |    * 1e6 + 0.5) AS BIGINT) AS ac_e6,
+        |  CAST(FLOOR((n * dsxy - dsx * dsy)
+        |    / SQRT((n * dsxx - dsx * dsx) * (n * dsyy - dsy * dsy))
+        |    * 1e6 + 0.5) AS BIGINT) / 1e6 AS ac
+        |FROM e
+        |WHERE n_pairs >= 2 AND (n * dsxx - dsx * dsx) > 0.0
+        |  AND (n * dsyy - dsy * dsy) > 0.0
+        |ORDER BY lag""".stripMargin,
 
     // per-key frequency tables; quantile_disc = the engine's ceil(q·n)
     // discrete convention (the documented equivalence)
@@ -7533,6 +7769,21 @@ object SparkEntry {
         |FROM orders
         |GROUP BY 1
         |ORDER BY bucket""".stripMargin,
+
+    "q_benford" ->
+      """WITH c AS (
+        |  SELECT CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT digit, n, SUM(n) OVER () AS total FROM c),
+        |b(digit, benford_e6) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
+        |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
+        |SELECT t.digit, t.n,
+        |  CAST((t.n * 2000000 + t.total) // (t.total * 2) AS BIGINT) AS share_e6,
+        |  CAST(b.benford_e6 AS BIGINT) AS benford_e6,
+        |  CAST((t.n * 2000000 + t.total) // (t.total * 2) - b.benford_e6 AS BIGINT) AS dev_e6
+        |FROM t JOIN b ON t.digit = b.digit
+        |ORDER BY t.digit""".stripMargin,
 
     "q_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
