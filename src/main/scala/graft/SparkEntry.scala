@@ -1920,6 +1920,42 @@ object SparkEntry {
         .orderBy("qid")
     },
 
+    // nDCG@10 of the IVF serve path against the exact ranking — the
+    // position-weighted retrieval-quality companion to
+    // q_eval_recall_mrr (recall counts hits; nDCG also charges for
+    // putting them in the wrong order). Graded relevance = 11 − exact
+    // rank; the 1/log2(i+1) position discounts are 6-dp integer LITERAL
+    // constants in both engines (no runtime libm log in the hash path),
+    // so DCG and nDCG reduce to exact BIGINT sums and one integer
+    // division — IDCG is the closed-form 29 966 114 (all ten exact
+    // items in exact order). Plan shape: both rankings are the bounded
+    // nq·k frames the ANN family already produces; everything after is
+    // arithmetic on ≤ 80 rows.
+    "q_eval_ndcg" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val exact = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
+        .select(col("qid"), col("rank").as("erank"), col("label"))
+      val approx = Similarity.ivfTopK(vectors, queries, k = 10,
+          centroidModulo = 40, nProbe = 2)
+        .select(col("qid"), col("rank").as("arank"), col("label"))
+      val wts = typedlit(Seq(1000000L, 630930L, 500000L, 430677L, 386853L,
+        356207L, 333333L, 315465L, 301030L, 289065L))
+      val rel = approx.join(exact, Seq("qid", "label"), "left")
+        .select(col("qid"), col("arank"),
+          coalesce(lit(11L) - col("erank"), lit(0L)).as("rel"))
+      val d = rel
+        .withColumn("w_e6", element_at(wts, col("arank").cast(IntegerType)))
+        .groupBy(col("qid")).agg(sum(col("rel") * col("w_e6")).as("dcg"))
+      queries.select(col("qid")).join(d, Seq("qid"), "left")
+        .select(col("qid"),
+          coalesce(col("dcg"), lit(0L)).as("dcg_e6"),
+          expr("(coalesce(dcg, 0) * 1000000) div 29966114").as("ndcg_e6"))
+        .orderBy("qid")
+    },
+
     // IVF over SQ8 storage (FAISS "IVF…,SQ8" factory composite): coarse
     // pruning scans nProbe/nClusters of the corpus AND each scanned record
     // is 4× smaller (int8 codes + scale, decoded in-register). Assignment
@@ -3030,6 +3066,48 @@ object SparkEntry {
         .orderBy("qid")
     },
 
+    // kNN label-noise audit (confident-learning style, Northcutt 2021's
+    // kNN baseline): for each audited vector, do its 10 nearest
+    // neighbors' labels out-vote its own? A `suspect` row is the classic
+    // mislabeled-example signature curators re-annotate before
+    // training. The audited set is a deterministic % sample (real
+    // audits sample too; the % ties it to n only for oracle-ability —
+    // the ann_ivf convention); votes ride the bounded nq·k top-k frame
+    // (broadcast against the label table, which is never collected),
+    // ties break (votes desc, smaller class) on both engines.
+    "q_label_noise" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val classes = e.select(col("vec_id").as("nid"), col("label").as("cls"))
+      val audited = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val own = e.filter(col("vec_id") % 97 === 0)
+        .select(col("vec_id").as("qid"), col("label").as("own_cls"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("score"), col("nid"))
+      val top10 = Similarity.bruteForceTopK(vectors, audited, k = 11, "l2")
+        .select(col("qid"), col("label").as("nid"), col("score"))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("qid"), col("nid"))
+      val votes = classes.join(broadcast(top10), "nid")
+        .groupBy(col("qid"), col("cls")).agg(count(lit(1)).as("votes"))
+      val pred = votes.groupBy(col("qid"))
+        .agg(max(struct(col("votes"), (-col("cls")).cast(LongType).as("nc"))).as("best"))
+        .select(col("qid"), (-col("best.nc")).cast(IntegerType).as("pred_cls"),
+          col("best.votes").as("pred_votes"))
+      val agree = votes.join(broadcast(own),
+          votes("qid") === own("qid") && votes("cls") === own("own_cls"))
+        .select(votes("qid"), col("votes").as("n_agree"))
+      pred.join(broadcast(own), "qid")
+        .join(agree, Seq("qid"), "left")
+        .select(col("qid"), col("own_cls"), col("pred_cls"), col("pred_votes"),
+          coalesce(col("n_agree"), lit(0L)).as("n_agree"),
+          (col("pred_cls") =!= col("own_cls")).as("suspect"))
+        .orderBy("qid")
+    },
+
     // ColBERT-style late-interaction retrieval: the 8 query vectors act
     // as one multi-token query, documents are the label groups;
     // score(doc) = sum over tokens of the best in-doc cosine (MaxSim) —
@@ -3739,6 +3817,24 @@ object SparkEntry {
         .select(col("digit"), col("n"), col("share_e6"), col("benford_e6"),
           (col("share_e6") - col("benford_e6")).as("dev_e6"))
         .orderBy("digit")
+    },
+
+    // k-anonymity audit over quasi-identifiers (Sweeney 2002): every
+    // (lang, source, length-bucket) equivalence class with its size and
+    // a violation verdict at k = 5 — the privacy sweep run beside PII
+    // redaction before a corpus ships. A released row in a class of
+    // size < k is re-identifiable by its quasi-identifiers alone, even
+    // with all direct identifiers scrubbed. Shape: ONE combiner
+    // groupBy; output bounded by the quasi-identifier domain (langs ×
+    // sources × buckets), not the corpus.
+    "q_k_anonymity" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          expr("n_chars div 100").as("len_bucket"))
+        .groupBy(col("lang"), col("source"), col("len_bucket"))
+        .agg(count(lit(1)).as("class_size"))
+        .withColumn("violates_k5", col("class_size") < 5)
+        .orderBy("lang", "source", "len_bucket")
     },
 
     // stratified sampling: a fixed quota per language, rows chosen by a
@@ -5181,6 +5277,36 @@ object SparkEntry {
         |SELECT p.qid, p.pred_cls, t.true_cls,
         |  p.pred_cls = t.true_cls AS correct
         |FROM p JOIN t ON p.qid = t.qid WHERE p.pr = 1 ORDER BY p.qid""".stripMargin,
+
+    "q_label_noise" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0),
+        |own AS (SELECT vec_id AS qid, label AS own_cls FROM embeddings WHERE vec_id % 97 = 0),
+        |d AS (
+        |  SELECT qid, nid,
+        |    SUM((CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE)) * (CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE))) AS score
+        |  FROM (SELECT q.qid, e.vec_id AS nid,
+        |      UNNEST(q.qv) AS qe, UNNEST(e.embedding) AS ve
+        |    FROM q CROSS JOIN embeddings e)
+        |  GROUP BY qid, nid),
+        |k11 AS (SELECT qid, nid, score,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score, nid) AS rk FROM d),
+        |k10 AS (SELECT qid, nid,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score, nid) AS rn
+        |  FROM (SELECT * FROM k11 WHERE rk <= 11 AND nid != qid)),
+        |v AS (SELECT k10.qid, e.label AS cls, COUNT(*) AS votes
+        |  FROM k10 JOIN embeddings e ON e.vec_id = k10.nid
+        |  WHERE k10.rn <= 10 GROUP BY 1, 2),
+        |p AS (SELECT qid, cls AS pred_cls, votes AS pred_votes,
+        |  row_number() OVER (PARTITION BY qid ORDER BY votes DESC, cls) AS pr FROM v),
+        |ag AS (SELECT v.qid, v.votes AS n_agree
+        |  FROM v JOIN own ON v.qid = own.qid AND v.cls = own.own_cls)
+        |SELECT p.qid, own.own_cls, p.pred_cls, p.pred_votes,
+        |  COALESCE(ag.n_agree, 0) AS n_agree,
+        |  p.pred_cls <> own.own_cls AS suspect
+        |FROM p JOIN own ON p.qid = own.qid
+        |LEFT JOIN ag ON p.qid = ag.qid
+        |WHERE p.pr = 1 ORDER BY p.qid""".stripMargin,
 
     "ann_maxsim" ->
       """WITH q AS (
@@ -6677,6 +6803,52 @@ object SparkEntry {
         |FROM q LEFT JOIN rec ON q.qid = rec.qid LEFT JOIN m ON q.qid = m.qid
         |ORDER BY q.qid""".stripMargin,
 
+    "q_eval_ndcg" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        |ed AS (SELECT qid, label, SUM((x-y)*(x-y)) AS score FROM (
+        |  SELECT q.qid, e.vec_id AS label,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(e.embedding) AS DOUBLE) AS y
+        |  FROM q CROSS JOIN embeddings e) GROUP BY 1, 2),
+        |er AS (SELECT qid, label,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS erank FROM ed),
+        |e10 AS (SELECT * FROM er WHERE erank <= 10),
+        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+        |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT v.vec_id, c.cid,
+        |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
+        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |vassign AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM vc) WHERE rn = 1),
+        |qc AS (SELECT qid, cid, SUM((x-y)*(x-y)) AS d FROM (
+        |  SELECT q.qid, c.cid,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
+        |  FROM q, c) GROUP BY 1, 2),
+        |probes AS (SELECT qid, cid FROM (
+        |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn
+        |  FROM qc) WHERE rn <= 2),
+        |cand AS (SELECT p.qid, a.vec_id AS label FROM probes p JOIN vassign a ON p.cid = a.cid),
+        |ad AS (SELECT qid, label, SUM((x-y)*(x-y)) AS score FROM (
+        |  SELECT cand.qid, cand.label,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(v.embedding) AS DOUBLE) AS y
+        |  FROM cand JOIN q ON cand.qid = q.qid
+        |  JOIN embeddings v ON cand.label = v.vec_id) GROUP BY 1, 2),
+        |ar AS (SELECT qid, label,
+        |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS arank FROM ad),
+        |a10 AS (SELECT * FROM ar WHERE arank <= 10),
+        |rel AS (SELECT a10.qid, a10.arank,
+        |  COALESCE(11 - e10.erank, 0) AS rel
+        |  FROM a10 LEFT JOIN e10 ON a10.qid = e10.qid AND a10.label = e10.label),
+        |w(arank, w_e6) AS (VALUES (1, 1000000), (2, 630930), (3, 500000),
+        |  (4, 430677), (5, 386853), (6, 356207), (7, 333333), (8, 315465),
+        |  (9, 301030), (10, 289065)),
+        |dg AS (SELECT rel.qid, SUM(rel.rel * w.w_e6) AS dcg
+        |  FROM rel JOIN w ON rel.arank = w.arank GROUP BY 1)
+        |SELECT q.qid, CAST(COALESCE(dg.dcg, 0) AS BIGINT) AS dcg_e6,
+        |  CAST((COALESCE(dg.dcg, 0) * 1000000) // 29966114 AS BIGINT) AS ndcg_e6
+        |FROM q LEFT JOIN dg ON q.qid = dg.qid
+        |ORDER BY q.qid""".stripMargin,
+
     // ann_ivf_sq8's CTEs with the SQ4 grid: scale = max|x|/7, code =
     // floor(x/scale + 0.5), decode = float(code·scale)
     "ann_ivf_sq4" ->
@@ -7784,6 +7956,14 @@ object SparkEntry {
         |  CAST((t.n * 2000000 + t.total) // (t.total * 2) - b.benford_e6 AS BIGINT) AS dev_e6
         |FROM t JOIN b ON t.digit = b.digit
         |ORDER BY t.digit""".stripMargin,
+
+    "q_k_anonymity" ->
+      """SELECT lang, source, n_chars // 100 AS len_bucket,
+        |  COUNT(*) AS class_size,
+        |  COUNT(*) < 5 AS violates_k5
+        |FROM documents
+        |GROUP BY 1, 2, 3
+        |ORDER BY lang, source, len_bucket""".stripMargin,
 
     "q_jsonl_roundtrip" ->
       """SELECT doc_id, text, lang, source, n_chars
