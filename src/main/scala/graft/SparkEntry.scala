@@ -161,6 +161,80 @@ object SparkEntry {
         .orderBy(desc("revenue"), col("n_name"))
     },
 
+    // TPC-H Q7 (volume shipping): bilateral trade between two nations by
+    // ship year. Plan shape: the two-year shipdate filter pushes into
+    // the fact scan; supplier and both nation role-copies broadcast
+    // (dims), orders/customer join by shuffle on their keys; ONE
+    // combiner aggregation onto (nation, nation, year) — a bounded
+    // output at any corpus size.
+    "q7_volume_shipping" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val sup = Tables(s, dir, "supplier")
+      val n1 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      li.filter(col("l_shipdate").between("1995-01-01", "1996-12-31"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_20" && col("cust_nation") === "NATION_11") ||
+          (col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_20"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast(LongType).as("l_year"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q8 (national market share): NATION_2's share of ECONOMY-part
+    // revenue sold into ASIA, by order year. The share division is the
+    // only double op and it quantizes through the floor(x·1e6 + 0.5)
+    // BIGINT witness over exact decimal volume sums. Plan shape: the
+    // part/region/nation/supplier dims broadcast, the two fact joins
+    // shuffle on their keys, one bounded (year) aggregation.
+    "q8_market_share" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val sup = Tables(s, dir, "supplier")
+      val pEco = Tables(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+      val asiaN = Tables(s, dir, "nation")
+        .join(broadcast(Tables(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("c_nk"))
+      val ns = Tables(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val vol = li
+        .join(broadcast(pEco), col("l_partkey") === col("p_partkey"))
+        .join(o.filter(col("o_orderdate").between("1995-01-01", "1996-12-31")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaN), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(ns), col("s_nationkey") === col("s_nk"))
+        .select(year(col("o_orderdate")).cast(LongType).as("o_year"),
+          (dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
+            .as("volume"),
+          col("supp_nation"))
+      val agg = vol.groupBy(col("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_2", col("volume"))).as("nv"),
+          sum(col("volume")).as("tv"))
+      agg.select(col("o_year"),
+          coalesce(col("nv"), lit(0).cast(DecimalType(18, 2))).cast(DoubleType).as("nation_vol"),
+          col("tv").cast(DoubleType).as("total_vol"),
+          floor(coalesce(col("nv"), lit(0).cast(DecimalType(18, 2))).cast(DoubleType) /
+            col("tv").cast(DoubleType) * lit(1e6) + lit(0.5)).cast(LongType).as("share_e6"))
+        .withColumn("mkt_share", col("share_e6").cast(DoubleType) / 1e6)
+        .orderBy("o_year")
+    },
+
     // ---- semi / anti joins (EXISTS / NOT EXISTS) ----
 
     "q_semi_join" -> { (s, dir) =>
@@ -5426,6 +5500,48 @@ object SparkEntry {
         |WHERE c_nationkey = s_nationkey
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+        |    OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+        |    ns.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'),
+        |a AS (
+        |  SELECT o_year,
+        |    CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume END),
+        |      CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS nation_vol,
+        |    CAST(SUM(volume) AS DOUBLE) AS total_vol
+        |  FROM vol GROUP BY o_year)
+        |SELECT o_year, nation_vol, total_vol,
+        |  CAST(FLOOR(nation_vol / total_vol * 1e6 + 0.5) AS BIGINT) AS share_e6,
+        |  CAST(FLOOR(nation_vol / total_vol * 1e6 + 0.5) AS BIGINT) / 1e6 AS mkt_share
+        |FROM a
+        |ORDER BY o_year""".stripMargin,
 
     "q_semi_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
