@@ -4073,6 +4073,31 @@ object SparkEntry {
         .orderBy("from_type", "to_type")
     },
 
+    // Top onboarding paths: each user's FIRST THREE event types as one
+    // "a>b>c" path string, counted across users — the entry-funnel
+    // report behind every activation dashboard (q_event_transitions is
+    // the memoryless view; this keeps 3 steps of order). Shape: one
+    // per-user window (the events-family bounded class) pruned to
+    // rn ≤ 3 immediately, a rank-pivot (max-when, no ordered
+    // collect_list — aggregation order is undefined in both engines),
+    // one combiner groupBy onto the path domain (≤ |types|³ rows), and
+    // a TakeOrdered top-15.
+    "q_top_paths" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir).withColumn("ts_us", expr("unix_micros(ts)"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val first3 = ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+      val paths = first3.groupBy(col("user_id"))
+        .agg(max(when(col("rn") === 1, col("event_type"))).as("e1"),
+          max(when(col("rn") === 2, col("event_type"))).as("e2"),
+          max(when(col("rn") === 3, col("event_type"))).as("e3"))
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .orderBy(desc("n_users"), col("path"))
+        .limit(15)
+    },
+
     // GK quantile sketch (percentile_approx's guarantee is |rank(v) −
     // q·n| ≤ n/accuracy): the verdict re-ranks each approximate quantile
     // against the data — count(< v) and count(≤ v) bracket v's true rank
@@ -4299,6 +4324,26 @@ object SparkEntry {
           minPairCount = 3L)
         .orderBy(desc("c_pair"), col("u"), col("v"))
         .limit(20)
+    },
+
+    // The next Apriori level: top size-3 BRAND itemsets with the three
+    // pair→third confidences ("orders with these two brands also carry
+    // …"). Items are brands, not parts: the bounded brand domain keeps
+    // support dense at every corpus size, where part-level triples
+    // dilute as the catalog grows. Triple expansion stays cubic in
+    // BASKET size (≤ 7 distinct brands per order here), never corpus
+    // size — both explosion joins key on the basket id (see
+    // Assoc.tripleRules scaladoc); the brand lookup is a broadcast dim
+    // join before the distinct.
+    "q_assoc_triples" -> { (s, dir) =>
+      val branded = Tables(s, dir, "lineitem")
+        .join(broadcast(Tables(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+      Assoc.tripleRules(branded, "l_orderkey", "p_brand",
+          minTripleCount = 2L)
+        .orderBy(desc("c_triple"), col("u"), col("v"), col("w"))
+        .limit(15)
     },
 
     // Multi-source BFS: hop distance ≤ 3 from the seed part set along
@@ -5447,6 +5492,21 @@ object SparkEntry {
         |FROM c JOIN t ON c.from_type = t.from_type
         |ORDER BY c.from_type, c.to_type""".stripMargin,
 
+    "q_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |r AS (SELECT user_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+        |  FROM e),
+        |pv AS (SELECT user_id,
+        |  MAX(CASE WHEN rn = 1 THEN event_type END) AS e1,
+        |  MAX(CASE WHEN rn = 2 THEN event_type END) AS e2,
+        |  MAX(CASE WHEN rn = 3 THEN event_type END) AS e3
+        |  FROM r WHERE rn <= 3 GROUP BY user_id),
+        |pth AS (SELECT concat_ws('>', e1, e2, e3) AS path FROM pv)
+        |SELECT path, COUNT(*) AS n_users
+        |FROM pth GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 15""".stripMargin,
+
     "q_approx_quantiles" ->
       """SELECT l_returnflag, q, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(TRUE AS BOOLEAN) AS rank_ok
@@ -6589,10 +6649,10 @@ object SparkEntry {
     "q_exact_quantile_group" ->
       """WITH c AS (SELECT l_returnflag,
         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem)
-        |SELECT l_returnflag, 0.5 AS q, quantile_disc(v, 0.5) AS price_cents
+        |SELECT l_returnflag, CAST(0.5 AS DOUBLE) AS q, quantile_disc(v, 0.5) AS price_cents
         |FROM c GROUP BY l_returnflag
         |UNION ALL
-        |SELECT l_returnflag, 0.9 AS q, quantile_disc(v, 0.9) AS price_cents
+        |SELECT l_returnflag, CAST(0.9 AS DOUBLE) AS q, quantile_disc(v, 0.9) AS price_cents
         |FROM c GROUP BY l_returnflag
         |ORDER BY l_returnflag, q""".stripMargin,
 
@@ -8493,6 +8553,30 @@ object SparkEntry {
         |  CAST(p.c_pair * nb.n AS DOUBLE) / CAST(cu.c * cv.c AS DOUBLE) AS lift
         |FROM p JOIN ci cu ON cu.it = p.u JOIN ci cv ON cv.it = p.v, nb
         |ORDER BY p.c_pair DESC, p.u, p.v LIMIT 20""".stripMargin,
+
+    "q_assoc_triples" ->
+      """WITH inc AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS ok, p_brand AS it
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |p AS MATERIALIZED (
+        |  SELECT a.it AS u, b.it AS v, COUNT(*) AS c_pair
+        |  FROM inc a JOIN inc b ON a.ok = b.ok AND a.it < b.it
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT a.it AS u, b.it AS v, c.it AS w, COUNT(*) AS c_triple
+        |  FROM inc a JOIN inc b ON a.ok = b.ok AND a.it < b.it
+        |  JOIN inc c ON b.ok = c.ok AND b.it < c.it
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2)
+        |SELECT t.u, t.v, t.w, t.c_triple,
+        |  puv.c_pair AS c_uv, puw.c_pair AS c_uw, pvw.c_pair AS c_vw,
+        |  CAST(t.c_triple AS DOUBLE) / CAST(puv.c_pair AS DOUBLE) AS conf_uv_w,
+        |  CAST(t.c_triple AS DOUBLE) / CAST(puw.c_pair AS DOUBLE) AS conf_uw_v,
+        |  CAST(t.c_triple AS DOUBLE) / CAST(pvw.c_pair AS DOUBLE) AS conf_vw_u
+        |FROM t
+        |JOIN p puv ON puv.u = t.u AND puv.v = t.v
+        |JOIN p puw ON puw.u = t.u AND puw.v = t.w
+        |JOIN p pvw ON pvw.u = t.v AND pvw.v = t.w
+        |ORDER BY t.c_triple DESC, t.u, t.v, t.w LIMIT 15""".stripMargin,
 
     "q_bfs_hops" -> {
       val body = Graph.bfsHopsSql(

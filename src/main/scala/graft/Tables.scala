@@ -8,8 +8,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * into.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // One analyzed relation per (session, dir, table) — the role a catalog
+  // plays in a deployment. `spark.read.parquet` re-lists the path and
+  // re-reads the footer schema on EVERY call (often as a one-task job);
+  // across a 250-query bench run that is ~600 redundant listings for
+  // ten immutable tables. The cache key includes the session so test
+  // JVMs with several sessions never cross-wire; the cached value is the
+  // analyzed LogicalPlan only — downstream transforms compose on top,
+  // scans stay plain parquet relations with full pushdown. Testdata and
+  // replica dirs are immutable for a JVM's lifetime (scratch round-trip
+  // reads go through spark.read directly, never here).
+  private val cache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   /** Normalizes `events.ts` to session-TZ TIMESTAMP regardless of the
     * physical parquet type the generator happened to emit. Three cases have

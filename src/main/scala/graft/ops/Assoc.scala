@@ -49,4 +49,55 @@ object Assoc {
         ((col("c_pair") * lit(n)).cast(DoubleType) /
           (col("c_u") * col("c_v")).cast(DoubleType)).as("lift"))
   }
+
+  /** Size-3 itemset rules — the next Apriori level: one row per ordered
+    * triple (u < v < w) with c_triple ≥ minTripleCount, each pair
+    * subset's count, and the three pair→third confidences
+    * P(w | {u,v}), P(v | {u,w}), P(u | {v,w}) — the "customers who
+    * bought these two also bought" statistic.
+    *
+    * Scale shape: the triple expansion is CUBIC IN BASKET SIZE, never
+    * in corpus size — both joins key on the basket id, so a basket of b
+    * items contributes C(b,3) rows and the corpus cost is Σ C(b,3)
+    * (TPC-H-style baskets hold ≤ 7 items; a degenerate giant basket
+    * would need a basket-size cap upstream, the df-cap pattern). The
+    * support floor prunes before the three pair-stat joins (downward
+    * closure: a frequent triple's pairs are at least as frequent, so
+    * the floored pair table from [[pairRules]]'s aggregation is a
+    * superset of what the joins need). Confidences are one double
+    * division of exact counts — identical bits on any IEEE engine.
+    */
+  def tripleRules(items: DataFrame, basketCol: String, itemCol: String,
+                  minTripleCount: Long = 2L): DataFrame = {
+    require(minTripleCount >= 1,
+      s"minTripleCount must be >= 1, got $minTripleCount")
+    val inc = items.select(col(basketCol).as("ok"), col(itemCol).as("it"))
+      .distinct().localCheckpoint(true)
+    val a = inc.select(col("ok"), col("it").as("u"))
+    val b = inc.select(col("ok"), col("it").as("v"))
+    val c3 = inc.select(col("ok"), col("it").as("w"))
+    val triples = a.join(b, Seq("ok")).filter(col("u") < col("v"))
+      .join(c3, Seq("ok")).filter(col("v") < col("w"))
+      .groupBy(col("u"), col("v"), col("w"))
+      .agg(count(lit(1)).as("c_triple"))
+      .filter(col("c_triple") >= minTripleCount)
+    val pairs = a.join(b, Seq("ok")).filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c_pair"))
+      .localCheckpoint(true) // three consumers below
+    triples
+      .join(pairs.select(col("u"), col("v"), col("c_pair").as("c_uv")),
+        Seq("u", "v"))
+      .join(pairs.select(col("u"), col("v").as("w"), col("c_pair").as("c_uw")),
+        Seq("u", "w"))
+      .join(pairs.select(col("u").as("v"), col("v").as("w"), col("c_pair").as("c_vw")),
+        Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"), col("c_triple"),
+        col("c_uv"), col("c_uw"), col("c_vw"),
+        (col("c_triple").cast(DoubleType) / col("c_uv").cast(DoubleType))
+          .as("conf_uv_w"),
+        (col("c_triple").cast(DoubleType) / col("c_uw").cast(DoubleType))
+          .as("conf_uw_v"),
+        (col("c_triple").cast(DoubleType) / col("c_vw").cast(DoubleType))
+          .as("conf_vw_u"))
+  }
 }
