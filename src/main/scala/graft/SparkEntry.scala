@@ -1320,6 +1320,34 @@ object SparkEntry {
         .orderBy("n_name", "d")
     },
 
+    // Holt level+trend forecast per nation (q_ewma_daily's series with a
+    // slope): the last 5 days of each nation's smoothed state plus the
+    // 7-day-ahead forecast l + 7·b. The coupled recurrence runs
+    // sequentially per CALENDAR-BOUNDED series (Scan.holtLinear — the
+    // only corpus-scale pass is the daily aggregation); both engines
+    // walk the identical IEEE tree, emissions via e6 floor witnesses.
+    "q_holt_trend" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val daily = o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"), to_date(col("o_orderdate")).as("d"))
+        .agg(count(lit(1)).cast(DoubleType).as("cnt"))
+      val smoothed = Scan.holtLinear(daily, Seq("n_name"), Seq("d"), "cnt",
+        alpha = 0.3, beta = 0.1)
+      val w = Window.partitionBy(col("n_name")).orderBy(col("d").desc)
+      smoothed.withColumn("rr", row_number().over(w))
+        .filter(col("rr") <= 5)
+        .select(col("n_name"), col("d"), col("cnt").cast(LongType).as("cnt"),
+          floor(col("level") * lit(1e6) + lit(0.5)).cast(LongType).as("level_e6"),
+          floor(col("trend") * lit(1e6) + lit(0.5)).cast(LongType).as("trend_e6"),
+          floor((col("level") + lit(7.0) * col("trend")) * lit(1e6) + lit(0.5))
+            .cast(LongType).as("forecast7_e6"))
+        .orderBy("n_name", "d")
+    },
+
     // Johnson-Lindenstrauss sparse sign projection (Achlioptas 2003,
     // "Database-friendly random projections"): 64-d → 16-d with entries
     // {+1, 0, −1}·√(3/16 · 256/258) at p = (43/256, 170/256, 43/256),
@@ -6725,6 +6753,42 @@ object SparkEntry {
         |FROM idx a JOIN idx b ON a.n_name = b.n_name AND b.rn <= a.rn
         |GROUP BY a.n_name, a.d
         |ORDER BY a.n_name, a.d""".stripMargin,
+
+    "q_holt_trend" ->
+      // the identical sequential recurrence as Scan.holtLinear, walked
+      // by a recursive CTE over the same row_number order; (1.0 - 0.3)
+      // and (1.0 - 0.1) are SPELLED as subtractions because the Scala
+      // side computes them at runtime and e.g. literal-0.9's double
+      // differs from (1.0 - 0.1)'s by one ulp
+      """WITH RECURSIVE daily AS MATERIALIZED (
+        |  SELECT n.n_name, CAST(o.o_orderdate AS DATE) AS d,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |    JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |idx AS MATERIALIZED (
+        |  SELECT n_name, d, cnt,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY d) AS rn,
+        |    COUNT(*) OVER (PARTITION BY n_name) AS n_days
+        |  FROM daily),
+        |h AS (
+        |  SELECT n_name, d, cnt, rn, n_days,
+        |    CAST(cnt AS DOUBLE) AS level, CAST(0.0 AS DOUBLE) AS trend
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.n_name, r.d, r.cnt, r.rn, r.n_days,
+        |    CAST(0.3 AS DOUBLE) * r.cnt
+        |      + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * (h.level + h.trend) AS level,
+        |    CAST(0.1 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * r.cnt
+        |        + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * (h.level + h.trend)) - h.level)
+        |      + (CAST(1.0 AS DOUBLE) - CAST(0.1 AS DOUBLE)) * h.trend AS trend
+        |  FROM h JOIN idx r ON r.n_name = h.n_name AND r.rn = h.rn + 1)
+        |SELECT n_name, d, cnt,
+        |  CAST(FLOOR(level * 1e6 + 0.5) AS BIGINT) AS level_e6,
+        |  CAST(FLOOR(trend * 1e6 + 0.5) AS BIGINT) AS trend_e6,
+        |  CAST(FLOOR((level + CAST(7.0 AS DOUBLE) * trend) * 1e6 + 0.5) AS BIGINT) AS forecast7_e6
+        |FROM h WHERE rn > n_days - 5
+        |ORDER BY n_name, d""".stripMargin,
 
     "q_jl_project" ->
       // identical md5-derived sign matrix; per-element fp32 cast after

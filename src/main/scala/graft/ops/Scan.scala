@@ -864,4 +864,81 @@ object Scan {
       .withColumn(outCol, col("__num") / col("__den"))
       .drop("__m", "__bn", "__bd", "__num", "__den")
   }
+
+  /** Holt double-exponential smoothing (level + linear trend, Holt
+    * 1957) per group:
+    *
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}      (l_1 = x_1, b_1 = 0)
+    *
+    * the short-horizon forecaster dashboards run on daily series —
+    * [[ewma]] tracks the level only; Holt also carries the slope, so
+    * forecast(h) = l + h·b.
+    *
+    * The COUPLED (l, b) recurrence is a 2×2 matrix scan — not two
+    * independent affine terms — and it is NOT decomposed here: each
+    * group runs sequentially in one task, which is the honest
+    * 100 TB shape because the intended series are CALENDAR-BOUNDED
+    * (daily/hourly keys: a few thousand rows per group no matter how
+    * many petabytes aggregate into them — the bounded-frame window
+    * class). The only corpus-scale pass is the upstream aggregation
+    * that built the series. `maxGroupRows` makes the boundedness
+    * assumption explicit instead of silently OOMing on a misuse.
+    *
+    * Both engines evaluate the identical IEEE expression tree per step
+    * (α/β enter as double literals; the DuckDB mirror is a recursive
+    * CTE over the same row_number order), so level/trend are
+    * bit-reproducible — quantize emissions through the e6 floor
+    * witness, not ROUND.
+    */
+  def holtLinear(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String],
+                 valueCol: String, alpha: Double, beta: Double,
+                 maxGroupRows: Int = 1 << 20): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0, 1], got $beta")
+    require(orderCols.nonEmpty, "holtLinear needs at least one order column")
+    val spark = df.sparkSession
+    val schema = df.schema
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val oIdx = orderCols.map(schema.fieldIndex).toArray
+    val vIdx = schema.fieldIndex(valueCol)
+    require(schema(vIdx).dataType == DoubleType,
+      s"holtLinear value must be DoubleType, got ${schema(vIdx).dataType}")
+    val outSchema = StructType(schema.fields ++ Seq(
+      StructField("level", DoubleType, nullable = false),
+      StructField("trend", DoubleType, nullable = false)))
+    val a = alpha; val b1 = beta
+    val out = df.rdd
+      .groupBy(r => gIdx.toSeq.map(r.get))
+      .flatMap { case (_, rows) =>
+        val seq = rows.toArray
+        require(seq.length <= maxGroupRows,
+          s"holtLinear group of ${seq.length} rows exceeds maxGroupRows=" +
+            s"$maxGroupRows — this scan is for calendar-bounded series")
+        java.util.Arrays.sort(seq, new java.util.Comparator[Row] {
+          def compare(x: Row, y: Row): Int = {
+            var i = 0
+            while (i < oIdx.length) {
+              val c = x.get(oIdx(i)).asInstanceOf[Comparable[Any]]
+                .compareTo(y.get(oIdx(i)))
+              if (c != 0) return c
+              i += 1
+            }
+            0
+          }
+        })
+        var l = 0.0; var b = 0.0
+        seq.iterator.zipWithIndex.map { case (r, i) =>
+          val x = r.getDouble(vIdx)
+          if (i == 0) { l = x; b = 0.0 }
+          else {
+            val lNew = a * x + (1.0 - a) * (l + b)
+            b = b1 * (lNew - l) + (1.0 - b1) * b
+            l = lNew
+          }
+          Row.fromSeq(r.toSeq ++ Seq(l, b))
+        }
+      }
+    spark.createDataFrame(out, outSchema)
+  }
 }

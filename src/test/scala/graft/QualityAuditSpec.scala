@@ -138,6 +138,39 @@ class QualityAuditSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum == nDocs)
   }
 
+  test("Scan.holtLinear ≡ sequential reference; bounded-group contract enforced") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    val df = spark.range(0, 40)
+      .select((col("id") % 2).as("g"), col("id").as("t"),
+        (col("id") * col("id") % 17).cast(DoubleType).as("x"))
+    val got = graft.ops.Scan.holtLinear(df, Seq("g"), Seq("t"), "x",
+        alpha = 0.3, beta = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows.groupBy(_._1).foreach { case (_, grp) =>
+      var l = 0.0; var b = 0.0
+      grp.sortBy(_._2).zipWithIndex.foreach { case ((g, t, x), i) =>
+        if (i == 0) { l = x; b = 0.0 }
+        else {
+          val lNew = 0.3 * x + (1.0 - 0.3) * (l + b)
+          b = 0.1 * (lNew - l) + (1.0 - 0.1) * b
+          l = lNew
+        }
+        assert(got((g, t)) == ((l, b)), s"holt state mismatch at ($g, $t)")
+      }
+    }
+    val big = spark.range(0, 100)
+      .select(lit(0L).as("g"), col("id").as("t"), col("id").cast(DoubleType).as("x"))
+    val e = intercept[Exception] {
+      graft.ops.Scan.holtLinear(big, Seq("g"), Seq("t"), "x", 0.3, 0.1,
+        maxGroupRows = 50).collect()
+    }
+    assert(e.getMessage.contains("calendar-bounded"))
+  }
+
   test("q7/q8: revenue positive and market share a valid e6 fraction") {
     val q7 = q("q7_volume_shipping").collect()
     assert(q7.nonEmpty)
