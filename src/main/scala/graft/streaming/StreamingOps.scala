@@ -26,6 +26,9 @@ case class BucketOut(key: Long, event_id: Long, ts_us: Long, level: Long)
 case class DecayEvent(key: Long, event_id: Long, ts_us: Long, x: Double)
 case class DecayState(y: Double, lastTs: Long)
 case class DecayOut(key: Long, event_id: Long, ts_us: Long, decayed: Double)
+case class HoltEvent(key: Long, event_id: Long, ts_us: Long, x: Double)
+case class HoltState(level: Double, trend: Double, lastTs: Long, started: Boolean)
+case class HoltOut(key: Long, event_id: Long, ts_us: Long, level: Double, trend: Double)
 case class AsofStateRow(key: Long, ts_us: Long, value: Double)
 case class AsofEvent(key: Long, event_id: Long, ts_us: Long)
 case class AsofIn(key: Long, tag: Int, ts_us: Long, event_id: Long, value: Double)
@@ -690,6 +693,51 @@ object StreamingOps {
             else math.pow(0.5, (e.ts_us - st.lastTs).toDouble / halfLifeUs) * st.y + e.x
           st = DecayState(y, e.ts_us)
           out += DecayOut(key, e.event_id, e.ts_us, y)
+        } // else: cross-batch late event, dropped
+      }
+      state.update(st)
+      out.iterator
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming Holt level+trend smoothing — the streaming face of
+    * [[graft.ops.Scan.holtLinear]]: per key the coupled recurrence
+    *   l ← α·x + (1−α)·(l + b);  b ← β·(l_new − l) + (1−β)·b
+    * with (level, trend, lastTs) riding in group state (first event
+    * seeds l = x, b = 0). Batch backfills a series' history; this
+    * keeps the same (level, trend, forecast) fresh per arriving point.
+    * Because BOTH faces are the pure sequential recurrence over the
+    * same (ts_us, event_id) order — the batch side runs each
+    * calendar-bounded series in one task, no cross-partition seam —
+    * the streaming fold is BIT-IDENTICAL to the batch scan, not merely
+    * within tolerance (spec-pinned with exact equality). Same
+    * late-event rule as every stateful op here: a cross-batch
+    * out-of-order point is dropped, never folded backwards.
+    */
+  def streamingHolt(events: org.apache.spark.sql.Dataset[HoltEvent],
+                    alpha: Double, beta: Double):
+      org.apache.spark.sql.Dataset[HoltOut] = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0, 1], got $beta")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fn(key: Long, it: Iterator[HoltEvent],
+           state: GroupState[HoltState]): Iterator[HoltOut] = {
+      val evts = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption.getOrElse(HoltState(0.0, 0.0, Long.MinValue, started = false))
+      val out = scala.collection.mutable.ArrayBuffer.empty[HoltOut]
+      evts.foreach { e =>
+        if (e.ts_us >= st.lastTs) {
+          st =
+            if (!st.started) HoltState(e.x, 0.0, e.ts_us, started = true)
+            else {
+              val lNew = alpha * e.x + (1.0 - alpha) * (st.level + st.trend)
+              val bNew = beta * (lNew - st.level) + (1.0 - beta) * st.trend
+              HoltState(lNew, bNew, e.ts_us, started = true)
+            }
+          out += HoltOut(key, e.event_id, e.ts_us, st.level, st.trend)
         } // else: cross-batch late event, dropped
       }
       state.update(st)

@@ -319,6 +319,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming Holt == batch holtLinear BIT-EXACT across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.{HoltEvent, HoltOut}
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .select($"user_id".as("key"), $"event_id", $"ts_us",
+        ($"value" + lit(0.0)).as("x"))
+      .as[HoltEvent].collect().sortBy(e => (e.ts_us, e.event_id))
+    val batchIn = spark.createDataset(ev.toIndexedSeq)
+    val want = graft.ops.Scan.holtLinear(
+        batchIn.toDF(), Seq("key"), Seq("ts_us", "event_id"), "x",
+        alpha = 0.3, beta = 0.1)
+      .select("key", "event_id", "level", "trend").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[HoltEvent]
+    val out = graft.streaming.StreamingOps.streamingHolt(stream.toDS(), 0.3, 0.1)
+    val q = out.writeStream.format("memory").queryName("holt_out")
+      .outputMode("append").start()
+    val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
+    chunks.foreach { c => stream.addData(c.toIndexedSeq); q.processAllAvailable() }
+    q.stop()
+    val got = spark.table("holt_out").as[HoltOut].collect()
+      .map(h => (h.key, h.event_id) -> ((h.level, h.trend))).toMap
+    assert(got === want) // exact — both faces are the same sequential fold
+    assert(got.nonEmpty)
+  }
+
   test("streaming sessionize drops cross-batch late events instead of corrupting sessions") {
     import spark.implicits._
     import graft.streaming.{SessionEvent, SessionOut}
