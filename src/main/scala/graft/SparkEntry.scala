@@ -5426,15 +5426,32 @@ object SparkEntry {
         |FROM p JOIN t ON p.qid = t.qid WHERE p.pr = 1 ORDER BY p.qid""".stripMargin,
 
     "q_label_noise" ->
+      // scale-shaped oracle: native float32 array_distance prefilter
+      // keeps each audited vector's approx top-20-with-guard-band
+      // neighbors (k = 11 needed), exact fp64 squared-L2 rescores only
+      // those — float32 distance error is ~1e-7 relative, far inside
+      // the 1e-3 absolute band, so the exact 11-NN provably survive
       """WITH q AS (
-        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0),
+        |  SELECT vec_id AS qid, embedding AS qv,
+        |    embedding::FLOAT[64] AS qarr
+        |  FROM embeddings WHERE vec_id % 97 = 0),
         |own AS (SELECT vec_id AS qid, label AS own_cls FROM embeddings WHERE vec_id % 97 = 0),
+        |approx AS (
+        |  SELECT q.qid, e.vec_id AS nid,
+        |    array_distance(q.qarr, e.embedding::FLOAT[64]) AS ad
+        |  FROM q CROSS JOIN embeddings e),
+        |thr AS (SELECT qid, MAX(ad) AS t20 FROM (
+        |  SELECT qid, ad,
+        |    row_number() OVER (PARTITION BY qid ORDER BY ad) AS arn
+        |  FROM approx) WHERE arn <= 20 GROUP BY qid),
+        |cand AS (SELECT a.qid, a.nid FROM approx a
+        |  JOIN thr ON a.qid = thr.qid WHERE a.ad <= thr.t20 + 1e-3),
         |d AS (
-        |  SELECT qid, nid,
+        |  SELECT c.qid, c.nid,
         |    SUM((CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE)) * (CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE))) AS score
-        |  FROM (SELECT q.qid, e.vec_id AS nid,
-        |      UNNEST(q.qv) AS qe, UNNEST(e.embedding) AS ve
-        |    FROM q CROSS JOIN embeddings e)
+        |  FROM (SELECT c.qid, c.nid, UNNEST(q.qv) AS qe, UNNEST(e.embedding) AS ve
+        |    FROM cand c JOIN q ON c.qid = q.qid
+        |    JOIN embeddings e ON c.nid = e.vec_id) c
         |  GROUP BY qid, nid),
         |k11 AS (SELECT qid, nid, score,
         |  row_number() OVER (PARTITION BY qid ORDER BY score, nid) AS rk FROM d),
@@ -6875,16 +6892,35 @@ object SparkEntry {
     },
 
     "dedup_decontam_semantic" ->
-      """WITH q AS (SELECT vec_id AS eval_id, embedding AS qv
+      // scale-shaped oracle (the dedup_embedding_cosine pattern): a
+      // native float32 array_cosine_similarity prefilter keeps each
+      // eval's top-30-with-guard-band candidates, then ONLY those are
+      // rescored with the exact fp64 list arithmetic that defines the
+      // result — float32 cosine error (~1e-7 relative) is orders below
+      // the 1e-4 guard band, so the exact top-5 provably survive
+      """WITH q AS (SELECT vec_id AS eval_id, embedding AS qv,
+        |    embedding::FLOAT[64] AS qarr
         |  FROM embeddings WHERE vec_id % 97 = 0),
-        |t AS (SELECT vec_id AS train_id, embedding AS v
+        |t AS (SELECT vec_id AS train_id, embedding AS v,
+        |    embedding::FLOAT[64] AS tarr
         |  FROM embeddings WHERE vec_id % 97 <> 0),
-        |p AS (SELECT q.eval_id, t.train_id,
+        |approx AS (SELECT q.eval_id, t.train_id,
+        |    array_cosine_similarity(q.qarr, t.tarr) AS ascore
+        |  FROM q CROSS JOIN t),
+        |thr AS (SELECT eval_id, MIN(ascore) AS t30 FROM (
+        |  SELECT eval_id, ascore,
+        |    row_number() OVER (PARTITION BY eval_id ORDER BY ascore DESC) AS arn
+        |  FROM approx) WHERE arn <= 30 GROUP BY eval_id),
+        |cand AS (SELECT a.eval_id, a.train_id FROM approx a
+        |  JOIN thr ON a.eval_id = thr.eval_id
+        |  WHERE a.ascore >= thr.t30 - 1e-4),
+        |p AS (SELECT c.eval_id, c.train_id,
         |  list_sum(list_transform(list_zip(q.qv, t.v),
         |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
         |  (SQRT(list_sum(list_transform(q.qv, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)))) *
         |   SQRT(list_sum(list_transform(t.v, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE))))) AS score
-        |  FROM q CROSS JOIN t),
+        |  FROM cand c JOIN q ON c.eval_id = q.eval_id
+        |  JOIN t ON c.train_id = t.train_id),
         |r AS (SELECT eval_id, train_id, score,
         |  row_number() OVER (PARTITION BY eval_id ORDER BY score DESC, train_id) AS rank
         |  FROM p WHERE NOT isnan(score))
