@@ -5184,11 +5184,25 @@ object SparkEntry {
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "mining_hard_negatives" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+      // scale-shaped assignment (the guard-band argmin argument): the
+      // float32 array_distance band ±1e-3 provably contains the exact
+      // nearest centroid (float error ~1e-5 absolute at this scale), so
+      // the fp64 rescore + (d, cid) row_number picks the identical
+      // assignment while the quadratic UNNEST expansion touches only
+      // the banded candidates
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv,
+        |    embedding::FLOAT[64] AS carr FROM embeddings WHERE vec_id % 40 = 0),
+        |v0 AS (SELECT vec_id, embedding, embedding::FLOAT[64] AS varr FROM embeddings),
+        |avc AS (SELECT v0.vec_id, c.cid, array_distance(v0.varr, c.carr) AS ad
+        |  FROM v0, c),
+        |amin AS (SELECT vec_id, MIN(ad) AS m FROM avc GROUP BY vec_id),
+        |vcand AS (SELECT a.vec_id, a.cid FROM avc a
+        |  JOIN amin ON a.vec_id = amin.vec_id WHERE a.ad <= amin.m + 1e-3),
         |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
-        |  SELECT v.vec_id, c.cid,
+        |  SELECT w.vec_id, w.cid,
         |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
-        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |  FROM vcand w JOIN v0 v ON w.vec_id = v.vec_id JOIN c ON w.cid = c.cid)
+        |  GROUP BY 1, 2),
         |va AS (SELECT vec_id, cid FROM (
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         |  FROM vc) WHERE rn = 1),
@@ -7088,11 +7102,19 @@ object SparkEntry {
         |er AS (SELECT qid, label,
         |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS erank FROM ed),
         |e10 AS (SELECT * FROM er WHERE erank <= 10),
-        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+        |c AS (SELECT vec_id AS cid, embedding AS cv,
+        |    embedding::FLOAT[64] AS carr FROM embeddings WHERE vec_id % 40 = 0),
+        |v0 AS (SELECT vec_id, embedding, embedding::FLOAT[64] AS varr FROM embeddings),
+        |avc AS (SELECT v0.vec_id, c.cid, array_distance(v0.varr, c.carr) AS adist
+        |  FROM v0, c),
+        |amin AS (SELECT vec_id, MIN(adist) AS m FROM avc GROUP BY vec_id),
+        |vcand AS (SELECT a.vec_id, a.cid FROM avc a
+        |  JOIN amin ON a.vec_id = amin.vec_id WHERE a.adist <= amin.m + 1e-3),
         |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
-        |  SELECT v.vec_id, c.cid,
+        |  SELECT w.vec_id, w.cid,
         |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
-        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |  FROM vcand w JOIN v0 v ON w.vec_id = v.vec_id JOIN c ON w.cid = c.cid)
+        |  GROUP BY 1, 2),
         |vassign AS (SELECT vec_id, cid FROM (
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         |  FROM vc) WHERE rn = 1),
