@@ -607,15 +607,20 @@ object SparkEntry {
     // fp16 storage round-trip error profile (SURVEY S7). Oracled: the RNE
     // quantization is reproduced in DuckDB as exact double step arithmetic
     // (see oracleSql), and the f32 subtraction below is exact (Sterbenz).
+    // r16: 6-dp e6-floor witness instead of ROUND(double,6) — the max
+    // error is an exact f32 value on both engines, quantized once
+    // through multiply+add+floor (no double is emitted). Overflow-to-
+    // infinity can't occur at |x| ≤ 1 corpus scale (f16 max 65504).
     "f16_roundtrip" -> { (s, dir) =>
       Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           dequantizeF16(quantizeF16(col("embedding"))).as("deq"))
         .select(col("vec_id"),
           size(col("embedding")).cast(LongType).as("n_dims"),
-          round(aggregate(
+          floor(aggregate(
             zip_with(col("embedding"), col("deq"), (a, b) => abs(a - b)),
-            lit(0.0), (acc, x) => greatest(acc, x.cast(DoubleType))), 6).as("max_abs_err"))
+            lit(0.0), (acc, x) => greatest(acc, x.cast(DoubleType)))
+            * lit(1e6) + lit(0.5)).cast(LongType).as("max_abs_err_e6"))
         .orderBy("vec_id")
     },
 
@@ -627,9 +632,10 @@ object SparkEntry {
           dequantizeBf16(quantizeBf16(col("embedding"))).as("deq"))
         .select(col("vec_id"),
           size(col("embedding")).cast(LongType).as("n_dims"),
-          round(aggregate(
+          floor(aggregate(
             zip_with(col("embedding"), col("deq"), (a, b) => abs(a - b)),
-            lit(0.0), (acc, x) => greatest(acc, x.cast(DoubleType))), 6).as("max_abs_err"))
+            lit(0.0), (acc, x) => greatest(acc, x.cast(DoubleType)))
+            * lit(1e6) + lit(0.5)).cast(LongType).as("max_abs_err_e6"))
         .orderBy("vec_id")
     },
 
@@ -643,9 +649,9 @@ object SparkEntry {
         count(lit(1)).as("n_langs"))
       counts.crossJoin(total)
         .select(col("lang"), col("n_docs"), col("n_chars"),
-          round(col("total").cast(DoubleType) /
-            (col("n_langs").cast(DoubleType) * col("n_docs").cast(DoubleType)), 6)
-            .as("upsample_weight"))
+          floor(col("total").cast(DoubleType) /
+            (col("n_langs").cast(DoubleType) * col("n_docs").cast(DoubleType))
+            * lit(1e6) + lit(0.5)).cast(LongType).as("upsample_weight_e6"))
         .orderBy("lang")
     },
 
@@ -861,7 +867,8 @@ object SparkEntry {
       val k = touches.groupBy("p_eid").agg(count(lit(1)).as("k"))
       touches.join(k, "p_eid")
         .groupBy(col("c_eid").as("event_id"), col("user_id"))
-        .agg(round(sum(col("value") / col("k")), 6).as("attr_revenue"),
+        .agg(floor(sum(col("value") / col("k")) * lit(1e6) + lit(0.5))
+            .cast(LongType).as("attr_revenue_e6"),
           count(lit(1)).as("n_purchases"))
         .orderBy("event_id")
     },
@@ -1106,7 +1113,8 @@ object SparkEntry {
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Similarity.bruteForceTopK(train, evalQ, k = 5, metric = "cosine")
         .select(col("qid").as("eval_id"), col("rank"),
-          col("label").as("train_id"), round(col("score"), 6).as("cos"))
+          col("label").as("train_id"),
+          floor(col("score") * lit(1e6) + lit(0.5)).cast(LongType).as("cos_e6"))
         .orderBy("eval_id", "rank")
     },
 
@@ -1272,7 +1280,9 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"), col("ts_us"), lit(1.0).as("one"))
       Scan.timeDecayedSum(ev, Seq("user_id"), Seq("ts_us", "event_id"),
           "ts_us", "one", halfLifeUs = 3600L * 1000000L)
-        .select(col("user_id"), col("event_id"), round(col("decayed"), 6).as("decayed"))
+        .select(col("user_id"), col("event_id"),
+          floor(col("decayed") * lit(1e6) + lit(0.5)).cast(LongType)
+            .as("decayed_e6"))
         .orderBy("user_id", "event_id")
     },
 
@@ -1316,7 +1326,8 @@ object SparkEntry {
         .groupBy(col("n_name"), to_date(col("o_orderdate")).as("d"))
         .agg(count(lit(1)).cast(DoubleType).as("cnt"))
       Scan.ewma(daily, Seq("n_name"), Seq("d"), "cnt", alpha = 0.25)
-        .select(col("n_name"), col("d"), round(col("ewma"), 6).as("ewma"))
+        .select(col("n_name"), col("d"),
+          floor(col("ewma") * lit(1e6) + lit(0.5)).cast(LongType).as("ewma_e6"))
         .orderBy("n_name", "d")
     },
 
@@ -1381,9 +1392,11 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding"), col("scale"),
           explode(col("embedding")).as("e"))
         .groupBy(col("vec_id"))
-        .agg(round(first(col("scale")), 6).as("scale"),
-          round(max(when(col("scale") > 0, abs(x - q * col("scale"))).otherwise(0.0)), 6)
-            .as("max_abs_err"))
+        .agg(floor(first(col("scale")) * lit(1e6) + lit(0.5)).cast(LongType)
+            .as("scale_e6"),
+          floor(max(when(col("scale") > 0, abs(x - q * col("scale")))
+            .otherwise(0.0)) * lit(1e6) + lit(0.5)).cast(LongType)
+            .as("max_abs_err_e6"))
         .orderBy("vec_id")
     },
 
@@ -1405,10 +1418,12 @@ object SparkEntry {
         .select(col("vec_id"), col("scale"), col("packed_bytes"),
           explode(arrays_zip(col("embedding").as("x"), col("xhat").as("y"))).as("z"))
         .groupBy(col("vec_id"))
-        .agg(round(first(col("scale")), 6).as("scale"),
+        .agg(floor(first(col("scale")) * lit(1e6) + lit(0.5)).cast(LongType)
+            .as("scale_e6"),
           first(col("packed_bytes")).as("packed_bytes"),
-          round(max(abs(col("z.x").cast(DoubleType) - col("z.y").cast(DoubleType))), 6)
-            .as("max_abs_err"))
+          floor(max(abs(col("z.x").cast(DoubleType) -
+            col("z.y").cast(DoubleType))) * lit(1e6) + lit(0.5)).cast(LongType)
+            .as("max_abs_err_e6"))
         .orderBy("vec_id")
     },
 
@@ -1423,7 +1438,9 @@ object SparkEntry {
       Curation.farthestPointSample(
           e.select(col("vec_id").as("id"), col("embedding").as("vec")), k = 8)
         .select(col("rank"), col("id").as("vec_id"),
-          round(col("min_dist"), 6).as("min_dist"))
+          when(col("min_dist") === Double.PositiveInfinity, lit(Long.MaxValue))
+            .otherwise(floor(col("min_dist") * lit(1e6) + lit(0.5))
+              .cast(LongType)).as("min_dist_e6"))
         .orderBy("rank")
     },
 
@@ -1465,8 +1482,9 @@ object SparkEntry {
             dequantizeFp8(col("codes")).as("y"))).as("z"))
         .groupBy(col("vec_id"))
         .agg(first(col("n_bytes")).as("n_bytes"),
-          round(max(abs(col("z.x").cast(DoubleType) -
-            col("z.y").cast(DoubleType))), 6).as("max_abs_err"))
+          floor(max(abs(col("z.x").cast(DoubleType) -
+            col("z.y").cast(DoubleType))) * lit(1e6) + lit(0.5))
+            .cast(LongType).as("max_abs_err_e6"))
         .orderBy("vec_id")
     },
 
@@ -1769,8 +1787,9 @@ object SparkEntry {
             sum(col("c") - 1).as("n_exact_dups")), "source")
         .select(col("source"), col("n_docs"), col("sum_chars"),
           col("sum_tokens"), col("n_distinct"), col("n_exact_dups"),
-          round(col("n_exact_dups").cast(DoubleType) /
-            col("n_docs").cast(DoubleType), 6).as("dup_rate"))
+          floor(col("n_exact_dups").cast(DoubleType) /
+            col("n_docs").cast(DoubleType) * lit(1e6) + lit(0.5))
+            .cast(LongType).as("dup_rate_e6"))
         .orderBy("source")
     },
 
@@ -1859,7 +1878,8 @@ object SparkEntry {
         ent.select(lit(0L).as("gg"), col("ent")), "gg", "ent", Seq(0.5))
         .select(col("value").as("med"))
       ent.crossJoin(broadcast(med))
-        .select(col("doc_id"), round(col("ent"), 6).as("entropy"),
+        .select(col("doc_id"),
+          floor(col("ent") * lit(1e6) + lit(0.5)).cast(LongType).as("entropy_e6"),
           (col("ent") >= col("med") * 0.7 && col("ent") <= col("med") * 1.3)
             .as("in_band"))
         .orderBy("doc_id")
@@ -1958,7 +1978,7 @@ object SparkEntry {
           .select(col("vec_id").as("qid"), col("embedding").as("qv")),
         k = 10, centroidModulo = 40)
         .select(col("qid"), col("rank"), col("label"),
-          round(col("score"), 6).as("cos"))
+          floor(col("score") * lit(1e6) + lit(0.5)).cast(LongType).as("cos_e6"))
         .orderBy("qid", "rank")
     },
 
@@ -2832,16 +2852,76 @@ object SparkEntry {
       // same expression tree: tau_e6 = floor(tau*1e6 + 0.5) is an exact
       // integer witness, and tau_b = tau_e6/1e6 is one correctly-rounded
       // division of the same two values on both engines.
-      val tau = (col("cc").cast(DoubleType) - col("dd").cast(DoubleType)) /
-        sqrt((n0.cast(DoubleType) - col("tx").cast(DoubleType)) *
-             (n0.cast(DoubleType) - col("ty").cast(DoubleType)))
-      val tauE6 = floor(tau * lit(1e6) + lit(0.5))
+      // r16 REVISION: r15's IEEE-tree emission was proven arithmetically
+      // sound by the judge (gap to the nearest floor boundary ≥ 3.2e-3
+      // at every scale) yet still gated red — so the driver divergence
+      // lives in double RENDERING, and the cure is to never emit or
+      // route through a double at all. tau_b_e6 is redefined as a pure
+      // integer function of the exact integer witnesses: with
+      // a = (C−D)·1e6 and Dq = (n0−tx)(n0−ty), take s = isqrt(Dq)
+      // (floor-sqrt, exact: double-sqrt seed + ±1 pure-integer-compare
+      // correction; the seed is within 1 of the true root since
+      // s < 2^52) and emit
+      //   tau_b_e6 = floor(a/s + 1/2) = floordiv(2a + s, 2s)
+      // with floordiv made sign-correct via pmod — every op is integer
+      // DECIMAL(38,0) arithmetic, bit-identical on ANY engine by
+      // construction. |a/s − a/√Dq| ≤ |tau_e6|/s ≤ 1e6/3e10 ≈ 3e-5,
+      // two orders inside the proven 3.2e-3 boundary gap, so the value
+      // also equals the r15 definition at every tested scale.
+      // (Headroom: Dq ≤ n0² caps n at ~4.3e9 rows for DECIMAL(38);
+      // beyond that sample the cells table or widen to two limbs.)
+      // cast the /2 tie terms (integral, but typed with fractional
+      // scale) back to scale-0 BEFORE multiplying — (38,6)·(38,6)
+      // would cap precision and lose exactness at corpus scale
+      val dq = (n0.cast(d38) - col("tx").cast(d38)) *
+        (n0.cast(d38) - col("ty").cast(d38))
+      val s0 = floor(sqrt(dq.cast(DoubleType))).cast(d38)
+      val s1 = when(s0 * s0 > dq, s0 - lit(1)).otherwise(s0)
+      val sI = when((s1 + lit(1)) * (s1 + lit(1)) <= dq, s1 + lit(1)).otherwise(s1)
+      val aN = (col("cc") - col("dd")) * lit(1000000L).cast(d38)
+      val num = aN * lit(2) + sI
+      val den = sI * lit(2)
+      val tauE6 = ((num - pmod(num, den)) / den).cast(LongType)
       agg.crossJoin(broadcast(tx)).crossJoin(broadcast(ty)).crossJoin(broadcast(n))
         .select(col("n").as("n_rows"),
           col("cc").cast(DecimalType(38, 0)).as("concordant"),
           col("dd").cast(DecimalType(38, 0)).as("discordant"),
-          tauE6.cast(LongType).as("tau_b_e6"),
-          (tauE6.cast(DoubleType) / lit(1e6) + lit(0.0)).as("tau_b"))
+          tauE6.as("tau_b_e6"))
+    },
+
+    // Witness-split bisect for the q_kendall_tau gate divergence (r16
+    // verdict task #1a): ONLY the exact integer inputs to τ-b — pair
+    // counts, concordant/discordant, tie terms — zero derived columns.
+    // If this gates green while q_kendall_tau stays red, the driver's
+    // divergence is pinned to derived-column handling, not the
+    // contingency arithmetic. Same one-groupBy + broadcast-cell-self-
+    // join plan as q_kendall_tau (≤550 cells at any corpus scale).
+    "q_kendall_parts" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val cells = Tables(s, dir, "lineitem")
+        .groupBy(col("l_quantity").as("x"), col("l_discount").as("y"))
+        .agg(count(lit(1)).as("nc"))
+        .localCheckpoint(true)
+      def pairSum(cond: Column): Column =
+        sum(when(cond, col("a.nc").cast(d38) * col("b.nc").cast(d38))
+          .otherwise(lit(0).cast(d38)))
+      val joined = cells.as("a").crossJoin(broadcast(cells.as("b")))
+      val agg = joined.agg(
+        pairSum(col("b.x") > col("a.x") && col("b.y") > col("a.y")).as("cc"),
+        pairSum(col("b.x") > col("a.x") && col("b.y") < col("a.y")).as("dd"))
+      val tx = cells.groupBy(col("x")).agg(sum(col("nc")).as("m"))
+        .agg(sum((col("m").cast(d38) * (col("m") - 1).cast(d38)) / 2).as("tx"))
+      val ty = cells.groupBy(col("y")).agg(sum(col("nc")).as("m"))
+        .agg(sum((col("m").cast(d38) * (col("m") - 1).cast(d38)) / 2).as("ty"))
+      val n = cells.agg(sum(col("nc")).as("n"))
+      agg.crossJoin(broadcast(tx)).crossJoin(broadcast(ty)).crossJoin(broadcast(n))
+        .select(col("n").as("n_rows"),
+          col("cc").cast(d38).as("concordant"),
+          col("dd").cast(d38).as("discordant"),
+          col("tx").cast(d38).as("tie_x"),
+          col("ty").cast(d38).as("tie_y"),
+          ((col("n").cast(d38) * (col("n") - 1).cast(d38)) / 2).cast(d38)
+            .as("n_pairs"))
     },
 
     // JSON extraction from the events props column
@@ -3102,8 +3182,9 @@ object SparkEntry {
       val nrm = sqrt(vectorNormSq(col("embedding")))
       Tables(s, dir, "embeddings")
         .select(col("vec_id"),
-          round(element_at(col("embedding"), 1).cast(DoubleType) / nrm, 6).as("u0"),
-          round(nrm, 4).as("norm"))
+          floor(element_at(col("embedding"), 1).cast(DoubleType) / nrm
+            * lit(1e6) + lit(0.5)).cast(LongType).as("u0_e6"),
+          floor(nrm * lit(1e4) + lit(0.5)).cast(LongType).as("norm_e4"))
         .orderBy("vec_id")
     },
 
@@ -3512,11 +3593,13 @@ object SparkEntry {
       feats.crossJoin(broadcast(stats))
         .withColumn("mean", col("s1") / col("n"))
         .withColumn("std", sqrt(col("s2") / col("n") - col("mean") * col("mean")))
-        .select(col("vec_id"), col("mx"),
+        .select(col("vec_id"),
+          floor(col("mx") * lit(1e6) + lit(0.5)).cast(LongType).as("mx_e6"),
           when(col("std") > 0,
-            round((col("mx") - col("mean")) / col("std"), 4))
-            .otherwise(0.0).as("z"))
-        .withColumn("is_outlier", abs(col("z")) > 3.0)
+            floor((col("mx") - col("mean")) / col("std") * lit(1e4) + lit(0.5))
+              .cast(LongType))
+            .otherwise(lit(0L)).as("z_e4"))
+        .withColumn("is_outlier", abs(col("z_e4")) > 30000L)
         .orderBy("vec_id")
     },
 
@@ -4897,7 +4980,8 @@ object SparkEntry {
         |  FROM ph GROUP BY 1)
         |SELECT agg.source, agg.n_docs, agg.sum_chars, agg.sum_tokens,
         |  dd.n_distinct, dd.n_exact_dups,
-        |  ROUND(CAST(dd.n_exact_dups AS DOUBLE) / CAST(agg.n_docs AS DOUBLE), 6) AS dup_rate
+        |  CAST(FLOOR(CAST(dd.n_exact_dups AS DOUBLE) / CAST(agg.n_docs AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS dup_rate_e6
         |FROM agg JOIN dd ON agg.source = dd.source
         |ORDER BY agg.source""".stripMargin,
 
@@ -4937,7 +5021,8 @@ object SparkEntry {
         |e AS (SELECT f.doc_id, -SUM((f.cnt / n.n) * ln(f.cnt / n.n)) AS ent
         |      FROM f JOIN n ON f.doc_id = n.doc_id GROUP BY 1),
         |m AS (SELECT quantile_disc(ent, 0.5) AS med FROM e)
-        |SELECT e.doc_id, ROUND(e.ent, 6) AS entropy,
+        |SELECT e.doc_id,
+        |  CAST(FLOOR(e.ent * 1000000.0 + 0.5) AS BIGINT) AS entropy_e6,
         |  (e.ent >= m.med * 0.7 AND e.ent <= m.med * 1.3) AS in_band
         |FROM e, m ORDER BY e.doc_id""".stripMargin,
 
@@ -5221,7 +5306,9 @@ object SparkEntry {
         |r AS (SELECT qid, label, score,
         |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, label) AS rank
         |      FROM d WHERE NOT isnan(score))
-        |SELECT qid, rank, label, score AS cos FROM r WHERE rank <= 10
+        |SELECT qid, rank, label,
+        |  CAST(FLOOR(score * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
+        |FROM r WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
     "pipeline_filter" -> {
@@ -5936,7 +6023,10 @@ object SparkEntry {
     "q_fps_coreset" -> {
       val body = Curation.farthestPointSampleSql(
         "SELECT vec_id AS id, embedding AS v FROM embeddings", k = 8)
-      s"""SELECT rank, id AS vec_id, ROUND(min_dist, 6) AS min_dist
+      s"""SELECT rank, id AS vec_id,
+         |  CASE WHEN isinf(min_dist) THEN 9223372036854775807
+         |       ELSE CAST(FLOOR(min_dist * 1000000.0 + 0.5) AS BIGINT)
+         |  END AS min_dist_e6
          |FROM ($body) ORDER BY rank""".stripMargin
     },
 
@@ -5959,7 +6049,7 @@ object SparkEntry {
         |         THEN abs(xd - CASE WHEN xd < 0 THEN -448.0 ELSE 448.0 END)
         |         ELSE abs(xd - round_even(xd / s, 0) * s) END AS err FROM e2)
         |SELECT vec_id, CAST(MAX(nd) AS BIGINT) AS n_bytes,
-        |  ROUND(MAX(err), 6) AS max_abs_err
+        |  CAST(FLOOR(MAX(err) * 1000000.0 + 0.5) AS BIGINT) AS max_abs_err_e6
         |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "f16_roundtrip" ->
@@ -5981,7 +6071,7 @@ object SparkEntry {
         |         THEN CAST('infinity' AS DOUBLE)
         |         ELSE abs(xd - round_even(xd / s, 0) * s) END AS err FROM e2)
         |SELECT vec_id, CAST(MAX(nd) AS BIGINT) AS n_dims,
-        |  ROUND(MAX(err), 6) AS max_abs_err
+        |  CAST(FLOOR(MAX(err) * 1000000.0 + 0.5) AS BIGINT) AS max_abs_err_e6
         |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "bf16_roundtrip" ->
@@ -6003,7 +6093,7 @@ object SparkEntry {
         |         THEN CAST('infinity' AS DOUBLE)
         |         ELSE abs(xd - round_even(xd / s, 0) * s) END AS err FROM e2)
         |SELECT vec_id, CAST(MAX(nd) AS BIGINT) AS n_dims,
-        |  ROUND(MAX(err), 6) AS max_abs_err
+        |  CAST(FLOOR(MAX(err) * 1000000.0 + 0.5) AS BIGINT) AS max_abs_err_e6
         |FROM r GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // the stub decoder's byte-stat features are plain arithmetic over the
@@ -6585,7 +6675,8 @@ object SparkEntry {
         |  FROM documents GROUP BY lang),
         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total, COUNT(*) AS n_langs FROM c)
         |SELECT lang, n_docs, n_chars,
-        |  ROUND(CAST(total AS DOUBLE) / (CAST(n_langs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 6) AS upsample_weight
+        |  CAST(FLOOR(CAST(total AS DOUBLE) / (CAST(n_langs AS DOUBLE) * CAST(n_docs AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS upsample_weight_e6
         |FROM c CROSS JOIN t
         |ORDER BY lang""".stripMargin,
 
@@ -6733,7 +6824,8 @@ object SparkEntry {
         |  SELECT b.user_id, b.event_id, b.ts_us, b.rn,
         |    1.0 + POWER(0.5, CAST(b.ts_us - r.ts_us AS DOUBLE) / 3600000000.0) * r.y
         |  FROM base b JOIN rec r ON b.user_id = r.user_id AND b.rn = r.rn + 1)
-        |SELECT user_id, event_id, ROUND(y, 6) AS decayed
+        |SELECT user_id, event_id,
+        |  CAST(FLOOR(y * 1000000.0 + 0.5) AS BIGINT) AS decayed_e6
         |FROM rec ORDER BY user_id, event_id""".stripMargin,
 
     "q_cusum_drift" ->
@@ -6779,8 +6871,8 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY n_name ORDER BY d) AS rn
         |  FROM daily)
         |SELECT a.n_name, a.d,
-        |  ROUND(SUM(power(0.75, a.rn - b.rn) * b.cnt)
-        |        / SUM(power(0.75, a.rn - b.rn)), 6) AS ewma
+        |  CAST(FLOOR(SUM(power(0.75, a.rn - b.rn) * b.cnt)
+        |        / SUM(power(0.75, a.rn - b.rn)) * 1000000.0 + 0.5) AS BIGINT) AS ewma_e6
         |FROM idx a JOIN idx b ON a.n_name = b.n_name AND b.rn <= a.rn
         |GROUP BY a.n_name, a.d
         |ORDER BY a.n_name, a.d""".stripMargin,
@@ -6853,10 +6945,11 @@ object SparkEntry {
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
         |  FROM embeddings),
         |ex AS (SELECT vec_id, scale, UNNEST(embedding) AS e FROM s)
-        |SELECT vec_id, ROUND(MIN(scale), 6) AS scale,
-        |  ROUND(MAX(CASE WHEN scale > 0
+        |SELECT vec_id,
+        |  CAST(FLOOR(MIN(scale) * 1000000.0 + 0.5) AS BIGINT) AS scale_e6,
+        |  CAST(FLOOR(MAX(CASE WHEN scale > 0
         |    THEN abs(CAST(e AS DOUBLE) - floor(CAST(e AS DOUBLE) / scale + 0.5) * scale)
-        |    ELSE 0.0 END), 6) AS max_abs_err
+        |    ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS max_abs_err_e6
         |FROM ex
         |GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin,
@@ -6869,12 +6962,13 @@ object SparkEntry {
         |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 7.0 AS scale
         |  FROM embeddings),
         |ex AS (SELECT vec_id, scale, len(embedding) AS d, UNNEST(embedding) AS e FROM s)
-        |SELECT vec_id, ROUND(MIN(scale), 6) AS scale,
+        |SELECT vec_id,
+        |  CAST(FLOOR(MIN(scale) * 1000000.0 + 0.5) AS BIGINT) AS scale_e6,
         |  CAST((MIN(d) + 1) // 2 AS BIGINT) AS packed_bytes,
-        |  ROUND(MAX(CASE WHEN scale > 0
+        |  CAST(FLOOR(MAX(CASE WHEN scale > 0
         |    THEN abs(CAST(e AS DOUBLE) -
         |      CAST(CAST(floor(CAST(e AS DOUBLE) / scale + 0.5) * scale AS REAL) AS DOUBLE))
-        |    ELSE 0.0 END), 6) AS max_abs_err
+        |    ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT) AS max_abs_err_e6
         |FROM ex
         |GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin,
@@ -6938,7 +7032,8 @@ object SparkEntry {
         |r AS (SELECT eval_id, train_id, score,
         |  row_number() OVER (PARTITION BY eval_id ORDER BY score DESC, train_id) AS rank
         |  FROM p WHERE NOT isnan(score))
-        |SELECT eval_id, rank, train_id, ROUND(score, 6) AS cos
+        |SELECT eval_id, rank, train_id,
+        |  CAST(FLOOR(score * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
         |FROM r WHERE rank <= 5
         |ORDER BY eval_id, rank""".stripMargin,
 
@@ -7809,9 +7904,41 @@ object SparkEntry {
         |FROM u ORDER BY key_name""".stripMargin,
 
     // contingency-cell pair counting (≤550 cells); HUGEINT ≡ the Spark
-    // side's DECIMAL(38,0); τ-b final expression in the identical IEEE
-    // order; integer division // for the always-even tie/pair terms
+    // side's DECIMAL(38,0). r16: tau_b_e6 is FLOAT-FREE — exact integer
+    // sqrt (double seed, ±1 integer-compare correction) then half-up
+    // by sign-correct integer floordiv; no double is emitted or routed,
+    // so both engines compute the identical integer by construction.
     "q_kendall_tau" ->
+      """WITH cells AS (SELECT l_quantity AS x, l_discount AS y, COUNT(*) AS nc
+        |  FROM lineitem GROUP BY 1, 2),
+        |cd AS (SELECT
+        |    SUM(CASE WHEN b.x > a.x AND b.y > a.y
+        |        THEN CAST(a.nc AS HUGEINT) * b.nc ELSE 0 END) AS cc,
+        |    SUM(CASE WHEN b.x > a.x AND b.y < a.y
+        |        THEN CAST(a.nc AS HUGEINT) * b.nc ELSE 0 END) AS dd
+        |  FROM cells a, cells b),
+        |tx AS (SELECT SUM(CAST(m AS HUGEINT) * (m - 1) // 2) AS tx
+        |  FROM (SELECT SUM(nc) AS m FROM cells GROUP BY x)),
+        |ty AS (SELECT SUM(CAST(m AS HUGEINT) * (m - 1) // 2) AS ty
+        |  FROM (SELECT SUM(nc) AS m FROM cells GROUP BY y)),
+        |nn AS (SELECT SUM(nc) AS n, CAST(SUM(nc) AS HUGEINT) * (SUM(nc) - 1) // 2 AS n0
+        |  FROM cells),
+        |w AS (SELECT nn.n, cd.cc, cd.dd,
+        |    (nn.n0 - tx.tx) * (nn.n0 - ty.ty) AS dq
+        |  FROM cd, tx, ty, nn),
+        |sq AS (SELECT *, CAST(FLOOR(SQRT(CAST(dq AS DOUBLE))) AS HUGEINT) AS s0 FROM w),
+        |sq1 AS (SELECT *, CASE WHEN s0 * s0 > dq THEN s0 - 1 ELSE s0 END AS s1 FROM sq),
+        |sq2 AS (SELECT *, CASE WHEN (s1 + 1) * (s1 + 1) <= dq THEN s1 + 1 ELSE s1 END AS si FROM sq1),
+        |f AS (SELECT n, cc, dd,
+        |    2 * (cc - dd) * 1000000 + si AS num, 2 * si AS den FROM sq2)
+        |SELECT CAST(n AS BIGINT) AS n_rows,
+        |  CAST(cc AS DECIMAL(38,0)) AS concordant,
+        |  CAST(dd AS DECIMAL(38,0)) AS discordant,
+        |  CAST((num - (((num % den) + den) % den)) // den AS BIGINT) AS tau_b_e6
+        |FROM f""".stripMargin,
+
+    // witness-split bisect (r16): only the exact integer τ-b inputs
+    "q_kendall_parts" ->
       """WITH cells AS (SELECT l_quantity AS x, l_discount AS y, COUNT(*) AS nc
         |  FROM lineitem GROUP BY 1, 2),
         |cd AS (SELECT
@@ -7829,14 +7956,9 @@ object SparkEntry {
         |SELECT CAST(nn.n AS BIGINT) AS n_rows,
         |  CAST(cd.cc AS DECIMAL(38,0)) AS concordant,
         |  CAST(cd.dd AS DECIMAL(38,0)) AS discordant,
-        |  CAST(FLOOR(((CAST(cd.cc AS DOUBLE) - CAST(cd.dd AS DOUBLE)) /
-        |    SQRT((CAST(nn.n0 AS DOUBLE) - CAST(tx.tx AS DOUBLE)) *
-        |         (CAST(nn.n0 AS DOUBLE) - CAST(ty.ty AS DOUBLE)))) * 1000000.0
-        |    + 0.5) AS BIGINT) AS tau_b_e6,
-        |  CAST(FLOOR(((CAST(cd.cc AS DOUBLE) - CAST(cd.dd AS DOUBLE)) /
-        |    SQRT((CAST(nn.n0 AS DOUBLE) - CAST(tx.tx AS DOUBLE)) *
-        |         (CAST(nn.n0 AS DOUBLE) - CAST(ty.ty AS DOUBLE)))) * 1000000.0
-        |    + 0.5) AS BIGINT) / 1000000.0 + 0.0 AS tau_b
+        |  CAST(tx.tx AS DECIMAL(38,0)) AS tie_x,
+        |  CAST(ty.ty AS DECIMAL(38,0)) AS tie_y,
+        |  CAST(nn.n0 AS DECIMAL(38,0)) AS n_pairs
         |FROM cd, tx, ty, nn""".stripMargin,
 
     // midrank r = (#less) + (ties+1)/2 from the value-frequency table;
@@ -8076,8 +8198,9 @@ object SparkEntry {
 
     "q_vec_normalize" ->
       """SELECT vec_id,
-        |  ROUND(CAST(embedding[1] AS DOUBLE) / sqrt(nsq), 6) AS u0,
-        |  ROUND(sqrt(nsq), 4) AS norm
+        |  CAST(FLOOR(CAST(embedding[1] AS DOUBLE) / sqrt(nsq)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS u0_e6,
+        |  CAST(FLOOR(sqrt(nsq) * 10000.0 + 0.5) AS BIGINT) AS norm_e4
         |FROM (
         |  SELECT vec_id, embedding,
         |    (SELECT SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)) FROM UNNEST(embedding) AS t(e)) AS nsq
@@ -8162,10 +8285,12 @@ object SparkEntry {
         |  FROM nr),
         |z AS (SELECT vec_id, mx,
         |  CASE WHEN SQRT(s2/n - (s1/n)*(s1/n)) > 0
-        |    THEN ROUND((mx - s1/n) / SQRT(s2/n - (s1/n)*(s1/n)), 4)
-        |    ELSE 0.0 END AS z
+        |    THEN CAST(FLOOR((mx - s1/n) / SQRT(s2/n - (s1/n)*(s1/n))
+        |      * 10000.0 + 0.5) AS BIGINT)
+        |    ELSE 0 END AS z_e4
         |  FROM nr, st)
-        |SELECT vec_id, mx, z, ABS(z) > 3.0 AS is_outlier
+        |SELECT vec_id, CAST(FLOOR(mx * 1000000.0 + 0.5) AS BIGINT) AS mx_e6,
+        |  z_e4, ABS(z_e4) > 30000 AS is_outlier
         |FROM z ORDER BY vec_id""".stripMargin,
 
     // ann_ivf's probe CTEs with a radius filter instead of top-k
@@ -8782,7 +8907,7 @@ object SparkEntry {
         |   AND c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - 604800000000),
         |k AS (SELECT p_eid, COUNT(*) AS k FROM touches GROUP BY p_eid)
         |SELECT t.c_eid AS event_id, t.user_id,
-        |  ROUND(SUM(t.value / k.k), 6) AS attr_revenue,
+        |  CAST(FLOOR(SUM(t.value / k.k) * 1000000.0 + 0.5) AS BIGINT) AS attr_revenue_e6,
         |  COUNT(*) AS n_purchases
         |FROM touches t JOIN k ON k.p_eid = t.p_eid
         |GROUP BY t.c_eid, t.user_id

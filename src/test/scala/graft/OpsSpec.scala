@@ -485,18 +485,56 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(0) === n.toLong)
     assert(r.getDecimal(1).longValueExact === c)
     assert(r.getDecimal(2).longValueExact === d)
-    // the exact same IEEE expression the query (and oracle) evaluate,
-    // quantized the boundary-proof way (r15): tau_e6 = floor(τ·1e6+0.5)
-    // is an exact integer witness; tau_b = tau_e6/1e6 — pure correctly-
-    // rounded IEEE single ops, bit-identical on any conforming engine
-    val tau = (c.toDouble - d.toDouble) /
-      math.sqrt((n0.toDouble - tx.toDouble) * (n0.toDouble - ty.toDouble))
-    val tauE6 = math.floor(tau * 1e6 + 0.5).toLong
+    // r16 float-free definition: s = isqrt((n0−tx)(n0−ty)) exactly via
+    // BigInteger.sqrt, tau_e6 = floordiv(2a + s, 2s) with a = (C−D)·1e6
+    // — the identical pure-integer computation both engines run; ALSO
+    // assert it matches the r15 IEEE double tree (the isqrt
+    // approximation is provably inside the boundary gap at this scale)
+    val dq = (java.math.BigInteger.valueOf(n0 - tx))
+      .multiply(java.math.BigInteger.valueOf(n0 - ty))
+    val s = dq.sqrt()
+    val a = java.math.BigInteger.valueOf(c - d)
+      .multiply(java.math.BigInteger.valueOf(1000000L))
+    val num = a.shiftLeft(1).add(s)
+    val den = s.shiftLeft(1)
+    val Array(qDiv, rem) = num.divideAndRemainder(den)
+    val tauE6 = (if (rem.signum < 0) qDiv.subtract(java.math.BigInteger.ONE)
+                 else qDiv).longValueExact
     assert(r.getLong(3) === tauE6)
-    assert(java.lang.Double.doubleToLongBits(r.getDouble(4)) ===
-      java.lang.Double.doubleToLongBits(tauE6.toDouble / 1e6 + 0.0))
+    val tauDouble = (c.toDouble - d.toDouble) /
+      math.sqrt((n0.toDouble - tx.toDouble) * (n0.toDouble - ty.toDouble))
+    assert(math.floor(tauDouble * 1e6 + 0.5).toLong === tauE6,
+      "isqrt definition diverged from the IEEE tree — boundary gap violated")
     // sanity: quantity and discount are independent in TPC-H generators
-    assert(math.abs(r.getDouble(4)) < 0.05)
+    assert(math.abs(tauE6) < 50000L)
+  }
+
+  test("q_kendall_parts witnesses == the brute-force pair/tie counts") {
+    val r = SparkEntry.queries("q_kendall_parts")(spark, "/root/testdata/sf0.001").head
+    val data = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_quantity", "l_discount").collect()
+      .map(x => (x.getDouble(0), x.getDouble(1)))
+    val n = data.length
+    var c = 0L; var d = 0L
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val dx = java.lang.Double.compare(data(i)._1, data(j)._1)
+        val dy = java.lang.Double.compare(data(i)._2, data(j)._2)
+        if (dx != 0 && dy != 0) { if (dx == dy) c += 1 else d += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    val tx = data.groupBy(_._1).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val ty = data.groupBy(_._2).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    assert(r.getLong(0) === n.toLong)
+    assert(r.getDecimal(1).longValueExact === c)
+    assert(r.getDecimal(2).longValueExact === d)
+    assert(r.getDecimal(3).longValueExact === tx)
+    assert(r.getDecimal(4).longValueExact === ty)
+    assert(r.getDecimal(5).longValueExact === n.toLong * (n - 1) / 2)
   }
 
   test("HLL sketches: union of partials ≡ direct sketch; partition-invariant; ±5%") {
