@@ -85,14 +85,15 @@ object SparkEntry {
         size(col("w")).cast(LongType).as("n_tokens"),
         (size(array_distinct(col("w"))).cast(DoubleType) /
           size(col("w")).cast(DoubleType)).as("ttr"))
-    val spans = Dedup.duplicatedSpans(d, n = 8).select(col("doc_id"), col("dup_frac"))
+    val spans = Dedup.duplicatedSpans(d, n = 8)
+      .select(col("doc_id"), col("dup_frac_e6"))
     d.select(col("doc_id"))
       .join(lang, "doc_id").join(qual, "doc_id").join(spans, "doc_id")
       .select(col("doc_id"),
         when(col("pred_lang") === "und", "lang")
           .when(col("n_tokens") < 16 || col("n_tokens") > 94, "length")
           .when(col("ttr") < 0.31, "quality")
-          .when(col("dup_frac") > 0.5, "span_dup")
+          .when(col("dup_frac_e6") > 500000L, "span_dup")
           .otherwise("kept").as("verdict"))
   }
 
@@ -1111,7 +1112,7 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val train = e.filter(col("vec_id") % 97 =!= 0)
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.bruteForceTopK(train, evalQ, k = 5, metric = "cosine")
+      Similarity.autoTopK(train, evalQ, k = 5, metric = "cosine")
         .select(col("qid").as("eval_id"), col("rank"),
           col("label").as("train_id"),
           floor(col("score") * lit(1e6) + lit(0.5)).cast(LongType).as("cos_e6"))
@@ -1217,8 +1218,9 @@ object SparkEntry {
       val num = ranked
         .agg(sum((lit(2L) * col("rank") - lit(n + 1)) * col("cents"))).head().getLong(0)
       s.range(1).select(lit(n).as("n_customers"), lit(tot).as("total_cents"),
-        round(lit(num).cast(DoubleType) /
-          (lit(n).cast(DoubleType) * lit(tot).cast(DoubleType)), 6).as("gini"))
+        floor(lit(num).cast(DoubleType) /
+          (lit(n).cast(DoubleType) * lit(tot).cast(DoubleType))
+          * lit(1e6) + lit(0.5)).cast(LongType).as("gini_e6"))
     },
 
     // Lorenz-curve decile shares — the distribution behind the Gini
@@ -1237,7 +1239,8 @@ object SparkEntry {
         .groupBy("decile")
         .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"))
         .select(col("decile"), col("n_customers"), col("cents"),
-          round(col("cents").cast(DoubleType) / lit(tot.toDouble), 6).as("share"))
+          floor(col("cents").cast(DoubleType) / lit(tot.toDouble)
+            * lit(1e6) + lit(0.5)).cast(LongType).as("share_e6"))
         .orderBy("decile")
     },
 
@@ -1599,7 +1602,9 @@ object SparkEntry {
     // dedup at token granularity) ----
 
     "dedup_spans" -> { (s, dir) =>
-      Dedup.duplicatedSpans(Tables(s, dir, "documents"), n = 8).orderBy("doc_id")
+      Dedup.duplicatedSpans(Tables(s, dir, "documents"), n = 8)
+        .select(col("doc_id"), col("n_spans"), col("n_dup"), col("dup_frac_e6"))
+        .orderBy("doc_id")
     },
 
     // ---- dedup: exact duplicated SUBSTRINGS (Lee et al. 2022's
@@ -1811,7 +1816,8 @@ object SparkEntry {
         .withColumn("label",
           when(col("und") === 0.0 &&
             col("n_tokens") >= 16 && col("n_tokens") <= 94 &&
-            col("ttr") >= 0.31 && col("dup_frac") <= 0.5, 1.0).otherwise(0.0))
+            col("ttr") >= 0.31 && col("dup_frac_e6") <= 500000L, 1.0)
+            .otherwise(0.0))
         .localCheckpoint(true)
       val model = Curation.trainQualityFilter(
         labeled.filter(col("doc_id") % 2 === 0))
@@ -2249,14 +2255,20 @@ object SparkEntry {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), sum(col("s6")).as("ss"), sum(col("y")).as("sy"))
       val tot = agg.agg(sum(col("n")).as("n_all"))
-      val avgS = round(col("ss").cast(DoubleType) / col("n").cast(DoubleType), 6)
-      val posR = round(col("sy").cast(DoubleType) / col("n").cast(DoubleType), 6)
+      val avgS = floor(col("ss").cast(DoubleType) / col("n").cast(DoubleType)
+        * lit(1e6) + lit(0.5)).cast(LongType)
+      val posR = floor(col("sy").cast(DoubleType) / col("n").cast(DoubleType)
+        * lit(1e6) + lit(0.5)).cast(LongType)
       agg.crossJoin(broadcast(tot))
-        .select(col("bucket"), col("n"),
-          avgS.as("avg_score"), posR.as("pos_rate"),
-          round(abs(avgS - posR), 6).as("abs_gap"),
-          round((col("n").cast(DoubleType) / col("n_all").cast(DoubleType)) *
-            abs(avgS - posR), 6).as("ece_contrib"))
+        .select(col("bucket"), col("n"), col("n_all"),
+          avgS.as("avg_score_e6"), posR.as("pos_rate_e6"))
+        .withColumn("abs_gap_e6", abs(col("avg_score_e6") - col("pos_rate_e6")))
+        // ece_e6 = round-half-up(n·gap/n_all): pure integer floordiv —
+        // (2·n·gap + n_all) div (2·n_all); operands stay far under 2^63
+        .withColumn("ece_contrib_e6",
+          expr("(2 * n * abs_gap_e6 + n_all) div (2 * n_all)"))
+        .select(col("bucket"), col("n"), col("avg_score_e6"),
+          col("pos_rate_e6"), col("abs_gap_e6"), col("ece_contrib_e6"))
         .orderBy("bucket")
     },
 
@@ -2635,11 +2647,13 @@ object SparkEntry {
       val m3 = s3 / n - lit(3.0) * mean * (s2 / n) + lit(2.0) * mean * mean * mean
       val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
         lit(6.0) * mean * mean * (s2 / n) - lit(3.0) * mean * mean * mean * mean
+      def e6(c: Column): Column =
+        floor(c * lit(1e6) + lit(0.5)).cast(LongType)
       agg.select(col("l_returnflag"), col("n_rows"),
-          round(mean, 6).as("mean"),
-          round(m2, 6).as("m2"),
-          round(m3 / sqrt(m2 * m2 * m2), 6).as("skewness"),
-          round(m4 / (m2 * m2) - lit(3.0), 6).as("kurtosis_excess"))
+          e6(mean).as("mean_e6"),
+          e6(m2).as("m2_e6"),
+          e6(m3 / sqrt(m2 * m2 * m2)).as("skewness_e6"),
+          e6(m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess_e6"))
         .orderBy("l_returnflag")
     },
 
@@ -2661,9 +2675,10 @@ object SparkEntry {
       val sxx = col("sxx").cast(DoubleType)
       val syy = col("syy").cast(DoubleType)
       agg.select(col("l_returnflag"), col("n_rows"),
-          round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-            .as("corr_qty_price"),
-          round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).as("slope"))
+          floor((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            * lit(1e6) + lit(0.5)).cast(LongType).as("corr_qty_price_e6"),
+          floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * lit(1e6) + lit(0.5))
+            .cast(LongType).as("slope_e6"))
         .orderBy("l_returnflag")
     },
 
@@ -2749,8 +2764,8 @@ object SparkEntry {
       val sxx = col("sxx").cast(DoubleType)
       val syy = col("syy").cast(DoubleType)
       agg.select(col("l_returnflag"), col("n_rows"),
-          round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
-            .as("spearman"))
+          floor((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+            * lit(1e6) + lit(0.5)).cast(LongType).as("spearman_e6"))
         .orderBy("l_returnflag")
     },
 
@@ -2775,8 +2790,9 @@ object SparkEntry {
       val s2 = col("s2").cast(DoubleType)
       byType.crossJoin(broadcast(tot))
         .select(col("event_type"), col("n_pos"),
-          round((s2 - nPos * (nPos + lit(1.0))) /
-            ((lit(2.0) * nPos) * (nAll - nPos)), 6).as("auc"))
+          floor((s2 - nPos * (nPos + lit(1.0))) /
+            ((lit(2.0) * nPos) * (nAll - nPos)) * lit(1e6) + lit(0.5))
+            .cast(LongType).as("auc_e6"))
         .orderBy("event_type")
     },
 
@@ -2804,8 +2820,9 @@ object SparkEntry {
           .crossJoin(broadcast(qs))
           .select(col("key_name"), col("n_rows"), col("n_keys"),
             col("max_freq"), col("p50_freq"), col("p99_freq"),
-            round(col("max_freq").cast(DoubleType) / col("n_rows").cast(DoubleType), 6)
-              .as("top_share"))
+            floor(col("max_freq").cast(DoubleType) / col("n_rows").cast(DoubleType)
+              * lit(1e6) + lit(0.5)).cast(LongType)
+              .as("top_share_e6"))
       }
       profile(Tables(s, dir, "lineitem"), "l_orderkey", "lineitem.l_orderkey")
         .unionByName(profile(Tables.events(s, dir), "user_id", "events.user_id"))
@@ -3014,10 +3031,10 @@ object SparkEntry {
           sum(col("du") * col("du")).as("sxx"),
           sum(col("dv") * col("dv")).as("syy"))
         .select(col("n"),
-          round((col("n").cast(DoubleType) * col("sxy") - col("sx").cast(DoubleType) * col("sy")) /
+          floor((col("n").cast(DoubleType) * col("sxy") - col("sx").cast(DoubleType) * col("sy")) /
             (sqrt(col("n").cast(DoubleType) * col("sxx") - col("sx").cast(DoubleType) * col("sx")) *
-             sqrt(col("n").cast(DoubleType) * col("syy") - col("sy").cast(DoubleType) * col("sy"))), 6)
-            .as("assortativity"))
+             sqrt(col("n").cast(DoubleType) * col("syy") - col("sy").cast(DoubleType) * col("sy")))
+            * lit(1e6) + lit(0.5)).cast(LongType).as("assortativity_e6"))
     },
 
     // k-core of the near-dup pair graph: documents in DENSE duplicate
@@ -3238,7 +3255,10 @@ object SparkEntry {
         .filter(col("nid") =!= col("qid"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
-      val voted = top10.join(broadcast(classes), "nid")
+      // broadcast the BOUNDED 16·10-row top-k frame and stream the
+      // corpus-sized label table past it (r16 — the old hint broadcast
+      // the ∝n label table, an OOM cliff at corpus scale)
+      val voted = classes.join(broadcast(top10), "nid")
         .groupBy(col("qid"), col("cls")).agg(count(lit(1)).as("votes"))
         .groupBy(col("qid"))
         .agg(max(struct(col("votes"), (-col("cls")).cast(LongType).as("nc"))).as("best"))
@@ -3266,24 +3286,36 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val own = e.filter(col("vec_id") % 97 === 0)
         .select(col("vec_id").as("qid"), col("label").as("own_cls"))
+      // measured broadcast gate (r16): the audited frame is ∝ n/97
+      // under the gate convention, so every hint on it (or on the
+      // 10×-larger top-k frame) is count-gated; past the cap the joins
+      // fall back to shuffle plans and the kNN takes the tiled path —
+      // both bit-identical, so the route never moves the hash
+      val nAudited = audited.count()
+      def mb(df: DataFrame): DataFrame =
+        if (nAudited <= Similarity.queryBroadcastCap) broadcast(df) else df
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("score"), col("nid"))
-      val top10 = Similarity.bruteForceTopK(vectors, audited, k = 11, "l2")
+      val knn =
+        if (nAudited <= Similarity.queryBroadcastCap)
+          Similarity.bruteForceTopK(vectors, audited, k = 11, "l2")
+        else Similarity.shuffleTiledTopK(vectors, audited, k = 11, "l2")
+      val top10 = knn
         .select(col("qid"), col("label").as("nid"), col("score"))
         .filter(col("nid") =!= col("qid"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 10)
         .select(col("qid"), col("nid"))
-      val votes = classes.join(broadcast(top10), "nid")
+      val votes = classes.join(mb(top10), "nid")
         .groupBy(col("qid"), col("cls")).agg(count(lit(1)).as("votes"))
       val pred = votes.groupBy(col("qid"))
         .agg(max(struct(col("votes"), (-col("cls")).cast(LongType).as("nc"))).as("best"))
         .select(col("qid"), (-col("best.nc")).cast(IntegerType).as("pred_cls"),
           col("best.votes").as("pred_votes"))
-      val agree = votes.join(broadcast(own),
+      val agree = votes.join(mb(own),
           votes("qid") === own("qid") && votes("cls") === own("own_cls"))
         .select(votes("qid"), col("votes").as("n_agree"))
-      pred.join(broadcast(own), "qid")
+      pred.join(mb(own), "qid")
         .join(agree, Seq("qid"), "left")
         .select(col("qid"), col("own_cls"), col("pred_cls"), col("pred_votes"),
           coalesce(col("n_agree"), lit(0L)).as("n_agree"),
@@ -3991,6 +4023,12 @@ object SparkEntry {
       val expected = typedlit(Seq(301030L, 176091L, 124939L, 96910L,
         79181L, 66947L, 57992L, 51153L, 45757L))
       Tables(s, dir, "lineitem")
+        // explicit domain guard (r16 ADVICE): a price < 1 yields leading
+        // digit 0 (element_at index 0 → error/null) and a negative price
+        // makes the two engines diverge on digit extraction — filter the
+        // out-of-domain rows identically on BOTH sides instead of
+        // leaving the invariant to a comment
+        .filter(dec(col("l_extendedprice")) >= 1)
         .select(substring(dec(col("l_extendedprice")).cast(StringType), 1, 1)
           .cast(LongType).as("digit"))
         .groupBy(col("digit"))
@@ -4180,7 +4218,8 @@ object SparkEntry {
       val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
       pairs.join(totals, "from_type")
         .select(col("from_type"), col("to_type"), col("n"),
-          round(col("n").cast(DoubleType) / col("tot").cast(DoubleType), 6).as("prob"))
+          floor(col("n").cast(DoubleType) / col("tot").cast(DoubleType)
+            * lit(1e6) + lit(0.5)).cast(LongType).as("prob_e6"))
         .orderBy("from_type", "to_type")
     },
 
@@ -4638,7 +4677,8 @@ object SparkEntry {
       c.join(totals, "user_id")
         .groupBy(col("user_id"))
         .agg(min(col("n")).as("n_events"), min(col("n_types")).as("n_types"),
-          (round(sum(-p * log(p)), 6) + lit(0.0)).as("entropy"))
+          floor(sum(-p * log(p)) * lit(1e6) + lit(0.5)).cast(LongType)
+            .as("entropy_e6"))
         .orderBy("user_id")
     },
 
@@ -4670,11 +4710,11 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_hit")))
         .crossJoin(nd)
         .select(col("n_docs"), col("n_candidates"), col("n_truth"), col("n_hit"),
-          round(col("n_hit").cast(DoubleType) / col("n_truth"), 6)
-            .as("pair_completeness"),
-          round(lit(1.0) - col("n_candidates").cast(DoubleType) /
-            (col("n_docs").cast(DoubleType) * (col("n_docs") - 1) / lit(2.0)), 6)
-            .as("reduction_ratio"))
+          floor(col("n_hit").cast(DoubleType) / col("n_truth")
+            * lit(1e6) + lit(0.5)).cast(LongType).as("pair_completeness_e6"),
+          floor((lit(1.0) - col("n_candidates").cast(DoubleType) /
+            (col("n_docs").cast(DoubleType) * (col("n_docs") - 1) / lit(2.0)))
+            * lit(1e6) + lit(0.5)).cast(LongType).as("reduction_ratio_e6"))
     },
 
     // top-k PMI collocations (Church & Hanks 1990) with a support floor
@@ -5085,7 +5125,8 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
         |  FROM sh JOIN df ON sh.s = df.s GROUP BY 1)
         |SELECT doc_id, n_shingles, n_dup,
-        |  ROUND(CAST(n_dup AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS dup_frac
+        |  CAST((2 * n_dup * 1000000 + n_shingles) // (2 * n_shingles) AS BIGINT)
+        |    AS dup_frac_e6
         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "text_lexical_diversity" ->
@@ -5157,8 +5198,9 @@ object SparkEntry {
         |t AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
         |    CAST(COUNT(*) AS BIGINT) AS n_types FROM c GROUP BY 1)
         |SELECT c.user_id, MIN(t.n) AS n_events, MIN(t.n_types) AS n_types,
-        |  ROUND(SUM(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
-        |    * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))), 6) + 0.0 AS entropy
+        |  CAST(FLOOR(SUM(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |    * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))) * 1000000.0 + 0.5)
+        |    AS BIGINT) AS entropy_e6
         |FROM c JOIN t USING (user_id) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // entropy terms decimal-quantized per element (the heaps pattern);
@@ -5331,14 +5373,15 @@ object SparkEntry {
          |dupf AS (SELECT s2.doc_id, COUNT(*) AS n_dup FROM spansf s2
          |         JOIN ddff ON s2.gram = ddff.gram WHERE ddff.df >= 2 GROUP BY 1),
          |lensf AS (SELECT doc_id, CAST(greatest(len(w)-7, 0) AS BIGINT) AS n_spans FROM t),
-         |sp AS (SELECT l.doc_id, ROUND(CASE WHEN l.n_spans > 0
-         |       THEN CAST(COALESCE(d2.n_dup, 0) AS DOUBLE)/l.n_spans ELSE 0.0 END, 6) AS dup_frac
+         |sp AS (SELECT l.doc_id, CASE WHEN l.n_spans > 0
+         |       THEN (2 * COALESCE(d2.n_dup, 0) * 1000000 + l.n_spans)
+         |            // (2 * l.n_spans) ELSE 0 END AS dup_frac_e6
          |       FROM lensf l LEFT JOIN dupf d2 ON l.doc_id = d2.doc_id)
          |SELECT lang.doc_id,
          |  CASE WHEN pred_lang = 'und' THEN 'lang'
          |       WHEN n_tokens < 16 OR n_tokens > 94 THEN 'length'
          |       WHEN ttr < 0.31 THEN 'quality'
-         |       WHEN dup_frac > 0.5 THEN 'span_dup'
+         |       WHEN dup_frac_e6 > 500000 THEN 'span_dup'
          |       ELSE 'kept' END AS verdict
          |FROM lang JOIN qual ON lang.doc_id = qual.doc_id
          |JOIN sp ON lang.doc_id = sp.doc_id
@@ -5367,14 +5410,15 @@ object SparkEntry {
          |dupf AS (SELECT s2.doc_id, COUNT(*) AS n_dup FROM spansf s2
          |         JOIN ddff ON s2.gram = ddff.gram WHERE ddff.df >= 2 GROUP BY 1),
          |lensf AS (SELECT doc_id, CAST(greatest(len(w)-7, 0) AS BIGINT) AS n_spans FROM t),
-         |sp AS (SELECT l.doc_id, ROUND(CASE WHEN l.n_spans > 0
-         |       THEN CAST(COALESCE(d2.n_dup, 0) AS DOUBLE)/l.n_spans ELSE 0.0 END, 6) AS dup_frac
+         |sp AS (SELECT l.doc_id, CASE WHEN l.n_spans > 0
+         |       THEN (2 * COALESCE(d2.n_dup, 0) * 1000000 + l.n_spans)
+         |            // (2 * l.n_spans) ELSE 0 END AS dup_frac_e6
          |       FROM lensf l LEFT JOIN dupf d2 ON l.doc_id = d2.doc_id),
          |kept AS (SELECT lang.doc_id FROM lang
          |  JOIN qual ON lang.doc_id = qual.doc_id
          |  JOIN sp ON lang.doc_id = sp.doc_id
          |  WHERE pred_lang <> 'und' AND n_tokens >= 16 AND n_tokens <= 94
-         |    AND ttr >= 0.31 AND dup_frac <= 0.5),
+         |    AND ttr >= 0.31 AND dup_frac_e6 <= 500000),
          |dd AS (SELECT MIN(d.doc_id) AS doc_id FROM documents d
          |  JOIN kept ON d.doc_id = kept.doc_id GROUP BY md5(d.text)),
          |surv AS (SELECT d.doc_id, d.lang,
@@ -5399,8 +5443,9 @@ object SparkEntry {
          |        JOIN ddf ON s.gram = ddf.gram WHERE ddf.df >= 2 GROUP BY 1),
          |lens AS (SELECT doc_id, CAST(greatest(len(w)-7, 0) AS BIGINT) AS n_spans FROM t)
          |SELECT l.doc_id, l.n_spans, CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup,
-         |  ROUND(CASE WHEN l.n_spans > 0
-         |        THEN CAST(COALESCE(d.n_dup, 0) AS DOUBLE)/l.n_spans ELSE 0.0 END, 6) AS dup_frac
+         |  CASE WHEN l.n_spans > 0
+         |       THEN CAST((2 * COALESCE(d.n_dup, 0) * 1000000 + l.n_spans)
+         |            // (2 * l.n_spans) AS BIGINT) ELSE 0 END AS dup_frac_e6
          |FROM lens l LEFT JOIN dup d ON l.doc_id = d.doc_id
          |ORDER BY l.doc_id""".stripMargin
     },
@@ -5634,7 +5679,8 @@ object SparkEntry {
         |      FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
         |t AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
         |SELECT c.from_type, c.to_type, c.n,
-        |  ROUND(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS prob
+        |  CAST(FLOOR(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS prob_e6
         |FROM c JOIN t ON c.from_type = t.from_type
         |ORDER BY c.from_type, c.to_type""".stripMargin,
 
@@ -6769,7 +6815,8 @@ object SparkEntry {
         |    CAST(SUM((2 * rn - (SELECT COUNT(*) FROM cust) - 1) * cents) AS BIGINT) AS num
         |  FROM rk)
         |SELECT n AS n_customers, tot AS total_cents,
-        |  ROUND(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS gini
+        |  CAST(FLOOR(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS gini_e6
         |FROM m""".stripMargin,
 
     "q_lorenz_deciles" ->
@@ -6783,8 +6830,8 @@ object SparkEntry {
         |SELECT ((rn - 1) * 10) // (SELECT n FROM nn) AS decile,
         |  CAST(COUNT(*) AS BIGINT) AS n_customers,
         |  CAST(SUM(cents) AS BIGINT) AS cents,
-        |  ROUND(CAST(SUM(cents) AS DOUBLE) /
-        |    CAST((SELECT tot FROM nn) AS DOUBLE), 6) AS share
+        |  CAST(FLOOR(CAST(SUM(cents) AS DOUBLE) /
+        |    CAST((SELECT tot FROM nn) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS share_e6
         |FROM rk GROUP BY 1 ORDER BY decile""".stripMargin,
 
     "q_exact_quantile_scan" ->
@@ -7535,16 +7582,18 @@ object SparkEntry {
         |    SUM(CAST(ROUND(ttr, 6) AS DECIMAL(18,6))) AS ss,
         |    SUM(CASE WHEN n_tokens <= 48 THEN 1 ELSE 0 END) AS sy
         |  FROM q GROUP BY 1),
-        |t AS (SELECT SUM(n) AS n_all FROM g)
-        |SELECT bucket, n,
-        |  ROUND(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE), 6) AS avg_score,
-        |  ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate,
-        |  ROUND(ABS(ROUND(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE), 6)
-        |    - ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6)), 6) AS abs_gap,
-        |  ROUND((CAST(n AS DOUBLE) / CAST(n_all AS DOUBLE)) *
-        |    ABS(ROUND(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE), 6)
-        |      - ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6)), 6) AS ece_contrib
-        |FROM g, t
+        |t AS (SELECT SUM(n) AS n_all FROM g),
+        |w AS (SELECT bucket, n,
+        |  CAST(FLOOR(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+        |    AS BIGINT) AS avg_score_e6,
+        |  CAST(FLOOR(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+        |    AS BIGINT) AS pos_rate_e6,
+        |  n_all FROM g, t)
+        |SELECT bucket, n, avg_score_e6, pos_rate_e6,
+        |  ABS(avg_score_e6 - pos_rate_e6) AS abs_gap_e6,
+        |  CAST((2 * n * ABS(avg_score_e6 - pos_rate_e6) + n_all)
+        |    // (2 * n_all) AS BIGINT) AS ece_contrib_e6
+        |FROM w
         |ORDER BY bucket""".stripMargin,
 
     "text_langid" -> {
@@ -7820,9 +7869,11 @@ object SparkEntry {
         |      + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
         |      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
         |  FROM e)
-        |SELECT l_returnflag, n_rows, ROUND(mean, 6) AS mean, ROUND(m2, 6) AS m2,
-        |  ROUND(m3 / SQRT(m2 * m2 * m2), 6) AS skewness,
-        |  ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+        |SELECT l_returnflag, n_rows,
+        |  CAST(FLOOR(mean * 1000000.0 + 0.5) AS BIGINT) AS mean_e6,
+        |  CAST(FLOOR(m2 * 1000000.0 + 0.5) AS BIGINT) AS m2_e6,
+        |  CAST(FLOOR(m3 / SQRT(m2 * m2 * m2) * 1000000.0 + 0.5) AS BIGINT) AS skewness_e6,
+        |  CAST(FLOOR((m4 / (m2 * m2) - 3.0) * 1000000.0 + 0.5) AS BIGINT) AS kurtosis_excess_e6
         |FROM c ORDER BY l_returnflag""".stripMargin,
 
     "q_corr_stats" ->
@@ -7835,13 +7886,13 @@ object SparkEntry {
         |    SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS syy
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n_rows,
-        |  ROUND((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  CAST(FLOOR((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |    / SQRT((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |         * (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-        |    AS corr_qty_price,
-        |  ROUND((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-        |    / (CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
-        |    AS slope
+        |         * (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS corr_qty_price_e6,
+        |  CAST(FLOOR((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS slope_e6
         |FROM m
         |ORDER BY l_returnflag""".stripMargin,
 
@@ -7900,7 +7951,8 @@ object SparkEntry {
         |  FROM f2),
         |u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
         |SELECT key_name, n_rows, n_keys, max_freq, p50_freq, p99_freq,
-        |  ROUND(CAST(max_freq AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS top_share
+        |  CAST(FLOOR(CAST(max_freq AS DOUBLE) / CAST(n_rows AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS top_share_e6
         |FROM u ORDER BY key_name""".stripMargin,
 
     // contingency-cell pair counting (≤550 cells); HUGEINT ≡ the Spark
@@ -7986,10 +8038,10 @@ object SparkEntry {
         |    SUM(CAST(r2y AS HUGEINT) * CAST(r2y AS HUGEINT)) AS syy
         |  FROM j GROUP BY l_returnflag)
         |SELECT l_returnflag, n_rows,
-        |  ROUND((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  CAST(FLOOR((CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
         |    / SQRT((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-        |         * (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-        |    AS spearman
+        |         * (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS spearman_e6
         |FROM m
         |ORDER BY l_returnflag""".stripMargin,
 
@@ -8004,9 +8056,9 @@ object SparkEntry {
         |  FROM events e JOIN r ON r.v = e.value GROUP BY 1),
         |t AS (SELECT SUM(n_pos) AS n_all FROM a)
         |SELECT event_type, n_pos,
-        |  ROUND((CAST(s2 AS DOUBLE) - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))
-        |    / ((2.0 * CAST(n_pos AS DOUBLE)) * (CAST(n_all AS DOUBLE) - CAST(n_pos AS DOUBLE))), 6)
-        |    AS auc
+        |  CAST(FLOOR((CAST(s2 AS DOUBLE) - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))
+        |    / ((2.0 * CAST(n_pos AS DOUBLE)) * (CAST(n_all AS DOUBLE) - CAST(n_pos AS DOUBLE)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS auc_e6
         |FROM a, t
         |ORDER BY event_type""".stripMargin,
 
@@ -8091,11 +8143,11 @@ object SparkEntry {
          |  CAST(SUM(a.deg * a.deg) AS BIGINT) AS sxx,
          |  CAST(SUM(b.deg * b.deg) AS BIGINT) AS syy
          |  FROM adj e JOIN dg a ON a.node = e.src JOIN dg b ON b.node = e.dst)
-         |SELECT n, ROUND(
+         |SELECT n, CAST(FLOOR(
          |  (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
          |  (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
-         |   sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
-         |  AS assortativity
+         |   sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+         |  * 1000000.0 + 0.5) AS BIGINT) AS assortativity_e6
          |FROM m""".stripMargin,
 
     "q_kcore" ->
@@ -8369,7 +8421,8 @@ object SparkEntry {
       """WITH c AS (
         |  SELECT CAST(substr(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
         |    COUNT(*) AS n
-        |  FROM lineitem GROUP BY 1),
+        |  FROM lineitem
+        |  WHERE CAST(l_extendedprice AS DECIMAL(18,2)) >= 1 GROUP BY 1),
         |t AS (SELECT digit, n, SUM(n) OVER () AS total FROM c),
         |b(digit, benford_e6) AS (VALUES (1, 301030), (2, 176091), (3, 124939),
         |  (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757))
@@ -8761,9 +8814,11 @@ object SparkEntry {
         |     JOIN truth tr ON c.doc_a = tr.doc_a AND c.doc_b = tr.doc_b) AS n_hit
         |  FROM nd)
         |SELECT n_docs, n_candidates, n_truth, n_hit,
-        |  ROUND(CAST(n_hit AS DOUBLE) / n_truth, 6) AS pair_completeness,
-        |  ROUND(1.0 - CAST(n_candidates AS DOUBLE)
-        |    / (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2.0), 6) AS reduction_ratio
+        |  CAST(FLOOR(CAST(n_hit AS DOUBLE) / n_truth * 1000000.0 + 0.5) AS BIGINT)
+        |    AS pair_completeness_e6,
+        |  CAST(FLOOR((1.0 - CAST(n_candidates AS DOUBLE)
+        |    / (CAST(n_docs AS DOUBLE) * (n_docs - 1) / 2.0)) * 1000000.0 + 0.5)
+        |    AS BIGINT) AS reduction_ratio_e6
         |FROM m""".stripMargin,
 
     "text_pmi_collocations" ->

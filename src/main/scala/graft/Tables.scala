@@ -12,28 +12,48 @@ object Tables {
   // plays in a deployment. `spark.read.parquet` re-lists the path and
   // re-reads the footer schema on EVERY call (often as a one-task job);
   // across a 250-query bench run that is ~600 redundant listings for
-  // ten immutable tables. The cache key includes the session so test
-  // JVMs with several sessions never cross-wire; the cached value is the
-  // analyzed LogicalPlan only — downstream transforms compose on top,
-  // scans stay plain parquet relations with full pushdown. Testdata and
-  // replica dirs are immutable for a JVM's lifetime (scratch round-trip
-  // reads go through spark.read directly, never here).
+  // ten immutable tables. Keyed by sessionUUID, NOT the session object:
+  // a weak-keyed map was self-defeating here because the cached
+  // DataFrames strongly reference their session (Dataset.sparkSession →
+  // value pins key, nothing ever collects). Instead the outer map is a
+  // small access-order LRU (≤ maxSessions) — a stopped test session's
+  // entries age out as newer sessions arrive, and the worst-case
+  // footprint is maxSessions × ~10 analyzed relations regardless of how
+  // many sessions a JVM churns through. The cached value composes like
+  // a catalog entry: downstream transforms stack on top, scans stay
+  // plain parquet relations with full pushdown. Testdata and replica
+  // dirs are immutable for a JVM's lifetime (scratch round-trip reads
+  // go through spark.read directly, never here).
+  private val maxSessions = 8
   private val cache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]())
+    new java.util.LinkedHashMap[String,
+        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]](
+        16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]])
+          : Boolean = size() > maxSessions
+    }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = cache.synchronized {
-      var m = cache.get(spark)
+      var m = cache.get(spark.sessionUUID)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-        cache.put(spark, m)
+        cache.put(spark.sessionUUID, m)
       }
       m
     }
-    perSession.computeIfAbsent((dir, name),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+    // mtime rides the key (r16): the driver DOES regenerate testdata
+    // under the same paths, and a stale analyzed relation (old file
+    // index, old footer schema) would silently red the whole gate. A
+    // rewrite bumps the file's (or Spark-written directory's) mtime →
+    // new key → fresh relation; one local lastModified() syscall per
+    // lookup is noise next to the ~70 ms listing it saves.
+    val path = s"$dir/$name.parquet"
+    val mtime = new java.io.File(path).lastModified()
+    perSession.computeIfAbsent((s"$path@$mtime", name),
+      _ => spark.read.parquet(path))
   }
 
   /** Normalizes `events.ts` to session-TZ TIMESTAMP regardless of the

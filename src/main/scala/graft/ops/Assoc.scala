@@ -61,11 +61,15 @@ object Assoc {
     * items contributes C(b,3) rows and the corpus cost is Σ C(b,3)
     * (TPC-H-style baskets hold ≤ 7 items; a degenerate giant basket
     * would need a basket-size cap upstream, the df-cap pattern). The
-    * support floor prunes before the three pair-stat joins (downward
-    * closure: a frequent triple's pairs are at least as frequent, so
-    * the floored pair table from [[pairRules]]'s aggregation is a
-    * superset of what the joins need). Confidences are one double
-    * division of exact counts — identical bits on any IEEE engine.
+    * support floor prunes before the three pair-stat joins. The pair
+    * table those joins consume is recomputed here, UNFLOORED and
+    * inline (not reused from [[pairRules]]): inner joins only need a
+    * superset of the surviving triples' pairs, and by downward closure
+    * every such pair clears any floor a frequent triple clears — the
+    * recompute trades a second pass over `inc` for not threading
+    * [[pairRules]]'s aggregation through this call. Confidences are
+    * one double division of exact counts — identical bits on any IEEE
+    * engine.
     */
   def tripleRules(items: DataFrame, basketCol: String, itemCol: String,
                   minTripleCount: Long = 2L): DataFrame = {

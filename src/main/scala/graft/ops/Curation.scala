@@ -259,7 +259,7 @@ object Curation {
     * PARABOLA threshold — linearly separable in this basis, not in
     * ln(n) alone), type-token ratio, average token length, an
     * unknown-language indicator, the duplicated-span fraction, and
-    * code-point entropy. Output: (doc_id, n_tokens, ttr, und, dup_frac,
+    * code-point entropy. Output: (doc_id, n_tokens, ttr, und, dup_frac_e6, dup_frac,
     * f: array<double> length 7) — the raw columns ride along so a caller
     * deriving rule-based labels (the distillation target) reads them off
     * the SAME frame instead of recomputing the span profile, the one
@@ -274,11 +274,12 @@ object Curation {
     val ent = docs.select(col("doc_id"),
       coalesce(graft.functions.charEntropy(col("text")), lit(0.0)).as("ent"))
     val spans = Dedup.duplicatedSpans(docs, n = 8)
-      .select(col("doc_id"), col("dup_frac"))
+      .select(col("doc_id"), col("dup_frac_e6"), col("dup_frac"))
     val lnTok = log(col("n_tokens").cast(DoubleType) + 1.0)
     q.join(lang, "doc_id").join(ent, "doc_id").join(spans, "doc_id")
       .select(col("doc_id"), col("n_tokens"),
-        col("type_token_ratio").as("ttr"), col("und"), col("dup_frac"),
+        col("type_token_ratio").as("ttr"), col("und"),
+        col("dup_frac_e6"), col("dup_frac"),
         array(
           lnTok, lnTok * lnTok, col("type_token_ratio"), col("avg_token_len"),
           col("und"), col("dup_frac"), col("ent")).as("f"))

@@ -967,7 +967,11 @@ object Dedup {
     * pair-mining dedup, the profile is linear in corpus size by
     * construction).
     *
-    * Output: (doc_id, n_spans, n_dup, dup_frac[round 6]).
+    * Output: (doc_id, n_spans, n_dup, dup_frac_e6, dup_frac).
+    * dup_frac_e6 is the canonical gate witness — a PURE-INTEGER
+    * round-half-up of n_dup/n_spans at 6 dp (floordiv(2a·10⁶+b, 2b)),
+    * identical on any engine by construction; dup_frac = e6/10⁶ is the
+    * derived double kept for model features, never hashed (r16).
     */
   def duplicatedSpans(docs: DataFrame, n: Int = 8,
                       minDocs: Int = 2): DataFrame = {
@@ -991,10 +995,12 @@ object Dedup {
     pos.select(col("doc_id"), size(col("g")).cast(LongType).as("n_spans"))
       .join(dupCounts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_spans"),
-        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        round(when(col("n_spans") > 0,
-          coalesce(col("n_dup"), lit(0L)).cast(DoubleType) / col("n_spans"))
-          .otherwise(0.0), 6).as("dup_frac"))
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac_e6",
+        expr("CASE WHEN n_spans > 0 THEN" +
+          " (2 * n_dup * 1000000 + n_spans) div (2 * n_spans)" +
+          " ELSE 0 END"))
+      .withColumn("dup_frac", col("dup_frac_e6").cast(DoubleType) / 1e6)
   }
 
   /** Exact duplicated-SUBSTRING profile (Lee et al. 2022, "Deduplicating

@@ -41,6 +41,23 @@ object Similarity {
         .agg(topK(col("score"), col("label"), k, ascending = asc).as("hits")))
   }
 
+  /** Measured-size routing between the broadcast and shuffle-tiled
+    * exact-kNN plans (r16): a %-split eval/query frame is ∝ corpus size
+    * under the oracle gate convention, so an unconditional
+    * broadcast(queries) becomes an executor-memory cliff as the corpus
+    * grows another 10×. One cheap count gates the plan — small query
+    * sets keep the broadcast plan, large ones take the tiled shuffle —
+    * and the two paths are bit-identical by the (score, label) total
+    * order (spec-pinned), so the route can never move a result hash.
+    * The cap keeps the broadcast ≤ ~30 MB of packed floats at d=64.
+    */
+  val queryBroadcastCap = 100000L
+  def autoTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+               metric: String = "l2"): DataFrame =
+    if (queries.count() <= queryBroadcastCap)
+      bruteForceTopK(vectors, queries, k, metric)
+    else shuffleTiledTopK(vectors, queries, k, metric)
+
   /** Exact kNN join when BOTH sides are too large to broadcast — the shape
     * `bruteForceTopK` cannot take: a 10⁹-row query batch does not fit in a
     * driver broadcast, and at 100 TB neither side does.

@@ -297,8 +297,9 @@ object TextAnalysis {
     * A boilerplate shingle in 10⁹ docs contributes one row per
     * occurrence, never a pair.
     *
-    * Output: (doc_id, n_shingles, n_dup, dup_frac[6 dp]); docs with
-    * < 3 tokens have no shingles and are omitted.
+    * Output: (doc_id, n_shingles, n_dup, dup_frac_e6 — the pure-integer
+    * 6-dp round-half-up witness, r16); docs with < 3 tokens have no
+    * shingles and are omitted.
     */
   def dupShingleFraction(docs: DataFrame): DataFrame = {
     val sh = Dedup.spread(docs)
@@ -312,8 +313,8 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup"))
       .select(col("doc_id"), col("n_shingles"), col("n_dup"),
-        round(col("n_dup").cast(DoubleType) /
-          col("n_shingles").cast(DoubleType), 6).as("dup_frac"))
+        expr("(2 * n_dup * 1000000 + n_shingles) div (2 * n_shingles)")
+          .as("dup_frac_e6"))
   }
 
   /** Lexical-diversity profile per document — the quality signals a

@@ -27,7 +27,8 @@ case class DecayEvent(key: Long, event_id: Long, ts_us: Long, x: Double)
 case class DecayState(y: Double, lastTs: Long)
 case class DecayOut(key: Long, event_id: Long, ts_us: Long, decayed: Double)
 case class HoltEvent(key: Long, event_id: Long, ts_us: Long, x: Double)
-case class HoltState(level: Double, trend: Double, lastTs: Long, started: Boolean)
+case class HoltState(level: Double, trend: Double, lastTs: Long,
+                     lastEventId: Long, started: Boolean)
 case class HoltOut(key: Long, event_id: Long, ts_us: Long, level: Double, trend: Double)
 case class AsofStateRow(key: Long, ts_us: Long, value: Double)
 case class AsofEvent(key: Long, event_id: Long, ts_us: Long)
@@ -726,19 +727,26 @@ object StreamingOps {
     def fn(key: Long, it: Iterator[HoltEvent],
            state: GroupState[HoltState]): Iterator[HoltOut] = {
       val evts = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
-      var st = state.getOption.getOrElse(HoltState(0.0, 0.0, Long.MinValue, started = false))
+      var st = state.getOption.getOrElse(
+        HoltState(0.0, 0.0, Long.MinValue, Long.MinValue, started = false))
       val out = scala.collection.mutable.ArrayBuffer.empty[HoltOut]
       evts.foreach { e =>
-        if (e.ts_us >= st.lastTs) {
+        // gate on the FULL (ts_us, event_id) fold order, not ts alone:
+        // two same-timestamp events split across micro-batches must
+        // fold in the batch scan's (ts_us, event_id) order or be
+        // dropped as late — ts-only gating would fold them in arrival
+        // order and break the bit-exact ≡ batch claim (r16 ADVICE)
+        if (e.ts_us > st.lastTs ||
+            (e.ts_us == st.lastTs && e.event_id > st.lastEventId)) {
           st =
-            if (!st.started) HoltState(e.x, 0.0, e.ts_us, started = true)
+            if (!st.started) HoltState(e.x, 0.0, e.ts_us, e.event_id, started = true)
             else {
               val lNew = alpha * e.x + (1.0 - alpha) * (st.level + st.trend)
               val bNew = beta * (lNew - st.level) + (1.0 - beta) * st.trend
-              HoltState(lNew, bNew, e.ts_us, started = true)
+              HoltState(lNew, bNew, e.ts_us, e.event_id, started = true)
             }
           out += HoltOut(key, e.event_id, e.ts_us, st.level, st.trend)
-        } // else: cross-batch late event, dropped
+        } // else: cross-batch late event (by the pair order), dropped
       }
       state.update(st)
       out.iterator

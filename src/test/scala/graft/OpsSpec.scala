@@ -1985,11 +1985,13 @@ class OpsSpec extends AnyFunSuite {
       3L -> "a b c a b c a"))  // "a b c" twice positionally
     val got = Dedup.duplicatedSpans(docs, n = 3)
       .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    // only "a b c" appears in ≥ 2 distinct docs
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    // only "a b c" appears in ≥ 2 distinct docs; dup_frac_e6 is the
+    // pure-integer 6-dp witness, dup_frac the derived feature double
     assert(got.toSeq === Seq(
-      (0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5), (2L, 0L, 0L, 0.0),
-      (3L, 5L, 2L, 0.4)))
+      (0L, 2L, 1L, 500000L, 0.5), (1L, 2L, 1L, 500000L, 0.5),
+      (2L, 0L, 0L, 0L, 0.0), (3L, 5L, 2L, 400000L, 0.4)))
   }
 
   /** Scalar ExactSubstr oracle: all stride-1 L-char windows, corpus-wide

@@ -172,9 +172,10 @@ class PipelineOpsR11Spec extends AnyFunSuite {
       (3L, "x y", "en"))       // < 3 tokens → omitted
     val got = TextAnalysis.dupShingleFraction(docs)
       .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(got === Map(
-      0L -> ((2L, 1L, 0.5)), 1L -> ((2L, 1L, 0.5)), 2L -> ((1L, 0L, 0.0))))
+      0L -> ((2L, 1L, 500000L)), 1L -> ((2L, 1L, 500000L)),
+      2L -> ((1L, 0L, 0L))))
   }
 
   test("dupShingleFraction counts doc occurrences, not pairs") {

@@ -149,4 +149,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.orderBy("vec_id").collect().map(_.getSeq[Float](1)).toSeq ===
       Seq(Seq(0.25f, -1.5f), Seq(3.0f, 0.125f)))
   }
+
+  test("Tables cache picks up a REGENERATED parquet under the same path") {
+    // r16 verdict task #7: the driver regenerates testdata in place —
+    // a stale cached relation (old file index / old footer) would
+    // silently red the whole gate. The cache keys on file mtime, so a
+    // rewrite must be visible on the next Tables() call.
+    val dir = Files.createTempDirectory("graft_tables_regen").toString
+    val path = s"$dir/t.parquet"
+    spark.range(0, 5).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    assert(Tables(spark, dir, "t").count() === 5L)
+    // regenerate under the SAME path with different contents; bump the
+    // directory mtime explicitly in case the rewrite lands within the
+    // filesystem's timestamp granularity
+    spark.range(0, 9).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    new java.io.File(path).setLastModified(System.currentTimeMillis() + 1000)
+    assert(Tables(spark, dir, "t").count() === 9L,
+      "regenerated parquet not picked up — relation cache is stale")
+  }
 }

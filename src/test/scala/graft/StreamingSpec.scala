@@ -349,6 +349,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming Holt: same-timestamp events STRADDLING a batch boundary " +
+       "fold in (ts_us, event_id) order, bit-exact vs batch") {
+    // r16 ADVICE: the old ts-only gate admitted a same-ts event from a
+    // later micro-batch regardless of event_id, folding ties in arrival
+    // order. The (ts_us, event_id) pair gate folds the forward tie and
+    // drops the backward one — exactly the batch scan's order.
+    import spark.implicits._
+    import graft.streaming.{HoltEvent, HoltOut}
+    val ev = Seq(
+      HoltEvent(1L, 1L, 1000L, 2.0),
+      HoltEvent(1L, 2L, 2000L, 4.0),   // batch 1 ends here
+      HoltEvent(1L, 3L, 2000L, 8.0),   // same ts as id 2, later batch → folds (id 3 > 2)
+      HoltEvent(1L, 4L, 3000L, 1.0))
+    val batchIn = spark.createDataset(ev)
+    val want = graft.ops.Scan.holtLinear(
+        batchIn.toDF(), Seq("key"), Seq("ts_us", "event_id"), "x",
+        alpha = 0.3, beta = 0.1)
+      .select("key", "event_id", "level", "trend").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[HoltEvent]
+    val out = graft.streaming.StreamingOps.streamingHolt(stream.toDS(), 0.3, 0.1)
+    val q = out.writeStream.format("memory").queryName("holt_tie_out")
+      .outputMode("append").start()
+    stream.addData(ev(0), ev(1)); q.processAllAvailable()
+    stream.addData(ev(2), ev(3)); q.processAllAvailable()
+    // and a same-ts event with a SMALLER id arriving later must be
+    // dropped as late, not folded backwards
+    stream.addData(HoltEvent(1L, 0L, 3000L, 99.0)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("holt_tie_out").as[HoltOut].collect()
+      .map(h => (h.key, h.event_id) -> ((h.level, h.trend))).toMap
+    assert(got === want)
+    assert(got.size === 4)
+  }
+
   test("streaming sessionize drops cross-batch late events instead of corrupting sessions") {
     import spark.implicits._
     import graft.streaming.{SessionEvent, SessionOut}
