@@ -2382,6 +2382,151 @@ object SparkEntry {
         .orderBy("o_orderkey")
     },
 
+    // TPC-H Q21 (suppliers who kept the order waiting) — the canonical
+    // double-correlated EXISTS / NOT EXISTS join stressor, adapted to
+    // this schema (no commit/receipt dates: the "failed" line predicate
+    // is l_returnflag = 'R'). Expressed Spark-first as LEFT SEMI (some
+    // OTHER supplier shares the order) + LEFT ANTI (no OTHER supplier's
+    // line was returned) — both key on l_orderkey, so after the fact
+    // shuffle the three join legs are co-partitioned; supplier and
+    // nation are broadcast dims; output is supplier-bounded. No
+    // cartesian anywhere; the semi/anti forms stop at first match
+    // instead of multiplying rows the way an inner self-join would.
+    "q21_waiting_supplier" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+      val sup = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .join(o.filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"))
+      val l2 = li.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      l1.join(l2, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+          "left_semi")
+        .join(l3, col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+          "left_anti")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n.filter(col("n_nationkey") <= 4)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(100)
+    },
+
+    // TPC-H Q20 (excess supply) — nested semi-join stack with a
+    // correlated aggregate threshold, adapted to this schema (no
+    // partsupp: "availqty" is the supplier's shipped quantity of the
+    // part in 1996). A supplier qualifies if, for SOME filtered part,
+    // its 1996 shipments exceed half of that part's total 1996
+    // shipments. All-integer threshold (2·supp_qty > part_total — the
+    // quantities are integral longs), so no float ever decides a row.
+    // Plan: the filtered part list broadcast-semi-joins into the fact
+    // scan; per-(supp, part) and per-part aggs share one shuffle key
+    // family; the final supplier list is a semi join onto a dim.
+    "q20_excess_supply" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part")
+      val sup = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      val parts = p.filter(col("p_name").startsWith("small"))
+        .select(col("p_partkey"))
+      val supply = li
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_suppkey"), col("l_partkey"),
+          col("l_quantity").cast(LongType).as("q"))
+        .localCheckpoint(true) // feeds both the per-supplier and per-part aggs
+      val perSupp = supply.groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("q")).as("sq"))
+      val perPart = supply.groupBy(col("l_partkey")).agg(sum(col("q")).as("tq"))
+      val qualifying = perSupp.join(perPart, "l_partkey")
+        .filter(col("sq") * 2 > col("tq"))
+        .select(col("l_suppkey")).distinct()
+      sup.join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(n.filter(col("n_nationkey") <= 9)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy("s_name")
+    },
+
+    // TPC-H Q22 (global sales opportunity) — the anti-join + scalar-
+    // aggregate-threshold shape: dormant rich customers (above-average
+    // balance, no order since 2000 — this generator gives every
+    // customer SOME order, so recency is the dormancy cut), grouped by
+    // nation band (standing in for the phone country code). The average threshold is applied as an
+    // EXACT cross-multiplied decimal compare (bal·n > Σbal), so no
+    // division or float decides membership on either engine; the order
+    // probe is a LEFT ANTI join (stops at first match, no row
+    // multiplication); emission is exact cents.
+    "q22_dormant_customers" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val band = c.filter(col("c_nationkey") <= 6)
+      val pos = band.filter(dec(col("c_acctbal")) > 0)
+        .agg(count(lit(1)).as("npos"),
+          sum(dec(col("c_acctbal"))).as("sumpos"))
+      band.crossJoin(broadcast(pos))
+        .filter(dec(col("c_acctbal")) * col("npos") > col("sumpos"))
+        .join(o.filter(col("o_orderdate") >= "2000-01-01")
+          .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          (sum(dec(col("c_acctbal"))) * 100).cast(DecimalType(38, 0))
+            .cast(LongType).as("totacctbal_cents"))
+        .orderBy("c_nationkey")
+    },
+
+    // TPC-H Q13 (customer order-count distribution) — the filtered
+    // LEFT OUTER join + double aggregation: customers keep their row
+    // even with zero qualifying orders (the histogram's zero bucket is
+    // the point of the query). The priority filter stands in for the
+    // o_comment NOT LIKE filter. Plan: one shuffle on custkey for the
+    // outer join + count, one combiner agg onto the bounded count
+    // domain.
+    "q13_order_histogram" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+        .filter(!col("o_orderpriority").startsWith("4-"))
+        .select(col("o_custkey"), col("o_orderkey"))
+      c.select(col("c_custkey"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count")) // count skips nulls
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+
+    // TPC-H Q19 (discounted revenue over a disjunctive predicate) —
+    // the pushdown stressor: three (brand, size-range, quantity-range)
+    // OR-blocks spanning both join sides. Catalyst's CNF conversion
+    // pushes the part-only disjunction into the broadcast dim scan and
+    // the quantity disjunction into the fact scan, so the join input is
+    // pre-pruned on both sides. Emission is the exact 10⁻⁴-quantized
+    // revenue integer (the decimal sum is exact at scale 4; ×10⁴ is
+    // integral, so the cast rounds nothing).
+    "q19_disjunctive_revenue" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part")
+      def block(brand: String, sizeHi: Int, qLo: Int, qHi: Int): Column =
+        col("p_brand") === brand &&
+        col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(block("Brand#12", 5, 1, 11) ||
+                block("Brand#23", 10, 10, 20) ||
+                block("Brand#34", 15, 20, 30))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(dec(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))) * 10000)
+            .cast(DecimalType(38, 0)).cast(LongType).as("revenue_e4"))
+    },
+
     // conditional aggregation (count/sum over CASE predicates)
     "q_conditional_agg" -> { (s, dir) =>
       Tables(s, dir, "orders")
@@ -7689,6 +7834,80 @@ object SparkEntry {
         |  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 200) t
         |ON o_orderkey = l_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey AND n_nationkey <= 4
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+
+    "q20_excess_supply" ->
+      """WITH supply AS (
+        |  SELECT l_suppkey, l_partkey, CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')),
+        |per_supp AS (SELECT l_suppkey, l_partkey, SUM(q) AS sq
+        |  FROM supply GROUP BY 1, 2),
+        |per_part AS (SELECT l_partkey, SUM(q) AS tq FROM supply GROUP BY 1)
+        |SELECT s_name, n_name
+        |FROM supplier
+        |JOIN nation ON n_nationkey = s_nationkey AND n_nationkey <= 9
+        |WHERE s_suppkey IN (
+        |  SELECT ps.l_suppkey FROM per_supp ps
+        |  JOIN per_part pp ON ps.l_partkey = pp.l_partkey
+        |  WHERE ps.sq * 2 > pp.tq)
+        |ORDER BY s_name""".stripMargin,
+
+    "q22_dormant_customers" ->
+      """WITH band AS (SELECT * FROM customer WHERE c_nationkey <= 6),
+        |pos AS (SELECT CAST(COUNT(*) AS BIGINT) AS npos,
+        |    SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sumpos
+        |  FROM band WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0)
+        |SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS totacctbal_cents
+        |FROM band, pos
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * npos > sumpos
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q13_order_histogram" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority NOT LIKE '4-%'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    * 10000 AS BIGINT) AS revenue_e4
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "q_conditional_agg" ->
       """SELECT o_orderstatus,

@@ -12,35 +12,37 @@ object Tables {
   // plays in a deployment. `spark.read.parquet` re-lists the path and
   // re-reads the footer schema on EVERY call (often as a one-task job);
   // across a 250-query bench run that is ~600 redundant listings for
-  // ten immutable tables. Keyed by sessionUUID, NOT the session object:
-  // a weak-keyed map was self-defeating here because the cached
-  // DataFrames strongly reference their session (Dataset.sparkSession →
-  // value pins key, nothing ever collects). Instead the outer map is a
-  // small access-order LRU (≤ maxSessions) — a stopped test session's
-  // entries age out as newer sessions arrive, and the worst-case
-  // footprint is maxSessions × ~10 analyzed relations regardless of how
-  // many sessions a JVM churns through. The cached value composes like
+  // ten immutable tables. The outer map is a small access-order LRU
+  // (≤ maxSessions) keyed by session identity — a weak-keyed map was
+  // self-defeating here because the cached DataFrames strongly
+  // reference their session (Dataset.sparkSession → value pins key,
+  // nothing ever collects), so boundedness comes from eviction, not
+  // GC: a stopped test session's entries age out as newer sessions
+  // arrive, and the worst-case footprint is maxSessions × ~10 analyzed
+  // relations regardless of how many sessions a JVM churns through.
+  // (SparkSession does not override equals, so LinkedHashMap keys are
+  // identity keys here.) The cached value composes like
   // a catalog entry: downstream transforms stack on top, scans stay
   // plain parquet relations with full pushdown. Testdata and replica
   // dirs are immutable for a JVM's lifetime (scratch round-trip reads
   // go through spark.read directly, never here).
   private val maxSessions = 8
   private val cache =
-    new java.util.LinkedHashMap[String,
+    new java.util.LinkedHashMap[SparkSession,
         java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]](
         16, 0.75f, /* accessOrder = */ true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String,
+          e: java.util.Map.Entry[SparkSession,
             java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]])
           : Boolean = size() > maxSessions
     }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = cache.synchronized {
-      var m = cache.get(spark.sessionUUID)
+      var m = cache.get(spark)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
-        cache.put(spark.sessionUUID, m)
+        cache.put(spark, m)
       }
       m
     }
