@@ -5469,7 +5469,8 @@ object SparkEntry {
         |  FROM v0, c),
         |amin AS (SELECT vec_id, MIN(ad) AS m FROM avc GROUP BY vec_id),
         |vcand AS (SELECT a.vec_id, a.cid FROM avc a
-        |  JOIN amin ON a.vec_id = amin.vec_id WHERE a.ad <= amin.m + 1e-3),
+        |  JOIN amin ON a.vec_id = amin.vec_id
+        |  WHERE a.ad <= amin.m * 1.00001 + 1e-3),
         |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
         |  SELECT w.vec_id, w.cid,
         |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
@@ -5736,7 +5737,8 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY ad) AS arn
         |  FROM approx) WHERE arn <= 20 GROUP BY qid),
         |cand AS (SELECT a.qid, a.nid FROM approx a
-        |  JOIN thr ON a.qid = thr.qid WHERE a.ad <= thr.t20 + 1e-3),
+        |  JOIN thr ON a.qid = thr.qid
+        |  WHERE a.ad <= thr.t20 * 1.00001 + 1e-3),
         |d AS (
         |  SELECT c.qid, c.nid,
         |    SUM((CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE)) * (CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE))) AS score
@@ -7213,7 +7215,7 @@ object SparkEntry {
         |  FROM approx) WHERE arn <= 30 GROUP BY eval_id),
         |cand AS (SELECT a.eval_id, a.train_id FROM approx a
         |  JOIN thr ON a.eval_id = thr.eval_id
-        |  WHERE a.ascore >= thr.t30 - 1e-4),
+        |  WHERE a.ascore >= thr.t30 - (1e-4 + ABS(thr.t30) * 1e-5)),
         |p AS (SELECT c.eval_id, c.train_id,
         |  list_sum(list_transform(list_zip(q.qv, t.v),
         |    z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) /
@@ -7255,7 +7257,8 @@ object SparkEntry {
         |  SELECT x.vec_id AS i, y.vec_id AS j, array_cosine_similarity(x.arr, y.arr) AS ascore
         |  FROM a x JOIN a y ON x.vec_id < y.vec_id),
         |thr AS (SELECT MIN(ascore) AS t FROM (SELECT ascore FROM approx ORDER BY ascore DESC LIMIT 200)),
-        |cand AS (SELECT i, j FROM approx WHERE ascore >= (SELECT t FROM thr) - 1e-4),
+        |cand AS (SELECT i, j FROM approx
+        |  WHERE ascore >= (SELECT t FROM thr) - (1e-4 + ABS((SELECT t FROM thr)) * 1e-5)),
         |p AS (SELECT c.i, c.j,
         |  list_sum(list_transform(list_zip(x.embedding, y.embedding),
         |    t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE))) /
@@ -7396,7 +7399,8 @@ object SparkEntry {
         |  FROM v0, c),
         |amin AS (SELECT vec_id, MIN(adist) AS m FROM avc GROUP BY vec_id),
         |vcand AS (SELECT a.vec_id, a.cid FROM avc a
-        |  JOIN amin ON a.vec_id = amin.vec_id WHERE a.adist <= amin.m + 1e-3),
+        |  JOIN amin ON a.vec_id = amin.vec_id
+        |  WHERE a.adist <= amin.m * 1.00001 + 1e-3),
         |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
         |  SELECT w.vec_id, w.cid,
         |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
@@ -8512,7 +8516,7 @@ object SparkEntry {
         |thr AS (SELECT qid, quantile_disc(ascore, 0.01) AS t FROM approx GROUP BY qid),
         |cand AS MATERIALIZED (
         |  SELECT ap.qid, ap.label FROM approx ap JOIN thr ON ap.qid = thr.qid
-        |  WHERE ap.ascore <= thr.t + 1e-3),
+        |  WHERE ap.ascore <= thr.t * 1.00001 + 1e-3),
         |guard AS (SELECT CASE WHEN (
         |    SELECT MIN(c) FROM (SELECT COUNT(*) AS c FROM cand GROUP BY qid)) < 5
         |  THEN error('knn_l2_batched oracle pre-filter under-selected: 0.01-quantile must give >= k candidates (requires 0.01*n >= k, i.e. n >= 500 at k=5)')

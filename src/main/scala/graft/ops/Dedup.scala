@@ -1054,14 +1054,21 @@ object Dedup {
     // dominant shuffle at scale — the membership test drops them in the
     // map stage. False positives (1%) ride into the exact join and die
     // there: output provably identical (the q_bloom_join contract).
-    // GATED on the measured dup count (the maybeBcast principle): the
-    // filter is ~1.2 MB per million keys, so a pathologically
-    // duplicate-heavy corpus (dup hashes beyond ~10⁸) would pay a
-    // multi-GB broadcast to prune a join that is mostly matches anyway
-    // — above the cap the plain shuffle join IS the right plan.
+    // GATED on the ESTIMATED SERIALIZED BYTES (r16 — was key-count):
+    // at fpp = 0.01 the filter costs ~9.585 bits ≈ 1.2 bytes per key,
+    // and what actually hurts past the cap is the broadcast+scan-side
+    // probe cost in BYTES, not keys — a key-count cap of 10⁸ admitted a
+    // ~120 MB filter, squarely in the degraded 50-500 MB band. 32 MB
+    // (~27M keys) keeps the executor-side bitset comfortably
+    // cache-resident; a duplicate-heavier corpus falls back to the
+    // plain shuffle join, which at that dup rate is mostly matches
+    // anyway (BASELINE r16 carries the A/B at the cap). Output is
+    // identical on both paths (the q_bloom_join contract).
     val nDup = dup.count() // dup is materialized; this is a cheap scan
-    val maxBloomKeys = 100000000L
-    val dupPos = (if (nDup <= maxBloomKeys && nDup > 0) {
+    val estBloomBytes = (nDup * 12L) / 10L  // 1.2 bytes/key at fpp 0.01
+    val maxBloomBytes = sys.env.get("GRAFT_BLOOM_MAX_BYTES")
+      .map(_.toLong).getOrElse(32L << 20) // env override = A/B harness hook
+    val dupPos = (if (estBloomBytes <= maxBloomBytes && nDup > 0) {
         val bloom = BloomJoin.buildFilter(dup, "h", expectedItems = nDup, fpp = 0.01)
         win.filter(graft.functions.bloomMightContain(col("h"), bloom))
       } else win)
