@@ -2673,6 +2673,31 @@ object SparkEntry {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // the same exact 7-frame rolling median over the EVENTS stream —
+    // the batch face of StreamingOps.streamingRollingMedian, whose
+    // streaming ≡ batch bit-exactness is spec-pinned (StreamingSpec):
+    // integer cents in (ts_us, event_id) order, median = 4th of 7
+    // sorted longs, full frames only. Bounded-frame window class; the
+    // user filter keeps the gate row count proportionate.
+    "q_rolling_median_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("user_id") <= 100)
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          round(col("value") * 100, 0).cast(LongType).as("cents"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          sort_array(collect_list(col("cents")).over(w)).as("win"),
+          count(lit(1)).over(w).as("nwin"))
+        .filter(col("nwin") === 7)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          element_at(col("win"), 4).as("med7_cents"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     // ranking-function surface: ntile / percent_rank / cume_dist / dense_rank
     "q_ntile_rank" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -8007,6 +8032,22 @@ object SparkEntry {
         |SELECT o_custkey, o_orderkey, CAST(win[4] AS DOUBLE) AS med7
         |FROM t WHERE nwin = 7
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_rolling_median_stream" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id <= 100),
+        |wf AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    list_sort(list(cents) OVER w) AS win,
+        |    COUNT(*) OVER w AS nwin
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ts_us, win[4] AS med7_cents
+        |FROM wf WHERE nwin = 7
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q_ntile_rank" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,

@@ -30,6 +30,9 @@ case class HoltEvent(key: Long, event_id: Long, ts_us: Long, x: Double)
 case class HoltState(level: Double, trend: Double, lastTs: Long,
                      lastEventId: Long, started: Boolean)
 case class HoltOut(key: Long, event_id: Long, ts_us: Long, level: Double, trend: Double)
+case class RollMedEvent(key: Long, event_id: Long, ts_us: Long, cents: Long)
+case class RollMedState(window: Seq[Long], lastTs: Long, lastEventId: Long)
+case class RollMedOut(key: Long, event_id: Long, ts_us: Long, med7_cents: Long)
 case class AsofStateRow(key: Long, ts_us: Long, value: Double)
 case class AsofEvent(key: Long, event_id: Long, ts_us: Long)
 case class AsofIn(key: Long, tag: Int, ts_us: Long, event_id: Long, value: Double)
@@ -746,6 +749,45 @@ object StreamingOps {
               HoltState(lNew, bNew, e.ts_us, e.event_id, started = true)
             }
           out += HoltOut(key, e.event_id, e.ts_us, st.level, st.trend)
+        } // else: cross-batch late event (by the pair order), dropped
+      }
+      state.update(st)
+      out.iterator
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming EXACT rolling median over the trailing 7-row frame per
+    * key — the streaming face of `q_rolling_median`'s bounded-frame
+    * window (r16 verdict task #8): state is the previous ≤ 6 values in
+    * fold order plus the (lastTs, lastEventId) late-gate pair (the
+    * streamingHolt lesson — a ts-only gate folds same-timestamp
+    * straddlers in arrival order and breaks batch equality). Values
+    * ride as exact integer CENTS, so the median (4th of 7 sorted
+    * longs, full frames only — identical to the batch window's
+    * DECIMAL element_at(4)) is bit-exact ≡ batch BY CONSTRUCTION, not
+    * within tolerance; spec-pinned across forced micro-batch splits.
+    * State is O(1): six longs + two gate longs per key, regardless of
+    * stream length.
+    */
+  def streamingRollingMedian(events: org.apache.spark.sql.Dataset[RollMedEvent]):
+      org.apache.spark.sql.Dataset[RollMedOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fn(key: Long, it: Iterator[RollMedEvent],
+           state: GroupState[RollMedState]): Iterator[RollMedOut] = {
+      val evts = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption.getOrElse(
+        RollMedState(Seq.empty, Long.MinValue, Long.MinValue))
+      val out = scala.collection.mutable.ArrayBuffer.empty[RollMedOut]
+      evts.foreach { e =>
+        if (e.ts_us > st.lastTs ||
+            (e.ts_us == st.lastTs && e.event_id > st.lastEventId)) {
+          val frame = (st.window :+ e.cents).takeRight(7)
+          if (frame.size == 7)
+            out += RollMedOut(key, e.event_id, e.ts_us, frame.sorted.apply(3))
+          st = RollMedState(frame.takeRight(6), e.ts_us, e.event_id)
         } // else: cross-batch late event (by the pair order), dropped
       }
       state.update(st)

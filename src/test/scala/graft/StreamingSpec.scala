@@ -386,6 +386,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.size === 4)
   }
 
+  test("streaming rolling median == batch 7-frame window BIT-EXACT across micro-batches") {
+    // r16: integer-cents frames make ≡ trivial by construction; the
+    // spec still forces three micro-batch splits AND a same-timestamp
+    // straddler to exercise the (ts_us, event_id) late-gate pair
+    import spark.implicits._
+    import graft.streaming.{RollMedEvent, RollMedOut}
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+      .filter($"user_id" <= 40)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .select($"user_id".as("key"), $"event_id", $"ts_us",
+        round($"value" * 100, 0).cast("long").as("cents"))
+      .as[RollMedEvent].collect().sortBy(e => (e.ts_us, e.event_id))
+    assert(ev.length > 30)
+    val batchIn = spark.createDataset(ev.toIndexedSeq)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"key").orderBy($"ts_us", $"event_id")
+      .rowsBetween(-6, Window.currentRow)
+    val want = batchIn
+      .select($"key", $"event_id",
+        sort_array(collect_list($"cents").over(w)).as("win"),
+        count(lit(1)).over(w).as("nwin"))
+      .filter($"nwin" === 7)
+      .select($"key", $"event_id", element_at($"win", 4).as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[RollMedEvent]
+    val out = graft.streaming.StreamingOps.streamingRollingMedian(stream.toDS())
+    val q = out.writeStream.format("memory").queryName("rollmed_out")
+      .outputMode("append").start()
+    val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
+    chunks.foreach { c => stream.addData(c.toIndexedSeq); q.processAllAvailable() }
+    // late straddler: duplicate the last event's timestamp with a
+    // SMALLER event_id from a later batch — must be dropped, not folded
+    val last = ev.last
+    stream.addData(RollMedEvent(last.key, last.event_id - 1000000L,
+      last.ts_us, 999999L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("rollmed_out").as[RollMedOut].collect()
+      .map(o => (o.key, o.event_id) -> o.med7_cents).toMap
+    assert(got === want) // exact — integer frames, same fold order
+    assert(got.nonEmpty)
+  }
+
   test("streaming sessionize drops cross-batch late events instead of corrupting sessions") {
     import spark.implicits._
     import graft.streaming.{SessionEvent, SessionOut}
