@@ -5075,11 +5075,20 @@ object SparkEntry {
          |ORDER BY qid, rank""".stripMargin,
 
     "dedup_semantic" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv,
+        |    embedding::FLOAT[64] AS carr FROM embeddings WHERE vec_id % 40 = 0),
+        |v0 AS (SELECT vec_id, embedding, embedding::FLOAT[64] AS varr FROM embeddings),
+        |avc0 AS (SELECT v0.vec_id, c.cid, array_distance(v0.varr, c.carr) AS ad
+        |  FROM v0, c),
+        |amin0 AS (SELECT vec_id, MIN(ad) AS m FROM avc0 GROUP BY vec_id),
+        |vcand0 AS (SELECT a.vec_id, a.cid FROM avc0 a
+        |  JOIN amin0 ON a.vec_id = amin0.vec_id
+        |  WHERE a.ad <= amin0.m * 1.00001 + 1e-3),
         |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
-        |  SELECT v.vec_id, c.cid,
+        |  SELECT w.vec_id, w.cid,
         |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
-        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |  FROM vcand0 w JOIN v0 v ON w.vec_id = v.vec_id JOIN c ON w.cid = c.cid)
+        |  GROUP BY 1, 2),
         |va AS (SELECT vec_id, cid FROM (
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         |  FROM vc) WHERE rn = 1),
@@ -6211,11 +6220,20 @@ object SparkEntry {
     // prototypicality double is quantized to an integer witness before
     // the rank, so the window order is integer-driven on both engines
     "q_proto_prune" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv,
+        |    embedding::FLOAT[64] AS carr FROM embeddings WHERE vec_id % 40 = 0),
+        |v0 AS (SELECT vec_id, embedding, embedding::FLOAT[64] AS varr FROM embeddings),
+        |avc0 AS (SELECT v0.vec_id, c.cid, array_distance(v0.varr, c.carr) AS ad
+        |  FROM v0, c),
+        |amin0 AS (SELECT vec_id, MIN(ad) AS m FROM avc0 GROUP BY vec_id),
+        |vcand0 AS (SELECT a.vec_id, a.cid FROM avc0 a
+        |  JOIN amin0 ON a.vec_id = amin0.vec_id
+        |  WHERE a.ad <= amin0.m * 1.00001 + 1e-3),
         |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
-        |  SELECT v.vec_id, c.cid,
+        |  SELECT w.vec_id, w.cid,
         |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
-        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |  FROM vcand0 w JOIN v0 v ON w.vec_id = v.vec_id JOIN c ON w.cid = c.cid)
+        |  GROUP BY 1, 2),
         |va AS (SELECT vec_id, cid FROM (
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         |  FROM vc) WHERE rn = 1),
@@ -7295,11 +7313,20 @@ object SparkEntry {
         |ORDER BY rn""".stripMargin,
 
     "ann_ivf" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv,
+        |    embedding::FLOAT[64] AS carr FROM embeddings WHERE vec_id % 40 = 0),
+        |v0 AS (SELECT vec_id, embedding, embedding::FLOAT[64] AS varr FROM embeddings),
+        |avc0 AS (SELECT v0.vec_id, c.cid, array_distance(v0.varr, c.carr) AS ad
+        |  FROM v0, c),
+        |amin0 AS (SELECT vec_id, MIN(ad) AS m FROM avc0 GROUP BY vec_id),
+        |vcand0 AS (SELECT a.vec_id, a.cid FROM avc0 a
+        |  JOIN amin0 ON a.vec_id = amin0.vec_id
+        |  WHERE a.ad <= amin0.m * 1.00001 + 1e-3),
         |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
-        |  SELECT v.vec_id, c.cid,
+        |  SELECT w.vec_id, w.cid,
         |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
-        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |  FROM vcand0 w JOIN v0 v ON w.vec_id = v.vec_id JOIN c ON w.cid = c.cid)
+        |  GROUP BY 1, 2),
         |vassign AS (SELECT vec_id, cid FROM (
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         |  FROM vc) WHERE rn = 1),
@@ -7328,11 +7355,20 @@ object SparkEntry {
     // float(code·scale) — the exact arithmetic of QuantizeVectorInt8/
     // DequantizeVectorInt8, so the composite hash-matches
     "ann_ivf_sq8" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv,
+        |    embedding::FLOAT[64] AS carr FROM embeddings WHERE vec_id % 40 = 0),
+        |v0 AS (SELECT vec_id, embedding, embedding::FLOAT[64] AS varr FROM embeddings),
+        |avc0 AS (SELECT v0.vec_id, c.cid, array_distance(v0.varr, c.carr) AS ad
+        |  FROM v0, c),
+        |amin0 AS (SELECT vec_id, MIN(ad) AS m FROM avc0 GROUP BY vec_id),
+        |vcand0 AS (SELECT a.vec_id, a.cid FROM avc0 a
+        |  JOIN amin0 ON a.vec_id = amin0.vec_id
+        |  WHERE a.ad <= amin0.m * 1.00001 + 1e-3),
         |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
-        |  SELECT v.vec_id, c.cid,
+        |  SELECT w.vec_id, w.cid,
         |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
-        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |  FROM vcand0 w JOIN v0 v ON w.vec_id = v.vec_id JOIN c ON w.cid = c.cid)
+        |  GROUP BY 1, 2),
         |vassign AS (SELECT vec_id, cid FROM (
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         |  FROM vc) WHERE rn = 1),
@@ -7374,11 +7410,20 @@ object SparkEntry {
         |er AS (SELECT qid, label,
         |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS erank FROM ed),
         |e10 AS (SELECT * FROM er WHERE erank <= 10),
-        |c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+        |c AS (SELECT vec_id AS cid, embedding AS cv,
+        |    embedding::FLOAT[64] AS carr FROM embeddings WHERE vec_id % 40 = 0),
+        |v0 AS (SELECT vec_id, embedding, embedding::FLOAT[64] AS varr FROM embeddings),
+        |avc0 AS (SELECT v0.vec_id, c.cid, array_distance(v0.varr, c.carr) AS ad
+        |  FROM v0, c),
+        |amin0 AS (SELECT vec_id, MIN(ad) AS m FROM avc0 GROUP BY vec_id),
+        |vcand0 AS (SELECT a.vec_id, a.cid FROM avc0 a
+        |  JOIN amin0 ON a.vec_id = amin0.vec_id
+        |  WHERE a.ad <= amin0.m * 1.00001 + 1e-3),
         |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
-        |  SELECT v.vec_id, c.cid,
+        |  SELECT w.vec_id, w.cid,
         |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
-        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |  FROM vcand0 w JOIN v0 v ON w.vec_id = v.vec_id JOIN c ON w.cid = c.cid)
+        |  GROUP BY 1, 2),
         |vassign AS (SELECT vec_id, cid FROM (
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         |  FROM vc) WHERE rn = 1),
@@ -7466,11 +7511,20 @@ object SparkEntry {
     // ann_ivf_sq8's CTEs with the SQ4 grid: scale = max|x|/7, code =
     // floor(x/scale + 0.5), decode = float(code·scale)
     "ann_ivf_sq4" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv,
+        |    embedding::FLOAT[64] AS carr FROM embeddings WHERE vec_id % 40 = 0),
+        |v0 AS (SELECT vec_id, embedding, embedding::FLOAT[64] AS varr FROM embeddings),
+        |avc0 AS (SELECT v0.vec_id, c.cid, array_distance(v0.varr, c.carr) AS ad
+        |  FROM v0, c),
+        |amin0 AS (SELECT vec_id, MIN(ad) AS m FROM avc0 GROUP BY vec_id),
+        |vcand0 AS (SELECT a.vec_id, a.cid FROM avc0 a
+        |  JOIN amin0 ON a.vec_id = amin0.vec_id
+        |  WHERE a.ad <= amin0.m * 1.00001 + 1e-3),
         |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
-        |  SELECT v.vec_id, c.cid,
+        |  SELECT w.vec_id, w.cid,
         |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
-        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |  FROM vcand0 w JOIN v0 v ON w.vec_id = v.vec_id JOIN c ON w.cid = c.cid)
+        |  GROUP BY 1, 2),
         |vassign AS (SELECT vec_id, cid FROM (
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         |  FROM vc) WHERE rn = 1),
@@ -7505,11 +7559,20 @@ object SparkEntry {
     // same CTEs as ann_ivf with the predicate applied to the candidate
     // set (search-time filtering), not to the index build
     "ann_ivf_filtered" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv,
+        |    embedding::FLOAT[64] AS carr FROM embeddings WHERE vec_id % 40 = 0),
+        |v0 AS (SELECT vec_id, embedding, embedding::FLOAT[64] AS varr FROM embeddings),
+        |avc0 AS (SELECT v0.vec_id, c.cid, array_distance(v0.varr, c.carr) AS ad
+        |  FROM v0, c),
+        |amin0 AS (SELECT vec_id, MIN(ad) AS m FROM avc0 GROUP BY vec_id),
+        |vcand0 AS (SELECT a.vec_id, a.cid FROM avc0 a
+        |  JOIN amin0 ON a.vec_id = amin0.vec_id
+        |  WHERE a.ad <= amin0.m * 1.00001 + 1e-3),
         |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
-        |  SELECT v.vec_id, c.cid,
+        |  SELECT w.vec_id, w.cid,
         |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
-        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |  FROM vcand0 w JOIN v0 v ON w.vec_id = v.vec_id JOIN c ON w.cid = c.cid)
+        |  GROUP BY 1, 2),
         |vassign AS (SELECT vec_id, cid FROM (
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         |  FROM vc) WHERE rn = 1),
@@ -8611,11 +8674,20 @@ object SparkEntry {
 
     // ann_ivf's probe CTEs with a radius filter instead of top-k
     "vec_range_search_ivf" ->
-      """WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 40 = 0),
+      """WITH c AS (SELECT vec_id AS cid, embedding AS cv,
+        |    embedding::FLOAT[64] AS carr FROM embeddings WHERE vec_id % 40 = 0),
+        |v0 AS (SELECT vec_id, embedding, embedding::FLOAT[64] AS varr FROM embeddings),
+        |avc0 AS (SELECT v0.vec_id, c.cid, array_distance(v0.varr, c.carr) AS ad
+        |  FROM v0, c),
+        |amin0 AS (SELECT vec_id, MIN(ad) AS m FROM avc0 GROUP BY vec_id),
+        |vcand0 AS (SELECT a.vec_id, a.cid FROM avc0 a
+        |  JOIN amin0 ON a.vec_id = amin0.vec_id
+        |  WHERE a.ad <= amin0.m * 1.00001 + 1e-3),
         |vc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
-        |  SELECT v.vec_id, c.cid,
+        |  SELECT w.vec_id, w.cid,
         |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
-        |  FROM embeddings v, c) GROUP BY 1, 2),
+        |  FROM vcand0 w JOIN v0 v ON w.vec_id = v.vec_id JOIN c ON w.cid = c.cid)
+        |  GROUP BY 1, 2),
         |vassign AS (SELECT vec_id, cid FROM (
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         |  FROM vc) WHERE rn = 1),

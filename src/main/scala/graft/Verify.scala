@@ -28,15 +28,29 @@ object Verify {
     // physical types than the driver's pyarrow files.
     if (sfDir.startsWith("/root/testdata")) graft.tools.SchemaGate.check(sfDir)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // a bounded pool overlaps independent queries (the CanonHashes
+    // pattern): Spark schedules the concurrent jobs fairly across the
+    // local[N] cores, and per-query wall at large replicas is dominated
+    // by scan/shuffle stages that interleave well. Results are written
+    // to disjoint paths, so concurrency cannot cross-wire outputs.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_POOL", "6").toInt)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val futs = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      .map { case (name, fn) =>
+        scala.concurrent.Future {
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
       }
-    }
+    try futs.foreach(scala.concurrent.Await.result(_,
+      scala.concurrent.duration.Duration.Inf))
+    finally pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
