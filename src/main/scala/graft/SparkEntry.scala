@@ -1215,10 +1215,15 @@ object SparkEntry {
       val n = h.getLong(0); val tot = h.getLong(1)
       val ranked = Scan.prefixSum(cust.withColumn("one", lit(1L)),
         Seq.empty, Seq("cents", "o_custkey"), "one", "rank")
+      // Σ(2i−n−1)·cents overflows LONG at the 100× replica (per-term
+      // ~1.5e15 × 15M rows ≈ 1e22) — accumulate in DECIMAL(38,0); the
+      // decimal→double cast of the exact integer is correctly rounded
+      // identically on both engines (r16)
       val num = ranked
-        .agg(sum((lit(2L) * col("rank") - lit(n + 1)) * col("cents"))).head().getLong(0)
+        .agg(sum((lit(2L) * col("rank") - lit(n + 1)).cast(DecimalType(38, 0)) *
+          col("cents").cast(DecimalType(38, 0)))).head().getDecimal(0)
       s.range(1).select(lit(n).as("n_customers"), lit(tot).as("total_cents"),
-        floor(lit(num).cast(DoubleType) /
+        floor(lit(num.toPlainString).cast(DecimalType(38, 0)).cast(DoubleType) /
           (lit(n).cast(DoubleType) * lit(tot).cast(DoubleType))
           * lit(1e6) + lit(0.5)).cast(LongType).as("gini_e6"))
     },
@@ -7002,7 +7007,8 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY cents, o_custkey) AS rn FROM cust),
         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
         |    CAST(SUM(cents) AS BIGINT) AS tot,
-        |    CAST(SUM((2 * rn - (SELECT COUNT(*) FROM cust) - 1) * cents) AS BIGINT) AS num
+        |    SUM(CAST(2 * rn - (SELECT COUNT(*) FROM cust) - 1 AS HUGEINT)
+        |        * cents) AS num
         |  FROM rk)
         |SELECT n AS n_customers, tot AS total_cents,
         |  CAST(FLOOR(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))

@@ -192,9 +192,34 @@ object Scan {
         Iterator.single((pid, maps.toSeq))
       }.collect()
     val nEntries = partMaps.iterator.map(_._2.size).sum
+    if (nEntries > maxDriverEntries && groupCols.nonEmpty) {
+      // many-small-groups regime (r16: hit for real at the 100× replica —
+      // 2M part groups): the Blelloch split exists for FEW huge groups;
+      // with this many groups the per-key history is tiny and a plain
+      // per-group sequential replay is already skew-safe. One hash
+      // shuffle on the group key, groups sorted within partitions,
+      // state reset at each group boundary — exact integer arithmetic,
+      // so the result is bit-identical to the scan path (same clamp
+      // recurrence, no cross-partition seam to seed).
+      val byGroup = df.repartition(p, groupCols.map(col): _*)
+        .sortWithinPartitions(keyCols: _*)
+      val fbSchema = StructType(schema.fields :+
+        StructField(outCol, LongType, nullable = false))
+      val fbOut = byGroup.rdd.mapPartitions { it =>
+        var curKey: Seq[Any] = null
+        var y = seed
+        it.map { r =>
+          val k = key(r)
+          if (k != curKey) { curKey = k; y = seed }
+          y = clampL(satAdd(y, r.getLong(dIdx)), lo, hi)
+          Row.fromSeq(r.toSeq :+ y)
+        }
+      }
+      return spark.createDataFrame(fbOut, fbSchema)
+    }
     require(nEntries <= maxDriverEntries,
-      s"clampedScan driver state $nEntries > $maxDriverEntries slices — with this many " +
-        "small groups a per-group sequential mapGroups pass is already skew-safe")
+      s"clampedScan driver state $nEntries > $maxDriverEntries slices " +
+        "with no group columns to fall back on")
 
     // driver: thread the seed through per-partition maps in pid order;
     // entry(pid, g) = exact value of y entering that partition's slice

@@ -135,6 +135,20 @@ class ScanSpec extends AnyFunSuite {
     assert(collectLevel(Scan.clampedScan(df, Seq("g"), Seq("id"), "v", 0L, 20L, numParts = 7)) === want)
   }
 
+  test("clampedScan many-small-groups fallback ≡ the scan path bit-exact") {
+    // r16: past maxDriverEntries the scan falls back to a per-group
+    // sequential replay (hash shuffle on the group, state reset at each
+    // boundary) — force the fallback with a tiny cap and pin equality
+    val rows = for (g <- (0 until 50).map("g" + _); i <- 0 until 20)
+      yield (g, i.toLong, (((i * 31 + g.hashCode) % 25) - 12).toLong)
+    val df = fixture(rows)
+    val want = seqClamped(rows, lo = 0L, hi = 20L, seed = 0L)
+    val got = collectLevel(
+      Scan.clampedScan(df, Seq("g"), Seq("id"), "v", 0L, 20L,
+        maxDriverEntries = 8)) // 50 groups × partitions ≫ 8 → fallback
+    assert(got === want)
+  }
+
   test("clampedScan: hot group spans many partitions and still matches the sequential pass") {
     val spark2 = spark
     import spark2.implicits._
