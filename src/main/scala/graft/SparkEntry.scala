@@ -67,7 +67,7 @@ object SparkEntry {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     Similarity.bruteForceTopK(vectors, queries, k, metric)
       .select(col("qid"), col("rank"), col("label"),
-        round(col("score"), 4).as("dist"))
+        floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
       .orderBy("qid", "rank")
   }
 
@@ -367,8 +367,9 @@ object SparkEntry {
         .agg(
           min(when(col("measure") === "qty" && col("q") === 0.5, col("value"))).as("p50_qty"),
           min(when(col("measure") === "qty" && col("q") === 0.9, col("value"))).as("p90_qty"),
-          round(min(when(col("measure") === "price" && col("q") === 0.5, col("value"))), 4)
-            .as("p50_price"))
+          floor(min(when(col("measure") === "price" && col("q") === 0.5,
+            col("value"))) * lit(1e4) + lit(0.5)).cast(LongType)
+            .as("p50_price_e4"))
         .orderBy("l_returnflag")
     },
 
@@ -393,8 +394,8 @@ object SparkEntry {
           abs(col("v") - col("med")).as("ad"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          round(min(col("med")), 4).as("med"),
-          round(min(col("mad")), 4).as("mad"),
+          floor(min(col("med")) * lit(1e4) + lit(0.5)).cast(LongType).as("med_e4"),
+          floor(min(col("mad")) * lit(1e4) + lit(0.5)).cast(LongType).as("mad_e4"),
           sum(when(col("ad") > lit(3.0) * lit(1.4826) * col("mad"), lit(1L))
             .otherwise(lit(0L))).as("n_outliers"))
         .orderBy("o_orderpriority")
@@ -415,9 +416,12 @@ object SparkEntry {
           col("l_quantity").cast(LongType).as("wt")),
         "l_returnflag", "v", Seq(0.25, 0.5, 0.75), weightCol = Some("wt"))
       qd.groupBy(col("g").as("l_returnflag"))
-        .agg(round(min(when(col("q") === 0.25, col("value"))), 4).as("w_p25"),
-          round(min(when(col("q") === 0.5, col("value"))), 4).as("w_p50"),
-          round(min(when(col("q") === 0.75, col("value"))), 4).as("w_p75"))
+        .agg(floor(min(when(col("q") === 0.25, col("value"))) * lit(1e4)
+            + lit(0.5)).cast(LongType).as("w_p25_e4"),
+          floor(min(when(col("q") === 0.5, col("value"))) * lit(1e4)
+            + lit(0.5)).cast(LongType).as("w_p50_e4"),
+          floor(min(when(col("q") === 0.75, col("value"))) * lit(1e4)
+            + lit(0.5)).cast(LongType).as("w_p75_e4"))
         .orderBy("l_returnflag")
     },
 
@@ -443,14 +447,14 @@ object SparkEntry {
           greatest(least(col("o_totalprice"), col("p95")), col("p05")).as("wp"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          round(min(col("p05")), 4).as("p05"),
-          round(min(col("p95")), 4).as("p95"),
+          floor(min(col("p05")) * lit(1e4) + lit(0.5)).cast(LongType).as("p05_e4"),
+          floor(min(col("p95")) * lit(1e4) + lit(0.5)).cast(LongType).as("p95_e4"),
           sum(when(col("o_totalprice") < col("p05"), lit(1L)).otherwise(lit(0L))).as("n_low"),
           sum(when(col("o_totalprice") > col("p95"), lit(1L)).otherwise(lit(0L))).as("n_high"),
-          round(sum(col("o_totalprice").cast(DecimalType(25, 6))).cast(DoubleType) /
-            count(lit(1)), 4).as("mean_raw"),
-          round(sum(col("wp").cast(DecimalType(25, 6))).cast(DoubleType) /
-            count(lit(1)), 4).as("mean_wins"))
+          floor(sum(col("o_totalprice").cast(DecimalType(25, 6))).cast(DoubleType) /
+            count(lit(1)) * lit(1e4) + lit(0.5)).cast(LongType).as("mean_raw_e4"),
+          floor(sum(col("wp").cast(DecimalType(25, 6))).cast(DoubleType) /
+            count(lit(1)) * lit(1e4) + lit(0.5)).cast(LongType).as("mean_wins_e4"))
         .orderBy("o_orderpriority")
     },
 
@@ -486,7 +490,7 @@ object SparkEntry {
         .filter(abs(col("z_raw")) > 2.0) // filter on the UNROUNDED z, like the oracle
         .select(col("event_type"),
           date_format(col("h"), "yyyy-MM-dd HH").as("hour"), col("c"),
-          round(col("z_raw"), 4).as("z"))
+          floor(col("z_raw") * lit(1e4) + lit(0.5)).cast(LongType).as("z_e4"))
         .orderBy("event_type", "hour")
     },
 
@@ -551,7 +555,7 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.shuffleTiledTopK(vectors, queries, k = 10, metric = "l2")
         .select(col("qid"), col("rank"), col("label"),
-          round(col("score"), 4).as("dist"))
+          floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -573,7 +577,7 @@ object SparkEntry {
           .groupBy(col("qid"))
           .agg(topK(col("score"), col("label"), 10, ascending = true).as("hits")))
         .select(col("qid"), col("rank"), col("label"),
-          round(col("score"), 4).as("dist"))
+          floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -584,7 +588,7 @@ object SparkEntry {
       Tables(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
       s.sql(
         """SELECT qid, CAST(pos + 1 AS BIGINT) AS rank, col.label AS label,
-          |       ROUND(col.score, 4) AS dist
+          |       CAST(FLOOR(col.score * 10000.0 + 0.5) AS BIGINT) AS dist_e4
           |FROM (
           |  SELECT /*+ BROADCAST(q) */ q.vec_id AS qid,
           |         graft_topk(graft_squared_l2(e.embedding, q.embedding), e.vec_id, 10, true) AS hits
@@ -601,7 +605,8 @@ object SparkEntry {
         .filter(col("vec_id").isin(3, 7, 11))
         .select(col("vec_id"), posexplode(col("embedding")))
         .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("pos"),
-          round(col("col").cast(DoubleType), 4).as("val"))
+          floor(col("col").cast(DoubleType) * lit(1e4) + lit(0.5))
+            .cast(LongType).as("val_e4"))
         .orderBy("vec_id", "pos")
     },
 
@@ -698,7 +703,9 @@ object SparkEntry {
 
     "vec_norms" -> { (s, dir) =>
       Tables(s, dir, "embeddings")
-        .select(col("vec_id"), round(vectorNormSq(col("embedding")), 4).as("norm_sq"))
+        .select(col("vec_id"),
+          floor(vectorNormSq(col("embedding")) * lit(1e4) + lit(0.5))
+            .cast(LongType).as("norm_sq_e4"))
         .orderBy("vec_id")
     },
 
@@ -1149,7 +1156,9 @@ object SparkEntry {
         .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
       BloomJoin.bloomPrunedJoin(big, small, "o_orderkey")
         .groupBy("o_orderkey")
-        .agg(count(lit(1)).as("n_items"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .agg(count(lit(1)).as("n_items"),
+          floor(sum(col("l_quantity")) * lit(1e4) + lit(0.5)).cast(LongType)
+            .as("sum_qty_e4"))
         .orderBy("o_orderkey")
     },
 
@@ -1382,8 +1391,9 @@ object SparkEntry {
       val y = graft.functions.pcaProject(col("embedding"), Array.fill(dIn)(0.0), mat)
       Tables(s, dir, "embeddings")
         .select(col("vec_id"),
-          round(sqrt(graft.functions.vectorNormSq(y) /
-            graft.functions.vectorNormSq(col("embedding"))), 4).as("norm_ratio"))
+          floor(sqrt(graft.functions.vectorNormSq(y) /
+            graft.functions.vectorNormSq(col("embedding"))) * lit(1e4)
+            + lit(0.5)).cast(LongType).as("norm_ratio_e4"))
         .orderBy("vec_id")
     },
 
@@ -1537,6 +1547,8 @@ object SparkEntry {
       Lexical.bm25TopK(docs,
         docs.filter(col("doc_id") < 4).select(col("doc_id").as("qid"), col("text")),
         k = 10)
+        .select(col("qid"), col("rank"), col("label"),
+          col("score").cast(LongType).as("score_e6"))
         .orderBy("qid", "rank")
     },
 
@@ -1559,6 +1571,8 @@ object SparkEntry {
       Lexical.tfidfTopK(Lexical.bm25Stats(docs),
         docs.filter(col("doc_id") < 4).select(col("doc_id").as("qid"), col("text")),
         k = 10)
+        .select(col("qid"), col("rank"), col("label"),
+          col("score").cast(LongType).as("score_e6"))
         .orderBy("qid", "rank")
     },
 
@@ -1589,7 +1603,10 @@ object SparkEntry {
           Window.partitionBy(col("qid")).orderBy(col("rank0"))).cast(LongType))
         .filter(col("rank") <= 20)
         .drop("rank0")
-      Lexical.rrfFuse(Seq(lex, dense), k = 10).orderBy("qid", "rank")
+      Lexical.rrfFuse(Seq(lex, dense), k = 10)
+        .select(col("qid"), col("rank"), col("label"),
+          col("score").cast(LongType).as("score_e6"))
+        .orderBy("qid", "rank")
     },
 
     // ---- dedup: SemDeDup (cluster-bounded embedding near-dup drop) ----
@@ -1974,7 +1991,7 @@ object SparkEntry {
       val und = Dedup.simhashPairs(Tables(s, dir, "documents"), hammingMax = 2)
         .select(col("doc_a").as("u"), col("doc_b").as("v"))
       Graph.adamicAdar(und, degCap = 64, minCn = 2)
-        .select(col("u").as("doc_a"), col("v").as("doc_b"), col("cn"), col("aa"))
+        .select(col("u").as("doc_a"), col("v").as("doc_b"), col("cn"), col("aa_e6"))
         .orderBy("doc_a", "doc_b")
     },
 
@@ -2001,7 +2018,7 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.ivfTopK(vectors, queries, k = 10, centroidModulo = 40, nProbe = 2)
-        .select(col("qid"), col("rank"), col("label"), round(col("score"), 4).as("dist"))
+        .select(col("qid"), col("rank"), col("label"), floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -2016,7 +2033,7 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.ivfFilteredTopK(vectors, queries, k = 10,
           centroidModulo = 40, nProbe = 2, pred = col("id") % 3 =!= 0)
-        .select(col("qid"), col("rank"), col("label"), round(col("score"), 4).as("dist"))
+        .select(col("qid"), col("rank"), col("label"), floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -2047,9 +2064,10 @@ object SparkEntry {
         .join(mrr, Seq("qid"), "left")
         .select(col("qid"),
           coalesce(col("n_common"), lit(0L)).as("n_common"),
-          round(coalesce(col("n_common"), lit(0L)).cast(DoubleType) / 10.0, 4)
-            .as("recall_at_10"),
-          round(coalesce(col("rr"), lit(0.0)), 4).as("mrr"))
+          floor(coalesce(col("n_common"), lit(0L)).cast(DoubleType) / 10.0
+            * lit(1e4) + lit(0.5)).cast(LongType).as("recall_at_10_e4"),
+          floor(coalesce(col("rr"), lit(0.0)) * lit(1e4) + lit(0.5))
+            .cast(LongType).as("mrr_e4"))
         .orderBy("qid")
     },
 
@@ -2101,7 +2119,7 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.ivfSq8TopK(vectors, queries, k = 10, centroidModulo = 40, nProbe = 2)
-        .select(col("qid"), col("rank"), col("label"), round(col("score"), 4).as("dist"))
+        .select(col("qid"), col("rank"), col("label"), floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -2114,7 +2132,7 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.ivfSq4TopK(vectors, queries, k = 10, centroidModulo = 40, nProbe = 2)
-        .select(col("qid"), col("rank"), col("label"), round(col("score"), 4).as("dist"))
+        .select(col("qid"), col("rank"), col("label"), floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -2172,7 +2190,7 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.hammingRerankTopK(vectors, queries, k = 10, expand = 4)
         .select(col("qid"), col("rank"), col("label"),
-          round(col("score"), 4).as("dist"))
+          floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -3391,7 +3409,7 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), slice(col("embedding"), 1, 16).as("qv"))
       Similarity.bruteForceTopK(vectors, queries, 10, "l2")
         .select(col("qid"), col("rank"), col("label"),
-          round(col("score"), 4).as("dist"))
+          floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -3405,7 +3423,7 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.prefixRerankTopK(vectors, queries, k = 10, prefixDims = 16)
-        .select(col("qid"), col("rank"), col("label"), round(col("score"), 4).as("dist"))
+        .select(col("qid"), col("rank"), col("label"), floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -3747,7 +3765,7 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.rerankedTopK(vectors, queries, k = 10, expand = 4)
         .select(col("qid"), col("rank"), col("label"),
-          round(col("score"), 4).as("dist"))
+          floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -3762,7 +3780,7 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.gemmTopK(vectors, queries, k = 10)
         .select(col("qid"), col("rank"), col("label"),
-          round(col("score"), 4).as("dist"))
+          floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -3774,7 +3792,7 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.radiusSearch(vectors, queries, radius = 1.4)
-        .select(col("qid"), col("label"), round(col("score"), 4).as("dist"))
+        .select(col("qid"), col("label"), floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
         .orderBy("qid", "label")
     },
 
@@ -3822,7 +3840,7 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.ivfRadiusSearch(vectors, queries, radius = 1.6,
           centroidModulo = 40, nProbe = 2)
-        .select(col("qid"), col("label"), round(col("score"), 4).as("dist"))
+        .select(col("qid"), col("label"), floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
         .orderBy("qid", "label")
     },
 
@@ -3835,7 +3853,7 @@ object SparkEntry {
       val queries = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.batchedTopK(vectors, queries, k = 5, batches = 4)
         .select(col("qid"), col("rank"), col("label"),
-          round(col("score"), 4).as("dist"))
+          floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -3850,7 +3868,7 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.bruteForceTopK(vectors, queries, 10, "l2")
         .select(col("qid"), col("rank"), col("label"),
-          round(col("score"), 4).as("dist"))
+          floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -3859,11 +3877,14 @@ object SparkEntry {
       Tables(s, dir, "embeddings")
         .select(col("vec_id"),
           size(slice(col("embedding"), 1, 8)).cast(LongType).as("n_slice"),
-          round(array_max(col("embedding")).cast(DoubleType), 4).as("vmax"),
-          round(array_min(col("embedding")).cast(DoubleType), 4).as("vmin"),
-          round(element_at(col("embedding"), 5).cast(DoubleType), 4).as("v5"),
-          round(element_at(array_sort(col("embedding")), 3).cast(DoubleType), 4)
-            .as("third_smallest"))
+          floor(array_max(col("embedding")).cast(DoubleType) * lit(1e4)
+            + lit(0.5)).cast(LongType).as("vmax_e4"),
+          floor(array_min(col("embedding")).cast(DoubleType) * lit(1e4)
+            + lit(0.5)).cast(LongType).as("vmin_e4"),
+          floor(element_at(col("embedding"), 5).cast(DoubleType) * lit(1e4)
+            + lit(0.5)).cast(LongType).as("v5_e4"),
+          floor(element_at(array_sort(col("embedding")), 3).cast(DoubleType)
+            * lit(1e4) + lit(0.5)).cast(LongType).as("third_smallest_e4"))
         .orderBy("vec_id")
     },
 
@@ -4482,9 +4503,11 @@ object SparkEntry {
         Multimodal.mediaFromDocuments(Tables(s, dir, "documents")))
         .select(col("media_id"), col("n_bytes"), col("mime"),
           size(col("features")).cast(LongType).as("n_dims"),
-          round(aggregate(col("features"), lit(0.0),
-            (acc, x) => acc + x.cast(DoubleType)), 4).as("feat_sum"),
-          round(array_max(col("features")).cast(DoubleType), 4).as("feat_max"))
+          floor(aggregate(col("features"), lit(0.0),
+            (acc, x) => acc + x.cast(DoubleType)) * lit(1e4) + lit(0.5))
+            .cast(LongType).as("feat_sum_e4"),
+          floor(array_max(col("features")).cast(DoubleType) * lit(1e4)
+            + lit(0.5)).cast(LongType).as("feat_max_e4"))
         .orderBy("media_id")
     },
 
@@ -4789,7 +4812,7 @@ object SparkEntry {
     "q_psi_drift" -> { (s, dir) =>
       val ev = Tables.events(s, dir).withColumn("ts_us", expr("unix_micros(ts)"))
       Profile.psiDrift(ev, "value", "ts_us", "event_type")
-        .select(col("g").as("event_type"), col("n_a"), col("n_b"), col("psi"))
+        .select(col("g").as("event_type"), col("n_a"), col("n_b"), col("psi_e6"))
         .orderBy("event_type")
     },
 
@@ -4801,7 +4824,7 @@ object SparkEntry {
     "q_js_drift" -> { (s, dir) =>
       val ev = Tables.events(s, dir).withColumn("ts_us", expr("unix_micros(ts)"))
       Profile.jsDrift(ev, "value", "ts_us", "event_type")
-        .select(col("g").as("event_type"), col("n_a"), col("n_b"), col("js"))
+        .select(col("g").as("event_type"), col("n_a"), col("n_b"), col("js_e6"))
         .orderBy("event_type")
     },
 
@@ -4925,7 +4948,7 @@ object SparkEntry {
     "q_jw_link" -> { (s, dir) =>
       Dedup.linkPairsJaroWinkler(Tables(s, dir, "customer"), "c_custkey", "c_name")
         .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
-          col("dist"), col("jw"))
+          col("dist"), col("jw_e6"))
         .orderBy("custkey_a", "custkey_b")
     },
 
@@ -4966,7 +4989,7 @@ object SparkEntry {
       |  SELECT qid, label, score,
       |    row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank
       |  FROM dists)
-      |SELECT qid, rank, label, ROUND(score, 4) AS dist
+      |SELECT qid, rank, label, CAST(FLOOR(score * 10000.0 + 0.5) AS BIGINT) AS dist_e4
       |FROM ranked WHERE rank <= 10
       |ORDER BY qid, rank""".stripMargin
 
@@ -4995,7 +5018,8 @@ object SparkEntry {
       |  FROM qb JOIN dfb ON qb.tok = dfb.tok JOIN tfb ON qb.tok = tfb.tok
       |  JOIN lensb ON tfb.doc_id = lensb.doc_id, statsb s
       |  WHERE tfb.doc_id <> qb.qid),
-      |scb AS (SELECT qid, label, ROUND(SUM(c), 6) AS score FROM contribb GROUP BY 1, 2),
+      |scb AS (SELECT qid, label,
+      |        FLOOR(SUM(c) * 1000000.0 + 0.5) AS score FROM contribb GROUP BY 1, 2),
       |bm25 AS (SELECT qid, label, score,
       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, label) AS rank
       |         FROM scb)""".stripMargin
@@ -5008,7 +5032,8 @@ object SparkEntry {
 
     "text_bm25" ->
       s"""WITH $oracleBm25Ctes
-         |SELECT qid, rank, label, score FROM bm25 WHERE rank <= 10
+         |SELECT qid, rank, label, CAST(score AS BIGINT) AS score_e6
+         |FROM bm25 WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin,
 
     "text_phrase_search" ->
@@ -5045,13 +5070,14 @@ object SparkEntry {
          |         FROM qwb JOIN wtb ON qwb.tok = wtb.tok
          |         WHERE wtb.doc_id <> qwb.qid GROUP BY 1, 2),
          |sctf AS (SELECT dotb.qid, dotb.label,
-         |         ROUND(dotb.dot/(nrmb.nrm*qnrmb.qnrm), 6) AS score
+         |         FLOOR(dotb.dot/(nrmb.nrm*qnrmb.qnrm) * 1000000.0 + 0.5) AS score
          |         FROM dotb JOIN nrmb ON dotb.label = nrmb.doc_id
          |         JOIN qnrmb ON dotb.qid = qnrmb.qid),
          |tfr AS (SELECT qid, label, score,
          |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, label) AS rank
          |        FROM sctf)
-         |SELECT qid, rank, label, score FROM tfr WHERE rank <= 10
+         |SELECT qid, rank, label, CAST(score AS BIGINT) AS score_e6
+         |FROM tfr WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin,
 
     "hybrid_rrf" ->
@@ -5072,11 +5098,13 @@ object SparkEntry {
          |votes AS (SELECT qid, label, 1.0/(60 + rank) AS v FROM bm25 WHERE rank <= 20
          |          UNION ALL
          |          SELECT qid, label, 1.0/(60 + rank) FROM dense WHERE rank <= 20),
-         |fs AS (SELECT qid, label, ROUND(SUM(v), 6) AS score FROM votes GROUP BY 1, 2),
+         |fs AS (SELECT qid, label,
+         |       FLOOR(SUM(v) * 1000000.0 + 0.5) AS score FROM votes GROUP BY 1, 2),
          |fr AS (SELECT qid, label, score,
          |       row_number() OVER (PARTITION BY qid ORDER BY score DESC, label) AS rank
          |       FROM fs)
-         |SELECT qid, rank, label, score FROM fr WHERE rank <= 10
+         |SELECT qid, rank, label, CAST(score AS BIGINT) AS score_e6
+         |FROM fr WHERE rank <= 10
          |ORDER BY qid, rank""".stripMargin,
 
     "dedup_semantic" ->
@@ -5168,9 +5196,9 @@ object SparkEntry {
          |cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM f GROUP BY 1),
          |lens AS (SELECT doc_id, CAST(greatest(len(w)-4-3, 0) AS BIGINT) AS n_windows FROM t)
          |SELECT l.doc_id, l.n_windows, COALESCE(cnt.n_fp, 0) AS n_fp,
-         |  ROUND(CASE WHEN l.n_windows > 0
-         |        THEN CAST(COALESCE(cnt.n_fp, 0) AS DOUBLE)/l.n_windows ELSE 0.0 END, 6)
-         |    AS fp_density
+         |  CASE WHEN l.n_windows > 0
+         |       THEN CAST((2 * COALESCE(cnt.n_fp, 0) * 1000000 + l.n_windows)
+         |            // (2 * l.n_windows) AS BIGINT) ELSE 0 END AS fp_density_e6
          |FROM lens l LEFT JOIN cnt ON l.doc_id = cnt.doc_id
          |ORDER BY l.doc_id""".stripMargin
     },
@@ -5441,10 +5469,12 @@ object SparkEntry {
       """WITH x AS (SELECT CAST(unnest(range(1, len(embedding)+1)) AS BIGINT) AS dim,
         |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
         |SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
-        |  ROUND(CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean,
-        |  ROUND(CAST(SUM(CAST(x*x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
+        |  CAST(FLOOR(CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS mean_e6,
+        |  CAST(FLOOR((CAST(SUM(CAST(x*x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)
         |    - (CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*))
-        |      * (CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)), 6) + 0.0 AS variance
+        |      * (CAST(SUM(CAST(x AS DECIMAL(28,14))) AS DOUBLE) / COUNT(*)))
+        |    * 1000000.0 + 0.5) AS BIGINT) AS variance_e6
         |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
 
     "q_dsir_weights" ->
@@ -5467,15 +5497,17 @@ object SparkEntry {
         |       SUM(CAST(m AS DECIMAL(9,0)) * lr) AS slr
         |       FROM db JOIN model ON db.b = model.b GROUP BY 1)
         |SELECT doc_id, n_tokens,
-        |  ROUND(CAST(slr AS DOUBLE) / n_tokens, 6) + 0.0 AS mean_lr,
-        |  ROUND(exp(CAST(slr AS DOUBLE) / n_tokens), 6) AS weight
+        |  CAST(FLOOR(CAST(slr AS DOUBLE) / n_tokens * 1000000.0 + 0.5) AS BIGINT)
+        |    AS mean_lr_e6,
+        |  CAST(FLOOR(exp(CAST(slr AS DOUBLE) / n_tokens) * 1000000.0 + 0.5) AS BIGINT)
+        |    AS weight_e6
         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q_link_prediction" ->
       s"""WITH $simhashBandedPairCtes,
          |${graft.ops.Graph.adamicAdarSql(
            "SELECT doc_a AS u, doc_b AS v FROM p", degCap = 64, minCn = 2)}
-         |SELECT u AS doc_a, v AS doc_b, cn, aa FROM aa_pred
+         |SELECT u AS doc_a, v AS doc_b, cn, aa_e6 FROM aa_pred
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_winsorize" ->
@@ -5487,11 +5519,14 @@ object SparkEntry {
         |  GREATEST(LEAST(o.o_totalprice, q.p95), q.p05) AS wp
         |  FROM orders o JOIN q ON o.o_orderpriority = q.o_orderpriority)
         |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-        |  ROUND(MIN(p05), 4) AS p05, ROUND(MIN(p95), 4) AS p95,
+        |  CAST(FLOOR(MIN(p05) * 10000.0 + 0.5) AS BIGINT) AS p05_e4,
+        |  CAST(FLOOR(MIN(p95) * 10000.0 + 0.5) AS BIGINT) AS p95_e4,
         |  CAST(SUM(CASE WHEN o_totalprice < p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
         |  CAST(SUM(CASE WHEN o_totalprice > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
-        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4) AS mean_raw,
-        |  ROUND(CAST(SUM(CAST(wp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4) AS mean_wins
+        |  CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+        |    * 10000.0 + 0.5) AS BIGINT) AS mean_raw_e4,
+        |  CAST(FLOOR(CAST(SUM(CAST(wp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)
+        |    * 10000.0 + 0.5) AS BIGINT) AS mean_wins_e4
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "mining_hard_negatives" ->
@@ -6050,7 +6085,8 @@ object SparkEntry {
       """SELECT l_returnflag,
         |  quantile_disc(CAST(l_quantity AS DOUBLE), 0.5) AS p50_qty,
         |  quantile_disc(CAST(l_quantity AS DOUBLE), 0.9) AS p90_qty,
-        |  ROUND(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50_price
+        |  CAST(FLOOR(quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.5)
+        |    * 10000.0 + 0.5) AS BIGINT) AS p50_price_e4
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
@@ -6061,7 +6097,8 @@ object SparkEntry {
         |d AS (SELECT b.g, v, med, abs(v - med) AS ad FROM b JOIN med USING (g)),
         |mad AS (SELECT g, quantile_disc(ad, 0.5) AS mad FROM d GROUP BY 1)
         |SELECT d.g AS o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
-        |  ROUND(MIN(d.med), 4) AS med, ROUND(MIN(mad.mad), 4) AS mad,
+        |  CAST(FLOOR(MIN(d.med) * 10000.0 + 0.5) AS BIGINT) AS med_e4,
+        |  CAST(FLOOR(MIN(mad.mad) * 10000.0 + 0.5) AS BIGINT) AS mad_e4,
         |  CAST(SUM(CASE WHEN d.ad > 3.0 * 1.4826 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_outliers
         |FROM d JOIN mad USING (g) GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -6076,9 +6113,12 @@ object SparkEntry {
         |cum AS (SELECT g, v, SUM(cw) OVER (PARTITION BY g ORDER BY v) AS cum,
         |    SUM(cw) OVER (PARTITION BY g) AS tw FROM c)
         |SELECT g AS l_returnflag,
-        |  ROUND(MIN(CASE WHEN cum >= CEIL(0.25 * tw) THEN v END), 4) AS w_p25,
-        |  ROUND(MIN(CASE WHEN cum >= CEIL(0.5 * tw) THEN v END), 4) AS w_p50,
-        |  ROUND(MIN(CASE WHEN cum >= CEIL(0.75 * tw) THEN v END), 4) AS w_p75
+        |  CAST(FLOOR(MIN(CASE WHEN cum >= CEIL(0.25 * tw) THEN v END)
+        |    * 10000.0 + 0.5) AS BIGINT) AS w_p25_e4,
+        |  CAST(FLOOR(MIN(CASE WHEN cum >= CEIL(0.5 * tw) THEN v END)
+        |    * 10000.0 + 0.5) AS BIGINT) AS w_p50_e4,
+        |  CAST(FLOOR(MIN(CASE WHEN cum >= CEIL(0.75 * tw) THEN v END)
+        |    * 10000.0 + 0.5) AS BIGINT) AS w_p75_e4
         |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_scalar_funcs" ->
@@ -6102,8 +6142,9 @@ object SparkEntry {
         |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS scc
         |  FROM hourly GROUP BY event_type)
         |SELECT hourly.event_type, strftime(h, '%Y-%m-%d %H') AS hour, c,
-        |  ROUND((CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
-        |    / SQRT((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 4) AS z
+        |  CAST(FLOOR((CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
+        |    / SQRT((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+        |    * 10000.0 + 0.5) AS BIGINT) AS z_e4
         |FROM hourly JOIN stats ON hourly.event_type = stats.event_type
         |WHERE abs((CAST(c AS DOUBLE) - CAST(sc AS DOUBLE) / CAST(n AS DOUBLE))
         |    / SQRT((CAST(scc AS DOUBLE) - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))) > 2.0
@@ -6160,7 +6201,7 @@ object SparkEntry {
         |  SELECT qid, label, score,
         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, label) AS rank
         |  FROM dists)
-        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |SELECT qid, rank, label, CAST(FLOOR(score * 10000.0 + 0.5) AS BIGINT) AS dist_e4
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
@@ -6195,14 +6236,14 @@ object SparkEntry {
         |  GROUP BY qid, label),
         |ranked AS (SELECT qid, label, score,
         |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM d)
-        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |SELECT qid, rank, label, CAST(FLOOR(score * 10000.0 + 0.5) AS BIGINT) AS dist_e4
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
     "knn_l2_gemm" -> oracleKnnL2,
 
     "vec_reconstruct" ->
       """SELECT vec_id, CAST(i AS BIGINT) AS pos,
-        |  ROUND(CAST(embedding[i] AS DOUBLE), 4) AS val
+        |  CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS val_e4
         |FROM embeddings, UNNEST(range(1, len(embedding)+1)) AS t(i)
         |WHERE vec_id IN (3, 7, 11)
         |ORDER BY vec_id, pos""".stripMargin,
@@ -6355,8 +6396,9 @@ object SparkEntry {
         |agg AS (
         |  SELECT media_id, SUM(f) AS fs, MAX(f) AS fm FROM feat GROUP BY media_id)
         |SELECT b.media_id, CAST(b.n AS BIGINT) AS n_bytes, 'text/plain' AS mime,
-        |  CAST(8 AS BIGINT) AS n_dims, ROUND(a.fs, 4) AS feat_sum,
-        |  ROUND(a.fm, 4) AS feat_max
+        |  CAST(8 AS BIGINT) AS n_dims,
+        |  CAST(FLOOR(a.fs * 10000.0 + 0.5) AS BIGINT) AS feat_sum_e4,
+        |  CAST(FLOOR(a.fm * 10000.0 + 0.5) AS BIGINT) AS feat_max_e4
         |FROM b JOIN agg a ON a.media_id = b.media_id
         |ORDER BY b.media_id""".stripMargin,
 
@@ -6532,7 +6574,8 @@ object SparkEntry {
 
     "vec_norms" ->
       """SELECT vec_id,
-        |  ROUND(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), 4) AS norm_sq
+        |  CAST(FLOOR(SUM(CAST(e AS DOUBLE) * CAST(e AS DOUBLE))
+        |    * 10000.0 + 0.5) AS BIGINT) AS norm_sq_e4
         |FROM (SELECT vec_id, UNNEST(embedding) AS e FROM embeddings)
         |GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin,
@@ -6828,7 +6871,8 @@ object SparkEntry {
          |  SELECT doc_a, doc_b, jaccard,
          |    row_number() OVER (PARTITION BY doc_a ORDER BY jaccard DESC, doc_b) AS rn
          |  FROM j WHERE jaccard >= 0.5)
-         |SELECT doc_a AS doc_id, doc_b AS dup_of, ROUND(jaccard, 6) AS jaccard
+         |SELECT doc_a AS doc_id, doc_b AS dup_of,
+         |  CAST(FLOOR(jaccard * 1000000.0 + 0.5) AS BIGINT) AS jaccard_e6
          |FROM best WHERE rn = 1 ORDER BY doc_id""".stripMargin
     },
 
@@ -6945,7 +6989,7 @@ object SparkEntry {
     // the bloom-pruned plan must be row-identical to the plain join
     "q_bloom_join" ->
       """SELECT l_orderkey AS o_orderkey, COUNT(*) AS n_items,
-        |  ROUND(SUM(l_quantity), 4) AS sum_qty
+        |  CAST(FLOOR(SUM(l_quantity) * 10000.0 + 0.5) AS BIGINT) AS sum_qty_e4
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
@@ -7178,7 +7222,8 @@ object SparkEntry {
         |       FROM y GROUP BY vec_id),
         |nx AS (SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nx2
         |       FROM pos GROUP BY vec_id)
-        |SELECT ny.vec_id, ROUND(sqrt(ny.ny2 / nx.nx2), 4) AS norm_ratio
+        |SELECT ny.vec_id,
+        |  CAST(FLOOR(sqrt(ny.ny2 / nx.nx2) * 10000.0 + 0.5) AS BIGINT) AS norm_ratio_e4
         |FROM ny JOIN nx USING (vec_id)
         |ORDER BY vec_id""".stripMargin,
 
@@ -7236,7 +7281,8 @@ object SparkEntry {
          |        row_number() OVER (PARTITION BY doc_id ORDER BY n_overlap DESC, eval_id) AS rn FROM ov)
          |SELECT t.doc_id, top.eval_id,
          |  COALESCE(top.n_overlap, 0) AS n_overlap,
-         |  ROUND(COALESCE(CAST(top.n_overlap AS DOUBLE) / CAST(top.n_sh AS DOUBLE), 0.0), 6) AS frac
+         |  CAST(FLOOR(COALESCE(CAST(top.n_overlap AS DOUBLE) / CAST(top.n_sh AS DOUBLE), 0.0)
+         |    * 1000000.0 + 0.5) AS BIGINT) AS frac_e6
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) t
          |LEFT JOIN (SELECT * FROM top WHERE rn = 1) top ON t.doc_id = top.doc_id
          |ORDER BY t.doc_id""".stripMargin
@@ -7352,7 +7398,7 @@ object SparkEntry {
         |  JOIN embeddings v ON cand.label = v.vec_id) GROUP BY 1, 2),
         |ranked AS (SELECT qid, label, score,
         |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM d)
-        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |SELECT qid, rank, label, CAST(FLOOR(score * 10000.0 + 0.5) AS BIGINT) AS dist_e4
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
@@ -7402,7 +7448,7 @@ object SparkEntry {
         |  JOIN deq v ON cand.label = v.vec_id) GROUP BY 1, 2),
         |ranked AS (SELECT qid, label, score,
         |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM d)
-        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |SELECT qid, rank, label, CAST(FLOOR(score * 10000.0 + 0.5) AS BIGINT) AS dist_e4
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
@@ -7454,8 +7500,9 @@ object SparkEntry {
         |rec AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_common FROM common GROUP BY 1),
         |m AS (SELECT qid, 1.0 / arank AS rr FROM common WHERE erank = 1)
         |SELECT q.qid, COALESCE(rec.n_common, 0) AS n_common,
-        |  ROUND(CAST(COALESCE(rec.n_common, 0) AS DOUBLE) / 10.0, 4) AS recall_at_10,
-        |  ROUND(COALESCE(m.rr, 0.0), 4) AS mrr
+        |  CAST(FLOOR(CAST(COALESCE(rec.n_common, 0) AS DOUBLE) / 10.0
+        |    * 10000.0 + 0.5) AS BIGINT) AS recall_at_10_e4,
+        |  CAST(FLOOR(COALESCE(m.rr, 0.0) * 10000.0 + 0.5) AS BIGINT) AS mrr_e4
         |FROM q LEFT JOIN rec ON q.qid = rec.qid LEFT JOIN m ON q.qid = m.qid
         |ORDER BY q.qid""".stripMargin,
 
@@ -7558,7 +7605,7 @@ object SparkEntry {
         |  JOIN deq v ON cand.label = v.vec_id) GROUP BY 1, 2),
         |ranked AS (SELECT qid, label, score,
         |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM d)
-        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |SELECT qid, rank, label, CAST(FLOOR(score * 10000.0 + 0.5) AS BIGINT) AS dist_e4
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
@@ -7599,7 +7646,7 @@ object SparkEntry {
         |  JOIN embeddings v ON cand.label = v.vec_id) GROUP BY 1, 2),
         |ranked AS (SELECT qid, label, score,
         |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM d)
-        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |SELECT qid, rank, label, CAST(FLOOR(score * 10000.0 + 0.5) AS BIGINT) AS dist_e4
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
@@ -7723,7 +7770,7 @@ object SparkEntry {
         |  JOIN embeddings v ON s.label = v.vec_id) GROUP BY 1, 2),
         |ranked AS (SELECT qid, label, score,
         |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM d)
-        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |SELECT qid, rank, label, CAST(FLOOR(score * 10000.0 + 0.5) AS BIGINT) AS dist_e4
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
@@ -8430,7 +8477,7 @@ object SparkEntry {
         |  SELECT qid, label, score,
         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, label) AS rank
         |  FROM dists)
-        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |SELECT qid, rank, label, CAST(FLOOR(score * 10000.0 + 0.5) AS BIGINT) AS dist_e4
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
@@ -8606,7 +8653,7 @@ object SparkEntry {
         |  SELECT qid, label, score,
         |    row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank
         |  FROM dists)
-        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |SELECT qid, rank, label, CAST(FLOOR(score * 10000.0 + 0.5) AS BIGINT) AS dist_e4
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
@@ -8640,7 +8687,7 @@ object SparkEntry {
         |  SELECT qid, label, score,
         |    row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank
         |  FROM dists)
-        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |SELECT qid, rank, label, CAST(FLOOR(score * 10000.0 + 0.5) AS BIGINT) AS dist_e4
         |FROM ranked WHERE rank <= 5 AND (SELECT ok FROM guard) = 1
         |ORDER BY qid, rank""".stripMargin,
 
@@ -8654,7 +8701,7 @@ object SparkEntry {
         |  SELECT qid, label, SUM((CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE)) * (CAST(qe AS DOUBLE) - CAST(ve AS DOUBLE))) AS score
         |  FROM (SELECT qid, label, UNNEST(qv) AS qe, UNNEST(v) AS ve FROM pairs)
         |  GROUP BY qid, label)
-        |SELECT qid, label, ROUND(score, 4) AS dist
+        |SELECT qid, label, CAST(FLOOR(score * 10000.0 + 0.5) AS BIGINT) AS dist_e4
         |FROM dists WHERE score <= 1.4
         |ORDER BY qid, label""".stripMargin,
 
@@ -8711,7 +8758,7 @@ object SparkEntry {
         |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(v.embedding) AS DOUBLE) AS y
         |  FROM cand JOIN q ON cand.qid = q.qid
         |  JOIN embeddings v ON cand.label = v.vec_id) GROUP BY 1, 2)
-        |SELECT qid, label, ROUND(score, 4) AS dist
+        |SELECT qid, label, CAST(FLOOR(score * 10000.0 + 0.5) AS BIGINT) AS dist_e4
         |FROM dists WHERE score <= 1.6
         |ORDER BY qid, label""".stripMargin,
 
@@ -8729,17 +8776,17 @@ object SparkEntry {
         |  SELECT qid, label, score,
         |    row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank
         |  FROM dists)
-        |SELECT qid, rank, label, ROUND(score, 4) AS dist
+        |SELECT qid, rank, label, CAST(FLOOR(score * 10000.0 + 0.5) AS BIGINT) AS dist_e4
         |FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin,
 
     "q_array_funcs" ->
       """SELECT vec_id,
         |  CAST(len(embedding[1:8]) AS BIGINT) AS n_slice,
-        |  ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS vmax,
-        |  ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS vmin,
-        |  ROUND(CAST(embedding[5] AS DOUBLE), 4) AS v5,
-        |  ROUND(CAST(list_sort(embedding)[3] AS DOUBLE), 4) AS third_smallest
+        |  CAST(FLOOR(CAST(list_max(embedding) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS vmax_e4,
+        |  CAST(FLOOR(CAST(list_min(embedding) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS vmin_e4,
+        |  CAST(FLOOR(CAST(embedding[5] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS v5_e4,
+        |  CAST(FLOOR(CAST(list_sort(embedding)[3] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS third_smallest_e4
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin,
 
@@ -8813,7 +8860,8 @@ object SparkEntry {
         |  SELECT source,
         |    LEAST(1.0, ROUND(250.0 * pow(n_src, 0.7) / z.z / n_src, 6)) AS rate
         |  FROM cnt CROSS JOIN z)
-        |SELECT d.doc_id, d.source, r.rate
+        |SELECT d.doc_id, d.source,
+        |  CAST(FLOOR(r.rate * 1000000.0 + 0.5) AS BIGINT) AS rate_e6
         |FROM documents d JOIN rates r ON d.source = r.source
         |WHERE r.rate >= 1.0
         |   OR substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
@@ -9074,7 +9122,7 @@ object SparkEntry {
         |  FROM cnt JOIN tot ON cnt.g = tot.g)
         |SELECT g AS event_type, CAST(MIN(na) AS BIGINT) AS n_a,
         |  CAST(MIN(nb) AS BIGINT) AS n_b,
-        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS psi
+        |  CAST(FLOOR(CAST(SUM(term) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS psi_e6
         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same grid CTEs as q_psi_drift; JS term with m = (pa+pb)/2
@@ -9110,7 +9158,7 @@ object SparkEntry {
         |  FROM cnt JOIN tot ON cnt.g = tot.g)
         |SELECT g AS event_type, CAST(MIN(na) AS BIGINT) AS n_a,
         |  CAST(MIN(nb) AS BIGINT) AS n_b,
-        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS js
+        |  CAST(FLOOR(CAST(SUM(term) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS js_e6
         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // exact distincts + TRUE envelope verdicts (sketch internals are
@@ -9324,7 +9372,8 @@ object SparkEntry {
         |          FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id)
         |SELECT id_a AS custkey_a, id_b AS custkey_b,
         |  CAST(levenshtein(k_a, k_b) AS BIGINT) AS dist,
-        |  ROUND(jaro_winkler_similarity(k_a, k_b), 6) AS jw
+        |  CAST(FLOOR(jaro_winkler_similarity(k_a, k_b) * 1000000.0 + 0.5)
+        |    AS BIGINT) AS jw_e6
         |FROM pairs WHERE levenshtein(k_a, k_b) <= 1
         |ORDER BY custkey_a, custkey_b""".stripMargin,
 

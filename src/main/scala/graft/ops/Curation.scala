@@ -106,9 +106,10 @@ object Curation {
       .agg(sum(col("m")).as("n_tokens"),
         sum(col("m").cast(DecimalType(9, 0)) * col("lr")).as("slr"))
       .select(col("doc_id"), col("n_tokens"),
-        (round(col("slr").cast(DoubleType) / col("n_tokens"), 6) + lit(0.0))
-          .as("mean_lr"),
-        round(exp(col("slr").cast(DoubleType) / col("n_tokens")), 6).as("weight"))
+        floor(col("slr").cast(DoubleType) / col("n_tokens") * lit(1e6)
+          + lit(0.5)).cast(LongType).as("mean_lr_e6"),
+        floor(exp(col("slr").cast(DoubleType) / col("n_tokens")) * lit(1e6)
+          + lit(0.5)).cast(LongType).as("weight_e6"))
   }
 
   def mixtureSample(docs: DataFrame, alpha: Double, targetTotal: Long,
@@ -126,7 +127,11 @@ object Curation {
     docs.join(broadcast(rates), sourceCol)
       .filter(col("rate") >= 1.0 ||
         substring(md5(concat(lit(salt + ":"), col(idCol).cast(StringType))), 1, 8) < thr)
-      .select(col(idCol), col(sourceCol), col("rate"))
+      // the rounded double still DECIDES the hash threshold (identical
+      // comparison on both engines, unchanged); only the EMISSION is the
+      // integer witness (exact: rate is already on the 1e-6 grid)
+      .select(col(idCol), col(sourceCol),
+        floor(col("rate") * lit(1e6) + lit(0.5)).cast(LongType).as("rate_e6"))
   }
 
   /** Per-domain document cap: keep at most `cap` docs per source, chosen

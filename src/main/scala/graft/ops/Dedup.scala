@@ -404,7 +404,8 @@ object Dedup {
       .groupBy(col("doc_a"))
       .agg(max(struct(col("jaccard").as("j"), (-col("doc_b")).as("nb"))).as("best"))
       .select(col("doc_a").as("doc_id"), (-col("best.nb")).as("dup_of"),
-        round(col("best.j"), 6).as("jaccard"))
+        floor(col("best.j") * lit(1e6) + lit(0.5)).cast(LongType)
+          .as("jaccard_e6"))
   }
 
   /** LSH banding: rowsPerBand signature elements concatenated per band.
@@ -947,7 +948,8 @@ object Dedup {
       .join(top, Seq("doc_id"), "left")
       .select(col("doc_id"), col("eval_id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        round(coalesce(col("frac"), lit(0.0)), 6).as("frac"))
+        floor(coalesce(col("frac"), lit(0.0)) * lit(1e6) + lit(0.5))
+          .cast(LongType).as("frac_e6"))
   }
 
   /** Per-document duplicated-span profile — the token-level approximation
@@ -1139,10 +1141,13 @@ object Dedup {
           .as("n_windows"))
       .join(fps, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"),
-        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
-        round(when(col("n_windows") > 0,
-          coalesce(col("n_fp"), lit(0L)).cast(DoubleType) / col("n_windows"))
-          .otherwise(0.0), 6).as("fp_density"))
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"))
+      // PURE-INTEGER 6-dp witness of n_fp/n_windows (round-half-up):
+      // both operands are longs, so no float ever touches the column
+      .withColumn("fp_density_e6",
+        expr("CASE WHEN n_windows > 0 THEN" +
+          " (2 * n_fp * 1000000 + n_windows) div (2 * n_windows)" +
+          " ELSE 0 END"))
   }
 
   /** SimHash near-duplicate pairs at hamming distance ≤ 2, via 3-band LSH
@@ -1315,5 +1320,6 @@ object Dedup {
   def linkPairsJaroWinkler(rows: DataFrame, idCol: String, keyCol: String): DataFrame =
     edit1Pairs(rows, idCol, keyCol)
       .select(col("id_a"), col("id_b"), col("dist"),
-        round(graft.functions.jaroWinkler(col("k_a"), col("k_b")), 6).as("jw"))
+        floor(graft.functions.jaroWinkler(col("k_a"), col("k_b")) * lit(1e6)
+          + lit(0.5)).cast(LongType).as("jw_e6"))
 }

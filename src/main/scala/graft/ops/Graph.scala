@@ -993,7 +993,8 @@ f$h AS (SELECT id FROM x$h)""")
     scored.join(eNorm, Seq("a", "b"), "left_anti")
       .filter(col("cn") >= minCn)
       .select(col("a").as("u"), col("b").as("v"), col("cn"),
-        round(col("aad").cast(DoubleType), 6).as("aa"))
+        floor(col("aad").cast(DoubleType) * lit(1e6) + lit(0.5))
+          .cast(LongType).as("aa_e6"))
   }
 
   /** DuckDB mirror of [[adamicAdar]] — emits CTEs ending in `aa_pred`.
@@ -1016,7 +1017,7 @@ f$h AS (SELECT id FROM x$h)""")
        |aa_en AS (SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM aa_e),
        |aa_pred AS (
        |  SELECT sc.a AS u, sc.b AS v, sc.cn,
-       |    ROUND(CAST(sc.aad AS DOUBLE), 6) AS aa
+       |    CAST(FLOOR(CAST(sc.aad AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS aa_e6
        |  FROM aa_sc sc
        |  LEFT JOIN aa_en en ON sc.a = en.a AND sc.b = en.b
        |  WHERE en.a IS NULL AND sc.cn >= $minCn)""".stripMargin

@@ -68,7 +68,9 @@ object Lexical {
 
   /** BM25 "more-like-this": rank corpus docs against each query doc's
     * distinct token set. docs: (doc_id, text); queryDocs: (qid, text).
-    * Output: (qid, rank, label, score[round 6]) — score DESC, ties to the
+    * Output: (qid, rank, label, score = the e6-floor witness
+    * floor(bm25·10⁶ + 0.5) as an integral double — r16: never a rounded
+    * double; callers cast to LONG for gate emission) — score DESC, ties to the
     * smaller label; the query doc itself is excluded. Okapi BM25 with the
     * +1-smoothed idf `ln(1 + (N−df+0.5)/(df+0.5))` (always positive, so a
     * stopword can never flip a ranking with a negative contribution).
@@ -101,7 +103,7 @@ object Lexical {
           .as("c"))
     Similarity.explodeHits(
       contrib.groupBy(col("qid"), col("label"))
-        .agg(round(sum(col("c")), 6).as("score"))
+        .agg(floor(sum(col("c")) * lit(1e6) + lit(0.5)).as("score"))
         .groupBy(col("qid"))
         .agg(topK(col("score"), col("label"), k, ascending = false).as("hits")))
   }
@@ -150,7 +152,8 @@ object Lexical {
     Similarity.explodeHits(
       dots.join(norms, "doc_id").join(broadcast(qnorms), "qid")
         .select(col("qid"), col("doc_id").as("label"),
-          round(col("dot") / (col("nrm") * col("qnrm")), 6).as("score"))
+          floor(col("dot") / (col("nrm") * col("qnrm")) * lit(1e6)
+            + lit(0.5)).as("score"))
         .groupBy(col("qid"))
         .agg(topK(col("score"), col("label"), k, ascending = false).as("hits")))
   }
@@ -169,7 +172,7 @@ object Lexical {
       .reduce(_ unionByName _)
     Similarity.explodeHits(
       votes.groupBy(col("qid"), col("label"))
-        .agg(round(sum(col("v")), 6).as("score"))
+        .agg(floor(sum(col("v")) * lit(1e6) + lit(0.5)).as("score"))
         .groupBy(col("qid"))
         .agg(topK(col("score"), col("label"), k, ascending = false).as("hits")))
   }

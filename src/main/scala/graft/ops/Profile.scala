@@ -168,7 +168,8 @@ object Profile {
           .cast(DecimalType(20, 12)).as("term"))
       .groupBy(col("g"))
       .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
-        round(sum(col("term")).cast(DoubleType), 6).as("psi"))
+        floor(sum(col("term")).cast(DoubleType) * lit(1e6) + lit(0.5))
+          .cast(LongType).as("psi_e6"))
   }
 
   /** Jensen–Shannon divergence between the two time halves — the
@@ -198,7 +199,8 @@ object Profile {
           .cast(DecimalType(20, 12)).as("term"))
       .groupBy(col("g"))
       .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
-        round(sum(col("term")).cast(DoubleType), 6).as("js"))
+        floor(sum(col("term")).cast(DoubleType) * lit(1e6) + lit(0.5))
+          .cast(LongType).as("js_e6"))
   }
 
   /** The shared count-grid half of [[psiDrift]]/[[jsDrift]]: per
@@ -301,13 +303,15 @@ object Profile {
       .agg(count(lit(1)).as("n"), sum(col("x").cast(d)).as("sx"),
         sum((col("x") * col("x")).cast(d)).as("sxx"))
       .select(col("dim"), col("n"),
-        // + 0.0 normalizes -0.0 → 0.0: embedding dims are near-zero-
-        // centered, so a mean that rounds to zero keeps the summand's
-        // sign bit and would hash-diverge across engines otherwise
-        (round(col("sx").cast(DoubleType) / col("n"), 6) + lit(0.0)).as("mean"),
-        (round(col("sxx").cast(DoubleType) / col("n") -
+        // integer e6 witnesses (r16): the old rounded doubles needed a
+        // +0.0 signed-zero guard; the LONG witness of a near-zero mean
+        // is just 0 on both engines
+        floor(col("sx").cast(DoubleType) / col("n") * lit(1e6) + lit(0.5))
+          .cast(LongType).as("mean_e6"),
+        floor((col("sxx").cast(DoubleType) / col("n") -
           (col("sx").cast(DoubleType) / col("n")) *
-          (col("sx").cast(DoubleType) / col("n")), 6) + lit(0.0)).as("variance"))
+          (col("sx").cast(DoubleType) / col("n"))) * lit(1e6) + lit(0.5))
+          .cast(LongType).as("variance_e6"))
   }
 
   /** Referential integrity: rows of `child` whose `childCol` has no

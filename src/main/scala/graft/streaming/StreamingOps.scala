@@ -543,7 +543,8 @@ object StreamingOps {
     flags.groupBy(col("doc_id"))
       .agg(max(struct(col("jaccard").as("j"), (-col("dup_of")).as("nb"))).as("best"))
       .select(col("doc_id"), (-col("best.nb")).as("dup_of"),
-        round(col("best.j"), 6).as("jaccard"))
+        floor(col("best.j") * lit(1e6) + lit(0.5)).cast(LongType)
+          .as("jaccard_e6"))
 
   /** Stream-static enrichment join: every micro-batch of the stream joins
     * the (small) static dimension — stateless, the static side broadcast

@@ -83,11 +83,11 @@ class AdversarialCorpusSpec extends AnyFunSuite {
     assert(tSh.join(eSh, "s").count() === 3L)
     val cont = Dedup.contamination(docs, evalDf, n = 3, maxDf = 50)
       .collect().map(r => r.getLong(0) ->
-        (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2), r.getDouble(3))).toMap
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2), r.getLong(3))).toMap
     assert(cont.size === 2000)
     // doc 7: 3 of its 4 distinct grams overlap (the hot one is excluded
     // from the intersection but kept in the denominator — a lower bound)
-    assert(cont(7L) === ((Some(900L), 3L, 0.75)))
+    assert(cont(7L) === ((Some(900L), 3L, 750000L)))
     assert(cont.filterNot(_._1 == 7L).values.forall(_._2 == 0L),
       "boilerplate-only overlap must never count as contamination")
   }

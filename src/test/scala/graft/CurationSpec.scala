@@ -53,12 +53,12 @@ class CurationSpec extends AnyFunSuite {
 
   test("mixtureSample: α<1 upweights small sources, rates capped at 1") {
     val kept = Curation.mixtureSample(skewedCorpus, alpha = 0.5, targetTotal = 50)
-    val rates = kept.select($"source", $"rate").distinct()
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rates = kept.select($"source", $"rate_e6").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // α-power: keep-rate ∝ n^(α−1) — strictly increasing as n shrinks
     assert(rates("A") < rates("B") && rates("B") < rates("C"),
       s"expected small-source upweighting, got $rates")
-    assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
+    assert(rates.values.forall(r => r > 0L && r <= 1000000L))
     // the realized sample is in the target's neighborhood (hash thresholds
     // are per-doc Bernoulli at the exact rate; 100 docs → loose band)
     val n = kept.count()
@@ -68,7 +68,7 @@ class CurationSpec extends AnyFunSuite {
   test("mixtureSample: targetTotal ≥ corpus keeps everything at rate 1") {
     val kept = Curation.mixtureSample(skewedCorpus, alpha = 0.7, targetTotal = 1000)
     assert(kept.count() === 100)
-    assert(kept.select($"rate").distinct().collect().map(_.getDouble(0)).toSeq === Seq(1.0))
+    assert(kept.select($"rate_e6").distinct().collect().map(_.getLong(0)).toSeq === Seq(1000000L))
   }
 
   test("mixtureSample: deterministic under repartitioning") {

@@ -458,7 +458,7 @@ class GraphSpec extends AnyFunSuite {
       Row(3L, "Customer#001235"),                             // last-char typo
       Row(4L, "totally-different"))
     val got = graft.ops.Dedup.linkPairsJaroWinkler(df(schema, rows), "id", "name")
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3)))).toMap
     assert(got.keySet === Set((1L, 2L), (1L, 3L))) // (2,3) is edit distance 2
     got.values.foreach { case (dist, _) => assert(dist <= 1L) }
     // (1,3) differs at the tail → higher JW than (1,2), which differs at char 0

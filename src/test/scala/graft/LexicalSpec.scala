@@ -36,7 +36,7 @@ class LexicalSpec extends AnyFunSuite {
           (tf(t) * (1.2 + 1.0)) /
           (tf(t) + 1.2 * ((1.0 - 0.75) + 0.75 * len / avgLen))
       }.sum
-      id -> math.rint(s * 1e6) / 1e6
+      id -> math.floor(s * 1e6 + 0.5)
     }.filter(_._2 != 0.0)
       .sortBy { case (id, s) => (-s, id) }
   }
@@ -95,7 +95,7 @@ class LexicalSpec extends AnyFunSuite {
     docs.collect { case (id, _) if id != qid =>
       val dw = weights(toks(id))
       val dot = qw.collect { case (t, v) if dw.contains(t) => v * dw(t) }.sum
-      id -> math.rint(dot / (norm(dw) * norm(qw)) * 1e6) / 1e6
+      id -> math.floor(dot / (norm(dw) * norm(qw)) * 1e6 + 0.5)
     }.filter(_._2 != 0.0)
       .sortBy { case (id, s) => (-s, id) }
   }
@@ -181,7 +181,7 @@ class LexicalSpec extends AnyFunSuite {
       .toDF("qid", "rank", "label")
     val got = Lexical.rrfFuse(Seq(a, b), k = 10)
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
-    def rr(ranks: Int*) = math.rint(ranks.map(r => 1.0 / (60.0 + r)).sum * 1e6) / 1e6
+    def rr(ranks: Int*) = math.floor(ranks.map(r => 1.0 / (60.0 + r)).sum * 1e6 + 0.5)
     // 10 and 20 tie exactly (1/61+1/62 both) → smaller label first
     assert(got.toSeq === Seq(
       (1L, 10L, rr(1, 2)), (2L, 20L, rr(2, 1)), (3L, 30L, rr(3)), (4L, 40L, rr(3))))

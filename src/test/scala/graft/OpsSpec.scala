@@ -2100,16 +2100,17 @@ class OpsSpec extends AnyFunSuite {
       3L -> "p q r s t u v w")         // exactly one window
     val got = Dedup.winnowedFingerprints(docsDf(docs), n = 5, window = 4)
       .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     docs.foreach { case (id, text) =>
       val (nw, nfp) = ref(text)
       val (gid, gnw, gnfp, gd) = got(id.toInt)
       assert(gid === id && gnw === nw && gnfp === nfp, s"doc $id")
-      val wantD = if (nw > 0) math.rint(nfp.toDouble / nw * 1e6) / 1e6 else 0.0
+      // pure-integer 6-dp half-up witness of nfp/nw
+      val wantD = if (nw > 0) (2L * nfp * 1000000L + nw) / (2L * nw) else 0L
       assert(gd === wantD, s"density for doc $id")
     }
     assert(got(0)._2 === 5L && got(0)._3 === got(1)._3) // identical docs agree
-    assert(got(2) === ((2L, 0L, 0L, 0.0)))
+    assert(got(2) === ((2L, 0L, 0L, 0L)))
     assert(got(3)._2 === 1L && got(3)._3 === 1L)
   }
 
@@ -2286,18 +2287,18 @@ class OpsSpec extends AnyFunSuite {
       12L -> base))
     val got = Dedup.incrementalMinhash(batch, store)
       .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.map(t => (t._1, t._2)).toSeq === Seq((10L, 0L), (12L, 0L)))
-    assert(got(1)._3 === 1.0) // exact copy
-    assert(got(0)._3 > 0.8 && got(0)._3 < 1.0)
+    assert(got(1)._3 === 1000000L) // exact copy
+    assert(got(0)._3 > 800000L && got(0)._3 < 1000000L)
     // batch-internal near-dups (10 vs 12) must NOT be flagged here —
     // incremental dedup is vs the store; in-batch dedup is minhashDedup
     assert(!got.exists(t => t._2 >= 10L))
     // keep-best tie: two identical stored docs -> the smaller stored id
     val store2 = Dedup.minhashStore(docsDf(Seq(5L -> base, 3L -> base)))
     val best = Dedup.incrementalMinhash(docsDf(Seq(20L -> base)), store2)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(best.toSeq === Seq((20L, 3L, 1.0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(best.toSeq === Seq((20L, 3L, 1000000L)))
   }
 
   test("PCA basis: orthonormal, descending spectrum, mass invariant, partition-invariant, kernel ≡ matvec") {

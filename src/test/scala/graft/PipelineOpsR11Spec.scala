@@ -44,7 +44,7 @@ class PipelineOpsR11Spec extends AnyFunSuite {
     val es = Seq((1L, 2L), (2L, 3L), (0L, 1L), (0L, 2L), (0L, 3L))
     val got = Graph.adamicAdar(edgesDf(es: _*), degCap = 64, minCn = 1)
       .collect().map(r => ((r.getLong(0), r.getLong(1)),
-        (r.getLong(2), r.getDouble(3)))).toMap
+        (r.getLong(2), r.getLong(3)))).toMap
 
     // scalar oracle
     val adj = (es ++ es.map(e => (e._2, e._1)))
@@ -59,7 +59,7 @@ class PipelineOpsR11Spec extends AnyFunSuite {
       val aa = common.toSeq.map(v => BigDecimal(1.0 / math.log(deg(v).toDouble))
         .setScale(12, BigDecimal.RoundingMode.HALF_UP)).sum
       ((a, b), (common.size.toLong,
-        aa.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        math.floor(aa.toDouble * 1e6 + 0.5).toLong))
     }).toMap
     assert(got === expect)
   }
@@ -103,11 +103,10 @@ class PipelineOpsR11Spec extends AnyFunSuite {
     val expect = toks.map { case (d, ts) =>
       val slr = ts.map(t => lr(bucket(t))).sum
       d -> ((ts.size.toLong,
-        BigDecimal(slr.toDouble / ts.size)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        math.floor(slr.toDouble / ts.size * 1e6 + 0.5).toLong))
     }
     val got = Curation.dsirWeights(docs, targetLang = "en", buckets = buckets)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(got === expect)
   }
 
@@ -118,7 +117,7 @@ class PipelineOpsR11Spec extends AnyFunSuite {
       (0L, "aa bb aa", "en"), (1L, "bb aa", "en"), (2L, "aa bb", "en"),
       (3L, "cc dd cc", "fr"), (4L, "dd cc", "fr"))
     val w = Curation.dsirWeights(docs, targetLang = "en", buckets = 64)
-      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(w(0L) > w(3L) && w(1L) > w(4L))
   }
 

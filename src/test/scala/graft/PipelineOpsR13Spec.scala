@@ -157,10 +157,10 @@ class PipelineOpsR13Spec extends AnyFunSuite {
       Row(2L, Seq(3.0f, 10.0f)))
     val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     val got = Profile.dimStats(df, "embedding").collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
     // dim 1: mean 2, var ((1-2)^2+(0)^2+(1)^2)/3 = 2/3; dim 2: 10, 0
-    assert(got(1L) === ((3L, 2.0, math.rint(2.0 / 3.0 * 1e6) / 1e6)))
-    assert(got(2L) === ((3L, 10.0, 0.0)))
+    assert(got(1L) === ((3L, 2000000L, math.floor(2.0 / 3.0 * 1e6 + 0.5).toLong)))
+    assert(got(2L) === ((3L, 10000000L, 0L)))
   }
 }

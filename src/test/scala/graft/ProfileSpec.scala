@@ -120,8 +120,7 @@ class ProfileSpec extends AnyFunSuite {
     }
     val populated = term(3, 1) + term(1, 2)
     val full = populated + term(0, 0) * 8
-    assert(r.getDouble(3) ===
-      full.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getLong(3) === math.floor(full.toDouble * 1e6 + 0.5).toLong)
     // the empty-bucket terms are real contributions, not noise
     assert(full > populated)
   }
@@ -144,16 +143,15 @@ class ProfileSpec extends AnyFunSuite {
         .setScale(12, BigDecimal.RoundingMode.HALF_UP)
     }
     val full = term(3, 1) + term(1, 2) + term(0, 0) * 8
-    assert(r.getDouble(3) ===
-      full.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-    assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= math.log(2.0))
+    assert(r.getLong(3) === math.floor(full.toDouble * 1e6 + 0.5).toLong)
+    assert(r.getLong(3) > 0L && r.getLong(3) <= math.floor(math.log(2.0) * 1e6 + 0.5).toLong)
     // identical halves → js = 0 exactly (pa == pb ⇒ m == pa, ln 1 = +0)
     val same = Seq(0L, 100L).flatMap(t =>
       Seq(1.0, 2.0, 5.0, 9.0).map(v => Row("g", v, t)))
     val r0 = Profile.jsDrift(
       spark.createDataFrame(java.util.Arrays.asList(same: _*), schema),
       "v", "tu", "g", buckets = 10).head
-    assert(r0.getDouble(3) === 0.0)
+    assert(r0.getLong(3) === 0L)
     // symmetric in the halves: flipping which side is "first" flips
     // (n_a, n_b) but not js — PSI's asymmetric log-ratio weighting is
     // exactly what JS removes
@@ -163,7 +161,7 @@ class ProfileSpec extends AnyFunSuite {
       spark.createDataFrame(java.util.Arrays.asList(flipped: _*), schema),
       "v", "tu", "g", buckets = 10).head
     assert((rf.getLong(1), rf.getLong(2)) === ((3L, 4L)))
-    assert(rf.getDouble(3) === r.getDouble(3))
+    assert(rf.getLong(3) === r.getLong(3))
   }
 
   test("riCheck counts orphans and null child keys") {

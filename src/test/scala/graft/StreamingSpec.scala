@@ -173,17 +173,17 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     val got = StreamingOps.bestStoredMatch(spark.table("sincdedup"))
       .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // batch reference over the SAME new docs — stateless streaming must
     // reproduce it exactly, including jaccard values
     val batch = graft.ops.Dedup.incrementalMinhash(
         Seq(10L -> nearDup, 11L -> "entirely novel sentence with tokens appearing nowhere else in any stored document here",
           12L -> base, 13L -> other).toDF("doc_id", "text"), store)
       .orderBy("doc_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === batch.toSeq)
     assert(got.map(_._1).toSeq === Seq(10L, 12L, 13L))
-    assert(got(1)._3 === 1.0 && got(2)._3 === 1.0) // exact copies
+    assert(got(1)._3 === 1000000L && got(2)._3 === 1000000L) // exact copies
   }
 
   test("stateful streaming sessionization == batch sessions (closed sessions)") {
