@@ -3092,10 +3092,18 @@ object SparkEntry {
       val num = aN * lit(2) + sI
       val den = sI * lit(2)
       val tauE6 = ((num - pmod(num, den)) / den).cast(LongType)
+      // r17: emit the witnesses as BIGINT, not DECIMAL(38,0) — the r16
+      // bisect proved the VALUES identical across engines at all five
+      // scales while the decimal-typed emission still gated red; these
+      // were the inventory's only decimal outputs and its only red rows,
+      // so the driver's hash canonicalization of decimal columns is the
+      // defect. C, D ≤ n0 fit int64 to n ≈ 4.3e9 rows (same headroom cap
+      // as the Dq bound above); past it the decimal→long cast nulls out
+      // and the gate trips loudly rather than wrapping.
       agg.crossJoin(broadcast(tx)).crossJoin(broadcast(ty)).crossJoin(broadcast(n))
         .select(col("n").as("n_rows"),
-          col("cc").cast(DecimalType(38, 0)).as("concordant"),
-          col("dd").cast(DecimalType(38, 0)).as("discordant"),
+          col("cc").cast(LongType).as("concordant"),
+          col("dd").cast(LongType).as("discordant"),
           tauE6.as("tau_b_e6"))
     },
 
@@ -3124,14 +3132,37 @@ object SparkEntry {
       val ty = cells.groupBy(col("y")).agg(sum(col("nc")).as("m"))
         .agg(sum((col("m").cast(d38) * (col("m") - 1).cast(d38)) / 2).as("ty"))
       val n = cells.agg(sum(col("nc")).as("n"))
+      // r17: BIGINT witnesses (see q_kendall_tau) — int64 headroom to
+      // n ≈ 4.3e9 rows; overflow nulls the cast and trips the gate.
       agg.crossJoin(broadcast(tx)).crossJoin(broadcast(ty)).crossJoin(broadcast(n))
         .select(col("n").as("n_rows"),
-          col("cc").cast(d38).as("concordant"),
-          col("dd").cast(d38).as("discordant"),
-          col("tx").cast(d38).as("tie_x"),
-          col("ty").cast(d38).as("tie_y"),
-          ((col("n").cast(d38) * (col("n") - 1).cast(d38)) / 2).cast(d38)
-            .as("n_pairs"))
+          col("cc").cast(LongType).as("concordant"),
+          col("dd").cast(LongType).as("discordant"),
+          col("tx").cast(LongType).as("tie_x"),
+          col("ty").cast(LongType).as("tie_y"),
+          ((col("n").cast(d38) * (col("n") - 1).cast(d38)) / 2)
+            .cast(LongType).as("n_pairs"))
+    },
+
+    // Gate type-canary (r16 verdict task #5): one 3-row, scale-invariant
+    // query emitting every output type the 263-query inventory relies on
+    // (BIGINT, STRING, DATE, BOOL, typed NULL) with pinned values — the
+    // region table is identical at every SF. If a driver-hasher change
+    // ever drifts on one type's canonicalization (the decimal class that
+    // burned kendall for two rounds), this row localizes it to a single
+    // named query instead of a red smear. First row to check when a red
+    // round starts (COVERAGE.md §gate-canary).
+    "q_gate_canary" -> { (s, dir) =>
+      Tables(s, dir, "region")
+        .filter(col("r_regionkey") < 3)
+        .select(
+          col("r_regionkey").cast(LongType).as("k_bigint"),
+          col("r_name").as("v_string"),
+          date_add(lit("1996-01-01").cast(DateType),
+            col("r_regionkey").cast(IntegerType)).as("v_date"),
+          (col("r_regionkey") % 2 === 0).as("v_bool"),
+          when(col("r_regionkey") === 1, col("r_name"))
+            .otherwise(lit(null).cast(StringType)).as("v_nullable"))
     },
 
     // JSON extraction from the events props column
@@ -8364,8 +8395,8 @@ object SparkEntry {
         |f AS (SELECT n, cc, dd,
         |    2 * (cc - dd) * 1000000 + si AS num, 2 * si AS den FROM sq2)
         |SELECT CAST(n AS BIGINT) AS n_rows,
-        |  CAST(cc AS DECIMAL(38,0)) AS concordant,
-        |  CAST(dd AS DECIMAL(38,0)) AS discordant,
+        |  CAST(cc AS BIGINT) AS concordant,
+        |  CAST(dd AS BIGINT) AS discordant,
         |  CAST((num - (((num % den) + den) % den)) // den AS BIGINT) AS tau_b_e6
         |FROM f""".stripMargin,
 
@@ -8386,12 +8417,21 @@ object SparkEntry {
         |nn AS (SELECT SUM(nc) AS n, CAST(SUM(nc) AS HUGEINT) * (SUM(nc) - 1) // 2 AS n0
         |  FROM cells)
         |SELECT CAST(nn.n AS BIGINT) AS n_rows,
-        |  CAST(cd.cc AS DECIMAL(38,0)) AS concordant,
-        |  CAST(cd.dd AS DECIMAL(38,0)) AS discordant,
-        |  CAST(tx.tx AS DECIMAL(38,0)) AS tie_x,
-        |  CAST(ty.ty AS DECIMAL(38,0)) AS tie_y,
-        |  CAST(nn.n0 AS DECIMAL(38,0)) AS n_pairs
+        |  CAST(cd.cc AS BIGINT) AS concordant,
+        |  CAST(cd.dd AS BIGINT) AS discordant,
+        |  CAST(tx.tx AS BIGINT) AS tie_x,
+        |  CAST(ty.ty AS BIGINT) AS tie_y,
+        |  CAST(nn.n0 AS BIGINT) AS n_pairs
         |FROM cd, tx, ty, nn""".stripMargin,
+
+    // gate type-canary: pinned 3 rows over the scale-invariant region table
+    "q_gate_canary" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS k_bigint,
+        |  r_name AS v_string,
+        |  DATE '1996-01-01' + CAST(r_regionkey AS INT) AS v_date,
+        |  (r_regionkey % 2 = 0) AS v_bool,
+        |  CASE WHEN r_regionkey = 1 THEN r_name ELSE NULL END AS v_nullable
+        |FROM region WHERE r_regionkey < 3""".stripMargin,
 
     // midrank r = (#less) + (ties+1)/2 from the value-frequency table;
     // 2r = 2·cum − cnt + 1 stays integral, summed exactly in HUGEINT
