@@ -2269,22 +2269,25 @@ object SparkEntry {
     // sums reduction-order-exact, and every post-aggregate double op
     // is the identical IEEE tree on both engines.
     "q_calibration" -> { (s, dir) =>
-      val d186 = DecimalType(18, 6)
+      // r17 (verdict task #2): the per-element ROUND(ttr, 6) decimal was
+      // the last engine-defined quantizer in this dataflow — each score
+      // now quantizes through the floor e6 witness, the per-bucket sum
+      // runs in exact LONG (≤ n·1e6, int64-safe past 1e11 docs), and the
+      // bucket means are sign-safe integer floordivs — no double is
+      // summed, divided, or emitted anywhere in the query.
       val q = TextAnalysis.quality(Tables(s, dir, "documents"))
       val agg = q.select(
           least(floor(col("type_token_ratio") * 10.0), lit(9L)).as("bucket"),
-          round(col("type_token_ratio"), 6).cast(d186).as("s6"),
+          floor(col("type_token_ratio") * lit(1e6) + lit(0.5))
+            .cast(LongType).as("s6"),
           when(col("n_tokens") <= 48, 1L).otherwise(0L).as("y"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), sum(col("s6")).as("ss"), sum(col("y")).as("sy"))
       val tot = agg.agg(sum(col("n")).as("n_all"))
-      val avgS = floor(col("ss").cast(DoubleType) / col("n").cast(DoubleType)
-        * lit(1e6) + lit(0.5)).cast(LongType)
-      val posR = floor(col("sy").cast(DoubleType) / col("n").cast(DoubleType)
-        * lit(1e6) + lit(0.5)).cast(LongType)
       agg.crossJoin(broadcast(tot))
         .select(col("bucket"), col("n"), col("n_all"),
-          avgS.as("avg_score_e6"), posR.as("pos_rate_e6"))
+          expr("(2 * ss + n) div (2 * n)").as("avg_score_e6"),
+          expr("(2 * sy * 1000000 + n) div (2 * n)").as("pos_rate_e6"))
         .withColumn("abs_gap_e6", abs(col("avg_score_e6") - col("pos_rate_e6")))
         // ece_e6 = round-half-up(n·gap/n_all): pure integer floordiv —
         // (2·n·gap + n_all) div (2·n_all); operands stay far under 2^63
@@ -2469,8 +2472,12 @@ object SparkEntry {
       val qualifying = perSupp.join(perPart, "l_partkey")
         .filter(col("sq") * 2 > col("tq"))
         .select(col("l_suppkey")).distinct()
+      // nation cut <= 15, not <= 9 (r16 ADVICE): at sf0.001 every
+      // half-share qualifier sat in nations 12+, so the <= 9 pin was the
+      // empty-result hash and the tier gate was vacuous; <= 15 keeps 3
+      // qualifiers at sf0.001 and stays selective at every larger scale
       sup.join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
-        .join(broadcast(n.filter(col("n_nationkey") <= 9)),
+        .join(broadcast(n.filter(col("n_nationkey") <= 15)),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_name"), col("n_name"))
         .orderBy("s_name")
@@ -2548,6 +2555,216 @@ object SparkEntry {
           (sum(dec(col("l_extendedprice")) *
             (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount")))) * 10000)
             .cast(DecimalType(38, 0)).cast(LongType).as("revenue_e4"))
+    },
+
+    // TPC-H Q17 (small-quantity-order revenue) — the correlated scalar
+    // AVG subquery a SQL user hits weekly: lines whose quantity is under
+    // 20% of their part's average. Decorrelated into one per-part agg
+    // re-joined to the brand-filtered fact slice; the threshold is the
+    // exact integer cross-multiply 5·q·n < Σq (quantities are integral
+    // longs), so no float ever decides a row. Plan: the part list
+    // broadcast-semi-joins the scan once; the agg and the re-join share
+    // the l_partkey shuffle key family (AQE broadcasts the agg side
+    // when small).
+    "q17_small_qty_revenue" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val parts = Tables(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23").select(col("p_partkey"))
+      val fact = li
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_partkey"), col("l_quantity").cast(LongType).as("q"),
+          col("l_extendedprice"))
+        .localCheckpoint(true) // feeds the per-part agg AND the re-join
+      val pp = fact.groupBy(col("l_partkey")).agg(
+          sum(col("q")).as("sumq"), count(lit(1)).as("nq"))
+        .withColumnRenamed("l_partkey", "pk")
+      fact.join(pp, col("l_partkey") === col("pk"))
+        .filter(col("q") * 5 * col("nq") < col("sumq"))
+        .agg(count(lit(1)).as("n_lines"),
+          (sum(dec(col("l_extendedprice"))) * 100)
+            .cast(DecimalType(38, 0)).cast(LongType).as("revenue_cents"))
+    },
+
+    // TPC-H Q2 (min-cost supplier) — the correlated scalar MIN subquery
+    // over a second dimension path. This schema has no partsupp, so
+    // "supply cost" is the cheapest line (exact cents) the supplier ever
+    // shipped the part at. Decorrelated: per-(part,supp) MIN, then
+    // per-part MIN over the region's suppliers, equi-joined back on
+    // (part, cost) to keep every min-achieving pair — set semantics,
+    // exactly TPC-H's own tie rule, so no tiebreak is needed for
+    // determinism (equal-sort-key rows are value-identical). Both aggs
+    // share the l_partkey key family; dims broadcast.
+    "q2_min_cost_supplier" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part").filter(col("p_size") <= 5)
+        .select(col("p_partkey"))
+      val rs = Tables(s, dir, "supplier")
+        .join(broadcast(Tables(s, dir, "nation")
+          .filter(col("n_regionkey") === 1)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_acctbal"), col("s_name"), col("n_name"))
+      val cost = li
+        .join(broadcast(rs.select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(min(round(col("l_extendedprice") * 100, 0).cast(LongType))
+          .as("cost_cents"))
+        .localCheckpoint(true) // feeds the per-part min AND the pair join
+      val mc = cost.groupBy(col("pk")).agg(min(col("cost_cents")).as("mcost"))
+        .withColumnRenamed("pk", "pk2")
+      cost.join(mc, col("pk") === col("pk2") && col("cost_cents") === col("mcost"))
+        .join(broadcast(rs), col("sk") === col("s_suppkey"))
+        .select(round(col("s_acctbal") * 100, 0).cast(LongType).as("bal_cents"),
+          col("s_name"), col("n_name"), col("pk").as("p_partkey"),
+          col("cost_cents"))
+        .orderBy(desc("bal_cents"), col("s_name"), col("p_partkey"),
+          col("n_name"), col("cost_cents"))
+        .limit(100)
+    },
+
+    // TPC-H Q15 (top supplier) — the revenue view + global scalar MAX:
+    // quarterly revenue per supplier, keep the max achiever(s). Exact
+    // e4 integer revenue; the 1-row max broadcasts into an equality
+    // filter (ties kept — TPC-H's own rule).
+    "q15_top_supplier" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val one = lit(1).cast(DecimalType(18, 2))
+      val rev = li
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+        .groupBy(col("l_suppkey"))
+        .agg((sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))) * 10000)
+          .cast(DecimalType(38, 0)).cast(LongType).as("total_rev_e4"))
+        .localCheckpoint(true) // feeds the max AND the equality filter
+      val mx = rev.agg(max(col("total_rev_e4")).as("mx"))
+      rev.crossJoin(broadcast(mx)).filter(col("total_rev_e4") === col("mx"))
+        .join(broadcast(Tables(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q11 (important stock) — the group-vs-global HAVING shape:
+    // per-part shipped value from one nation band's suppliers, kept when
+    // the part's value exceeds 2× the mean part value. TPC-H's fraction
+    // is SF-dependent (0.0001/SF); the mean-relative form is the
+    // scale-invariant equivalent, applied as the exact integer
+    // cross-multiply val·n_parts > 2·total on e4 decimals, so the gate
+    // is never decided by a float at any scale.
+    "q11_important_parts" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val one = lit(1).cast(DecimalType(18, 2))
+      val sup = Tables(s, dir, "supplier").filter(col("s_nationkey") <= 3)
+        .select(col("s_suppkey"))
+      val v = Tables(s, dir, "lineitem")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg((sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))) * 10000)
+          .cast(d38).as("val"))
+        .localCheckpoint(true) // feeds the global total AND the filter
+      val t = v.agg(sum(col("val")).as("tot"), count(lit(1)).as("np"))
+      v.crossJoin(broadcast(t))
+        .filter(col("val") * col("np") > col("tot") * 2)
+        .select(col("l_partkey"), col("val").cast(LongType).as("value_e4"))
+        .orderBy(desc("value_e4"), col("l_partkey"))
+    },
+
+    // TPC-H Q16 (supplier count by part descriptor) — COUNT(DISTINCT) +
+    // NOT IN: distinct shipping suppliers per (brand, type, size) over
+    // the filtered parts, excluding negative-balance suppliers (the
+    // complaints-comment proxy) via a broadcast ANTI join (NOT IN with a
+    // non-null key is exactly an anti join). One shuffle on the
+    // grouping key for the distinct.
+    "q16_supplier_count" -> { (s, dir) =>
+      val p = Tables(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val bad = Tables(s, dir, "supplier")
+        .filter(dec(col("s_acctbal")) < 0).select(col("s_suppkey"))
+      Tables(s, dir, "lineitem")
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    // TPC-H Q9 (product-type profit by nation and year) — the 5-way
+    // star with a LIKE part filter. No partsupp: unit cost is the
+    // catalog stand-in 0.1·p_retailprice, so profit = Σ ext·(1−disc) −
+    // Σ 0.1·retail·qty; both sums are exact decimals and the emission is
+    // one e4 integer (retail·qty·1000 ≡ e4 of the 10% cost — nothing is
+    // ever rounded). Dims broadcast; the orders join is the only
+    // fact-fact shuffle, keyed on l_orderkey.
+    "q9_product_type_profit" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val one = lit(1).cast(DecimalType(18, 2))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast(LongType).as("yr"))
+      val p = Tables(s, dir, "part").filter(col("p_name").endsWith("rod"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val sup = Tables(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      Tables(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("yr"))
+        .agg(((sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))) * 10000).cast(d38) -
+            (sum(dec(col("p_retailprice")) * col("l_quantity").cast(LongType)) * 1000).cast(d38))
+            .cast(LongType).as("profit_e4"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("n_name"), desc("yr"))
+    },
+
+    // TPC-H Q12 (shipping-priority counts) — join + conditional counts.
+    // This schema has no shipmode/commitdate: the mode proxy is
+    // l_linestatus and "late" is shipped more than 90 days after the
+    // order date, one shipment year. Integer counts end to end; the
+    // orders join is the one shuffle and the CASE counts fold map-side.
+    "q12_late_lines" -> { (s, dir) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1997-01-01" && col("l_shipdate") < "1998-01-01")
+        .join(Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(datediff(col("l_shipdate").cast(DateType),
+          col("o_orderdate").cast(DateType)) > 90)
+        .groupBy(col("l_linestatus"))
+        .agg(count(when(hi, 1)).as("high_line_count"),
+          count(when(!hi, 1)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+
+    // TPC-H Q14 (promo revenue share) — one shipment month; the share is
+    // the repo's integer-ratio witness: pct_e6 = floordiv(2·pr·1e8 + tr,
+    // 2·tr) over the exact e4 revenue integers (= 100·pr/tr at 6 dp,
+    // half-up; numerator nonnegative so plain floordiv is sign-correct).
+    // q_promo_share keeps the legacy double-share face; this is the
+    // declared Q14 with the witness emission.
+    "q14_promo_revenue" -> { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val one = lit(1).cast(DecimalType(18, 2))
+      val rev = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+      val agg = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1996-09-01" && col("l_shipdate") < "1996-10-01")
+        .join(broadcast(Tables(s, dir, "part")
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg((sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast(DecimalType(18, 2)))) * 10000).cast(d38).as("pr"),
+          (sum(rev) * 10000).cast(d38).as("tr"),
+          count(lit(1)).as("n_lines"))
+      val num = col("pr") * lit(200000000L).cast(d38) + col("tr")
+      val den = col("tr") * lit(2)
+      agg.select(((num - pmod(num, den)) / den).cast(LongType).as("promo_pct_e6"),
+        col("pr").cast(LongType).as("promo_rev_e4"),
+        col("tr").cast(LongType).as("total_rev_e4"),
+        col("n_lines"))
     },
 
     // conditional aggregation (count/sum over CASE predicates)
@@ -2721,6 +2938,82 @@ object SparkEntry {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    // batch face of StreamingOps.streamingModeByGroup (r16 verdict task
+    // #7): per event, the running MODE of the user's event types so far,
+    // ties to the smallest type. The argmax rides a sortable string
+    // encoding min(lpad(1e10 − rc) ∥ type) — identical byte-wise
+    // comparison on both engines (counts < 1e10 per user by corpus
+    // construction); streaming ≡ batch is spec-pinned bit-exact.
+    "q_mode_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w1 = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("user_id") <= 100)
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+        .withColumn("rc", count(lit(1)).over(w1))
+        .withColumn("best", min(concat(
+          lpad((lit(10000000000L) - col("rc")).cast(StringType), 12, "0"),
+          col("event_type"))).over(w2))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          expr("substr(best, 13)").as("mode_type"),
+          (lit(10000000000L) - substring(col("best"), 1, 12).cast(LongType))
+            .as("mode_count"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    // batch face of StreamingOps.streamingBenford: per event, the
+    // running count of the event value's leading digit and the running
+    // total for the user — pure integer counting over two running COUNT
+    // windows, with the same ≥ 1 domain guard as q_benford.
+    "q_benford_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w1 = Window.partitionBy(col("user_id"), col("digit"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("user_id") <= 100 && dec(col("value")) >= 1)
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+        .withColumn("digit",
+          substring(dec(col("value")).cast(StringType), 1, 1).cast(LongType))
+        .withColumn("digit_n", count(lit(1)).over(w1))
+        .withColumn("n", count(lit(1)).over(w2))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("digit"), col("digit_n"), col("n"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    // batch face of StreamingOps.streamingLagAutocorr: the exact running
+    // (n, Σx, Σx², Σ xᵢ·xᵢ₋₁) lag-1 witnesses per user over integer
+    // cents — lag-1 Pearson is one closed-form expression over these,
+    // and emitting the integer sums keeps the face loss-free.
+    "q_autocorr_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wl = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .filter(col("user_id") <= 100)
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+        .withColumn("cents", round(col("value") * 100, 0).cast(LongType))
+        .withColumn("p", lag(col("cents"), 1).over(wl))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          count(lit(1)).over(w2).as("n"),
+          sum(col("cents")).over(w2).as("s1"),
+          sum(col("cents") * col("cents")).over(w2).as("s2"),
+          sum(coalesce(col("cents") * col("p"), lit(0L))).over(w2).as("sl1"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     // ranking-function surface: ntile / percent_rank / cume_dist / dense_rank
     "q_ntile_rank" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -2840,13 +3133,15 @@ object SparkEntry {
       val m3 = s3 / n - lit(3.0) * mean * (s2 / n) + lit(2.0) * mean * mean * mean
       val m4 = s4 / n - lit(4.0) * mean * (s3 / n) +
         lit(6.0) * mean * mean * (s2 / n) - lit(3.0) * mean * mean * mean * mean
-      def e6(c: Column): Column =
-        floor(c * lit(1e6) + lit(0.5)).cast(LongType)
+      // e6Witness, not a bare floor-cast: a zero-variance group makes
+      // m3/√m2³ NaN, which the bare cast silently maps to 0 while the
+      // oracle errors — the sentinel makes it one loud named row (r16
+      // ADVICE); finite values are bit-identical to the old emission
       agg.select(col("l_returnflag"), col("n_rows"),
-          e6(mean).as("mean_e6"),
-          e6(m2).as("m2_e6"),
-          e6(m3 / sqrt(m2 * m2 * m2)).as("skewness_e6"),
-          e6(m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess_e6"))
+          e6Witness(mean).as("mean_e6"),
+          e6Witness(m2).as("m2_e6"),
+          e6Witness(m3 / sqrt(m2 * m2 * m2)).as("skewness_e6"),
+          e6Witness(m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess_e6"))
         .orderBy("l_returnflag")
     },
 
@@ -2867,11 +3162,13 @@ object SparkEntry {
       val sxy = col("sxy").cast(DoubleType)
       val sxx = col("sxx").cast(DoubleType)
       val syy = col("syy").cast(DoubleType)
+      // e6Witness guards the zero-variance group (0/0 → NaN sentinel
+      // instead of a silent 0 vs an oracle-side CAST error — r16 ADVICE)
       agg.select(col("l_returnflag"), col("n_rows"),
-          floor((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-            * lit(1e6) + lit(0.5)).cast(LongType).as("corr_qty_price_e6"),
-          floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * lit(1e6) + lit(0.5))
-            .cast(LongType).as("slope_e6"))
+          e6Witness((n * sxy - sx * sy) /
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+            .as("corr_qty_price_e6"),
+          e6Witness((n * sxy - sx * sy) / (n * sxx - sx * sx)).as("slope_e6"))
         .orderBy("l_returnflag")
     },
 
@@ -2956,9 +3253,11 @@ object SparkEntry {
       val sxy = col("sxy").cast(DoubleType)
       val sxx = col("sxx").cast(DoubleType)
       val syy = col("syy").cast(DoubleType)
+      // e6Witness: zero-variance rank column → NaN sentinel (r16 ADVICE)
       agg.select(col("l_returnflag"), col("n_rows"),
-          floor((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-            * lit(1e6) + lit(0.5)).cast(LongType).as("spearman_e6"))
+          e6Witness((n * sxy - sx * sy) /
+            sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+            .as("spearman_e6"))
         .orderBy("l_returnflag")
     },
 
@@ -3420,12 +3719,14 @@ object SparkEntry {
     // L2 normalization of the embedding column (unit vectors for cosine
     // retrieval); compact output — first component + norm
     "q_vec_normalize" -> { (s, dir) =>
+      // e6Witness guards the zero-norm case (0/0 → NaN sentinel, not a
+      // silent 0 vs an oracle-side CAST error — r16 ADVICE)
       val nrm = sqrt(vectorNormSq(col("embedding")))
       Tables(s, dir, "embeddings")
         .select(col("vec_id"),
-          floor(element_at(col("embedding"), 1).cast(DoubleType) / nrm
-            * lit(1e6) + lit(0.5)).cast(LongType).as("u0_e6"),
-          floor(nrm * lit(1e4) + lit(0.5)).cast(LongType).as("norm_e4"))
+          e6Witness(element_at(col("embedding"), 1).cast(DoubleType) / nrm)
+            .as("u0_e6"),
+          e4Witness(nrm).as("norm_e4"))
         .orderBy("vec_id")
     },
 
@@ -3520,10 +3821,10 @@ object SparkEntry {
         if (nAudited <= Similarity.queryBroadcastCap) broadcast(df) else df
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("qid")).orderBy(col("score"), col("nid"))
-      val knn =
-        if (nAudited <= Similarity.queryBroadcastCap)
-          Similarity.bruteForceTopK(vectors, audited, k = 11, "l2")
-        else Similarity.shuffleTiledTopK(vectors, audited, k = 11, "l2")
+      // the already-measured count rides into the routing gate
+      // (autoTopK(knownCount), r16 verdict #6) — one count job total
+      val knn = Similarity.autoTopK(vectors, audited, k = 11, "l2",
+        knownCount = nAudited)
       val top10 = knn
         .select(col("qid"), col("label").as("nid"), col("score"))
         .filter(col("nid") =!= col("qid"))
@@ -3837,23 +4138,32 @@ object SparkEntry {
     // itself proved this — a norm z-score divides by zero); the std=0
     // guard stays for degenerate corpora on any feature
     "q_vec_outliers" -> { (s, dir) =>
+      // r17 (verdict task #2): the per-element ROUND(mx, 6) /
+      // ROUND(mx·mx, 6) quantizers are gone — each vector's max-abs
+      // quantizes ONCE through the floor e6 witness (an exact LONG that
+      // is also the emitted mx_e6), the moment sums run exact (s1 LONG,
+      // s2 in DECIMAL(38,0) — m6² ~1e14 per row overflows int64 past
+      // ~1e4 rows), and the z-score is one mirrored IEEE tree over the
+      // exact integer aggregates (the e6 scaling cancels in z).
       val e = Tables(s, dir, "embeddings")
+      val d38 = DecimalType(38, 0)
       val feats = e.select(col("vec_id"),
-        round(aggregate(col("embedding"), lit(0.0),
-          (acc, x) => greatest(acc, abs(x.cast(DoubleType)))), 6).as("mx"))
+        floor(aggregate(col("embedding"), lit(0.0),
+            (acc, x) => greatest(acc, abs(x.cast(DoubleType))))
+          * lit(1e6) + lit(0.5)).cast(LongType).as("m6"))
       val stats = feats.agg(
-        count(lit(1)).cast(DoubleType).as("n"),
-        sum(col("mx").cast(DecimalType(25, 6))).cast(DoubleType).as("s1"),
-        sum(round(col("mx") * col("mx"), 6).cast(DecimalType(25, 6)))
-          .cast(DoubleType).as("s2"))
+        count(lit(1)).as("n"),
+        sum(col("m6")).as("s1"),
+        sum(col("m6").cast(d38) * col("m6").cast(d38)).as("s2"))
       feats.crossJoin(broadcast(stats))
-        .withColumn("mean", col("s1") / col("n"))
-        .withColumn("std", sqrt(col("s2") / col("n") - col("mean") * col("mean")))
-        .select(col("vec_id"),
-          floor(col("mx") * lit(1e6) + lit(0.5)).cast(LongType).as("mx_e6"),
+        .withColumn("nd", col("n").cast(DoubleType))
+        .withColumn("mean", col("s1").cast(DoubleType) / col("nd"))
+        .withColumn("std",
+          sqrt(col("s2").cast(DoubleType) / col("nd") - col("mean") * col("mean")))
+        .select(col("vec_id"), col("m6").as("mx_e6"),
           when(col("std") > 0,
-            floor((col("mx") - col("mean")) / col("std") * lit(1e4) + lit(0.5))
-              .cast(LongType))
+            floor((col("m6").cast(DoubleType) - col("mean")) / col("std")
+              * lit(1e4) + lit(0.5)).cast(LongType))
             .otherwise(lit(0L)).as("z_e4"))
         .withColumn("is_outlier", abs(col("z_e4")) > 30000L)
         .orderBy("vec_id")
@@ -5520,18 +5830,18 @@ object SparkEntry {
         |tot AS (SELECT (SELECT SUM(cs) FROM raw) AS ns,
         |               (SELECT SUM(ct) FROM tgt) AS nt),
         |model AS (SELECT raw.b,
-        |  CAST(ROUND(ln((CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE) / (tot.nt + 512))
-        |              / (CAST(raw.cs + 1 AS DOUBLE) / (tot.ns + 512))), 12)
-        |    AS DECIMAL(20,12)) AS lr
+        |  CAST(FLOOR(ln((CAST(COALESCE(tgt.ct, 0) + 1 AS DOUBLE) / (tot.nt + 512))
+        |              / (CAST(raw.cs + 1 AS DOUBLE) / (tot.ns + 512)))
+        |    * 1000000000000.0 + 0.5) AS BIGINT) AS lr_e12
         |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b, tot),
         |sc AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
-        |       SUM(CAST(m AS DECIMAL(9,0)) * lr) AS slr
+        |       SUM(CAST(m AS HUGEINT) * lr_e12) AS slr
         |       FROM db JOIN model ON db.b = model.b GROUP BY 1)
         |SELECT doc_id, n_tokens,
-        |  CAST(FLOOR(CAST(slr AS DOUBLE) / n_tokens * 1000000.0 + 0.5) AS BIGINT)
+        |  CAST(FLOOR(CAST(slr AS DOUBLE) / n_tokens / 1000000.0 + 0.5) AS BIGINT)
         |    AS mean_lr_e6,
-        |  CAST(FLOOR(exp(CAST(slr AS DOUBLE) / n_tokens) * 1000000.0 + 0.5) AS BIGINT)
-        |    AS weight_e6
+        |  CAST(FLOOR(exp(CAST(slr AS DOUBLE) / n_tokens / 1000000000000.0)
+        |    * 1000000.0 + 0.5) AS BIGINT) AS weight_e6
         |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q_link_prediction" ->
@@ -5591,9 +5901,10 @@ object SparkEntry {
         |          CROSS JOIN embeddings v JOIN va ON v.vec_id = va.vec_id
         |          WHERE va.cid <> qa.qcid),
         |d AS (SELECT qid, label,
-        |  ROUND(SUM(CAST(qe AS DOUBLE) * CAST(ve AS DOUBLE)) /
+        |  FLOOR(SUM(CAST(qe AS DOUBLE) * CAST(ve AS DOUBLE)) /
         |    (SQRT(SUM(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE))) *
-        |     SQRT(SUM(CAST(ve AS DOUBLE) * CAST(ve AS DOUBLE)))), 6) AS score
+        |     SQRT(SUM(CAST(ve AS DOUBLE) * CAST(ve AS DOUBLE))))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS score
         |  FROM (SELECT qid, label, UNNEST(qv) AS qe, UNNEST(vv) AS ve FROM pairs)
         |  GROUP BY qid, label),
         |r AS (SELECT qid, label, score,
@@ -5887,7 +6198,7 @@ object SparkEntry {
         |sc AS (SELECT label, SUM(m) AS maxsim FROM pt GROUP BY 1),
         |ranked AS (SELECT label, maxsim,
         |  row_number() OVER (ORDER BY maxsim DESC, label) AS rank FROM sc)
-        |SELECT rank, label, ROUND(maxsim, 6) AS maxsim
+        |SELECT rank, label, FLOOR(maxsim * 1000000.0 + 0.5) / 1000000.0 AS maxsim
         |FROM ranked WHERE rank <= 5 ORDER BY rank""".stripMargin,
 
     "ann_ivfpq_rerank" ->
@@ -7392,7 +7703,8 @@ object SparkEntry {
         |   SQRT(list_sum(list_transform(y.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
         |  FROM cand c JOIN a x ON c.i = x.vec_id JOIN a y ON c.j = y.vec_id),
         |r AS (SELECT i, j, cos, row_number() OVER (ORDER BY cos DESC, i, j) AS rn FROM p)
-        |SELECT rn, i, j, ROUND(cos, 6) AS cos FROM r WHERE rn <= 20
+        |SELECT rn, i, j, FLOOR(cos * 1000000.0 + 0.5) / 1000000.0 AS cos
+        |FROM r WHERE rn <= 20
         |ORDER BY rn""".stripMargin,
 
     "ann_ivf" ->
@@ -7701,7 +8013,8 @@ object SparkEntry {
         |  SELECT q.qid, c.ci, UNNEST(range(len(q.qv))) AS i,
         |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
         |  FROM q, c) GROUP BY 1, 2, 3),
-        |score AS (SELECT qd.qid, a.vec_id AS label, ROUND(SUM(qd.d), 6) AS score
+        |score AS (SELECT qd.qid, a.vec_id AS label,
+        |    FLOOR(SUM(qd.d) * 1000000.0 + 0.5) / 1000000.0 AS score
         |  FROM assign a JOIN qd ON qd.j = a.j AND qd.ci = a.ci
         |  GROUP BY 1, 2),
         |ranked AS (SELECT qid, label, score,
@@ -7744,7 +8057,8 @@ object SparkEntry {
         |  FROM q, pc) GROUP BY 1, 2, 3),
         |cand AS (SELECT p.qid, a.vec_id AS label
         |         FROM probes p JOIN vassign a ON p.cid = a.cid),
-        |score AS (SELECT c.qid, c.label, ROUND(SUM(qd.d), 6) AS score
+        |score AS (SELECT c.qid, c.label,
+        |    FLOOR(SUM(qd.d) * 1000000.0 + 0.5) / 1000000.0 AS score
         |  FROM cand c
         |  JOIN assign a ON a.vec_id = c.label
         |  JOIN qd ON qd.qid = c.qid AND qd.j = a.j AND qd.ci = a.ci
@@ -7812,7 +8126,8 @@ object SparkEntry {
     "ann_mmr" ->
       """WITH RECURSIVE
         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
-        |qc AS (SELECT qid, id, ROUND(cos, 6) AS rel FROM (
+        |qc AS (SELECT qid, id,
+        |    FLOOR(cos * 1000000.0 + 0.5) / 1000000.0 AS rel FROM (
         |  SELECT t.qid, t.id,
         |    SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos
         |  FROM (SELECT q.qid, v.vec_id AS id,
@@ -7823,7 +8138,8 @@ object SparkEntry {
         |cand AS (SELECT qid, id, rel FROM (
         |  SELECT qid, id, rel, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, id) AS rn
         |  FROM qc) WHERE rn <= 20),
-        |cc AS (SELECT qid, ia, ib, ROUND(cos, 6) AS sim FROM (
+        |cc AS (SELECT qid, ia, ib,
+        |    FLOOR(cos * 1000000.0 + 0.5) / 1000000.0 AS sim FROM (
         |  SELECT t.qid, t.ia, t.ib,
         |    SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) AS cos
         |  FROM (SELECT a.qid, a.id AS ia, b.id AS ib,
@@ -7900,15 +8216,13 @@ object SparkEntry {
         |  FROM documents),
         |g AS (SELECT LEAST(CAST(FLOOR(ttr * 10.0) AS BIGINT), 9) AS bucket,
         |    COUNT(*) AS n,
-        |    SUM(CAST(ROUND(ttr, 6) AS DECIMAL(18,6))) AS ss,
+        |    SUM(CAST(FLOOR(ttr * 1000000.0 + 0.5) AS BIGINT)) AS ss,
         |    SUM(CASE WHEN n_tokens <= 48 THEN 1 ELSE 0 END) AS sy
         |  FROM q GROUP BY 1),
         |t AS (SELECT SUM(n) AS n_all FROM g),
         |w AS (SELECT bucket, n,
-        |  CAST(FLOOR(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
-        |    AS BIGINT) AS avg_score_e6,
-        |  CAST(FLOOR(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
-        |    AS BIGINT) AS pos_rate_e6,
+        |  CAST((2 * ss + n) // (2 * n) AS BIGINT) AS avg_score_e6,
+        |  CAST((2 * sy * 1000000 + n) // (2 * n) AS BIGINT) AS pos_rate_e6,
         |  n_all FROM g, t)
         |SELECT bucket, n, avg_score_e6, pos_rate_e6,
         |  ABS(avg_score_e6 - pos_rate_e6) AS abs_gap_e6,
@@ -8039,7 +8353,7 @@ object SparkEntry {
         |per_part AS (SELECT l_partkey, SUM(q) AS tq FROM supply GROUP BY 1)
         |SELECT s_name, n_name
         |FROM supplier
-        |JOIN nation ON n_nationkey = s_nationkey AND n_nationkey <= 9
+        |JOIN nation ON n_nationkey = s_nationkey AND n_nationkey <= 15
         |WHERE s_suppkey IN (
         |  SELECT ps.l_suppkey FROM per_supp ps
         |  JOIN per_part pp ON ps.l_partkey = pp.l_partkey
@@ -8084,6 +8398,130 @@ object SparkEntry {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH fact AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+        |    l_extendedprice
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |    WHERE p_brand = 'Brand#23')),
+        |pp AS (SELECT l_partkey AS pk, SUM(q) AS sumq,
+        |    CAST(COUNT(*) AS BIGINT) AS nq
+        |  FROM fact GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+        |    AS revenue_cents
+        |FROM fact JOIN pp ON l_partkey = pk
+        |WHERE q * 5 * nq < sumq""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH rs AS (SELECT s_suppkey, s_acctbal, s_name, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |    AND n_regionkey = 1),
+        |cost AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM rs)
+        |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+        |  GROUP BY 1, 2),
+        |mc AS (SELECT pk, MIN(cost_cents) AS mcost FROM cost GROUP BY 1)
+        |SELECT CAST(ROUND(s_acctbal * 100) AS BIGINT) AS bal_cents,
+        |  s_name, n_name, pk AS p_partkey, cost_cents
+        |FROM cost JOIN mc USING (pk) JOIN rs ON sk = s_suppkey
+        |WHERE cost_cents = mcost
+        |ORDER BY bal_cents DESC, s_name, p_partkey, n_name, cost_cents
+        |LIMIT 100""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |      * 10000 AS BIGINT) AS total_rev_e4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev_e4
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_e4 = (SELECT MAX(total_rev_e4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH v AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |      * 10000 AS HUGEINT) AS val
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |    WHERE s_nationkey <= 3)
+        |  GROUP BY 1),
+        |t AS (SELECT SUM(val) AS tot, CAST(COUNT(*) AS HUGEINT) AS np FROM v)
+        |SELECT l_partkey, CAST(val AS BIGINT) AS value_e4
+        |FROM v, t
+        |WHERE val * np > tot * 2
+        |ORDER BY value_e4 DESC, l_partkey""".stripMargin,
+
+    "q16_supplier_count" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |    WHERE CAST(s_acctbal AS DECIMAL(18,2)) < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q9_product_type_profit" ->
+      """SELECT n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |      * 10000 AS HUGEINT)
+        |    - CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)) *
+        |      CAST(l_quantity AS BIGINT)) * 1000 AS HUGEINT)
+        |    AS BIGINT) AS profit_e4,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_name LIKE '%rod'
+        |GROUP BY 1, 2
+        |ORDER BY n_name, yr DESC""".stripMargin,
+
+    "q12_late_lines" ->
+      """SELECT l_linestatus,
+        |  CAST(COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 END) AS BIGINT) AS high_line_count,
+        |  CAST(COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND date_diff('day', CAST(o_orderdate AS DATE),
+        |    CAST(l_shipdate AS DATE)) > 90
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """WITH agg AS (SELECT
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) * 10000 AS HUGEINT) AS pr,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |      * 10000 AS HUGEINT) AS tr,
+        |    CAST(COUNT(*) AS BIGINT) AS n_lines
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |    AND l_shipdate < TIMESTAMP '1996-10-01')
+        |SELECT CAST((pr * 200000000 + tr) // (tr * 2) AS BIGINT) AS promo_pct_e6,
+        |  CAST(pr AS BIGINT) AS promo_rev_e4,
+        |  CAST(tr AS BIGINT) AS total_rev_e4,
+        |  n_lines
+        |FROM agg""".stripMargin,
 
     "q_conditional_agg" ->
       """SELECT o_orderstatus,
@@ -8194,6 +8632,57 @@ object SparkEntry {
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
         |SELECT user_id, event_id, ts_us, win[4] AS med7_cents
         |FROM wf WHERE nwin = 7
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_mode_stream" ->
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |  FROM events WHERE user_id <= 100),
+        |r AS (SELECT user_id, event_id, ts_us, event_type,
+        |    COUNT(*) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rc
+        |  FROM t),
+        |b AS (SELECT user_id, event_id, ts_us,
+        |    MIN(lpad(CAST(10000000000 - rc AS VARCHAR), 12, '0') || event_type)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS best
+        |  FROM r)
+        |SELECT user_id, event_id, ts_us,
+        |  substr(best, 13) AS mode_type,
+        |  CAST(10000000000 - CAST(substr(best, 1, 12) AS BIGINT) AS BIGINT)
+        |    AS mode_count
+        |FROM b ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_benford_stream" ->
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(substr(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+        |      AS BIGINT) AS digit
+        |  FROM events
+        |  WHERE user_id <= 100 AND CAST(value AS DECIMAL(18,2)) >= 1)
+        |SELECT user_id, event_id, ts_us, digit,
+        |  CAST(COUNT(*) OVER (PARTITION BY user_id, digit
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS digit_n,
+        |  CAST(COUNT(*) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+        |FROM t ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_autocorr_stream" ->
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id <= 100),
+        |l AS (SELECT *, lag(cents, 1)
+        |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS p FROM t)
+        |SELECT user_id, event_id, ts_us,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |  CAST(SUM(cents) OVER w AS BIGINT) AS s1,
+        |  CAST(SUM(cents * cents) OVER w AS BIGINT) AS s2,
+        |  CAST(SUM(COALESCE(cents * p, 0)) OVER w AS BIGINT) AS sl1
+        |FROM l
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q_ntile_rank" ->
@@ -8749,19 +9238,26 @@ object SparkEntry {
     // the ROUNDED z on both sides so the boolean can't straddle rounding
     "q_vec_outliers" ->
       """WITH nr AS (SELECT vec_id,
-        |    ROUND(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS mx
+        |    CAST(FLOOR(list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) * 1000000.0 + 0.5) AS BIGINT) AS m6
         |  FROM embeddings),
-        |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
-        |  CAST(SUM(CAST(mx AS DECIMAL(25,6))) AS DOUBLE) AS s1,
-        |  CAST(SUM(CAST(ROUND(mx * mx, 6) AS DECIMAL(25,6))) AS DOUBLE) AS s2
+        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(m6) AS BIGINT) AS s1,
+        |  SUM(CAST(m6 AS HUGEINT) * m6) AS s2
         |  FROM nr),
-        |z AS (SELECT vec_id, mx,
-        |  CASE WHEN SQRT(s2/n - (s1/n)*(s1/n)) > 0
-        |    THEN CAST(FLOOR((mx - s1/n) / SQRT(s2/n - (s1/n)*(s1/n))
+        |w AS (SELECT vec_id, m6,
+        |  CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |  SQRT(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS std
+        |  FROM nr, st),
+        |z AS (SELECT vec_id, m6,
+        |  CASE WHEN std > 0
+        |    THEN CAST(FLOOR((CAST(m6 AS DOUBLE) - mean) / std
         |      * 10000.0 + 0.5) AS BIGINT)
         |    ELSE 0 END AS z_e4
-        |  FROM nr, st)
-        |SELECT vec_id, CAST(FLOOR(mx * 1000000.0 + 0.5) AS BIGINT) AS mx_e6,
+        |  FROM w)
+        |SELECT vec_id, m6 AS mx_e6,
         |  z_e4, ABS(z_e4) > 30000 AS is_outlier
         |FROM z ORDER BY vec_id""".stripMargin,
 
@@ -8898,7 +9394,8 @@ object SparkEntry {
         |z AS (SELECT SUM(pow(n_src, 0.7)) AS z FROM cnt),
         |rates AS (
         |  SELECT source,
-        |    LEAST(1.0, ROUND(250.0 * pow(n_src, 0.7) / z.z / n_src, 6)) AS rate
+        |    LEAST(1.0, FLOOR(250.0 * pow(n_src, 0.7) / z.z / n_src
+        |      * 1000000.0 + 0.5) / 1000000.0) AS rate
         |  FROM cnt CROSS JOIN z)
         |SELECT d.doc_id, d.source,
         |  CAST(FLOOR(r.rate * 1000000.0 + 0.5) AS BIGINT) AS rate_e6
@@ -9154,15 +9651,15 @@ object SparkEntry {
         |        FROM grid LEFT JOIN cnt0 ON grid.g = cnt0.g AND grid.bk = cnt0.bk),
         |tot AS (SELECT g, SUM(fa) AS na, SUM(fb) AS nb FROM cnt GROUP BY 1),
         |terms AS (SELECT cnt.g, tot.na, tot.nb,
-        |  CAST(ROUND((CAST(cnt.fa + 1 AS DOUBLE) / (tot.na + 10)
+        |  CAST(FLOOR((CAST(cnt.fa + 1 AS DOUBLE) / (tot.na + 10)
         |              - CAST(cnt.fb + 1 AS DOUBLE) / (tot.nb + 10))
         |    * ln((CAST(cnt.fa + 1 AS DOUBLE) / (tot.na + 10))
-        |         / (CAST(cnt.fb + 1 AS DOUBLE) / (tot.nb + 10))), 12)
-        |    AS DECIMAL(20,12)) AS term
+        |         / (CAST(cnt.fb + 1 AS DOUBLE) / (tot.nb + 10)))
+        |    * 1000000000000.0 + 0.5) AS BIGINT) AS term_e12
         |  FROM cnt JOIN tot ON cnt.g = tot.g)
         |SELECT g AS event_type, CAST(MIN(na) AS BIGINT) AS n_a,
         |  CAST(MIN(nb) AS BIGINT) AS n_b,
-        |  CAST(FLOOR(CAST(SUM(term) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS psi_e6
+        |  CAST((2 * SUM(term_e12) + 1000000) // 2000000 AS BIGINT) AS psi_e6
         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same grid CTEs as q_psi_drift; JS term with m = (pa+pb)/2
@@ -9185,7 +9682,7 @@ object SparkEntry {
         |        FROM grid LEFT JOIN cnt0 ON grid.g = cnt0.g AND grid.bk = cnt0.bk),
         |tot AS (SELECT g, SUM(fa) AS na, SUM(fb) AS nb FROM cnt GROUP BY 1),
         |terms AS (SELECT cnt.g, tot.na, tot.nb,
-        |  CAST(ROUND((
+        |  CAST(FLOOR((
         |      (CAST(cnt.fa + 1 AS DOUBLE) / (tot.na + 10))
         |        * ln((CAST(cnt.fa + 1 AS DOUBLE) / (tot.na + 10))
         |             / ((CAST(cnt.fa + 1 AS DOUBLE) / (tot.na + 10)
@@ -9194,11 +9691,11 @@ object SparkEntry {
         |        * ln((CAST(cnt.fb + 1 AS DOUBLE) / (tot.nb + 10))
         |             / ((CAST(cnt.fa + 1 AS DOUBLE) / (tot.na + 10)
         |                 + CAST(cnt.fb + 1 AS DOUBLE) / (tot.nb + 10)) / 2.0))
-        |    ) * 0.5, 12) AS DECIMAL(20,12)) AS term
+        |    ) * 0.5 * 1000000000000.0 + 0.5) AS BIGINT) AS term_e12
         |  FROM cnt JOIN tot ON cnt.g = tot.g)
         |SELECT g AS event_type, CAST(MIN(na) AS BIGINT) AS n_a,
         |  CAST(MIN(nb) AS BIGINT) AS n_b,
-        |  CAST(FLOOR(CAST(SUM(term) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS js_e6
+        |  CAST((2 * SUM(term_e12) + 1000000) // 2000000 AS BIGINT) AS js_e6
         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // exact distincts + TRUE envelope verdicts (sketch internals are

@@ -29,33 +29,52 @@ object Tables {
   private val maxSessions = 8
   private val cache =
     new java.util.LinkedHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]](
+        java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]](
         16, 0.75f, /* accessOrder = */ true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[SparkSession,
-            java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]])
+            java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]])
           : Boolean = size() > maxSessions
     }
+
+  /** Cheap per-lookup freshness fingerprint. mtime alone missed a
+    * regeneration landing within the same filesystem timestamp tick
+    * (r16 ADVICE), so the length rides along: for a plain file,
+    * (mtime, length); for a Spark-written directory, the dir mtime plus
+    * every child's (name, length, mtime) — a handful of local stat
+    * calls, still noise next to the ~70 ms footer read it saves.
+    * A same-tick same-length in-place byte rewrite remains invisible,
+    * but parquet regenerations change part-file names (task UUIDs) or
+    * lengths in practice.
+    */
+  private def fingerprint(f: java.io.File): String =
+    if (f.isDirectory) {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      val inner = kids.sortBy(_.getName)
+        .map(k => s"${k.getName}:${k.length}:${k.lastModified}").mkString(",")
+      s"${f.lastModified}|${kids.length}|${inner.##}"
+    } else s"${f.lastModified}|${f.length}"
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = cache.synchronized {
       var m = cache.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        m = new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
         cache.put(spark, m)
       }
       m
     }
-    // mtime rides the key (r16): the driver DOES regenerate testdata
-    // under the same paths, and a stale analyzed relation (old file
-    // index, old footer schema) would silently red the whole gate. A
-    // rewrite bumps the file's (or Spark-written directory's) mtime →
-    // new key → fresh relation; one local lastModified() syscall per
-    // lookup is noise next to the ~70 ms listing it saves.
+    // The fingerprint rides the VALUE, keyed by path (r17): the driver
+    // DOES regenerate testdata under the same paths, and a stale
+    // analyzed relation (old file index, old footer schema) would
+    // silently red the whole gate. A rewrite changes the fingerprint →
+    // the compute() below replaces the entry in place, so superseded
+    // relations are evicted instead of accreting one per regeneration.
     val path = s"$dir/$name.parquet"
-    val mtime = new java.io.File(path).lastModified()
-    perSession.computeIfAbsent((s"$path@$mtime", name),
-      _ => spark.read.parquet(path))
+    val fp = fingerprint(new java.io.File(path))
+    perSession.compute(path, (_, old) =>
+      if (old != null && old._1 == fp) old
+      else (fp, spark.read.parquet(path)))._2
   }
 
   /** Normalizes `events.ts` to session-TZ TIMESTAMP regardless of the

@@ -33,10 +33,19 @@ object Verify {
     // local[N] cores, and per-query wall at large replicas is dominated
     // by scan/shuffle stages that interleave well. Results are written
     // to disjoint paths, so concurrency cannot cross-wire outputs.
+    // Scale-aware default (r16 ADVICE): several queries carry
+    // driver-heavy stages (clampedScan/kendall collects, ~30 MB kNN
+    // broadcasts, 32 MB bloom builds) whose peak driver memory
+    // multiplies by the pool width — at replica dirs (anything outside
+    // /root/testdata, e.g. /tmp/sf1, /tmp/sf10x) the default drops to 2
+    // so six such peaks never coincide. SPARK_GRAFT_VERIFY_POOL still
+    // overrides both ways.
+    val defaultPool = if (sfDir.startsWith("/root/testdata")) "6" else "2"
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      sys.env.getOrElse("SPARK_GRAFT_VERIFY_POOL", "6").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_POOL", defaultPool).toInt)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val failures = new java.util.concurrent.atomic.AtomicInteger(0)
     val futs = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.isEmpty || only.contains(name) }
       .map { case (name, fn) =>
@@ -44,6 +53,7 @@ object Verify {
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
+            failures.incrementAndGet()
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
         }
@@ -67,5 +77,13 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // nonzero exit on ANY per-query crash (r16 ADVICE): a crashed query
+    // previously left a missing output dir under exit code 0, which a
+    // harness can misread as "ran clean, result empty". The oracle json
+    // is written first so a partial run is still comparable.
+    if (failures.get() > 0) {
+      System.err.println(s"[verify] ${failures.get()} query(ies) FAILED")
+      sys.exit(1)
+    }
   }
 }

@@ -210,4 +210,32 @@ package object functions {
   def spaceSavingHH(item: Column, capacity: Int): Column =
     GraftBridge.column(
       graft.operators.SpaceSavingAgg(e(item), capacity).toAggregateExpression())
+
+  /** Boundary-proof integer witness `floor(x·scale + 1/2)` as LONG — the
+    * gate-emission convention for derived doubles (never emit a raw
+    * double or decimal in a hashed output column). Non-finite inputs map
+    * to explicit sentinels on the Spark side (r16 ADVICE): without the
+    * guard, Spark's `floor(NaN·s + ½) CAST LONG` silently yields 0 and
+    * ±Inf saturate to Long.Max/Min, while the DuckDB mirror's
+    * `CAST(FLOOR(..) AS BIGINT)` errors — a zero-norm vector or
+    * zero-variance group would surface as an oracle-side crash or a
+    * silent 0 instead of a clean, named divergence. Sentinels:
+    * NaN → Long.MinValue+1, +Inf → Long.MaxValue, −Inf → Long.MinValue
+    * (all far outside any e6/e4 witness range, so a non-finite upstream
+    * value flips the hash loudly at the exact row).
+    */
+  def intWitness(c: Column, scale: Long): Column = {
+    import org.apache.spark.sql.functions.{floor, isnan, lit, when}
+    when(isnan(c), lit(Long.MinValue + 1L))
+      .when(c === Double.PositiveInfinity, lit(Long.MaxValue))
+      .when(c === Double.NegativeInfinity, lit(Long.MinValue))
+      .otherwise(floor(c * lit(scale.toDouble) + lit(0.5))
+        .cast(org.apache.spark.sql.types.LongType))
+  }
+
+  /** 6-dp integer witness with non-finite sentinels — see [[intWitness]]. */
+  def e6Witness(c: Column): Column = intWitness(c, 1000000L)
+
+  /** 4-dp integer witness with non-finite sentinels — see [[intWitness]]. */
+  def e4Witness(c: Column): Column = intWitness(c, 10000L)
 }

@@ -83,33 +83,34 @@ object Curation {
       .groupBy(col("b")).agg(sum(col("m")).as("ct"))
     val totals = raw.agg(sum(col("cs")).as("ns"))
       .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
-    // Laplace(+1) over all `buckets` cells; ratio quantized per bucket
+    // Laplace(+1) over all `buckets` cells; the per-bucket log-ratio
+    // quantizes through the e12 FLOOR witness (r17, verdict task #2):
+    // ROUND(ln, 12) was engine-defined at digit boundaries (Spark
+    // BigDecimal HALF_UP vs DuckDB scale-and-rint) — the old r13 ±0.0
+    // normalization hack existed precisely because of that gap; an
+    // integer lr has no signed zero and no boundary class at all
     val model = raw.join(tgt, Seq("b"), "left")
       .na.fill(0L, Seq("ct"))
       .crossJoin(broadcast(totals))
       .select(col("b"),
-        round(log(((col("ct") + lit(1)).cast(DoubleType) /
+        floor(log(((col("ct") + lit(1)).cast(DoubleType) /
             (col("nt") + lit(buckets))) /
           ((col("cs") + lit(1)).cast(DoubleType) /
-            (col("ns") + lit(buckets)))), 12)
-          .cast(DecimalType(20, 12)).as("lr"))
-    // (9,0)×(20,12) stays inside DECIMAL(38,_) in BOTH engines — the
-    // product and sum are exact, so the reduction is order-independent
-    // the trailing `+ 0.0` normalizes IEEE signed zero: the per-bucket
-    // lr quantization (round(ln, 12)) can differ across engines by one
-    // final-digit ulp (Java vs C libm ln), so a doc whose true sum is
-    // exactly zero lands at ±1e-12-scale — both round to zero at 6 dp,
-    // but −0.0 and +0.0 hash differently in the gate's canon (r13 sf1
-    // finding: 5 of 50k docs)
+            (col("ns") + lit(buckets)))) * lit(1e12) + lit(0.5))
+          .cast(LongType).as("lr_e12"))
+    // m·lr_e12 sums in DECIMAL(38,0) — exact and order-independent on
+    // both engines (HUGEINT on the DuckDB side); per-doc magnitude is
+    // n_tokens·|lr|·1e12 ≲ 1e18 but the decimal keeps 20 digits of slack
     docB.join(broadcast(model), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).as("n_tokens"),
-        sum(col("m").cast(DecimalType(9, 0)) * col("lr")).as("slr"))
+        sum(col("m").cast(DecimalType(38, 0)) *
+          col("lr_e12").cast(DecimalType(38, 0))).as("slr"))
       .select(col("doc_id"), col("n_tokens"),
-        floor(col("slr").cast(DoubleType) / col("n_tokens") * lit(1e6)
+        floor(col("slr").cast(DoubleType) / col("n_tokens") / lit(1e6)
           + lit(0.5)).cast(LongType).as("mean_lr_e6"),
-        floor(exp(col("slr").cast(DoubleType) / col("n_tokens")) * lit(1e6)
-          + lit(0.5)).cast(LongType).as("weight_e6"))
+        floor(exp(col("slr").cast(DoubleType) / col("n_tokens") / lit(1e12))
+          * lit(1e6) + lit(0.5)).cast(LongType).as("weight_e6"))
   }
 
   def mixtureSample(docs: DataFrame, alpha: Double, targetTotal: Long,
@@ -118,11 +119,16 @@ object Curation {
     val counts = docs.groupBy(col(sourceCol))
       .agg(count(lit(1)).cast(DoubleType).as("n_src"))
     val z = counts.agg(sum(pow(col("n_src"), lit(alpha))).as("z"))
+    // the rate quantizes through the floor e6 form (r17, task #2) — it
+    // DECIDES the md5 sampling threshold below, so both engines must
+    // land on the identical 1e-6 grid point; FLOOR(x·1e6 + ½)/1e6 is
+    // pure mirrored IEEE ops where ROUND(x, 6) was engine-defined
     val rates = counts.crossJoin(broadcast(z))
       .select(col(sourceCol), col("n_src"),
         least(lit(1.0),
-          round(lit(targetTotal.toDouble) * pow(col("n_src"), lit(alpha)) /
-            col("z") / col("n_src"), 6)).as("rate"))
+          floor(lit(targetTotal.toDouble) * pow(col("n_src"), lit(alpha)) /
+            col("z") / col("n_src") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("rate"))
     val thr = lpad(lower(hex(ceil(col("rate") * 4294967296.0).cast(LongType))), 8, "0")
     docs.join(broadcast(rates), sourceCol)
       .filter(col("rate") >= 1.0 ||

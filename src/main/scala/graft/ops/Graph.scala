@@ -984,17 +984,20 @@ f$h AS (SELECT id FROM x$h)""")
     val wedges = adjC.select(col("c"), col("n").as("a"), col("deg"))
       .join(adjC.select(col("c"), col("n").as("b")), "c")
       .filter(col("a") < col("b"))
+    // per-wedge terms quantize through the e12 FLOOR witness and sum in
+    // exact LONG (r17, task #2: ROUND(1/ln deg, 12) was the last
+    // engine-defined rounding here); terms are positive (wedge centers
+    // have deg ≥ 2), so the 6-dp emission is a plain half-up floordiv
     val scored = wedges.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("cn"),
-        sum(round(lit(1.0) / log(col("deg").cast(DoubleType)), 12)
-          .cast(DecimalType(28, 14))).as("aad"))
+        sum(floor(lit(1.0) / log(col("deg").cast(DoubleType))
+          * lit(1e12) + lit(0.5)).cast(LongType)).as("s12"))
     val eNorm = e.select(least(col("u"), col("v")).as("a"),
       greatest(col("u"), col("v")).as("b"))
     scored.join(eNorm, Seq("a", "b"), "left_anti")
       .filter(col("cn") >= minCn)
       .select(col("a").as("u"), col("b").as("v"), col("cn"),
-        floor(col("aad").cast(DoubleType) * lit(1e6) + lit(0.5))
-          .cast(LongType).as("aa_e6"))
+        expr("(2 * s12 + 1000000) div 2000000").as("aa_e6"))
   }
 
   /** DuckDB mirror of [[adamicAdar]] — emits CTEs ending in `aa_pred`.
@@ -1011,13 +1014,14 @@ f$h AS (SELECT id FROM x$h)""")
        |  SELECT a.u AS c, a.v AS n, d.deg FROM aa_adj a
        |  JOIN aa_deg d ON a.u = d.node WHERE d.deg <= $degCap),
        |aa_sc AS (SELECT x.n AS a, y.n AS b, CAST(COUNT(*) AS BIGINT) AS cn,
-       |    SUM(CAST(ROUND(1.0 / ln(CAST(x.deg AS DOUBLE)), 12) AS DECIMAL(28,14))) AS aad
+       |    SUM(CAST(FLOOR(1.0 / ln(CAST(x.deg AS DOUBLE))
+       |      * 1000000000000.0 + 0.5) AS BIGINT)) AS s12
        |  FROM aa_ac x JOIN aa_ac y ON x.c = y.c AND x.n < y.n
        |  GROUP BY 1, 2),
        |aa_en AS (SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM aa_e),
        |aa_pred AS (
        |  SELECT sc.a AS u, sc.b AS v, sc.cn,
-       |    CAST(FLOOR(CAST(sc.aad AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS aa_e6
+       |    CAST((2 * sc.s12 + 1000000) // 2000000 AS BIGINT) AS aa_e6
        |  FROM aa_sc sc
        |  LEFT JOIN aa_en en ON sc.a = en.a AND sc.b = en.b
        |  WHERE en.a IS NULL AND sc.cn >= $minCn)""".stripMargin

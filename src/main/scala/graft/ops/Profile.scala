@@ -162,14 +162,20 @@ object Profile {
     val cnt = timeSplitGrid(df, valueCol, tsUsCol, groupCol, buckets)
     val pa = (col("fa") + lit(1)).cast(DoubleType) / (col("na") + lit(buckets))
     val pb = (col("fb") + lit(1)).cast(DoubleType) / (col("nb") + lit(buckets))
+    // r17 (verdict task #2): per-bucket terms quantize through the e12
+    // FLOOR witness (exact LONG; PSI terms are ≥ 0 and ≤ ~ln n, so a
+    // group's 10-term sum stays far under int64), and the 6-dp emission
+    // is a pure integer half-up floordiv — ROUND(double, 12) was the
+    // last engine-defined rounding in this dataflow
     cnt
       .select(col("g"), col("na"), col("nb"),
-        round((pa - pb) * log(pa / pb), 12)
-          .cast(DecimalType(20, 12)).as("term"))
+        floor((pa - pb) * log(pa / pb) * lit(1e12) + lit(0.5))
+          .cast(LongType).as("term_e12"))
       .groupBy(col("g"))
       .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
-        floor(sum(col("term")).cast(DoubleType) * lit(1e6) + lit(0.5))
-          .cast(LongType).as("psi_e6"))
+        sum(col("term_e12")).as("s12"))
+      .select(col("g"), col("n_a"), col("n_b"),
+        expr("(2 * s12 + 1000000) div 2000000").as("psi_e6"))
   }
 
   /** Jensen–Shannon divergence between the two time halves — the
@@ -193,14 +199,17 @@ object Profile {
     val pa = (col("fa") + lit(1)).cast(DoubleType) / (col("na") + lit(buckets))
     val pb = (col("fb") + lit(1)).cast(DoubleType) / (col("nb") + lit(buckets))
     val m = (pa + pb) / lit(2.0)
+    // e12 FLOOR witness + integer half-up emission, as in [[psiDrift]]
     cnt
       .select(col("g"), col("na"), col("nb"),
-        round((pa * log(pa / m) + pb * log(pb / m)) * lit(0.5), 12)
-          .cast(DecimalType(20, 12)).as("term"))
+        floor((pa * log(pa / m) + pb * log(pb / m)) * lit(0.5)
+            * lit(1e12) + lit(0.5))
+          .cast(LongType).as("term_e12"))
       .groupBy(col("g"))
       .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
-        floor(sum(col("term")).cast(DoubleType) * lit(1e6) + lit(0.5))
-          .cast(LongType).as("js_e6"))
+        sum(col("term_e12")).as("s12"))
+      .select(col("g"), col("n_a"), col("n_b"),
+        expr("(2 * s12 + 1000000) div 2000000").as("js_e6"))
   }
 
   /** The shared count-grid half of [[psiDrift]]/[[jsDrift]]: per

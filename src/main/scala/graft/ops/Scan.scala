@@ -67,13 +67,29 @@ object Scan {
       s"prefixSum sums LongType, got ${schema(vIdx).dataType} for $valueCol")
     def key(r: Row): Seq[Any] = gIdx.toSeq.map(r.get)
 
-    // pass 1: per-(partition, group) totals, in first-seen (= sorted) order
+    // pass 1: per-(partition, group) totals, in first-seen (= sorted)
+    // order. Per-partition quota (max/P) bounds the collect itself —
+    // a partition over quota ships a null sentinel, so the driver
+    // rejects the many-small-groups regime WITHOUT first materializing
+    // it (r16 ADVICE: the old form OOMed on the collect before the
+    // check could fire).
+    val quota = math.max(1L,
+      maxDriverEntries.toLong / math.max(1, sorted.rdd.getNumPartitions)).toInt
     val partSums: Array[(Int, Seq[(Seq[Any], Long)])] =
       sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
         val sums = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
-        it.foreach { r => val k = key(r); sums.update(k, sums.getOrElse(k, 0L) + r.getLong(vIdx)) }
-        Iterator.single((pid, sums.toSeq))
+        var over = false
+        it.foreach { r =>
+          if (!over) {
+            val k = key(r); sums.update(k, sums.getOrElse(k, 0L) + r.getLong(vIdx))
+            if (sums.size > quota) { over = true; sums.clear() }
+          }
+        }
+        Iterator.single((pid, if (over) null else sums.toSeq))
       }.collect()
+    require(!partSums.exists(_._2 == null),
+      s"prefixSum driver state would exceed $maxDriverEntries (partition, group) " +
+        "slices — with this many small groups the plain window cumsum is already skew-safe")
     val nEntries = partSums.iterator.map(_._2.size).sum
     require(nEntries <= maxDriverEntries,
       s"prefixSum driver state $nEntries > $maxDriverEntries: too many (partition, group) " +
@@ -178,20 +194,39 @@ object Scan {
       s"clampedScan accumulates LongType, got ${schema(dIdx).dataType} for $deltaCol")
     def key(r: Row): Seq[Any] = gIdx.toSeq.map(r.get)
 
-    // pass 1: fold each (partition, group) slice into one composed clamp map
+    // pass 1: fold each (partition, group) slice into one composed clamp
+    // map. The driver-memory bound is enforced INSIDE the job (r16
+    // ADVICE): each partition gets an entry quota (max/P), and one that
+    // exceeds it ships a null sentinel instead of its map — so the
+    // collect itself can never OOM the driver at the next 10× tier (the
+    // r16 form decided the fallback only AFTER collecting every slice).
+    // Range partitioning on (group, order) keeps groups contiguous, so
+    // per-partition distinct groups ≈ G/P and the quota triggers at the
+    // same order of G as the old total check; a skewed partition may
+    // route to the (bit-identical) fallback a little early, which costs
+    // one plan swap, not correctness.
+    val quota = math.max(1L,
+      maxDriverEntries.toLong / math.max(1, sorted.rdd.getNumPartitions)).toInt
     val partMaps: Array[(Int, Seq[(Seq[Any], (Long, Long, Long))])] =
       sorted.rdd.mapPartitionsWithIndex { (pid, it) =>
         val maps = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], (Long, Long, Long)]
+        var over = false
         it.foreach { r =>
-          val k = key(r); val d = r.getLong(dIdx)
-          val (b0, l0, h0) = maps.getOrElse(k, (0L, Long.MinValue, Long.MaxValue))
-          // compose the row's map g(y)=clamp(y+d, lo, hi) after (b0,l0,h0)
-          maps.update(k, (satAdd(b0, d),
-            clampL(satAdd(l0, d), lo, hi), clampL(satAdd(h0, d), lo, hi)))
+          if (!over) {
+            val k = key(r); val d = r.getLong(dIdx)
+            val (b0, l0, h0) = maps.getOrElse(k, (0L, Long.MinValue, Long.MaxValue))
+            // compose the row's map g(y)=clamp(y+d, lo, hi) after (b0,l0,h0)
+            maps.update(k, (satAdd(b0, d),
+              clampL(satAdd(l0, d), lo, hi), clampL(satAdd(h0, d), lo, hi)))
+            if (maps.size > quota) { over = true; maps.clear() }
+          }
         }
-        Iterator.single((pid, maps.toSeq))
+        Iterator.single((pid, if (over) null else maps.toSeq))
       }.collect()
-    val nEntries = partMaps.iterator.map(_._2.size).sum
+    val overQuota = partMaps.exists(_._2 == null)
+    val nEntries =
+      if (overQuota) Int.MaxValue
+      else partMaps.iterator.map(_._2.size).sum
     if (nEntries > maxDriverEntries && groupCols.nonEmpty) {
       // many-small-groups regime (r16: hit for real at the 100× replica —
       // 2M part groups): the Blelloch split exists for FEW huge groups;

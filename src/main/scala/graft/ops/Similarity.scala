@@ -13,6 +13,24 @@ import graft.functions._
   */
 object Similarity {
 
+  /** 6-dp score quantizer in the floor-witness form floor(x·1e6 + ½)/1e6
+    * (r16 verdict task #2): `round(x, 6)` is engine-defined at digit
+    * boundaries — Spark rounds the double's exact binary expansion via
+    * BigDecimal HALF_UP while DuckDB scales-and-rints — so one score at
+    * a boundary could flip a (score, label) ranking with no code change.
+    * The floor form is pure correctly-rounded IEEE ops (multiply, add,
+    * floor, divide), bit-identical on any IEEE-754 engine evaluating the
+    * mirrored expression; the DuckDB mirror is
+    * `FLOOR(x * 1000000.0 + 0.5) / 1000000.0`. Non-finite scores pass
+    * through untouched (Spark's floor→LONG would silently zero a NaN,
+    * breaking the downstream isnan filters; DuckDB's FLOOR keeps NaN/Inf
+    * naturally, so pass-through IS the mirror).
+    */
+  private[ops] def q6(c: Column): Column =
+    when(isnan(c) || c === Double.PositiveInfinity ||
+         c === Double.NegativeInfinity, c)
+      .otherwise(floor(c * lit(1e6) + lit(0.5)) / lit(1e6))
+
   /** Unpack a grouped `hits` top-k array into (qid, rank[1-based], label,
     * score) rows — the ONE place this shape is defined, because every kNN
     * formulation must unpack identically for the shared oracle to match.
@@ -52,11 +70,20 @@ object Similarity {
     * The cap keeps the broadcast ≤ ~30 MB of packed floats at d=64.
     */
   val queryBroadcastCap = 100000L
+  /** `knownCount` (r16 verdict #6): callers that already measured the
+    * query-side count (an audit slice sized by an earlier agg, a
+    * fixed-size eval set) pass it and the routing gate costs nothing;
+    * the default −1 keeps the self-measuring behavior. For a derived
+    * query frame that is itself a corpus scan, self-measuring doubles
+    * the scan — pass the count you have.
+    */
   def autoTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-               metric: String = "l2"): DataFrame =
-    if (queries.count() <= queryBroadcastCap)
+               metric: String = "l2", knownCount: Long = -1L): DataFrame = {
+    val n = if (knownCount >= 0L) knownCount else queries.count()
+    if (n <= queryBroadcastCap)
       bruteForceTopK(vectors, queries, k, metric)
     else shuffleTiledTopK(vectors, queries, k, metric)
+  }
 
   /** Exact kNN join when BOTH sides are too large to broadcast — the shape
     * `bruteForceTopK` cannot take: a 10⁹-row query batch does not fit in a
@@ -775,7 +802,7 @@ object Similarity {
     top.select(
       row_number().over(Window.orderBy(col("maxsim").desc, col("label")))
         .cast(LongType).as("rank"),
-      col("label"), round(col("maxsim"), 6).as("maxsim"))
+      col("label"), q6(col("maxsim")).as("maxsim"))
   }
 
   /** A trained PCA basis: `mean` (d), `components` (dOut rows × d, unit
@@ -1078,7 +1105,7 @@ object Similarity {
     explodeHits(
       codes.crossJoin(broadcast(queries))
         .select(col("qid"), col("id").as("label"),
-          round(pqAdcScore(col("codes"), col("qv"), cents, m), 6).as("score"))
+          q6(pqAdcScore(col("codes"), col("qv"), cents, m)).as("score"))
         .groupBy(col("qid"))
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
@@ -1155,7 +1182,7 @@ object Similarity {
     val cand = explodeHits(
       Dedup.spread(vectors).crossJoin(broadcast(queries))
         .select(col("qid"), col("id").as("label"),
-          round(cosineSimilarity(col("vec"), col("qv")), 6).as("score"))
+          q6(cosineSimilarity(col("vec"), col("qv"))).as("score"))
         .filter(!isnan(col("score")))
         .groupBy(col("qid"))
         .agg(graft.functions.topK(col("score"), col("label"), candN,
@@ -1170,7 +1197,7 @@ object Similarity {
     val pairs = withVec.as("x").join(withVec.as("y"), "qid")
       .select(col("qid"), col("x.id").as("ia"), col("x.rel").as("rel"),
         col("y.id").as("ib"),
-        round(cosineSimilarity(col("x.vec"), col("y.vec")), 6).as("sim"))
+        q6(cosineSimilarity(col("x.vec"), col("y.vec"))).as("sim"))
       .as[(Long, Long, Double, Long, Double)]
     pairs.groupByKey(_._1).flatMapGroups { (qid, it) =>
       // index candidates 0..n−1 once (ids ascending, so index order = id
@@ -1265,7 +1292,7 @@ object Similarity {
     explodeHits(
       probes.join(indexed, "cid")
         .select(col("qid"), col("id").as("label"),
-          round(pqAdcScore(col("codes"), col("qv"), pqCents, m), 6).as("score"))
+          q6(pqAdcScore(col("codes"), col("qv"), pqCents, m)).as("score"))
         .groupBy(col("qid"))
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
@@ -1356,7 +1383,7 @@ object Similarity {
       assigned.crossJoin(broadcast(probes))
         .filter(col("cid") =!= col("qcid"))
         .select(col("qid"), col("id").as("label"),
-          round(cosineSimilarity(col("vec"), col("qv")), 6).as("score"))
+          q6(cosineSimilarity(col("vec"), col("qv"))).as("score"))
         .filter(!isnan(col("score")))
         .groupBy(col("qid"))
         .agg(topK(col("score"), col("label"), k, ascending = false).as("hits")))
@@ -1575,7 +1602,7 @@ object Similarity {
     explodeHits(
       encoded.crossJoin(broadcast(queries))
         .select(col("qid"), col("id").as("label"),
-          round(pqAdcScore(col("codes"), col("qv"), cents, m), 6).as("score"))
+          q6(pqAdcScore(col("codes"), col("qv"), cents, m)).as("score"))
         .groupBy(col("qid"))
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
@@ -1853,7 +1880,7 @@ object Similarity {
       vectors.join(broadcast(shortlist.withColumnRenamed("label", "id")), "id")
         .join(broadcast(queries), "qid")
         .select(col("qid"), col("id").as("label"),
-          round(squaredL2(col("vec"), col("qv")), 6).as("score"))
+          q6(squaredL2(col("vec"), col("qv"))).as("score"))
         .groupBy(col("qid"))
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
@@ -1970,7 +1997,7 @@ object Similarity {
     explodeHits(
       encoded.crossJoin(broadcast(rotQ))
         .select(col("qid"), col("id").as("label"),
-          round(pqAdcScore(col("codes"), col("qv"), model.codebook, model.m), 6).as("score"))
+          q6(pqAdcScore(col("codes"), col("qv"), model.codebook, model.m)).as("score"))
         .groupBy(col("qid"))
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
@@ -2006,7 +2033,7 @@ object Similarity {
     explodeHits(
       probes.join(indexed, "cid")
         .select(col("qid"), col("id").as("label"),
-          round(pqAdcScore(col("codes"), col("qv"), model.codebook, model.m), 6).as("score"))
+          q6(pqAdcScore(col("codes"), col("qv"), model.codebook, model.m)).as("score"))
         .groupBy(col("qid"))
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
@@ -2086,8 +2113,8 @@ object Similarity {
     explodeHits(
       probes.join(indexed, "cid")
         .select(col("qid"), col("id").as("label"),
-          round(pqAdcScore(col("codes"),
-            centroidResidual(col("qv"), col("cid"), coarse), residCents, m), 6)
+          q6(pqAdcScore(col("codes"),
+            centroidResidual(col("qv"), col("cid"), coarse), residCents, m))
             .as("score"))
         .groupBy(col("qid"))
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
@@ -2114,7 +2141,7 @@ object Similarity {
       vectors.join(broadcast(shortlist.withColumnRenamed("label", "id")), "id")
         .join(broadcast(queries), "qid")
         .select(col("qid"), col("id").as("label"),
-          round(squaredL2(col("vec"), col("qv")), 6).as("score"))
+          q6(squaredL2(col("vec"), col("qv"))).as("score"))
         .groupBy(col("qid"))
         .agg(topK(col("score"), col("label"), k, ascending = true).as("hits")))
   }
@@ -2228,6 +2255,6 @@ object Similarity {
       .orderBy(col("cos").desc, col("i"), col("j")).limit(topN)
       .withColumn("rn", row_number().over(
         Window.orderBy(col("cos").desc, col("i"), col("j"))).cast(LongType))
-      .select(col("rn"), col("i"), col("j"), round(col("cos"), 6).as("cos"))
+      .select(col("rn"), col("i"), col("j"), q6(col("cos")).as("cos"))
   }
 }

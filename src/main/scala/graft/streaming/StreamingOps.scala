@@ -33,6 +33,19 @@ case class HoltOut(key: Long, event_id: Long, ts_us: Long, level: Double, trend:
 case class RollMedEvent(key: Long, event_id: Long, ts_us: Long, cents: Long)
 case class RollMedState(window: Seq[Long], lastTs: Long, lastEventId: Long)
 case class RollMedOut(key: Long, event_id: Long, ts_us: Long, med7_cents: Long)
+case class ModeEvent(key: Long, event_id: Long, ts_us: Long, cat: String)
+case class ModeState(counts: Map[String, Long], lastTs: Long, lastEventId: Long)
+case class ModeOut(key: Long, event_id: Long, ts_us: Long,
+                   mode_cat: String, mode_count: Long)
+case class BenfordEvent(key: Long, event_id: Long, ts_us: Long, digit: Int)
+case class BenfordState(counts: Seq[Long], lastTs: Long, lastEventId: Long)
+case class BenfordOut(key: Long, event_id: Long, ts_us: Long,
+                      digit: Long, digit_n: Long, n: Long)
+case class LagEvent(key: Long, event_id: Long, ts_us: Long, cents: Long)
+case class LagState(prev: Long, hasPrev: Boolean, n: Long, s1: Long, s2: Long,
+                    sl1: Long, lastTs: Long, lastEventId: Long)
+case class LagOut(key: Long, event_id: Long, ts_us: Long,
+                  n: Long, s1: Long, s2: Long, sl1: Long)
 case class AsofStateRow(key: Long, ts_us: Long, value: Double)
 case class AsofEvent(key: Long, event_id: Long, ts_us: Long)
 case class AsofIn(key: Long, tag: Int, ts_us: Long, event_id: Long, value: Double)
@@ -114,8 +127,9 @@ object StreamingOps {
         sum((col("value") * col("value")).cast(d)).as("s2"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"),
-        round(s1 / n, 6).as("mean"),
-        round(s2 / n - (s1 / n) * (s1 / n), 6).as("variance"))
+        (floor((s1 / n) * lit(1e6) + lit(0.5)) / lit(1e6)).as("mean"),
+        (floor((s2 / n - (s1 / n) * (s1 / n)) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("variance"))
   }
 
   /** Watermarked per-window PSI drift monitor against a FROZEN reference
@@ -132,8 +146,8 @@ object StreamingOps {
     * chained-aggregation limits don't apply and the cross-micro-batch
     * merge is integer addition, bit-exact regardless of how the stream
     * was split. The PSI expansion runs AFTER aggregation from those
-    * counts, per-bucket terms quantized to 12 dp DECIMAL (exact,
-    * order-independent sum) — the identical arithmetic the same function
+    * counts, per-bucket terms quantized to e12 LONG
+    * witnesses (exact, order-independent sum) — the identical arithmetic the same function
     * performs on a batch frame. The reference histogram enters as plan
     * literals (it is `buckets` longs — the degenerate broadcast).
     *
@@ -155,16 +169,19 @@ object StreamingOps {
     val terms = (0 until b).map { i =>
       val p = (col(s"f$i") + lit(1)).cast(DoubleType) / (nD + lit(b))
       val q = lit((ref.counts(i) + 1.0) / (rTot + b))
-      round((p - q) * log(p / q), 12).cast(DecimalType(20, 12))
+      floor((p - q) * log(p / q) * lit(1e12) + lit(0.5)).cast(LongType)
     }
+    // e12 LONG witnesses summed exactly, then one floor-form 6-dp
+    // emission — same convention as the batch Profile.psiDrift (r17)
+    val s12 = terms.reduce(_ + _)
     counted.select(col("window.start").as("window_start"), col("n"),
-      round(terms.reduce(_ + _).cast(DoubleType), 6).as("psi"))
+      (floor(s12.cast(DoubleType) / lit(1e6) + lit(0.5)) / lit(1e6)).as("psi"))
   }
 
   /** Watermarked per-window Jensen–Shannon drift against the same frozen
     * reference — the bounded (≤ ln 2), symmetric face of
     * [[eventsWindowedPsi]], matching the batch `Profile.jsDrift`
-    * definition (m = (p+q)/2, Laplace-smoothed, 12-dp DECIMAL terms).
+    * definition (m = (p+q)/2, Laplace-smoothed, e12 LONG witness terms).
     * Identical streaming-state story: the only state is the exact
     * per-(window, bucket) counts inside one stateful aggregation; the
     * JS expansion is post-aggregate arithmetic, so streaming ≡ batch
@@ -187,11 +204,12 @@ object StreamingOps {
       val p = (col(s"f$i") + lit(1)).cast(DoubleType) / (nD + lit(b))
       val q = lit((ref.counts(i) + 1.0) / (rTot + b))
       val m = (p + q) / lit(2.0)
-      round((p * log(p / m) + q * log(q / m)) * lit(0.5), 12)
-        .cast(DecimalType(20, 12))
+      floor((p * log(p / m) + q * log(q / m)) * lit(0.5)
+        * lit(1e12) + lit(0.5)).cast(LongType)
     }
+    val s12 = terms.reduce(_ + _)
     counted.select(col("window.start").as("window_start"), col("n"),
-      round(terms.reduce(_ + _).cast(DoubleType), 6).as("js"))
+      (floor(s12.cast(DoubleType) / lit(1e6) + lit(0.5)) / lit(1e6)).as("js"))
   }
 
   /** Watermarked per-window SpaceSaving heavy hitters — the streaming
@@ -790,6 +808,115 @@ object StreamingOps {
             out += RollMedOut(key, e.event_id, e.ts_us, frame.sorted.apply(3))
           st = RollMedState(frame.takeRight(6), e.ts_us, e.event_id)
         } // else: cross-batch late event (by the pair order), dropped
+      }
+      state.update(st)
+      out.iterator
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming running MODE per key — the streaming face of the
+    * q_mode_by_group family (r16 verdict task #7, the rolling-median
+    * template): per event, the most frequent category seen so far by
+    * the key, ties to the lexicographically smallest category. State is
+    * one count per DISTINCT category the key has seen plus the
+    * (lastTs, lastEventId) late-gate pair — bounded by the category
+    * domain (event types: dozens), not the stream length. Counts are
+    * exact longs, the argmax is a deterministic (−count, cat) min, so
+    * streaming ≡ batch is bit-exact by construction across any
+    * micro-batch split (spec-pinned with a same-timestamp straddler).
+    */
+  def streamingModeByGroup(events: org.apache.spark.sql.Dataset[ModeEvent]):
+      org.apache.spark.sql.Dataset[ModeOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fn(key: Long, it: Iterator[ModeEvent],
+           state: GroupState[ModeState]): Iterator[ModeOut] = {
+      val evts = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption.getOrElse(
+        ModeState(Map.empty, Long.MinValue, Long.MinValue))
+      val out = scala.collection.mutable.ArrayBuffer.empty[ModeOut]
+      evts.foreach { e =>
+        if (e.ts_us > st.lastTs ||
+            (e.ts_us == st.lastTs && e.event_id > st.lastEventId)) {
+          val counts = st.counts.updated(e.cat, st.counts.getOrElse(e.cat, 0L) + 1L)
+          val (negN, cat) = counts.iterator.map { case (c, n) => (-n, c) }.min
+          out += ModeOut(key, e.event_id, e.ts_us, cat, -negN)
+          st = ModeState(counts, e.ts_us, e.event_id)
+        } // else: cross-batch late event (by the pair order), dropped
+      }
+      state.update(st)
+      out.iterator
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming running Benford first-digit counts per key — the
+    * streaming face of q_benford's digit histogram (r16 verdict task
+    * #7): per event (digit pre-extracted from the DECIMAL(18,2) string
+    * upstream, domain-guarded to 1..9 exactly as the batch query), the
+    * running count of THAT digit and the running total for the key.
+    * State is nine longs + the late-gate pair — O(1) per key forever.
+    * Pure integer counting, so streaming ≡ batch (two running COUNT
+    * windows) is bit-exact under any split.
+    */
+  def streamingBenford(events: org.apache.spark.sql.Dataset[BenfordEvent]):
+      org.apache.spark.sql.Dataset[BenfordOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fn(key: Long, it: Iterator[BenfordEvent],
+           state: GroupState[BenfordState]): Iterator[BenfordOut] = {
+      val evts = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption.getOrElse(
+        BenfordState(Seq.fill(10)(0L), Long.MinValue, Long.MinValue))
+      val out = scala.collection.mutable.ArrayBuffer.empty[BenfordOut]
+      evts.foreach { e =>
+        if ((e.ts_us > st.lastTs ||
+             (e.ts_us == st.lastTs && e.event_id > st.lastEventId)) &&
+            e.digit >= 1 && e.digit <= 9) {
+          val counts = st.counts.updated(e.digit, st.counts(e.digit) + 1L)
+          out += BenfordOut(key, e.event_id, e.ts_us, e.digit.toLong,
+            counts(e.digit), counts.sum)
+          st = BenfordState(counts, e.ts_us, e.event_id)
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming lag-1 autocorrelation WITNESSES per key — the streaming
+    * face of the q_autocorr family (r16 verdict task #7): per event the
+    * exact running (n, Σx, Σx², Σ xᵢ·xᵢ₋₁) over integer cents, from
+    * which lag-1 Pearson is one closed-form expression downstream.
+    * Emitting the integer sums rather than a correlation keeps the
+    * face loss-free and hash-exact; state is four longs + the previous
+    * value + the late-gate pair — O(1) per key. Headroom: Σx² of
+    * 1e4-cent values holds to ~1e10 events per key in int64.
+    */
+  def streamingLagAutocorr(events: org.apache.spark.sql.Dataset[LagEvent]):
+      org.apache.spark.sql.Dataset[LagOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fn(key: Long, it: Iterator[LagEvent],
+           state: GroupState[LagState]): Iterator[LagOut] = {
+      val evts = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption.getOrElse(
+        LagState(0L, hasPrev = false, 0L, 0L, 0L, 0L, Long.MinValue, Long.MinValue))
+      val out = scala.collection.mutable.ArrayBuffer.empty[LagOut]
+      evts.foreach { e =>
+        if (e.ts_us > st.lastTs ||
+            (e.ts_us == st.lastTs && e.event_id > st.lastEventId)) {
+          val sl1 = st.sl1 + (if (st.hasPrev) st.prev * e.cents else 0L)
+          st = LagState(e.cents, hasPrev = true, st.n + 1L,
+            st.s1 + e.cents, st.s2 + e.cents * e.cents, sl1,
+            e.ts_us, e.event_id)
+          out += LagOut(key, e.event_id, e.ts_us, st.n, st.s1, st.s2, st.sl1)
+        }
       }
       state.update(st)
       out.iterator

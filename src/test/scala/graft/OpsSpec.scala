@@ -483,8 +483,8 @@ class OpsSpec extends AnyFunSuite {
     val ty = data.groupBy(_._2).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
     val n0 = n.toLong * (n - 1) / 2
     assert(r.getLong(0) === n.toLong)
-    assert(r.getDecimal(1).longValueExact === c)
-    assert(r.getDecimal(2).longValueExact === d)
+    assert(r.getLong(1) === c)
+    assert(r.getLong(2) === d)
     // r16 float-free definition: s = isqrt((n0−tx)(n0−ty)) exactly via
     // BigInteger.sqrt, tau_e6 = floordiv(2a + s, 2s) with a = (C−D)·1e6
     // — the identical pure-integer computation both engines run; ALSO
@@ -529,12 +529,14 @@ class OpsSpec extends AnyFunSuite {
     }
     val tx = data.groupBy(_._1).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
     val ty = data.groupBy(_._2).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    // r17: the witnesses are emitted as BIGINT (the DECIMAL output
+    // type was the pinned driver-red mechanism)
     assert(r.getLong(0) === n.toLong)
-    assert(r.getDecimal(1).longValueExact === c)
-    assert(r.getDecimal(2).longValueExact === d)
-    assert(r.getDecimal(3).longValueExact === tx)
-    assert(r.getDecimal(4).longValueExact === ty)
-    assert(r.getDecimal(5).longValueExact === n.toLong * (n - 1) / 2)
+    assert(r.getLong(1) === c)
+    assert(r.getLong(2) === d)
+    assert(r.getLong(3) === tx)
+    assert(r.getLong(4) === ty)
+    assert(r.getLong(5) === n.toLong * (n - 1) / 2)
   }
 
   test("HLL sketches: union of partials ≡ direct sketch; partition-invariant; ±5%") {

