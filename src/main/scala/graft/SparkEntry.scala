@@ -4371,13 +4371,22 @@ object SparkEntry {
       val vectors = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      // scale-aware probing (r17, the r16 100× exclusion's cure): a
+      // FIXED nProbe over a corpus-proportional cell count probes a
+      // vanishing fraction as the corpus grows — exactly how a real
+      // deployment loses recall when nlist scales but nprobe doesn't.
+      // Hold the probe FRACTION at the sf0.01 operating point (8/500 =
+      // 1.6%): nProbe = max(8, cells/64). One count feeds it (the
+      // autoTopK(knownCount) convention).
+      val nVec = vectors.count()
+      val nProbe = math.max(8, (nVec / 40 / 64).toInt)
       val exact = Similarity.bruteForceTopK(vectors, queries, 10, "l2")
         .select(col("qid"), col("label"))
       val resid = annOverlap(exact, Similarity.ivfPqResidualTopK(vectors, queries,
-        k = 10, ivfModulo = 40, nProbe = 8, pqModulo = 25, m = 8,
+        k = 10, ivfModulo = 40, nProbe = nProbe, pqModulo = 25, m = 8,
         trainedNcent = 64))
       val raw = annOverlap(exact, Similarity.ivfPqTopK(vectors, queries,
-        k = 10, ivfModulo = 40, nProbe = 8, pqModulo = 25, m = 8))
+        k = 10, ivfModulo = 40, nProbe = nProbe, pqModulo = 25, m = 8))
       val totals = resid.agg(sum(col("n_common")).as("t_resid"))
         .crossJoin(raw.agg(sum(col("n_common")).as("t_raw")))
         .select((col("t_resid") >= col("t_raw")).as("beats_raw"))
@@ -7998,21 +8007,37 @@ object SparkEntry {
     // element index (→ subspace j = i // 8) rides alongside the values.
     // Scores round to 1e-6 BEFORE ranking on both sides (fp64 sum-order
     // ulps must not flip near-ties between engines).
-    "ann_pq" ->
-      """WITH c AS (SELECT CAST(vec_id // 25 AS BIGINT) AS ci, embedding AS cv
-        |           FROM embeddings WHERE vec_id % 25 = 0),
-        |vd AS (SELECT vec_id, i // 8 AS j, ci, SUM((x-y)*(x-y)) AS d FROM (
-        |  SELECT v.vec_id, c.ci, UNNEST(range(len(v.embedding))) AS i,
-        |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
-        |  FROM embeddings v, c) GROUP BY 1, 2, 3),
-        |assign AS (SELECT vec_id, j, ci FROM (
-        |  SELECT vec_id, j, ci, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, ci) AS rn
-        |  FROM vd) WHERE rn = 1),
+    // r17 (100×-feasible pq oracle): the per-subspace assignment mirrors
+    // PqEncode BIT-EXACTLY — each 8-dim distance is the explicit
+    // left-associated fp64 term sum (the identical IEEE tree PqEncode's
+    // sequential loop evaluates), so the argmin needs no guard band and
+    // no arbitrary-order SUM; the 256-entry codebook cap (vec_id < 6400)
+    // keeps the vd CTE LINEAR in corpus size (the old per-(vector,
+    // centroid, dim) UNNEST was quadratic — the pq-family 100× wall).
+    "ann_pq" -> {
+      val diffs = (1 to 8).map(t =>
+        s"CAST(v.embedding[j.jj*8+$t] AS DOUBLE) - CAST(pc.cv[j.jj*8+$t] AS DOUBLE) AS dx$t")
+        .mkString(",\n      ")
+      val ssum = (1 to 8).map(t => s"dx$t*dx$t").mkString(" + ")
+      s"""WITH pc AS MATERIALIZED (
+        |  SELECT CAST(vec_id // 25 AS BIGINT) AS ci, embedding AS cv
+        |  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 6400),
+        |j AS (SELECT CAST(UNNEST(range(8)) AS BIGINT) AS jj),
+        |vd AS MATERIALIZED (
+        |  SELECT vec_id, ci, jj, $ssum AS d FROM (
+        |    SELECT v.vec_id, pc.ci, j.jj,
+        |      $diffs
+        |    FROM embeddings v, pc, j)),
+        |mn AS (SELECT vec_id, jj, MIN(d) AS md FROM vd GROUP BY 1, 2),
+        |assign AS (SELECT vd.vec_id, vd.jj AS j, MIN(vd.ci) AS ci
+        |  FROM vd JOIN mn ON vd.vec_id = mn.vec_id AND vd.jj = mn.jj
+        |    AND vd.d = mn.md
+        |  GROUP BY 1, 2),
         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
         |qd AS (SELECT qid, i // 8 AS j, ci, SUM((x-y)*(x-y)) AS d FROM (
-        |  SELECT q.qid, c.ci, UNNEST(range(len(q.qv))) AS i,
-        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(c.cv) AS DOUBLE) AS y
-        |  FROM q, c) GROUP BY 1, 2, 3),
+        |  SELECT q.qid, pc.ci, UNNEST(range(len(q.qv))) AS i,
+        |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(pc.cv) AS DOUBLE) AS y
+        |  FROM q, pc) GROUP BY 1, 2, 3),
         |score AS (SELECT qd.qid, a.vec_id AS label,
         |    FLOOR(SUM(qd.d) * 1000000.0 + 0.5) / 1000000.0 AS score
         |  FROM assign a JOIN qd ON qd.j = a.j AND qd.ci = a.ci
@@ -8021,16 +8046,35 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM score)
         |SELECT qid, rank, label, score AS dist
         |FROM ranked WHERE rank <= 10
-        |ORDER BY qid, rank""".stripMargin,
+        |ORDER BY qid, rank""".stripMargin
+    },
 
     // IVFPQ = ann_ivf's coarse assignment/probes ∘ ann_pq's codes/ADC:
     // candidates come from the probed clusters only, scores from the codes
-    "ann_ivfpq" ->
-      """WITH cc AS (SELECT vec_id AS cid, embedding AS ccv FROM embeddings WHERE vec_id % 40 = 0),
+    // r17 (100×-feasible): coarse assignment takes ann_ivf's
+    // magnitude-relative fp32 guard-band prefilter (band only ADDS
+    // candidates to the exact rescore — hashes never move); the PQ half
+    // is ann_pq's capped-codebook explicit-term form. Both CTE families
+    // are linear in corpus size.
+    "ann_ivfpq" -> {
+      val diffs = (1 to 8).map(t =>
+        s"CAST(v.embedding[j.jj*8+$t] AS DOUBLE) - CAST(pc.cv[j.jj*8+$t] AS DOUBLE) AS dx$t")
+        .mkString(",\n      ")
+      val ssum = (1 to 8).map(t => s"dx$t*dx$t").mkString(" + ")
+      s"""WITH cc AS (SELECT vec_id AS cid, embedding AS ccv,
+        |    embedding::FLOAT[64] AS carr FROM embeddings WHERE vec_id % 40 = 0),
+        |v0 AS (SELECT vec_id, embedding, embedding::FLOAT[64] AS varr FROM embeddings),
+        |avc0 AS (SELECT v0.vec_id, cc.cid, array_distance(v0.varr, cc.carr) AS ad
+        |  FROM v0, cc),
+        |amin0 AS (SELECT vec_id, MIN(ad) AS m FROM avc0 GROUP BY vec_id),
+        |vcand0 AS (SELECT a.vec_id, a.cid FROM avc0 a
+        |  JOIN amin0 ON a.vec_id = amin0.vec_id
+        |  WHERE a.ad <= amin0.m * 1.00001 + 1e-3),
         |vcc AS (SELECT vec_id, cid, SUM((x-y)*(x-y)) AS d FROM (
-        |  SELECT v.vec_id, cc.cid,
+        |  SELECT w.vec_id, w.cid,
         |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(cc.ccv) AS DOUBLE) AS y
-        |  FROM embeddings v, cc) GROUP BY 1, 2),
+        |  FROM vcand0 w JOIN v0 v ON w.vec_id = v.vec_id JOIN cc ON w.cid = cc.cid)
+        |  GROUP BY 1, 2),
         |vassign AS (SELECT vec_id, cid FROM (
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         |  FROM vcc) WHERE rn = 1),
@@ -8042,15 +8086,20 @@ object SparkEntry {
         |probes AS (SELECT qid, cid FROM (
         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn
         |  FROM qcc) WHERE rn <= 2),
-        |pc AS (SELECT CAST(vec_id // 25 AS BIGINT) AS ci, embedding AS cv
-        |       FROM embeddings WHERE vec_id % 25 = 0),
-        |vd AS (SELECT vec_id, i // 8 AS j, ci, SUM((x-y)*(x-y)) AS d FROM (
-        |  SELECT v.vec_id, pc.ci, UNNEST(range(len(v.embedding))) AS i,
-        |    CAST(UNNEST(v.embedding) AS DOUBLE) AS x, CAST(UNNEST(pc.cv) AS DOUBLE) AS y
-        |  FROM embeddings v, pc) GROUP BY 1, 2, 3),
-        |assign AS (SELECT vec_id, j, ci FROM (
-        |  SELECT vec_id, j, ci, row_number() OVER (PARTITION BY vec_id, j ORDER BY d, ci) AS rn
-        |  FROM vd) WHERE rn = 1),
+        |pc AS MATERIALIZED (
+        |  SELECT CAST(vec_id // 25 AS BIGINT) AS ci, embedding AS cv
+        |  FROM embeddings WHERE vec_id % 25 = 0 AND vec_id < 6400),
+        |j AS (SELECT CAST(UNNEST(range(8)) AS BIGINT) AS jj),
+        |vd AS MATERIALIZED (
+        |  SELECT vec_id, ci, jj, $ssum AS d FROM (
+        |    SELECT v.vec_id, pc.ci, j.jj,
+        |      $diffs
+        |    FROM embeddings v, pc, j)),
+        |mn AS (SELECT vec_id, jj, MIN(d) AS md FROM vd GROUP BY 1, 2),
+        |assign AS (SELECT vd.vec_id, vd.jj AS j, MIN(vd.ci) AS ci
+        |  FROM vd JOIN mn ON vd.vec_id = mn.vec_id AND vd.jj = mn.jj
+        |    AND vd.d = mn.md
+        |  GROUP BY 1, 2),
         |qd AS (SELECT qid, i // 8 AS j, ci, SUM((x-y)*(x-y)) AS d FROM (
         |  SELECT q.qid, pc.ci, UNNEST(range(len(q.qv))) AS i,
         |    CAST(UNNEST(q.qv) AS DOUBLE) AS x, CAST(UNNEST(pc.cv) AS DOUBLE) AS y
@@ -8067,7 +8116,8 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank FROM score)
         |SELECT qid, rank, label, score AS dist
         |FROM ranked WHERE rank <= 10
-        |ORDER BY qid, rank""".stripMargin,
+        |ORDER BY qid, rank""".stripMargin
+    },
 
     // sign-bit words rebuilt with exact integer arithmetic (63 bits/word
     // keeps every power of two in a signed BIGINT); hamming = popcount of

@@ -1095,8 +1095,16 @@ object Similarity {
     */
   def pqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
              centroidModulo: Int, m: Int = 8): DataFrame = {
+    // codebook CAPPED at 256 entries (r17): real PQ trains 2^8 centroids
+    // per subspace regardless of corpus size — an unbounded modulo
+    // codebook was a gate artifact that ALSO made the assignment oracle
+    // quadratic in n (the 100× pq-family wall). The cap keeps the
+    // codebook the first 256 modulo picks (ids 0, mod, …, mod·255), so
+    // ci = id/mod still equals the positional index on both engines.
     val cents = collectSmall(
-        vectors.filter(col("id") % centroidModulo === 0).select(col("id"), col("vec")),
+        vectors.filter(col("id") % centroidModulo === 0 &&
+          col("id") < lit(centroidModulo.toLong * 256))
+          .select(col("id"), col("vec")),
         "PQ codebook")
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).toArray).toSeq
@@ -1277,8 +1285,12 @@ object Similarity {
         "IVFPQ coarse centroid table")
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
       .sortBy(_._1)
+    // 256-capped codebook (see pqTopK) — fixed size is the real PQ
+    // design and keeps the assignment oracle linear in n
     val pqCents = collectSmall(
-        vectors.filter(col("id") % pqModulo === 0).select(col("id"), col("vec")),
+        vectors.filter(col("id") % pqModulo === 0 &&
+          col("id") < lit(pqModulo.toLong * 256))
+          .select(col("id"), col("vec")),
         "IVFPQ codebook")
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).toArray).toSeq
