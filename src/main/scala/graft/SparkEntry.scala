@@ -7699,7 +7699,7 @@ object SparkEntry {
     // rank keeps), then the exact fp64 formula re-scores survivors.
     "dedup_embedding_cosine" ->
       """WITH a AS (SELECT vec_id, embedding, embedding::FLOAT[64] AS arr FROM embeddings),
-        |approx AS MATERIALIZED (
+        |approx AS (
         |  SELECT x.vec_id AS i, y.vec_id AS j, array_cosine_similarity(x.arr, y.arr) AS ascore
         |  FROM a x JOIN a y ON x.vec_id < y.vec_id),
         |thr AS (SELECT MIN(ascore) AS t FROM (SELECT ascore FROM approx ORDER BY ascore DESC LIMIT 200)),
@@ -9244,9 +9244,20 @@ object SparkEntry {
     // cannot cross it), then the EXACT fp64 sum re-scores survivors and
     // the final rank/ROUND text is unchanged. Replaces an UNNEST plan
     // that exploded n²·d rows and timed out at sf1.
-    "knn_l2_batched" ->
-      """WITH a AS (SELECT vec_id, embedding, embedding::FLOAT[64] AS arr FROM embeddings),
-        |approx AS MATERIALIZED (
+    // r17 (100×-feasible self-kNN oracle): the old MATERIALIZED all-pairs
+    // CTE was the wall (n² rows ≈ 1 TB at the 200k-vector replica) — the
+    // un-materialized form streams the cross join through the quantile
+    // and band passes with bounded memory, and the exact rescore of the
+    // banded candidates is the explicit left-associated 64-term fp64 sum
+    // (the identical IEEE tree SquaredL2Distance's loop evaluates, minus
+    // the per-row list-lambda overhead).
+    "knn_l2_batched" -> {
+      val ds = (1 to 64).map(t =>
+        s"CAST(q.embedding[$t] AS DOUBLE) - CAST(e.embedding[$t] AS DOUBLE) AS d$t")
+        .mkString(",\n      ")
+      val ssum = (1 to 64).map(t => s"d$t*d$t").mkString(" + ")
+      s"""WITH a AS (SELECT vec_id, embedding, embedding::FLOAT[64] AS arr FROM embeddings),
+        |approx AS (
         |  SELECT q.vec_id AS qid, e.vec_id AS label, array_distance(q.arr, e.arr) AS ascore
         |  FROM a q CROSS JOIN a e),
         |thr AS (SELECT qid, quantile_disc(ascore, 0.01) AS t FROM approx GROUP BY qid),
@@ -9258,17 +9269,18 @@ object SparkEntry {
         |  THEN error('knn_l2_batched oracle pre-filter under-selected: 0.01-quantile must give >= k candidates (requires 0.01*n >= k, i.e. n >= 500 at k=5)')
         |  ELSE 1 END AS ok),
         |dists AS (
-        |  SELECT c.qid, c.label,
-        |    list_sum(list_transform(list_zip(q.embedding, e.embedding),
-        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS score
-        |  FROM cand c JOIN a q ON c.qid = q.vec_id JOIN a e ON c.label = e.vec_id),
+        |  SELECT qid, label, $ssum AS score FROM (
+        |    SELECT c.qid, c.label,
+        |      $ds
+        |    FROM cand c JOIN a q ON c.qid = q.vec_id JOIN a e ON c.label = e.vec_id)),
         |ranked AS (
         |  SELECT qid, label, score,
         |    row_number() OVER (PARTITION BY qid ORDER BY score, label) AS rank
         |  FROM dists)
         |SELECT qid, rank, label, CAST(FLOOR(score * 10000.0 + 0.5) AS BIGINT) AS dist_e4
         |FROM ranked WHERE rank <= 5 AND (SELECT ok FROM guard) = 1
-        |ORDER BY qid, rank""".stripMargin,
+        |ORDER BY qid, rank""".stripMargin
+    },
 
     "vec_range_search" ->
       """WITH q AS (
