@@ -9245,12 +9245,17 @@ object SparkEntry {
     // the final rank/ROUND text is unchanged. Replaces an UNNEST plan
     // that exploded n²·d rows and timed out at sf1.
     // r17 (100×-feasible self-kNN oracle): the old MATERIALIZED all-pairs
-    // CTE was the wall (n² rows ≈ 1 TB at the 200k-vector replica) — the
-    // un-materialized form streams the cross join through the quantile
-    // and band passes with bounded memory, and the exact rescore of the
-    // banded candidates is the explicit left-associated 64-term fp64 sum
-    // (the identical IEEE tree SquaredL2Distance's loop evaluates, minus
-    // the per-row list-lambda overhead).
+    // CTE was the wall (n² rows ≈ 1 TB at the 200k-vector replica), and
+    // the per-qid quantile threshold was a second wall (quantile_disc is
+    // HOLISTIC — it buffers every ascore, 320 GB at n²=4e10). The
+    // un-materialized form streams the cross join, and the band
+    // threshold is the 5th-smallest per-(qid, label%256) BUCKET MIN —
+    // five distinct values upper-bound the 5th order statistic, so
+    // coverage of the exact top-5 is guaranteed, state is bounded
+    // (256 minima per query), and the band stays tight (~the 5th-15th
+    // order stat). Exact rescore of the banded candidates is the
+    // explicit left-associated 64-term fp64 sum (the identical IEEE tree
+    // SquaredL2Distance's loop evaluates, minus list-lambda overhead).
     "knn_l2_batched" -> {
       val ds = (1 to 64).map(t =>
         s"CAST(q.embedding[$t] AS DOUBLE) - CAST(e.embedding[$t] AS DOUBLE) AS d$t")
@@ -9260,13 +9265,18 @@ object SparkEntry {
         |approx AS (
         |  SELECT q.vec_id AS qid, e.vec_id AS label, array_distance(q.arr, e.arr) AS ascore
         |  FROM a q CROSS JOIN a e),
-        |thr AS (SELECT qid, quantile_disc(ascore, 0.01) AS t FROM approx GROUP BY qid),
+        |bm AS (SELECT qid, label % 256 AS bk, MIN(ascore) AS m
+        |  FROM approx GROUP BY 1, 2),
+        |thr AS (SELECT qid, MAX(m) AS t FROM (
+        |    SELECT qid, m, row_number() OVER (PARTITION BY qid ORDER BY m) AS rn
+        |    FROM bm) WHERE rn <= 5
+        |  GROUP BY qid),
         |cand AS MATERIALIZED (
         |  SELECT ap.qid, ap.label FROM approx ap JOIN thr ON ap.qid = thr.qid
         |  WHERE ap.ascore <= thr.t * 1.00001 + 1e-3),
         |guard AS (SELECT CASE WHEN (
         |    SELECT MIN(c) FROM (SELECT COUNT(*) AS c FROM cand GROUP BY qid)) < 5
-        |  THEN error('knn_l2_batched oracle pre-filter under-selected: 0.01-quantile must give >= k candidates (requires 0.01*n >= k, i.e. n >= 500 at k=5)')
+        |  THEN error('knn_l2_batched oracle pre-filter under-selected: the 5th-smallest bucket-min must bound >= k candidates')
         |  ELSE 1 END AS ok),
         |dists AS (
         |  SELECT qid, label, $ssum AS score FROM (
@@ -9927,15 +9937,16 @@ object SparkEntry {
     "q_fuzzy_join" ->
       """WITH c AS (SELECT c_custkey AS id, c_name AS k FROM customer),
         |p AS (SELECT unnest(range(-1, (SELECT MAX(length(k)) FROM c))) AS pos),
-        |v AS (SELECT id, k, CASE WHEN pos < 0 THEN k
+        |v AS MATERIALIZED (SELECT id, k, CASE WHEN pos < 0 THEN k
         |        ELSE substr(k, 1, pos) || substr(k, pos + 2) END AS variant
         |      FROM c JOIN p ON pos < length(k)),
         |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
         |            a.k AS k_a, b.k AS k_b
-        |          FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id)
+        |          FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+        |          WHERE levenshtein(a.k, b.k) <= 1)
         |SELECT id_a AS custkey_a, id_b AS custkey_b,
         |  CAST(levenshtein(k_a, k_b) AS BIGINT) AS dist
-        |FROM pairs WHERE levenshtein(k_a, k_b) <= 1
+        |FROM pairs
         |ORDER BY custkey_a, custkey_b""".stripMargin,
 
     "q_attribution_linear" ->
@@ -9963,17 +9974,18 @@ object SparkEntry {
       // on 3000 random pairs, incl. the empty→0.0 edge)
       """WITH c AS (SELECT c_custkey AS id, c_name AS k FROM customer),
         |p AS (SELECT unnest(range(-1, (SELECT MAX(length(k)) FROM c))) AS pos),
-        |v AS (SELECT id, k, CASE WHEN pos < 0 THEN k
+        |v AS MATERIALIZED (SELECT id, k, CASE WHEN pos < 0 THEN k
         |        ELSE substr(k, 1, pos) || substr(k, pos + 2) END AS variant
         |      FROM c JOIN p ON pos < length(k)),
         |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
         |            a.k AS k_a, b.k AS k_b
-        |          FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id)
+        |          FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
+        |          WHERE levenshtein(a.k, b.k) <= 1)
         |SELECT id_a AS custkey_a, id_b AS custkey_b,
         |  CAST(levenshtein(k_a, k_b) AS BIGINT) AS dist,
         |  CAST(FLOOR(jaro_winkler_similarity(k_a, k_b) * 1000000.0 + 0.5)
         |    AS BIGINT) AS jw_e6
-        |FROM pairs WHERE levenshtein(k_a, k_b) <= 1
+        |FROM pairs
         |ORDER BY custkey_a, custkey_b""".stripMargin,
 
     // identical sort-scan formulation (Skyline.skyline2dSql)

@@ -1298,12 +1298,21 @@ object Dedup {
       .localCheckpoint(true)
     val a = keyed.select(col("variant"), col("id").as("id_a"), col("k").as("k_a"))
     val b = keyed.select(col("variant"), col("id").as("id_b"), col("k").as("k_b"))
+    // levenshtein BEFORE distinct (r17): the join output is the part
+    // that explodes (co-partitioned on variant, so the explosion exists
+    // only INSIDE tasks), and shuffling it into a distinct — billions of
+    // rows carrying two name strings each at the 1.5M-name replica —
+    // filled ~90 GB of spill and took the box down. Filtering to true
+    // edit-≤1 pairs first is a narrow map (a pair duplicated across L
+    // shared variants costs L cheap levenshteins), and only the tiny
+    // true-pair set ever shuffles. distinct∘filter ≡ filter∘distinct:
+    // dist is a pure function of the row.
     a.join(b, Seq("variant"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("k_a"), col("k_b"))
-      .distinct()
       .withColumn("dist", levenshtein(col("k_a"), col("k_b")).cast(LongType))
       .filter(col("dist") <= 1)
+      .distinct()
   }
 
   /** Record linkage with Jaro-Winkler scoring: the same recall-complete

@@ -17,10 +17,12 @@ import org.apache.spark.sql.types._
   *
   * Exactness contract: an iterative double-precision computation is only
   * oracle-able if the floating-point reduction order cannot influence the
-  * result. Each iteration therefore quantizes per-edge contributions to
-  * `DECIMAL(28,14)` and sums them EXACTLY in decimal (associative), then
-  * applies the damping update with two scalar IEEE ops. Both engines
-  * perform the identical sequence, so ranks agree bit-for-bit at every
+  * result. Each iteration therefore quantizes per-edge contributions
+  * through the e14 FLOOR witness `floor(x·1e14 + ½)` (pure mirrored IEEE
+  * ops — a double→DECIMAL cast is engine-defined HALF_UP rounding, r17)
+  * and sums the exact integers in DECIMAL(38,0), then applies the
+  * damping update with mirrored scalar IEEE ops. Both engines perform
+  * the identical sequence, so ranks agree bit-for-bit at every
   * iteration — the `simhashBitSql` / `zorderSqlExpr` shared-arithmetic
   * pattern extended to fixpoint iteration ([[pageRankSql]] generates the
   * unrolled oracle from the same constants).
@@ -64,7 +66,7 @@ object Graph {
     *
     *   r'(v) = (1 - d) + d * Σ_{u→v} q(r(u) / odeg(u))
     *
-    * where `q` quantizes to DECIMAL(28,14) so the sum is exact decimal
+    * where `q` is the e14 floor witness, so the sum is exact integer
     * arithmetic — reduction-order-independent, hence oracle-able.
     * Isolated nodes (no in-edges) settle at `1 - d`.
     *
@@ -97,16 +99,24 @@ object Graph {
     var ranks = n.withColumn("r", lit(1.0))
     for (_ <- 1 to iters) {
       val rSide = maybeBcast(ranks)
+      // e14 FLOOR-witness quantization (r17): CAST(double AS DECIMAL)
+      // rounds HALF_UP on the double's decimal expansion in Spark but
+      // scale-and-rints in DuckDB — ONE contribution at a 14-dp boundary
+      // flipped a rank's 9-dp repr at the 100x replica (q_ppr_seeded,
+      // 2/2M rows). floor(x·1e14 + ½) is pure mirrored IEEE; the exact
+      // integer sum rides DECIMAL(38,0) (in-degree · 1e14 overflows
+      // int64 past ~92k contributions).
       val contrib = e.join(rSide, e("src") === rSide("id"))
         .join(degSide, Seq("src"))
         .select(col("dst").as("id"),
-          (col("r") / col("odeg")).cast(DecimalType(28, 14)).as("c"))
+          floor(col("r") / col("odeg") * lit(1e14) + lit(0.5))
+            .cast(DecimalType(38, 0)).as("c"))
       val sums = contrib.groupBy("id").agg(sum(col("c")).as("s"))
       ranks = n.join(sums, Seq("id"), "left")
         .select(col("id"),
           (lit(1.0 - damping) +
-            lit(damping) * coalesce(col("s"), lit(0).cast(DecimalType(28, 14)))
-              .cast(DoubleType)).as("r"))
+            lit(damping) * (coalesce(col("s"), lit(0).cast(DecimalType(38, 0)))
+              .cast(DoubleType) / lit(1e14))).as("r"))
         .localCheckpoint(true)
     }
     ranks
@@ -121,8 +131,9 @@ object Graph {
     *   a'(v) = Σ_{u→v} q(h(u));  h'(u) = Σ_{u→v} q(a'(v));
     *   then both sides normalize by their max.
     *
-    * Same exactness contract as [[pageRank]]: contributions quantize to
-    * DECIMAL(28,14) (exact associative sums), and the normalizer is MAX
+    * Same exactness contract as [[pageRank]]: contributions quantize
+    * through the e14 floor witness (exact associative sums), and the
+    * normalizer is MAX
     * — order-independent by construction — so the fixpoint is
     * reproducible across engines and [[hitsSql]] can unroll the oracle.
     * Max-normalization (not L2) keeps the arithmetic exact-comparable;
@@ -143,7 +154,7 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
     val n = nodes.select(col("id")).distinct().localCheckpoint(true)
     val nV = n.count()
-    val dec = DecimalType(28, 14)
+    val dec = DecimalType(38, 0)
 
     def bc(df: DataFrame): DataFrame =
       if (broadcastRanks && nV <= broadcastNodeCap) broadcast(df) else df
@@ -158,20 +169,25 @@ object Graph {
     var auth = n.withColumn("a", lit(0.0))
     for (_ <- 1 to iters) {
       val hSide = bc(hub)
+      // e14 FLOOR witness — see pageRank (r17)
       val aSums = e.join(hSide, e("src") === hSide("id"))
-        .select(col("dst").as("id"), col("h").cast(dec).as("c"))
+        .select(col("dst").as("id"),
+          floor(col("h") * lit(1e14) + lit(0.5)).cast(dec).as("c"))
         .groupBy("id").agg(sum(col("c")).as("s"))
       auth = normalized(
         n.join(aSums, Seq("id"), "left")
-          .select(col("id"), coalesce(col("s").cast(DoubleType), lit(0.0)).as("a")),
+          .select(col("id"),
+            coalesce(col("s").cast(DoubleType) / lit(1e14), lit(0.0)).as("a")),
         "a").localCheckpoint(true)
       val aSide = bc(auth)
       val hSums = e.join(aSide, e("dst") === aSide("id"))
-        .select(col("src").as("id"), col("a").cast(dec).as("c"))
+        .select(col("src").as("id"),
+          floor(col("a") * lit(1e14) + lit(0.5)).cast(dec).as("c"))
         .groupBy("id").agg(sum(col("c")).as("s"))
       hub = normalized(
         n.join(hSums, Seq("id"), "left")
-          .select(col("id"), coalesce(col("s").cast(DoubleType), lit(0.0)).as("h")),
+          .select(col("id"),
+            coalesce(col("s").cast(DoubleType) / lit(1e14), lit(0.0)).as("h")),
         "h").localCheckpoint(true)
     }
     hub.join(auth, Seq("id"))
@@ -186,17 +202,21 @@ object Graph {
     sb.append("h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS h FROM n)")
     for (i <- 1 to iters) {
       sb.append(s""",
-as$i AS MATERIALIZED (SELECT e.dst AS id, SUM(CAST(h.h AS DECIMAL(28,14))) AS s
+as$i AS MATERIALIZED (SELECT e.dst AS id,
+           SUM(CAST(FLOOR(h.h * 100000000000000.0 + 0.5) AS HUGEINT)) AS s
          FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst),
 ar$i AS MATERIALIZED (SELECT n.id,
-           COALESCE(CAST(as$i.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS a
+           COALESCE(CAST(as$i.s AS DOUBLE) / 100000000000000.0,
+             CAST(0.0 AS DOUBLE)) AS a
          FROM n LEFT JOIN as$i ON n.id = as$i.id),
 a$i AS MATERIALIZED (SELECT id, a / (CASE WHEN (SELECT MAX(a) FROM ar$i) > 0
           THEN (SELECT MAX(a) FROM ar$i) ELSE 1.0 END) AS a FROM ar$i),
-hs$i AS MATERIALIZED (SELECT e.src AS id, SUM(CAST(a.a AS DECIMAL(28,14))) AS s
+hs$i AS MATERIALIZED (SELECT e.src AS id,
+           SUM(CAST(FLOOR(a.a * 100000000000000.0 + 0.5) AS HUGEINT)) AS s
          FROM e JOIN a$i a ON e.dst = a.id GROUP BY e.src),
 hr$i AS MATERIALIZED (SELECT n.id,
-           COALESCE(CAST(hs$i.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS h
+           COALESCE(CAST(hs$i.s AS DOUBLE) / 100000000000000.0,
+             CAST(0.0 AS DOUBLE)) AS h
          FROM n LEFT JOIN hs$i ON n.id = hs$i.id),
 h$i AS MATERIALIZED (SELECT id, h / (CASE WHEN (SELECT MAX(h) FROM hr$i) > 0
           THEN (SELECT MAX(h) FROM hr$i) ELSE 1.0 END) AS h FROM hr$i)""")
@@ -214,8 +234,8 @@ h$i AS MATERIALIZED (SELECT id, h / (CASE WHEN (SELECT MAX(h) FROM hr$i) > 0
     *   r'(v) = (1 - d)·[v ∈ S] + d · Σ_{u→v} q(r(u) / odeg(u)),
     *   init r = [v ∈ S]
     *
-    * Same decimal-quantization exactness contract and per-iteration cost
-    * as [[pageRank]]; the seed indicator rides as a 0/1 column on the
+    * Same floor-witness exactness contract and per-iteration cost as
+    * [[pageRank]]; the seed indicator rides as a 0/1 column on the
     * broadcast node vector.
     */
   def pageRankSeeded(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
@@ -238,16 +258,18 @@ h$i AS MATERIALIZED (SELECT id, h / (CASE WHEN (SELECT MAX(h) FROM hr$i) > 0
     var ranks = n.select(col("id"), col("seed").as("r"))
     for (_ <- 1 to iters) {
       val rSide = maybeBcast(ranks)
+      // e14 FLOOR witness — see pageRank (r17)
       val contrib = e.join(rSide, e("src") === rSide("id"))
         .join(degSide, Seq("src"))
         .select(col("dst").as("id"),
-          (col("r") / col("odeg")).cast(DecimalType(28, 14)).as("c"))
+          floor(col("r") / col("odeg") * lit(1e14) + lit(0.5))
+            .cast(DecimalType(38, 0)).as("c"))
       val sums = contrib.groupBy("id").agg(sum(col("c")).as("s"))
       ranks = n.join(sums, Seq("id"), "left")
         .select(col("id"),
           (lit(1.0 - damping) * col("seed") +
-            lit(damping) * coalesce(col("s"), lit(0).cast(DecimalType(28, 14)))
-              .cast(DoubleType)).as("r"))
+            lit(damping) * (coalesce(col("s"), lit(0).cast(DecimalType(38, 0)))
+              .cast(DoubleType) / lit(1e14))).as("r"))
         .localCheckpoint(true)
     }
     ranks
@@ -270,12 +292,13 @@ h$i AS MATERIALIZED (SELECT id, h / (CASE WHEN (SELECT MAX(h) FROM hr$i) > 0
     sb.append("r0 AS (SELECT id, seed AS r FROM n)")
     for (i <- 1 to iters) {
       sb.append(s""",
-s$i AS MATERIALIZED (SELECT e.dst AS id, SUM(CAST(r.r / deg.odeg AS DECIMAL(28,14))) AS s
+s$i AS MATERIALIZED (SELECT e.dst AS id,
+          SUM(CAST(FLOOR(r.r / deg.odeg * 100000000000000.0 + 0.5) AS HUGEINT)) AS s
         FROM e JOIN r${i - 1} r ON e.src = r.id JOIN deg ON deg.src = e.src
         GROUP BY e.dst),
 r$i AS MATERIALIZED (SELECT n.id,
           CAST($base AS DOUBLE) * n.seed + CAST($damping AS DOUBLE) *
-            CAST(COALESCE(s$i.s, CAST(0 AS DECIMAL(28,14))) AS DOUBLE) AS r
+            (CAST(COALESCE(s$i.s, 0) AS DOUBLE) / 100000000000000.0) AS r
         FROM n LEFT JOIN s$i ON n.id = s$i.id)""")
     }
     sb.append(s"\nSELECT id, r FROM r$iters")
@@ -298,12 +321,13 @@ r$i AS MATERIALIZED (SELECT n.id,
     sb.append("r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS r FROM n)")
     for (i <- 1 to iters) {
       sb.append(s""",
-s$i AS MATERIALIZED (SELECT e.dst AS id, SUM(CAST(r.r / deg.odeg AS DECIMAL(28,14))) AS s
+s$i AS MATERIALIZED (SELECT e.dst AS id,
+          SUM(CAST(FLOOR(r.r / deg.odeg * 100000000000000.0 + 0.5) AS HUGEINT)) AS s
         FROM e JOIN r${i - 1} r ON e.src = r.id JOIN deg ON deg.src = e.src
         GROUP BY e.dst),
 r$i AS MATERIALIZED (SELECT n.id,
           CAST($base AS DOUBLE) + CAST($damping AS DOUBLE) *
-            CAST(COALESCE(s$i.s, CAST(0 AS DECIMAL(28,14))) AS DOUBLE) AS r
+            (CAST(COALESCE(s$i.s, 0) AS DOUBLE) / 100000000000000.0) AS r
         FROM n LEFT JOIN s$i ON n.id = s$i.id)""")
     }
     sb.append(s"\nSELECT id, r FROM r$iters")

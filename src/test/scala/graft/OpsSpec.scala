@@ -1123,10 +1123,16 @@ class OpsSpec extends AnyFunSuite {
     val big = spark.range(140000).select(col("id"),
       array(lit(1.0f), lit(2.0f)).as("vec"))
     val q2 = Seq((0L, Array(1.0f, 2.0f))).toDF("qid", "qv")
+    // r17: pqTopK's codebook is structurally capped at 256 entries (the
+    // real PQ design), so modulo 1 on a 140k corpus no longer OOMs the
+    // collect — assert the cap holds instead, and exercise the oversize
+    // guard through the IVF centroid collect, which is deliberately
+    // uncapped (nlist ∝ n is that family's documented convention)
+    assert(Similarity.pqTopK(big, q2, 1, centroidModulo = 1, m = 1).count() === 1)
     val e = intercept[IllegalArgumentException] {
-      Similarity.pqTopK(big, q2, 1, centroidModulo = 1, m = 1)
+      Similarity.ivfTopK(big, q2, 1, centroidModulo = 1, nProbe = 1)
     }
-    assert(e.getMessage.contains("codebook"))
+    assert(e.getMessage.contains("IVF centroid table"))
   }
 
   test("IVFPQ: probing ALL clusters degenerates to plain PQ; pruning keeps probed-cluster hits only") {

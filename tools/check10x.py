@@ -15,7 +15,7 @@ Usage: python3 tools/check10x.py [sfdir] [outdir] [timeout_s] [summary.json]
 """
 import sys, json, math, glob, os, time, multiprocessing as mp
 
-WORKERS = 8
+WORKERS = int(os.environ.get("CHECK10X_WORKERS", "8"))
 
 # Per-query timeout multipliers (r17): the r16 "iterative graph wall"
 # exclusions were a BUDGET problem, not a feasibility wall — q_pagerank's
@@ -155,8 +155,12 @@ def main():
                 fails += 1
                 done.append(name)
             elif time.time() > deadline:
-                proc.terminate()
-                proc.join()
+                # SIGKILL, not SIGTERM: a DuckDB worker deep in a native
+                # pipeline ignores terminate() and the join() would hang
+                # the whole gate (observed r17: three workers wedged 1-2h
+                # past deadline)
+                proc.kill()
+                proc.join(30)
                 n = spark_rows(outdir, name)
                 print(f"ORACLE_TIMEOUT {name}: oracle exceeded {timeout}s in "
                       f"DuckDB (spark rows={n})", flush=True)
