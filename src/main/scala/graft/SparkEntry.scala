@@ -67,7 +67,7 @@ object SparkEntry {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     Similarity.bruteForceTopK(vectors, queries, k, metric)
       .select(col("qid"), col("rank"), col("label"),
-        floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
+        e4Witness(col("score")).as("dist_e4"))
       .orderBy("qid", "rank")
   }
 
@@ -230,8 +230,8 @@ object SparkEntry {
       agg.select(col("o_year"),
           coalesce(col("nv"), lit(0).cast(DecimalType(18, 2))).cast(DoubleType).as("nation_vol"),
           col("tv").cast(DoubleType).as("total_vol"),
-          floor(coalesce(col("nv"), lit(0).cast(DecimalType(18, 2))).cast(DoubleType) /
-            col("tv").cast(DoubleType) * lit(1e6) + lit(0.5)).cast(LongType).as("share_e6"))
+          e6Witness(coalesce(col("nv"), lit(0).cast(DecimalType(18, 2))).cast(DoubleType) /
+            col("tv").cast(DoubleType)).as("share_e6"))
         .withColumn("mkt_share", col("share_e6").cast(DoubleType) / 1e6)
         .orderBy("o_year")
     },
@@ -367,8 +367,8 @@ object SparkEntry {
         .agg(
           min(when(col("measure") === "qty" && col("q") === 0.5, col("value"))).as("p50_qty"),
           min(when(col("measure") === "qty" && col("q") === 0.9, col("value"))).as("p90_qty"),
-          floor(min(when(col("measure") === "price" && col("q") === 0.5,
-            col("value"))) * lit(1e4) + lit(0.5)).cast(LongType)
+          e4Witness(min(when(col("measure") === "price" && col("q") === 0.5,
+            col("value"))))
             .as("p50_price_e4"))
         .orderBy("l_returnflag")
     },
@@ -394,8 +394,8 @@ object SparkEntry {
           abs(col("v") - col("med")).as("ad"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          floor(min(col("med")) * lit(1e4) + lit(0.5)).cast(LongType).as("med_e4"),
-          floor(min(col("mad")) * lit(1e4) + lit(0.5)).cast(LongType).as("mad_e4"),
+          e4Witness(min(col("med"))).as("med_e4"),
+          e4Witness(min(col("mad"))).as("mad_e4"),
           sum(when(col("ad") > lit(3.0) * lit(1.4826) * col("mad"), lit(1L))
             .otherwise(lit(0L))).as("n_outliers"))
         .orderBy("o_orderpriority")
@@ -416,12 +416,9 @@ object SparkEntry {
           col("l_quantity").cast(LongType).as("wt")),
         "l_returnflag", "v", Seq(0.25, 0.5, 0.75), weightCol = Some("wt"))
       qd.groupBy(col("g").as("l_returnflag"))
-        .agg(floor(min(when(col("q") === 0.25, col("value"))) * lit(1e4)
-            + lit(0.5)).cast(LongType).as("w_p25_e4"),
-          floor(min(when(col("q") === 0.5, col("value"))) * lit(1e4)
-            + lit(0.5)).cast(LongType).as("w_p50_e4"),
-          floor(min(when(col("q") === 0.75, col("value"))) * lit(1e4)
-            + lit(0.5)).cast(LongType).as("w_p75_e4"))
+        .agg(e4Witness(min(when(col("q") === 0.25, col("value")))).as("w_p25_e4"),
+          e4Witness(min(when(col("q") === 0.5, col("value")))).as("w_p50_e4"),
+          e4Witness(min(when(col("q") === 0.75, col("value")))).as("w_p75_e4"))
         .orderBy("l_returnflag")
     },
 
@@ -447,14 +444,14 @@ object SparkEntry {
           greatest(least(col("o_totalprice"), col("p95")), col("p05")).as("wp"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          floor(min(col("p05")) * lit(1e4) + lit(0.5)).cast(LongType).as("p05_e4"),
-          floor(min(col("p95")) * lit(1e4) + lit(0.5)).cast(LongType).as("p95_e4"),
+          e4Witness(min(col("p05"))).as("p05_e4"),
+          e4Witness(min(col("p95"))).as("p95_e4"),
           sum(when(col("o_totalprice") < col("p05"), lit(1L)).otherwise(lit(0L))).as("n_low"),
           sum(when(col("o_totalprice") > col("p95"), lit(1L)).otherwise(lit(0L))).as("n_high"),
-          floor(sum(col("o_totalprice").cast(DecimalType(25, 6))).cast(DoubleType) /
-            count(lit(1)) * lit(1e4) + lit(0.5)).cast(LongType).as("mean_raw_e4"),
-          floor(sum(col("wp").cast(DecimalType(25, 6))).cast(DoubleType) /
-            count(lit(1)) * lit(1e4) + lit(0.5)).cast(LongType).as("mean_wins_e4"))
+          e4Witness(sum(col("o_totalprice").cast(DecimalType(25, 6))).cast(DoubleType) /
+            count(lit(1))).as("mean_raw_e4"),
+          e4Witness(sum(col("wp").cast(DecimalType(25, 6))).cast(DoubleType) /
+            count(lit(1))).as("mean_wins_e4"))
         .orderBy("o_orderpriority")
     },
 
@@ -490,7 +487,7 @@ object SparkEntry {
         .filter(abs(col("z_raw")) > 2.0) // filter on the UNROUNDED z, like the oracle
         .select(col("event_type"),
           date_format(col("h"), "yyyy-MM-dd HH").as("hour"), col("c"),
-          floor(col("z_raw") * lit(1e4) + lit(0.5)).cast(LongType).as("z_e4"))
+          e4Witness(col("z_raw")).as("z_e4"))
         .orderBy("event_type", "hour")
     },
 
@@ -555,7 +552,7 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.shuffleTiledTopK(vectors, queries, k = 10, metric = "l2")
         .select(col("qid"), col("rank"), col("label"),
-          floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
+          e4Witness(col("score")).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -577,7 +574,7 @@ object SparkEntry {
           .groupBy(col("qid"))
           .agg(topK(col("score"), col("label"), 10, ascending = true).as("hits")))
         .select(col("qid"), col("rank"), col("label"),
-          floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
+          e4Witness(col("score")).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -605,8 +602,7 @@ object SparkEntry {
         .filter(col("vec_id").isin(3, 7, 11))
         .select(col("vec_id"), posexplode(col("embedding")))
         .select(col("vec_id"), (col("pos") + 1).cast(LongType).as("pos"),
-          floor(col("col").cast(DoubleType) * lit(1e4) + lit(0.5))
-            .cast(LongType).as("val_e4"))
+          e4Witness(col("col").cast(DoubleType)).as("val_e4"))
         .orderBy("vec_id", "pos")
     },
 
@@ -623,10 +619,10 @@ object SparkEntry {
           dequantizeF16(quantizeF16(col("embedding"))).as("deq"))
         .select(col("vec_id"),
           size(col("embedding")).cast(LongType).as("n_dims"),
-          floor(aggregate(
+          e6Witness(aggregate(
             zip_with(col("embedding"), col("deq"), (a, b) => abs(a - b)),
             lit(0.0), (acc, x) => greatest(acc, x.cast(DoubleType)))
-            * lit(1e6) + lit(0.5)).cast(LongType).as("max_abs_err_e6"))
+           ).as("max_abs_err_e6"))
         .orderBy("vec_id")
     },
 
@@ -638,10 +634,10 @@ object SparkEntry {
           dequantizeBf16(quantizeBf16(col("embedding"))).as("deq"))
         .select(col("vec_id"),
           size(col("embedding")).cast(LongType).as("n_dims"),
-          floor(aggregate(
+          e6Witness(aggregate(
             zip_with(col("embedding"), col("deq"), (a, b) => abs(a - b)),
             lit(0.0), (acc, x) => greatest(acc, x.cast(DoubleType)))
-            * lit(1e6) + lit(0.5)).cast(LongType).as("max_abs_err_e6"))
+           ).as("max_abs_err_e6"))
         .orderBy("vec_id")
     },
 
@@ -655,9 +651,9 @@ object SparkEntry {
         count(lit(1)).as("n_langs"))
       counts.crossJoin(total)
         .select(col("lang"), col("n_docs"), col("n_chars"),
-          floor(col("total").cast(DoubleType) /
+          e6Witness(col("total").cast(DoubleType) /
             (col("n_langs").cast(DoubleType) * col("n_docs").cast(DoubleType))
-            * lit(1e6) + lit(0.5)).cast(LongType).as("upsample_weight_e6"))
+           ).as("upsample_weight_e6"))
         .orderBy("lang")
     },
 
@@ -704,8 +700,7 @@ object SparkEntry {
     "vec_norms" -> { (s, dir) =>
       Tables(s, dir, "embeddings")
         .select(col("vec_id"),
-          floor(vectorNormSq(col("embedding")) * lit(1e4) + lit(0.5))
-            .cast(LongType).as("norm_sq_e4"))
+          e4Witness(vectorNormSq(col("embedding"))).as("norm_sq_e4"))
         .orderBy("vec_id")
     },
 
@@ -875,8 +870,7 @@ object SparkEntry {
       val k = touches.groupBy("p_eid").agg(count(lit(1)).as("k"))
       touches.join(k, "p_eid")
         .groupBy(col("c_eid").as("event_id"), col("user_id"))
-        .agg(floor(sum(col("value") / col("k")) * lit(1e6) + lit(0.5))
-            .cast(LongType).as("attr_revenue_e6"),
+        .agg(e6Witness(sum(col("value") / col("k"))).as("attr_revenue_e6"),
           count(lit(1)).as("n_purchases"))
         .orderBy("event_id")
     },
@@ -1122,7 +1116,7 @@ object SparkEntry {
       Similarity.autoTopK(train, evalQ, k = 5, metric = "cosine")
         .select(col("qid").as("eval_id"), col("rank"),
           col("label").as("train_id"),
-          floor(col("score") * lit(1e6) + lit(0.5)).cast(LongType).as("cos_e6"))
+          e6Witness(col("score")).as("cos_e6"))
         .orderBy("eval_id", "rank")
     },
 
@@ -1157,7 +1151,7 @@ object SparkEntry {
       BloomJoin.bloomPrunedJoin(big, small, "o_orderkey")
         .groupBy("o_orderkey")
         .agg(count(lit(1)).as("n_items"),
-          floor(sum(col("l_quantity")) * lit(1e4) + lit(0.5)).cast(LongType)
+          e4Witness(sum(col("l_quantity")))
             .as("sum_qty_e4"))
         .orderBy("o_orderkey")
     },
@@ -1232,9 +1226,9 @@ object SparkEntry {
         .agg(sum((lit(2L) * col("rank") - lit(n + 1)).cast(DecimalType(38, 0)) *
           col("cents").cast(DecimalType(38, 0)))).head().getDecimal(0)
       s.range(1).select(lit(n).as("n_customers"), lit(tot).as("total_cents"),
-        floor(lit(num.toPlainString).cast(DecimalType(38, 0)).cast(DoubleType) /
+        e6Witness(lit(num.toPlainString).cast(DecimalType(38, 0)).cast(DoubleType) /
           (lit(n).cast(DoubleType) * lit(tot).cast(DoubleType))
-          * lit(1e6) + lit(0.5)).cast(LongType).as("gini_e6"))
+         ).as("gini_e6"))
     },
 
     // Lorenz-curve decile shares — the distribution behind the Gini
@@ -1253,8 +1247,8 @@ object SparkEntry {
         .groupBy("decile")
         .agg(count(lit(1)).as("n_customers"), sum(col("cents")).as("cents"))
         .select(col("decile"), col("n_customers"), col("cents"),
-          floor(col("cents").cast(DoubleType) / lit(tot.toDouble)
-            * lit(1e6) + lit(0.5)).cast(LongType).as("share_e6"))
+          e6Witness(col("cents").cast(DoubleType) / lit(tot.toDouble)
+           ).as("share_e6"))
         .orderBy("decile")
     },
 
@@ -1298,7 +1292,7 @@ object SparkEntry {
       Scan.timeDecayedSum(ev, Seq("user_id"), Seq("ts_us", "event_id"),
           "ts_us", "one", halfLifeUs = 3600L * 1000000L)
         .select(col("user_id"), col("event_id"),
-          floor(col("decayed") * lit(1e6) + lit(0.5)).cast(LongType)
+          e6Witness(col("decayed"))
             .as("decayed_e6"))
         .orderBy("user_id", "event_id")
     },
@@ -1344,7 +1338,7 @@ object SparkEntry {
         .agg(count(lit(1)).cast(DoubleType).as("cnt"))
       Scan.ewma(daily, Seq("n_name"), Seq("d"), "cnt", alpha = 0.25)
         .select(col("n_name"), col("d"),
-          floor(col("ewma") * lit(1e6) + lit(0.5)).cast(LongType).as("ewma_e6"))
+          e6Witness(col("ewma")).as("ewma_e6"))
         .orderBy("n_name", "d")
     },
 
@@ -1369,10 +1363,9 @@ object SparkEntry {
       smoothed.withColumn("rr", row_number().over(w))
         .filter(col("rr") <= 5)
         .select(col("n_name"), col("d"), col("cnt").cast(LongType).as("cnt"),
-          floor(col("level") * lit(1e6) + lit(0.5)).cast(LongType).as("level_e6"),
-          floor(col("trend") * lit(1e6) + lit(0.5)).cast(LongType).as("trend_e6"),
-          floor((col("level") + lit(7.0) * col("trend")) * lit(1e6) + lit(0.5))
-            .cast(LongType).as("forecast7_e6"))
+          e6Witness(col("level")).as("level_e6"),
+          e6Witness(col("trend")).as("trend_e6"),
+          e6Witness((col("level") + lit(7.0) * col("trend"))).as("forecast7_e6"))
         .orderBy("n_name", "d")
     },
 
@@ -1410,10 +1403,10 @@ object SparkEntry {
         .select(col("vec_id"), col("embedding"), col("scale"),
           explode(col("embedding")).as("e"))
         .groupBy(col("vec_id"))
-        .agg(floor(first(col("scale")) * lit(1e6) + lit(0.5)).cast(LongType)
+        .agg(e6Witness(first(col("scale")))
             .as("scale_e6"),
-          floor(max(when(col("scale") > 0, abs(x - q * col("scale")))
-            .otherwise(0.0)) * lit(1e6) + lit(0.5)).cast(LongType)
+          e6Witness(max(when(col("scale") > 0, abs(x - q * col("scale")))
+            .otherwise(0.0)))
             .as("max_abs_err_e6"))
         .orderBy("vec_id")
     },
@@ -1436,11 +1429,11 @@ object SparkEntry {
         .select(col("vec_id"), col("scale"), col("packed_bytes"),
           explode(arrays_zip(col("embedding").as("x"), col("xhat").as("y"))).as("z"))
         .groupBy(col("vec_id"))
-        .agg(floor(first(col("scale")) * lit(1e6) + lit(0.5)).cast(LongType)
+        .agg(e6Witness(first(col("scale")))
             .as("scale_e6"),
           first(col("packed_bytes")).as("packed_bytes"),
-          floor(max(abs(col("z.x").cast(DoubleType) -
-            col("z.y").cast(DoubleType))) * lit(1e6) + lit(0.5)).cast(LongType)
+          e6Witness(max(abs(col("z.x").cast(DoubleType) -
+            col("z.y").cast(DoubleType))))
             .as("max_abs_err_e6"))
         .orderBy("vec_id")
     },
@@ -1457,8 +1450,7 @@ object SparkEntry {
           e.select(col("vec_id").as("id"), col("embedding").as("vec")), k = 8)
         .select(col("rank"), col("id").as("vec_id"),
           when(col("min_dist") === Double.PositiveInfinity, lit(Long.MaxValue))
-            .otherwise(floor(col("min_dist") * lit(1e6) + lit(0.5))
-              .cast(LongType)).as("min_dist_e6"))
+            .otherwise(e6Witness(col("min_dist"))).as("min_dist_e6"))
         .orderBy("rank")
     },
 
@@ -1500,9 +1492,8 @@ object SparkEntry {
             dequantizeFp8(col("codes")).as("y"))).as("z"))
         .groupBy(col("vec_id"))
         .agg(first(col("n_bytes")).as("n_bytes"),
-          floor(max(abs(col("z.x").cast(DoubleType) -
-            col("z.y").cast(DoubleType))) * lit(1e6) + lit(0.5))
-            .cast(LongType).as("max_abs_err_e6"))
+          e6Witness(max(abs(col("z.x").cast(DoubleType) -
+            col("z.y").cast(DoubleType)))).as("max_abs_err_e6"))
         .orderBy("vec_id")
     },
 
@@ -1814,9 +1805,8 @@ object SparkEntry {
             sum(col("c") - 1).as("n_exact_dups")), "source")
         .select(col("source"), col("n_docs"), col("sum_chars"),
           col("sum_tokens"), col("n_distinct"), col("n_exact_dups"),
-          floor(col("n_exact_dups").cast(DoubleType) /
-            col("n_docs").cast(DoubleType) * lit(1e6) + lit(0.5))
-            .cast(LongType).as("dup_rate_e6"))
+          e6Witness(col("n_exact_dups").cast(DoubleType) /
+            col("n_docs").cast(DoubleType)).as("dup_rate_e6"))
         .orderBy("source")
     },
 
@@ -1907,7 +1897,7 @@ object SparkEntry {
         .select(col("value").as("med"))
       ent.crossJoin(broadcast(med))
         .select(col("doc_id"),
-          floor(col("ent") * lit(1e6) + lit(0.5)).cast(LongType).as("entropy_e6"),
+          e6Witness(col("ent")).as("entropy_e6"),
           (col("ent") >= col("med") * 0.7 && col("ent") <= col("med") * 1.3)
             .as("in_band"))
         .orderBy("doc_id")
@@ -2006,7 +1996,7 @@ object SparkEntry {
           .select(col("vec_id").as("qid"), col("embedding").as("qv")),
         k = 10, centroidModulo = 40)
         .select(col("qid"), col("rank"), col("label"),
-          floor(col("score") * lit(1e6) + lit(0.5)).cast(LongType).as("cos_e6"))
+          e6Witness(col("score")).as("cos_e6"))
         .orderBy("qid", "rank")
     },
 
@@ -2018,7 +2008,7 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.ivfTopK(vectors, queries, k = 10, centroidModulo = 40, nProbe = 2)
-        .select(col("qid"), col("rank"), col("label"), floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
+        .select(col("qid"), col("rank"), col("label"), e4Witness(col("score")).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -2033,7 +2023,7 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.ivfFilteredTopK(vectors, queries, k = 10,
           centroidModulo = 40, nProbe = 2, pred = col("id") % 3 =!= 0)
-        .select(col("qid"), col("rank"), col("label"), floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
+        .select(col("qid"), col("rank"), col("label"), e4Witness(col("score")).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -2064,10 +2054,9 @@ object SparkEntry {
         .join(mrr, Seq("qid"), "left")
         .select(col("qid"),
           coalesce(col("n_common"), lit(0L)).as("n_common"),
-          floor(coalesce(col("n_common"), lit(0L)).cast(DoubleType) / 10.0
-            * lit(1e4) + lit(0.5)).cast(LongType).as("recall_at_10_e4"),
-          floor(coalesce(col("rr"), lit(0.0)) * lit(1e4) + lit(0.5))
-            .cast(LongType).as("mrr_e4"))
+          e4Witness(coalesce(col("n_common"), lit(0L)).cast(DoubleType) / 10.0
+           ).as("recall_at_10_e4"),
+          e4Witness(coalesce(col("rr"), lit(0.0))).as("mrr_e4"))
         .orderBy("qid")
     },
 
@@ -2119,7 +2108,7 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.ivfSq8TopK(vectors, queries, k = 10, centroidModulo = 40, nProbe = 2)
-        .select(col("qid"), col("rank"), col("label"), floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
+        .select(col("qid"), col("rank"), col("label"), e4Witness(col("score")).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -2132,7 +2121,7 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.ivfSq4TopK(vectors, queries, k = 10, centroidModulo = 40, nProbe = 2)
-        .select(col("qid"), col("rank"), col("label"), floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
+        .select(col("qid"), col("rank"), col("label"), e4Witness(col("score")).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -2190,7 +2179,7 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.hammingRerankTopK(vectors, queries, k = 10, expand = 4)
         .select(col("qid"), col("rank"), col("label"),
-          floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
+          e4Witness(col("score")).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -2278,8 +2267,7 @@ object SparkEntry {
       val q = TextAnalysis.quality(Tables(s, dir, "documents"))
       val agg = q.select(
           least(floor(col("type_token_ratio") * 10.0), lit(9L)).as("bucket"),
-          floor(col("type_token_ratio") * lit(1e6) + lit(0.5))
-            .cast(LongType).as("s6"),
+          e6Witness(col("type_token_ratio")).as("s6"),
           when(col("n_tokens") <= 48, 1L).otherwise(0L).as("y"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), sum(col("s6")).as("ss"), sum(col("y")).as("sy"))
@@ -3014,6 +3002,66 @@ object SparkEntry {
         .orderBy("user_id", "ts_us", "event_id")
     },
 
+    // batch face of StreamingOps.streamingCusum: per-user running CUSUM
+    // S = max(0, S + (cents − ref)) over events — emitted through the
+    // reflected-walk closed form S_i = P_i − min(0, min_{j≤i} P_j)
+    // (P = plain prefix sum), which IS window-expressible, unlike the
+    // clamped recurrence itself. Exact longs end to end; ref is the
+    // exact floor of the filtered set's mean cents.
+    "q_cusum_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, dir)
+        .filter(col("user_id") <= 100)
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+        .withColumn("cents", round(col("value") * 100, 0).cast(LongType))
+        .localCheckpoint(true) // feeds the ref scalar AND the windows
+      val st = ev.agg(sum(col("cents")), count(lit(1))).head()
+      val ref = st.getLong(0) / st.getLong(1) // exact floor division
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("ps", sum(col("cents") - lit(ref)).over(w2))
+        .withColumn("mn", min(col("ps")).over(w2))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          (col("ps") - least(col("mn"), lit(0L))).as("cusum"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    // batch face of StreamingOps.streamingKsToRef: per-user running
+    // two-sample KS sup-gap against the filtered set's own global
+    // bucket histogram (the frozen reference), as the exact INTEGER
+    // numerator max_b |cum_u(b)·n_ref − refCum(b)·n| — ten conditional
+    // running counts per row, a GREATEST over ten integer cross
+    // products, no doubles anywhere.
+    "q_ks_stream" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables.events(s, dir)
+        .filter(col("user_id") <= 100)
+        .withColumn("ts_us", expr("unix_micros(ts)"))
+        .withColumn("cents", round(col("value") * 100, 0).cast(LongType))
+        .localCheckpoint(true)
+      val mm = base.agg(min(col("cents")), max(col("cents"))).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val ev = base.withColumn("bk",
+        least(expr(s"((cents - $mn) * 10) div (${mx - mn + 1}L)"), lit(9L)))
+        .localCheckpoint(true)
+      val refRow = ev.groupBy().pivot("bk", 0L to 9L).count().na.fill(0L).head()
+      val refCum = (0 to 9).map(refRow.getLong).scanLeft(0L)(_ + _).tail
+      val nRef = refCum.last
+      val w2 = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val withCums = (0 to 9).foldLeft(ev) { (d, b) =>
+        d.withColumn(s"c$b",
+          sum(when(col("bk") <= b, lit(1L)).otherwise(lit(0L))).over(w2))
+      }
+      val n = col("c9")
+      val gaps = (0 to 9).map(b => abs(col(s"c$b") * lit(nRef) - lit(refCum(b)) * n))
+      withCums.select(col("user_id"), col("event_id"), col("ts_us"),
+        n.as("n"), greatest(gaps: _*).as("ks_num"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
     // ranking-function surface: ntile / percent_rank / cume_dist / dense_rank
     "q_ntile_rank" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -3213,7 +3261,7 @@ object SparkEntry {
         .filter(col("n_pairs") >= 2 &&
           (n * sxx - sx * sx) > 0.0 && (n * syy - sy * sy) > 0.0)
         .select(col("lag").cast(LongType).as("lag"), col("n_pairs"),
-          floor(r * lit(1e6) + lit(0.5)).cast(LongType).as("ac_e6"))
+          e6Witness(r).as("ac_e6"))
         .withColumn("ac", col("ac_e6").cast(DoubleType) / 1e6)
         .orderBy("lag")
     },
@@ -3282,9 +3330,8 @@ object SparkEntry {
       val s2 = col("s2").cast(DoubleType)
       byType.crossJoin(broadcast(tot))
         .select(col("event_type"), col("n_pos"),
-          floor((s2 - nPos * (nPos + lit(1.0))) /
-            ((lit(2.0) * nPos) * (nAll - nPos)) * lit(1e6) + lit(0.5))
-            .cast(LongType).as("auc_e6"))
+          e6Witness((s2 - nPos * (nPos + lit(1.0))) /
+            ((lit(2.0) * nPos) * (nAll - nPos))).as("auc_e6"))
         .orderBy("event_type")
     },
 
@@ -3312,8 +3359,8 @@ object SparkEntry {
           .crossJoin(broadcast(qs))
           .select(col("key_name"), col("n_rows"), col("n_keys"),
             col("max_freq"), col("p50_freq"), col("p99_freq"),
-            floor(col("max_freq").cast(DoubleType) / col("n_rows").cast(DoubleType)
-              * lit(1e6) + lit(0.5)).cast(LongType)
+            e6Witness(col("max_freq").cast(DoubleType) / col("n_rows").cast(DoubleType)
+             )
               .as("top_share_e6"))
       }
       profile(Tables(s, dir, "lineitem"), "l_orderkey", "lineitem.l_orderkey")
@@ -3554,10 +3601,10 @@ object SparkEntry {
           sum(col("du") * col("du")).as("sxx"),
           sum(col("dv") * col("dv")).as("syy"))
         .select(col("n"),
-          floor((col("n").cast(DoubleType) * col("sxy") - col("sx").cast(DoubleType) * col("sy")) /
+          e6Witness((col("n").cast(DoubleType) * col("sxy") - col("sx").cast(DoubleType) * col("sy")) /
             (sqrt(col("n").cast(DoubleType) * col("sxx") - col("sx").cast(DoubleType) * col("sx")) *
              sqrt(col("n").cast(DoubleType) * col("syy") - col("sy").cast(DoubleType) * col("sy")))
-            * lit(1e6) + lit(0.5)).cast(LongType).as("assortativity_e6"))
+           ).as("assortativity_e6"))
     },
 
     // k-core of the near-dup pair graph: documents in DENSE duplicate
@@ -3741,7 +3788,7 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), slice(col("embedding"), 1, 16).as("qv"))
       Similarity.bruteForceTopK(vectors, queries, 10, "l2")
         .select(col("qid"), col("rank"), col("label"),
-          floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
+          e4Witness(col("score")).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -3755,7 +3802,7 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.prefixRerankTopK(vectors, queries, k = 10, prefixDims = 16)
-        .select(col("qid"), col("rank"), col("label"), floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
+        .select(col("qid"), col("rank"), col("label"), e4Witness(col("score")).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -4097,7 +4144,7 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.rerankedTopK(vectors, queries, k = 10, expand = 4)
         .select(col("qid"), col("rank"), col("label"),
-          floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
+          e4Witness(col("score")).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -4112,7 +4159,7 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.gemmTopK(vectors, queries, k = 10)
         .select(col("qid"), col("rank"), col("label"),
-          floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
+          e4Witness(col("score")).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -4124,7 +4171,7 @@ object SparkEntry {
       val queries = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.radiusSearch(vectors, queries, radius = 1.4)
-        .select(col("qid"), col("label"), floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
+        .select(col("qid"), col("label"), e4Witness(col("score")).as("dist_e4"))
         .orderBy("qid", "label")
     },
 
@@ -4148,9 +4195,9 @@ object SparkEntry {
       val e = Tables(s, dir, "embeddings")
       val d38 = DecimalType(38, 0)
       val feats = e.select(col("vec_id"),
-        floor(aggregate(col("embedding"), lit(0.0),
+        e6Witness(aggregate(col("embedding"), lit(0.0),
             (acc, x) => greatest(acc, abs(x.cast(DoubleType))))
-          * lit(1e6) + lit(0.5)).cast(LongType).as("m6"))
+         ).as("m6"))
       val stats = feats.agg(
         count(lit(1)).as("n"),
         sum(col("m6")).as("s1"),
@@ -4162,8 +4209,8 @@ object SparkEntry {
           sqrt(col("s2").cast(DoubleType) / col("nd") - col("mean") * col("mean")))
         .select(col("vec_id"), col("m6").as("mx_e6"),
           when(col("std") > 0,
-            floor((col("m6").cast(DoubleType) - col("mean")) / col("std")
-              * lit(1e4) + lit(0.5)).cast(LongType))
+            e4Witness((col("m6").cast(DoubleType) - col("mean")) / col("std")
+             ))
             .otherwise(lit(0L)).as("z_e4"))
         .withColumn("is_outlier", abs(col("z_e4")) > 30000L)
         .orderBy("vec_id")
@@ -4181,7 +4228,7 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.ivfRadiusSearch(vectors, queries, radius = 1.6,
           centroidModulo = 40, nProbe = 2)
-        .select(col("qid"), col("label"), floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
+        .select(col("qid"), col("label"), e4Witness(col("score")).as("dist_e4"))
         .orderBy("qid", "label")
     },
 
@@ -4194,7 +4241,7 @@ object SparkEntry {
       val queries = e.select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.batchedTopK(vectors, queries, k = 5, batches = 4)
         .select(col("qid"), col("rank"), col("label"),
-          floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
+          e4Witness(col("score")).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -4209,7 +4256,7 @@ object SparkEntry {
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       Similarity.bruteForceTopK(vectors, queries, 10, "l2")
         .select(col("qid"), col("rank"), col("label"),
-          floor(col("score") * lit(1e4) + lit(0.5)).cast(LongType).as("dist_e4"))
+          e4Witness(col("score")).as("dist_e4"))
         .orderBy("qid", "rank")
     },
 
@@ -4224,8 +4271,8 @@ object SparkEntry {
             + lit(0.5)).cast(LongType).as("vmin_e4"),
           floor(element_at(col("embedding"), 5).cast(DoubleType) * lit(1e4)
             + lit(0.5)).cast(LongType).as("v5_e4"),
-          floor(element_at(array_sort(col("embedding")), 3).cast(DoubleType)
-            * lit(1e4) + lit(0.5)).cast(LongType).as("third_smallest_e4"))
+          e4Witness(element_at(array_sort(col("embedding")), 3).cast(DoubleType)
+           ).as("third_smallest_e4"))
         .orderBy("vec_id")
     },
 
@@ -4764,8 +4811,8 @@ object SparkEntry {
       val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
       pairs.join(totals, "from_type")
         .select(col("from_type"), col("to_type"), col("n"),
-          floor(col("n").cast(DoubleType) / col("tot").cast(DoubleType)
-            * lit(1e6) + lit(0.5)).cast(LongType).as("prob_e6"))
+          e6Witness(col("n").cast(DoubleType) / col("tot").cast(DoubleType)
+           ).as("prob_e6"))
         .orderBy("from_type", "to_type")
     },
 
@@ -4853,9 +4900,8 @@ object SparkEntry {
         Multimodal.mediaFromDocuments(Tables(s, dir, "documents")))
         .select(col("media_id"), col("n_bytes"), col("mime"),
           size(col("features")).cast(LongType).as("n_dims"),
-          floor(aggregate(col("features"), lit(0.0),
-            (acc, x) => acc + x.cast(DoubleType)) * lit(1e4) + lit(0.5))
-            .cast(LongType).as("feat_sum_e4"),
+          e4Witness(aggregate(col("features"), lit(0.0),
+            (acc, x) => acc + x.cast(DoubleType))).as("feat_sum_e4"),
           floor(array_max(col("features")).cast(DoubleType) * lit(1e4)
             + lit(0.5)).cast(LongType).as("feat_max_e4"))
         .orderBy("media_id")
@@ -5225,7 +5271,7 @@ object SparkEntry {
       c.join(totals, "user_id")
         .groupBy(col("user_id"))
         .agg(min(col("n")).as("n_events"), min(col("n_types")).as("n_types"),
-          floor(sum(-p * log(p)) * lit(1e6) + lit(0.5)).cast(LongType)
+          e6Witness(sum(-p * log(p)))
             .as("entropy_e6"))
         .orderBy("user_id")
     },
@@ -5258,11 +5304,11 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_hit")))
         .crossJoin(nd)
         .select(col("n_docs"), col("n_candidates"), col("n_truth"), col("n_hit"),
-          floor(col("n_hit").cast(DoubleType) / col("n_truth")
-            * lit(1e6) + lit(0.5)).cast(LongType).as("pair_completeness_e6"),
-          floor((lit(1.0) - col("n_candidates").cast(DoubleType) /
+          e6Witness(col("n_hit").cast(DoubleType) / col("n_truth")
+           ).as("pair_completeness_e6"),
+          e6Witness((lit(1.0) - col("n_candidates").cast(DoubleType) /
             (col("n_docs").cast(DoubleType) * (col("n_docs") - 1) / lit(2.0)))
-            * lit(1e6) + lit(0.5)).cast(LongType).as("reduction_ratio_e6"))
+           ).as("reduction_ratio_e6"))
     },
 
     // top-k PMI collocations (Church & Hanks 1990) with a support floor
@@ -8734,6 +8780,51 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_cusum_stream" ->
+      """WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id <= 100),
+        |r AS (SELECT SUM(cents) // COUNT(*) AS ref FROM t),
+        |p AS (SELECT user_id, event_id, ts_us,
+        |    SUM(cents - (SELECT ref FROM r)) OVER w AS ps
+        |  FROM t
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT user_id, event_id, ts_us, ps,
+        |    MIN(ps) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+        |  FROM p)
+        |SELECT user_id, event_id, ts_us,
+        |  CAST(ps - LEAST(mn, 0) AS BIGINT) AS cusum
+        |FROM m ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q_ks_stream" -> {
+      val caseSums = (0 to 9).map(b =>
+        s"SUM(CASE WHEN bk <= $b THEN 1 ELSE 0 END) OVER w AS c$b").mkString(",\n    ")
+      val refs = (0 to 9).map(b =>
+        s"(SELECT COUNT(*) FROM e WHERE bk <= $b) AS r$b").mkString(",\n    ")
+      val gaps = (0 to 9).map(b => s"ABS(c$b * r.nref - r.r$b * c9)").mkString(",\n    ")
+      s"""WITH t AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE user_id <= 100),
+         |mm AS (SELECT MIN(cents) AS mn, MAX(cents) AS mx FROM t),
+         |e AS (SELECT t.*,
+         |    LEAST(((t.cents - mm.mn) * 10) // (mm.mx - mm.mn + 1), 9) AS bk
+         |  FROM t, mm),
+         |cums AS (SELECT user_id, event_id, ts_us,
+         |    $caseSums
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |r AS (SELECT
+         |    $refs,
+         |    (SELECT COUNT(*) FROM e) AS nref)
+         |SELECT user_id, event_id, ts_us, CAST(c9 AS BIGINT) AS n,
+         |  CAST(GREATEST(
+         |    $gaps) AS BIGINT) AS ks_num
+         |FROM cums, r ORDER BY user_id, ts_us, event_id""".stripMargin
+    },
 
     "q_ntile_rank" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice,

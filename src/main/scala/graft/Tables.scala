@@ -39,21 +39,35 @@ object Tables {
 
   /** Cheap per-lookup freshness fingerprint. mtime alone missed a
     * regeneration landing within the same filesystem timestamp tick
-    * (r16 ADVICE), so the length rides along: for a plain file,
-    * (mtime, length); for a Spark-written directory, the dir mtime plus
-    * every child's (name, length, mtime) — a handful of local stat
-    * calls, still noise next to the ~70 ms footer read it saves.
-    * A same-tick same-length in-place byte rewrite remains invisible,
-    * but parquet regenerations change part-file names (task UUIDs) or
-    * lengths in practice.
+    * (r16 ADVICE), so the length rides along; r17 ADVICE closed the last
+    * gap — a same-tick same-LENGTH in-place byte rewrite — by folding in
+    * the file's last 64 bytes (the parquet footer tail: metadata length +
+    * row-group offsets, which move with any content change) and recursing
+    * into child directories. Cost per lookup: a stat plus one 64-byte
+    * pread per part file — still noise next to the ~70 ms footer read it
+    * saves.
     */
+  private def tailSig(f: java.io.File): Int = {
+    val len = f.length
+    if (len == 0) 0
+    else {
+      val n = math.min(64L, len).toInt
+      val raf = new java.io.RandomAccessFile(f, "r")
+      try {
+        raf.seek(len - n)
+        val buf = new Array[Byte](n)
+        raf.readFully(buf)
+        java.util.Arrays.hashCode(buf)
+      } finally raf.close()
+    }
+  }
   private def fingerprint(f: java.io.File): String =
     if (f.isDirectory) {
       val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
       val inner = kids.sortBy(_.getName)
-        .map(k => s"${k.getName}:${k.length}:${k.lastModified}").mkString(",")
+        .map(k => s"${k.getName}:${fingerprint(k).##}").mkString(",")
       s"${f.lastModified}|${kids.length}|${inner.##}"
-    } else s"${f.lastModified}|${f.length}"
+    } else s"${f.lastModified}|${f.length}|${tailSig(f)}"
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = cache.synchronized {

@@ -233,6 +233,30 @@ package object functions {
         .cast(org.apache.spark.sql.types.LongType))
   }
 
+  /** Saturation-free witness `floor(x·scale + 1/2)` as DECIMAL(38,0) — the
+    * [[intWitness]] shape for values that can exceed the int64 range
+    * BEFORE the sum (graph-iteration contributions: a hub node's
+    * rank/odeg·1e14 passes 2⁶³ near rank/odeg ≈ 92k). `functions.floor`
+    * returns LONG and silently saturates there while the DuckDB mirror's
+    * `CAST(FLOOR(..) AS HUGEINT)` does not, so the engines would diverge
+    * exactly on the heaviest nodes. The floor here stays in double space
+    * (`x − pmod(x, 1)` — IEEE-exact for every finite double, since fmod
+    * of representable values is representable and the subtraction is
+    * Sterbenz-exact), and the integer-valued double casts to
+    * DECIMAL(38,0) without rounding on either engine. Bit-identical to
+    * the LONG path for |x| < 2⁶³; beyond it, exact instead of clipped.
+    * Same non-finite sentinels as [[intWitness]].
+    */
+  def decimalWitness(c: Column, scale: Double): Column = {
+    import org.apache.spark.sql.functions.{isnan, lit, pmod, when}
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = c * lit(scale) + lit(0.5)
+    when(isnan(c), lit(Long.MinValue + 1L).cast(dec))
+      .when(c === Double.PositiveInfinity, lit(Long.MaxValue).cast(dec))
+      .when(c === Double.NegativeInfinity, lit(Long.MinValue).cast(dec))
+      .otherwise((x - pmod(x, lit(1.0))).cast(dec))
+  }
+
   /** 6-dp integer witness with non-finite sentinels — see [[intWitness]]. */
   def e6Witness(c: Column): Column = intWitness(c, 1000000L)
 

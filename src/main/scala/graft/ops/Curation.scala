@@ -93,11 +93,10 @@ object Curation {
       .na.fill(0L, Seq("ct"))
       .crossJoin(broadcast(totals))
       .select(col("b"),
-        floor(log(((col("ct") + lit(1)).cast(DoubleType) /
+        graft.functions.intWitness(log(((col("ct") + lit(1)).cast(DoubleType) /
             (col("nt") + lit(buckets))) /
           ((col("cs") + lit(1)).cast(DoubleType) /
-            (col("ns") + lit(buckets)))) * lit(1e12) + lit(0.5))
-          .cast(LongType).as("lr_e12"))
+            (col("ns") + lit(buckets)))), 1000000000000L).as("lr_e12"))
     // m·lr_e12 sums in DECIMAL(38,0) — exact and order-independent on
     // both engines (HUGEINT on the DuckDB side); per-doc magnitude is
     // n_tokens·|lr|·1e12 ≲ 1e18 but the decimal keeps 20 digits of slack
@@ -109,8 +108,8 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"),
         floor(col("slr").cast(DoubleType) / col("n_tokens") / lit(1e6)
           + lit(0.5)).cast(LongType).as("mean_lr_e6"),
-        floor(exp(col("slr").cast(DoubleType) / col("n_tokens") / lit(1e12))
-          * lit(1e6) + lit(0.5)).cast(LongType).as("weight_e6"))
+        graft.functions.e6Witness(exp(col("slr").cast(DoubleType) / col("n_tokens") / lit(1e12))
+         ).as("weight_e6"))
   }
 
   def mixtureSample(docs: DataFrame, alpha: Double, targetTotal: Long,
@@ -137,7 +136,7 @@ object Curation {
       // comparison on both engines, unchanged); only the EMISSION is the
       // integer witness (exact: rate is already on the 1e-6 grid)
       .select(col(idCol), col(sourceCol),
-        floor(col("rate") * lit(1e6) + lit(0.5)).cast(LongType).as("rate_e6"))
+        graft.functions.e6Witness(col("rate")).as("rate_e6"))
   }
 
   /** Per-domain document cap: keep at most `cap` docs per source, chosen
@@ -522,7 +521,7 @@ d$i AS MATERIALIZED (
     val cos = graft.functions.cosineSimilarity(col("vec"), col("cv"))
     val scored = assigned.select(col("id"), col("cid"),
       when(isnan(cos), lit(-1000001L))
-        .otherwise(floor(cos * lit(1e6) + lit(0.5)).cast(LongType))
+        .otherwise(graft.functions.e6Witness(cos))
         .as("proto_e6"))
     val w = Window.partitionBy(col("cid"))
     scored

@@ -404,7 +404,7 @@ object Dedup {
       .groupBy(col("doc_a"))
       .agg(max(struct(col("jaccard").as("j"), (-col("doc_b")).as("nb"))).as("best"))
       .select(col("doc_a").as("doc_id"), (-col("best.nb")).as("dup_of"),
-        floor(col("best.j") * lit(1e6) + lit(0.5)).cast(LongType)
+        graft.functions.e6Witness(col("best.j"))
           .as("jaccard_e6"))
   }
 
@@ -595,7 +595,7 @@ object Dedup {
     val m = broadcast(sizes.select(col("source").as("src_a"), col("n_sh").as("n_a")))
       .crossJoin(broadcast(sizes.select(col("source").as("src_b"), col("n_sh").as("n_b"))))
       .filter(col("src_a") < col("src_b"))
-    def e6(x: Column) = floor(x * lit(1e6) + lit(0.5)).cast(LongType)
+    def e6(x: Column) = graft.functions.e6Witness(x)
     m.join(pairs, Seq("src_a", "src_b"), "left")
       .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         coalesce(col("inter"), lit(0L)).as("inter"))
@@ -948,8 +948,7 @@ object Dedup {
       .join(top, Seq("doc_id"), "left")
       .select(col("doc_id"), col("eval_id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        floor(coalesce(col("frac"), lit(0.0)) * lit(1e6) + lit(0.5))
-          .cast(LongType).as("frac_e6"))
+        graft.functions.e6Witness(coalesce(col("frac"), lit(0.0))).as("frac_e6"))
   }
 
   /** Per-document duplicated-span profile — the token-level approximation

@@ -105,12 +105,14 @@ object Graph {
       // flipped a rank's 9-dp repr at the 100x replica (q_ppr_seeded,
       // 2/2M rows). floor(x·1e14 + ½) is pure mirrored IEEE; the exact
       // integer sum rides DECIMAL(38,0) (in-degree · 1e14 overflows
-      // int64 past ~92k contributions).
+      // int64 past ~92k contributions). decimalWitness (r18) keeps the
+      // floor itself in double space too: a hub with rank/odeg > ~92k
+      // would saturate functions.floor's LONG where DuckDB's HUGEINT
+      // floor does not.
       val contrib = e.join(rSide, e("src") === rSide("id"))
         .join(degSide, Seq("src"))
         .select(col("dst").as("id"),
-          floor(col("r") / col("odeg") * lit(1e14) + lit(0.5))
-            .cast(DecimalType(38, 0)).as("c"))
+          graft.functions.decimalWitness(col("r") / col("odeg"), 1e14).as("c"))
       val sums = contrib.groupBy("id").agg(sum(col("c")).as("s"))
       ranks = n.join(sums, Seq("id"), "left")
         .select(col("id"),
@@ -169,10 +171,11 @@ object Graph {
     var auth = n.withColumn("a", lit(0.0))
     for (_ <- 1 to iters) {
       val hSide = bc(hub)
-      // e14 FLOOR witness — see pageRank (r17)
+      // e14 FLOOR witness — see pageRank (r17); decimalWitness keeps the
+      // floor saturation-free (r18), though h/a ≤ 1 bounds these anyway
       val aSums = e.join(hSide, e("src") === hSide("id"))
         .select(col("dst").as("id"),
-          floor(col("h") * lit(1e14) + lit(0.5)).cast(dec).as("c"))
+          graft.functions.decimalWitness(col("h"), 1e14).as("c"))
         .groupBy("id").agg(sum(col("c")).as("s"))
       auth = normalized(
         n.join(aSums, Seq("id"), "left")
@@ -182,7 +185,7 @@ object Graph {
       val aSide = bc(auth)
       val hSums = e.join(aSide, e("dst") === aSide("id"))
         .select(col("src").as("id"),
-          floor(col("a") * lit(1e14) + lit(0.5)).cast(dec).as("c"))
+          graft.functions.decimalWitness(col("a"), 1e14).as("c"))
         .groupBy("id").agg(sum(col("c")).as("s"))
       hub = normalized(
         n.join(hSums, Seq("id"), "left")
@@ -262,8 +265,7 @@ h$i AS MATERIALIZED (SELECT id, h / (CASE WHEN (SELECT MAX(h) FROM hr$i) > 0
       val contrib = e.join(rSide, e("src") === rSide("id"))
         .join(degSide, Seq("src"))
         .select(col("dst").as("id"),
-          floor(col("r") / col("odeg") * lit(1e14) + lit(0.5))
-            .cast(DecimalType(38, 0)).as("c"))
+          graft.functions.decimalWitness(col("r") / col("odeg"), 1e14).as("c"))
       val sums = contrib.groupBy("id").agg(sum(col("c")).as("s"))
       ranks = n.join(sums, Seq("id"), "left")
         .select(col("id"),
@@ -1014,8 +1016,8 @@ f$h AS (SELECT id FROM x$h)""")
     // have deg ≥ 2), so the 6-dp emission is a plain half-up floordiv
     val scored = wedges.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("cn"),
-        sum(floor(lit(1.0) / log(col("deg").cast(DoubleType))
-          * lit(1e12) + lit(0.5)).cast(LongType)).as("s12"))
+        sum(graft.functions.intWitness(lit(1.0) / log(col("deg").cast(DoubleType))
+         , 1000000000000L)).as("s12"))
     val eNorm = e.select(least(col("u"), col("v")).as("a"),
       greatest(col("u"), col("v")).as("b"))
     scored.join(eNorm, Seq("a", "b"), "left_anti")

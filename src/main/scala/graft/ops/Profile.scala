@@ -169,8 +169,7 @@ object Profile {
     // last engine-defined rounding in this dataflow
     cnt
       .select(col("g"), col("na"), col("nb"),
-        floor((pa - pb) * log(pa / pb) * lit(1e12) + lit(0.5))
-          .cast(LongType).as("term_e12"))
+        graft.functions.intWitness((pa - pb) * log(pa / pb), 1000000000000L).as("term_e12"))
       .groupBy(col("g"))
       .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
         sum(col("term_e12")).as("s12"))
@@ -202,9 +201,8 @@ object Profile {
     // e12 FLOOR witness + integer half-up emission, as in [[psiDrift]]
     cnt
       .select(col("g"), col("na"), col("nb"),
-        floor((pa * log(pa / m) + pb * log(pb / m)) * lit(0.5)
-            * lit(1e12) + lit(0.5))
-          .cast(LongType).as("term_e12"))
+        graft.functions.intWitness((pa * log(pa / m) + pb * log(pb / m)) * lit(0.5)
+           , 1000000000000L).as("term_e12"))
       .groupBy(col("g"))
       .agg(min(col("na")).as("n_a"), min(col("nb")).as("n_b"),
         sum(col("term_e12")).as("s12"))
@@ -315,12 +313,10 @@ object Profile {
         // integer e6 witnesses (r16): the old rounded doubles needed a
         // +0.0 signed-zero guard; the LONG witness of a near-zero mean
         // is just 0 on both engines
-        floor(col("sx").cast(DoubleType) / col("n") * lit(1e6) + lit(0.5))
-          .cast(LongType).as("mean_e6"),
-        floor((col("sxx").cast(DoubleType) / col("n") -
+        graft.functions.e6Witness(col("sx").cast(DoubleType) / col("n")).as("mean_e6"),
+        graft.functions.e6Witness((col("sxx").cast(DoubleType) / col("n") -
           (col("sx").cast(DoubleType) / col("n")) *
-          (col("sx").cast(DoubleType) / col("n"))) * lit(1e6) + lit(0.5))
-          .cast(LongType).as("variance_e6"))
+          (col("sx").cast(DoubleType) / col("n")))).as("variance_e6"))
   }
 
   /** Referential integrity: rows of `child` whose `childCol` has no

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -87,13 +88,23 @@ object Scan {
         }
         Iterator.single((pid, if (over) null else sums.toSeq))
       }.collect()
-    require(!partSums.exists(_._2 == null),
-      s"prefixSum driver state would exceed $maxDriverEntries (partition, group) " +
-        "slices — with this many small groups the plain window cumsum is already skew-safe")
-    val nEntries = partSums.iterator.map(_._2.size).sum
-    require(nEntries <= maxDriverEntries,
-      s"prefixSum driver state $nEntries > $maxDriverEntries: too many (partition, group) " +
-        "slices — with this many small groups the plain window cumsum is already skew-safe")
+    val overQuota = partSums.exists(_._2 == null)
+    val nEntries =
+      if (overQuota) Int.MaxValue else partSums.iterator.map(_._2.size).sum
+    if (nEntries > maxDriverEntries) {
+      // many-small-groups regime (r17 ADVICE: a skewed range partition can
+      // trip the per-partition quota even when the global total fits) —
+      // either way the per-group history is short enough that the plain
+      // window cumsum is already skew-safe. Long addition is exact, so the
+      // window result is bit-identical to the two-pass scan. Quota overflow
+      // implies > quota distinct groups in one partition, which is
+      // impossible with no group columns (one global group), so the
+      // partitioned window below is never a single-task whole-frame sort.
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return df.withColumn(cumCol, sum(col(valueCol)).over(w))
+    }
 
     // driver: exclusive offsets — running total per group across pids asc
     val running = scala.collection.mutable.HashMap.empty[Seq[Any], Long]

@@ -46,6 +46,12 @@ case class LagState(prev: Long, hasPrev: Boolean, n: Long, s1: Long, s2: Long,
                     sl1: Long, lastTs: Long, lastEventId: Long)
 case class LagOut(key: Long, event_id: Long, ts_us: Long,
                   n: Long, s1: Long, s2: Long, sl1: Long)
+case class CusumEvent(key: Long, event_id: Long, ts_us: Long, delta: Long)
+case class CusumState(level: Long, lastTs: Long, lastEventId: Long)
+case class CusumOut(key: Long, event_id: Long, ts_us: Long, cusum: Long)
+case class KsEvent(key: Long, event_id: Long, ts_us: Long, bucket: Int)
+case class KsState(counts: Seq[Long], lastTs: Long, lastEventId: Long)
+case class KsOut(key: Long, event_id: Long, ts_us: Long, n: Long, ks_num: Long)
 case class AsofStateRow(key: Long, ts_us: Long, value: Double)
 case class AsofEvent(key: Long, event_id: Long, ts_us: Long)
 case class AsofIn(key: Long, tag: Int, ts_us: Long, event_id: Long, value: Double)
@@ -169,13 +175,18 @@ object StreamingOps {
     val terms = (0 until b).map { i =>
       val p = (col(s"f$i") + lit(1)).cast(DoubleType) / (nD + lit(b))
       val q = lit((ref.counts(i) + 1.0) / (rTot + b))
-      floor((p - q) * log(p / q) * lit(1e12) + lit(0.5)).cast(LongType)
+      graft.functions.intWitness((p - q) * log(p / q), 1000000000000L)
     }
-    // e12 LONG witnesses summed exactly, then one floor-form 6-dp
-    // emission — same convention as the batch Profile.psiDrift (r17)
+    // e12 LONG witnesses summed exactly, then the SAME integer half-up
+    // floordiv as the batch Profile.psiDrift — (2·s12 + 10⁶) div 2·10⁶.
+    // The old `floor(s12/1e6 + ½)` divided in doubles first, which can
+    // land at x.4999… exactly at half-grid boundaries (s12 % 10⁶ =
+    // 500000) and round DOWN where the batch face rounds up, breaking
+    // the streaming ≡ batch identity at those points (r17 ADVICE).
     val s12 = terms.reduce(_ + _)
-    counted.select(col("window.start").as("window_start"), col("n"),
-      (floor(s12.cast(DoubleType) / lit(1e6) + lit(0.5)) / lit(1e6)).as("psi"))
+    counted.select(col("window.start").as("window_start"), col("n"), s12.as("s12"))
+      .select(col("window_start"), col("n"),
+        (expr("(2 * s12 + 1000000) div 2000000").cast(DoubleType) / lit(1e6)).as("psi"))
   }
 
   /** Watermarked per-window Jensen–Shannon drift against the same frozen
@@ -204,12 +215,15 @@ object StreamingOps {
       val p = (col(s"f$i") + lit(1)).cast(DoubleType) / (nD + lit(b))
       val q = lit((ref.counts(i) + 1.0) / (rTot + b))
       val m = (p + q) / lit(2.0)
-      floor((p * log(p / m) + q * log(q / m)) * lit(0.5)
-        * lit(1e12) + lit(0.5)).cast(LongType)
+      graft.functions.intWitness((p * log(p / m) + q * log(q / m)) * lit(0.5)
+       , 1000000000000L)
     }
+    // same integer half-up floordiv as the batch Profile.jsDrift — see
+    // [[eventsWindowedPsi]] for why the double-division form diverged
     val s12 = terms.reduce(_ + _)
-    counted.select(col("window.start").as("window_start"), col("n"),
-      (floor(s12.cast(DoubleType) / lit(1e6) + lit(0.5)) / lit(1e6)).as("js"))
+    counted.select(col("window.start").as("window_start"), col("n"), s12.as("s12"))
+      .select(col("window_start"), col("n"),
+        (expr("(2 * s12 + 1000000) div 2000000").cast(DoubleType) / lit(1e6)).as("js"))
   }
 
   /** Watermarked per-window SpaceSaving heavy hitters — the streaming
@@ -561,7 +575,7 @@ object StreamingOps {
     flags.groupBy(col("doc_id"))
       .agg(max(struct(col("jaccard").as("j"), (-col("dup_of")).as("nb"))).as("best"))
       .select(col("doc_id"), (-col("best.nb")).as("dup_of"),
-        floor(col("best.j") * lit(1e6) + lit(0.5)).cast(LongType)
+        graft.functions.e6Witness(col("best.j"))
           .as("jaccard_e6"))
 
   /** Stream-static enrichment join: every micro-batch of the stream joins
@@ -916,6 +930,98 @@ object StreamingOps {
             st.s1 + e.cents, st.s2 + e.cents * e.cents, sl1,
             e.ts_us, e.event_id)
           out += LagOut(key, e.event_id, e.ts_us, st.n, st.s1, st.s2, st.sl1)
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming CUSUM change-point accumulator per key (Page 1954) — the
+    * streaming face of `q_cusum_drift`'s clamp-affine scan: per event,
+    * S' = max(0, S + delta), emitted as the running alarm level. State
+    * is ONE long plus the late-gate pair — O(1) per key forever. The
+    * recurrence is exact integer arithmetic, and its closed form
+    * S_i = P_i − min(0, min_{j≤i} P_j) (the reflected-walk identity:
+    * P = plain prefix sum) is what the oracled batch face
+    * `q_cusum_stream` computes with two window aggregates — so
+    * streaming ≡ batch is bit-exact under any micro-batch split
+    * (spec-pinned with a same-timestamp straddler).
+    */
+  def streamingCusum(events: org.apache.spark.sql.Dataset[CusumEvent]):
+      org.apache.spark.sql.Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fn(key: Long, it: Iterator[CusumEvent],
+           state: GroupState[CusumState]): Iterator[CusumOut] = {
+      val evts = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption.getOrElse(
+        CusumState(0L, Long.MinValue, Long.MinValue))
+      val out = scala.collection.mutable.ArrayBuffer.empty[CusumOut]
+      evts.foreach { e =>
+        if (e.ts_us > st.lastTs ||
+            (e.ts_us == st.lastTs && e.event_id > st.lastEventId)) {
+          val lvl = math.max(0L, st.level + e.delta)
+          out += CusumOut(key, e.event_id, e.ts_us, lvl)
+          st = CusumState(lvl, e.ts_us, e.event_id)
+        } // else: cross-batch late event, dropped (late-gate contract)
+      }
+      state.update(st)
+      out.iterator
+    }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming Kolmogorov–Smirnov drift against a FROZEN bucketed
+    * reference — the streaming face of `q_ks_drift`'s sup-gap statistic,
+    * following the [[eventsWindowedPsi]] frozen-reference contract: the
+    * event carries its pre-computed bucket (the same integer bucketing
+    * both engines mirror), `refCum` is the reference's cumulative
+    * bucket histogram (refCum.last = n_ref). Per event the operator
+    * emits the exact INTEGER sup numerator
+    *
+    *   ks_num = max_b |cum_stream(b)·n_ref − refCum(b)·n|
+    *
+    * (D = ks_num / (n·n_ref) downstream — one double division, never
+    * emitted). State is B longs plus the late-gate pair — O(B) per key
+    * forever, independent of stream length. Pure integer counting, so
+    * streaming ≡ the window-formulated batch face `q_ks_stream` is
+    * bit-exact under any micro-batch split.
+    */
+  def streamingKsToRef(events: org.apache.spark.sql.Dataset[KsEvent],
+                       refCum: Seq[Long]):
+      org.apache.spark.sql.Dataset[KsOut] = {
+    require(refCum.nonEmpty && refCum.last > 0, "empty KS reference")
+    val b = refCum.length
+    val nRef = refCum.last
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def fn(key: Long, it: Iterator[KsEvent],
+           state: GroupState[KsState]): Iterator[KsOut] = {
+      val evts = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption.getOrElse(
+        KsState(Seq.fill(b)(0L), Long.MinValue, Long.MinValue))
+      val out = scala.collection.mutable.ArrayBuffer.empty[KsOut]
+      evts.foreach { e =>
+        if ((e.ts_us > st.lastTs ||
+             (e.ts_us == st.lastTs && e.event_id > st.lastEventId)) &&
+            e.bucket >= 0 && e.bucket < b) {
+          val counts = st.counts.updated(e.bucket, st.counts(e.bucket) + 1L)
+          val n = counts.sum
+          var cum = 0L
+          var ksNum = 0L
+          var i = 0
+          while (i < b) {
+            cum += counts(i)
+            val gap = math.abs(cum * nRef - refCum(i) * n)
+            if (gap > ksNum) ksNum = gap
+            i += 1
+          }
+          out += KsOut(key, e.event_id, e.ts_us, n, ksNum)
+          st = KsState(counts, e.ts_us, e.event_id)
         }
       }
       state.update(st)

@@ -79,15 +79,31 @@ class ScanSpec extends AnyFunSuite {
     assert(Scan.prefixSum(fixture(Seq.empty), Seq("g"), Seq("id"), "v").count() === 0L)
   }
 
-  test("prefixSum: driver-state guard fires loudly on pathological group counts") {
-    val spark2 = spark
-    import spark2.implicits._
+  test("prefixSum: pathological group counts route to the window fallback, bit-identical") {
+    // 5000 distinct groups against a 100-entry driver budget: the r16 form
+    // require-threw here; the r18 form falls back to the plain window
+    // cumsum (already skew-safe in the many-small-groups regime — exact
+    // long addition, so bit-identical to the scan path)
     val df = spark.range(5000).select(col("id").as("g"), col("id"), lit(1L).as("v"))
       .withColumn("g", col("g").cast(StringType))
-    val e = intercept[IllegalArgumentException] {
-      Scan.prefixSum(df, Seq("g"), Seq("id"), "v", maxDriverEntries = 100)
-    }
-    assert(e.getMessage.contains("driver state"))
+    val want = collectCum(windowCum(df, grouped = true))
+    assert(collectCum(
+      Scan.prefixSum(df, Seq("g"), Seq("id"), "v", maxDriverEntries = 100)) === want)
+  }
+
+  test("prefixSum: one skewed over-quota partition with small global G falls back, unchanged") {
+    // r17 ADVICE: the per-partition quota (max/P) can trip on a skewed
+    // range layout even when the GLOBAL entry count fits — one huge group
+    // spanning most partitions plus tiny groups packed beside its tail.
+    // Global entries ≈ P + 2 ≤ maxDriverEntries, but the tail partition
+    // holds 3 slices > quota (8/4 = 2). Must not throw; results identical.
+    val rows = (0 until 4000).map(i => ("a", i.toLong, ((i * 3) % 7).toLong)) ++
+      (0 until 10).map(i => ("y", 4000L + i, 1L)) ++
+      (0 until 10).map(i => ("z", 4100L + i, 2L))
+    val df = fixture(rows)
+    val want = collectCum(windowCum(df, grouped = true))
+    assert(collectCum(Scan.prefixSum(df, Seq("g"), Seq("id"), "v",
+      numParts = 4, maxDriverEntries = 8)) === want)
   }
 
   test("packSequences ≡ the window q_pack_sequences formulation on the gate corpus") {

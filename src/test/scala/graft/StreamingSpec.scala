@@ -565,6 +565,99 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming CUSUM == batch reflected-walk closed form BIT-EXACT across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.{CusumEvent, CusumOut}
+    val dir = "/root/testdata/sf0.001"
+    val cents = Tables.events(spark, dir)
+      .filter($"user_id" <= 40)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .select($"user_id".as("key"), $"event_id", $"ts_us",
+        round($"value" * 100, 0).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(cents.length > 30)
+    val ref = cents.map(_._4).sum / cents.length
+    val ev = cents.map { case (k, e, t, c) => CusumEvent(k, e, t, c - ref) }
+      .sortBy(e => (e.ts_us, e.event_id))
+    // batch face: S_i = P_i - min(0, min_{j<=i} P_j) over the prefix sum
+    val want = ev.groupBy(_.key).flatMap { case (k, es) =>
+      var p = 0L; var mn = 0L
+      es.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+        p += e.delta; mn = math.min(mn, p)
+        (k, e.event_id) -> (p - math.min(mn, 0L))
+      }.toSeq
+    }.toMap
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[CusumEvent]
+    val out = graft.streaming.StreamingOps.streamingCusum(stream.toDS())
+    val q = out.writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
+    chunks.foreach { c => stream.addData(c.toIndexedSeq); q.processAllAvailable() }
+    // a dropped same-timestamp straddler must not perturb the level
+    val last = ev.last
+    stream.addData(CusumEvent(last.key, last.event_id - 1000000L,
+      last.ts_us, 999999L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("cusum_out").as[CusumOut].collect()
+      .map(o => (o.key, o.event_id) -> o.cusum).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("streaming KS-to-reference == batch window face BIT-EXACT across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.{KsEvent, KsOut}
+    val dir = "/root/testdata/sf0.001"
+    val cents = Tables.events(spark, dir)
+      .filter($"user_id" <= 40)
+      .withColumn("ts_us", expr("unix_micros(ts)"))
+      .select($"user_id".as("key"), $"event_id", $"ts_us",
+        round($"value" * 100, 0).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(cents.length > 30)
+    val mn = cents.map(_._4).min
+    val mx = cents.map(_._4).max
+    def bk(c: Long): Int = math.min(((c - mn) * 10L / (mx - mn + 1L)).toInt, 9)
+    val refCounts = Array.fill(10)(0L)
+    cents.foreach(r => refCounts(bk(r._4)) += 1L)
+    val refCum = refCounts.scanLeft(0L)(_ + _).tail.toSeq
+    val nRef = refCum.last
+    val ev = cents.map { case (k, e, t, c) => KsEvent(k, e, t, bk(c)) }
+      .sortBy(e => (e.ts_us, e.event_id))
+    val want = ev.groupBy(_.key).flatMap { case (k, es) =>
+      val counts = Array.fill(10)(0L)
+      var n = 0L
+      es.sortBy(e => (e.ts_us, e.event_id)).map { e =>
+        counts(e.bucket) += 1L; n += 1L
+        var cum = 0L; var ksNum = 0L
+        (0 until 10).foreach { b =>
+          cum += counts(b)
+          ksNum = math.max(ksNum, math.abs(cum * nRef - refCum(b) * n))
+        }
+        (k, e.event_id) -> ((n, ksNum))
+      }.toSeq
+    }.toMap
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[KsEvent]
+    val out = graft.streaming.StreamingOps.streamingKsToRef(stream.toDS(), refCum)
+    val q = out.writeStream.format("memory").queryName("ks_out")
+      .outputMode("append").start()
+    val chunks = ev.grouped(math.max(1, ev.length / 3 + 1)).toSeq
+    chunks.foreach { c => stream.addData(c.toIndexedSeq); q.processAllAvailable() }
+    // dropped straddler + out-of-domain bucket must not perturb the counts
+    val last = ev.last
+    stream.addData(KsEvent(last.key, last.event_id - 1000000L, last.ts_us, 3))
+    stream.addData(KsEvent(last.key, last.event_id + 1000000L, last.ts_us + 1, 17))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ks_out").as[KsOut].collect()
+      .map(o => (o.key, o.event_id) -> ((o.n, o.ks_num))).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming sessionize drops cross-batch late events instead of corrupting sessions") {
     import spark.implicits._
     import graft.streaming.{SessionEvent, SessionOut}
