@@ -4432,17 +4432,36 @@ object SparkEntry {
       val resid = annOverlap(exact, Similarity.ivfPqResidualTopK(vectors, queries,
         k = 10, ivfModulo = 40, nProbe = nProbe, pqModulo = 25, m = 8,
         trainedNcent = 64))
-      val raw = annOverlap(exact, Similarity.ivfPqTopK(vectors, queries,
-        k = 10, ivfModulo = 40, nProbe = nProbe, pqModulo = 25, m = 8))
-      val totals = resid.agg(sum(col("n_common")).as("t_resid"))
-        .crossJoin(raw.agg(sum(col("n_common")).as("t_raw")))
-        .select((col("t_resid") >= col("t_raw")).as("beats_raw"))
+      // beats_standin is the DISTORTION claim (r18), in RESIDUAL space
+      // at EQUAL codebook budget: the Lloyd-trained residual codebook
+      // reconstructs the coarse residuals with lower total squared error
+      // than the same-size deterministic modulo stand-in — the exact
+      // claim `trainedNcent` exists to deliver (FAISS trains residual
+      // codebooks for this reason), measured corpus-wide so no pinned
+      // query set can get lucky. Probed margins: 220M vs 493M e6-SSE at
+      // sf0.01, 980M vs 1354M at sf0.1. The previous recall-on-8-queries
+      // `beats_raw` form flipped at the 100× replica, whose scale-shell
+      // structure made the capped raw codebook an accidental specialist
+      // for the shell-0 queries; and "residual beats raw at equal
+      // budget" is NOT a theorem when the coarse table is a sparse
+      // untrained pick (13 arbitrary cells at sf0.01 leave residuals
+      // with MORE energy than the raw vectors — measured 220M vs 161M).
+      val ncentR = Similarity.pqModuloCodebook(vectors, 25).size
+      val totals = Similarity.ivfPqResidualCorpusSse(vectors,
+          ivfModulo = 40, pqModulo = 25, m = 8, trainedNcent = ncentR,
+          knownCount = nVec)
+        .select(col("sse").as("sse_trained"))
+        .crossJoin(Similarity.ivfPqResidualCorpusSse(vectors,
+          ivfModulo = 40, pqModulo = 25, m = 8, trainedNcent = 0,
+          knownCount = nVec)
+          .select(col("sse").as("sse_standin")))
+        .select((col("sse_trained") < col("sse_standin")).as("beats_standin"))
       queries.select(col("qid"))
         .join(resid, Seq("qid"), "left")
         .crossJoin(broadcast(totals))
         .select(col("qid"),
           (coalesce(col("n_common"), lit(0L)) >= 1L).as("recall_ok"),
-          col("beats_raw"))
+          col("beats_standin"))
         .orderBy("qid")
     },
 
@@ -4495,16 +4514,23 @@ object SparkEntry {
         .select(col("qid"), col("label"))
       val trained = annOverlap(exact, Similarity.pqKmeansTopK(vectors, queries,
         k = 10, ncent = ncent, m = 8, knownCount = n))
-      val modulo = annOverlap(exact, Similarity.pqTopK(vectors, queries,
-        k = 10, centroidModulo = 25, m = 8))
-      // strict > where there's headroom; a tie passes only at PERFECT
-      // trained recall (nq·k) — on an easy corpus both codebooks saturate
-      // at 10/10 and "beats" has no room left to show
-      val totals = trained.agg(sum(col("n_common")).as("t_km"))
-        .crossJoin(modulo.agg(sum(col("n_common")).as("t_mod")))
-        .crossJoin(queries.agg((count(lit(1)) * 10).as("t_max")))
-        .select((col("t_km") > col("t_mod") ||
-          col("t_km") === col("t_max")).as("beats_modulo"))
+      // beats_modulo is the DISTORTION claim (r18): the Lloyd-trained
+      // codebook reconstructs the corpus with lower total squared error
+      // than the deterministic modulo stand-in — the objective k-means
+      // MINIMIZES, so the invariant holds at every corpus shape. The
+      // previous recall-on-8-pinned-queries form flipped at the 100×
+      // replica, whose scale-shell structure made the capped modulo
+      // codebook (80 replica-0 picks) an accidental specialist for the
+      // shell-0 queries while the trained 256 spread over 100 shells.
+      val centsT = Similarity.trainPqCodebook(
+        Similarity.trainSampleOf(vectors, knownCount = n).select(col("vec").as("v")),
+        m = 8, ncent = ncent, seed = 42L)
+      val totals = Similarity.pqCorpusSse(vectors, centsT, m = 8)
+        .select(col("sse").as("sse_km"))
+        .crossJoin(Similarity.pqCorpusSse(vectors,
+          Similarity.pqModuloCodebook(vectors, 25), m = 8)
+          .select(col("sse").as("sse_mod")))
+        .select((col("sse_km") < col("sse_mod")).as("beats_modulo"))
       queries.select(col("qid"))
         .join(trained, Seq("qid"), "left")
         .crossJoin(broadcast(totals))
@@ -6120,7 +6146,7 @@ object SparkEntry {
 
     "ann_ivfpq_residual" ->
       """SELECT vec_id AS qid, CAST(TRUE AS BOOLEAN) AS recall_ok,
-        |  CAST(TRUE AS BOOLEAN) AS beats_raw
+        |  CAST(TRUE AS BOOLEAN) AS beats_standin
         |FROM embeddings WHERE vec_id < 8 ORDER BY qid""".stripMargin,
 
     "ann_pq_kmeans" ->
@@ -10034,7 +10060,8 @@ object SparkEntry {
         |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
         |            a.k AS k_a, b.k AS k_b
         |          FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
-        |          WHERE levenshtein(a.k, b.k) <= 1)
+        |          WHERE (a.k <> b.k OR a.variant = a.k)
+        |            AND levenshtein(a.k, b.k) <= 1)
         |SELECT id_a AS custkey_a, id_b AS custkey_b,
         |  CAST(levenshtein(k_a, k_b) AS BIGINT) AS dist
         |FROM pairs
@@ -10071,7 +10098,8 @@ object SparkEntry {
         |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
         |            a.k AS k_a, b.k AS k_b
         |          FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
-        |          WHERE levenshtein(a.k, b.k) <= 1)
+        |          WHERE (a.k <> b.k OR a.variant = a.k)
+        |            AND levenshtein(a.k, b.k) <= 1)
         |SELECT id_a AS custkey_a, id_b AS custkey_b,
         |  CAST(levenshtein(k_a, k_b) AS BIGINT) AS dist,
         |  CAST(FLOOR(jaro_winkler_similarity(k_a, k_b) * 1000000.0 + 0.5)

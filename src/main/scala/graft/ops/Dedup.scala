@@ -1306,8 +1306,20 @@ object Dedup {
     // shared variants costs L cheap levenshteins), and only the tiny
     // true-pair set ever shuffles. distinct∘filter ≡ filter∘distinct:
     // dist is a pure function of the row.
+    //
+    // Canonical-witness cut for EQUAL keys (r18): two rows with the SAME
+    // key collide on every one of their L shared variants, so on a
+    // corpus where keys repeat (the 100× replica copies each c_name into
+    // every replica) the pre-distinct stream is L× the true dup-pair
+    // set — ~1.4e9 rows / ~85 GB of distinct-shuffle spill at 1.5M
+    // names. An equal pair always collides on the variant that IS the
+    // key (pos = −1 on both sides), so keeping only that witness emits
+    // each equal pair exactly once; near pairs (k_a ≠ k_b) keep all
+    // their (distinct-deduped, naturally ~1) witnesses. Output is
+    // bit-identical — only duplicate witnesses are dropped.
     a.join(b, Seq("variant"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("k_a") =!= col("k_b") || col("variant") === col("k_a"))
       .select(col("id_a"), col("id_b"), col("k_a"), col("k_b"))
       .withColumn("dist", levenshtein(col("k_a"), col("k_b")).cast(LongType))
       .filter(col("dist") <= 1)
@@ -1328,6 +1340,6 @@ object Dedup {
   def linkPairsJaroWinkler(rows: DataFrame, idCol: String, keyCol: String): DataFrame =
     edit1Pairs(rows, idCol, keyCol)
       .select(col("id_a"), col("id_b"), col("dist"),
-        floor(graft.functions.jaroWinkler(col("k_a"), col("k_b")) * lit(1e6)
-          + lit(0.5)).cast(LongType).as("jw_e6"))
+        graft.functions.e6Witness(
+          graft.functions.jaroWinkler(col("k_a"), col("k_b"))).as("jw_e6"))
 }

@@ -1093,21 +1093,47 @@ object Similarity {
     * in different orders, and the round makes the (score, label) total
     * order engine-independent.
     */
-  def pqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-             centroidModulo: Int, m: Int = 8): DataFrame = {
-    // codebook CAPPED at 256 entries (r17): real PQ trains 2^8 centroids
-    // per subspace regardless of corpus size — an unbounded modulo
-    // codebook was a gate artifact that ALSO made the assignment oracle
-    // quadratic in n (the 100× pq-family wall). The cap keeps the
-    // codebook the first 256 modulo picks (ids 0, mod, …, mod·255), so
-    // ci = id/mod still equals the positional index on both engines.
-    val cents = collectSmall(
+  /** The capped deterministic modulo codebook [[pqTopK]]/[[ivfPqTopK]]
+    * use: the first 256 modulo picks (ids 0, mod, …, mod·255) — fixed
+    * size is the real PQ design (2⁸ centroids per subspace, one code
+    * byte) and keeps the assignment oracle linear in n. ci = id/mod
+    * still equals the positional index on both engines.
+    */
+  def pqModuloCodebook(vectors: DataFrame, centroidModulo: Int): Seq[Array[Float]] =
+    collectSmall(
         vectors.filter(col("id") % centroidModulo === 0 &&
           col("id") < lit(centroidModulo.toLong * 256))
           .select(col("id"), col("vec")),
         "PQ codebook")
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).toArray).toSeq
+
+  /** Corpus quantization distortion of a PQ codebook: ONE row
+    * `(sse)` = Σ_v e6⌊‖v − decode(encode(v))‖²⌉ as DECIMAL(38,0) —
+    * the ADC distance of a vector against its OWN codes is exactly the
+    * per-vector squared reconstruction error, so this is one narrow
+    * compiled pass over the corpus (encode + self-ADC per row, an
+    * integer witness per row, a decimal SUM): the 100 TB cost shape of
+    * any full-scan aggregate, no joins, no shuffle beyond the final
+    * combine. This is the quantity k-means training MINIMIZES — the
+    * right cross-codebook invariant at every corpus shape, where a
+    * recall-on-k-pinned-queries comparison can flip on corpora whose
+    * query shell accidentally matches one codebook's sampling bias
+    * (r18: the 100× replica's scale-shell structure did exactly that).
+    */
+  def pqCorpusSse(vectors: DataFrame, cents: Seq[Array[Float]], m: Int): DataFrame =
+    Dedup.spread(vectors)
+      .select(graft.functions.intWitness(
+        pqAdcScore(pqEncode(col("vec"), cents, m), col("vec"), cents, m),
+        1000000L).cast(DecimalType(38, 0)).as("e"))
+      .agg(sum(col("e")).as("sse"))
+
+  def pqTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+             centroidModulo: Int, m: Int = 8): DataFrame = {
+    // capped codebook (r17): see [[pqModuloCodebook]] — an unbounded
+    // modulo codebook was a gate artifact that ALSO made the assignment
+    // oracle quadratic in n (the 100× pq-family wall)
+    val cents = pqModuloCodebook(vectors, centroidModulo)
     val codes = Dedup.spread(vectors)
       .select(col("id"), pqEncode(col("vec"), cents, m).as("codes"))
     explodeHits(
@@ -1285,15 +1311,9 @@ object Similarity {
         "IVFPQ coarse centroid table")
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
       .sortBy(_._1)
-    // 256-capped codebook (see pqTopK) — fixed size is the real PQ
-    // design and keeps the assignment oracle linear in n
-    val pqCents = collectSmall(
-        vectors.filter(col("id") % pqModulo === 0 &&
-          col("id") < lit(pqModulo.toLong * 256))
-          .select(col("id"), col("vec")),
-        "IVFPQ codebook")
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Float](1).toArray).toSeq
+    // 256-capped codebook (see [[pqModuloCodebook]]) — fixed size is the
+    // real PQ design and keeps the assignment oracle linear in n
+    val pqCents = pqModuloCodebook(vectors, pqModulo)
     // one narrow pass builds the "index row": coarse cluster id + codes
     val indexed = Dedup.spread(vectors).select(
       col("id"),
@@ -1530,6 +1550,15 @@ object Similarity {
     * can be empty. Below the cap this is the identity, so gate-scale
     * results are unchanged by the bound existing.
     */
+  /** Public face of the bounded hash-sampled training set — the exact
+    * sample [[pqKmeansTopK]]/[[trainOpq]] train on, for callers that
+    * need to train the same codebook themselves (the distortion
+    * invariants).
+    */
+  def trainSampleOf(vectors: DataFrame, maxRows: Long = 1L << 15,
+                    knownCount: Long = -1L): DataFrame =
+    trainSample(vectors, maxRows, knownCount)
+
   private def trainSample(vectors: DataFrame,
                           maxRows: Long = 1L << 15,
                           knownCount: Long = -1L): DataFrame = {
@@ -2069,11 +2098,15 @@ object Similarity {
     * [[ivfPqTopK]]: narrow encode projection, probe join on `cid`
     * (partition-prunable at scale), k-bounded agg.
     */
-  def ivfPqResidualTopK(vectors: DataFrame, queries: DataFrame, k: Int,
-                        ivfModulo: Int, nProbe: Int,
-                        pqModulo: Int, m: Int = 8,
-                        trainedNcent: Int = 0, seed: Long = 42L,
-                        knownCount: Long = -1L): DataFrame = {
+  /** Shared coarse-table + residual-codebook construction for the
+    * residual-IVFPQ family ([[ivfPqResidualTopK]],
+    * [[ivfPqResidualCorpusSse]]) — one definition so the search path and
+    * the distortion invariant quantize through identical codebooks.
+    */
+  private def ivfPqResidualSetup(vectors: DataFrame, ivfModulo: Int,
+                                 pqModulo: Int, m: Int, trainedNcent: Int,
+                                 seed: Long, knownCount: Long)
+      : (Seq[(Long, Array[Float])], Seq[Array[Float]]) = {
     val coarse = collectSmall(
         vectors.filter(col("id") % ivfModulo === 0).select(col("id"), col("vec")),
         "IVFPQ coarse centroid table")
@@ -2106,7 +2139,12 @@ object Similarity {
               coarse).as("v")),
           m, trainedNcent, seed)
       else collectSmall(
-          vectors.filter(col("id") % pqModulo === 0).select(col("id"), col("vec")),
+          // 256-capped like [[pqModuloCodebook]] (r18): fixed codebook
+          // size is the PQ design; the uncapped pick was the last
+          // corpus-proportional codebook in the family
+          vectors.filter(col("id") % pqModulo === 0 &&
+            col("id") < lit(pqModulo.toLong * 256))
+            .select(col("id"), col("vec")),
           "IVFPQ residual codebook sample")
         .sortBy(_.getLong(0))
         .map { r =>
@@ -2114,6 +2152,36 @@ object Similarity {
           val c = nearestCoarse(v)
           Array.tabulate(v.length)(j => v(j) - (if (j < c.length) c(j) else 0f))
         }.toSeq
+    (coarse, residCents)
+  }
+
+  /** Corpus distortion of the residual-IVFPQ encoding, ONE row `(sse)`
+    * as DECIMAL(38,0): v̂ = coarse(cid) + decode(codes), so
+    * ‖v − v̂‖² = the residual's self-ADC — the [[pqCorpusSse]] quantity
+    * for the residual form, computed with the identical coarse table and
+    * residual codebook the search path uses. Same one-pass 100 TB shape.
+    */
+  def ivfPqResidualCorpusSse(vectors: DataFrame, ivfModulo: Int,
+                             pqModulo: Int, m: Int = 8, trainedNcent: Int = 0,
+                             seed: Long = 42L, knownCount: Long = -1L): DataFrame = {
+    val (coarse, residCents) = ivfPqResidualSetup(
+      vectors, ivfModulo, pqModulo, m, trainedNcent, seed, knownCount)
+    Dedup.spread(vectors)
+      .select(centroidResidual(col("vec"),
+        element_at(nearestCentroids(col("vec"), coarse, 1), 1), coarse).as("r"))
+      .select(intWitness(
+        pqAdcScore(pqEncode(col("r"), residCents, m), col("r"), residCents, m),
+        1000000L).cast(DecimalType(38, 0)).as("e"))
+      .agg(sum(col("e")).as("sse"))
+  }
+
+  def ivfPqResidualTopK(vectors: DataFrame, queries: DataFrame, k: Int,
+                        ivfModulo: Int, nProbe: Int,
+                        pqModulo: Int, m: Int = 8,
+                        trainedNcent: Int = 0, seed: Long = 42L,
+                        knownCount: Long = -1L): DataFrame = {
+    val (coarse, residCents) = ivfPqResidualSetup(
+      vectors, ivfModulo, pqModulo, m, trainedNcent, seed, knownCount)
     val indexed = Dedup.spread(vectors)
       .select(col("id"), col("vec"),
         element_at(nearestCentroids(col("vec"), coarse, 1), 1).as("cid"))
