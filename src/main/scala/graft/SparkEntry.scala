@@ -5356,22 +5356,30 @@ object SparkEntry {
     // formulation (all-pairs levenshtein) is quadratic; blocking
     // completeness for distance ≤ 1 is proved in the Scaladoc and
     // spec-pinned against a brute-force small fixture.
+    // key-level emission (r18): the id-pair materialization is
+    // quadratic in the key-repetition factor (the 100× replica repeats
+    // every c_name 100× → ~2.7e9 id pairs, a row count no oracle or
+    // sink should materialize); the summary (key_a, key_b, dist,
+    // n_pairs) carries the identical information at distinct-key size
+    // and is oracle-able at every tier. Dedup.fuzzyPairsEdit1 keeps the
+    // id-pair contract for library callers.
     "q_fuzzy_join" -> { (s, dir) =>
-      Dedup.fuzzyPairsEdit1(Tables(s, dir, "customer"), "c_custkey", "c_name")
-        .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
-          col("dist"))
-        .orderBy("custkey_a", "custkey_b")
+      Dedup.fuzzyKeySummary(Tables(s, dir, "customer"), "c_custkey", "c_name")
+        .select(col("key_a").as("name_a"), col("key_b").as("name_b"),
+          col("dist"), col("n_pairs"))
+        .orderBy("name_a", "name_b")
     },
 
     // record linkage scored the way linkage pipelines rank: same
-    // recall-complete edit-1 blocking as q_fuzzy_join, but each pair
-    // carries its Jaro-Winkler similarity — prefix-weighted, so a typo
-    // in the first characters scores lower than one at the tail
+    // recall-complete edit-1 blocking as q_fuzzy_join, but each key
+    // pair carries its Jaro-Winkler similarity — prefix-weighted, so a
+    // typo in the first characters scores lower than one at the tail
     "q_jw_link" -> { (s, dir) =>
-      Dedup.linkPairsJaroWinkler(Tables(s, dir, "customer"), "c_custkey", "c_name")
-        .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
-          col("dist"), col("jw_e6"))
-        .orderBy("custkey_a", "custkey_b")
+      Dedup.fuzzyKeySummary(Tables(s, dir, "customer"), "c_custkey", "c_name",
+          jw = true)
+        .select(col("key_a").as("name_a"), col("key_b").as("name_b"),
+          col("dist"), col("n_pairs"), col("jw_e6"))
+        .orderBy("name_a", "name_b")
     },
 
     // ---- skyline (Pareto frontier): multi-criteria best tradeoffs ----
@@ -10052,20 +10060,22 @@ object SparkEntry {
     // proved at Dedup.fuzzyPairsEdit1) — the definitional all-pairs
     // formulation is quadratic and would not survive sf1
     "q_fuzzy_join" ->
-      """WITH c AS (SELECT c_custkey AS id, c_name AS k FROM customer),
+      """WITH c AS (SELECT c_name AS k, COUNT(*) AS cnt FROM customer GROUP BY 1),
         |p AS (SELECT unnest(range(-1, (SELECT MAX(length(k)) FROM c))) AS pos),
-        |v AS MATERIALIZED (SELECT id, k, CASE WHEN pos < 0 THEN k
+        |v AS MATERIALIZED (SELECT DISTINCT k, CASE WHEN pos < 0 THEN k
         |        ELSE substr(k, 1, pos) || substr(k, pos + 2) END AS variant
         |      FROM c JOIN p ON pos < length(k)),
-        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-        |            a.k AS k_a, b.k AS k_b
-        |          FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
-        |          WHERE (a.k <> b.k OR a.variant = a.k)
-        |            AND levenshtein(a.k, b.k) <= 1)
-        |SELECT id_a AS custkey_a, id_b AS custkey_b,
-        |  CAST(levenshtein(k_a, k_b) AS BIGINT) AS dist
-        |FROM pairs
-        |ORDER BY custkey_a, custkey_b""".stripMargin,
+        |np AS (SELECT DISTINCT a.k AS key_a, b.k AS key_b
+        |       FROM v a JOIN v b ON a.variant = b.variant AND a.k < b.k
+        |       WHERE levenshtein(a.k, b.k) <= 1)
+        |SELECT k AS name_a, k AS name_b, CAST(0 AS BIGINT) AS dist,
+        |  CAST(cnt * (cnt - 1) // 2 AS BIGINT) AS n_pairs
+        |FROM c WHERE cnt > 1
+        |UNION ALL
+        |SELECT np.key_a, np.key_b, CAST(1 AS BIGINT),
+        |  CAST(ca.cnt * cb.cnt AS BIGINT)
+        |FROM np JOIN c ca ON ca.k = np.key_a JOIN c cb ON cb.k = np.key_b
+        |ORDER BY name_a, name_b""".stripMargin,
 
     "q_attribution_linear" ->
       """WITH e AS (SELECT event_id, user_id, event_type, value,
@@ -10090,22 +10100,25 @@ object SparkEntry {
       // DuckDB's jaro_winkler_similarity is the pinned reference for the
       // Scala expression (JaroWinkler scaladoc: verified 1e-12-identical
       // on 3000 random pairs, incl. the empty→0.0 edge)
-      """WITH c AS (SELECT c_custkey AS id, c_name AS k FROM customer),
+      """WITH c AS (SELECT c_name AS k, COUNT(*) AS cnt FROM customer GROUP BY 1),
         |p AS (SELECT unnest(range(-1, (SELECT MAX(length(k)) FROM c))) AS pos),
-        |v AS MATERIALIZED (SELECT id, k, CASE WHEN pos < 0 THEN k
+        |v AS MATERIALIZED (SELECT DISTINCT k, CASE WHEN pos < 0 THEN k
         |        ELSE substr(k, 1, pos) || substr(k, pos + 2) END AS variant
         |      FROM c JOIN p ON pos < length(k)),
-        |pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-        |            a.k AS k_a, b.k AS k_b
-        |          FROM v a JOIN v b ON a.variant = b.variant AND a.id < b.id
-        |          WHERE (a.k <> b.k OR a.variant = a.k)
-        |            AND levenshtein(a.k, b.k) <= 1)
-        |SELECT id_a AS custkey_a, id_b AS custkey_b,
-        |  CAST(levenshtein(k_a, k_b) AS BIGINT) AS dist,
-        |  CAST(FLOOR(jaro_winkler_similarity(k_a, k_b) * 1000000.0 + 0.5)
-        |    AS BIGINT) AS jw_e6
-        |FROM pairs
-        |ORDER BY custkey_a, custkey_b""".stripMargin,
+        |np AS (SELECT DISTINCT a.k AS key_a, b.k AS key_b
+        |       FROM v a JOIN v b ON a.variant = b.variant AND a.k < b.k
+        |       WHERE levenshtein(a.k, b.k) <= 1)
+        |SELECT k AS name_a, k AS name_b, CAST(0 AS BIGINT) AS dist,
+        |  CAST(cnt * (cnt - 1) // 2 AS BIGINT) AS n_pairs,
+        |  CAST(1000000 AS BIGINT) AS jw_e6
+        |FROM c WHERE cnt > 1
+        |UNION ALL
+        |SELECT np.key_a, np.key_b, CAST(1 AS BIGINT),
+        |  CAST(ca.cnt * cb.cnt AS BIGINT),
+        |  CAST(FLOOR(jaro_winkler_similarity(np.key_a, np.key_b) * 1000000.0 + 0.5)
+        |    AS BIGINT)
+        |FROM np JOIN c ca ON ca.k = np.key_a JOIN c cb ON cb.k = np.key_b
+        |ORDER BY name_a, name_b""".stripMargin,
 
     // identical sort-scan formulation (Skyline.skyline2dSql)
     "q_skyline" -> {

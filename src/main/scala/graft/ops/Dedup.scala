@@ -1267,63 +1267,111 @@ object Dedup {
     edit1Pairs(rows, idCol, keyCol)
       .select(col("id_a"), col("id_b"), col("dist"))
 
-  /** Deletion-neighborhood blocked pairs at edit distance ≤ 1, with the
-    * key strings — the shared candidate stage of [[fuzzyPairsEdit1]] and
-    * [[linkPairsJaroWinkler]].
+  /** Distinct-KEY near pairs at edit distance exactly 1 — the
+    * deletion-neighborhood block join run over the distinct key set
+    * (`(k_a, k_b)` with `k_a < k_b` lexicographically). This is where
+    * ALL the blocking + levenshtein work happens, and it is sized by
+    * DISTINCT keys, not rows: on a corpus where keys repeat (the 100×
+    * replica copies each c_name into every one of 100 replicas) the
+    * row-level join ground through 10.9e9 candidate pairs — 10⁴
+    * duplicate levenshteins per distinct name pair (measured; two gate
+    * runs died on the ~85 GB distinct-shuffle spill) — where this form
+    * does each name-pair comparison once (15k names → ~10⁶ candidates,
+    * a 1000× CPU cut). distinct keys are collected nowhere: the
+    * variant self-join stays distributed with the same pinned
+    * repartition (AQE would coalesce the exploding exchange to a
+    * handful of partitions; user-specified numPartitions is never
+    * coalesced).
     */
-  private def edit1Pairs(rows: DataFrame, idCol: String, keyCol: String): DataFrame = {
+  private def edit1KeyPairs(keys: DataFrame): DataFrame = {
     // deletion neighborhood: the key itself (pos = -1) plus delete-at-i.
     // distinct: deleting different equal chars (e.g. any of the zeros in
-    // "Customer#000000012") yields the SAME variant string — duplicate
-    // (variant, id) rows would inflate every block QUADRATICALLY in the
-    // candidate join (measured 348M → 116M join rows on the sf1 corpus).
-    // The explicit fixed-count repartition on `variant` pins the join's
-    // parallelism: AQE sizes post-shuffle partitions by the join's INPUT
-    // bytes, and this join's output is the part that explodes — on a
-    // replica-heavy corpus AQE coalesced the exchange to a handful of
-    // partitions and one task carried the entire explosion (>11 min
-    // straggler at sf1; user-specified numPartitions is never coalesced).
-    val keyed = rows.select(col(idCol).as("id"), col(keyCol).as("k"))
+    // "Customer#000000012") yields the SAME variant string.
+    val keyed = keys.select(col("k"))
+      .distinct()
       .withColumn("pos", explode(sequence(lit(-1), length(col("k")) - 1)))
-      .select(col("id"), col("k"),
+      .select(col("k"),
         when(col("pos") < 0, col("k"))
           .otherwise(concat(
             col("k").substr(lit(1), col("pos")),
             col("k").substr(col("pos") + 2, length(col("k")))))
           .as("variant"))
       .distinct()
-      .repartition(rows.sparkSession.sparkContext.defaultParallelism,
+      .repartition(keys.sparkSession.sparkContext.defaultParallelism,
         col("variant"))
       .localCheckpoint(true)
-    val a = keyed.select(col("variant"), col("id").as("id_a"), col("k").as("k_a"))
-    val b = keyed.select(col("variant"), col("id").as("id_b"), col("k").as("k_b"))
-    // levenshtein BEFORE distinct (r17): the join output is the part
-    // that explodes (co-partitioned on variant, so the explosion exists
-    // only INSIDE tasks), and shuffling it into a distinct — billions of
-    // rows carrying two name strings each at the 1.5M-name replica —
-    // filled ~90 GB of spill and took the box down. Filtering to true
-    // edit-≤1 pairs first is a narrow map (a pair duplicated across L
-    // shared variants costs L cheap levenshteins), and only the tiny
-    // true-pair set ever shuffles. distinct∘filter ≡ filter∘distinct:
-    // dist is a pure function of the row.
-    //
-    // Canonical-witness cut for EQUAL keys (r18): two rows with the SAME
-    // key collide on every one of their L shared variants, so on a
-    // corpus where keys repeat (the 100× replica copies each c_name into
-    // every replica) the pre-distinct stream is L× the true dup-pair
-    // set — ~1.4e9 rows / ~85 GB of distinct-shuffle spill at 1.5M
-    // names. An equal pair always collides on the variant that IS the
-    // key (pos = −1 on both sides), so keeping only that witness emits
-    // each equal pair exactly once; near pairs (k_a ≠ k_b) keep all
-    // their (distinct-deduped, naturally ~1) witnesses. Output is
-    // bit-identical — only duplicate witnesses are dropped.
+    val a = keyed.select(col("variant"), col("k").as("k_a"))
+    val b = keyed.select(col("variant"), col("k").as("k_b"))
+    // levenshtein BEFORE distinct (r17): only true near pairs shuffle
     a.join(b, Seq("variant"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(col("k_a") =!= col("k_b") || col("variant") === col("k_a"))
-      .select(col("id_a"), col("id_b"), col("k_a"), col("k_b"))
-      .withColumn("dist", levenshtein(col("k_a"), col("k_b")).cast(LongType))
-      .filter(col("dist") <= 1)
+      .filter(col("k_a") < col("k_b"))
+      .filter(levenshtein(col("k_a"), col("k_b")) <= 1)
+      .select(col("k_a"), col("k_b"))
       .distinct()
+  }
+
+  /** Deletion-neighborhood blocked ID pairs at edit distance ≤ 1, with
+    * the key strings — the shared candidate stage of
+    * [[fuzzyPairsEdit1]] and [[linkPairsJaroWinkler]]: the distinct-key
+    * near-pair set ([[edit1KeyPairs]]) expanded back to id pairs by two
+    * key-equality joins (same-key pairs by a co-partitioned self-join).
+    * The expansion is output-proportional by construction — when keys
+    * repeat R times the id-pair result is Θ(R²) per key pair, which is
+    * the true answer's own size, not join overhead.
+    */
+  private def edit1Pairs(rows: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    val ids = rows.select(col(idCol).as("id"), col(keyCol).as("k"))
+      .localCheckpoint(true)
+    // same-key pairs: dist 0, co-partitioned self-join on the key
+    val same = ids.as("x").join(ids.as("y"),
+        col("x.k") === col("y.k") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("x.k").as("k_a"), col("y.k").as("k_b"), lit(0L).as("dist"))
+    // near-key pairs: expand each (k_a, k_b) to ids_a × ids_b, then
+    // normalize to id_a < id_b (key columns swap with their ids)
+    val near = edit1KeyPairs(ids.select(col("k")))
+      .join(ids.as("x"), col("x.k") === col("k_a"))
+      .join(ids.as("y"), col("y.k") === col("k_b"))
+      .select(
+        least(col("x.id"), col("y.id")).as("id_a"),
+        greatest(col("x.id"), col("y.id")).as("id_b"),
+        when(col("x.id") < col("y.id"), col("k_a")).otherwise(col("k_b")).as("k_a"),
+        when(col("x.id") < col("y.id"), col("k_b")).otherwise(col("k_a")).as("k_b"),
+        lit(1L).as("dist"))
+    same.unionByName(near)
+  }
+
+  /** Scale-honest key-level summary of the edit-1 linkage: one row per
+    * near-duplicate DISTINCT-key pair — `(key_a, key_b, dist, n_pairs)`
+    * where `n_pairs` is the number of id pairs the key pair induces
+    * (cnt_a·cnt_b across keys; C(cnt, 2) within a repeated key, emitted
+    * only when ≥ 1). On corpora with unique keys this is exactly the
+    * id-pair set reshaped; on corpora with repeated keys it is the only
+    * form whose OUTPUT is not quadratic in the repetition factor — at
+    * the 100× replica the id-pair materialization is ~2.7e9 rows (a
+    * number, not a result set), while this summary is ~280k rows and
+    * fully oracle-able. `jw` adds the Jaro-Winkler e6 witness per key
+    * pair ([[linkPairsJaroWinkler]] semantics; 10⁶ for equal keys).
+    */
+  def fuzzyKeySummary(rows: DataFrame, idCol: String, keyCol: String,
+                      jw: Boolean = false): DataFrame = {
+    val counts = rows.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val eq = counts.filter(col("c") > 1)
+      .select(col("k").as("key_a"), col("k").as("key_b"), lit(0L).as("dist"),
+        expr("c * (c - 1) div 2").as("n_pairs"))
+    val cr = edit1KeyPairs(counts.select(col("k")))
+      .select(col("k_a").as("key_a"), col("k_b").as("key_b"))
+      .join(counts.select(col("k").as("key_a"), col("c").as("ca")), Seq("key_a"))
+      .join(counts.select(col("k").as("key_b"), col("c").as("cb")), Seq("key_b"))
+      .select(col("key_a"), col("key_b"), lit(1L).as("dist"),
+        (col("ca") * col("cb")).as("n_pairs"))
+    val base = eq.unionByName(cr)
+    if (!jw) base
+    else base.select(col("key_a"), col("key_b"), col("dist"), col("n_pairs"),
+      graft.functions.e6Witness(
+        graft.functions.jaroWinkler(col("key_a"), col("key_b"))).as("jw_e6"))
   }
 
   /** Record linkage with Jaro-Winkler scoring: the same recall-complete
