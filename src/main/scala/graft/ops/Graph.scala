@@ -45,6 +45,25 @@ object Graph {
     */
   val BroadcastNodeCap = 4000000L
 
+  /** Eager localCheckpoint for frames that the iteration loops RE-SCAN
+    * every round (edge lists, oriented edges, symmetric adjacencies).
+    *
+    * Measured r18 (sf0.1, local[32]): repartitioning these frames UP to
+    * defaultParallelism before checkpointing — so each iteration runs 32
+    * tasks instead of the 1-2 AQE coalesces to — REGRESSED the graph
+    * family ~2× under the bench protocol. Per-task fixed cost on this
+    * box is hundreds of ms at 32 concurrent small tasks (lock/JIT/GC
+    * amplification: iteration stages went from 2.4 s cpu on 2 tasks to
+    * 15-50 s cpu on 32), so for MB-scale per-iteration frames AQE's
+    * byte-based coalescing is the right call and the lever that actually
+    * pays is per-row and per-job cost (witness-per-source, lazy
+    * checkpoints, in-plan normalizers — see the operators). At real
+    * scale the frames are big and AQE keeps them wide; nothing to fix
+    * there either.
+    */
+  private[graft] def checkpointScaled(df: DataFrame): DataFrame =
+    df.localCheckpoint(true)
+
   /** Co-occurrence edge list: directed edges `(src, dst)` between items
     * sharing a basket, both directions, deduplicated. Self-join on the
     * basket key — bounded fanout per basket (a TPC-H order holds ≤ 7
@@ -53,9 +72,22 @@ object Graph {
     */
   def coOccurrenceEdges(items: DataFrame, basketCol: String,
                         itemCol: String): DataFrame = {
-    val a = items.select(col(basketCol).as("__b"), col(itemCol).as("src")).distinct()
-    val b = items.select(col(basketCol).as("__b"), col(itemCol).as("dst")).distinct()
-    a.join(b, Seq("__b"))
+    // r18 (opt): basket-local pair expansion via collect_set + double
+    // explode instead of the distinct+self-join — ONE exchange (the
+    // per-basket set aggregation) replaces the old three (two distinct
+    // aggregations + the join's broadcast build of the full distinct
+    // frame), and the |basket|² expansion runs as two Generate nodes
+    // over in-memory arrays. Identical output set: collect_set dedups
+    // within the basket exactly as the old per-side distinct did, and
+    // the trailing distinct dedups across baskets (array order cannot
+    // leak — the output passes through a set). Measured sf0.1: 4.2 s →
+    // 3.2 s warm, 6.7 s → 4.0 s cold. Per-basket arrays stay bounded by
+    // the basket size (≤ 7 lineitems per order here), never corpus
+    // size, so the 100 TB shape is unchanged.
+    items.groupBy(col(basketCol).as("__b"))
+      .agg(collect_set(col(itemCol)).as("__is"))
+      .select(explode(col("__is")).as("src"), col("__is"))
+      .select(col("src"), explode(col("__is")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .select("src", "dst")
       .distinct()
@@ -88,17 +120,15 @@ object Graph {
                broadcastRanks: Boolean = true,
                broadcastNodeCap: Long = BroadcastNodeCap): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = checkpointScaled(edges.select(col("src"), col("dst")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("odeg")).localCheckpoint(true)
     val n = nodes.select(col("id")).distinct().localCheckpoint(true)
     val nV = n.count()
     def maybeBcast(df: DataFrame): DataFrame =
       if (broadcastRanks && nV <= broadcastNodeCap) broadcast(df) else df
-    val degSide = maybeBcast(deg)
 
     var ranks = n.withColumn("r", lit(1.0))
     for (_ <- 1 to iters) {
-      val rSide = maybeBcast(ranks)
       // e14 FLOOR-witness quantization (r17): CAST(double AS DECIMAL)
       // rounds HALF_UP on the double's decimal expansion in Spark but
       // scale-and-rints in DuckDB — ONE contribution at a 14-dp boundary
@@ -109,17 +139,30 @@ object Graph {
       // floor itself in double space too: a hub with rank/odeg > ~92k
       // would saturate functions.floor's LONG where DuckDB's HUGEINT
       // floor does not.
-      val contrib = e.join(rSide, e("src") === rSide("id"))
-        .join(degSide, Seq("src"))
-        .select(col("dst").as("id"),
-          graft.functions.decimalWitness(col("r") / col("odeg"), 1e14).as("c"))
-      val sums = contrib.groupBy("id").agg(sum(col("c")).as("s"))
+      //
+      // r18 (opt): the witnessed contribution q(r/odeg) is a pure
+      // per-SOURCE value, so it is computed once per node on the
+      // |V|-row rank×degree join and the |E|-row side only probes the
+      // result — the division + witness no longer run per edge, and the
+      // per-iteration edge join carries ONE small side instead of two.
+      // Identical addends ⇒ identical exact integer sums ⇒ identical
+      // ranks (the oracle keeps the per-edge formulation; the witness
+      // value per src is the same either way).
+      val perSrc = maybeBcast(
+        ranks.join(deg, ranks("id") === deg("src"))
+          .select(col("src"),
+            graft.functions.decimalWitness(col("r") / col("odeg"), 1e14).as("c")))
+      val sums = e.join(perSrc, Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("s"))
+      // LAZY checkpoint: the next iteration's broadcast collect (or the
+      // caller's first action on the last iteration) materializes the
+      // frame — one job per iteration instead of two
       ranks = n.join(sums, Seq("id"), "left")
         .select(col("id"),
           (lit(1.0 - damping) +
             lit(damping) * (coalesce(col("s"), lit(0).cast(DecimalType(38, 0)))
               .cast(DoubleType) / lit(1e14))).as("r"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -153,45 +196,53 @@ object Graph {
            broadcastRanks: Boolean = true,
            broadcastNodeCap: Long = BroadcastNodeCap): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val e = checkpointScaled(edges.select(col("src"), col("dst")).distinct())
     val n = nodes.select(col("id")).distinct().localCheckpoint(true)
     val nV = n.count()
-    val dec = DecimalType(38, 0)
 
     def bc(df: DataFrame): DataFrame =
       if (broadcastRanks && nV <= broadcastNodeCap) broadcast(df) else df
 
+    // r18 (opt): the max normalizer stays IN the plan as a broadcast
+    // 1-row aggregate instead of a driver `.head` probe — same two IEEE
+    // ops (max, divide; the >0 guard rides a when()), but each
+    // half-iteration is ONE job whose materializer is the next
+    // broadcast collect, instead of a head job + checkpoint job +
+    // collect job. The scores subtree is referenced twice (max + the
+    // division) and its aggregation exchange is reused.
     def normalized(scores: DataFrame, c: String): DataFrame = {
-      val mx = scores.agg(max(col(c))).head.getDouble(0)
-      val d = if (mx > 0.0) mx else 1.0
-      scores.select(col("id"), (col(c) / lit(d)).as(c))
+      val mx = scores.agg(max(col(c)).as("__mx"))
+      scores.crossJoin(broadcast(mx))
+        .select(col("id"),
+          (col(c) / when(col("__mx") > 0.0, col("__mx")).otherwise(lit(1.0))).as(c))
     }
 
     var hub = n.withColumn("h", lit(1.0))
     var auth = n.withColumn("a", lit(0.0))
     for (_ <- 1 to iters) {
-      val hSide = bc(hub)
       // e14 FLOOR witness — see pageRank (r17); decimalWitness keeps the
-      // floor saturation-free (r18), though h/a ≤ 1 bounds these anyway
+      // floor saturation-free (r18), though h/a ≤ 1 bounds these anyway.
+      // r18 (opt): witness computed once per NODE on the |V|-row score
+      // frame; the |E|-row join only probes the result (same addends,
+      // same exact sums — see pageRank).
+      val hSide = bc(hub.select(col("id"),
+        graft.functions.decimalWitness(col("h"), 1e14).as("c")))
       val aSums = e.join(hSide, e("src") === hSide("id"))
-        .select(col("dst").as("id"),
-          graft.functions.decimalWitness(col("h"), 1e14).as("c"))
-        .groupBy("id").agg(sum(col("c")).as("s"))
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("s"))
       auth = normalized(
         n.join(aSums, Seq("id"), "left")
           .select(col("id"),
             coalesce(col("s").cast(DoubleType) / lit(1e14), lit(0.0)).as("a")),
-        "a").localCheckpoint(true)
-      val aSide = bc(auth)
+        "a").localCheckpoint(false)
+      val aSide = bc(auth.select(col("id"),
+        graft.functions.decimalWitness(col("a"), 1e14).as("c")))
       val hSums = e.join(aSide, e("dst") === aSide("id"))
-        .select(col("src").as("id"),
-          graft.functions.decimalWitness(col("a"), 1e14).as("c"))
-        .groupBy("id").agg(sum(col("c")).as("s"))
+        .groupBy(col("src").as("id")).agg(sum(col("c")).as("s"))
       hub = normalized(
         n.join(hSums, Seq("id"), "left")
           .select(col("id"),
             coalesce(col("s").cast(DoubleType) / lit(1e14), lit(0.0)).as("h")),
-        "h").localCheckpoint(true)
+        "h").localCheckpoint(false)
     }
     hub.join(auth, Seq("id"))
   }
@@ -246,7 +297,7 @@ h$i AS MATERIALIZED (SELECT id, h / (CASE WHEN (SELECT MAX(h) FROM hr$i) > 0
                      broadcastRanks: Boolean = true,
                      broadcastNodeCap: Long = BroadcastNodeCap): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = checkpointScaled(edges.select(col("src"), col("dst")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("odeg")).localCheckpoint(true)
     val n = nodes.select(col("id")).distinct()
       .join(seeds.select(col("id")).distinct().withColumn("__s", lit(1.0)),
@@ -256,23 +307,25 @@ h$i AS MATERIALIZED (SELECT id, h / (CASE WHEN (SELECT MAX(h) FROM hr$i) > 0
     val nV = n.count()
     def maybeBcast(df: DataFrame): DataFrame =
       if (broadcastRanks && nV <= broadcastNodeCap) broadcast(df) else df
-    val degSide = maybeBcast(deg)
 
     var ranks = n.select(col("id"), col("seed").as("r"))
     for (_ <- 1 to iters) {
-      val rSide = maybeBcast(ranks)
-      // e14 FLOOR witness — see pageRank (r17)
-      val contrib = e.join(rSide, e("src") === rSide("id"))
-        .join(degSide, Seq("src"))
-        .select(col("dst").as("id"),
-          graft.functions.decimalWitness(col("r") / col("odeg"), 1e14).as("c"))
-      val sums = contrib.groupBy("id").agg(sum(col("c")).as("s"))
+      // e14 FLOOR witness — see pageRank (r17). r18 (opt): witness
+      // computed once per SOURCE on the |V|-row rank×degree join, probed
+      // by the |E| side — identical addends, identical exact sums; one
+      // job per iteration via the lazy checkpoint (see pageRank).
+      val perSrc = maybeBcast(
+        ranks.join(deg, ranks("id") === deg("src"))
+          .select(col("src"),
+            graft.functions.decimalWitness(col("r") / col("odeg"), 1e14).as("c")))
+      val sums = e.join(perSrc, Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("s"))
       ranks = n.join(sums, Seq("id"), "left")
         .select(col("id"),
           (lit(1.0 - damping) * col("seed") +
             lit(damping) * (coalesce(col("s"), lit(0).cast(DecimalType(38, 0)))
               .cast(DoubleType) / lit(1e14))).as("r"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -363,7 +416,7 @@ r$i AS MATERIALIZED (SELECT n.id,
                        broadcastLabels: Boolean = true,
                        broadcastNodeCap: Long = BroadcastNodeCap): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val e = checkpointScaled(edges.select(col("src"), col("dst")).distinct())
     var lbl = nodes.select(col("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint(true)
     val nV = lbl.count()
@@ -378,9 +431,11 @@ r$i AS MATERIALIZED (SELECT n.id,
         .select(col("dst"), struct(col("c"), (lit(0L) - col("lbl")).as("nl")).as("m"))
         .groupBy(col("dst")).agg(max(col("m")).as("m"))
         .select(col("dst").as("id"), (lit(0L) - col("m.nl")).as("new_lbl"))
+      // LAZY: the next iteration's broadcast collect (or the caller's
+      // first action) materializes — one job per iteration, not two
       lbl = lbl.join(upd, Seq("id"), "left")
         .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     lbl
   }
@@ -428,16 +483,29 @@ l$i AS MATERIALIZED (SELECT l.id, COALESCE(u.lbl, l.lbl) AS lbl
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 20,
       s"maxHops must be in [1, 20], got $maxHops")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    val e = checkpointScaled(edges.select(col("src"), col("dst")).distinct())
     var dist = seeds.select(col("id")).distinct()
       .withColumn("d", lit(0L)).localCheckpoint(true)
+    // r18 (opt): the frontier and visited-set joins are broadcast-gated
+    // on MEASURED counts (the [[BroadcastNodeCap]] discipline) — the
+    // checkpointed frames carry no size statistics, so without the hint
+    // the planner shuffled the full EDGE LIST by src on every hop to
+    // sort-merge-join a few-thousand-row frontier. Counts ride on the
+    // frames the hop materializes anyway; above the cap the joins fall
+    // back to shuffles with identical semantics.
+    var nDist = dist.count()
     var frontier = dist.select(col("id"))
+    var nFrontier = nDist
+    def gate(df: DataFrame, nRows: Long): DataFrame =
+      if (nRows <= BroadcastNodeCap) broadcast(df) else df
     for (h <- 1 to maxHops) {
-      val next = e.join(frontier, e("src") === frontier("id"))
+      val next = e.join(gate(frontier, nFrontier), e("src") === frontier("id"))
         .select(col("dst").as("id")).distinct()
-        .join(dist.select(col("id")), Seq("id"), "left_anti")
+        .join(gate(dist.select(col("id")), nDist), Seq("id"), "left_anti")
         .withColumn("d", lit(h.toLong))
         .localCheckpoint(true)
+      nFrontier = next.count()
+      nDist += nFrontier
       // lazy: the next hop's frontier-expansion checkpoint (or the
       // caller's first action, on the last hop) materializes the union —
       // halves the per-hop job count

@@ -98,7 +98,7 @@ class GraphSpec extends AnyFunSuite {
     // watches EVERY plan the iterations execute (each round's eager
     // localCheckpoint passes through the listener), not just the returned
     // DataFrame's, and pins bit-identity with the broadcast path.
-    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, ResolvedHint}
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
     val nodes = (1L to 40L).toSeq
@@ -108,8 +108,19 @@ class GraphSpec extends AnyFunSuite {
     val e = df(edgeSchema, edges.map { case (a, b) => Row(a, b) })
     val seeds = df(nodeSchema, Seq(Row(1L), Row(2L)))
 
+    // a broadcast of a GROUP-LESS aggregate (a 1-row scalar, e.g. the
+    // hits max normalizer) is scale-independent — the blessed TPC-H
+    // Q15/Q11 crossJoin pattern — and stays allowed above the cap; the
+    // contract this spec pins is that no |V|-row frame is hinted
+    def scalarAgg(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case a: Aggregate => a.groupingExpressions.isEmpty
+        case u: org.apache.spark.sql.catalyst.plans.logical.UnaryNode => scalarAgg(u.child)
+        case _ => false
+      }
     def hinted(qe: QueryExecution): Boolean = qe.analyzed.collectFirst {
-      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+      case h: ResolvedHint
+        if h.hints.strategy.contains(BROADCAST) && !scalarAgg(h.child) => h
     }.isDefined
 
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
