@@ -257,6 +257,71 @@ package object functions {
       .otherwise((x - pmod(x, lit(1.0))).cast(dec))
   }
 
+  /** [[decimalWitness]] decomposed into three bounded LONG components
+    * `(hi, mid, lo)` with `value = hi·2⁶² + mid·2³¹ + lo` — the
+    * allocation-free aggregation form (r18 opt): summing DECIMAL(38,0)
+    * pays a BigDecimal round-trip per row (precision 38 leaves Spark's
+    * compact-long Decimal representation), which made the graph
+    * fixpoint iterations allocation-bound. Summing the three components
+    * as primitive longs (whole-stage-codegen, zero allocation) and
+    * reconstructing `Σ = (Σhi)·2⁶² + (Σmid)·2³¹ + (Σlo)` in
+    * DECIMAL(38,0) once per GROUP yields the exact same integer — the
+    * decomposition is internal, so any oracle that sums the undecomposed
+    * witness (HUGEINT) sees identical values.
+    *
+    * Exactness: the finite branch computes the floored witness `f` in
+    * double space (every step IEEE-exact, see [[decimalWitness]]), then
+    * `lo = fmod(f, 2³¹)`, `t = (f−lo)/2³¹`, `mid = fmod(t, 2³¹)`,
+    * `hi = (t−mid)/2³¹` — fmod is exact, subtraction of an exact fmod
+    * residue is exact, and division by a power of two is exact, so the
+    * components reproduce f exactly for |f| < 2⁹³. Non-finite inputs
+    * map to the same three sentinel constants as [[decimalWitness]],
+    * pre-split host-side by arithmetic shifts (components bounded, sum
+    * telescopes back to the exact sentinel).
+    *
+    * CALLER-OWNED overflow bound: each component is < 2³¹ in magnitude
+    * (hi < value/2⁶²), so a group of n rows sums safely in int64 when
+    * n < 2³¹ AND n·(max value)/2⁶² < 2⁶³. The graph operators route on
+    * the measured node count (n ≤ |V|), falling back to the decimal
+    * path above the cap — identical results either way.
+    *
+    * Representation boundary (documented, not load-bearing): once the
+    * floored witness exceeds ~17 significant digits (witness input
+    * beyond ~1e3 at the e14 scale), Spark's double→decimal CAST follows
+    * `Double.toString`'s shortest round-trip repr while this telescope
+    * reproduces the double's exact binary integer — two engine-defined
+    * readings of the same double. Gate-validated data never reaches
+    * that regime (graph ranks keep r/odeg orders of magnitude below
+    * it); `GraphSpec` pins split ≡ decimal across the exercised range
+    * and the sentinels.
+    */
+  def witnessSplit3(c: Column, scale: Double): (Column, Column, Column) = {
+    import org.apache.spark.sql.functions.{isnan, lit, pmod, when}
+    val lt = org.apache.spark.sql.types.LongType
+    val B = 2147483648.0 // 2^31, exact double
+    val x = c * lit(scale) + lit(0.5)
+    val f = x - pmod(x, lit(1.0))
+    val lo = f % lit(B)
+    val t = (f - lo) / lit(B)
+    val mid = t % lit(B)
+    val hi = (t - mid) / lit(B)
+    def tri(s: Long): (Long, Long, Long) = {
+      val h = s >> 62; val r = s - (h << 62)
+      val m = r >> 31; val a = r - (m << 31)
+      (h, m, a)
+    }
+    val (nanH, nanM, nanL) = tri(Long.MinValue + 1L)
+    val (posH, posM, posL) = tri(Long.MaxValue)
+    val (negH, negM, negL) = tri(Long.MinValue)
+    def sel(fin: Column, nan: Long, pos: Long, neg: Long): Column =
+      when(isnan(c), lit(nan))
+        .when(c === Double.PositiveInfinity, lit(pos))
+        .when(c === Double.NegativeInfinity, lit(neg))
+        .otherwise(fin.cast(lt))
+    (sel(hi, nanH, posH, negH), sel(mid, nanM, posM, negM),
+      sel(lo, nanL, posL, negL))
+  }
+
   /** 6-dp integer witness with non-finite sentinels — see [[intWitness]]. */
   def e6Witness(c: Column): Column = intWitness(c, 1000000L)
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -44,6 +44,47 @@ object Graph {
     * broadcast-table hard limit and typical driver heaps.
     */
   val BroadcastNodeCap = 4000000L
+
+  /** Node-count cap for the allocation-free long-split contribution
+    * sums ([[graft.functions.witnessSplit3]]): with |V| ≤ 2³¹ every
+    * per-group component sum is provably inside int64 for the e14
+    * witness (in-degree ≤ |V| < 2³¹ bounds the lo/mid sums at
+    * |V|·2³¹ < 2⁶²; rank mass conservation bounds Σr ≤ |V|, so
+    * hi ≤ 1e14·(|V|+1)/2⁶² < 2¹⁶ and Σhi < 2⁴⁷). Above the cap the
+    * operators fall back to the direct DECIMAL(38,0) sum — identical
+    * integers either way, so results and oracle hashes cannot move.
+    */
+  val SplitSumNodeCap = 1L << 31
+
+  private val Dec38 = DecimalType(38, 0)
+
+  /** The witnessed per-source contribution columns for one iteration:
+    * long-split triple (allocation-free sums) under [[SplitSumNodeCap]],
+    * single DECIMAL(38,0) column above it.
+    */
+  private def contribCols(c: Column, split: Boolean): Seq[Column] =
+    if (split) {
+      val (h, m, l) = graft.functions.witnessSplit3(c, 1e14)
+      Seq(h.as("ch"), m.as("cm"), l.as("cl"))
+    } else Seq(graft.functions.decimalWitness(c, 1e14).as("c"))
+
+  /** Per-destination exact contribution sum `s` (DECIMAL(38,0)) from an
+    * edge×contribution join — component long sums reconstructed per
+    * GROUP in the split regime, direct decimal sum otherwise. The two
+    * regimes produce the identical integer (the split telescopes).
+    */
+  private def contribSums(joined: DataFrame, dstCol: String,
+                          split: Boolean): DataFrame =
+    if (split)
+      joined.groupBy(col(dstCol).as("id"))
+        .agg(sum(col("ch")).as("sh"), sum(col("cm")).as("sm"),
+          sum(col("cl")).as("sl"))
+        .select(col("id"),
+          (col("sh").cast(Dec38) * lit(4611686018427387904L) +
+            col("sm").cast(Dec38) * lit(2147483648L) +
+            col("sl").cast(Dec38)).as("s"))
+    else
+      joined.groupBy(col(dstCol).as("id")).agg(sum(col("c")).as("s"))
 
   /** Eager localCheckpoint for frames that the iteration loops RE-SCAN
     * every round (edge lists, oriented edges, symmetric adjacencies).
@@ -118,12 +159,14 @@ object Graph {
   def pageRank(nodes: DataFrame, edges: DataFrame, iters: Int,
                damping: Double = 0.85,
                broadcastRanks: Boolean = true,
-               broadcastNodeCap: Long = BroadcastNodeCap): DataFrame = {
+               broadcastNodeCap: Long = BroadcastNodeCap,
+               splitSumNodeCap: Long = SplitSumNodeCap): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     val e = checkpointScaled(edges.select(col("src"), col("dst")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("odeg")).localCheckpoint(true)
     val n = nodes.select(col("id")).distinct().localCheckpoint(true)
     val nV = n.count()
+    val split = nV <= splitSumNodeCap
     def maybeBcast(df: DataFrame): DataFrame =
       if (broadcastRanks && nV <= broadcastNodeCap) broadcast(df) else df
 
@@ -147,13 +190,13 @@ object Graph {
       // per-iteration edge join carries ONE small side instead of two.
       // Identical addends ⇒ identical exact integer sums ⇒ identical
       // ranks (the oracle keeps the per-edge formulation; the witness
-      // value per src is the same either way).
+      // value per src is the same either way). Under [[SplitSumNodeCap]]
+      // the per-edge aggregation sums three primitive longs instead of
+      // a DECIMAL(38,0) (allocation-free — see witnessSplit3).
       val perSrc = maybeBcast(
         ranks.join(deg, ranks("id") === deg("src"))
-          .select(col("src"),
-            graft.functions.decimalWitness(col("r") / col("odeg"), 1e14).as("c")))
-      val sums = e.join(perSrc, Seq("src"))
-        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("s"))
+          .select(col("src") +: contribCols(col("r") / col("odeg"), split): _*))
+      val sums = contribSums(e.join(perSrc, Seq("src")), "dst", split)
       // LAZY checkpoint: the next iteration's broadcast collect (or the
       // caller's first action on the last iteration) materializes the
       // frame — one job per iteration instead of two
@@ -194,11 +237,13 @@ object Graph {
     */
   def hits(nodes: DataFrame, edges: DataFrame, iters: Int,
            broadcastRanks: Boolean = true,
-           broadcastNodeCap: Long = BroadcastNodeCap): DataFrame = {
+           broadcastNodeCap: Long = BroadcastNodeCap,
+           splitSumNodeCap: Long = SplitSumNodeCap): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     val e = checkpointScaled(edges.select(col("src"), col("dst")).distinct())
     val n = nodes.select(col("id")).distinct().localCheckpoint(true)
     val nV = n.count()
+    val split = nV <= splitSumNodeCap
 
     def bc(df: DataFrame): DataFrame =
       if (broadcastRanks && nV <= broadcastNodeCap) broadcast(df) else df
@@ -225,19 +270,17 @@ object Graph {
       // r18 (opt): witness computed once per NODE on the |V|-row score
       // frame; the |E|-row join only probes the result (same addends,
       // same exact sums — see pageRank).
-      val hSide = bc(hub.select(col("id"),
-        graft.functions.decimalWitness(col("h"), 1e14).as("c")))
-      val aSums = e.join(hSide, e("src") === hSide("id"))
-        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("s"))
+      val hSide = bc(hub.select(col("id") +: contribCols(col("h"), split): _*))
+      val aSums = contribSums(
+        e.join(hSide, e("src") === hSide("id")), "dst", split)
       auth = normalized(
         n.join(aSums, Seq("id"), "left")
           .select(col("id"),
             coalesce(col("s").cast(DoubleType) / lit(1e14), lit(0.0)).as("a")),
         "a").localCheckpoint(false)
-      val aSide = bc(auth.select(col("id"),
-        graft.functions.decimalWitness(col("a"), 1e14).as("c")))
-      val hSums = e.join(aSide, e("dst") === aSide("id"))
-        .groupBy(col("src").as("id")).agg(sum(col("c")).as("s"))
+      val aSide = bc(auth.select(col("id") +: contribCols(col("a"), split): _*))
+      val hSums = contribSums(
+        e.join(aSide, e("dst") === aSide("id")), "src", split)
       hub = normalized(
         n.join(hSums, Seq("id"), "left")
           .select(col("id"),
@@ -295,7 +338,8 @@ h$i AS MATERIALIZED (SELECT id, h / (CASE WHEN (SELECT MAX(h) FROM hr$i) > 0
   def pageRankSeeded(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
                      iters: Int, damping: Double = 0.85,
                      broadcastRanks: Boolean = true,
-                     broadcastNodeCap: Long = BroadcastNodeCap): DataFrame = {
+                     broadcastNodeCap: Long = BroadcastNodeCap,
+                     splitSumNodeCap: Long = SplitSumNodeCap): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     val e = checkpointScaled(edges.select(col("src"), col("dst")))
     val deg = e.groupBy("src").agg(count(lit(1)).as("odeg")).localCheckpoint(true)
@@ -305,6 +349,7 @@ h$i AS MATERIALIZED (SELECT id, h / (CASE WHEN (SELECT MAX(h) FROM hr$i) > 0
       .select(col("id"), coalesce(col("__s"), lit(0.0)).as("seed"))
       .localCheckpoint(true)
     val nV = n.count()
+    val split = nV <= splitSumNodeCap
     def maybeBcast(df: DataFrame): DataFrame =
       if (broadcastRanks && nV <= broadcastNodeCap) broadcast(df) else df
 
@@ -313,13 +358,12 @@ h$i AS MATERIALIZED (SELECT id, h / (CASE WHEN (SELECT MAX(h) FROM hr$i) > 0
       // e14 FLOOR witness — see pageRank (r17). r18 (opt): witness
       // computed once per SOURCE on the |V|-row rank×degree join, probed
       // by the |E| side — identical addends, identical exact sums; one
-      // job per iteration via the lazy checkpoint (see pageRank).
+      // job per iteration via the lazy checkpoint; long-split sums
+      // under [[SplitSumNodeCap]] (see pageRank).
       val perSrc = maybeBcast(
         ranks.join(deg, ranks("id") === deg("src"))
-          .select(col("src"),
-            graft.functions.decimalWitness(col("r") / col("odeg"), 1e14).as("c")))
-      val sums = e.join(perSrc, Seq("src"))
-        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("s"))
+          .select(col("src") +: contribCols(col("r") / col("odeg"), split): _*))
+      val sums = contribSums(e.join(perSrc, Seq("src")), "dst", split)
       ranks = n.join(sums, Seq("id"), "left")
         .select(col("id"),
           (lit(1.0 - damping) * col("seed") +
@@ -628,10 +672,16 @@ f$h AS (SELECT id FROM x$h)""")
       // LAZY checkpoint + count-as-materializer: the convergence probe
       // is the one action of the round, computing + caching `deg` and
       // counting the survivors in a single job (eager checkpoints paid
-      // a second job per round — pure fixed overhead on short rounds)
+      // a second job per round — pure fixed overhead on short rounds).
+      // r18 (opt): the |V|-row active set is broadcast-gated on its
+      // MEASURED count (already paid by the convergence probe) — the
+      // checkpointed frame carries no size stats, so without the hint
+      // both semi-joins shuffled the full edge list every round.
+      def gate(df: DataFrame): DataFrame =
+        if (nActive <= BroadcastNodeCap) broadcast(df) else df
       deg = adj
-        .join(active.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(active.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .join(gate(active.select(col("node").as("src"))), Seq("src"), "left_semi")
+        .join(gate(active.select(col("node").as("dst"))), Seq("dst"), "left_semi")
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
         .localCheckpoint(false)
       val next = deg.filter(col("core_deg") >= k).select("node")
@@ -767,7 +817,12 @@ f$h AS (SELECT id FROM x$h)""")
             (a, a.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg")))
           }
         // probe common neighbors from each dropped edge's lower-degree
-        // endpoint — hub-safe wedge fanout
+        // endpoint — hub-safe wedge fanout. (r18: broadcast-hinting the
+        // frontier-sized sides of the probe joins + an extra measured
+        // wedge-bound gate was tried and REVERTED — the added per-round
+        // driver actions and broadcast collects cost more than the
+        // small sort-merge joins they replaced: q_ktruss 9.7 → 14.1 s
+        // under the bench protocol.)
         val dOri = dropped
           .join(degRound.select(col("node").as("u"), col("deg").as("du")), "u")
           .join(degRound.select(col("node").as("v"), col("deg").as("dv")), "v")
@@ -872,13 +927,20 @@ f$h AS (SELECT id FROM x$h)""")
     // job (eager checkpointing doubled the per-round job count)
     var c = adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("c"))
       .localCheckpoint(false)
+    // r18 (opt): the per-round score vector is |V| rows and every node
+    // survives the H-iteration, so ONE count gates its broadcast into
+    // every round's adjacency joins (the [[pageRank]] discipline —
+    // without the hint the checkpointed frame has no stats and the
+    // round shuffled the full |2E| adjacency twice)
+    val nV = c.count()
+    val bcast = nV <= BroadcastNodeCap
     def total(df: DataFrame): Long = df.agg(sum(col("c"))).head().getLong(0)
     var prev = total(c)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
       rounds += 1
-      val next = hIndexRound(adj, c).localCheckpoint(false)
+      val next = hIndexRound(adj, c, bcast).localCheckpoint(false)
       val s = total(next)
       converged = s == prev // monotone non-increasing: equal sum = fixpoint
       prev = s
@@ -894,11 +956,13 @@ f$h AS (SELECT id FROM x$h)""")
     * over the aggregated HISTOGRAM, never the raw adjacency — the
     * hub-safety property).
     */
-  private[graft] def hIndexRound(adj: DataFrame, c: DataFrame): DataFrame = {
+  private[graft] def hIndexRound(adj: DataFrame, c: DataFrame,
+                                 bcastScores: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    def gate(df: DataFrame): DataFrame = if (bcastScores) broadcast(df) else df
     val hist = adj
-      .join(c.select(col("node").as("dst"), col("c").as("cv")), "dst")
-      .join(c.select(col("node").as("src"), col("c").as("cap")), "src")
+      .join(gate(c.select(col("node").as("dst"), col("c").as("cv"))), "dst")
+      .join(gate(c.select(col("node").as("src"), col("c").as("cap"))), "src")
       .groupBy(col("src"), least(col("cv"), col("cap")).as("val"))
       .agg(count(lit(1)).as("cnt"))
     // suffix counts over the (small) per-node histogram, descending

@@ -78,6 +78,66 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(got - 50.0) < 1e-6, s"mass $got")
   }
 
+  test("pagerank family long-split and decimal contribution sums agree bit-for-bit") {
+    // The r18 allocation-free aggregation: under SplitSumNodeCap the
+    // witnessed contributions sum as three primitive longs and
+    // reconstruct per group; above it they sum directly in
+    // DECIMAL(38,0). The two regimes must be the SAME integer — pinned
+    // here by forcing the decimal path (cap 0) against the default on
+    // graphs with multi-edge fan-in and isolated nodes.
+    val nodes = (1L to 60L).toSeq
+    val rnd = new scala.util.Random(13)
+    val edges = nodes.flatMap { u =>
+      (0 until 1 + rnd.nextInt(5)).map { _ =>
+        var v = 1L + rnd.nextInt(60); if (v == u) v = 1L + (u % 60); (u, v)
+      }
+    }.distinct.filter { case (a, b) => a != b }
+    val n = df(nodeSchema, nodes.map(Row(_)))
+    val e = df(edgeSchema, edges.map { case (a, b) => Row(a, b) })
+    val seeds = df(nodeSchema, Seq(Row(3L), Row(17L)))
+    val prA = Graph.pageRank(n, e, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prB = Graph.pageRank(n, e, iters = 5, splitSumNodeCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(prA === prB)
+    val ppA = Graph.pageRankSeeded(n, e, seeds, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ppB = Graph.pageRankSeeded(n, e, seeds, iters = 4, splitSumNodeCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ppA === ppB)
+    val hA = Graph.hits(n, e, iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val hB = Graph.hits(n, e, iters = 3, splitSumNodeCap = 0L)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(hA === hB)
+  }
+
+  test("witnessSplit3 components telescope to decimalWitness on extremes and sentinels") {
+    // Range note: witness values needing > 17 significant digits
+    // (r/odeg beyond ~1e3, i.e. f > ~1e17) are where Spark's
+    // double→decimal cast (Double.toString shortest-repr) and the exact
+    // binary telescope can differ — both engine-defined, neither
+    // reachable by gate-validated data (rank mass keeps r/odeg far
+    // below that). The pinned range covers everything the operators
+    // produce, ±, fractional inputs, and all three sentinels.
+    import org.apache.spark.sql.types.{DoubleType, StructField => SF}
+    val vals = Seq(0.0, 1.0, -1.0, 0.123456789012345, 92.2337203685,
+      9.3e-4, 1.0e0, 2.5, -2.5, 7.77, 10.0, 99.999999, 500.0, -123.456,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+    val sch = StructType(Seq(SF("x", DoubleType, nullable = false)))
+    val d = df(sch, vals.map(Row(_)))
+    val (h, m, l) = graft.functions.witnessSplit3(col("x"), 1e14)
+    val dec = graft.functions.decimalWitness(col("x"), 1e14)
+    val rows = d.select(
+        (h.cast(DecimalType(38, 0)) * lit(4611686018427387904L) +
+          m.cast(DecimalType(38, 0)) * lit(2147483648L) +
+          l.cast(DecimalType(38, 0))).as("recon"),
+        dec.as("direct"))
+      .collect()
+    for (r <- rows)
+      assert(r.getDecimal(0) === r.getDecimal(1), s"mismatch: $r")
+  }
+
   test("pageRank broadcast and shuffle rank joins agree bit-for-bit") {
     val nodes = (1L to 30L).toSeq
     val edges = nodes.flatMap(u => Seq((u, u % 30 + 1), (u, (u + 7) % 30 + 1)))
