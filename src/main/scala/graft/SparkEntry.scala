@@ -3288,7 +3288,36 @@ object SparkEntry {
           col("l_extendedprice").as("y"))
       val ranked = Scan.avgRank2Pair(base, "x", "y", Seq("l_returnflag"),
         "r2x", "r2y")
-      val agg = ranked.groupBy(col("l_returnflag"))
+      // r18 (opt): the five exact sums ride primitive LONG aggregation
+      // (whole-stage codegen, no per-row BigDecimal churn) whenever the
+      // MEASURED row count keeps every term and sum inside int64:
+      // midranks r2 ≤ 2n+1, so with n ≤ 1.5e9 the products
+      // (2n+1)² ≤ 9.0e18 < 2⁶³ and — split as hi·2³¹+lo — the
+      // component sums stay ≤ 6.3e18. Reconstructed per GROUP in
+      // DECIMAL(38,0): the identical integers the decimal path (kept as
+      // the above-cap fallback) produces, so the witnessed output
+      // cannot move. The count is one metadata-cheap scan.
+      val longSafe = base.count() <= 1500000000L
+      def hi(p: Column) = shiftright(p, 31)
+      def lo(p: Column) = p.bitwiseAND(lit(2147483647L))
+      def recon(h: Column, l: Column): Column =
+        (h.cast(d38) * lit(2147483648L) + l.cast(d38)).cast(d38)
+      val agg = if (longSafe) {
+        val pxy = col("r2x") * col("r2y")
+        val pxx = col("r2x") * col("r2x")
+        val pyy = col("r2y") * col("r2y")
+        ranked.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("r2x")).as("sxL"), sum(col("r2y")).as("syL"),
+            sum(hi(pxy)).as("sxyH"), sum(lo(pxy)).as("sxyL"),
+            sum(hi(pxx)).as("sxxH"), sum(lo(pxx)).as("sxxL"),
+            sum(hi(pyy)).as("syyH"), sum(lo(pyy)).as("syyL"))
+          .select(col("l_returnflag"), col("n_rows"),
+            col("sxL").cast(d38).as("sx"), col("syL").cast(d38).as("sy"),
+            recon(col("sxyH"), col("sxyL")).as("sxy"),
+            recon(col("sxxH"), col("sxxL")).as("sxx"),
+            recon(col("syyH"), col("syyL")).as("syy"))
+      } else ranked.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("r2x").cast(d38)).as("sx"),
           sum(col("r2y").cast(d38)).as("sy"),
@@ -5140,11 +5169,8 @@ object SparkEntry {
     // Vassilvitskii 2011); the oracle runs the identical formulation.
     "q_triangles" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
-      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
-      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
-      val und = a.join(b, Seq("ok")).filter(col("u") < col("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2).select("u", "v")
+      val und = Assoc.incidencePairCounts(li, "l_orderkey", "l_partkey")
+        .filter(col("c_pair") >= 2).select("u", "v")
       Graph.triangleStats(und)
         .select(col("node").as("p_partkey"), col("deg"), col("tri"), col("cc"))
         .orderBy("p_partkey")
@@ -5205,11 +5231,8 @@ object SparkEntry {
     // oracle matches hash-exactly (no decimal quantization needed).
     "q_communities" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
-      val a = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("u"))
-      val b = li.select(col("l_orderkey").as("ok"), col("l_partkey").as("v"))
-      val und = a.join(b, Seq("ok")).filter(col("u") < col("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2).select("u", "v")
+      val und = Assoc.incidencePairCounts(li, "l_orderkey", "l_partkey")
+        .filter(col("c_pair") >= 2).select("u", "v")
       val edges = und.select(col("u").as("src"), col("v").as("dst"))
         .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
       val nodes = edges.select(col("src").as("id"))

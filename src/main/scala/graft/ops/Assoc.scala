@@ -19,6 +19,45 @@ import org.apache.spark.sql.types._
   */
 object Assoc {
 
+  /** Per-basket distinct item sets — the shared root of every
+    * expansion here (r18 opt): ONE exchange (the per-basket set
+    * aggregation) replaces the old distinct-then-self-join chain
+    * (distinct exchange + a join shuffle per expansion arm), and the
+    * pair/triple explosions run as Generate nodes over in-memory
+    * arrays, quadratic/cubic in BASKET size only — the same measured
+    * rewrite as [[Graph.coOccurrenceEdges]]. collect_set dedups
+    * exactly as the old per-side distinct did; downstream counts are
+    * over the identical incidence sets, so every statistic is
+    * unchanged. Checkpointed: pair and triple arms plus the item/basket
+    * counts all consume it.
+    */
+  private def basketSets(items: DataFrame, basketCol: String,
+                         itemCol: String): DataFrame =
+    items.select(col(basketCol).as("ok"), col(itemCol).as("it"))
+      .groupBy(col("ok")).agg(collect_set(col("it")).as("its"))
+      .localCheckpoint(true)
+
+  /** Unordered within-basket pair counts (u < v, c_pair) from the
+    * basket sets. */
+  private def pairCountsFrom(baskets: DataFrame): DataFrame =
+    baskets.select(explode(col("its")).as("u"), col("its"))
+      .select(col("u"), explode(col("its")).as("v"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c_pair"))
+
+  /** Within-basket pair support counts for callers that only need the
+    * co-occurrence graph (q_triangles / q_communities sparsifier),
+    * counted at the INCIDENCE level: a basket holding item u twice and
+    * v once contributes 2 to (u, v) — the multiset semantics of the
+    * original instance-pair self-join (collect_list, not collect_set).
+    * Returns (u, v, c_pair), u < v.
+    */
+  def incidencePairCounts(items: DataFrame, basketCol: String,
+                          itemCol: String): DataFrame =
+    pairCountsFrom(
+      items.select(col(basketCol).as("ok"), col(itemCol).as("it"))
+        .groupBy(col("ok")).agg(collect_list(col("it")).as("its")))
+
   /** Pair rules from `items` (one row per basket-item incidence;
     * duplicates are collapsed). Returns one row per unordered pair
     * (u < v) with c_pair ≥ minPairCount:
@@ -28,15 +67,13 @@ object Assoc {
   def pairRules(items: DataFrame, basketCol: String, itemCol: String,
                 minPairCount: Long = 2L): DataFrame = {
     require(minPairCount >= 1, s"minPairCount must be >= 1, got $minPairCount")
-    val inc = items.select(col(basketCol).as("ok"), col(itemCol).as("it"))
-      .distinct().localCheckpoint(true)
-    // total basket count enters lift as a plan literal (one scalar)
-    val n = inc.select(col("ok")).distinct().count()
-    val cItem = inc.groupBy(col("it")).agg(count(lit(1)).as("c"))
-    val pairs = inc.select(col("ok"), col("it").as("u"))
-      .join(inc.select(col("ok"), col("it").as("v")), Seq("ok"))
-      .filter(col("u") < col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c_pair"))
+    val baskets = basketSets(items, basketCol, itemCol)
+    // total basket count enters lift as a plan literal (one scalar);
+    // the count is a cached-frame probe, not a second distinct pass
+    val n = baskets.count()
+    val cItem = baskets.select(explode(col("its")).as("it"))
+      .groupBy(col("it")).agg(count(lit(1)).as("c"))
+    val pairs = pairCountsFrom(baskets)
       .filter(col("c_pair") >= minPairCount)
     pairs
       .join(cItem.select(col("it").as("u"), col("c").as("c_u")), "u")
@@ -75,18 +112,16 @@ object Assoc {
                   minTripleCount: Long = 2L): DataFrame = {
     require(minTripleCount >= 1,
       s"minTripleCount must be >= 1, got $minTripleCount")
-    val inc = items.select(col(basketCol).as("ok"), col(itemCol).as("it"))
-      .distinct().localCheckpoint(true)
-    val a = inc.select(col("ok"), col("it").as("u"))
-    val b = inc.select(col("ok"), col("it").as("v"))
-    val c3 = inc.select(col("ok"), col("it").as("w"))
-    val triples = a.join(b, Seq("ok")).filter(col("u") < col("v"))
-      .join(c3, Seq("ok")).filter(col("v") < col("w"))
+    val baskets = basketSets(items, basketCol, itemCol)
+    val triples = baskets.select(explode(col("its")).as("u"), col("its"))
+      .select(col("u"), explode(col("its")).as("v"), col("its"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v"), explode(col("its")).as("w"))
+      .filter(col("v") < col("w"))
       .groupBy(col("u"), col("v"), col("w"))
       .agg(count(lit(1)).as("c_triple"))
       .filter(col("c_triple") >= minTripleCount)
-    val pairs = a.join(b, Seq("ok")).filter(col("u") < col("v"))
-      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c_pair"))
+    val pairs = pairCountsFrom(baskets)
       .localCheckpoint(true) // three consumers below
     triples
       .join(pairs.select(col("u"), col("v"), col("c_pair").as("c_uv")),
