@@ -79,16 +79,23 @@ object SparkEntry {
     * and the end-to-end `pipeline_e2e` composition.
     */
   private def filterVerdicts(d: DataFrame): DataFrame = {
-    val lang = d.select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
-    val qual = d.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+    // r18 (opt): langid + lexical quality are pure PER-ROW functions of
+    // text, so they ride ONE projection of one scan — the old shape
+    // computed them as separate frames and shuffle-joined them back on
+    // doc_id (4 scans + 3 joins for what is 1 scan + 1 join; doc_id is
+    // unique, so the identity joins changed nothing but cost). Only the
+    // span profile is a real aggregation and keeps its join.
+    val base = d
       .select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("pred_lang"),
+        Dedup.tokens(col("text")).as("w"))
+      .select(col("doc_id"), col("pred_lang"),
         size(col("w")).cast(LongType).as("n_tokens"),
         (size(array_distinct(col("w"))).cast(DoubleType) /
           size(col("w")).cast(DoubleType)).as("ttr"))
     val spans = Dedup.duplicatedSpans(d, n = 8)
       .select(col("doc_id"), col("dup_frac_e6"))
-    d.select(col("doc_id"))
-      .join(lang, "doc_id").join(qual, "doc_id").join(spans, "doc_id")
+    base.join(spans, "doc_id")
       .select(col("doc_id"),
         when(col("pred_lang") === "und", "lang")
           .when(col("n_tokens") < 16 || col("n_tokens") > 94, "length")
@@ -5343,9 +5350,12 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
       val cand = Dedup.sortedNeighborhoodCandidates(docs, w = 5)
         .localCheckpoint(true)
+      // r18 (opt): a doc has ≥ 1 word 3-shingle iff it has ≥ 3 tokens —
+      // count on the token length instead of materializing the full
+      // distinct-shingle arrays a third time (truth and cand already
+      // shingled the corpus); same predicate, same count
       val nd = docs.select(Dedup.tokens(col("text")).as("w"))
-        .select(graft.functions.wordShingles(col("w"), 3).as("sh"))
-        .filter(size(col("sh")) > 0)
+        .filter(size(col("w")) >= 3)
         .agg(count(lit(1)).as("n_docs"))
       cand.agg(count(lit(1)).as("n_candidates"))
         .crossJoin(truth.agg(count(lit(1)).as("n_truth")))

@@ -844,6 +844,11 @@ object Dedup {
     def bidir(d: DataFrame): DataFrame =
       d.union(d.select(col("v").as("u"), col("u").as("v")))
 
+    // (r18: broadcast-hinting `m` into the star joins was tried and
+    // REVERTED — the per-round broadcast collect jobs added driver
+    // latency where the SMJ's exchange is shared with the groupBy-min
+    // anyway; the query is gap-bound, 66 jobs / 4.5 s of driver time
+    // between jobs at sf0.1, so fewer jobs beats cheaper joins.)
     def largeStar(d: DataFrame): DataFrame = {
       val nb = bidir(d)
       val m = nb.groupBy(col("u")).agg(min(col("v")).as("mv"))
@@ -872,12 +877,37 @@ object Dedup {
     // two independent order-insensitive checksums (seeded xxhash64
     // pair): declaring convergence on a stale set now needs the SAME
     // 64-bit collision to survive two unrelated hash sums — the
-    // r14-ADVICE collision caveat closed without a set-compare shuffle
+    // r14-ADVICE collision caveat closed without a set-compare shuffle.
+    // r18 (opt): each hash sums as three primitive LONG base-2³¹ digits
+    // (lo/mid masked non-negative, signed top digit) instead of a
+    // DECIMAL(38,0) per row — digit sums are exact for ≤ 2³¹ rows
+    // (count-checked; decimal fallback above) and the exact total is
+    // reconstructed host-side in BigDecimal, so the compare semantics
+    // and collision resistance are unchanged.
     def checksum(d: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
-      val r = d.agg(count(lit(1)),
-        sum(xxhash64(col("u"), col("v")).cast(DecimalType(38, 0))),
-        sum(xxhash64(lit(0x9e3779b9L), col("u"), col("v")).cast(DecimalType(38, 0)))).head()
-      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+      val mask = lit(0x7FFFFFFFL)
+      def digits(h: org.apache.spark.sql.Column) =
+        Seq(sum(h.bitwiseAND(mask)), sum(shiftright(h, 31).bitwiseAND(mask)),
+          sum(shiftright(h, 62)))
+      val h1 = xxhash64(col("u"), col("v"))
+      val h2 = xxhash64(lit(0x9e3779b9L), col("u"), col("v"))
+      val r = d.agg(count(lit(1)), (digits(h1) ++ digits(h2)): _*).head()
+      val n = r.getLong(0)
+      if (n == 0L) (0L, null, null)
+      else if (n > (1L << 31)) { // digit sums could wrap: exact decimal path
+        val rd = d.agg(count(lit(1)),
+          sum(h1.cast(DecimalType(38, 0))),
+          sum(h2.cast(DecimalType(38, 0)))).head()
+        (rd.getLong(0), rd.getDecimal(1), rd.getDecimal(2))
+      } else {
+        def recon(lo: Long, mid: Long, hi: Long): java.math.BigDecimal =
+          new java.math.BigDecimal(
+            java.math.BigInteger.valueOf(hi).shiftLeft(62)
+              .add(java.math.BigInteger.valueOf(mid).shiftLeft(31))
+              .add(java.math.BigInteger.valueOf(lo)))
+        (n, recon(r.getLong(1), r.getLong(2), r.getLong(3)),
+          recon(r.getLong(4), r.getLong(5), r.getLong(6)))
+      }
     }
     def eqDec(a: java.math.BigDecimal, b: java.math.BigDecimal): Boolean =
       if (a == null) b == null else b != null && a.compareTo(b) == 0
@@ -890,7 +920,10 @@ object Dedup {
       require(rounds <= maxRounds,
         s"connectedComponentsStar did not converge in $maxRounds rounds " +
           "(paper bound is O(log² n) — raise maxRounds for truly enormous graphs)")
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // LAZY: the checksum aggregation is the round's materializing
+      // action (r18 — one job per round, not two; the round is driver-
+      // gap-bound, see largeStar note)
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
       val cs = checksum(next)
       converged = cs._1 == prev._1 && eqDec(cs._2, prev._2) && eqDec(cs._3, prev._3)
       prev = cs

@@ -476,8 +476,12 @@ r$i AS MATERIALIZED (SELECT n.id,
         .groupBy(col("dst")).agg(max(col("m")).as("m"))
         .select(col("dst").as("id"), (lit(0L) - col("m.nl")).as("new_lbl"))
       // LAZY: the next iteration's broadcast collect (or the caller's
-      // first action) materializes — one job per iteration, not two
-      lbl = lbl.join(upd, Seq("id"), "left")
+      // first action) materializes — one job per iteration, not two.
+      // upd is ≤ |V| rows → same broadcast gate as the label vector
+      // (stats-less checkpointed frames otherwise SMJ, r18)
+      val updSide =
+        if (broadcastLabels && nV <= broadcastNodeCap) broadcast(upd) else upd
+      lbl = lbl.join(updSide, Seq("id"), "left")
         .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
         .localCheckpoint(false)
     }
