@@ -23,6 +23,19 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's stream cache defaults to FILE-backed: every ImageIO.read /
+  // ImageIO.write through an InputStream/OutputStream creates (and
+  // deletes) a temp cache file on disk. The per-frame payloads here are
+  // KB-scale ByteArray streams, so the cache buys nothing — and at
+  // local[32] the temp-file create/delete storm serializes 32 decode
+  // tasks on the filesystem (the r18 driver measured
+  // multimodal_frame_sample/video_temporal running ~3x SLOWER at 32
+  // cores than at 8 — scaling ratios 0.35/0.37). Memory-backed cache
+  // streams are bit-identical (PNG is lossless either way); this is a
+  // pure contention fix. Process-wide JDK setting; initialized with the
+  // object so every executor that touches a Multimodal closure gets it.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("payload", BinaryType, nullable = false),
