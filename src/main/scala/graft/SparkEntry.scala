@@ -23,6 +23,28 @@ object SparkEntry {
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Child session with a smaller AQE advisory partition size, for the
+    * dedup-blocking operators whose post-shuffle stages are CPU-DENSE
+    * per byte (shingle prefix builds, array_intersect verification —
+    * ~100x a plain scan's CPU/byte, the [[graft.ops.Dedup.spread]]
+    * rationale). Under the session default (16m, sized for scan-bound
+    * stages) AQE coalesces their MB-scale exchanges to ONE task and the
+    * whole verify runs serially (QueryProfile r19: 0.9-1.4 s single-task
+    * stages inside q_blocking_quality while 31 cores idle). A byte-based
+    * advisory stays scale-adaptive — at corpus scale these exchanges are
+    * far above any advisory and the setting is a no-op; only the
+    * coalescing floor moves. One child per parent session (cached) so
+    * the Tables relation cache keeps hitting.
+    */
+  private val denseSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def denseSession(s: SparkSession): SparkSession =
+    denseSessions.computeIfAbsent(s, p => {
+      val s2 = p.newSession()
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      s2
+    })
+
   /** Per-JVM scratch dir, recursively deleted by a shutdown hook —
     * `mode("overwrite")` reuses it across bench reps instead of leaking
     * one export copy of the slice per invocation.
@@ -1052,7 +1074,10 @@ object SparkEntry {
     // tau fixes the prefix fraction at 1−tau (the production near-dup
     // threshold 0.7 scans 30% prefixes)
     "dedup_prefix_filter" -> { (s, dir) =>
-      Dedup.prefixFilterPairs(Tables(s, dir, "documents"), 0.7)
+      // denseSession: the prefix build + array_intersect verify exchanges
+      // are CPU-dense per byte; see the helper's doc
+      val s2 = denseSession(s)
+      Dedup.prefixFilterPairs(Tables(s2, dir, "documents"), 0.7)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -1063,7 +1088,8 @@ object SparkEntry {
     // misses pairs whose edits fall inside the key; both measured here:
     // 25 pairs at sf0.01 vs the prefix filter's 25-pair exact set)
     "dedup_sorted_neighborhood" -> { (s, dir) =>
-      Dedup.sortedNeighborhoodPairs(Tables(s, dir, "documents"),
+      val s2 = denseSession(s)
+      Dedup.sortedNeighborhoodPairs(Tables(s2, dir, "documents"),
           w = 5, tau = 0.7)
         .orderBy("doc_a", "doc_b")
     },
@@ -5345,7 +5371,7 @@ object SparkEntry {
     // exact prefix-filter ground truth — the metric pair that justifies
     // a blocking choice before anyone trusts its recall
     "q_blocking_quality" -> { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables(denseSession(s), dir, "documents")
       val truth = Dedup.prefixFilterPairs(docs, 0.7)
         .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
       val cand = Dedup.sortedNeighborhoodCandidates(docs, w = 5)

@@ -179,12 +179,25 @@ object Dedup {
       .select(col("doc_id"), graft.functions.wordShingles(col("w"), 3).as("sh"))
       .filter(size(col("sh")) > 0)
       .localCheckpoint(true)
+    // r19 (opt): the prefix-build aggregation and the verification join
+    // are CPU-DENSE per shuffled byte (per-doc struct sorts; per-pair
+    // array_intersect) — their MB-scale exchanges AQE-coalesce to 1-2
+    // tasks and ran serially (QueryProfile: 0.9 s + 1.3 s single-task
+    // stages at local[32] while 31 cores idled). Pin those two exchanges
+    // to the same INPUT-SIZE-derived width [[spread]] chose for the
+    // shingle scan (bytes-proportional, core-capped — scale-adaptive,
+    // not a local[32] constant): explicit numPartitions is respected by
+    // AQE, and hash(doc_id)/hash(doc_b) satisfy the downstream
+    // aggregation/join clustering, so no exchange is added — the
+    // implicit one is widened.
+    val nDense = compact.rdd.getNumPartitions
     val sh = compact.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("s"))
     val dfreq = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
     // per-doc shingles sorted rare-first; struct sort orders by (df, s);
     // positions ride along for the PPJoin positional filter below
     val pref = sh.join(dfreq, "s")
+      .repartition(nDense, col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(first(col("n_sh")).as("n_sh"),
         sort_array(collect_list(struct(col("df"), col("s")))).as("o"))
@@ -226,6 +239,8 @@ object Dedup {
     // length; measured 3× the whole operator's cost at sf0.1)
     cand
       .join(compact.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      // pin the exchange feeding the array_intersect stage (see nDense)
+      .repartition(nDense, col("doc_b"))
       .join(compact.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sha"), col("shb"))).cast(LongType).as("n_inter"),
@@ -307,10 +322,18 @@ object Dedup {
                                    keyLen: Int = 24): DataFrame = {
     require(w >= 2, s"window must be >= 2, got $w")
     require(keyLen >= 1, s"keyLen must be >= 1, got $keyLen")
+    // r19 (opt): candidates never verify, so the shingle arrays are dead
+    // weight here — the only thing the old `size(wordShingles(...)) > 0`
+    // filter decided is "does the doc have at least one word 3-shingle",
+    // which holds iff it has ≥ 3 tokens (the q_blocking_quality n_docs
+    // equivalence, r18). Filtering on the token count drops the corpus
+    // shingle pass AND narrows the frame the prefix-sum range-shuffles —
+    // same ranked set, same pairs.
     val compact = spread(docs)
       .select(col("doc_id"), substring(col("text"), 1, keyLen).as("snm_key"),
-        graft.functions.wordShingles(tokens(col("text")), 3).as("sh"))
-      .filter(size(col("sh")) > 0)
+        size(tokens(col("text"))).as("__ntok"))
+      .filter(col("__ntok") >= 3)
+      .select(col("doc_id"), col("snm_key"))
       .withColumn("one", lit(1L))
     val ranked = Scan.prefixSum(compact, Seq.empty, Seq("snm_key", "doc_id"),
         "one", "rank")
