@@ -31,9 +31,18 @@ object Assoc {
     * unchanged. Checkpointed: pair and triple arms plus the item/basket
     * counts all consume it.
     */
+  // r19 (opt): pin the basket aggregation's exchange to an input-size-
+  // derived width (the Graph.coOccurrenceEdges rationale — the stage is
+  // CPU-dense per byte and AQE serialized it to 1-2 tasks at local[32]);
+  // the checkpoint then carries that width into every expansion arm.
+  // r19 (ADVICE): null basket keys are dropped before grouping — the
+  // pre-r18 self-join never matched them (null ≠ null in a join);
+  // groupBy would have co-grouped them. Unreachable on TPC-H.
   private def basketSets(items: DataFrame, basketCol: String,
                          itemCol: String): DataFrame =
     items.select(col(basketCol).as("ok"), col(itemCol).as("it"))
+      .filter(col("ok").isNotNull)
+      .repartition(Dedup.sizedWidth(items, 2L << 20), col("ok"))
       .groupBy(col("ok")).agg(collect_set(col("it")).as("its"))
       .localCheckpoint(true)
 
@@ -54,8 +63,11 @@ object Assoc {
     */
   def incidencePairCounts(items: DataFrame, basketCol: String,
                           itemCol: String): DataFrame =
+    // width pin + null-key filter: see basketSets
     pairCountsFrom(
       items.select(col(basketCol).as("ok"), col(itemCol).as("it"))
+        .filter(col("ok").isNotNull)
+        .repartition(Dedup.sizedWidth(items, 2L << 20), col("ok"))
         .groupBy(col("ok")).agg(collect_list(col("it")).as("its")))
 
   /** Pair rules from `items` (one row per basket-item incidence;

@@ -37,13 +37,26 @@ object Dedup {
     *    from the optimized plan (parquet file bytes) — no job; an unknown
     *    size falls back to full parallelism.
     */
-  private[ops] def spread(df: DataFrame): DataFrame = {
+  /** Input-size-derived task width: one task per `perTask` plan-stats
+    * bytes, capped at defaultParallelism; unknown/overflowed stats fall
+    * back to full parallelism. The shared sizing rule for pinning
+    * CPU-dense exchanges that AQE's byte-based coalescing would
+    * otherwise serialize (r19) — callers pick `perTask` by the stage's
+    * CPU-per-byte. Keep quanta ≥ ~1-2 MiB for exchange pins: r18/r19
+    * measured per-task fixed+contention cost in the hundreds of ms at
+    * full local[32] width on MB-scale frames.
+    */
+  private[ops] def sizedWidth(df: DataFrame, perTask: Long): Int = {
     val max = df.sparkSession.sparkContext.defaultParallelism.toLong
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val justified =
       if (bytes <= 0 || bytes > BigInt(Long.MaxValue) / 2) max
-      else math.max(1L, (bytes / (64L << 10)).toLong)
-    val target = math.min(max, justified).toInt
+      else math.max(1L, (bytes / perTask).toLong)
+    math.min(max, justified).toInt
+  }
+
+  private[ops] def spread(df: DataFrame): DataFrame = {
+    val target = sizedWidth(df, 64L << 10)
     if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
 

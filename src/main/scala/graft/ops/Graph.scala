@@ -125,12 +125,42 @@ object Graph {
     // 3.2 s warm, 6.7 s → 4.0 s cold. Per-basket arrays stay bounded by
     // the basket size (≤ 7 lineitems per order here), never corpus
     // size, so the 100 TB shape is unchanged.
-    items.groupBy(col(basketCol).as("__b"))
+    //
+    // r19 (opt): both exchanges here are CPU-DENSE per shuffled byte
+    // (collect_set build + |basket|² Generate fanout on one side, the
+    // distinct over the fanned-out pairs on the other), so AQE's
+    // byte-based coalescing ran the basket aggregation on ONE task
+    // (3.0 s cpu) and the distinct on two (2.2 s) at local[32]
+    // (QueryProfile, q_pagerank). Pin both to an input-size-derived
+    // width (2 MiB of plan-stats bytes per task, core-capped — the
+    // spread/prefixSum discipline): explicit numPartitions is respected
+    // by AQE, hash(basket) / hash(src,dst) satisfy the downstream
+    // aggregation/distinct clustering, so the implicit exchanges are
+    // widened, not duplicated. Corpus-scale inputs justify full
+    // parallelism and the pin is a no-op. (256 KiB/task resolved to 32
+    // partitions at sf0.1 and regressed 2x — 32 concurrent tiny tasks
+    // amplify per-task run time ~10x on this box, the r18 finding —
+    // and, worse, the distinct's width becomes the checkpointed edge
+    // list's width, so every ITERATION inherited the 32-way contention.
+    // 2 MiB keeps the quanta big enough that the pin only ever widens
+    // genuinely serial stages.)
+    //
+    // r19 (ADVICE): drop NULL basket keys before grouping — the pre-r18
+    // equi-join formulation never matched null baskets (null ≠ null in
+    // a join), but groupBy puts all null-key rows in ONE group, which
+    // would have made null-basket items co-occur. Unreachable on TPC-H
+    // (basket keys are NOT NULL); the filter restores the join
+    // semantics for nullable inputs instead of claiming identity.
+    val n = Dedup.sizedWidth(items, 2L << 20)
+    items.filter(col(basketCol).isNotNull)
+      .repartition(n, col(basketCol))
+      .groupBy(col(basketCol).as("__b"))
       .agg(collect_set(col(itemCol)).as("__is"))
       .select(explode(col("__is")).as("src"), col("__is"))
       .select(col("src"), explode(col("__is")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .select("src", "dst")
+      .repartition(n, col("src"), col("dst"))
       .distinct()
   }
 
@@ -196,7 +226,10 @@ object Graph {
       val perSrc = maybeBcast(
         ranks.join(deg, ranks("id") === deg("src"))
           .select(col("src") +: contribCols(col("r") / col("odeg"), split): _*))
-      val sums = contribSums(e.join(perSrc, Seq("src")), "dst", split)
+      // r19 (opt): sums is ≤ |V| rows — hint the broadcast under the
+      // same measured gate instead of leaving AQE to discover it at
+      // runtime (one fewer materialized query stage per iteration)
+      val sums = maybeBcast(contribSums(e.join(perSrc, Seq("src")), "dst", split))
       // LAZY checkpoint: the next iteration's broadcast collect (or the
       // caller's first action on the last iteration) materializes the
       // frame — one job per iteration instead of two
@@ -271,16 +304,17 @@ object Graph {
       // frame; the |E|-row join only probes the result (same addends,
       // same exact sums — see pageRank).
       val hSide = bc(hub.select(col("id") +: contribCols(col("h"), split): _*))
-      val aSums = contribSums(
-        e.join(hSide, e("src") === hSide("id")), "dst", split)
+      // aSums/hSums ≤ |V| rows — broadcast under the measured gate
+      val aSums = bc(contribSums(
+        e.join(hSide, e("src") === hSide("id")), "dst", split))
       auth = normalized(
         n.join(aSums, Seq("id"), "left")
           .select(col("id"),
             coalesce(col("s").cast(DoubleType) / lit(1e14), lit(0.0)).as("a")),
         "a").localCheckpoint(false)
       val aSide = bc(auth.select(col("id") +: contribCols(col("a"), split): _*))
-      val hSums = contribSums(
-        e.join(aSide, e("dst") === aSide("id")), "src", split)
+      val hSums = bc(contribSums(
+        e.join(aSide, e("dst") === aSide("id")), "src", split))
       hub = normalized(
         n.join(hSums, Seq("id"), "left")
           .select(col("id"),
@@ -363,7 +397,8 @@ h$i AS MATERIALIZED (SELECT id, h / (CASE WHEN (SELECT MAX(h) FROM hr$i) > 0
       val perSrc = maybeBcast(
         ranks.join(deg, ranks("id") === deg("src"))
           .select(col("src") +: contribCols(col("r") / col("odeg"), split): _*))
-      val sums = contribSums(e.join(perSrc, Seq("src")), "dst", split)
+      // sums ≤ |V| rows — broadcast under the measured gate (see pageRank)
+      val sums = maybeBcast(contribSums(e.join(perSrc, Seq("src")), "dst", split))
       ranks = n.join(sums, Seq("id"), "left")
         .select(col("id"),
           (lit(1.0 - damping) * col("seed") +
@@ -464,9 +499,22 @@ r$i AS MATERIALIZED (SELECT n.id,
     var lbl = nodes.select(col("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint(true)
     val nV = lbl.count()
+    // r19 (opt): ONE exchange per round instead of two — hash(dst)
+    // satisfies the clustering of BOTH per-round aggregations (the
+    // (dst, lbl) count and the per-dst argmax), so an explicit
+    // repartition on dst lets them share a single shuffle where the
+    // planner otherwise exchanges on (dst, lbl) and then again on dst.
+    // Width = the edge checkpoint's own (input-size-derived) width.
+    // Trade-off, documented: the shared exchange ships the raw
+    // (dst, lbl) join output instead of map-side-partial (dst, lbl)
+    // counts — early rounds carry near-distinct labels per neighbor, so
+    // partial aggregation reduced almost nothing anyway.
+    val eParts = math.max(1, e.rdd.getNumPartitions)
     for (_ <- 1 to iters) {
       val lSide = if (broadcastLabels && nV <= broadcastNodeCap) broadcast(lbl) else lbl
       val counts = e.join(lSide, e("src") === lSide("id"))
+        .select(col("dst"), col("lbl"))
+        .repartition(eParts, col("dst"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
       // argmax by (c desc, lbl asc) — negating the label makes one
       // max(struct) carry both orders (node ids are non-negative, so
