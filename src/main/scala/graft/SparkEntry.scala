@@ -3197,7 +3197,24 @@ object SparkEntry {
     "q_moment_stats" -> { (s, dir) =>
       val d38 = DecimalType(38, 0)
       val x = col("l_quantity").cast(LongType)
-      val agg = Tables(s, dir, "lineitem")
+      // r19 (opt): the four power sums ride primitive LONG aggregation
+      // (whole-stage codegen, no per-row BigDecimal) when the FOOTER row
+      // count bounds them inside int64: x ≤ 50 (the domain the per-row
+      // LONG x⁴ above already assumes), so Σx⁴ ≤ n·6.25e6 < 2⁶³ for
+      // n ≤ 1e12. Tables.rowCount is host-side parquet-footer metadata —
+      // zero extra jobs. Cast to DECIMAL(38,0) per GROUP: the identical
+      // integers the decimal path (kept above the gate) produces.
+      val longSafe = Tables.rowCount(dir, "lineitem") <= 1000000000000L
+      val li = Tables(s, dir, "lineitem")
+      val agg = if (longSafe)
+        li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(x).as("s1L"), sum(x * x).as("s2L"),
+            sum(x * x * x).as("s3L"), sum(x * x * x * x).as("s4L"))
+          .select(col("l_returnflag"), col("n_rows"),
+            col("s1L").cast(d38).as("s1"), col("s2L").cast(d38).as("s2"),
+            col("s3L").cast(d38).as("s3"), col("s4L").cast(d38).as("s4"))
+      else li
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
           sum(x.cast(d38)).as("s1"),
@@ -3230,7 +3247,49 @@ object SparkEntry {
       val x = dec(col("l_quantity"))
       val y = dec(col("l_extendedprice"))
       val d38 = DecimalType(38, 4)
-      val agg = Tables(s, dir, "lineitem")
+      // r19 (opt): below a footer-measured row cap the five decimal sums
+      // ride primitive LONGs. Work in centi-units (xc = 100x, yc = 100y
+      // — exact: the DECIMAL(18,2) values are integral in cents), split
+      // each product into base-2³¹ digits (hi = p >> 31 arithmetic,
+      // lo = p & (2³¹−1); hi·2³¹ + lo ≡ p for every long), and
+      // reconstruct the EXACT decimal per group:
+      //   Σp = (Σhi)·2³¹ + (Σlo), value Σp/10⁴ — recovered through
+      // decimal division by 10⁴ at scale 6, which is exact (the value
+      // has ≤ 4 dp) and casts to the identical double the DECIMAL(38,4)
+      // sum produced (Decimal→double depends on the value, not the
+      // scale). Overflow bounds at the n ≤ 2e9 gate: yc ≤ ~1e7 (TPC-H
+      // price domain; per-row products stay < 2⁶³ up to yc ~ 1e12), so
+      // Σlo ≤ n·2³¹ ≈ 4.3e18 < 2⁶³ and Σhi ≤ n·(1e14/2³¹) ≈ 9e13.
+      // Decimal path kept above the gate — identical values either way.
+      val longSafe = Tables.rowCount(dir, "lineitem") <= 2000000000L
+      val li = Tables(s, dir, "lineitem")
+      val agg = if (longSafe) {
+        val xc = (x * lit(100)).cast(LongType)
+        val yc = (y * lit(100)).cast(LongType)
+        def hi(p: Column) = shiftright(p, 31)
+        def lo(p: Column) = p.bitwiseAND(lit(2147483647L))
+        val d20 = DecimalType(20, 0)
+        val b31 = lit(new java.math.BigDecimal(2147483648L))
+        val c100 = lit(new java.math.BigDecimal(100))
+        val c1e4 = lit(new java.math.BigDecimal(10000))
+        def recon(h: Column, l: Column, div: Column): Column =
+          (h.cast(d20) * b31 + l.cast(d20)) / div
+        val pxy = xc * yc
+        val pxx = xc * xc
+        val pyy = yc * yc
+        li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(xc).as("sxL"), sum(yc).as("syL"),
+            sum(hi(pxy)).as("sxyH"), sum(lo(pxy)).as("sxyL"),
+            sum(hi(pxx)).as("sxxH"), sum(lo(pxx)).as("sxxL"),
+            sum(hi(pyy)).as("syyH"), sum(lo(pyy)).as("syyL"))
+          .select(col("l_returnflag"), col("n_rows"),
+            (col("sxL").cast(d20) / c100).as("sx"),
+            (col("syL").cast(d20) / c100).as("sy"),
+            recon(col("sxyH"), col("sxyL"), c1e4).as("sxy"),
+            recon(col("sxxH"), col("sxxL"), c1e4).as("sxx"),
+            recon(col("syyH"), col("syyL"), c1e4).as("syy"))
+      } else li
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
           sum(x).as("sx"), sum(y).as("sy"),
@@ -3329,8 +3388,9 @@ object SparkEntry {
       // component sums stay ≤ 6.3e18. Reconstructed per GROUP in
       // DECIMAL(38,0): the identical integers the decimal path (kept as
       // the above-cap fallback) produces, so the witnessed output
-      // cannot move. The count is one metadata-cheap scan.
-      val longSafe = base.count() <= 1500000000L
+      // cannot move. r19: the gate reads the parquet FOOTER row count
+      // host-side (Tables.rowCount) — the r18 count() job is gone.
+      val longSafe = Tables.rowCount(dir, "lineitem") <= 1500000000L
       def hi(p: Column) = shiftright(p, 31)
       def lo(p: Column) = p.bitwiseAND(lit(2147483647L))
       def recon(h: Column, l: Column): Column =
@@ -3384,8 +3444,19 @@ object SparkEntry {
       val ranked = Scan.avgRank2(
         Tables.events(s, dir).select(col("event_type"), col("value")),
         "value", Seq.empty, "r2")
-      val byType = ranked.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_pos"), sum(col("r2").cast(d38)).as("s2"))
+      // r19 (opt): midranks r2 ≤ 2n+1, so Σr2 per type ≤ n(2n+1) < 2⁶³
+      // for n ≤ 1.5e9 — a primitive LONG sum under the footer-measured
+      // row gate (zero extra jobs), cast to DECIMAL(38,0) per group:
+      // identical integers to the decimal path, which stays above the cap
+      val longSafe = Tables.rowCount(dir, "events") <= 1500000000L
+      val byType =
+        if (longSafe)
+          ranked.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_pos"), sum(col("r2")).as("s2L"))
+            .select(col("event_type"), col("n_pos"),
+              col("s2L").cast(d38).as("s2"))
+        else ranked.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_pos"), sum(col("r2").cast(d38)).as("s2"))
       val tot = byType.agg(sum(col("n_pos")).as("n_all"))
       val nPos = col("n_pos").cast(DoubleType)
       val nAll = col("n_all").cast(DoubleType)

@@ -91,6 +91,41 @@ object Tables {
       else (fp, spark.read.parquet(path)))._2
   }
 
+  /** Exact table row count from the parquet FOOTERS, host-side — zero
+    * Spark jobs (a footer read per part file, cached under the same
+    * freshness fingerprint as the relation). This is the measured gate
+    * the long-split aggregation paths route on (r19): a sum that is
+    * provably int64-safe for n rows needs n, and launching a count job
+    * to decide how to aggregate would cost more than the decimal it
+    * replaces on single-aggregation queries. Footer record counts are
+    * exact for the unfiltered table — callers gate on an UPPER bound of
+    * their group sizes, so any pre-aggregation filter only adds slack.
+    */
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  def rowCount(dir: String, name: String): Long = {
+    val path = s"$dir/$name.parquet"
+    val f = new java.io.File(path)
+    val fp = fingerprint(f)
+    rowCountCache.compute(path, (_, old) =>
+      if (old != null && old._1 == fp) old
+      else {
+        val files: Seq[java.io.File] =
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+              .filter(k => k.isFile && k.getName.endsWith(".parquet"))
+          else Seq(f)
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val total = files.map { k =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(k.getAbsolutePath), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getRecordCount finally r.close()
+        }.sum
+        (fp, total)
+      })._2
+  }
+
   /** Normalizes `events.ts` to session-TZ TIMESTAMP regardless of the
     * physical parquet type the generator happened to emit. Three cases have
     * been observed across testdata regenerations:

@@ -66,7 +66,8 @@ object Curation {
     * weight = exp(mean_lr) — the per-token geometric-mean ratio.
     */
   def dsirWeights(docs: DataFrame, targetLang: String, buckets: Int = 512,
-                  langCol: String = "lang"): DataFrame = {
+                  langCol: String = "lang",
+                  longSumTokenCap: Long = 1000000000L): DataFrame = {
     val tok = Dedup.spread(docs)
       .select(col("doc_id"), col(langCol).as("__lang"),
         explode(Dedup.tokens(col("text"))).as("tok"))
@@ -99,12 +100,41 @@ object Curation {
             (col("ns") + lit(buckets)))), 1000000000000L).as("lr_e12"))
     // m·lr_e12 sums in DECIMAL(38,0) — exact and order-independent on
     // both engines (HUGEINT on the DuckDB side); per-doc magnitude is
-    // n_tokens·|lr|·1e12 ≲ 1e18 but the decimal keeps 20 digits of slack
-    docB.join(broadcast(model), "b")
+    // n_tokens·|lr|·1e12 ≲ 1e18 but the decimal keeps 20 digits of slack.
+    //
+    // r19 (opt): below a MEASURED corpus-token cap the per-row decimal
+    // multiply+sum rides primitive LONGs instead. lr_e12 splits into
+    // base-2³¹ digits ON THE 512-ROW MODEL (lrH = lr >> 31 arithmetic,
+    // lrL = lr & (2³¹−1); lrH·2³¹ + lrL ≡ lr for every long), so
+    //   Σ m·lr = (Σ m·lrH)·2³¹ + (Σ m·lrL)
+    // — per-row products and per-doc sums are int64-safe because
+    // S = Σm ≤ 1e9 (the one cheap aggregation on the already-
+    // checkpointed docB) bounds |lr| ≤ ln(S+buckets) analytically
+    // (Laplace ratio of counts ≤ S), giving |lrH| ≤ ~1e4 and
+    // Σm·lrL ≤ S·2³¹ ≈ 2.1e18 < 2⁶³. The exact integer is
+    // reconstructed per DOC in decimal — bit-identical slr, decimal
+    // path kept above the cap.
+    val longSafe =
+      docB.agg(sum(col("m"))).head().getLong(0) <= longSumTokenCap
+    val scored = if (longSafe) {
+      val d24 = DecimalType(24, 0)
+      val b31 = lit(new java.math.BigDecimal(2147483648L))
+      val modelSplit = model.select(col("b"),
+        shiftright(col("lr_e12"), 31).as("lrH"),
+        col("lr_e12").bitwiseAND(lit(2147483647L)).as("lrL"))
+      docB.join(broadcast(modelSplit), "b")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("m")).as("n_tokens"),
+          sum(col("m") * col("lrH")).as("sH"),
+          sum(col("m") * col("lrL")).as("sL"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("sH").cast(d24) * b31 + col("sL").cast(d24)).as("slr"))
+    } else docB.join(broadcast(model), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).as("n_tokens"),
         sum(col("m").cast(DecimalType(38, 0)) *
           col("lr_e12").cast(DecimalType(38, 0))).as("slr"))
+    scored
       .select(col("doc_id"), col("n_tokens"),
         floor(col("slr").cast(DoubleType) / col("n_tokens") / lit(1e6)
           + lit(0.5)).cast(LongType).as("mean_lr_e6"),

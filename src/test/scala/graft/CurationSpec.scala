@@ -273,6 +273,29 @@ class CurationSpec extends AnyFunSuite {
     assert(again.toSeq === got.toSeq)
   }
 
+  test("dsirWeights: long-split and decimal per-doc log-ratio sums agree bit-for-bit") {
+    // r19 allocation-free rollup: below longSumTokenCap the per-doc
+    // Σ m·lr_e12 sums as two primitive-long digit sums (lr split
+    // base-2³¹ on the model) and reconstructs in decimal; above, the
+    // original DECIMAL(38,0) multiply+sum runs. Forcing the decimal
+    // path (cap 0) against the default must give IDENTICAL rows —
+    // the split telescopes, per-doc integers cannot move. Mixed-lang
+    // corpus with repeated tokens exercises m > 1 and negative lr.
+    val rows = (0L until 120L).map { i =>
+      val lang = if (i % 3 == 0) "en" else "de"
+      val text = s"tok${i % 7} tok${i % 7} shared word$i other ${i % 11}"
+      (i, lang, text)
+    }
+    val df = rows.toDF("doc_id", "lang", "text")
+    def run(cap: Long) =
+      Curation.dsirWeights(df, targetLang = "en", buckets = 64,
+          longSumTokenCap = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    assert(run(Long.MaxValue) === run(0L))
+  }
+
   test("farthestPointSample rejects k beyond the corpus or bounds") {
     intercept[IllegalArgumentException] {
       Curation.farthestPointSample(fpsDf(Seq(1L -> Array(1f))), k = 0)
