@@ -60,6 +60,14 @@ object Assoc {
     * v once contributes 2 to (u, v) — the multiset semantics of the
     * original instance-pair self-join (collect_list, not collect_set).
     * Returns (u, v, c_pair), u < v.
+    *
+    * PRECONDITION (r19, ADVICE): basket sizes must be bounded (TPC-H
+    * orders hold ≤ 7 lineitems). The array formulation materializes one
+    * basket's items in a single aggregation buffer row — a degenerate
+    * giant basket lands on one task's memory where the old quadratic
+    * join streamed; cap basket size upstream (the df-cap pattern)
+    * before calling on skewed non-TPC-H inputs. Applies to pairRules /
+    * tripleRules too (see tripleRules' scale-shape note).
     */
   def incidencePairCounts(items: DataFrame, basketCol: String,
                           itemCol: String): DataFrame =

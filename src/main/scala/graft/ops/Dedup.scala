@@ -920,21 +920,34 @@ object Dedup {
     // (count-checked; decimal fallback above) and the exact total is
     // reconstructed host-side in BigDecimal, so the compare semantics
     // and collision resistance are unchanged.
-    def checksum(d: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+    // r19 (ADVICE): route on the PREVIOUS round's edge count instead of
+    // always running the digit aggregation first — in the oversized
+    // regime the old shape scanned the full edge set twice per round
+    // (digit sums computed, discarded, decimal recomputed) exactly where
+    // scans are most expensive. A round's edge count moves by bounded
+    // factors (star operations), so prevN ≤ 2³⁰ leaves 2× headroom under
+    // the 2³¹ digit-sum cap; the in-aggregation count still decides
+    // exactly, and the rare blow-past just pays the old double scan.
+    def checksum(d: DataFrame, prevN: Long):
+        (Long, java.math.BigDecimal, java.math.BigDecimal) = {
       val mask = lit(0x7FFFFFFFL)
       def digits(h: org.apache.spark.sql.Column) =
         Seq(sum(h.bitwiseAND(mask)), sum(shiftright(h, 31).bitwiseAND(mask)),
           sum(shiftright(h, 62)))
       val h1 = xxhash64(col("u"), col("v"))
       val h2 = xxhash64(lit(0x9e3779b9L), col("u"), col("v"))
-      val r = d.agg(count(lit(1)), (digits(h1) ++ digits(h2)): _*).head()
-      val n = r.getLong(0)
-      if (n == 0L) (0L, null, null)
-      else if (n > (1L << 31)) { // digit sums could wrap: exact decimal path
+      def decimalPath(): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
         val rd = d.agg(count(lit(1)),
           sum(h1.cast(DecimalType(38, 0))),
           sum(h2.cast(DecimalType(38, 0)))).head()
         (rd.getLong(0), rd.getDecimal(1), rd.getDecimal(2))
+      }
+      if (prevN > (1L << 30)) return decimalPath()
+      val r = d.agg(count(lit(1)), (digits(h1) ++ digits(h2)): _*).head()
+      val n = r.getLong(0)
+      if (n == 0L) (0L, null, null)
+      else if (n > (1L << 31)) { // digit sums could wrap: exact decimal path
+        decimalPath()
       } else {
         def recon(lo: Long, mid: Long, hi: Long): java.math.BigDecimal =
           new java.math.BigDecimal(
@@ -948,7 +961,7 @@ object Dedup {
     def eqDec(a: java.math.BigDecimal, b: java.math.BigDecimal): Boolean =
       if (a == null) b == null else b != null && a.compareTo(b) == 0
 
-    var prev = checksum(e)
+    var prev = checksum(e, 0L)
     var converged = prev._1 == 0L // no edges → all singletons
     var rounds = 0
     while (!converged) {
@@ -960,7 +973,7 @@ object Dedup {
       // action (r18 — one job per round, not two; the round is driver-
       // gap-bound, see largeStar note)
       val next = smallStar(largeStar(e)).localCheckpoint(false)
-      val cs = checksum(next)
+      val cs = checksum(next, prev._1)
       converged = cs._1 == prev._1 && eqDec(cs._2, prev._2) && eqDec(cs._3, prev._3)
       prev = cs
       // the prior round's checkpointed blocks are dead once `next` is

@@ -51,8 +51,19 @@ object Graph {
     * witness (in-degree ≤ |V| < 2³¹ bounds the lo/mid sums at
     * |V|·2³¹ < 2⁶²; rank mass conservation bounds Σr ≤ |V|, so
     * hi ≤ 1e14·(|V|+1)/2⁶² < 2¹⁶ and Σhi < 2⁴⁷). Above the cap the
-    * operators fall back to the direct DECIMAL(38,0) sum — identical
-    * integers either way, so results and oracle hashes cannot move.
+    * operators fall back to the direct DECIMAL(38,0) sum.
+    *
+    * Scope of the identical-results claim (r19, ADVICE): the two
+    * regimes produce the same integers for witness values below 2⁵³
+    * (r/odeg ≲ 90 at the e14 scale) — beyond that the split reproduces
+    * the double's exact binary integer while the decimal cast follows
+    * Double.toString's shortest round-trip repr, two engine-defined
+    * readings of the same double (see witnessSplit3's docstring).
+    * Gate-validated graphs keep r/odeg orders of magnitude below the
+    * boundary (rank mass ≤ |V| and hubs have high odeg), so the cap is
+    * a pure performance knob THERE; a hub-heavy graph pushing witnesses
+    * past 2⁵³ would make it value-affecting, which is why the cap
+    * routes on node count rather than silently mixing regimes per row.
     */
   val SplitSumNodeCap = 1L << 31
 
